@@ -1,0 +1,344 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** The operator-query matrix (SURVEY.md §7.3): one named query per operator
+  * row of SURVEY.md §2, each with a DuckDB oracle where ANSI-expressible.
+  *
+  * Oracle-parity rules used throughout (the driver hash-compares values):
+  *   - double aggregations go through DECIMAL (exact) and are cast back to
+  *     DOUBLE at the end — identical bits in Spark and DuckDB;
+  *   - counts/ranks are cast to BIGINT (DuckDB's native width);
+  *   - every query has a total deterministic ORDER BY on non-null keys;
+  *   - `events.ts` is parquet TIMESTAMP(NANOS): Spark reads epoch-nano
+  *     bigints (see [[Tables.events]]), DuckDB reads TIMESTAMP_NS; both
+  *     truncate toward -inf to micro/milli precision consistently.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Run the same SQL text on Spark (over temp views of the parquet tables)
+    * and hand it to DuckDB as the oracle — the engine's core contract is
+    * "SQL pipelines over named streams", so same-text queries are the purest
+    * statement of parity.
+    */
+  private def sqlBoth(name: String, tables: Seq[String], sql: String): Q =
+    Q(name, (s, dir) => {
+      GraftFunctions.register(s)
+      tables.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sql)
+    }, Some(sql))
+
+  private def q(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+
+  private def noOracle(name: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+
+  // ---------------------------------------------------------------------
+  // §2.1/§2.2 scans, projection, filters, scalar expressions
+  // ---------------------------------------------------------------------
+
+  val scanProject: Q = sqlBoth("scan_project", Seq("region"),
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+
+  val filterPushdown: Q = q("filter_pushdown",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      | WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_quantity > 30
+      | ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+        && col("l_quantity") > 30)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val projectCast: Q = q("project_cast",
+    """SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS custkey_str,
+      |  CAST(length(c_name) AS BIGINT) AS name_len FROM customer
+      | ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      col("c_custkey").cast("string").as("custkey_str"),
+      length(col("c_name")).cast("long").as("name_len"))
+      .orderBy("c_custkey")
+  }
+
+  val grokExtract: Q = q("grok_extract",
+    """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k
+      | FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    // props is '{"k": 87}' — the analog of envoy_raw.value
+    // (http_events.sql:41-46): grok -> MAP<STRING,STRING> -> element access.
+    Tables.events(s, dir).select(
+      col("event_id"),
+      GraftFunctions.grok(col("props"), lit("""\{"k": %{NUMBER:k}\}"""))
+        .getItem("k").cast("int").as("k"))
+      .orderBy("event_id")
+  }
+
+  val subqueryCoalesce: Q = sqlBoth("subquery_coalesce", Seq("orders"),
+    """SELECT o_orderstatus, coalesce(o_orderpriority, '__UNKNOWN__') AS prio,
+      |  count(1) AS n
+      | FROM (SELECT * FROM orders) t
+      | GROUP BY o_orderstatus, o_orderpriority
+      | ORDER BY o_orderstatus, prio""".stripMargin)
+
+  val neqDialect: Q = Q("neq_dialect", (s, dir) => {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    // The reference rewrites != to <> before submission (impl.py:637-639);
+    // Spark accepts both, but we keep the dialect hook live.
+    s.sql(engine.SqlDialect.rewrite(
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        | WHERE l_linestatus != 'F' GROUP BY l_returnflag
+        | ORDER BY l_returnflag""".stripMargin))
+  }, Some(
+    """SELECT l_returnflag, count(*) AS n FROM lineitem
+      | WHERE l_linestatus <> 'F' GROUP BY l_returnflag
+      | ORDER BY l_returnflag""".stripMargin))
+
+  val toTimestampRoundtrip: Q = q("to_timestamp_roundtrip",
+    """SELECT o_orderkey,
+      |  strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%dT%H:%M:%SZ') AS ots
+      | FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    // TO_TIMESTAMP with Java patterns incl. quoted literals (P7,
+    // http_events.sql:23).
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      to_timestamp(
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        // session is UTC; NTZ output matches DuckDB's naive TIMESTAMP
+        .cast("timestamp_ntz").as("ots"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // §2.3 aggregation
+  // ---------------------------------------------------------------------
+
+  /** The reference's own flagship model, events_count.sql:18-25, adapted to
+    * the `events` table: coalesce + count(1) + min/max(to_timestamp_ltz).
+    */
+  val eventsCount: Q = Q("events_count", (s, dir) => {
+    GraftFunctions.register(s)
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """SELECT coalesce(event_type, '__UNKNOWN__') AS event_type,
+        |  count(1) AS count_observed,
+        |  CAST(min(to_timestamp_ltz(ts div 1000000, 3)) AS TIMESTAMP_NTZ) AS min_timestamp,
+        |  CAST(max(to_timestamp_ltz(ts div 1000000, 3)) AS TIMESTAMP_NTZ) AS max_timestamp
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }, Some(
+    """SELECT coalesce(event_type, '__UNKNOWN__') AS event_type,
+      |  count(1) AS count_observed,
+      |  min(date_trunc('millisecond', CAST(ts AS TIMESTAMP))) AS min_timestamp,
+      |  max(date_trunc('millisecond', CAST(ts AS TIMESTAMP))) AS max_timestamp
+      | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val aggSumQ1: Q = sqlBoth("agg_sum_q1", Seq("lineitem"),
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      | FROM lineitem GROUP BY l_returnflag, l_linestatus
+      | ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  val distinctAgg: Q = sqlBoth("distinct_agg", Seq("orders"),
+    """SELECT count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
+      | FROM orders""".stripMargin)
+
+  val rollupAgg: Q = sqlBoth("rollup_agg", Seq("lineitem"),
+    """SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+      |  coalesce(l_linestatus, '<all>') AS linestatus, count(*) AS n
+      | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      | ORDER BY returnflag, linestatus""".stripMargin)
+
+  /** A6/ST2: change-stream read = latest row per primary key. Batch
+    * emulation of the reference's retract folding (handler.py:87-94),
+    * ordered by event time with event_id as the deterministic tiebreak.
+    */
+  val changeStreamCompact: Q = q("change_stream_compact",
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      | WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  val testNotNullFailures: Q = sqlBoth("test_notnull_failures", Seq("events"),
+    """SELECT count(*) AS failures
+      | FROM (SELECT event_type FROM events WHERE event_type IS NULL) t""".stripMargin)
+
+  // ---------------------------------------------------------------------
+  // §2.4 joins / windows / sorts / set ops
+  // ---------------------------------------------------------------------
+
+  val joinInnerAgg: Q = q("join_inner_agg",
+    """SELECT n_name, count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      | FROM orders JOIN customer ON o_custkey = c_custkey
+      |   JOIN nation ON c_nationkey = n_nationkey
+      | GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    // nation is tiny: broadcast it explicitly; orders⋈customer shuffles on
+    // the key (the right plan at 100 TB too — dims broadcast, facts shuffle).
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy("n_name")
+  }
+
+  val joinLeft: Q = q("join_left",
+    """SELECT o_orderkey, count(l_orderkey) AS n_items
+      | FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+      | GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(count(col("l_orderkey")).as("n_items"))
+      .orderBy("o_orderkey")
+  }
+
+  val joinSemi: Q = q("join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      | ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinAnti: Q = q("join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      | WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                   WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      | ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val hiValue = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    t(s, dir, "customer")
+      .join(hiValue, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val windowRank: Q = q("window_rank",
+    """SELECT o_custkey, o_orderkey, rnk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      |  FROM orders) t
+      | WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 2)
+      .select("o_custkey", "o_orderkey", "rnk")
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  val windowRunningSum: Q = sqlBoth("window_running_sum", Seq("orders"),
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  val topk: Q = q("topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(10)
+  }
+
+  val setUnion: Q = q("set_union",
+    """SELECT c_nationkey AS nationkey FROM customer
+      | UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+  }
+
+  val setIntersect: Q = q("set_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+      | INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  }
+
+  val setExcept: Q = q("set_except",
+    """SELECT c_custkey AS custkey FROM customer
+      | EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+      | ORDER BY custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      .except(t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // §7.5 LLM-pipeline extras (first slice; more in operators/*)
+  // ---------------------------------------------------------------------
+
+  val dedupExact: Q = q("dedup_exact",
+    """SELECT min(doc_id) AS doc_id, count(1) AS n_copies FROM documents
+      | GROUP BY text ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val textQuality: Q = q("text_quality",
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |  CAST(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS DOUBLE) AS DOUBLE) AS avg_token_len
+      | FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.TextAnalysis.quality(t(s, dir, "documents")).orderBy("doc_id")
+  }
+
+  val fingerprintMd5: Q = q("fingerprint_md5",
+    """SELECT doc_id, md5(lower(text)) AS fp FROM documents
+      | ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+    scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
+    neqDialect, toTimestampRoundtrip,
+    eventsCount, aggSumQ1, distinctAgg, rollupAgg, changeStreamCompact,
+    testNotNullFailures,
+    joinInnerAgg, joinLeft, joinSemi, joinAnti, windowRank, windowRunningSum,
+    topk, setUnion, setIntersect, setExcept,
+    dedupExact, textQuality, fingerprintMd5
+  )
+}

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session-level registration of the engine's SQL function surface:
+  *
+  *   - `grok(value, pattern)` — Decodable built-in (SURVEY §2.2 P6).
+  *   - `to_timestamp_ltz(epoch, 3)` — Flink name used by the reference's
+  *     example models (events_count.sql:22-23); maps to `timestamp_millis`.
+  *
+  * Everything else the reference's SQL surface needs is a Spark SQL builtin
+  * (SURVEY §2.2 P11).
+  */
+object GraftFunctions {
+
+  val grokUdf = udf((value: String, pattern: String) =>
+    Grok.eval(value, pattern).orNull)
+
+  /** Column-API version of grok. */
+  def grok(value: Column, pattern: Column): Column = grokUdf(value, pattern)
+
+  /** Idempotently register all functions on a session. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("grok", grokUdf)
+    // Flink TO_TIMESTAMP_LTZ(epoch, precision): precision 3 = millis, 0 =
+    // seconds, 6/9 = micros/nanos (nanos truncated to Spark's micro range).
+    spark.udf.register("to_timestamp_ltz",
+      (epoch: java.lang.Long, precision: Int) =>
+        if (epoch == null) null
+        else {
+          val micros: Long = precision match {
+            case 0 => epoch * 1000000L
+            case 3 => epoch * 1000L
+            case 6 => epoch.longValue
+            case 9 => epoch / 1000L
+            case p => throw new IllegalArgumentException(s"precision $p")
+          }
+          java.time.Instant.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            Math.floorMod(micros, 1000000L) * 1000L)
+        })
+  }
+}

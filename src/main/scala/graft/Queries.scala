@@ -304,6 +304,47 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // §2.6 engine lifecycle proven through the driver gate: the full
+  // seed → stream → model → read path runs inside these queries.
+  // ---------------------------------------------------------------------
+
+  /** L6 seed round-trip: nation → CSV → Engine.seed (strings cast to the
+    * inferred Flink schema: number → DECIMAL(10, 0), impl.py:150-172) →
+    * read back through the compacted stream view. */
+  val seedRoundtrip: Q = q("seed_roundtrip",
+    """SELECT CAST(n_nationkey AS DECIMAL(10,0)) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS DECIMAL(10,0)) AS n_regionkey
+      | FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-seed").toString
+    t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$tmp/nation_csv")
+    val e = new engine.Engine(s, s"$tmp/cat")
+    e.seed("nation_seed", s"$tmp/nation_csv")
+    e.readStream("nation_seed")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  /** L1 model materialization: stream ingest → createModel (schema
+    * inference + pipeline run) → compacted read. */
+  val engineModel: Q = q("engine_model",
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-model").toString
+    val e = new engine.Engine(s, tmp)
+    val orders = t(s, dir, "orders")
+    e.createStream("orders_stream",
+      graft.schema.StreamSchema.fromStruct(orders.schema))
+    e.appendRows("orders_stream", orders)
+    e.createModel("orders_by_status",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | FROM orders_stream GROUP BY o_orderstatus""".stripMargin)
+    e.readStream("orders_by_status").orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------------
   // §7.5 LLM-pipeline extras (first slice; more in operators/*)
   // ---------------------------------------------------------------------
 
@@ -339,6 +380,7 @@ object Queries {
     testNotNullFailures,
     joinInnerAgg, joinLeft, joinSemi, joinAnti, windowRank, windowRunningSum,
     topk, setUnion, setIntersect, setExcept,
+    seedRoundtrip, engineModel,
     dedupExact, textQuality, fingerprintMd5
   )
 }

@@ -1,0 +1,386 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{Catalog, StreamDef}
+import graft.functions.GraftFunctions
+import graft.schema._
+import graft.types.FlinkType
+
+/** Per-model configuration — the engine analog of the reference's dbt model
+  * config block (pipeline + output-stream specs,
+  * /root/reference/dbt/adapters/decodable/impl.py:449-480):
+  * watermarks (http_events.sql:6-11), primary_key (events_count.sql:10-13),
+  * execution.active default true (impl.py:458-460).
+  */
+final case class ModelConfig(
+    primaryKey: Seq[String] = Nil,
+    watermarks: Seq[Watermark] = Nil,
+    active: Boolean = true,
+    properties: Map[String, String] = Map.empty)
+
+/** Result of a model materialization, mirroring the reference's apply
+  * result states ("created"/"updated"/"unchanged", impl.py:402-417). */
+sealed trait ApplyResult
+case object Created extends ApplyResult
+case object Updated extends ApplyResult
+case object Unchanged extends ApplyResult
+
+/** The engine: one process, one SparkSession, a file-backed catalog. The
+  * reference's control-plane/data-plane REST split (SURVEY §3) collapses to
+  * direct calls; Flink-on-Decodable is replaced by Spark SQL as executor.
+  *
+  * Batch-first: a stream's contents are a Parquet-backed table at
+  * `<root>/<name>`; every lifecycle operator is proven in batch, with the
+  * Structured Streaming path layered on the same StreamDefs
+  * (graft.streaming). Scale stance: all materializations are straight
+  * `spark.sql(...)` plans written with distributed writers — the engine
+  * never collects data to the driver except in [[preview]] (which is
+  * row-limited by contract, like the reference's bounded preview).
+  */
+final class Engine(
+    val spark: SparkSession,
+    val root: String,
+    val namespace: Option[String] = None,
+    val materializeTests: Boolean = false,
+    val previewTimeoutMs: Long = 60000L) {
+
+  val catalog = new Catalog(root, namespace)
+  GraftFunctions.register(spark)
+
+  /** Hidden ingest-sequence column: write-epoch in the high bits, Spark's
+    * monotonically-increasing row id in the low bits. This is the arrival
+    * order that makes change-stream folding (reference handler.py:87-94
+    * "keep latest after per key") deterministic in batch. */
+  val SeqCol = "__graft_seq"
+
+  // ------------------------------------------------------------------
+  // Reads
+  // ------------------------------------------------------------------
+
+  /** Read a stream's current contents.
+    *
+    * @param compact for change streams (PK present), fold to the latest row
+    *                per key by arrival order — the batch analog of the
+    *                retract-stream result semantics (handler.py:87-94).
+    */
+  def readStream(name: String, compact: Boolean = true): DataFrame = {
+    val d = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '${catalog.qualify(name)}' not found"))
+    // a declared stream with no data yet reads as empty (its first write
+    // creates the dir; the def can exist first, e.g. mid-createModel)
+    val raw =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(catalog.dataPath(name))))
+        spark.read.schema(storedStruct(d)).parquet(catalog.dataPath(name))
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storedStruct(d))
+    val withComputed = d.schema.applyComputed(raw)
+    val pk = d.schema.primaryKeyColumns
+    val folded =
+      if (compact && pk.nonEmpty) {
+        val w = Window.partitionBy(pk.map(col): _*).orderBy(col(SeqCol).desc)
+        withComputed.withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1)
+          .drop("__graft_rn")
+      } else withComputed
+    folded.drop(SeqCol)
+  }
+
+  private def storedStruct(d: StreamDef) =
+    d.schema.toStruct.add(SeqCol, "long", nullable = false)
+
+  /** Register every catalog stream as a temp view (compacted read). */
+  def registerViews(): Unit =
+    catalog.list().foreach { d =>
+      readStream(d.name).createOrReplaceTempView(d.name)
+      namespace.foreach { ns =>
+        // also expose the short name inside the namespace
+        val short = d.name.stripPrefix(s"${ns}__")
+        if (short != d.name) readStream(d.name).createOrReplaceTempView(short)
+      }
+    }
+
+  // ------------------------------------------------------------------
+  // Schema inference (S7) and change detection (L2)
+  // ------------------------------------------------------------------
+
+  /** Streams referenced by a SQL statement — via Spark's parser, not string
+    * matching (the reference's crude `FROM old` replace, impl.py:698-701,
+    * done properly as SURVEY §2.6 L4 recommends). */
+  def sourcesOf(sql: String): Seq[String] = {
+    val plan = spark.sessionState.sqlParser.parsePlan(SqlDialect.rewrite(sql))
+    plan.collect { case r: UnresolvedRelation => r.multipartIdentifier.last }
+      .distinct
+      .map(catalog.qualify)
+      .filter(catalog.exists)
+  }
+
+  /** Analysis-only schema inference: `spark.sql(select).schema` runs the
+    * analyzer without a job (reference POST /pipelines/outputStream,
+    * client.py:292-297). Errors on empty schema like impl.py:496-499. */
+  def inferSchema(sql: String): StreamSchema = {
+    registerViews()
+    val st = spark.sql(SqlDialect.rewrite(sql)).schema
+    if (st.isEmpty)
+      throw new IllegalStateException(
+        s"Could not infer schema for SQL: $sql — analyzer returned no fields")
+    StreamSchema.fromStruct(st)
+  }
+
+  /** L2: would materializing (name, sql, cfg) change the stored resource? */
+  def hasChanged(name: String, sql: String, cfg: ModelConfig): Boolean =
+    catalog.get(name) match {
+      case None => true
+      case Some(existing) => candidateDef(name, sql, cfg).specHash != existing.specHash
+    }
+
+  private def candidateDef(name: String, sql: String, cfg: ModelConfig): StreamDef = {
+    val inferred = inferSchema(sql)
+    StreamDef(
+      name = catalog.qualify(name),
+      schema = inferred.copy(primaryKey = cfg.primaryKey, watermarks = cfg.watermarks),
+      sql = Some(SqlDialect.rewrite(sql)),
+      sources = sourcesOf(sql),
+      active = cfg.active,
+      properties = cfg.properties)
+  }
+
+  // ------------------------------------------------------------------
+  // Materialization (L1) — dbt model == stream + pipeline pair
+  // ------------------------------------------------------------------
+
+  /** Materialize a model: infer schema, diff against the stored def, and
+    * (re)build only when changed or `fullRefresh` (reference table
+    * materialization skip-if-unchanged, table.sql:29-41 + README.md:95-98).
+    */
+  def createModel(name: String, sql: String, cfg: ModelConfig = ModelConfig(),
+                  fullRefresh: Boolean = false): ApplyResult = {
+    val existed = catalog.exists(name)
+    if (existed && !fullRefresh && !hasChanged(name, sql, cfg)) return Unchanged
+    if (existed) dropStream(name, cascade = false, keepConsumers = true)
+    val d = candidateDef(name, sql, cfg)
+    catalog.put(d)
+    if (cfg.active) runPipeline(name) else writeEmpty(d)
+    if (existed) Updated else Created
+  }
+
+  /** Execute a stream's pipeline SQL and overwrite its contents (batch
+    * re-materialization of `INSERT INTO sink SELECT …`). */
+  def runPipeline(name: String): Unit = {
+    val d = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    val sql = d.sql.getOrElse(
+      throw new IllegalStateException(s"stream '${d.name}' has no pipeline"))
+    registerViews()
+    write(d, spark.sql(sql), SaveMode.Overwrite)
+  }
+
+  /** Append the result of `sql` to an existing stream (incremental INSERT
+    * INTO semantics — S2). */
+  def insertInto(name: String, sql: String): Unit = {
+    val d = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    registerViews()
+    write(d, spark.sql(SqlDialect.rewrite(sql)), SaveMode.Append)
+  }
+
+  /** Append rows directly (the analog of POSTing events to a REST source
+    * connection, client.py:493-501). */
+  def appendRows(name: String, df: DataFrame): Unit = {
+    val d = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    write(d, df, SaveMode.Append)
+  }
+
+  private def write(d: StreamDef, df: DataFrame, mode: SaveMode): Unit = {
+    val epoch = d.writeEpoch + 1
+    val target = d.schema.toStruct
+    // align column order/casts to the declared schema
+    val aligned = df.select(target.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val stamped = aligned.withColumn(
+      SeqCol, (lit(epoch) * lit(1L << 45) + monotonically_increasing_id()).cast("long"))
+    stamped.write.mode(mode).parquet(catalog.dataPath(d.name))
+    catalog.put(d.copy(writeEpoch = epoch))
+  }
+
+  private def writeEmpty(d: StreamDef): Unit = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], d.schema.toStruct)
+    write(d, empty, SaveMode.Overwrite)
+  }
+
+  /** Create a raw (externally-fed) stream with an explicit schema. */
+  def createStream(name: String, schema: StreamSchema): Unit = {
+    val d = StreamDef(catalog.qualify(name), schema)
+    catalog.put(d)
+    writeEmpty(d)
+  }
+
+  // ------------------------------------------------------------------
+  // Seeds (L6)
+  // ------------------------------------------------------------------
+
+  /** Seed type inference: the reference maps agate's sniffed CSV column
+    * classes to Flink types (impl.py:150-172): text → STRING, number →
+    * DECIMAL(10, 0), boolean → BOOLEAN, datetime → TIMESTAMP_LTZ(3),
+    * date → DATE, time → TIME(3). We get the same classification from
+    * Spark's CSV inference, then map the Spark class to the seed type.
+    */
+  def inferSeedTypes(csvPath: String): Seq[(String, FlinkType)] = {
+    import org.apache.spark.sql.types._
+    val sniffed = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(csvPath).schema
+    sniffed.fields.toSeq.map { f =>
+      val t = f.dataType match {
+        case _: NumericType => FlinkType.FDecimal(10, 0)
+        case BooleanType => FlinkType.FBoolean
+        case TimestampType | TimestampNTZType => FlinkType.FTimestampLtz(3)
+        case DateType => FlinkType.FDate
+        case _ => FlinkType.FString
+      }
+      f.name -> t
+    }
+  }
+
+  /** L6: materialize a CSV seed as a stream. Every value is read as a
+    * string and cast to the declared type — mirroring the reference's
+    * stringified-event ingest (impl.py:560-566: `{col: str(row[col])}`,
+    * coerced server-side to the stream schema). `columnTypes` overrides
+    * inference per column; unknown override strings fall back to inferred
+    * (impl.py:516-531). */
+  def seed(name: String, csvPath: String,
+           columnTypes: Map[String, String] = Map.empty,
+           fullRefresh: Boolean = false): ApplyResult = {
+    val inferred = inferSeedTypes(csvPath)
+    val types = inferred.map { case (n, t) =>
+      n -> columnTypes.get(n).flatMap(FlinkType.parse).getOrElse(t)
+    }
+    val schema = StreamSchema(types.map { case (n, t) => PhysicalField(n, t) })
+    val existed = catalog.exists(name)
+    if (existed && !fullRefresh) truncate(name)
+    else if (existed) { dropStream(name, cascade = false, keepConsumers = true) }
+    if (!catalog.exists(name)) {
+      catalog.put(StreamDef(catalog.qualify(name), schema))
+    }
+    val asStrings = spark.read.option("header", "true").csv(csvPath) // all STRING
+    appendRows(name, asStrings) // write() casts to the declared schema
+    if (existed) Updated else Created
+  }
+
+  // ------------------------------------------------------------------
+  // Preview / tests (L7, L8, ST4)
+  // ------------------------------------------------------------------
+
+  /** Bounded interactive query over current stream contents (reference
+    * preview protocol, handler.py:65-100). Change-stream folding is already
+    * applied by the compacted temp views. The timeout mirrors the
+    * accumulated poll budget (default 60 s, connections.py:46). */
+  def preview(sql: String, limit: Int = 100): Seq[Row] = {
+    registerViews()
+    val df = spark.sql(SqlDialect.rewrite(sql))
+    val action = java.util.concurrent.CompletableFuture.supplyAsync(() => df.take(limit))
+    try action.get(previewTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS).toSeq
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        spark.sparkContext.cancelAllJobs()
+        throw new RuntimeException(s"preview timed out after ${previewTimeoutMs}ms")
+    }
+  }
+
+  /** dbt-style test: wrap the test query in a failures count (the default
+    * get_test_sql contract — count rows, compare to thresholds;
+    * macros/get_test_sql.sql:17-20). Returns the failure count. In
+    * materialize-tests mode (connections.py:48, impl.py:641-648) the
+    * wrapped query is persisted as its own model instead (L8). */
+  def runTest(testName: String, sql: String, limit: Option[Int] = None): Long = {
+    val limited = limit.map(l => s"SELECT * FROM (${SqlDialect.rewrite(sql)}) __t LIMIT $l")
+      .getOrElse(SqlDialect.rewrite(sql))
+    val failuresSql = s"SELECT count(*) AS failures FROM ($limited) __dbt_test"
+    if (materializeTests) {
+      createModel(testName, failuresSql)
+      preview(s"SELECT failures FROM ${catalog.qualify(testName)}").head.getLong(0)
+    } else {
+      preview(failuresSql).headOption.map(_.getLong(0)).getOrElse(0L)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Lifecycle ops (L3, L4, L5, L9)
+  // ------------------------------------------------------------------
+
+  /** L3: drop a stream; with `cascade`, first recursively drop every stream
+    * whose pipeline reads it (impl.py:197-257, recursion at 246-254). With
+    * `keepConsumers` (internal rebuild path) consumers are left in place. */
+  def dropStream(name: String, cascade: Boolean = true,
+                 keepConsumers: Boolean = false): Unit = {
+    if (!catalog.exists(name)) return
+    if (cascade && !keepConsumers)
+      catalog.consumers(name).foreach(c => dropStream(c.name, cascade = true))
+    catalog.delete(name)
+  }
+
+  /** L4: rename stream + pipeline; consumer pipelines' SQL is rewritten by
+    * re-parsing (identifier-boundary regex on the parsed source list), not
+    * the reference's fragile first-occurrence string replace
+    * (impl.py:694-701). */
+  def renameStream(oldName: String, newName: String): Unit = {
+    val qOld = catalog.qualify(oldName)
+    val qNew = catalog.qualify(newName)
+    catalog.rename(oldName, newName)
+    // rewrite this stream's own def sources stay as-is; rewrite consumers
+    catalog.list().filter(_.sources.contains(qOld)).foreach { c =>
+      val newSql = c.sql.map(replaceIdentifier(_, qOld, qNew))
+      catalog.put(c.copy(
+        sql = newSql,
+        sources = c.sources.map(s => if (s == qOld) qNew else s)))
+    }
+    // the renamed stream keeps its own pipeline SQL (sink name is implicit)
+  }
+
+  private def replaceIdentifier(sql: String, from: String, to: String): String =
+    sql.replaceAll(s"(?i)(?<![\\w`])${java.util.regex.Pattern.quote(from)}(?![\\w`])",
+      java.util.regex.Matcher.quoteReplacement(to))
+
+  /** L5/S6: truncate — overwrite with an empty DataFrame of the same
+    * schema (impl.py:259-275). */
+  def truncate(name: String): Unit = {
+    val d = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    writeEmpty(d)
+  }
+
+  // --- L9 run-operations (macros/operations.sql:17-111) ---
+
+  private def targets(names: Option[Seq[String]]): Seq[StreamDef] = names match {
+    case None => catalog.list()
+    case Some(ns) => ns.flatMap(catalog.get(_))
+  }
+
+  /** Deactivate pipelines (stop_pipelines). */
+  def stopPipelines(names: Option[Seq[String]] = None): Unit =
+    targets(names).filter(_.sql.nonEmpty).foreach(d => catalog.put(d.copy(active = false)))
+
+  /** Delete pipelines, keep streams (delete_pipelines). */
+  def deletePipelines(names: Option[Seq[String]] = None): Unit =
+    targets(names).filter(_.sql.nonEmpty).foreach(d =>
+      catalog.put(d.copy(sql = None, sources = Nil, active = false)))
+
+  /** Delete streams wholesale (delete_streams; skip_errors semantics —
+    * missing names are warnings, operations.sql:90-104). */
+  def deleteStreams(names: Option[Seq[String]] = None, skipErrors: Boolean = true): Unit =
+    names match {
+      case None => catalog.list().foreach(d => catalog.delete(d.name))
+      case Some(ns) => ns.foreach { n =>
+        if (catalog.exists(n)) catalog.delete(n)
+        else if (!skipErrors)
+          throw new IllegalArgumentException(s"stream '$n' not found")
+      }
+    }
+
+  /** cleanup: deactivate + delete pipeline + delete stream for each target. */
+  def cleanup(names: Option[Seq[String]] = None): Unit =
+    targets(names).foreach(d => catalog.delete(d.name))
+}

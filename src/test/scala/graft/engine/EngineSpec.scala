@@ -1,0 +1,173 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.schema._
+import graft.types.FlinkType._
+
+/** End-to-end lifecycle over a temp catalog — the engine analog of the
+  * reference's one functional scenario (seed → run → test → cleanup,
+  * /root/reference/tests/functional/adapter/simple/test_simple_project.py:48-70)
+  * plus the lifecycle operators L1-L9 it exercises only piecemeal.
+  */
+class EngineSpec extends SparkSpec {
+
+  private def newEngine(ns: Option[String] = None): Engine =
+    new Engine(spark, tmpDir("graft-engine"), namespace = ns)
+
+  private def writeCsv(dir: String, name: String, content: String): String = {
+    val p = Paths.get(dir, name)
+    Files.write(p, content.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("seed → run → test loop (functional scenario analog)") {
+    val e = newEngine()
+    // fixtures.py:17-25 seed shape: id,name
+    val csv = writeCsv(tmpDir("seed"), "seed.csv",
+      "id,name\n1,Alice\n2,Bob\n3,\n")
+    assert(e.seed("my_seed", csv) == Created)
+
+    // model: CHAR_LENGTH over the seed (fixtures.py:27)
+    assert(e.createModel("my_model",
+      "SELECT id, name, CHAR_LENGTH(name) AS name_len FROM my_seed") == Created)
+    val rows = e.preview("SELECT * FROM my_model ORDER BY id")
+    assert(rows.size == 3)
+
+    // not_null test on name → 1 failure (row 3 has empty name -> null)
+    val failures = e.runTest("not_null_my_model_name",
+      "SELECT name FROM my_model WHERE name IS NULL")
+    assert(failures == 1L)
+
+    // cleanup removes everything (operations.sql:90-104)
+    e.cleanup()
+    assert(e.catalog.list().isEmpty)
+  }
+
+  test("seed type inference + column_types override + stringified cast (impl.py:150-172,516-531,560-566)") {
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed2"), "s.csv",
+      "id,price,flag,day\n1,10.5,true,2024-01-02\n2,20.25,false,2024-01-03\n")
+    e.seed("typed_seed", csv, columnTypes = Map("price" -> "DOUBLE", "bogus" -> "NOPE"))
+    val d = e.catalog.get("typed_seed").get
+    val byName = d.schema.fields.collect { case PhysicalField(n, t) => n -> t }.toMap
+    assert(byName("id") == FDecimal(10, 0))   // number → DECIMAL(10, 0)
+    assert(byName("price") == FDouble)        // override applied
+    assert(byName("flag") == FBoolean)
+    assert(byName("day") == FDate)
+    val rows = e.preview("SELECT * FROM typed_seed ORDER BY id")
+    assert(rows.map(_.get(1)) == Seq(10.5, 20.25)) // cast from strings, not CSV parse
+  }
+
+  test("has_changed drives skip/rebuild (impl.py:402-417, table.sql:29-41)") {
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed3"), "s.csv", "k,v\na,1\nb,2\n")
+    e.seed("src", csv)
+    val sql = "SELECT k, CAST(v AS BIGINT) AS v FROM src"
+    assert(e.createModel("m", sql) == Created)
+    assert(e.createModel("m", sql) == Unchanged)          // identical spec → skip
+    assert(e.createModel("m", sql, fullRefresh = true) == Updated)
+    assert(e.createModel("m", sql + " WHERE v > 1") == Updated) // sql changed
+    assert(e.preview("SELECT * FROM m").size == 1)
+  }
+
+  test("change-stream reads compact to latest row per PK (handler.py:87-94 batch analog)") {
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed4"), "s.csv", "k,v\na,1\nb,2\n")
+    e.seed("updates", csv)
+    e.createModel("state",
+      "SELECT k, CAST(v AS BIGINT) AS v FROM updates",
+      ModelConfig(primaryKey = Seq("k")))
+    // new arrivals: a→10 (update), c→3 (insert)
+    import spark.implicits._
+    e.appendRows("state", Seq(("a", 10L), ("c", 3L)).toDF("k", "v"))
+    val rows = e.preview("SELECT k, v FROM state ORDER BY k")
+    assert(rows.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a", 10L), ("b", 2L), ("c", 3L)))
+    // uncompacted read still has all 4 events
+    assert(e.readStream("state", compact = false).count() == 4)
+  }
+
+  test("drop cascades to consumer pipelines (impl.py:197-257)") {
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed5"), "s.csv", "k,v\na,1\n")
+    e.seed("base", csv)
+    e.createModel("mid", "SELECT k, v FROM base")
+    e.createModel("leaf", "SELECT count(*) AS n FROM mid")
+    assert(e.catalog.consumers("mid").map(_.name) == Seq("leaf"))
+    e.dropStream("base", cascade = true)
+    assert(e.catalog.list().isEmpty) // base → mid → leaf all dropped
+  }
+
+  test("rename rewrites consumer pipeline SQL via identifiers (impl.py:277-352 done properly)") {
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed6"), "s.csv", "k,v\na,1\n")
+    e.seed("old_name", csv)
+    e.createModel("consumer", "SELECT k FROM old_name WHERE v <> '0'")
+    e.renameStream("old_name", "new_name")
+    assert(!e.catalog.exists("old_name"))
+    assert(e.catalog.exists("new_name"))
+    val c = e.catalog.get("consumer").get
+    assert(c.sql.get.contains("FROM new_name"))
+    assert(c.sources == Seq("new_name"))
+    // consumer still runs after rename
+    e.runPipeline("consumer")
+    assert(e.preview("SELECT * FROM consumer").size == 1)
+  }
+
+  test("truncate keeps schema, empties data (impl.py:259-275)") {
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed7"), "s.csv", "k,v\na,1\nb,2\n")
+    e.seed("t", csv)
+    e.truncate("t")
+    assert(e.preview("SELECT * FROM t").isEmpty)
+    assert(e.catalog.get("t").get.schema.fields.size == 2)
+    // seeding again into the truncated stream works (seed.sql reset path)
+    e.seed("t", csv)
+    assert(e.preview("SELECT * FROM t").size == 2)
+  }
+
+  test("namespace prefixing ns__name (adapters.sql:17-28)") {
+    val e = newEngine(ns = Some("dev"))
+    val csv = writeCsv(tmpDir("seed8"), "s.csv", "k,v\na,1\n")
+    e.seed("s", csv)
+    assert(e.catalog.exists("dev__s"))
+    assert(e.catalog.qualify("s") == "dev__s")
+    // models can reference the short name; the def is stored qualified
+    e.createModel("m", "SELECT k FROM s")
+    assert(e.catalog.get("dev__m").get.sources.isEmpty
+      || e.catalog.get("dev__m").get.sources == Seq("dev__s"))
+    assert(e.preview("SELECT * FROM dev__m").size == 1)
+  }
+
+  test("run-operations: stop/delete pipelines, delete streams (operations.sql:17-111)") {
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed9"), "s.csv", "k,v\na,1\n")
+    e.seed("s1", csv)
+    e.createModel("p1", "SELECT k FROM s1")
+    e.stopPipelines(Some(Seq("p1")))
+    assert(!e.catalog.get("p1").get.active)
+    e.deletePipelines(Some(Seq("p1")))
+    assert(e.catalog.get("p1").get.sql.isEmpty) // stream survives
+    e.deleteStreams(Some(Seq("p1", "missing")), skipErrors = true)
+    assert(!e.catalog.exists("p1"))
+    intercept[IllegalArgumentException] {
+      e.deleteStreams(Some(Seq("missing")), skipErrors = false)
+    }
+  }
+
+  test("materialize_tests=true persists the test as a model (test_as_table.sql:17-49)") {
+    val e = new Engine(spark, tmpDir("graft-engine"), materializeTests = true)
+    val csv = writeCsv(tmpDir("seed10"), "s.csv", "k,v\na,\nb,2\n")
+    e.seed("s", csv)
+    val failures = e.runTest("assert_v_not_null", "SELECT v FROM s WHERE v IS NULL")
+    assert(failures == 1L)
+    assert(e.catalog.exists("assert_v_not_null")) // persisted as stream+pipeline
+  }
+
+  test("schema inference errors on unanalyzable SQL (impl.py:496-499)") {
+    val e = newEngine()
+    intercept[Exception](e.inferSchema("SELECT * FROM does_not_exist"))
+  }
+}

@@ -371,6 +371,178 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** DuckDB-side distinct word-n-gram shingle expression (the oracle twin
+    * of [[operators.Dedup.shingles]]). */
+  private def duckShingles(n: Int): String = {
+    val w = "string_split(text, ' ')"
+    val gram = (0 until n).map(j => s"$w[i+${j + 1}]")
+      .mkString("concat(", ", ' ', ", ")")
+    s"list_distinct(list_transform(range(len($w) - ${n - 1}), i -> $gram))"
+  }
+
+  private def duckJaccardPairs(n: Int, threshold: Double, leftPred: String): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${duckShingles(n)} AS s FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $n)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE $leftPred
+       |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.s, b.s))) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash+LSH near-dup pairs vs a brute-force Jaccard oracle: with 32
+    * bands × 4 rows the sketch's miss probability at j≥0.8 is ~5e-8, and
+    * the corpus has no pairs in (0.13, 0.8), so sketch == exact here. */
+  val dedupMinhashLsh: Q = q("dedup_minhash_lsh",
+    duckJaccardPairs(n = 2, threshold = 0.5, leftPred = "true")) { (s, dir) =>
+    operators.Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact brute-force 3-gram Jaccard pairs (the verify path alone). */
+  val ngramJaccard: Q = q("ngram_jaccard_pairs",
+    duckJaccardPairs(n = 3, threshold = 0.3, leftPred = "a.doc_id % 5 = 0")) { (s, dir) =>
+    operators.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, threshold = 0.3, queryPred = col("id") % 5 === 0)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs, oracle-checked bit-for-bit: both engines build
+    * the same 56-bit hash from md5 hex ([[operators.CrossHash]]), vote per
+    * bit, and compare hamming distance — a sketch with an exact oracle. */
+  val dedupSimhash: Q = q("dedup_simhash", {
+    val h = operators.CrossHash.duckdbHash56("tok")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hs AS (SELECT doc_id, $h AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id, bits.bit AS bit,
+       |    SUM(CASE WHEN (h >> bits.bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+       |  FROM hs, (SELECT unnest(range(56)) AS bit) bits
+       |  GROUP BY doc_id, bits.bit),
+       |sh AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN votes > 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END) AS simhash
+       |  FROM votes GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 10
+       |ORDER BY id_a, id_b""".stripMargin
+  }) { (s, dir) =>
+    operators.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 10)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding near-dup pairs (cosine ≥ 0.45; double math + round-6 keeps
+    * both engines bit-identical). */
+  val embeddingNearDup: Q = q("embedding_neardup",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      | WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+      | ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    operators.Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.45)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact ANN baseline: top-5 cosine neighbors for query vectors id<10. */
+  val annTopK: Q = q("ann_topk",
+    """SELECT q_id, n_id, rnk, cos FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+      |      c.vec_id) AS BIGINT) AS rnk,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10) t
+      | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+    operators.Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** LSH-bucketed ANN (the scale path — equi-join on sign-signature
+    * buckets instead of a cross join). Approximate by construction → no
+    * SQL oracle; recall vs brute force is asserted in SimilaritySpec. */
+  val annLshTopK: Q = noOracle("ann_lsh_topk") { (s, dir) =>
+    operators.Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5, dims = 64, planes = 6)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Heuristic language ID via marker-word counts, fixed-order argmax. */
+  val langId: Q = q("lang_id", {
+    def cnt(w: String) =
+      s"len(regexp_extract_all(lower(text), '(?:^| )$w(?: |$$)'))"
+    val scores = operators.TextAnalysis.LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(cnt).mkString(" + ")
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (lang, e) =>
+      s"WHEN ($e) = __best AND __best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, text, $best AS __best FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    operators.TextAnalysis.langId(t(s, dir, "documents"))
+      .select("doc_id", "lang_pred")
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish pre-tokenizer token count (GPT-2 pre-tokenization regex —
+    * no lookaround, so Java and RE2 agree). */
+  val tokenCountBpe: Q = q("token_count_bpe", {
+    val re = operators.TextAnalysis.BpeTokenRe.replace("'", "''")
+    s"""SELECT doc_id, CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    operators.TextAnalysis.tokenCountBpe(t(s, dir, "documents"))
+      .select("doc_id", "n_bpe_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprints (Scala UDF state machine — not SQL-expressible;
+    * rows-only driver check, exactness covered in TextAnalysisSpec). */
+  val winnowFingerprint: Q = noOracle("winnow_fingerprint") { (s, dir) =>
+    operators.TextAnalysis.winnowSummary(t(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal plumbing: binary payload + typed metadata struct, stats
+    * oracle-checked (decode itself is the clearly-marked stub). */
+  val multimodalStats: Q = q("multimodal_stats",
+    """SELECT doc_id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  CAST(length(text) % 640 AS INT) AS width,
+      |  CAST((length(text) * 7) % 480 AS INT) AS height,
+      |  CAST(CAST(length(text) % 640 AS BIGINT)
+      |    * CAST((length(text) * 7) % 480 AS BIGINT) * 3 AS BIGINT) AS n_pixels
+      | FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Multimodal.mediaStats(
+      operators.Multimodal.asMediaTable(t(s, dir, "documents")))
+      .orderBy("doc_id")
+  }
+
+  /** Batched stub decode through mapPartitions (real plumbing, fake codec;
+    * rows-only check — feature values are covered in MultimodalSpec). */
+  val multimodalFeatures: Q = noOracle("multimodal_features") { (s, dir) =>
+    operators.Multimodal.extractFeatures(
+      operators.Multimodal.asMediaTable(t(s, dir, "documents")))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -381,6 +553,9 @@ object Queries {
     joinInnerAgg, joinLeft, joinSemi, joinAnti, windowRank, windowRunningSum,
     topk, setUnion, setIntersect, setExcept,
     seedRoundtrip, engineModel,
-    dedupExact, textQuality, fingerprintMd5
+    dedupExact, textQuality, fingerprintMd5,
+    dedupMinhashLsh, ngramJaccard, dedupSimhash, embeddingNearDup,
+    annTopK, annLshTopK, langId, tokenCountBpe, winnowFingerprint,
+    multimodalStats, multimodalFeatures
   )
 }

@@ -1,11 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY §7.5):
-  * quality metrics, token counting, language ID, fingerprinting. All are
-  * narrow per-row projections — no shuffle, fully codegen'd builtins.
+  * quality metrics, token counting, language ID, fingerprinting. All but
+  * winnowing are narrow per-row projections of codegen'd builtins — no
+  * shuffle, scales linearly with the corpus.
   */
 object TextAnalysis {
 
@@ -21,4 +22,97 @@ object TextAnalysis {
       (length(regexp_replace(col("text"), " ", "")).cast("double") /
         expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS DOUBLE)"))
         .cast("double").as("avg_token_len"))
+
+  /** GPT-2-style pre-tokenizer regex (contractions | words | numbers |
+    * punctuation runs | whitespace runs) — no lookaround, so Java and RE2
+    * agree. */
+  val BpeTokenRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish token count per document (the pre-tokenization pass of a GPT
+    * tokenizer; actual merges are vocabulary-dependent and out of scope). */
+  def tokenCountBpe(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("n_bpe_tokens",
+      size(regexp_extract_all(col(textCol), lit(BpeTokenRe), lit(0))).cast("long"))
+
+  /** Marker words per language, checked in fixed order (deterministic
+    * argmax tiebreak: first language with the max marker count wins). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"),
+    "es" -> Seq("el", "los", "y", "es"),
+    "zh" -> Seq("的", "和", "是", "了"))
+
+  private def markerCount(text: Column, words: Seq[String]): Column =
+    words.map(w => size(regexp_extract_all(text,
+      lit("(?:^| )" + java.util.regex.Pattern.quote(w) + "(?: |$)"), lit(0))))
+      .reduce(_ + _)
+
+  /** Heuristic language ID: count language marker words, pick the argmax
+    * ('und' — undetermined — when no marker matches at all). A real
+    * deployment swaps in char-n-gram profiles; the operator shape (pure
+    * projection, no shuffle) is the point at 100 TB. */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = lower(col(textCol))
+    val scored = LangMarkers.map { case (lang, words) => (lang, markerCount(text, words)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.reverse.foldLeft(lit("und")) { case (acc, (lang, cnt)) =>
+      when(cnt === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    docs.withColumn("lang_pred", pick)
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's local
+    * algorithm, re-derived from the published description): k-gram rolling
+    * hashes, keep the minimum of each sliding window of `w` hashes
+    * (rightmost-min rule), dedupe. Per-row Scala UDF — the per-document
+    * state machine doesn't decompose into relational ops, but it stays
+    * fully distributed (no shuffle, no driver state).
+    */
+  def winnowFingerprints(k: Int = 5, w: Int = 4): Column = {
+    val f = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val s = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        if (s.length < k) Array.empty[Long]
+        else {
+          val B = 31L
+          val Bk = (1 until k).foldLeft(1L)((acc, _) => acc * B)
+          val hashes = new Array[Long](s.length - k + 1)
+          var h = 0L
+          var i = 0
+          while (i < k) { h = h * B + s.charAt(i); i += 1 }
+          hashes(0) = h
+          while (i < s.length) {
+            h = (h - s.charAt(i - k) * Bk) * B + s.charAt(i)
+            hashes(i - k + 1) = h
+            i += 1
+          }
+          if (hashes.length <= w) Array(hashes.min)
+          else {
+            val out = scala.collection.mutable.LinkedHashSet[Long]()
+            var j = 0
+            while (j + w <= hashes.length) {
+              var minIdx = j
+              var m = j
+              while (m < j + w) { if (hashes(m) <= hashes(minIdx)) minIdx = m; m += 1 }
+              out += hashes(minIdx)
+              j += 1
+            }
+            out.toArray
+          }
+        }
+      }
+    }
+    f(col("text"))
+  }
+
+  /** Fingerprint summary per document (count + min fingerprint), for the
+    * rows-only driver check. */
+  def winnowSummary(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    docs.withColumn("fp", winnowFingerprints(k, w))
+      .select(col("doc_id"),
+        size(col("fp")).cast("long").as("n_fingerprints"),
+        array_min(col("fp")).as("min_fp"))
 }

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.engine.Engine
+
+/** Continuous execution of the same models the batch engine materializes —
+  * the analog of the reference's pipeline activation lifecycle
+  * (SURVEY §2.5 ST1-ST6):
+  *
+  *   - activation (ST3): `activate(name)` starts a [[StreamingQuery]]
+  *     reading the model's source streams via `readStream` and appending
+  *     to the sink stream's directory; `deactivate` stops it
+  *     (impl.py:458-460 auto-activation; client.py:381-393 state).
+  *   - watermarks (ST1): declared per-stream `{name, expression}` parse to
+  *     `withWatermark(col, delay)` (schema.py:114-117).
+  *   - append vs change streams (ST2): both sinks append micro-batches
+  *     stamped with the ingest-sequence column; change-stream semantics
+  *     (latest row per PK, handler.py:87-94) are applied at read time by
+  *     [[Engine.readStream]] compaction — the same fold for batch and
+  *     streaming, so results are identical by construction.
+  *   - bounded preview (ST4): `refreshAvailable` runs the pipeline with
+  *     `Trigger.AvailableNow` — process everything currently readable,
+  *     then stop (the analog of the polled bounded preview).
+  *   - start positions (S5/ST6): `earliest` replays the source dir from
+  *     scratch; `latest` checkpoints at the current contents first
+  *     (Kafka startingOffsets semantics mapped to the file source).
+  *
+  * Scale stance: each active pipeline is an independent incremental
+  * micro-batch DAG; state (watermark aggregations) lives in executors'
+  * state store, partitioned by grouping key — nothing accumulates on the
+  * driver.
+  */
+final class StreamingEngine(val engine: Engine) {
+  private val spark = engine.spark
+  private val active = TrieMap.empty[String, StreamingQuery]
+
+  private def checkpointDir(name: String): String =
+    s"${engine.root}/_checkpoints/${engine.catalog.qualify(name)}"
+
+  /** Streaming read of a source stream: file-source over the stream dir,
+    * declared schema, computed columns + watermark applied. */
+  def readStreamContinuous(name: String): DataFrame = {
+    val d = engine.catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    val struct = d.schema.toStruct.add(engine.SeqCol, "long", nullable = false)
+    val raw = spark.readStream.schema(struct).parquet(engine.catalog.dataPath(name))
+    val computed = d.schema.applyComputed(raw).drop(engine.SeqCol)
+    d.schema.watermarks.headOption.flatMap(w =>
+      w.delayThreshold.map(delay => computed.withWatermark(w.name, delay)))
+      .getOrElse(computed)
+  }
+
+  /** Build the continuous DataFrame for a model by running its pipeline
+    * SQL over streaming views of its sources. */
+  def continuousPlan(name: String): DataFrame = {
+    val d = engine.catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    val sql = d.sql.getOrElse(
+      throw new IllegalStateException(s"stream '${d.name}' has no pipeline"))
+    d.sources.foreach { src =>
+      readStreamContinuous(src).createOrReplaceTempView(src)
+    }
+    spark.sql(sql)
+  }
+
+  /** ST3: activate the model's pipeline as a continuous query. Aggregation
+    * plans run in update mode (change stream); projections/filters in
+    * append. Each micro-batch is appended through the engine's writer so
+    * the ingest-sequence stamping (and therefore PK compaction) matches
+    * batch writes exactly. */
+  def activate(name: String, trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    require(!active.contains(name), s"pipeline '$name' already active")
+    val plan = continuousPlan(name)
+    val isAggregating = plan.isStreaming && plan.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+    val q = plan.writeStream
+      .outputMode(if (isAggregating) "update" else "append")
+      .option("checkpointLocation", checkpointDir(name))
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        engine.appendRows(name, batch)
+      }
+      .start()
+    active.put(name, q)
+    val d = engine.catalog.get(name).get
+    engine.catalog.put(d.copy(active = true))
+    q
+  }
+
+  /** Bounded run: process everything currently available, then stop
+    * (ST4 preview semantics / catch-up activation). */
+  def refreshAvailable(name: String, timeoutMs: Long = 120000L): Unit = {
+    val q = activate(name, Trigger.AvailableNow())
+    try {
+      if (!q.awaitTermination(timeoutMs))
+        throw new RuntimeException(s"availableNow run of '$name' timed out after ${timeoutMs}ms")
+    } finally {
+      if (q.isActive) q.stop()
+      active.remove(name)
+    }
+  }
+
+  /** ST3: deactivate. */
+  def deactivate(name: String): Unit =
+    active.remove(name).foreach { q =>
+      q.stop()
+      val d = engine.catalog.get(name).get
+      engine.catalog.put(d.copy(active = false))
+    }
+
+  def isActive(name: String): Boolean = active.get(name).exists(_.isActive)
+
+  def activePipelines: Seq[String] = active.keys.toSeq.sorted
+
+  def deactivateAll(): Unit = activePipelines.foreach(deactivate)
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for the LLM-pipeline operators (SURVEY §7.5) on sf0.001. */
+class OperatorsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("CrossHash: Spark column and Scala compute identical 56-bit hashes") {
+    import spark.implicits._
+    val words = Seq("hello", "world", "spark", "", "ünïcode 字")
+    val sparkSide = words.toDF("w").select(CrossHash.hash56(col("w")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(sparkSide == words.map(CrossHash.scalaHash56))
+    // 56 bits: always non-negative, bounded
+    assert(sparkSide.forall(h => h >= 0 && h < (1L << 56)))
+  }
+
+  test("shingles: word n-grams, distinct, short-doc guard") {
+    import spark.implicits._
+    val out = Seq("a b c d", "a b a b", "x").toDF("text")
+      .select(Dedup.shingles(col("text"), 2).as("sh"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(out(0) == Seq("a b", "b c", "c d"))
+    assert(out(1) == Seq("a b", "b a")) // distinct
+    assert(out(2) == Seq.empty) // shorter than n
+  }
+
+  test("minhashLsh finds exactly the brute-force near-dup pairs (sketch == exact here)") {
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 2, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // the corpus plants near-dups; empty would be vacuous
+  }
+
+  test("simhash: near-identical docs land within small hamming distance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different words about spark catalyst tungsten codegen shuffle")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+    assert(hamming(sh(1L), sh(2L)) <= 10)
+  }
+
+  test("cosine: known values") {
+    import spark.implicits._
+    val out = Seq((Seq(1f, 0f), Seq(0f, 1f)), (Seq(1f, 2f), Seq(2f, 4f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(math.abs(out(0)) < 1e-12)        // orthogonal
+    assert(math.abs(out(1) - 1.0) < 1e-12)  // parallel
+  }
+
+  test("lshTopK recall vs brute force is usable (single-probe, 6 planes)") {
+    val q = col("vec_id") < 20
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", q, 5, dims = 64, planes = 6)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // single-probe sign-LSH on random vectors: recall is modest by design;
+    // the assertion pins the plumbing (non-empty, same-bucket candidates
+    // are genuinely similar) rather than a tuned recall target
+    assert(approx.nonEmpty)
+    assert(recall > 0.05, s"recall $recall collapsed — bucketing broken")
+  }
+
+  test("winnowing: deterministic, shift-invariant-ish, guarantees coverage") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "do run run run do run run"),
+      (2L, "do run run run do run run"),     // identical → identical fingerprints
+      (3L, "ab")                             // shorter than k
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowSummary(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) null else r.get(2))).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L)._1 > 0)
+    assert(out(3L)._1 == 0) // too short → no fingerprints
+  }
+
+  test("langId picks the marker-majority language deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog is here"),
+      (2L, "der hund und die katze ist da"),
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("multimodal: stub decode through mapPartitions preserves schema and count") {
+    val media = Multimodal.asMediaTable(docs)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == docs.count())
+    val row = feats.orderBy("doc_id").head()
+    assert(row.getSeq[Float](3).size == Multimodal.FeatureDim)
+    // deterministic: same payload → same features
+    val again = Multimodal.extractFeatures(media).orderBy("doc_id").head()
+    assert(row.getSeq[Float](3) == again.getSeq[Float](3))
+    // feature values match the stub computed driver-side
+    val text = docs.orderBy("doc_id").head().getAs[String]("text")
+    assert(row.getSeq[Float](3) == Multimodal.decodeStub(text.getBytes("UTF-8")).toSeq)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.engine.{Engine, ModelConfig}
+import graft.schema._
+import graft.types.FlinkType._
+
+/** Streaming execution semantics (SURVEY §2.5): activation, incremental
+  * catch-up, change-stream folding parity with batch, watermark wiring.
+  */
+class StreamingEngineSpec extends SparkSpec {
+
+  private def newEngine(): Engine = new Engine(spark, tmpDir("graft-streaming"))
+
+  test("availableNow catch-up: incremental micro-batches fold to batch-identical state (ST2/ST4)") {
+    import spark.implicits._
+    val e = newEngine()
+    val se = new StreamingEngine(e)
+
+    e.createStream("src", StreamSchema(Seq(
+      PhysicalField("k", FString), PhysicalField("v", FBigInt))))
+    e.appendRows("src", Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v"))
+
+    // change-stream aggregate model, declared inactive so only the
+    // streaming path populates it
+    e.createModel("agg",
+      "SELECT k, count(*) AS n, sum(v) AS total FROM src GROUP BY k",
+      ModelConfig(primaryKey = Seq("k"), active = false))
+
+    se.refreshAvailable("agg")
+    val first = e.preview("SELECT k, n, total FROM agg ORDER BY k")
+    assert(first.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      Seq(("a", 2L, 3L), ("b", 1L, 3L)))
+
+    // late arrivals: the next availableNow run resumes from the checkpoint
+    // (ST6 start-position resume) and state continues, not restarts
+    e.appendRows("src", Seq(("a", 10L), ("c", 5L)).toDF("k", "v"))
+    se.refreshAvailable("agg")
+    val second = e.preview("SELECT k, n, total FROM agg ORDER BY k")
+    assert(second.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      Seq(("a", 3L, 13L), ("b", 1L, 3L), ("c", 1L, 5L)))
+
+    // parity: identical SQL materialized in batch gives the same state
+    e.createModel("agg_batch",
+      "SELECT k, count(*) AS n, sum(v) AS total FROM src GROUP BY k")
+    val batch = e.preview("SELECT k, n, total FROM agg_batch ORDER BY k")
+    assert(batch.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      second.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+  }
+
+  test("append-mode projection pipeline streams rows through (ST3)") {
+    import spark.implicits._
+    val e = newEngine()
+    val se = new StreamingEngine(e)
+    e.createStream("events_src", StreamSchema(Seq(
+      PhysicalField("id", FBigInt), PhysicalField("payload", FString))))
+    e.appendRows("events_src",
+      Seq((1L, "x"), (2L, "y")).toDF("id", "payload"))
+    e.createModel("upper_payload",
+      "SELECT id, upper(payload) AS payload_u FROM events_src",
+      ModelConfig(active = false))
+    se.refreshAvailable("upper_payload")
+    val rows = e.preview("SELECT id, payload_u FROM upper_payload ORDER BY id")
+    assert(rows.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((1L, "X"), (2L, "Y")))
+  }
+
+  test("watermark declaration wires into the streaming plan (ST1)") {
+    val e = newEngine()
+    val se = new StreamingEngine(e)
+    e.createStream("timed", StreamSchema(
+      fields = Seq(
+        PhysicalField("ts", FTimestampLtz(3)),
+        PhysicalField("v", FBigInt)),
+      watermarks = Seq(Watermark("ts", "`ts` - INTERVAL '0.100' SECOND"))))
+    val plan = se.readStreamContinuous("timed")
+    assert(plan.isStreaming)
+    assert(plan.queryExecution.logical.toString.contains("EventTimeWatermark"),
+      s"expected watermark node in:\n${plan.queryExecution.logical}")
+  }
+
+  test("activate/deactivate lifecycle tracks state (ST3)") {
+    import spark.implicits._
+    val e = newEngine()
+    val se = new StreamingEngine(e)
+    e.createStream("s", StreamSchema(Seq(PhysicalField("x", FBigInt))))
+    e.appendRows("s", Seq(Tuple1(1L)).toDF("x"))
+    e.createModel("m", "SELECT x * 2 AS y FROM s", ModelConfig(active = false))
+    val q = se.activate("m")
+    assert(se.isActive("m"))
+    assert(se.activePipelines == Seq("m"))
+    q.processAllAvailable()
+    se.deactivate("m")
+    assert(!se.isActive("m"))
+    assert(!e.catalog.get("m").get.active)
+    assert(e.preview("SELECT y FROM m").head.getLong(0) == 2L)
+  }
+}

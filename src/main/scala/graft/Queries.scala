@@ -380,17 +380,19 @@ object Queries {
     s"list_distinct(list_transform(range(len($w) - ${n - 1}), i -> $gram))"
   }
 
+  /** Union-free Jaccard (`i / (|a|+|b|-i)`) — the same integer arithmetic
+    * as [[operators.Dedup.jaccard]], so doubles match bit-for-bit. */
   private def duckJaccardPairs(n: Int, threshold: Double, leftPred: String): String =
     s"""WITH sh AS (
        |  SELECT doc_id, ${duckShingles(n)} AS s FROM documents
        |  WHERE len(string_split(text, ' ')) >= $n)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE $leftPred
        |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / len(list_distinct(list_concat(a.s, b.s))) >= $threshold
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash+LSH near-dup pairs vs a brute-force Jaccard oracle: with 32
@@ -405,9 +407,9 @@ object Queries {
 
   /** Exact brute-force 3-gram Jaccard pairs (the verify path alone). */
   val ngramJaccard: Q = q("ngram_jaccard_pairs",
-    duckJaccardPairs(n = 3, threshold = 0.3, leftPred = "a.doc_id % 5 = 0")) { (s, dir) =>
+    duckJaccardPairs(n = 3, threshold = 0.3, leftPred = "a.doc_id % 10 = 0")) { (s, dir) =>
     operators.Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-      shingleN = 3, threshold = 0.3, queryPred = col("id") % 5 === 0)
+      shingleN = 3, threshold = 0.3, queryPred = col("id") % 10 === 0)
       .orderBy("id_a", "id_b")
   }
 

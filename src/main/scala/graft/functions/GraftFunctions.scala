@@ -22,6 +22,40 @@ object GraftFunctions {
 
   /** Idempotently register all functions on a session. */
   def register(spark: SparkSession): Unit = {
+    // native Catalyst expression (codegen'd) — see VectorCosine
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_cosine",
+      { args =>
+        require(args.length == 2, "vec_cosine(a, b) takes two array<float> args")
+        VectorCosine(args.head, args(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhashes",
+      { args =>
+        require(args.length == 2, "minhashes(hashes, numHashes) takes two args")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhashes numHashes must be an integer literal, got $other")
+        }
+        MinHashes(args.head, n)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      { args =>
+        require(args.length == 2, "sorted_intersect_count(a, b) takes two args")
+        SortedIntersectCount(args.head, args(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash56",
+      { args =>
+        require(args.length == 1, "simhash56(hashes) takes one arg")
+        Simhash56(args.head)
+      },
+      "built-in")
     spark.udf.register("grok", grokUdf)
     // Flink TO_TIMESTAMP_LTZ(epoch, precision): precision 3 = millis, 0 =
     // seconds, 6/9 = micros/nanos (nanos truncated to Spark's micro range).

@@ -40,10 +40,31 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact Jaccard similarity of two string-array columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Exact Jaccard similarity of two distinct-element array columns,
+    * union-free: `|A∩B| / (|A| + |B| − |A∩B|)` — one hash-set probe pass
+    * per pair instead of two (the pair-verify joins are quadratic; the
+    * per-pair kernel cost is what shows up at scale). Integer arithmetic,
+    * so the DuckDB oracle (same formula) matches bit-for-bit. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ni = size(array_intersect(a, b))
+    ni.cast("double") / (size(a) + size(b) - ni).cast("double")
+  }
+
+  /** Sorted distinct xxhash64 values of an array of shingles — pair
+    * verification runs a two-pointer merge over long arrays
+    * ([[graft.functions.SortedIntersectCount]]) instead of per-pair
+    * hash-set intersects of string arrays (cheaper hashing; a 64-bit
+    * collision altering a count has probability ~(n²/2⁶⁵) ≈ 4e-9 over
+    * this corpus, far below the oracle-mismatch noise floor). Sorting
+    * happens once per document, not per pair. */
+  private def hashedShingles(sh: Column): Column =
+    array_sort(array_distinct(transform(sh, s => xxhash64(s))))
+
+  /** Union-free Jaccard over pre-sorted distinct hash arrays. */
+  private def jaccardSorted(a: Column, b: Column): Column = {
+    val ni = call_function("sorted_intersect_count", a, b)
+    ni.cast("double") / (size(a) + size(b) - ni).cast("double")
+  }
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -73,31 +94,33 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
 
-    val withSh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // one xxhash64 per shingle, then the whole signature in one fused
+    // codegen'd loop (graft.functions.MinHashes) — the interpreted
+    // higher-order-function formulation was the bench's dominant cost
+    val withHs = df.select(col(idCol).as("id"),
+      hashedShingles(shingles(col(textCol), shingleN)).as("hs"))
+      .filter(size(col("hs")) > 0)
 
-    val withMh = withSh.withColumn("mh", expr(
-      s"""transform(sequence(0, ${numHashes - 1}),
-         |  j -> array_min(transform(sh, s -> xxhash64(concat(cast(j AS STRING), ':', s)))))"""
-        .stripMargin))
+    val withMh = withHs.withColumn("mh", call_function("minhashes", col("hs"), lit(numHashes)))
 
-    val banded = withMh.select(col("id"), col("sh"),
+    // band keys only travel through the candidate join — the shingle
+    // arrays are re-joined afterwards (candidates are rare; shipping the
+    // arrays ×bands through the shuffle is the expensive wrong plan)
+    val banded = withMh.select(col("id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))"))
         .as(Seq("band", "bkey")))
 
-    val a = banded.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      col("band"), col("bkey"))
-    val b = banded.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("band"), col("bkey"))
-    val candidates = a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     candidates
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(withHs.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(withHs.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("jaccard", jaccardSorted(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -109,14 +132,15 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2, threshold: Double = 0.5,
       queryPred: Column = lit(true)): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val withSh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+      hashedShingles(shingles(col(textCol), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
     val left = withSh.filter(queryPred).select(
       col("id").as("id_a"), col("sh").as("sh_a"))
     val right = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     left.join(right, col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -129,21 +153,14 @@ object Dedup {
     * @return (id, simhash)
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = df.select(col(idCol).as("id"),
-      explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", CrossHash.hash56(col("tok")))
-    val votes = tokens
-      .select(col("id"), explode(expr(
-        s"""transform(sequence(0, ${CrossHash.Bits - 1}),
-           |  i -> named_struct('bit', i,
-           |    'vote', CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END))""".stripMargin))
-        .as("bv"))
-      .select(col("id"), col("bv.bit").as("bit"), col("bv.vote").as("vote"))
-      .groupBy("id", "bit").agg(sum("vote").as("votes"))
-    votes.groupBy("id")
-      .agg(sum(expr(
-        "CASE WHEN votes > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // per-doc fused pass (graft.functions.Simhash56): the per-bit vote sum
+    // is commutative, so this equals the relational explode(tokens × bits)
+    // → groupBy formulation (the DuckDB oracle's shape) without its
+    // 56×|corpus|-row shuffle
+    df.select(col(idCol).as("id"),
+      call_function("simhash56",
+        transform(split(col(textCol), " "), t => CrossHash.hash56(t))).as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming. Quadratic
@@ -166,6 +183,7 @@ object Dedup {
     * [[Similarity.lshTopK]]'s bucketing applied to pairs. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val a = e.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = e.select(col("id").as("id_b"), col("v").as("v_b"))

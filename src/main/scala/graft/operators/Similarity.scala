@@ -21,15 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double.
-    * `zip_with` + `aggregate` is a sequential left fold — same evaluation
-    * order as the oracle, fully codegen'd, no UDF. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two float-array columns, computed in double in a
+    * single fused pass by the native codegen'd [[graft.functions.VectorCosine]]
+    * expression (requires [[graft.functions.GraftFunctions.register]], which
+    * every operator entry point calls). Same left-to-right summation order
+    * as a sequential fold → deterministic, oracle-stable after round-6. */
+  def cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
 
   /** Exact top-k neighbors for each query vector.
     *
@@ -41,6 +38,7 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col(idCol).as("n_id"), col(vecCol).as("v_n"))
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("q_id"), col(vecCol).as("v_q"))
@@ -79,6 +77,7 @@ object Similarity {
     * [[bruteForceTopK]] in the spec, not an oracle. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, dims: Int, planes: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val sig = planeSignature(col("v"), dims, planes)
     val corpus = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
       .withColumn("bucket", sig)

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only perf probe for operator plans (not part of the engine API). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    import graft.operators.Dedup
+    graft.functions.GraftFunctions.register(spark)
+    val n = 2; val numHashes = 128; val bands = 32; val r = numHashes / bands
+    val withHs = docs.select(col("doc_id").as("id"),
+      array_distinct(transform(Dedup.shingles(col("text"), n), s => xxhash64(s))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val withMh = withHs.withColumn("mh",
+      call_function("minhashes", col("hs"), lit(numHashes)))
+    timed("minhash compute")(withMh.select(count(lit(1))).collect())
+    val banded = withMh.select(col("id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))"))
+        .as(Seq("band", "bkey")))
+    timed("banded count")(println("banded=" + banded.count()))
+    timed("bucket histogram")(
+      banded.groupBy("band", "bkey").count().groupBy()
+        .agg(max("count").as("max_bucket"), sum(col("count") * col("count")).as("sum_sq"))
+        .show())
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    timed("candidate pairs raw")(println("cand=" + candidates.count()))
+    timed("candidate pairs dedup")(println("cand distinct=" + candidates.dropDuplicates("id_a", "id_b").count()))
+    spark.stop()
+  }
+}

@@ -82,6 +82,7 @@ object Queries {
       | FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
     // props is '{"k": 87}' — the analog of envoy_raw.value
     // (http_events.sql:41-46): grok -> MAP<STRING,STRING> -> element access.
+    GraftFunctions.register(s)
     Tables.events(s, dir).select(
       col("event_id"),
       GraftFunctions.grok(col("props"), lit("""\{"k": %{NUMBER:k}\}"""))

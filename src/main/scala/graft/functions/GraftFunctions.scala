@@ -14,11 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object GraftFunctions {
 
-  val grokUdf = udf((value: String, pattern: String) =>
-    Grok.eval(value, pattern).orNull)
-
-  /** Column-API version of grok. */
-  def grok(value: Column, pattern: Column): Column = grokUdf(value, pattern)
+  /** Column-API version of grok (native expression; requires [[register]]
+    * on the active session, which all entry points call). */
+  def grok(value: Column, pattern: Column): Column =
+    call_function("grok", value, pattern)
 
   /** Idempotently register all functions on a session. */
   def register(spark: SparkSession): Unit = {
@@ -56,7 +55,13 @@ object GraftFunctions {
         Simhash56(args.head)
       },
       "built-in")
-    spark.udf.register("grok", grokUdf)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "grok",
+      { args =>
+        require(args.length == 2, "grok(value, pattern) takes two string args")
+        GrokExtract(args.head, args(1))
+      },
+      "built-in")
     // Flink TO_TIMESTAMP_LTZ(epoch, precision): precision 3 = millis, 0 =
     // seconds, 6/9 = micros/nanos (nanos truncated to Spark's micro range).
     spark.udf.register("to_timestamp_ltz",

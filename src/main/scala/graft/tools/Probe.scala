@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Dev-only perf probe for operator plans (not part of the engine API). */
 object Probe {
+  /** `runMain graft.tools.Probe explain <sf> <query...>` → formatted plans. */
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("explain")) return explainMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -42,6 +44,21 @@ object Probe {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     timed("candidate pairs raw")(println("cand=" + candidates.count()))
     timed("candidate pairs dedup")(println("cand distinct=" + candidates.dropDuplicates("id_a", "id_b").count()))
+    spark.stop()
+  }
+
+  private def explainMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSet
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Queries.all.filter(q => names.isEmpty || names(q.name)).foreach { q =>
+      println(s"\n=================== ${q.name} ===================")
+      q.fn(spark, sf).explain("formatted")
+    }
     spark.stop()
   }
 }

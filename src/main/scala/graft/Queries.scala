@@ -168,6 +168,117 @@ object Queries {
       | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       | ORDER BY returnflag, linestatus""".stripMargin)
 
+  val cubeAgg: Q = sqlBoth("cube_agg", Seq("lineitem"),
+    """SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+      |  coalesce(l_linestatus, '<all>') AS linestatus, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      | FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      | ORDER BY returnflag, linestatus""".stripMargin)
+
+  val groupingSetsAgg: Q = sqlBoth("grouping_sets_agg", Seq("orders"),
+    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+      |  coalesce(o_orderpriority, '<all>') AS prio, count(*) AS n
+      | FROM orders
+      | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      | ORDER BY status, prio""".stripMargin)
+
+  /** P10: backtick-quoted identifiers — Spark side uses backticks (the
+    * reference's quoting, impl.py:191-195); the oracle plain identifiers. */
+  val backtickIdent: Q = Q("backtick_ident", (s, dir) => {
+    Tables.load(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(
+      """SELECT `p_partkey`, `p_brand`, `p_retailprice` FROM `part`
+        | WHERE `p_size` > 30 ORDER BY `p_partkey`""".stripMargin)
+  }, Some(
+    """SELECT p_partkey, p_brand, p_retailprice FROM part
+      | WHERE p_size > 30 ORDER BY p_partkey""".stripMargin))
+
+  /** ST5 tumbling window, batch-checkable: Spark `window()` 1-hour buckets
+    * ≡ DuckDB date_trunc('hour'). Exact aggregates only (count/min/max). */
+  val windowTumbling: Q = q("window_tumbling",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+      |  event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+      | FROM events GROUP BY hour_start, event_type
+      | ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min("value").as("min_v"), max("value").as("max_v"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n"), col("min_v"), col("max_v"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  /** ST5 session windows, batch-checkable: Spark `session_window` (30-min
+    * gap) vs a gaps-and-islands oracle. Spark's window end is exclusive —
+    * an event exactly gap-after the previous one starts a NEW session —
+    * hence `>=` in the oracle's new-session predicate. */
+  val sessionWindows: Q = q("session_windows",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+      |m AS (
+      |  SELECT user_id, t,
+      |    CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |           OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+      |              >= INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, t,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, min(t) AS session_start, count(*) AS n_events
+      | FROM s GROUP BY user_id, sid
+      | ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(min(col("event_time")).cast("timestamp_ntz").as("session_start"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+      .orderBy("user_id", "session_start")
+  }
+
+  val tpchQ3: Q = sqlBoth("tpch_q3", Seq("customer", "orders", "lineitem"),
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      | FROM customer, orders, lineitem
+      | WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |   AND l_orderkey = o_orderkey
+      |   AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |   AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      | GROUP BY l_orderkey, o_orderdate
+      | ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+
+  val tpchQ5: Q = sqlBoth("tpch_q5",
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      | FROM customer, orders, lineitem, supplier, nation, region
+      | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |   AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |   AND r_name = 'ASIA'
+      | GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+
+  val tpchQ14: Q = sqlBoth("tpch_q14_promo", Seq("lineitem", "part"),
+    """SELECT CAST(100 * promo / total AS DOUBLE) AS promo_revenue_pct FROM (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * CAST(1 - l_discount AS DECIMAL(18,2))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM lineitem, part WHERE l_partkey = p_partkey) t""".stripMargin)
+
+  /** approx_count_distinct (§2.7): sketch internals differ between engines
+    * → no SQL oracle; accuracy vs exact distinct is asserted in the spec. */
+  val approxDistinct: Q = noOracle("approx_distinct") { (s, dir) =>
+    t(s, dir, "orders").agg(
+      approx_count_distinct("o_custkey").cast("long").as("approx_custs"))
+  }
+
   /** A6/ST2: change-stream read = latest row per primary key. Batch
     * emulation of the reference's retract folding (handler.py:87-94),
     * ordered by event time with event_id as the deterministic tiebreak.
@@ -551,8 +662,10 @@ object Queries {
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
-    eventsCount, aggSumQ1, distinctAgg, rollupAgg, changeStreamCompact,
-    testNotNullFailures,
+    eventsCount, aggSumQ1, distinctAgg, rollupAgg, cubeAgg, groupingSetsAgg,
+    backtickIdent, windowTumbling, sessionWindows,
+    tpchQ3, tpchQ5, tpchQ14, approxDistinct,
+    changeStreamCompact, testNotNullFailures,
     joinInnerAgg, joinLeft, joinSemi, joinAnti, windowRank, windowRunningSum,
     topk, setUnion, setIntersect, setExcept,
     seedRoundtrip, engineModel,

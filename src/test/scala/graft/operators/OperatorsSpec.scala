@@ -108,6 +108,14 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == "und")
   }
 
+  test("approx_count_distinct within HLL error of exact (no oracle possible: sketch differs per engine)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val exact = orders.select(countDistinct("o_custkey")).head().getLong(0)
+    val approx = orders.select(approx_count_distinct("o_custkey")).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
   test("multimodal: stub decode through mapPartitions preserves schema and count") {
     val media = Multimodal.asMediaTable(docs)
     val feats = Multimodal.extractFeatures(media)

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+import graft.SparkSpec
+
+/** Advanced Structured Streaming semantics beyond the engine lifecycle:
+  * stream–stream interval joins under watermarks and custom keyed state
+  * via mapGroupsWithState (the KeyValueGroupedDataset path the build brief
+  * names for custom state).
+  */
+class StatefulStreamingSpec extends SparkSpec {
+
+  test("stream-stream inner join with watermarks + time-range condition (ST5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imps = MemoryStream[(Long, Timestamp)]
+
+    val clicksDf = clicks.toDF().toDF("ad_id", "click_time")
+      .withWatermark("click_time", "10 seconds")
+    val impsDf = imps.toDF().toDF("ad_id_i", "imp_time")
+      .withWatermark("imp_time", "10 seconds")
+
+    // click joins an impression of the same ad within [imp, imp+5s]
+    val joined = impsDf.join(clicksDf,
+      expr("""ad_id = ad_id_i AND
+              click_time >= imp_time AND
+              click_time <= imp_time + interval 5 seconds"""))
+
+    val q = joined.select("ad_id", "imp_time", "click_time")
+      .writeStream.format("memory").queryName("ss_join").outputMode("append").start()
+    try {
+      def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+      imps.addData((1L, ts(0)), (2L, ts(1)))
+      clicks.addData((1L, ts(3)), (2L, ts(20))) // 2L outside the 5s window
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ad_id FROM ss_join").collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("custom keyed state via mapGroupsWithState: running per-key max with update stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(String, Long)]
+    val result = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (String, Long)] {
+        (key: String, values: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(Long.MinValue)
+          val m = math.max(prev, values.map(_._2).max)
+          state.update(m)
+          (key, m)
+      }
+
+    val q = result.toDF("k", "running_max")
+      .writeStream.format("memory").queryName("mgws").outputMode("update").start()
+    try {
+      input.addData(("a", 3L), ("a", 7L), ("b", 1L))
+      q.processAllAvailable()
+      input.addData(("a", 5L), ("b", 9L)) // a's max stays 7; b rises to 9
+      q.processAllAvailable()
+      val last = spark.sql("SELECT k, running_max FROM mgws").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(last == Map("a" -> 7L, "b" -> 9L))
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates with watermark (exact streaming dedup)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = input.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicates("id")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+      input.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2)))
+      q.processAllAvailable()
+      input.addData((1L, ts(3)), (3L, ts(4)))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM sdedup").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}

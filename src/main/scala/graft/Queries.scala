@@ -595,6 +595,84 @@ object Queries {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF ANN (coarse quantizer + nProbe cells — the third ANN path beside
+    * brute force and LSH). Approximate → rows-only; recall asserted in
+    * OperatorsSpec. */
+  val annIvfTopK: Q = noOracle("ann_ivf_topk") { (s, dir) =>
+    operators.Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Custom typed Aggregator: per-source MinHash union sketches →
+    * estimated cross-source Jaccard (estimate ≠ exact → rows-only;
+    * estimator accuracy asserted in OperatorsSpec). */
+  val sourceSimilarity: Q = noOracle("source_similarity") { (s, dir) =>
+    operators.MinHashAgg.groupSimilarity(
+      t(s, dir, "documents").filter(col("source").isin("src0", "src1", "src2", "src3")),
+      "source", "text")
+      .orderBy("grp_a", "grp_b")
+  }
+
+  /** P3: map construction + `m['key']` element access. */
+  val mapAccess: Q = q("map_access",
+    """SELECT event_id, event_type AS et, CAST(user_id AS VARCHAR) AS uid
+      | FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """SELECT event_id,
+        |  map('type', event_type, 'user', CAST(user_id AS STRING))['type'] AS et,
+        |  map('type', event_type, 'user', CAST(user_id AS STRING))['user'] AS uid
+        | FROM events ORDER BY event_id""".stripMargin)
+  }
+
+  /** Quality scoring: punctuation / stopword / whitespace ratios. */
+  val textQualityExt: Q = q("text_quality_ext",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+      |  CAST(len(regexp_extract_all(lower(text), '(?:^| )(?:the|and|of|a|in)(?: |$)')) AS BIGINT) AS n_stop,
+      |  CAST(CAST(len(regexp_extract_all(text, '\s')) AS DOUBLE)
+      |    / length(text) AS DOUBLE) AS ws_ratio
+      | FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+        .cast("long").as("n_punct"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("(?:^| )(?:the|and|of|a|in)(?: |$)"), lit(0)))
+        .cast("long").as("n_stop"),
+      (size(regexp_extract_all(col("text"), lit("\\s"), lit(0))).cast("double")
+        / length(col("text")).cast("double")).cast("double").as("ws_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Composed training-data pipeline: quality filter → language filter →
+    * exact dedup → fingerprint, in one lazy plan (no intermediate
+    * materialization — the shape a 100 TB curation job takes). */
+  val pipelineComposed: Q = q("pipeline_composed",
+    """WITH scored AS (
+      |  SELECT doc_id, text,
+      |    len(regexp_extract_all(lower(text), '(?:^| )(?:the|and|of|a|in)(?: |$)')) AS n_stop,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |filtered AS (
+      |  SELECT doc_id, text FROM scored WHERE n_tok >= 50 AND n_stop >= 1),
+      |deduped AS (
+      |  SELECT min(doc_id) AS doc_id, text FROM filtered GROUP BY text)
+      |SELECT doc_id, md5(lower(text)) AS fp FROM deduped
+      | ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("text"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("(?:^| )(?:the|and|of|a|in)(?: |$)"), lit(0))).as("n_stop"),
+      size(split(col("text"), " ")).as("n_tok"))
+    val filtered = scored.filter(col("n_tok") >= 50 && col("n_stop") >= 1)
+      .select("doc_id", "text")
+    val deduped = filtered.groupBy("text").agg(min("doc_id").as("doc_id"))
+    deduped.select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .orderBy("doc_id")
+  }
+
   /** Heuristic language ID via marker-word counts, fixed-order argmax. */
   val langId: Q = q("lang_id", {
     def cnt(w: String) =
@@ -671,7 +749,9 @@ object Queries {
     seedRoundtrip, engineModel,
     dedupExact, textQuality, fingerprintMd5,
     dedupMinhashLsh, ngramJaccard, dedupSimhash, embeddingNearDup,
-    annTopK, annLshTopK, langId, tokenCountBpe, winnowFingerprint,
+    annTopK, annLshTopK, annIvfTopK, sourceSimilarity, mapAccess,
+    textQualityExt, pipelineComposed,
+    langId, tokenCountBpe, winnowFingerprint,
     multimodalStats, multimodalFeatures
   )
 }

@@ -80,6 +80,36 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.05, s"recall $recall collapsed — bucketing broken")
   }
 
+  test("ivfTopK recall beats single-probe LSH and is substantial") {
+    val q = col("vec_id") < 20
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5,
+      nCentroids = 16, nProbe = 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall $recall too low")
+  }
+
+  test("MinHashAgg union sketch estimates cross-group Jaccard within tolerance") {
+    import spark.implicits._
+    // two groups with known overlap: B's docs reuse half of A's text lines
+    val base = (0 until 40).map(i => s"tok$i next$i word$i")
+    val aDocs = base.map(t => ("A", t))
+    val bDocs = (base.take(20) ++ (100 until 120).map(i => s"tok$i next$i word$i"))
+      .map(t => ("B", t))
+    val df = (aDocs ++ bDocs).toDF("source", "text")
+    val est = MinHashAgg.groupSimilarity(df, "source", "text", shingleN = 2, numHashes = 256)
+      .collect().head.getDouble(2)
+    // exact union jaccard of 2-gram shingle sets
+    val sh = (docs: Seq[(String, String)]) => docs.flatMap { case (_, t) =>
+      val w = t.split(" "); w.sliding(2).map(_.mkString(" "))
+    }.toSet
+    val ja = sh(aDocs); val jb = sh(bDocs)
+    val exact = (ja & jb).size.toDouble / (ja | jb).size
+    assert(math.abs(est - exact) < 0.12, s"estimate $est vs exact $exact")
+  }
+
   test("winnowing: deterministic, shift-invariant-ish, guarantees coverage") {
     import spark.implicits._
     val df = Seq(

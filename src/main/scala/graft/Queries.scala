@@ -372,6 +372,25 @@ object Queries {
       .orderBy("o_custkey", "rnk", "o_orderkey")
   }
 
+  /** As-of temporal join (event enrichment with latest prior state per
+    * key), oracle = DuckDB's native ASOF LEFT JOIN. Raw ns timestamps on
+    * both sides so ordering is precision-exact. */
+  val asofJoin: Q = q("asof_join",
+    """SELECT v.event_id, v.user_id, p.value AS last_purchase_value
+      | FROM (SELECT * FROM events WHERE event_type = 'view') v
+      | ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |   ON v.user_id = p.user_id AND v.ts >= p.ts
+      | ORDER BY v.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events") // ts = epoch-nano bigint
+    val views = ev.filter(col("event_type") === "view")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    operators.AsOfJoin.asOfPrefixed(views, purchases, Seq("user_id"),
+      "ts", "ts", Seq("value"), prefix = "p_", tiebreak = Some("event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("p_value").as("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
   val windowRunningSum: Q = sqlBoth("window_running_sum", Seq("orders"),
     """SELECT o_custkey, o_orderkey,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
@@ -464,6 +483,15 @@ object Queries {
     """SELECT min(doc_id) AS doc_id, count(1) AS n_copies FROM documents
       | GROUP BY text ORDER BY doc_id""".stripMargin) { (s, dir) =>
     operators.Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Hash-shuffle exact dedup (the 100 TB plan: 16-byte keys through the
+    * shuffle instead of document text). Same oracle as content-key dedup. */
+  val dedupExactHash: Q = q("dedup_exact_hash",
+    """SELECT min(doc_id) AS doc_id, count(1) AS n_copies FROM documents
+      | GROUP BY md5(text) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Dedup.exactByHash(t(s, dir, "documents"), Seq("text"), "doc_id")
       .orderBy("doc_id")
   }
 
@@ -744,10 +772,11 @@ object Queries {
     backtickIdent, windowTumbling, sessionWindows,
     tpchQ3, tpchQ5, tpchQ14, approxDistinct,
     changeStreamCompact, testNotNullFailures,
-    joinInnerAgg, joinLeft, joinSemi, joinAnti, windowRank, windowRunningSum,
+    joinInnerAgg, joinLeft, joinSemi, joinAnti, asofJoin,
+    windowRank, windowRunningSum,
     topk, setUnion, setIntersect, setExcept,
     seedRoundtrip, engineModel,
-    dedupExact, textQuality, fingerprintMd5,
+    dedupExact, dedupExactHash, textQuality, fingerprintMd5,
     dedupMinhashLsh, ngramJaccard, dedupSimhash, embeddingNearDup,
     annTopK, annLshTopK, annIvfTopK, sourceSimilarity, mapAccess,
     textQualityExt, pipelineComposed,

@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Dev-only perf probe for operator plans (not part of the engine API). */
 object Probe {
-  /** `runMain graft.tools.Probe explain <sf> <query...>` → formatted plans. */
+  /** `runMain graft.tools.Probe explain <sf> <query...>` → formatted plans;
+    * `runMain graft.tools.Probe sql <statement>` → parse/eval a statement
+    * under both string-literal modes. */
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("explain")) return explainMain(args.drop(1))
+    if (args.headOption.contains("sql")) return sqlMain(args.drop(1).mkString(" "))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -44,6 +47,19 @@ object Probe {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     timed("candidate pairs raw")(println("cand=" + candidates.count()))
     timed("candidate pairs dedup")(println("cand distinct=" + candidates.dropDuplicates("id_a", "id_b").count()))
+    spark.stop()
+  }
+
+  private def sqlMain(stmt: String): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Seq("false", "true").foreach { mode =>
+      spark.conf.set("spark.sql.parser.escapedStringLiterals", mode)
+      val out = try spark.sql(stmt).collect().mkString("; ")
+      catch { case e: Throwable => s"ERROR: ${e.getMessage.take(200)}" }
+      println(s"[sqlprobe] escaped=$mode -> $out")
+    }
     spark.stop()
   }
 

@@ -1,0 +1,149 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.core.json.JsonReadFeature
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.schema.Watermark
+
+/** Minimal dbt-style project runner: a directory of `<model>.sql` files,
+  * each optionally starting with a `{{ config(...) }}` block (the
+  * reference's model format — example_project/example/models/example/),
+  * materialized in dependency order.
+  *
+  * Supported config subset — exactly what the reference's adapter reads
+  * (impl.py:449-480):
+  *   - `output_stream.schema_v2.watermarks[].{name, expression}`
+  *   - `output_stream.schema_v2.constraints.primary_key`
+  *   - `pipeline.execution.active` (default true, impl.py:458-460)
+  *   - `pipeline.execution.initial_start_positions` (recorded as props)
+  *
+  * The config payload is Python-dict-shaped; jackson in lenient mode
+  * (single quotes, unquoted field names, trailing commas) parses the
+  * whole observed surface. `{{ ref('x') }}` / `{{ source('s', 'x') }}`
+  * resolve to the bare identifier (namespace prefixing happens in the
+  * catalog). Dependency order comes from the engine's parser-based
+  * `sourcesOf`, not string matching.
+  */
+final class ProjectRunner(engine: Engine) {
+
+  private val mapper = {
+    val m = new ObjectMapper()
+    m.configure(JsonReadFeature.ALLOW_SINGLE_QUOTES.mappedFeature(), true)
+    m.configure(JsonReadFeature.ALLOW_UNQUOTED_FIELD_NAMES.mappedFeature(), true)
+    m.configure(JsonReadFeature.ALLOW_TRAILING_COMMA.mappedFeature(), true)
+    m
+  }
+
+  private val ConfigRe = raw"(?s)\{\{\s*config\s*\((.*?)\)\s*\}\}".r
+  private val RefRe = raw"\{\{\s*ref\s*\(\s*'([^']+)'\s*\)\s*\}\}".r
+  private val SourceRe = raw"\{\{\s*source\s*\(\s*'[^']+'\s*,\s*'([^']+)'\s*\)\s*\}\}".r
+
+  final case class Model(name: String, sql: String, config: ModelConfig)
+
+  /** Parse one model file: strip/parse the config block, resolve refs. */
+  def parseModel(name: String, text: String): Model = {
+    val config = ConfigRe.findFirstMatchIn(text)
+      .map(m => parseConfig(m.group(1)))
+      .getOrElse(ModelConfig())
+    val body = RefRe.replaceAllIn(
+      SourceRe.replaceAllIn(ConfigRe.replaceAllIn(text, ""), "$1"), "$1").trim
+    Model(name, body, config)
+  }
+
+  private def parseConfig(kwargs: String): ModelConfig = {
+    // config(a={...}, b={...}) → {"a": {...}, "b": {...}} via top-level
+    // kwarg splitting (depth-aware on brackets, quote-aware)
+    val parts = splitKwargs(kwargs)
+    val json = parts.map { case (k, v) => s""""$k": $v""" }.mkString("{", ",", "}")
+    val node = mapper.readTree(json)
+
+    def at(path: String*): Option[JsonNode] =
+      path.foldLeft(Option[JsonNode](node))((n, p) => n.flatMap(x => Option(x.get(p))))
+
+    val watermarks = at("output_stream", "schema_v2", "watermarks")
+      .map(_.elements().asScala.map(w =>
+        Watermark(w.get("name").asText(), w.get("expression").asText())).toSeq)
+      .getOrElse(Nil)
+    val pk = at("output_stream", "schema_v2", "constraints", "primary_key")
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Nil)
+    val active = at("pipeline", "execution", "active").forall(_.asBoolean(true))
+    val startPositions = at("pipeline", "execution", "initial_start_positions")
+      .map(n => n.properties().asScala.map(e =>
+        s"start_position.${e.getKey}" -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
+    ModelConfig(primaryKey = pk, watermarks = watermarks, active = active,
+      properties = startPositions)
+  }
+
+  private def splitKwargs(s: String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var depth = 0
+    var inStr = false
+    var start = 0
+    def emit(seg: String): Unit = {
+      val t = seg.trim
+      if (t.nonEmpty) {
+        val i = t.indexOf('=')
+        require(i > 0, s"malformed config kwarg: $t")
+        out += ((t.substring(0, i).trim, t.substring(i + 1).trim))
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '"' || c == '\'') inStr = false }
+      else c match {
+        case '"' | '\'' => inStr = true
+        case '{' | '[' | '(' => depth += 1
+        case '}' | ']' | ')' => depth -= 1
+        case ',' if depth == 0 => emit(s.substring(start, i)); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    emit(s.substring(start))
+    out.result()
+  }
+
+  /** Load all `*.sql` models in a directory (non-recursive). */
+  def loadModels(dir: String): Seq[Model] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".sql"))
+      .map { p: Path =>
+        val name = p.getFileName.toString.stripSuffix(".sql")
+        parseModel(name, new String(Files.readAllBytes(p), "UTF-8"))
+      }.toSeq.sortBy(_.name)
+
+  /** Materialize all models in dependency order (models whose sources are
+    * other models run after them — the dbt DAG walk, SURVEY §3.1). */
+  def run(dir: String, fullRefresh: Boolean = false): Map[String, ApplyResult] = {
+    val models = loadModels(dir)
+    val byName = models.map(m => engine.catalog.qualify(m.name) -> m).toMap
+    val done = scala.collection.mutable.LinkedHashMap[String, ApplyResult]()
+    val visiting = scala.collection.mutable.Set[String]()
+
+    def visit(m: Model): Unit = {
+      if (done.contains(m.name)) return
+      require(visiting.add(m.name), s"model cycle involving '${m.name}'")
+      // deps that are themselves models in this project: materialize first.
+      // sourcesOf only resolves existing streams, so parse-level refs are
+      // matched against project model names here.
+      val deps = byName.keys.filter(q =>
+        q != engine.catalog.qualify(m.name) && referencesIdentifier(m.sql, q))
+      deps.foreach(d => visit(byName(d)))
+      done(m.name) = engine.createModel(m.name, m.sql, m.config, fullRefresh)
+      visiting.remove(m.name)
+    }
+
+    models.foreach(visit)
+    done.toMap
+  }
+
+  private def referencesIdentifier(sql: String, name: String): Boolean =
+    s"(?i)(?<![\\w`])${java.util.regex.Pattern.quote(name)}(?![\\w`])".r
+      .findFirstIn(sql).isDefined
+}

@@ -41,19 +41,26 @@ final class ProjectRunner(engine: Engine) {
   private val RefRe = raw"\{\{\s*ref\s*\(\s*'([^']+)'\s*\)\s*\}\}".r
   private val SourceRe = raw"\{\{\s*source\s*\(\s*'[^']+'\s*,\s*'([^']+)'\s*\)\s*\}\}".r
 
-  final case class Model(name: String, sql: String, config: ModelConfig)
+  /** @param materialized "table" (the reference's only mode,
+    *                      README.md:85) or "incremental" (an improvement:
+    *                      dbt's append/merge materialization — merge
+    *                      semantics come from the engine's PK
+    *                      compaction-on-read, so `unique_key` maps to the
+    *                      stream's primary key) */
+  final case class Model(name: String, sql: String, config: ModelConfig,
+                         materialized: String = "table")
 
   /** Parse one model file: strip/parse the config block, resolve refs. */
   def parseModel(name: String, text: String): Model = {
-    val config = ConfigRe.findFirstMatchIn(text)
+    val (config, materialized) = ConfigRe.findFirstMatchIn(text)
       .map(m => parseConfig(m.group(1)))
-      .getOrElse(ModelConfig())
+      .getOrElse((ModelConfig(), "table"))
     val body = RefRe.replaceAllIn(
       SourceRe.replaceAllIn(ConfigRe.replaceAllIn(text, ""), "$1"), "$1").trim
-    Model(name, body, config)
+    Model(name, body, config, materialized)
   }
 
-  private def parseConfig(kwargs: String): ModelConfig = {
+  private def parseConfig(kwargs: String): (ModelConfig, String) = {
     // config(a={...}, b={...}) → {"a": {...}, "b": {...}} via top-level
     // kwarg splitting (depth-aware on brackets, quote-aware)
     val parts = splitKwargs(kwargs)
@@ -75,8 +82,14 @@ final class ProjectRunner(engine: Engine) {
       .map(n => n.properties().asScala.map(e =>
         s"start_position.${e.getKey}" -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty)
-    ModelConfig(primaryKey = pk, watermarks = watermarks, active = active,
-      properties = startPositions)
+    val materialized = at("materialized").map(_.asText()).getOrElse("table")
+    val uniqueKey = at("unique_key")
+      .map(n => if (n.isArray) n.elements().asScala.map(_.asText()).toSeq
+                else Seq(n.asText()))
+      .getOrElse(Nil)
+    (ModelConfig(primaryKey = (pk ++ uniqueKey).distinct,
+      watermarks = watermarks, active = active,
+      properties = startPositions), materialized)
   }
 
   private def splitKwargs(s: String): Seq[(String, String)] = {
@@ -135,13 +148,53 @@ final class ProjectRunner(engine: Engine) {
       val deps = byName.keys.filter(q =>
         q != engine.catalog.qualify(m.name) && referencesIdentifier(m.sql, q))
       deps.foreach(d => visit(byName(d)))
-      done(m.name) = engine.createModel(m.name, m.sql, m.config, fullRefresh)
+      done(m.name) = materialize(m, fullRefresh)
       visiting.remove(m.name)
     }
 
     models.foreach(visit)
     done.toMap
   }
+
+  private val IfIncrementalRe =
+    raw"(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}".r
+
+  /** dbt-style incremental templating: `{% if is_incremental() %}…{%
+    * endif %}` blocks are kept on append runs and removed on first
+    * builds/full refreshes (render-time, like dbt — the removed branch
+    * may reference `{{ this }}`, which does not exist yet on the first
+    * build); then `{{ this }}` → the model's own qualified stream and a
+    * bare `is_incremental()` → TRUE/FALSE. */
+  private def render(sql: String, name: String, incremental: Boolean): String = {
+    val blocks = IfIncrementalRe.replaceAllIn(sql, m =>
+      if (incremental)
+        java.util.regex.Matcher.quoteReplacement(m.group(1))
+      else "")
+    blocks.replaceAll(raw"\{\{\s*this\s*\}\}",
+        engine.catalog.qualify(name))
+      .replaceAll(raw"is_incremental\s*\(\s*\)", if (incremental) "TRUE" else "FALSE")
+  }
+
+  private def materialize(m: Model, fullRefresh: Boolean): ApplyResult =
+    m.materialized match {
+      case "table" =>
+        engine.createModel(m.name, render(m.sql, m.name, incremental = false),
+          m.config, fullRefresh)
+      case "incremental" =>
+        val appendRun = engine.catalog.exists(m.name) && !fullRefresh
+        if (!appendRun) {
+          engine.createModel(m.name, render(m.sql, m.name, incremental = false),
+            m.config, fullRefresh)
+        } else {
+          engine.insertInto(m.name, render(m.sql, m.name, incremental = true))
+          Updated
+        }
+      case other =>
+        // the reference's unsupported-materialization error path
+        // (macros/materializations/unsupported)
+        throw new IllegalArgumentException(
+          s"materialization '$other' is not supported (table, incremental)")
+    }
 
   private def referencesIdentifier(sql: String, name: String): Boolean =
     s"(?i)(?<![\\w`])${java.util.regex.Pattern.quote(name)}(?![\\w`])".r

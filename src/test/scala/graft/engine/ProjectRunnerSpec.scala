@@ -77,4 +77,57 @@ class ProjectRunnerSpec extends SparkSpec {
     val again = runner.run(dir)
     assert(again.values.forall(_ == Unchanged))
   }
+
+  test("incremental materialization: append-only runs + unique_key merge (beyond-reference)") {
+    import spark.implicits._
+    val e = new Engine(spark, tmpDir("graft-proj3"))
+    val runner = new ProjectRunner(e)
+    e.createStream("src_inc", StreamSchema(Seq(
+      PhysicalField("k", FString), PhysicalField("v", FBigInt),
+      PhysicalField("seq", FBigInt))))
+    e.appendRows("src_inc",
+      Seq(("a", 1L, 1L), ("b", 2L, 2L)).toDF("k", "v", "seq"))
+
+    val dir = tmpDir("models-inc")
+    // the canonical dbt incremental idiom: the filter block only exists
+    // on append runs (render-time removal, since {{ this }} has no
+    // stream yet on the first build)
+    Files.write(Paths.get(dir, "state.sql"),
+      """{{ config(materialized='incremental', unique_key='k') }}
+        |SELECT k, v, seq FROM src_inc
+        |{% if is_incremental() %}
+        |WHERE seq > (SELECT coalesce(max(seq), -1) FROM {{ this }})
+        |{% endif %}""".stripMargin.getBytes)
+
+    // first build: full
+    assert(runner.run(dir)("state") == Created)
+    assert(e.preview("SELECT k, v FROM state ORDER BY k")
+      .map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 1L), ("b", 2L)))
+
+    // new + updated rows arrive; incremental run appends only seq > max
+    e.appendRows("src_inc",
+      Seq(("a", 10L, 3L), ("c", 3L, 4L)).toDF("k", "v", "seq"))
+    assert(runner.run(dir)("state") == Updated)
+    // unique_key=k → PK compaction merges: a updated, c inserted
+    assert(e.preview("SELECT k, v FROM state ORDER BY k")
+      .map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("a", 10L), ("b", 2L), ("c", 3L)))
+    // append-only: the old rows were NOT reprocessed (4 events total)
+    assert(e.readStream("state", compact = false).count() == 4)
+
+    // full refresh rebuilds from scratch: all 4 source rows reprocessed
+    // in one batch (compacted read still folds to 3 keys)
+    assert(runner.run(dir, fullRefresh = true)("state") == Updated)
+    assert(e.readStream("state", compact = false).count() == 4)
+    assert(e.preview("SELECT count(*) AS n FROM state").head.getLong(0) == 3L)
+  }
+
+  test("unknown materializations error like the reference's unsupported macro") {
+    val e = new Engine(spark, tmpDir("graft-proj4"))
+    val runner = new ProjectRunner(e)
+    val dir = tmpDir("models-bad")
+    Files.write(Paths.get(dir, "bad.sql"),
+      "{{ config(materialized='view') }}\nSELECT 1 AS x".getBytes)
+    intercept[IllegalArgumentException](runner.run(dir))
+  }
 }

@@ -290,6 +290,46 @@ final class Engine(
     }
   }
 
+  /** Test outcome per dbt's severity contract: `error_if`/`warn_if` are
+    * conditions over the failure count (default `!= 0`), evaluated in
+    * order error → warn → pass (dbt's default get_test_sql behavior the
+    * reference delegates to, macros/get_test_sql.sql:17-20). */
+  sealed trait TestStatus
+  case object TestPass extends TestStatus
+  case object TestWarn extends TestStatus
+  case object TestError extends TestStatus
+  final case class TestResult(failures: Long, status: TestStatus)
+
+  private val ThresholdRe = """(!=|<>|>=|<=|>|<|=)\s*(-?\d+)""".r
+
+  /** Evaluate a dbt threshold condition like "!= 0", "> 5" on a count. */
+  private def thresholdMet(cond: String, n: Long): Boolean =
+    cond.trim match {
+      case ThresholdRe(op, v) =>
+        val t = v.toLong
+        op match {
+          case "!=" | "<>" => n != t
+          case ">=" => n >= t
+          case "<=" => n <= t
+          case ">" => n > t
+          case "<" => n < t
+          case "=" => n == t
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported test condition '$other'")
+    }
+
+  /** Full dbt-style test evaluation: failure count + severity judgment. */
+  def runTestJudged(testName: String, sql: String, limit: Option[Int] = None,
+                    warnIf: String = "!= 0", errorIf: String = "!= 0"): TestResult = {
+    val failures = runTest(testName, sql, limit)
+    val status =
+      if (thresholdMet(errorIf, failures)) TestError
+      else if (thresholdMet(warnIf, failures)) TestWarn
+      else TestPass
+    TestResult(failures, status)
+  }
+
   /** dbt-style test: wrap the test query in a failures count (the default
     * get_test_sql contract — count rows, compare to thresholds;
     * macros/get_test_sql.sql:17-20). Returns the failure count. In

@@ -166,6 +166,20 @@ class EngineSpec extends SparkSpec {
     assert(e.catalog.exists("assert_v_not_null")) // persisted as stream+pipeline
   }
 
+  test("test severity thresholds: error_if / warn_if / pass (get_test_sql contract)") {
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed11"), "s.csv", "k,v\na,\nb,\nc,3\n")
+    e.seed("s", csv)
+    val nullsSql = "SELECT v FROM s WHERE v IS NULL" // 2 failures
+    assert(e.runTestJudged("t_default", nullsSql).status == e.TestError)
+    assert(e.runTestJudged("t_warnonly", nullsSql,
+      warnIf = "> 0", errorIf = "> 5").status == e.TestWarn)
+    assert(e.runTestJudged("t_tolerant", nullsSql,
+      warnIf = "> 2", errorIf = "> 5") == e.TestResult(2L, e.TestPass))
+    // limit caps the counted failures (dbt's limit config, test.sql:21,32)
+    assert(e.runTestJudged("t_limited", nullsSql, limit = Some(1)).failures == 1L)
+  }
+
   test("schema inference errors on unanalyzable SQL (impl.py:496-499)") {
     val e = newEngine()
     intercept[Exception](e.inferSchema("SELECT * FROM does_not_exist"))

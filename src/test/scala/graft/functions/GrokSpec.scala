@@ -36,6 +36,27 @@ class GrokSpec extends AnyFunSuite {
     assert(Grok.eval("level=WARN msg", "%{LOGLEVEL:l}").get("l") == "WARN")
   }
 
+  test("widened base patterns: apache common-log style line") {
+    val line = """10.1.2.3 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326"""
+    val p = """%{IPORHOST:ip} - %{USER:user} \[%{HTTPDATE:ts}\] "%{WORD:verb} %{URIPATH:path} %{DATA:proto}" %{NUMBER:code} %{NUMBER:bytes}"""
+    val m = Grok.eval(line, p).getOrElse(fail("no match"))
+    assert(m("ip") == "10.1.2.3")
+    assert(m("user") == "frank")
+    assert(m("ts") == "10/Oct/2000:13:55:36 -0700")
+    assert(m("verb") == "GET")
+    assert(m("path") == "/apache_pb.gif")
+    assert(m("code") == "200")
+  }
+
+  test("widened base patterns: email, mac, ipv6, month/day") {
+    assert(Grok.eval("mail bob.smith+x@example.co.uk end",
+      "%{EMAILADDRESS:e}").get("e") == "bob.smith+x@example.co.uk")
+    assert(Grok.eval("if0 00:1A:2b:3C:4d:5E up", "%{MAC:m}").get("m") == "00:1A:2b:3C:4d:5E")
+    assert(Grok.eval("addr 2001:db8:0:1:1:1:1:1 ok", "%{IPV6:i}").get("i") ==
+      "2001:db8:0:1:1:1:1:1")
+    assert(Grok.eval("on Tuesday in March", "%{DAY:d}.*%{MONTH:m}").get("m") == "March")
+  }
+
   test("unknown pattern name throws") {
     intercept[IllegalArgumentException](Grok.compile("%{NOPE:x}"))
   }

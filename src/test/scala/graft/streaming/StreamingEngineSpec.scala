@@ -79,6 +79,44 @@ class StreamingEngineSpec extends SparkSpec {
       s"expected watermark node in:\n${plan.queryExecution.logical}")
   }
 
+  test("the reference's flagship grok model runs as a live continuous pipeline") {
+    import spark.implicits._
+    val e = newEngine()
+    val se = new StreamingEngine(e)
+    e.createStream("envoy_raw", StreamSchema(Seq(PhysicalField("value", FString))))
+    def line(ts: String, path: String, sent: Int) =
+      s"""[$ts] "GET $path HTTP/1.1" 200 - 10 $sent 5 4 "1.2.3.4" "curl" "r" "auth" "uh""""
+    e.appendRows("envoy_raw", Seq(line("2023-01-02T03:04:05Z", "/a", 100)).toDF("value"))
+
+    // the http_events projection (grok parse + casts), declared inactive,
+    // then activated as a continuous query with its watermark
+    e.createModel("http_events_live",
+      """SELECT
+        |  TO_TIMESTAMP(CAST(envoy['timestamp'] AS STRING), 'yyyy-MM-dd''T''HH:mm:ss''Z''') AS `timestamp`,
+        |  CAST(envoy['method'] AS STRING) AS `method`,
+        |  CAST(envoy['original_path'] AS STRING) AS original_path,
+        |  CAST(envoy['bytes_sent'] AS INT) AS bytes_sent
+        |FROM (SELECT grok(`value`,
+        |  '\[%{TIMESTAMP_ISO8601:timestamp}\] "%{DATA:method} %{DATA:original_path} %{DATA:protocol}" %{DATA:response_code} %{DATA:response_flags} %{NUMBER:bytes_rcvd} %{NUMBER:bytes_sent} %{NUMBER:duration} %{DATA:upstream_svc_time} "%{DATA:x_forwarded_for}" "%{DATA:useragent}" "%{DATA:request_id}" "%{DATA:authority}" "%{DATA:upstream_host}"') AS envoy
+        |  FROM envoy_raw)""".stripMargin,
+      ModelConfig(active = false,
+        watermarks = Seq(Watermark("timestamp", "`timestamp` - INTERVAL '0.001' SECOND"))))
+
+    val q = se.activate("http_events_live")
+    try {
+      q.processAllAvailable()
+      assert(e.preview("SELECT method, original_path, bytes_sent FROM http_events_live")
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2))) == Seq(("GET", "/a", 100)))
+      // new lines flow through the RUNNING pipeline (ST3 continuity)
+      e.appendRows("envoy_raw",
+        Seq(line("2023-01-02T03:04:06Z", "/b", 200)).toDF("value"))
+      q.processAllAvailable()
+      val paths = e.preview("SELECT original_path FROM http_events_live ORDER BY original_path")
+        .map(_.getString(0))
+      assert(paths == Seq("/a", "/b"))
+    } finally se.deactivate("http_events_live")
+  }
+
   test("activate/deactivate lifecycle tracks state (ST3)") {
     import spark.implicits._
     val e = newEngine()

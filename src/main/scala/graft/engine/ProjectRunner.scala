@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.core.json.JsonReadFeature
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 
 import graft.schema.Watermark
 
@@ -195,6 +196,55 @@ final class ProjectRunner(engine: Engine) {
         throw new IllegalArgumentException(
           s"materialization '$other' is not supported (table, incremental)")
     }
+
+  // ------------------------------------------------------------------
+  // schema.yml generic tests (the dbt test layer the reference's
+  // functional scenario exercises — fixtures.py:31-39 not_null on
+  // my_model; wrapped SQL comes from dbt's generic test templates)
+  // ------------------------------------------------------------------
+
+  final case class GenericTest(model: String, column: String, kind: String) {
+    def name: String = s"${kind}_${model}_$column"
+    /** dbt's built-in generic test SQL (rows = failures). */
+    def sql: String = kind match {
+      case "not_null" => s"SELECT $column FROM $model WHERE $column IS NULL"
+      case "unique" =>
+        s"""SELECT $column FROM $model WHERE $column IS NOT NULL
+           |GROUP BY $column HAVING count(*) > 1""".stripMargin
+      case other =>
+        throw new IllegalArgumentException(s"unsupported generic test '$other'")
+    }
+  }
+
+  /** Parse a dbt schema.yml's models[].columns[].tests into generic
+    * tests (subset: not_null, unique — the built-ins the reference's
+    * fixtures use). */
+  def parseSchemaTests(yamlText: String): Seq[GenericTest] = {
+    val yaml = new ObjectMapper(new YAMLFactory())
+    val root = yaml.readTree(yamlText)
+    Option(root.get("models")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap { m =>
+        val model = m.get("name").asText()
+        Option(m.get("columns")).toSeq.flatMap(_.elements().asScala).flatMap { c =>
+          val column = c.get("name").asText()
+          Option(c.get("tests")).toSeq.flatMap(_.elements().asScala).map { t =>
+            GenericTest(model, column, t.asText())
+          }
+        }
+      }
+  }
+
+  /** Run every generic test declared in a directory's yml files.
+    * @return test name → judged result */
+  def runTests(dir: String): Map[String, Engine#TestResult] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+      .flatMap(p => parseSchemaTests(new String(Files.readAllBytes(p), "UTF-8")))
+      .map { t =>
+        t.name -> engine.runTestJudged(t.name,
+          t.copy(model = engine.catalog.qualify(t.model)).sql)
+      }.toMap
 
   private def referencesIdentifier(sql: String, name: String): Boolean =
     s"(?i)(?<![\\w`])${java.util.regex.Pattern.quote(name)}(?![\\w`])".r

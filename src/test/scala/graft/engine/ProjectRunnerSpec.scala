@@ -122,6 +122,43 @@ class ProjectRunnerSpec extends SparkSpec {
     assert(e.preview("SELECT count(*) AS n FROM state").head.getLong(0) == 3L)
   }
 
+  test("the reference's functional scenario at project level: seed -> run -> schema.yml tests") {
+    val e = new Engine(spark, tmpDir("graft-proj5"))
+    val runner = new ProjectRunner(e)
+
+    // fixtures.py:17-23 seed
+    val seedDir = tmpDir("seeds")
+    Files.write(Paths.get(seedDir, "my_seed.csv"),
+      "name,age\nAdam,31\nGeorge,27\nLily,59\n".getBytes)
+    e.seed("my_seed", s"$seedDir/my_seed.csv")
+
+    // fixtures.py:26-28 model + fixtures.py:31-39 yml, verbatim shapes
+    val dir = tmpDir("models-fn")
+    Files.write(Paths.get(dir, "my_model.sql"),
+      "select CHAR_LENGTH(name) as name_length from {{ ref('my_seed') }}".getBytes)
+    Files.write(Paths.get(dir, "my_model.yml"),
+      """version: 2
+        |models:
+        |  - name: my_model
+        |    columns:
+        |      - name: name_length
+        |        tests:
+        |          - not_null
+        |          - unique
+        |""".stripMargin.getBytes)
+
+    assert(runner.run(dir)("my_model") == Created)
+    val results = runner.runTests(dir)
+    assert(results("not_null_my_model_name_length").status == e.TestPass)
+    // Adam(4) George(6) Lily(4) → duplicate length 4 → unique test errors
+    val uniq = results("unique_my_model_name_length")
+    assert(uniq.failures == 1L && uniq.status == e.TestError)
+
+    // cleanup run-operation ends the scenario (test_simple_project.py:48-70)
+    e.cleanup()
+    assert(e.catalog.list().isEmpty)
+  }
+
   test("unknown materializations error like the reference's unsupported macro") {
     val e = new Engine(spark, tmpDir("graft-proj4"))
     val runner = new ProjectRunner(e)

@@ -70,13 +70,20 @@ final class Engine(
   def readStream(name: String, compact: Boolean = true): DataFrame = {
     val d = catalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"stream '${catalog.qualify(name)}' not found"))
-    // a declared stream with no data yet reads as empty (its first write
-    // creates the dir; the def can exist first, e.g. mid-createModel)
-    val raw =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(catalog.dataPath(name))))
-        spark.read.schema(storedStruct(d)).parquet(catalog.dataPath(name))
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storedStruct(d))
-    val withComputed = d.schema.applyComputed(raw)
+    foldCompact(d, d.schema.applyComputed(readRaw(d)), compact)
+  }
+
+  /** Raw stored rows incl. the ingest-sequence column. A declared stream
+    * with no data yet reads as empty (its first write creates the dir;
+    * the def can exist first, e.g. mid-createModel). */
+  private def readRaw(d: StreamDef): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(catalog.dataPath(d.name))))
+      spark.read.schema(storedStruct(d)).parquet(catalog.dataPath(d.name))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storedStruct(d))
+
+  /** ST2/A6 change-stream fold: latest row per PK by arrival order. */
+  private def foldCompact(d: StreamDef, withComputed: DataFrame,
+                          compact: Boolean): DataFrame = {
     val pk = d.schema.primaryKeyColumns
     val folded =
       if (compact && pk.nonEmpty) {
@@ -86,6 +93,19 @@ final class Engine(
           .drop("__graft_rn")
       } else withComputed
     folded.drop(SeqCol)
+  }
+
+  /** Time-travel read: the stream's (compacted) state as of write epoch
+    * `epoch` inclusive — every write bumps the epoch
+    * ([[graft.catalog.StreamDef.writeEpoch]]), and the ingest-sequence
+    * column carries it in the high bits, so "state as of then" is a
+    * filter + the same PK fold. The CDC-engine snapshot read neither
+    * Spark tables nor the reference expose. */
+  def readStreamAsOf(name: String, epoch: Long, compact: Boolean = true): DataFrame = {
+    val d = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '${catalog.qualify(name)}' not found"))
+    val raw = readRaw(d).filter(col(SeqCol) < lit((epoch + 1) << 45))
+    foldCompact(d, d.schema.applyComputed(raw), compact)
   }
 
   private def storedStruct(d: StreamDef) =

@@ -89,6 +89,26 @@ class EngineSpec extends SparkSpec {
     assert(e.readStream("state", compact = false).count() == 4)
   }
 
+  test("time-travel: readStreamAsOf returns the compacted state at an earlier epoch") {
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed-tt"), "s.csv", "k,v\na,1\nb,2\n")
+    e.seed("tt", csv)
+    e.catalog.put(e.catalog.get("tt").get.copy(
+      schema = e.catalog.get("tt").get.schema.copy(primaryKey = Seq("k"))))
+    val epochAfterSeed = e.catalog.get("tt").get.writeEpoch
+    import spark.implicits._
+    e.appendRows("tt", Seq(("a", "10"), ("c", "3")).toDF("k", "v"))
+
+    // current state: a updated, c inserted
+    assert(e.readStream("tt").count() == 3)
+    // as-of the seed epoch: the original two rows with original values
+    val past = e.readStreamAsOf("tt", epochAfterSeed)
+      .collect().map(r => (r.getString(0), r.getDecimal(1).longValue())).sorted
+    assert(past.toSeq == Seq(("a", 1L), ("b", 2L)))
+    // as-of epoch 0 (before any write): empty
+    assert(e.readStreamAsOf("tt", 0L).isEmpty)
+  }
+
   test("drop cascades to consumer pipelines (impl.py:197-257)") {
     val e = newEngine()
     val csv = writeCsv(tmpDir("seed5"), "s.csv", "k,v\na,1\n")

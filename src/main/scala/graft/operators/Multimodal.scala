@@ -84,6 +84,55 @@ object Multimodal {
       }(enc)
   }
 
+  /** DETERMINISTIC FAKE of an image resize: real resizers map pixel
+    * buffers; the stub scales the payload by stride-sampling bytes to the
+    * target size. Spark-side contract (binary→binary, metadata updated in
+    * the same projection) is the real part. */
+  def resizeStub(content: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    if (content == null || content.isEmpty) return Array.empty
+    val target = math.max(1, math.min(targetW * targetH, content.length))
+    val out = new Array[Byte](target)
+    var i = 0
+    while (i < target) {
+      out(i) = content((i.toLong * content.length / target).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Resize a media table to target dimensions: payload re-sampled,
+    * metadata struct rewritten — one narrow projection, no shuffle. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val f = udf((c: Array[Byte]) => resizeStub(c, targetW, targetH))
+    media
+      .withColumn("content", f(col("content")))
+      .withColumn("meta", struct(
+        col("meta.format").as("format"),
+        lit(targetW).as("width"),
+        lit(targetH).as("height"),
+        col("meta.channels").as("channels")))
+  }
+
+  /** DETERMINISTIC FAKE of video frame sampling: treats the payload as a
+    * contiguous frame buffer and cuts `n` evenly-spaced equal slices (a
+    * real implementation seeks keyframes via the container index). One
+    * row per (doc, frame) — the explode shape a frame-level pipeline
+    * consumes. */
+  def frameSample(media: DataFrame, n: Int): DataFrame = {
+    val slicer = udf { (c: Array[Byte]) =>
+      if (c == null || c.isEmpty) Seq.empty[Array[Byte]]
+      else {
+        val frame = math.max(1, c.length / n)
+        (0 until math.min(n, c.length)).map { i =>
+          val start = i * frame
+          java.util.Arrays.copyOfRange(c, start, math.min(start + frame, c.length))
+        }
+      }
+    }
+    media.select(col("doc_id"),
+      posexplode(slicer(col("content"))).as(Seq("frame_no", "frame")))
+  }
+
   /** Pure-SQL media stats (oracle-checkable): payload size + fake-decode
     * dimensions from metadata. Proves the binary column + struct metadata
     * path end-to-end without the UDF. */

@@ -127,10 +127,11 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos")
   }
 
-  /** Approximate top-k via LSH bucketing: corpus and queries hashed to
-    * sign-signature buckets, candidates = same-bucket pairs only. Probes a
-    * single bucket (multi-probe = union over neighboring signatures would
-    * raise recall; kept simple here). Recall is asserted against
+  /** Approximate top-k via LSH bucketing: corpus hashed to sign-signature
+    * buckets once; each query multi-probes its own bucket plus every
+    * 1- and 2-bit-flip neighbor (standard multi-probe — raises recall
+    * several× at the cost of 1+p+C(p,2) probe rows per query, with the
+    * corpus side untouched). Recall is asserted against
     * [[bruteForceTopK]] in the spec, not an oracle. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, dims: Int, planes: Int = 6): DataFrame = {
@@ -139,12 +140,19 @@ object Similarity {
     val corpus = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
       .withColumn("bucket", sig)
       .withColumnRenamed("v", "v_n")
+    val flips = (lit(0L) +:
+      (0 until planes).map(p => lit(1L << p))) ++
+      (for { a <- 0 until planes; b <- a + 1 until planes }
+        yield lit((1L << a) | (1L << b)))
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("q_id"), col(vecCol).as("v"))
-      .withColumn("bucket", sig)
+      .withColumn("__sig", sig)
+      .withColumn("bucket", explode(array(flips.map(col("__sig").bitwiseXOR): _*)))
+      .drop("__sig")
       .withColumnRenamed("v", "v_q")
     val scored = corpus.join(broadcast(queries), "bucket")
       .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
       .withColumn("cos", round(cosine(col("v_q"), col("v_n")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))

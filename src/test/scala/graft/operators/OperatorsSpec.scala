@@ -66,18 +66,17 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(out(1) - 1.0) < 1e-12)  // parallel
   }
 
-  test("lshTopK recall vs brute force is usable (single-probe, 6 planes)") {
+  test("lshTopK recall vs brute force (multi-probe, 6 planes)") {
     val q = col("vec_id") < 20
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshTopK(emb, "vec_id", "embedding", q, 5, dims = 64, planes = 6)
       .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // single-probe sign-LSH on random vectors: recall is modest by design;
-    // the assertion pins the plumbing (non-empty, same-bucket candidates
-    // are genuinely similar) rather than a tuned recall target
+    // random 64-dim vectors are LSH's worst case; multi-probe still has
+    // to clear a real bar (single-probe was ~0.1-0.2 here)
     assert(approx.nonEmpty)
-    assert(recall > 0.05, s"recall $recall collapsed — bucketing broken")
+    assert(recall > 0.25, s"recall $recall collapsed — bucketing/probing broken")
   }
 
   test("ivfTopK recall beats single-probe LSH and is substantial") {
@@ -144,6 +143,25 @@ class OperatorsSpec extends SparkSpec {
     val approx = orders.select(approx_count_distinct("o_custkey")).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.1,
       s"approx $approx vs exact $exact")
+  }
+
+  test("multimodal: resize rewrites payload + metadata; frameSample explodes to frames") {
+    val media = Multimodal.asMediaTable(docs.limit(10))
+    val resized = Multimodal.resize(media, 32, 16)
+    val r = resized.orderBy("doc_id").head()
+    assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == 32)
+    assert(r.getAs[Array[Byte]]("content").length <= 32 * 16)
+
+    val frames = Multimodal.frameSample(media, 4)
+    assert(frames.columns.toSeq == Seq("doc_id", "frame_no", "frame"))
+    val perDoc = frames.groupBy("doc_id").count().select("count")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(perDoc == Seq(4L))
+    // deterministic: same payload → same first frame
+    val f1 = frames.orderBy("doc_id", "frame_no").head().getAs[Array[Byte]]("frame")
+    val f2 = Multimodal.frameSample(media, 4)
+      .orderBy("doc_id", "frame_no").head().getAs[Array[Byte]]("frame")
+    assert(java.util.Arrays.equals(f1, f2))
   }
 
   test("multimodal: stub decode through mapPartitions preserves schema and count") {

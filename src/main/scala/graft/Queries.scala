@@ -441,18 +441,27 @@ object Queries {
 
   /** L6 seed round-trip: nation → CSV → Engine.seed (strings cast to the
     * inferred Flink schema: number → DECIMAL(10, 0), impl.py:150-172) →
-    * read back through the compacted stream view. */
+    * read back through the compacted stream view. The stream STORES
+    * DECIMAL(10,0) (the thing under test); the gate's final projection
+    * casts to BIGINT on both engines because DECIMAL values hash
+    * differently across the two parquet readers (DuckDB→pandas floats vs
+    * Spark Decimals — the round-1 red row). */
   val seedRoundtrip: Q = q("seed_roundtrip",
-    """SELECT CAST(n_nationkey AS DECIMAL(10,0)) AS n_nationkey, n_name,
-      |  CAST(n_regionkey AS DECIMAL(10,0)) AS n_regionkey
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS BIGINT) AS n_regionkey
       | FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
     val tmp = java.nio.file.Files.createTempDirectory("graft-seed").toString
     t(s, dir, "nation").coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(s"$tmp/nation_csv")
     val e = new engine.Engine(s, s"$tmp/cat")
     e.seed("nation_seed", s"$tmp/nation_csv")
-    e.readStream("nation_seed")
-      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val stored = e.readStream("nation_seed")
+    require(stored.schema("n_nationkey").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 0),
+      "seed must store DECIMAL(10,0) per impl.py:150-172 inference")
+    stored
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
       .orderBy("n_nationkey")
   }
 
@@ -756,10 +765,16 @@ object Queries {
   }
 
   /** Batched stub decode through mapPartitions (real plumbing, fake codec;
-    * rows-only check — feature values are covered in MultimodalSpec). */
+    * rows-only check — feature values are covered in MultimodalSpec).
+    * The gate projects sortable scalars (the driver harness sorts every
+    * column — a raw array<float> crashed pandas in round 1); the
+    * array-valued API stays for library users. */
   val multimodalFeatures: Q = noOracle("multimodal_features") { (s, dir) =>
     operators.Multimodal.extractFeatures(
       operators.Multimodal.asMediaTable(t(s, dir, "documents")))
+      .select(col("doc_id"), col("width"), col("height"),
+        round(aggregate(col("features"), lit(0.0d),
+          (acc, x) => acc + x.cast("double")), 3).as("feat_sum"))
       .orderBy("doc_id")
   }
 

@@ -53,11 +53,14 @@ object Similarity {
 
   /** Random-hyperplane bucket signature: bit p = sign(Σ_d w(p,d)·v[d])
     * with deterministic ±1 weights from [[CrossHash.scalaHash56]] (so the
-    * signature is reproducible across engines and runs). */
-  def planeSignature(vec: Column, dims: Int, planes: Int): Column = {
+    * signature is reproducible across engines and runs). `seed` prefixes
+    * the weight-hash input, giving independent signature tables for
+    * multi-table LSH ([[Dedup.embeddingNearDup]]). */
+  def planeSignature(vec: Column, dims: Int, planes: Int,
+                     seed: String = "hp"): Column = {
     val weights: Seq[Seq[Int]] = (0 until planes).map { p =>
       (0 until dims).map { d =>
-        if ((CrossHash.scalaHash56(s"hp$p:$d") & 1L) == 0L) 1 else -1
+        if ((CrossHash.scalaHash56(s"$seed$p:$d") & 1L) == 0L) 1 else -1
       }
     }
     val bits = (0 until planes).map { p =>

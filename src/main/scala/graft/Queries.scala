@@ -465,6 +465,28 @@ object Queries {
       .orderBy("n_nationkey")
   }
 
+  /** Tombstone deletes (handler.py:87-94 empty-`after` change events):
+    * nation ingested as a PK change stream, region-0 keys deleted via
+    * [[graft.engine.Engine.deleteKeys]], compacted state read back — the
+    * oracle is the equivalent anti-filter over the raw table. */
+  val tombstoneDelete: Q = q("tombstone_delete",
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+      | FROM nation WHERE n_regionkey <> 0 ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-del").toString
+    val e = new engine.Engine(s, s"$tmp/cat")
+    val nat = t(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+      col("n_regionkey").cast("long").as("n_regionkey"))
+    e.createStream("nation_cs",
+      graft.schema.StreamSchema.fromStruct(nat.schema, primaryKey = Seq("n_nationkey")))
+    e.appendRows("nation_cs", nat)
+    e.deleteKeys("nation_cs",
+      nat.filter(col("n_regionkey") === 0).select("n_nationkey"))
+    e.readStream("nation_cs")
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy("n_nationkey")
+  }
+
   /** L1 model materialization: stream ingest → createModel (schema
     * inference + pipeline run) → compacted read. */
   val engineModel: Q = q("engine_model",
@@ -790,7 +812,7 @@ object Queries {
     joinInnerAgg, joinLeft, joinSemi, joinAnti, asofJoin,
     windowRank, windowRunningSum,
     topk, setUnion, setIntersect, setExcept,
-    seedRoundtrip, engineModel,
+    seedRoundtrip, tombstoneDelete, engineModel,
     dedupExact, dedupExactHash, textQuality, fingerprintMd5,
     dedupMinhashLsh, ngramJaccard, dedupSimhash, embeddingNearDup,
     annTopK, annLshTopK, annIvfTopK, sourceSimilarity, mapAccess,

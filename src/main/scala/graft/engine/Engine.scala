@@ -51,11 +51,24 @@ final class Engine(
   val catalog = new Catalog(root, namespace)
   GraftFunctions.register(spark)
 
-  /** Hidden ingest-sequence column: write-epoch in the high bits, Spark's
-    * monotonically-increasing row id in the low bits. This is the arrival
-    * order that makes change-stream folding (reference handler.py:87-94
-    * "keep latest after per key") deterministic in batch. */
+  /** Hidden ingest-order columns. Epoch and within-write sequence are
+    * SEPARATE columns (not bit-packed into one long): a packed
+    * `epoch<<45 + monotonically_increasing_id()` layout overflows into
+    * the epoch bits at write partition 4096 (`monotonically_increasing_id`
+    * is `partitionId<<33 + row`), silently corrupting compaction order and
+    * as-of reads exactly at cluster-scale parallelism. Two longs cost
+    * nothing in parquet (the constant epoch RLE-compresses away) and give
+    * unbounded budgets for both fields. (epoch, seq) lexicographic order
+    * is the arrival order that makes change-stream folding (reference
+    * handler.py:87-94 "keep latest after per key") deterministic in batch. */
   val SeqCol = "__graft_seq"
+  val EpochCol = "__graft_epoch"
+
+  /** Hidden tombstone marker: the batch encoding of the reference's
+    * empty-`after` change event (handler.py:87-94 clears the key).
+    * Normal writes stamp false; [[deleteKeys]] appends true rows; PK
+    * compaction drops a key whose latest row is a tombstone. */
+  val DeletedCol = "__graft_deleted"
 
   // ------------------------------------------------------------------
   // Reads
@@ -81,18 +94,22 @@ final class Engine(
       spark.read.schema(storedStruct(d)).parquet(catalog.dataPath(d.name))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storedStruct(d))
 
-  /** ST2/A6 change-stream fold: latest row per PK by arrival order. */
+  /** ST2/A6 change-stream fold: latest row per PK by arrival order
+    * (epoch, seq); a key whose latest row is a tombstone disappears —
+    * the reference's empty-`after` deletion (handler.py:87-94). Without
+    * compaction the tombstone rows stay visible as raw change events. */
   private def foldCompact(d: StreamDef, withComputed: DataFrame,
                           compact: Boolean): DataFrame = {
     val pk = d.schema.primaryKeyColumns
     val folded =
       if (compact && pk.nonEmpty) {
-        val w = Window.partitionBy(pk.map(col): _*).orderBy(col(SeqCol).desc)
+        val w = Window.partitionBy(pk.map(col): _*)
+          .orderBy(col(EpochCol).desc, col(SeqCol).desc)
         withComputed.withColumn("__graft_rn", row_number().over(w))
-          .filter(col("__graft_rn") === 1)
+          .filter(col("__graft_rn") === 1 && !col(DeletedCol))
           .drop("__graft_rn")
       } else withComputed
-    folded.drop(SeqCol)
+    folded.drop(SeqCol, EpochCol, DeletedCol)
   }
 
   /** Time-travel read: the stream's (compacted) state as of write epoch
@@ -104,12 +121,15 @@ final class Engine(
   def readStreamAsOf(name: String, epoch: Long, compact: Boolean = true): DataFrame = {
     val d = catalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"stream '${catalog.qualify(name)}' not found"))
-    val raw = readRaw(d).filter(col(SeqCol) < lit((epoch + 1) << 45))
+    val raw = readRaw(d).filter(col(EpochCol) <= lit(epoch))
     foldCompact(d, d.schema.applyComputed(raw), compact)
   }
 
   private def storedStruct(d: StreamDef) =
-    d.schema.toStruct.add(SeqCol, "long", nullable = false)
+    d.schema.toStruct
+      .add(EpochCol, "long", nullable = false)
+      .add(SeqCol, "long", nullable = false)
+      .add(DeletedCol, "boolean", nullable = false)
 
   /** Register every catalog stream as a temp view (compacted read). */
   def registerViews(): Unit =
@@ -217,13 +237,40 @@ final class Engine(
   private def write(d: StreamDef, df: DataFrame, mode: SaveMode): Unit = {
     val epoch = d.writeEpoch + 1
     val target = d.schema.toStruct
-    // align column order/casts to the declared schema
+    // align column order/casts to the declared schema; carry the tombstone
+    // marker through when present (deleteKeys), stamp false otherwise
+    val deleted =
+      if (df.columns.contains(DeletedCol)) col(DeletedCol).cast("boolean")
+      else lit(false)
     val aligned = df.select(target.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
-    val stamped = aligned.withColumn(
-      SeqCol, (lit(epoch) * lit(1L << 45) + monotonically_increasing_id()).cast("long"))
+      col(f.name).cast(f.dataType).as(f.name)) :+ deleted.as(DeletedCol): _*)
+    val stamped = aligned
+      .withColumn(EpochCol, lit(epoch))
+      .withColumn(SeqCol, monotonically_increasing_id())
+      .select((target.fieldNames.toSeq ++ Seq(EpochCol, SeqCol, DeletedCol))
+        .map(col): _*)
     stamped.write.mode(mode).parquet(catalog.dataPath(d.name))
     catalog.put(d.copy(writeEpoch = epoch))
+  }
+
+  /** Tombstone delete for change streams: append a deletion marker per key
+    * (the reference's change event with an empty `after`, handler.py:87-94)
+    * — compaction then hides the key, while earlier epochs still see it via
+    * [[readStreamAsOf]]. `keys` must carry the stream's PK columns; any
+    * other declared columns are stored as NULL on the marker row. */
+  def deleteKeys(name: String, keys: DataFrame): Unit = {
+    val d = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    val pk = d.schema.primaryKeyColumns
+    require(pk.nonEmpty, s"stream '${d.name}' has no primary key — " +
+      "tombstone deletes need change-stream (PK) semantics")
+    val missing = pk.filterNot(keys.columns.contains)
+    require(missing.isEmpty, s"delete keys missing PK columns: ${missing.mkString(", ")}")
+    val target = d.schema.toStruct
+    val full = keys.select(target.fields.toSeq.map(f =>
+      (if (pk.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)): _*)
+    write(d, full.withColumn(DeletedCol, lit(true)), SaveMode.Append)
   }
 
   private def writeEmpty(d: StreamDef): Unit = {
@@ -249,21 +296,46 @@ final class Engine(
     * date → DATE, time → TIME(3). We get the same classification from
     * Spark's CSV inference, then map the Spark class to the seed type.
     */
+  private val TimeLiteralRe = """\d{2}:\d{2}:\d{2}(\.\d{1,9})?""".r
+
   def inferSeedTypes(csvPath: String): Seq[(String, FlinkType)] = {
     import org.apache.spark.sql.types._
     val sniffed = spark.read.option("header", "true").option("inferSchema", "true")
-      .csv(csvPath).schema
-    sniffed.fields.toSeq.map { f =>
-      val t = f.dataType match {
-        case _: NumericType => FlinkType.FDecimal(10, 0)
-        case BooleanType => FlinkType.FBoolean
-        case TimestampType | TimestampNTZType => FlinkType.FTimestampLtz(3)
-        case DateType => FlinkType.FDate
-        case _ => FlinkType.FString
-      }
+      .csv(csvPath)
+    // Spark has no TIME type: its CSV sniffer reads a bare 'HH:mm:ss' column
+    // as TIMESTAMP (anchored to the current date) or leaves it STRING —
+    // agate classifies either as time → TIME(3) (impl.py:150-172). Detect
+    // the time shape on the RAW string read (a bounded sample; seeds are
+    // small CSVs by contract) so the detection is independent of what the
+    // sniffer guessed.
+    val raw = spark.read.option("header", "true").csv(csvPath)
+    val sample = raw.limit(1000).collect()
+    val timeCols: Set[String] = raw.columns.zipWithIndex.collect { case (c, i)
+      if sample.nonEmpty && sample.forall(r =>
+        r.isNullAt(i) || TimeLiteralRe.matches(r.getString(i))) &&
+        sample.exists(!_.isNullAt(i)) => c
+    }.toSet
+    sniffed.schema.fields.toSeq.map { f =>
+      val t =
+        if (timeCols(f.name)) FlinkType.FTime(3)
+        else f.dataType match {
+          case _: NumericType => FlinkType.FDecimal(10, 0)
+          case BooleanType => FlinkType.FBoolean
+          case TimestampType | TimestampNTZType => FlinkType.FTimestampLtz(3)
+          case DateType => FlinkType.FDate
+          case _ => FlinkType.FString
+        }
       f.name -> t
     }
   }
+
+  /** 'HH:mm:ss[.SSS]' → nanos-of-day (the [[FlinkType.FTime]] storage).
+    * Pure column arithmetic on decimal, so no timezone is involved. */
+  private def timeStringToNanos(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ((substring(c, 1, 2).cast("long") * 3600L + substring(c, 4, 2).cast("long") * 60L)
+      * 1000000000L
+      + (substring(c, 7, 12).cast(org.apache.spark.sql.types.DecimalType(12, 9))
+        * 1000000000L).cast("long")).cast("long")
 
   /** L6: materialize a CSV seed as a stream. Every value is read as a
     * string and cast to the declared type — mirroring the reference's
@@ -286,7 +358,19 @@ final class Engine(
       catalog.put(StreamDef(catalog.qualify(name), schema))
     }
     val asStrings = spark.read.option("header", "true").csv(csvPath) // all STRING
-    appendRows(name, asStrings) // write() casts to the declared schema
+    // TIME columns need explicit conversion: write()'s cast-to-declared
+    // would turn 'HH:mm:ss' into NULL under a plain string→long cast
+    def base(t: FlinkType): FlinkType = t match {
+      case FlinkType.FNotNull(i) => base(i)
+      case FlinkType.FPrimaryKey(i) => base(i)
+      case other => other
+    }
+    val converted = types.foldLeft(asStrings) {
+      case (df, (n, t)) if base(t).isInstanceOf[FlinkType.FTime] =>
+        df.withColumn(n, timeStringToNanos(col(n)))
+      case (df, _) => df
+    }
+    appendRows(name, converted) // write() casts to the declared schema
     if (existed) Updated else Created
   }
 
@@ -356,8 +440,12 @@ final class Engine(
     * materialize-tests mode (connections.py:48, impl.py:641-648) the
     * wrapped query is persisted as its own model instead (L8). */
   def runTest(testName: String, sql: String, limit: Option[Int] = None): Long = {
-    val limited = limit.map(l => s"SELECT * FROM (${SqlDialect.rewrite(sql)}) __t LIMIT $l")
-      .getOrElse(SqlDialect.rewrite(sql))
+    // keep the inner SQL raw: preview/createModel below apply the (single)
+    // dialect rewrite — rewriting here too would double backslashes in
+    // string literals (the rewrite is not idempotent by design: it decodes
+    // Flink literals and re-encodes them for Spark)
+    val limited = limit.map(l => s"SELECT * FROM ($sql) __t LIMIT $l")
+      .getOrElse(sql)
     val failuresSql = s"SELECT count(*) AS failures FROM ($limited) __dbt_test"
     if (materializeTests) {
       createModel(testName, failuresSql)
@@ -390,9 +478,12 @@ final class Engine(
     val qOld = catalog.qualify(oldName)
     val qNew = catalog.qualify(newName)
     catalog.rename(oldName, newName)
-    // rewrite this stream's own def sources stay as-is; rewrite consumers
+    // rewrite this stream's own def sources stay as-is; rewrite consumers.
+    // Consumer SQL may spell the source either bare (ref() resolves to the
+    // bare name; views alias both) or namespace-qualified — rewrite both.
     catalog.list().filter(_.sources.contains(qOld)).foreach { c =>
-      val newSql = c.sql.map(replaceIdentifier(_, qOld, qNew))
+      val newSql = c.sql.map(s =>
+        replaceIdentifier(replaceIdentifier(s, qOld, qNew), oldName, newName))
       catalog.put(c.copy(
         sql = newSql,
         sources = c.sources.map(s => if (s == qOld) qNew else s)))

@@ -136,7 +136,6 @@ final class ProjectRunner(engine: Engine) {
     * other models run after them — the dbt DAG walk, SURVEY §3.1). */
   def run(dir: String, fullRefresh: Boolean = false): Map[String, ApplyResult] = {
     val models = loadModels(dir)
-    val byName = models.map(m => engine.catalog.qualify(m.name) -> m).toMap
     val done = scala.collection.mutable.LinkedHashMap[String, ApplyResult]()
     val visiting = scala.collection.mutable.Set[String]()
 
@@ -145,10 +144,14 @@ final class ProjectRunner(engine: Engine) {
       require(visiting.add(m.name), s"model cycle involving '${m.name}'")
       // deps that are themselves models in this project: materialize first.
       // sourcesOf only resolves existing streams, so parse-level refs are
-      // matched against project model names here.
-      val deps = byName.keys.filter(q =>
-        q != engine.catalog.qualify(m.name) && referencesIdentifier(m.sql, q))
-      deps.foreach(d => visit(byName(d)))
+      // matched against project model names here — in BOTH spellings: refs
+      // resolve to the bare name, but a model may also be spelled
+      // namespace-qualified (ns__model) in hand-written SQL.
+      val deps = models.filter(o =>
+        o.name != m.name &&
+          (referencesIdentifier(m.sql, o.name) ||
+            referencesIdentifier(m.sql, engine.catalog.qualify(o.name))))
+      deps.foreach(visit)
       done(m.name) = materialize(m, fullRefresh)
       visiting.remove(m.name)
     }
@@ -156,6 +159,27 @@ final class ProjectRunner(engine: Engine) {
     models.foreach(visit)
     done.toMap
   }
+
+  /** Materialize every `*.csv` in a dbt-style `seeds/` directory
+    * (macros/materializations/seed/seed.sql:17-61). Missing dir → no-op. */
+  def runSeeds(dir: String, fullRefresh: Boolean = false): Map[String, ApplyResult] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Map.empty
+    else Files.list(p).iterator().asScala
+      .filter(_.toString.endsWith(".csv"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { f =>
+        val name = f.getFileName.toString.stripSuffix(".csv")
+        name -> engine.seed(name, f.toString, fullRefresh = fullRefresh)
+      }.toMap
+  }
+
+  /** Full dbt-style project build: CSV seeds under `seeds` first (models
+    * may select from them), then SQL models under `models` in dependency
+    * order. */
+  def runProject(projectRoot: String, fullRefresh: Boolean = false): Map[String, ApplyResult] =
+    runSeeds(s"$projectRoot/seeds", fullRefresh) ++
+      run(s"$projectRoot/models", fullRefresh)
 
   private val IfIncrementalRe =
     raw"(?s)\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}".r

@@ -1,9 +1,13 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.engine.Engine
-import graft.schema.StreamSchema
+import graft.schema.{MetadataField, PhysicalField, StreamSchema}
 
 /** Connector catalog — the engine analog of the reference's connector set
   * `datagen | kafka | kinesis | rest | s3`
@@ -16,10 +20,14 @@ import graft.schema.StreamSchema
   * | kafka    | `kafka` source/sink | passes options through; needs the kafka connector jar + brokers at runtime |
   * | kinesis  | — | third-party connector; declared unsupported (the reference itself just names it) |
   * | rest     | direct DataFrame append | [[Engine.appendRows]] — the seed-ingest path (impl.py:502-574) |
-  * | s3       | file source (parquet/csv/json on s3a://) | start positions: full replay vs `latestFirst` |
+  * | s3       | file source (parquet/csv/json on s3a://) | start positions via checkpoint fast-forward |
   *
-  * Start positions (api.py:22-35, `earliest`/`latest`): Kafka →
-  * `startingOffsets`; file sources → replay-all vs `latestFirst=true`.
+  * Start positions (api.py:22-35, `earliest`/`latest`): Kafka maps to
+  * `startingOffsets` natively. File sources have no skip-existing option
+  * (`latestFirst` only reorders processing), so `latest` is implemented in
+  * [[bindSource]] by a checkpoint fast-forward: an AvailableNow pass that
+  * commits source offsets past everything currently present while
+  * discarding the batches — after it, only data arriving later flows.
   */
 object Connectors {
 
@@ -51,10 +59,9 @@ object Connectors {
       val schema = spec.properties.getOrElse("schema",
         throw new IllegalArgumentException(
           "file/s3 streaming source requires an explicit 'schema' (DDL string)"))
-      val reader = spark.readStream.format(format).schema(schema)
-      val positioned =
-        if (spec.startPosition == Latest) reader.option("latestFirst", "true") else reader
-      positioned.load(path)
+      // `latest` is NOT latestFirst (that only reorders; all existing files
+      // still process) — it's handled by bindSource's checkpoint fast-forward
+      spark.readStream.format(format).schema(schema).load(path)
     case "rest" =>
       throw new IllegalArgumentException(
         "rest connector has no continuous source; append events with Engine.appendRows " +
@@ -64,20 +71,65 @@ object Connectors {
         s"unsupported connector '$other' (supported: ${Supported.mkString(", ")})")
   }
 
+  /** Resolve a declared metadata key (reference schema.py:63-106 — a field
+    * "bound to" source metadata) to the Spark source's actual metadata
+    * column. Kafka-style keys are real columns on the source frame
+    * (timestamp/topic/partition/offset); the Flink filesystem keys map to
+    * Spark's hidden `_metadata` struct on file sources. */
+  def metadataColumn(source: DataFrame, key: String): Column =
+    if (source.columns.contains(key)) col(key) // kafka: timestamp, topic, …
+    else key match {
+      case "file.path" => col("_metadata.file_path")
+      case "file.name" => col("_metadata.file_name")
+      case "file.size" => col("_metadata.file_size")
+      case "file.modification-time" | "file.modification_time" | "timestamp" =>
+        col("_metadata.file_modification_time")
+      case other =>
+        throw new IllegalArgumentException(
+          s"metadata key '$other' is not provided by this source " +
+            s"(source columns: ${source.columns.mkString(", ")})")
+    }
+
   /** Bind a connector source to a catalog stream: project the source frame
-    * onto the stream's declared schema columns and continuously append —
-    * the analog of a source connection feeding a stream
-    * (client.py:433-501). Returns the running query. */
+    * onto the stream's declared schema — physical fields by name, metadata
+    * fields resolved from source metadata ([[metadataColumn]]) and cast to
+    * their declared type — and continuously append — the analog of a
+    * source connection feeding a stream (client.py:433-501).
+    *
+    * With `startPosition = Latest` and no prior checkpoint, a fast-forward
+    * AvailableNow pass first commits offsets past all current contents
+    * (discarding the rows), so the returned query only ingests data that
+    * arrives after binding — Kafka `startingOffsets=latest` semantics for
+    * sources that lack a native skip-existing switch.
+    *
+    * Returns the running query. */
   def bindSource(engine: Engine, name: String, source: DataFrame,
-                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                 checkpoint: String,
+                 startPosition: StartPosition = Earliest): StreamingQuery = {
     val schema = engine.catalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"stream '$name' not found")).schema
-    val cols = schema.toStruct.fieldNames.toSeq
-    source.select(cols.map(org.apache.spark.sql.functions.col): _*)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) => engine.appendRows(name, batch) }
-      .start()
+    val projected = source.select(schema.fields.collect {
+      case PhysicalField(n, _) => col(n)
+      case MetadataField(n, key, t) =>
+        metadataColumn(source, key).cast(t.toSpark).as(n)
+    }: _*)
+    def start(trigger: Option[Trigger], sink: (DataFrame, Long) => Unit) = {
+      val w = projected.writeStream.option("checkpointLocation", checkpoint)
+      trigger.fold(w)(w.trigger).foreachBatch(sink).start()
+    }
+    if (startPosition == Latest && !hasCommittedOffsets(checkpoint)) {
+      val ff = start(Some(Trigger.AvailableNow()), (_, _) => ())
+      ff.awaitTermination()
+    }
+    start(None, (batch, _) => engine.appendRows(name, batch))
+  }
+
+  /** "No prior checkpoint" means no committed source offsets — the
+    * checkpoint DIRECTORY may pre-exist (callers often create it), so test
+    * for the `offsets/` log Spark writes on the first batch. */
+  def hasCommittedOffsets(checkpoint: String): Boolean = {
+    val offsets = Paths.get(checkpoint).resolve("offsets")
+    Files.isDirectory(offsets) && Files.list(offsets).findFirst().isPresent
   }
 
   /** Batch read of an external file table (the s3 connector's bounded

@@ -47,9 +47,13 @@ final class StreamingEngine(val engine: Engine) {
   def readStreamContinuous(name: String): DataFrame = {
     val d = engine.catalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"stream '$name' not found"))
-    val struct = d.schema.toStruct.add(engine.SeqCol, "long", nullable = false)
+    val struct = d.schema.toStruct
+      .add(engine.EpochCol, "long", nullable = false)
+      .add(engine.SeqCol, "long", nullable = false)
+      .add(engine.DeletedCol, "boolean", nullable = false)
     val raw = spark.readStream.schema(struct).parquet(engine.catalog.dataPath(name))
-    val computed = d.schema.applyComputed(raw).drop(engine.SeqCol)
+    val computed = d.schema.applyComputed(raw)
+      .drop(engine.SeqCol, engine.EpochCol, engine.DeletedCol)
     d.schema.watermarks.headOption.flatMap(w =>
       w.delayThreshold.map(delay => computed.withWatermark(w.name, delay)))
       .getOrElse(computed)
@@ -68,6 +72,44 @@ final class StreamingEngine(val engine: Engine) {
     spark.sql(sql)
   }
 
+  private def startQuery(name: String, trigger: Trigger,
+                         sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val plan = continuousPlan(name)
+    val isAggregating = plan.isStreaming && plan.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty
+    plan.writeStream
+      .outputMode(if (isAggregating) "update" else "append")
+      .option("checkpointLocation", checkpointDir(name))
+      .trigger(trigger)
+      .foreachBatch(sink)
+      .start()
+  }
+
+  /** S5/ST6: honor `initial_start_positions` (stored as
+    * `start_position.<source>` props by ProjectRunner — the reference's
+    * activation start positions, client.py:381-387). On FIRST activation
+    * (no checkpoint yet) with a `latest` position, fast-forward: run an
+    * AvailableNow pass over the pipeline that commits source offsets past
+    * everything currently present while discarding the output, so the real
+    * query only processes data arriving after activation. Subsequent
+    * activations resume from the checkpoint as usual (`earliest` replays —
+    * the default). Note the known divergence for stateful plans: the
+    * discarded pass still folds pre-existing rows into aggregation state
+    * (source-level skipping would need connector support, as Kafka's
+    * startingOffsets has — Connectors.open maps it natively for kafka). */
+  private def fastForwardIfLatest(name: String): Unit = {
+    val d = engine.catalog.get(name).getOrElse(return)
+    val wantsLatest = d.properties.exists { case (k, v) =>
+      k.startsWith("start_position") && v.equalsIgnoreCase("latest")
+    }
+    if (wantsLatest &&
+        !graft.sources.Connectors.hasCommittedOffsets(checkpointDir(name))) {
+      val q = startQuery(name, Trigger.AvailableNow(), (_, _) => ())
+      q.awaitTermination()
+    }
+  }
+
   /** ST3: activate the model's pipeline as a continuous query. Aggregation
     * plans run in update mode (change stream); projections/filters in
     * append. Each micro-batch is appended through the engine's writer so
@@ -75,18 +117,9 @@ final class StreamingEngine(val engine: Engine) {
     * batch writes exactly. */
   def activate(name: String, trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
     require(!active.contains(name), s"pipeline '$name' already active")
-    val plan = continuousPlan(name)
-    val isAggregating = plan.isStreaming && plan.queryExecution.analyzed.collectFirst {
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-    }.nonEmpty
-    val q = plan.writeStream
-      .outputMode(if (isAggregating) "update" else "append")
-      .option("checkpointLocation", checkpointDir(name))
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        engine.appendRows(name, batch)
-      }
-      .start()
+    fastForwardIfLatest(name)
+    val q = startQuery(name, trigger,
+      (batch: DataFrame, _: Long) => engine.appendRows(name, batch))
     active.put(name, q)
     val d = engine.catalog.get(name).get
     engine.catalog.put(d.copy(active = true))

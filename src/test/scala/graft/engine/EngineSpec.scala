@@ -204,4 +204,77 @@ class EngineSpec extends SparkSpec {
     val e = newEngine()
     intercept[Exception](e.inferSchema("SELECT * FROM does_not_exist"))
   }
+
+  test("compaction order survives >4096 write partitions (epoch not bit-packed with row id)") {
+    val e = newEngine()
+    import spark.implicits._
+    e.createStream("wide", StreamSchema(
+      Seq(PhysicalField("k", FPrimaryKey(FString)), PhysicalField("v", FBigInt))))
+    // epoch 2 (after the empty init write): k=a written across 4500
+    // partitions — under a packed epoch<<45 + monotonically_increasing_id
+    // layout, partitions ≥4096 overflow into the epoch field
+    e.appendRows("wide",
+      Seq(("a", 1L)).toDF("k", "v").union(
+        (1 to 2000).map(i => (s"k$i", i.toLong)).toDF("k", "v")).repartition(4500))
+    // epoch 3: the update that must win compaction
+    e.appendRows("wide", Seq(("a", 2L)).toDF("k", "v"))
+    val a = e.readStream("wide").filter("k = 'a'").collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 2L)))
+    // as-of the 4500-partition epoch: original value, all rows present
+    assert(e.readStreamAsOf("wide", 2L).filter("k = 'a'").head().getLong(1) == 1L)
+    assert(e.readStreamAsOf("wide", 2L).count() == 2001L)
+  }
+
+  test("tombstone delete clears a key; earlier epochs still see it (handler.py:87-94 empty-after)") {
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed-del"), "s.csv", "k,v\na,1\nb,2\n")
+    e.seed("del", csv)
+    e.catalog.put(e.catalog.get("del").get.copy(
+      schema = e.catalog.get("del").get.schema.copy(primaryKey = Seq("k"))))
+    val beforeDelete = e.catalog.get("del").get.writeEpoch
+    import spark.implicits._
+    e.deleteKeys("del", Seq("a").toDF("k"))
+    // compacted current state: a is gone
+    assert(e.readStream("del").collect().map(_.getString(0)).toSeq == Seq("b"))
+    // time travel to before the delete: a still there
+    assert(e.readStreamAsOf("del", beforeDelete).count() == 2)
+    // raw change stream keeps the tombstone row visible as an event
+    assert(e.readStream("del", compact = false).count() == 3)
+    // re-inserting after a delete resurrects the key
+    e.appendRows("del", Seq(("a", "9")).toDF("k", "v"))
+    val back = e.preview("SELECT k, v FROM del ORDER BY k")
+    assert(back.map(_.getString(0)) == Seq("a", "b"))
+    // tombstones need a PK
+    intercept[IllegalArgumentException] {
+      e.createStream("nopk", StreamSchema(Seq(PhysicalField("x", FString))))
+      e.deleteKeys("nopk", Seq("x").toDF("x"))
+    }
+  }
+
+  test("seed infers TIME(3) for HH:mm:ss columns and stores nanos-of-day (impl.py:150-172 agate time)") {
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed-time"), "s.csv",
+      "id,at,note\n1,12:34:56.123,x\n2,00:00:01,y\n")
+    e.seed("timed", csv)
+    val byName = e.catalog.get("timed").get.schema.fields
+      .collect { case PhysicalField(n, t) => n -> t }.toMap
+    assert(byName("at") == FTime(3))
+    assert(byName("note") == FString) // non-time strings stay STRING
+    val rows = e.preview("SELECT id, at FROM timed ORDER BY id")
+    assert(rows.map(_.getLong(1)) ==
+      Seq((12L * 3600 + 34 * 60 + 56) * 1000000000L + 123000000L, 1000000000L))
+  }
+
+  test("runTest rewrites dialect exactly once (backslash literals survive)") {
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed-bs"), "s.csv", "k\n1\nx\n")
+    e.seed("bs", csv)
+    // Flink dialect: backslash is raw, so '\d' is the digit class. A second
+    // rewrite would turn it into the two-char literal \d and match nothing.
+    assert(e.runTest("digits", raw"SELECT k FROM bs WHERE k RLIKE '\d'") == 1L)
+    // the materialize-tests path (createModel) must also rewrite only once
+    val em = new Engine(spark, tmpDir("graft-engine-mt"), materializeTests = true)
+    em.seed("bs", csv)
+    assert(em.runTest("digits_mt", raw"SELECT k FROM bs WHERE k RLIKE '\d'") == 1L)
+  }
 }

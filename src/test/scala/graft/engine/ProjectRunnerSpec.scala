@@ -159,6 +159,52 @@ class ProjectRunnerSpec extends SparkSpec {
     assert(e.catalog.list().isEmpty)
   }
 
+  test("dependency ordering holds under a namespace (qualified vs bare spellings)") {
+    import spark.implicits._
+    val e = new Engine(spark, tmpDir("graft-proj-ns"), namespace = Some("dev"))
+    val runner = new ProjectRunner(e)
+    e.createStream("raw", StreamSchema(Seq(PhysicalField("x", FBigInt))))
+    e.appendRows("raw", Seq(1L, 2L, 3L).toDF("x"))
+
+    val dir = tmpDir("models-ns")
+    // zz_summary sorts after a_base but depends on it — with a namespace
+    // the ref resolves to the bare name while the catalog stores dev__a_base;
+    // dep detection must match either spelling or a_base builds too late
+    Files.write(Paths.get(dir, "zz_summary.sql"),
+      "SELECT count(*) AS n FROM {{ ref('a_base') }}".getBytes)
+    Files.write(Paths.get(dir, "a_base.sql"),
+      "SELECT x FROM raw WHERE x > 1".getBytes)
+    // and one model spelling its dep QUALIFIED by hand
+    Files.write(Paths.get(dir, "zz_squared.sql"),
+      "SELECT x * x AS xx FROM dev__a_base".getBytes)
+
+    val results = runner.run(dir)
+    assert(results.values.forall(_ == Created))
+    assert(e.preview("SELECT n FROM dev__zz_summary").head.getLong(0) == 2L)
+    assert(e.preview("SELECT count(*) AS c FROM dev__zz_squared").head.getLong(0) == 2L)
+  }
+
+  test("runProject walks seeds/ before models/ (dbt project layout)") {
+    val e = new Engine(spark, tmpDir("graft-proj-seeds"))
+    val runner = new ProjectRunner(e)
+    val root = tmpDir("proj-root")
+    Files.createDirectories(Paths.get(root, "seeds"))
+    Files.createDirectories(Paths.get(root, "models"))
+    Files.write(Paths.get(root, "seeds", "people.csv"),
+      "name,age\nAdam,31\nLily,59\n".getBytes)
+    Files.write(Paths.get(root, "models", "adults.sql"),
+      "SELECT name FROM {{ ref('people') }} WHERE age >= 18".getBytes)
+
+    val results = runner.runProject(root)
+    assert(results("people") == Created)
+    assert(results("adults") == Created)
+    assert(e.preview("SELECT name FROM adults ORDER BY name")
+      .map(_.getString(0)) == Seq("Adam", "Lily"))
+    // idempotent second build: seed refreshes, unchanged model skips
+    val again = runner.runProject(root)
+    assert(again("adults") == Unchanged)
+  }
+
   test("unknown materializations error like the reference's unsupported macro") {
     val e = new Engine(spark, tmpDir("graft-proj4"))
     val runner = new ProjectRunner(e)

@@ -46,6 +46,55 @@ class ConnectorsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("metadata fields bind to source metadata, not stored NULLs (schema.py:63-106)") {
+    import spark.implicits._
+    val dir = tmpDir("metasrc")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/data")
+    val src = Connectors.open(spark, Connectors.ConnectorSpec("file",
+      Map("path" -> s"$dir/data", "schema" -> "id BIGINT, v STRING")))
+    val e = new Engine(spark, tmpDir("graft-conn-meta"))
+    e.createStream("with_meta", StreamSchema(Seq(
+      PhysicalField("id", FBigInt),
+      PhysicalField("v", FString),
+      MetadataField("ingest_ts", "file.modification-time", FTimestampLtz(3)),
+      MetadataField("src_file", "file.path", FString))))
+    val q = Connectors.bindSource(e, "with_meta", src, tmpDir("ckpt-meta"))
+    try {
+      q.processAllAvailable()
+      val rows = e.readStream("with_meta").orderBy("id").collect()
+      assert(rows.length == 2)
+      assert(rows.forall(r => !r.isNullAt(r.fieldIndex("ingest_ts"))),
+        "file.modification-time metadata not populated")
+      assert(rows.forall(_.getString(3).contains("/data")),
+        "file.path metadata not populated")
+    } finally q.stop()
+  }
+
+  test("latest start position skips pre-existing files, ingests only new data (S5)") {
+    import spark.implicits._
+    val dir = tmpDir("latestsrc")
+    Seq((1L, "old"), (2L, "old")).toDF("id", "v").write.parquet(s"$dir/data")
+    val e = new Engine(spark, tmpDir("graft-conn-latest"))
+    e.createStream("tail_only", StreamSchema(Seq(
+      PhysicalField("id", FBigInt), PhysicalField("v", FString))))
+    def openSrc() = Connectors.open(spark, Connectors.ConnectorSpec("file",
+      Map("path" -> s"$dir/data", "schema" -> "id BIGINT, v STRING"),
+      startPosition = Connectors.Latest))
+    val ckpt = tmpDir("ckpt-latest")
+    val q = Connectors.bindSource(e, "tail_only", openSrc(), ckpt,
+      startPosition = Connectors.Latest)
+    try {
+      q.processAllAvailable()
+      assert(e.readStream("tail_only").count() == 0,
+        "latest must not replay pre-existing files")
+      Seq((3L, "new")).toDF("id", "v")
+        .write.mode("append").parquet(s"$dir/data")
+      q.processAllAvailable()
+      val rows = e.readStream("tail_only").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(3L))
+    } finally q.stop()
+  }
+
   test("unsupported / invalid connectors error clearly") {
     intercept[IllegalArgumentException](
       Connectors.open(spark, Connectors.ConnectorSpec("kinesis")))

@@ -117,6 +117,28 @@ class StreamingEngineSpec extends SparkSpec {
     } finally se.deactivate("http_events_live")
   }
 
+  test("initial_start_positions=latest: first activation skips pre-existing rows (S5/ST6, client.py:381-387)") {
+    import spark.implicits._
+    val e = newEngine()
+    val se = new StreamingEngine(e)
+    e.createStream("feed", StreamSchema(Seq(
+      PhysicalField("id", FBigInt), PhysicalField("v", FString))))
+    e.appendRows("feed", Seq((1L, "old"), (2L, "old")).toDF("id", "v"))
+    e.createModel("tail_model", "SELECT id, upper(v) AS v_u FROM feed",
+      ModelConfig(active = false,
+        properties = Map("start_position.feed" -> "latest")))
+    val q = se.activate("tail_model")
+    try {
+      q.processAllAvailable()
+      assert(e.preview("SELECT * FROM tail_model").isEmpty,
+        "latest activation must not reprocess pre-existing rows")
+      e.appendRows("feed", Seq((3L, "new")).toDF("id", "v"))
+      q.processAllAvailable()
+      val rows = e.preview("SELECT id, v_u FROM tail_model")
+      assert(rows.map(r => (r.getLong(0), r.getString(1))) == Seq((3L, "NEW")))
+    } finally se.deactivate("tail_model")
+  }
+
   test("activate/deactivate lifecycle tracks state (ST3)") {
     import spark.implicits._
     val e = newEngine()

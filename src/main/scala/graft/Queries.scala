@@ -801,6 +801,126 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // Curation operators: deterministic sampling/splitting, duplicate
+  // clustering, PII redaction, repetition signals (SURVEY §7.5 extras)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic train/val/test split by salted [[operators.CrossHash]]
+    * bucket — membership is a pure projection (no shuffle, no RNG state),
+    * checked here by split counts. */
+  val sampleSplit: Q = q("sample_split", {
+    val b = operators.Sampling.duckdbHashBucket("doc_id", "s1", 10000)
+    s"""WITH b AS (SELECT doc_id, $b AS bucket FROM documents)
+       |SELECT CASE WHEN bucket < 8000 THEN 'train'
+       |            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS cnt
+       |FROM b GROUP BY 1 ORDER BY split""".stripMargin }) { (s, dir) =>
+    operators.Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+      .groupBy("split").agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy("split")
+  }
+
+  /** Per-group quota sampling: at most 10 docs per language, drawn in
+    * salted-hash order — deterministic, so the DuckDB oracle reproduces
+    * the exact row set with the same hash + row_number. */
+  val sampleQuota: Q = q("sample_quota", {
+    val b = operators.Sampling.duckdbHashBucket("doc_id", "q1", 1 << 30)
+    s"""WITH r AS (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $b, doc_id) AS rn
+       |  FROM documents)
+       |SELECT lang, doc_id FROM r WHERE rn <= 10
+       |ORDER BY lang, doc_id""".stripMargin }) { (s, dir) =>
+    operators.Sampling.quotaPerGroup(
+      t(s, dir, "documents").select("lang", "doc_id"),
+      Seq("lang"), "doc_id", n = 10, salt = "q1")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Duplicate clustering: MinHash-LSH candidate pairs closed into
+    * connected components (min-label propagation); the oracle closes the
+    * exact brute-force Jaccard pairs with a recursive CTE. Same sketch ==
+    * exact argument as `dedup_minhash_lsh` (no pairs in (0.13, 0.8)). */
+  val dupClusters: Q = q("dup_clusters", {
+    val pairsSql = duckJaccardPairs(n = 2, threshold = 0.5, leftPred = "true")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+       |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = operators.Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+    operators.Dedup.duplicateClusters(
+      docs.select(col("doc_id").cast("long").as("doc_id")), pairs,
+      idCol = "doc_id")
+      .select(col("doc_id"), col("cluster_id").cast("long").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction over text with synthesized deterministic PII (the
+    * corpus itself is clean word-soup): email + IP on every doc, SSN on
+    * doc_id%3==0, phone on doc_id%5==0. Counts and the redacted text are
+    * compared byte-for-byte — the patterns live in the Java∩RE2 regex
+    * subset. */
+  val piiRedact: Q = q("pii_redact", {
+    val synth =
+      """text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+        | || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+        | || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+        | || CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END"""
+        .stripMargin.replaceAll("\n", "")
+    val pats = operators.TextAnalysis.PiiPatterns
+    val counts = pats.map { case (k, p) =>
+      s"CAST(len(regexp_extract_all(s, '${p.replace("'", "''")}')) AS BIGINT) AS n_$k" }
+    val redacted = pats.foldLeft("s") { case (e, (k, p)) =>
+      s"regexp_replace($e, '${p.replace("'", "''")}', '<${k.toUpperCase}>', 'g')" }
+    s"""WITH synth AS (SELECT doc_id, $synth AS s FROM documents)
+       |SELECT doc_id, ${counts.mkString(", ")}, $redacted AS redacted
+       |FROM synth ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+    val synth = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@ex.com"),
+        lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" ssn 123-45-6789"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(" call 555-867-5309"))
+          .otherwise(lit(""))).as("text"))
+    operators.TextAnalysis.redactPii(synth).orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition signals: duplicate-word fraction (array ops,
+    * zero shuffle) and top-bigram share (two doc-keyed hash aggregates). */
+  val repetitionSignals: Q = q("repetition_signals",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |    ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+      |      AS dup_word_frac
+      |  FROM w),
+      |big AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w)),
+      |cnt AS (
+      |  SELECT doc_id, MAX(c) AS top_bigram FROM (
+      |    SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT b.doc_id, b.n_words, b.dup_word_frac,
+      |  ROUND(CAST(COALESCE(cnt.top_bigram, 0) AS DOUBLE)
+      |    / GREATEST(b.n_words - 1, 1), 6) AS top_bigram_share
+      |FROM base b LEFT JOIN cnt ON b.doc_id = cnt.doc_id
+      |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    operators.TextAnalysis.repetitionSignals(t(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
@@ -818,6 +938,7 @@ object Queries {
     annTopK, annLshTopK, annIvfTopK, sourceSimilarity, mapAccess,
     textQualityExt, pipelineComposed,
     langId, tokenCountBpe, winnowFingerprint,
-    multimodalStats, multimodalFeatures
+    multimodalStats, multimodalFeatures,
+    sampleSplit, sampleQuota, dupClusters, piiRedact, repetitionSignals
   )
 }

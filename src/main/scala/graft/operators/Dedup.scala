@@ -329,4 +329,53 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Duplicate-cluster assignment: connected components over a candidate
+    * pair set (the step after LSH in an industrial dedup pipeline — a
+    * near-dup RELATION is not transitive, so "keep one per pair" is
+    * ill-defined until pairs are closed into components). Returns
+    * `(id, cluster_id)` for every input id; `cluster_id` is the minimum
+    * id reachable through the pair graph (singletons cluster as
+    * themselves), so downstream "keep canonical" is `id === cluster_id`.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels, until a
+    * round changes nothing. Each round is one equi-join + one
+    * hash-aggregate, both keyed by node id, with the label frame
+    * `localCheckpoint`ed per round to cut lineage. Rounds = graph
+    * diameter; near-dup graphs are overwhelmingly tiny star/clique
+    * components (diameter ≤ ~3), so 3-4 rounds close 100 TB corpora —
+    * the same reasoning that makes plain propagation the default in
+    * production dedup over the O(log n) star-contraction variants, whose
+    * per-round cost is higher. `maxIters` bounds pathological chains;
+    * convergence is detected by an `isEmpty` probe on changed labels
+    * (cheap: it short-circuits on the first changed row).
+    *
+    * Pairs may be any candidate relation: [[minhashLsh]], [[simhashPairs]],
+    * [[embeddingNearDup]] outputs all fit (`id_a`/`id_b` columns).
+    */
+  def duplicateClusters(ids: DataFrame, pairs: DataFrame,
+                        idCol: String = "id", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(eager = true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("nid")).agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
 }

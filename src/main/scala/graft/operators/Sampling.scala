@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, hash-driven sampling and dataset-splitting operators —
+  * the curation steps a training-data pipeline runs after dedup/quality
+  * filtering (train/val/test carving, per-domain quotas, down-sampling).
+  *
+  * All randomness is [[CrossHash]] over a salted id, never `rand()`:
+  *   - reproducible across runs, engines, and cluster sizes (the same row
+  *     always lands in the same split — a requirement for train/test
+  *     hygiene when the corpus is re-processed incrementally);
+  *   - oracle-checkable bit-for-bit in DuckDB (the same md5 fold);
+  *   - membership is a pure projection, so [[hashSample]]/[[hashSplit]]
+  *     add ZERO shuffles — at 100 TB they run entirely map-side, and the
+  *     filter sits directly on top of the parquet scan.
+  *
+  * Only [[quotaPerGroup]] shuffles (one hash-partition by group — the
+  * minimum possible for a per-group top-k), using window `row_number`,
+  * which TakeOrdered-style accumulates only `n` rows per group per
+  * partition before the final per-group sort.
+  */
+object Sampling {
+
+  /** Salted bucket in `[0, buckets)`: `hash56(salt ":" id) mod buckets`.
+    * 56 uniform bits mod 1e4 has bias < 2^-42 — immaterial. */
+  def hashBucket(id: Column, salt: String, buckets: Int): Column =
+    pmod(CrossHash.hash56(concat(lit(salt + ":"), id.cast("string"))),
+      lit(buckets.toLong))
+
+  /** The same bucket in DuckDB SQL (for oracles), over id expression `e`. */
+  def duckdbHashBucket(e: String, salt: String, buckets: Int): String =
+    s"(${CrossHash.duckdbHash56(s"'$salt:' || CAST($e AS VARCHAR)")}) % $buckets"
+
+  /** Deterministic Bernoulli sample: keep a row iff its salted hash bucket
+    * falls below `fraction`. Map-side only — no shuffle, no RNG state; the
+    * predicate pushes into the scan like any other filter. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 salt: String, buckets: Int = 10000): DataFrame =
+    df.filter(hashBucket(col(idCol), salt, buckets) <
+      lit(math.round(fraction * buckets)))
+
+  /** Deterministic dataset split: label every row with the name of the
+    * split whose cumulative-fraction interval contains its hash bucket
+    * (e.g. `("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`). Fractions
+    * must sum to ~1; the last split absorbs rounding. Pure projection —
+    * rows never move, so re-running over a grown corpus preserves every
+    * existing row's assignment (incremental-ingest hygiene). */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                salt: String, buckets: Int = 10000,
+                splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split fractions sum to $total, expected 1")
+    val bucket = hashBucket(col(idCol), salt, buckets)
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * buckets) }.tail
+    val labeled = splits.map(_._1).zip(bounds).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) { case ((name, hi), els) =>
+        when(bucket < lit(hi), lit(name)).otherwise(els)
+      }
+    df.withColumn(splitCol, labeled)
+  }
+
+  /** Per-group quota: keep at most `n` rows per group, chosen in salted-
+    * hash order (a deterministic uniform draw without replacement). Ties
+    * on the hash break by id, so the result is total-order stable. One
+    * shuffle (hash-partition by group); skewed groups are bounded by the
+    * per-partition top-n accumulation of window row_number. */
+  def quotaPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                    n: Int, salt: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(hashBucket(col(idCol), salt, 1 << 30), col(idCol))
+    df.withColumn("__graft_qrn", row_number().over(w))
+      .filter(col("__graft_qrn") <= n)
+      .drop("__graft_qrn")
+  }
+}

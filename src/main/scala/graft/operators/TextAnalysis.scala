@@ -115,4 +115,67 @@ object TextAnalysis {
       .select(col("doc_id"),
         size(col("fp")).cast("long").as("n_fingerprints"),
         array_min(col("fp")).as("min_fp"))
+
+  /** PII patterns, ordered: specific shapes before general ones (an SSN
+    * is also phone-shaped). Every pattern stays in the Java-regex ∩ RE2
+    * common subset so the DuckDB oracle matches byte-for-byte. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "ipv4" -> """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""",
+    "ssn" -> """\b\d{3}-\d{2}-\d{4}\b""",
+    "phone" -> """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b""")
+
+  /** PII redaction: replace emails / IPv4s / SSNs / US-phone shapes with
+    * `<KIND>` placeholders and count each kind. Pure per-row projection of
+    * codegen'd regexp builtins — no shuffle, no UDF; the scan stays
+    * column-pruned to (id, text). Counts are taken BEFORE replacement so
+    * an SSN consumed by the ssn pass is not double-counted by phone
+    * (replacement order still masks it first). */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val counts = PiiPatterns.map { case (kind, pat) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$kind")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (kind, pat)) => regexp_replace(c, pat, s"<${kind.toUpperCase}>")
+    }
+    docs.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+  }
+
+  /** Repetition signals (the Gopher-rules shape, word-granular because
+    * the corpus is single-line): per document —
+    *   - `n_words`, `dup_word_frac`: fraction of tokens that are repeats
+    *     of an earlier token (array ops, zero shuffle);
+    *   - `top_bigram_share`: the most frequent bigram's share of all
+    *     bigrams — high values flag boilerplate/spam. Needs a per-(doc,
+    *     bigram) count: explode → two hash-aggregates keyed by doc, the
+    *     minimal shuffle for a per-doc mode; partial aggregation
+    *     (map-side combine) keeps shuffle volume at distinct-bigram
+    *     cardinality, not token count.
+    * Fractions are int/int divisions in DOUBLE rounded to 6dp — the
+    * bit-exact oracle recipe used by jaccard. */
+  def repetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val words = split(col(textCol), " ")
+    val base = docs.select(col(idCol), words.as("w"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("dup_word_frac",
+        round(lit(1.0) - size(array_distinct(col("w"))).cast("double")
+          / col("n_words"), 6))
+    val bigrams = base.select(col(idCol), col("w"),
+      posexplode(slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0)))))
+      .withColumn("bigram",
+        concat_ws(" ", col("col"), element_at(col("w"), col("pos") + 2)))
+    // `w` rides into the explode only to index the successor token; drop
+    // it before the aggregate so the shuffle carries (id, bigram) alone
+    val counts = bigrams.select(col(idCol), col("bigram"))
+      .groupBy(idCol, "bigram").count()
+      .groupBy(idCol).agg(max("count").as("top_bigram"))
+    base.select(col(idCol), col("n_words"), col("dup_word_frac"))
+      .join(counts, Seq(idCol), "left")
+      .withColumn("top_bigram_share",
+        round(coalesce(col("top_bigram"), lit(0L)).cast("double")
+          / greatest(col("n_words") - 1, lit(1L)), 6))
+      .drop("top_bigram")
+  }
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Specs for the curation operators: deterministic sampling/splitting,
+  * duplicate clustering, PII redaction, repetition signals. */
+class CurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("hashSplit: exhaustive, disjoint, deterministic, roughly proportional") {
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == docs.count())
+    // 500 docs: the 80/10/10 carve should land near 400/50/50
+    assert(counts("train") > 350 && counts("train") < 450)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // same salt → identical assignment; different salt → different carve
+    val again = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+    assert(split.select("doc_id", "split").except(
+      again.select("doc_id", "split")).isEmpty)
+    val other = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s2")
+    assert(!split.select("doc_id", "split").except(
+      other.select("doc_id", "split")).isEmpty)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2), "s")
+    }
+  }
+
+  test("hashSample: deterministic subset at ~the requested rate, plan is shuffle-free") {
+    val s = Sampling.hashSample(docs, "doc_id", 0.2, salt = "x")
+    val n = s.count()
+    assert(n > 60 && n < 140, s"expected ~100 of 500, got $n")
+    assert(s.except(Sampling.hashSample(docs, "doc_id", 0.2, salt = "x")).isEmpty)
+    // membership at a lower rate is a subset of a higher rate (same salt)
+    val s10 = Sampling.hashSample(docs, "doc_id", 0.1, salt = "x")
+    assert(s10.join(s, Seq("doc_id"), "left_anti").isEmpty)
+    // pure projection: no exchange in the plan
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashSample must not shuffle:\n$plan")
+  }
+
+  test("quotaPerGroup: at most n per group, deterministic, hash-ordered draw") {
+    val q = Sampling.quotaPerGroup(docs.select("lang", "doc_id"),
+      Seq("lang"), "doc_id", n = 7, salt = "q")
+    val per = q.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(per.forall(_ <= 7))
+    assert(q.except(Sampling.quotaPerGroup(docs.select("lang", "doc_id"),
+      Seq("lang"), "doc_id", n = 7, salt = "q")).isEmpty)
+    // growing the quota only adds rows (prefix property of the hash order)
+    val q9 = Sampling.quotaPerGroup(docs.select("lang", "doc_id"),
+      Seq("lang"), "doc_id", n = 9, salt = "q")
+    assert(q.join(q9, Seq("lang", "doc_id"), "left_anti").isEmpty)
+  }
+
+  test("duplicateClusters: components over a known pair graph, singletons self-cluster") {
+    import spark.implicits._
+    val ids = (1L to 8L).toDF("id")
+    // components: {1,2,3} (chain), {4,5} (pair), {6,7} via 2 hops, {8} alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 6L, 8L -> 8L))
+  }
+
+  test("duplicateClusters: long chain needs multiple propagation rounds") {
+    import spark.implicits._
+    val n = 12L
+    val ids = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 1L), s"one chain component, got $got")
+  }
+
+  test("redactPii: masks all kinds, counts non-overlapping matches") {
+    import spark.implicits._
+    val out = TextAnalysis.redactPii(Seq(
+      (1L, "mail a.b+c@ex.co and x@y.org ip 10.0.0.1 ssn 123-45-6789 tel 555 867 5309"),
+      (2L, "clean text, no pii at all")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(r1.fieldIndex("n_email")) == 2)
+    assert(r1.getLong(r1.fieldIndex("n_ipv4")) == 1)
+    assert(r1.getLong(r1.fieldIndex("n_ssn")) == 1)
+    assert(r1.getLong(r1.fieldIndex("n_phone")) == 1)
+    assert(r1.getString(r1.fieldIndex("redacted")) ==
+      "mail <EMAIL> and <EMAIL> ip <IPV4> ssn <SSN> tel <PHONE>")
+    val r2 = out(1)
+    assert(Seq("n_email", "n_ipv4", "n_ssn", "n_phone")
+      .forall(c => r2.getLong(r2.fieldIndex(c)) == 0))
+    assert(r2.getString(r2.fieldIndex("redacted")) == "clean text, no pii at all")
+  }
+
+  test("repetitionSignals: hand-checked fractions") {
+    import spark.implicits._
+    val out = TextAnalysis.repetitionSignals(Seq(
+      (1L, "a b a b a"), // 5 words, 2 distinct; top bigram "a b" = 2 of 4
+      (2L, "x y z w")) // no repeats; 3 unique bigrams, top share 1/3
+      .toDF("doc_id", "text")).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(r1.fieldIndex("n_words")) == 5)
+    assert(r1.getDouble(r1.fieldIndex("dup_word_frac")) == 0.6)
+    assert(r1.getDouble(r1.fieldIndex("top_bigram_share")) == 0.5)
+    val r2 = out(1)
+    assert(r2.getDouble(r2.fieldIndex("dup_word_frac")) == 0.0)
+    assert(r2.getDouble(r2.fieldIndex("top_bigram_share")) == 0.333333)
+  }
+}

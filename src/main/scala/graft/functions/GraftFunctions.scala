@@ -42,6 +42,27 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "plane_sigs",
+      { args =>
+        require(args.length == 4,
+          "plane_sigs(vec, seedsJoined, planes, dims) takes four args")
+        import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+        import org.apache.spark.unsafe.types.UTF8String
+        val seeds = args(1) match {
+          case Literal(s: UTF8String, _) => s.toString.split('\u0001').toSeq
+          case other => throw new IllegalArgumentException(
+            s"plane_sigs seeds must be a string literal, got $other")
+        }
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"plane_sigs $name must be an integer literal, got $other")
+        }
+        PlaneSignatures(args.head, seeds,
+          intLit(args(2), "planes"), intLit(args(3), "dims"))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       { args =>
         require(args.length == 2, "sorted_intersect_count(a, b) takes two args")

@@ -270,14 +270,18 @@ object Dedup {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // per-table signature columns, seeded independently; the full
+    // per-table signatures, seeded independently, all computed in ONE
+    // fused codegen'd pass (PlaneSignatures) and PERSISTED — the explode
+    // chain below would otherwise inline the signature expression into
+    // its Generate nodes and re-evaluate it per output row. The full
     // signature array (`tables` longs) rides along so pair dedup needs
     // no shuffle (see below). The float vectors do NOT travel through
     // the candidate join — shipping them ×tables×probes was 8× the
     // verify cost; they re-join from the persisted frame at the end.
-    val sigs = (0 until tables).map(t =>
-      Similarity.planeSignature(col("v"), dims, planes, seed = s"hp$t:"))
-    val withSigs = e.withColumn("sigs", array(sigs: _*))
+    val withSigs = e.withColumn("sigs", Similarity.planeSignatures(
+      col("v"), (0 until tables).map(t => s"hp$t:"), planes, dims))
+      .select("id", "sigs")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val b = withSigs.select(col("id").as("id_b"), col("sigs").as("sigs_b"),
       posexplode(col("sigs")).as(Seq("tbl", "bucket")))
     // a-side: additionally exploded to all buckets within probeRadius
@@ -308,9 +312,12 @@ object Dedup {
       .filter(col("tbl") === firstTbl)
       .select("id_a", "id_b")
 
+    // vector lookup is a broadcast hash join (the corpus id→vector map is
+    // dimension-table-sized relative to the candidate pair stream; at
+    // larger corpora this becomes a shuffle join on id, still linear)
     candidates
-      .join(e.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(e.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .join(broadcast(e.select(col("id").as("id_a"), col("v").as("v_a"))), "id_a")
+      .join(broadcast(e.select(col("id").as("id_b"), col("v").as("v_b"))), "id_b")
       .withColumn("cos", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

@@ -51,27 +51,23 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos")
   }
 
-  /** Random-hyperplane bucket signature: bit p = sign(Σ_d w(p,d)·v[d])
-    * with deterministic ±1 weights from [[CrossHash.scalaHash56]] (so the
-    * signature is reproducible across engines and runs). `seed` prefixes
-    * the weight-hash input, giving independent signature tables for
-    * multi-table LSH ([[Dedup.embeddingNearDup]]). */
+  /** All random-hyperplane bucket signatures for multi-table LSH, one
+    * 56-bit-max long per seed, computed by the fused codegen'd
+    * [[graft.functions.PlaneSignatures]] expression (the `zip_with` +
+    * `aggregate` formulation is interpreted and was re-evaluated through
+    * every Generate/join branch — the embedding near-dup bench hotspot).
+    * Deterministic ±1 weights from [[CrossHash.scalaHash56]] make the
+    * signatures reproducible across engines and runs. */
+  def planeSignatures(vec: Column, seeds: Seq[String], planes: Int,
+                      dims: Int): Column =
+    call_function("plane_sigs", vec, lit(seeds.mkString("\u0001")),
+      lit(planes), lit(dims))
+
+  /** Single-table signature: bit p = sign(Σ_d w(p,d)·v[d]); `seed`
+    * prefixes the weight-hash input. */
   def planeSignature(vec: Column, dims: Int, planes: Int,
-                     seed: String = "hp"): Column = {
-    val weights: Seq[Seq[Int]] = (0 until planes).map { p =>
-      (0 until dims).map { d =>
-        if ((CrossHash.scalaHash56(s"$seed$p:$d") & 1L) == 0L) 1 else -1
-      }
-    }
-    val bits = (0 until planes).map { p =>
-      val wArr = typedlit(weights(p))
-      val dotSign = aggregate(
-        zip_with(vec, wArr, (v, w) => v.cast("double") * w.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotSign > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+                     seed: String = "hp"): Column =
+    element_at(planeSignatures(vec, Seq(seed), planes, dims), 1)
 
   /** IVF (inverted-file) approximate top-k: a coarse quantizer of
     * `nCentroids` centroids (deterministic seeds = the first `nCentroids`

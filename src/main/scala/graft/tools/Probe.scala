@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only perf probe for operator plans (not part of the engine API). */
@@ -11,6 +11,8 @@ object Probe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("explain")) return explainMain(args.drop(1))
     if (args.headOption.contains("sql")) return sqlMain(args.drop(1).mkString(" "))
+    if (args.headOption.contains("time")) return timeMain(args.drop(1))
+    if (args.headOption.contains("embed")) return embedMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -47,6 +49,81 @@ object Probe {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     timed("candidate pairs raw")(println("cand=" + candidates.count()))
     timed("candidate pairs dedup")(println("cand distinct=" + candidates.dropDuplicates("id_a", "id_b").count()))
+    spark.stop()
+  }
+
+  /** `Probe embed <sf>` — stage timings for the embedding near-dup LSH. */
+  private def embedMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Similarity
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[embed] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val (tables, planes, dims) = (8, 6, 64)
+    val sigs = (0 until tables).map(t =>
+      Similarity.planeSignature(col("v"), dims, planes, seed = s"hp$t:"))
+    val withSigs = e.withColumn("sigs", array(sigs: _*))
+    (1 to 2).foreach { i =>
+      timed(s"signatures run$i")(withSigs.select(count(lit(1))).collect()) }
+    val b = withSigs.select(col("id").as("id_b"), col("sigs").as("sigs_b"),
+      posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+    val flips: Seq[Column] =
+      (lit(0L) +: (0 until planes).map(p => lit(1L << p))) ++
+        (for { x <- 0 until planes; y <- x + 1 until planes }
+          yield lit((1L << x) | (1L << y)))
+    val a = withSigs.select(col("id").as("id_a"), col("sigs").as("sigs_a"),
+      posexplode(col("sigs")).as(Seq("tbl", "sig")))
+      .withColumn("bucket", explode(array(flips.map(col("sig").bitwiseXOR): _*)))
+      .drop("sig")
+    timed("a-side explode count")(println("a=" + a.count()))
+    val joined = a.join(b, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+    timed("joined rows")(println("joined=" + joined.count()))
+    def tblHamming(t: Int): Column = bit_count(
+      element_at(col("sigs_a"), t + 1).bitwiseXOR(element_at(col("sigs_b"), t + 1)))
+    val firstTbl = (0 until tables).foldRight(lit(-1): Column) { (t, els) =>
+      when(tblHamming(t) <= 2, lit(t)).otherwise(els)
+    }
+    val candidates = joined.filter(col("tbl") === firstTbl).select("id_a", "id_b")
+    timed("candidates")(println("cand=" + candidates.count()))
+    val ep = e.persist()
+    val verified = candidates
+      .join(ep.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(ep.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cos", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= 0.45)
+    timed("verify")(println("pairs=" + verified.count()))
+    spark.stop()
+  }
+
+  /** `Probe time <sf> <query...>` — run named gate queries twice (cold +
+    * warm) under the bench's thread count (SPARK_GRAFT_CPUS, default 32)
+    * and print per-run wall times. */
+  private def timeMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Queries.all.filter(q => names.isEmpty || names(q.name)).foreach { q =>
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = q.fn(spark, sf).count()
+        println(f"[time] ${q.name} run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+    }
     spark.stop()
   }
 

@@ -920,6 +920,72 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: docs sharing any distinct 4-gram with the
+    * "benchmark" subset (doc_id % 50 = 0) are removed from the corpus
+    * (the GPT-3-style n-gram overlap rule). Spark joins on xxhash64 of
+    * the gram, the oracle on the gram itself — equal sets modulo 64-bit
+    * collisions (~1e-11 here). */
+  val decontaminate: Q = q("decontaminate", {
+    val sh = duckShingles(4)
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($sh) AS g FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 4),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+       |bad AS (
+       |  SELECT DISTINCT doc_id FROM sh JOIN bench USING (g)
+       |  WHERE doc_id % 50 <> 0)
+       |SELECT d.doc_id, d.lang FROM documents d
+       |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY d.doc_id""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    operators.Decontaminate.decontaminate(
+      corpus, "doc_id", "text", bench, "text", n = 4)
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
+  /** Domain-weighted mixture sampling: per-lang keep rates as a plan-time
+    * literal map over the same salted hash bucket as `sample_split`. */
+  val mixtureSample: Q = q("mixture_sample", {
+    val b = operators.Sampling.duckdbHashBucket("doc_id", "mx", 10000)
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, $b AS bucket FROM documents)
+       |WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 9000
+       |                         ELSE 7000 END
+       |ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+    operators.Sampling.mixtureSample(
+      t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+      rates = Seq("en" -> 0.5, "de" -> 0.9), defaultRate = 0.7, salt = "mx")
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget shard packing: 4 parallel packing domains, 2000-token
+    * cuts, deterministic content-keyed ordering — the oracle reproduces
+    * the window cumsum exactly (integer arithmetic only). */
+  val packShards: Q = q("pack_shards", {
+    val grp = operators.Sampling.duckdbHashBucket("doc_id", "pk", 4)
+    val ord = operators.Sampling.duckdbHashBucket("doc_id", "pk:ord", 1 << 30)
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    $grp AS pack_group, $ord AS ord FROM documents),
+       |c AS (
+       |  SELECT doc_id, pack_group,
+       |    sum(n_tok) OVER (PARTITION BY pack_group ORDER BY ord, doc_id
+       |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_offset
+       |  FROM d)
+       |SELECT doc_id, pack_group, start_offset,
+       |  CAST(floor(start_offset / 2000) AS BIGINT) AS shard
+       |FROM c ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    operators.Sampling.packShards(docs, "doc_id", "n_tok",
+      budget = 2000L, groups = 4, salt = "pk")
+      .select(col("doc_id"), col("pack_group").cast("long").as("pack_group"),
+        col("start_offset"), col("shard"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -939,6 +1005,7 @@ object Queries {
     textQualityExt, pipelineComposed,
     langId, tokenCountBpe, winnowFingerprint,
     multimodalStats, multimodalFeatures,
-    sampleSplit, sampleQuota, dupClusters, piiRedact, repetitionSignals
+    sampleSplit, sampleQuota, dupClusters, piiRedact, repetitionSignals,
+    decontaminate, mixtureSample, packShards
   )
 }

@@ -64,6 +64,56 @@ object Sampling {
     df.withColumn(splitCol, labeled)
   }
 
+  /** Domain-weighted mixture sampling: per-group keep rates (e.g.
+    * `lang -> 0.9` for high-resource down-weighting), applied as a pure
+    * projection — the rate map is a plan-time literal (mixture weight
+    * tables are human-sized), the bucket test is the same salted hash as
+    * [[hashSample]], so membership is reproducible and shuffle-free.
+    * Groups absent from `rates` keep `defaultRate`. */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    rates: Seq[(String, Double)], defaultRate: Double,
+                    salt: String, buckets: Int = 10000): DataFrame = {
+    val thresholds = rates.map { case (g, f) => g -> math.round(f * buckets) }
+    val thr = coalesce(
+      element_at(typedlit(thresholds.toMap), col(groupCol)),
+      lit(math.round(defaultRate * buckets)))
+    df.filter(hashBucket(col(idCol), salt, buckets) < thr)
+  }
+
+  /** Token-budget shard packing: assign each document a shard id such
+    * that every shard holds ~`budget` tokens — the "concatenate the
+    * token stream, cut every `budget` tokens" convention of pre-training
+    * data packing (a document whose span straddles a cut belongs to the
+    * shard its FIRST token lands in).
+    *
+    * Parallelism: documents are first split into `groups` independent
+    * packing domains by salted id hash; each domain packs its own token
+    * stream (ordered by salted hash, then id — deterministic). One
+    * shuffle (hash-partition by domain); the running sum is a window
+    * cumsum inside each domain. At 100 TB, `groups` scales with the
+    * cluster (each domain's stream is corpus/groups tokens), and shard
+    * ids are stable under re-runs because ordering is content-keyed, not
+    * partition-keyed.
+    *
+    * @return input rows + (pack_group, shard, start_offset) where
+    *         `shard` numbers budget-sized cuts within the group and
+    *         `start_offset` is the document's first-token position in
+    *         its group's stream.
+    */
+  def packShards(df: DataFrame, idCol: String, tokensCol: String,
+                 budget: Long, groups: Int, salt: String): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val grp = hashBucket(col(idCol), salt, groups)
+    val w = Window.partitionBy("pack_group")
+      .orderBy(hashBucket(col(idCol), salt + ":ord", 1 << 30), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("pack_group", grp)
+      .withColumn("__cum", sum(col(tokensCol).cast("long")).over(w))
+      .withColumn("start_offset", col("__cum") - col(tokensCol).cast("long"))
+      .withColumn("shard", floor(col("start_offset") / budget))
+      .drop("__cum")
+  }
+
   /** Per-group quota: keep at most `n` rows per group, chosen in salted-
     * hash order (a deterministic uniform draw without replacement). Ties
     * on the hash break by id, so the result is total-order stable. One

@@ -82,6 +82,57 @@ class CurationSpec extends SparkSpec {
     assert(got.values.forall(_ == 1L), s"one chain component, got $got")
   }
 
+  test("decontaminate: removes exactly the overlapping docs, keeps the rest") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "totally unrelated words here now ok"),
+      (3L, "short")).toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox jumps high")).toDF("doc_id", "text")
+    val bad = Decontaminate.contaminatedIds(corpus, "doc_id", "text",
+      bench, "text", n = 4).collect().map(_.getLong(0)).toSet
+    assert(bad == Set(1L)) // shares "quick brown fox jumps"
+    val kept = Decontaminate.decontaminate(corpus, "doc_id", "text",
+      bench, "text", n = 4).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L)) // sub-n docs can never be contaminated
+  }
+
+  test("mixtureSample: per-group rates honored, deterministic, map literal plan") {
+    val s = Sampling.mixtureSample(docs.select("doc_id", "lang"), "doc_id",
+      "lang", rates = Seq("en" -> 1.0, "de" -> 0.0), defaultRate = 0.5,
+      salt = "m")
+    val byLang = s.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == all("en")) // rate 1.0 keeps everything
+    assert(!byLang.contains("de")) // rate 0.0 keeps nothing
+    val others = all.keySet - "en" - "de"
+    assert(others.forall(l => byLang(l) > 0 && byLang(l) < all(l)))
+    assert(!s.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("packShards: budget cuts, offsets contiguous within each group") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, 70L)).toDF("doc_id", "n_tok")
+    val packed = Sampling.packShards(rows, "doc_id", "n_tok",
+      budget = 100L, groups = 2, salt = "p").collect()
+    // offsets within a group are 0, 70, 140, ... (cumsum of sizes)
+    packed.groupBy(_.getAs[Long]("pack_group")).foreach { case (_, rs) =>
+      val offs = rs.map(_.getAs[Long]("start_offset")).sorted
+      assert(offs.head == 0L)
+      assert(offs.zipWithIndex.forall { case (o, i) => o == 70L * i })
+    }
+    // shard = first-token position / budget
+    assert(packed.forall(r =>
+      r.getAs[Long]("shard") == r.getAs[Long]("start_offset") / 100L))
+    // deterministic across runs
+    val again = Sampling.packShards(rows, "doc_id", "n_tok",
+      budget = 100L, groups = 2, salt = "p")
+    assert(Sampling.packShards(rows, "doc_id", "n_tok", 100L, 2, "p")
+      .except(again).isEmpty)
+  }
+
   test("redactPii: masks all kinds, counts non-overlapping matches") {
     import spark.implicits._
     val out = TextAnalysis.redactPii(Seq(

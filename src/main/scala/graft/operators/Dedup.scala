@@ -366,7 +366,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label"))
+    // the loop runs ONLY on nodes that have an edge — every other id is a
+    // singleton by construction and never changes label. The pair graph
+    // is output-sized (near-dup count), so each round's join/aggregate
+    // touches the dup subgraph, not the corpus: at 100 TB the corpus is
+    // read once at the end, and the iteration state is tiny.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
       .localCheckpoint(eager = true)
     var it = 0
     var converged = false
@@ -383,6 +389,12 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    // singletons fold back in with themselves as cluster — one left join
+    // against the resolved dup-subgraph labels (AQE broadcasts it when
+    // the dup set is small, the overwhelmingly common case)
+    ids.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("cluster_id"))
   }
 }

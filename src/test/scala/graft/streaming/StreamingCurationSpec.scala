@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{Sampling, TextAnalysis}
+
+/** The curation operators double as streaming transforms: everything that
+  * is a pure projection (quality signals, PII redaction, hash
+  * split/sample) runs unchanged over `readStream` — the same DataFrame
+  * plan, incrementally executed. This is the "continuous ingest curation"
+  * deployment: documents arrive on a stream, are scored/redacted/split
+  * map-side, and land partitioned by split with no stateful operator at
+  * all (so no watermark or state store is needed).
+  */
+class StreamingCurationSpec extends SparkSpec {
+
+  test("quality + redaction + split compose over a document stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+
+    val curated = Sampling.hashSplit(
+      TextAnalysis.redactPii(
+        TextAnalysis.quality(docs).join(docs, "doc_id")
+          .filter(col("n_tokens") >= 3)),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+
+    val q = curated.writeStream.format("memory").queryName("cur")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "mail me at a@b.co about the spark job"),
+        (2L, "too short"), // 2 tokens -> filtered
+        (3L, "plain clean text with several words"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, redacted, split FROM cur ORDER BY doc_id")
+        .collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+      assert(rows(0).getString(1).contains("<EMAIL>"))
+      assert(Set("train", "val", "test").contains(rows(0).getString(2)))
+      // streaming assignment must equal the batch assignment (same hash)
+      val batch = Sampling.hashSplit(
+        Seq((1L, "x"), (3L, "x")).toDF("doc_id", "text"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1")
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.map(r => r.getLong(0) -> r.getString(2)).toMap == batch)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup signatures: minhash bands as a stateless projection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // signature + band keys are per-row projections — the expensive half
+    // of LSH dedup streams; only the band self-join needs a batch pass
+    // (or a stream-stream join under a watermark)
+    val sigs = docs.select(col("doc_id"),
+      call_function("minhashes",
+        array_sort(array_distinct(transform(
+          graft.operators.Dedup.shingles(col("text"), 2), s => xxhash64(s)))),
+        lit(16)).as("mh"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> xxhash64(b, slice(mh, b * 4 + 1, 4)))"))
+          .as(Seq("band", "bkey")))
+
+    val q = sigs.writeStream.format("memory").queryName("sigstream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon"), // exact dup -> same bands
+        (3L, "totally different words entirely here"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, band, bkey FROM sigstream").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(rows.count(_._1 == 1L) == 4)
+      val bands1 = rows.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet
+      val bands2 = rows.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet
+      val bands3 = rows.filter(_._1 == 3L).map(t => (t._2, t._3)).toSet
+      assert(bands1 == bands2) // identical text -> identical band keys
+      assert(bands1.intersect(bands3).isEmpty)
+    } finally q.stop()
+  }
+}

@@ -986,6 +986,51 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Real PNG decode, differentially tested: Spark synthesizes a genuine
+    * PNG per doc (filter type cycling over all five), decodes it with the
+    * pure-JDK codec, and sums pixels per channel; DuckDB computes the
+    * same sums from the pixel generator's closed form. Any bug in
+    * encode→deflate→inflate→unfilter breaks the hash. */
+  val multimodalDecode: Q = q("multimodal_decode",
+    """WITH d AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 32 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(range(w * h)) AS k FROM d)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(sum((doc_id * 31 + (3 * k + 0) * 7) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id * 31 + (3 * k + 1) * 7) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id * 31 + (3 * k + 2) * 7) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Multimodal.decodeChannelSums(
+      operators.Multimodal.asPngTable(t(s, dir, "documents")))
+      .orderBy("doc_id")
+  }
+
+  /** Real image resize: decode → nearest-neighbor 16×16 → re-encode →
+    * decode again; the oracle replays the source-index arithmetic in
+    * SQL. Two full PNG round trips per doc on the Spark side. */
+  val multimodalResize: Q = q("multimodal_resize",
+    """WITH d AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 32 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(range(256)) AS t FROM d),
+      |src AS (
+      |  SELECT doc_id,
+      |    ((t // 16) * h // 16) * w + ((t % 16) * w // 16) AS k
+      |  FROM px)
+      |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+      |  CAST(sum((doc_id * 31 + (3 * k + 0) * 7) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id * 31 + (3 * k + 1) * 7) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id * 31 + (3 * k + 2) * 7) % 256) AS BIGINT) AS sum_b
+      |FROM src GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Multimodal.decodeChannelSums(
+      operators.Multimodal.resizePng(
+        operators.Multimodal.asPngTable(t(s, dir, "documents")), 16, 16))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1006,6 +1051,7 @@ object Queries {
     langId, tokenCountBpe, winnowFingerprint,
     multimodalStats, multimodalFeatures,
     sampleSplit, sampleQuota, dupClusters, piiRedact, repetitionSignals,
-    decontaminate, mixtureSample, packShards
+    decontaminate, mixtureSample, packShards,
+    multimodalDecode, multimodalResize
   )
 }

@@ -8,14 +8,22 @@ import org.apache.spark.sql.types._
   *
   * Media travels as opaque `BINARY` columns + a typed metadata struct;
   * decode / feature-extraction runs as a batched per-partition transform
-  * (`mapPartitions`) so a real decoder would amortize model/codec init
-  * per partition, not per row — the Spark-side contract (schema, batch
-  * shape, partitioning) is real and tested; only the codec itself is
-  * stubbed because no image/audio libraries ship in this container.
+  * (`mapPartitions`) so the decoder amortizes init per partition, not
+  * per row.
   *
-  * STUB NOTE: [[decodeStub]] is a clearly-marked deterministic fake.
-  * A production decoder replaces exactly that function (bytes → pixels);
-  * nothing else changes.
+  * The IMAGE path is real: [[Png]] is a working pure-JDK PNG codec, so
+  * [[asPngTable]] builds genuine PNG bytes, [[decodeChannelSums]]
+  * reconstructs exact pixels (all five PNG filters), and [[resizePng]]
+  * is a true nearest-neighbor resample with re-encode. The gate queries
+  * check the decoded pixel sums against a DuckDB closed form of the
+  * pixel generator — a differential test through encode→deflate→
+  * inflate→unfilter→sum.
+  *
+  * STUB NOTE: [[decodeStub]]/[[resizeStub]]/[[frameSample]] remain
+  * clearly-marked deterministic fakes for codec-heavy formats
+  * (JPEG/audio/video) that genuinely need external libraries; a
+  * production decoder replaces exactly those byte-level functions —
+  * nothing in the distributed plumbing changes.
   */
 object Multimodal {
 
@@ -131,6 +139,84 @@ object Multimodal {
     }
     media.select(col("doc_id"),
       posexplode(slicer(col("content"))).as(Seq("frame_no", "frame")))
+  }
+
+  // ------------------------------------------------------------ real PNG
+
+  /** Deterministic pixel generator: component `i` of doc `docId` is
+    * `(docId*31 + i*7) mod 256` — chosen so a DuckDB oracle can compute
+    * channel sums in closed form while Spark recovers them through the
+    * real PNG round trip. */
+  def pngPixel(docId: Long, i: Long): Int = ((docId * 31 + i * 7) % 256).toInt
+
+  /** Image dims per doc: w in [16,48), h in [16,48), both id-derived. */
+  def pngDims(docId: Long): (Int, Int) =
+    ((16 + docId % 32).toInt, (16 + (docId * 3) % 32).toInt)
+
+  /** A real PNG per document (RGB8, filter type cycling with the id so
+    * the corpus exercises every PNG filter path). */
+  def synthPng(docId: Long): Array[Byte] = {
+    val (w, h) = pngDims(docId)
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) { px(i) = pngPixel(docId, i).toByte; i += 1 }
+    Png.encode(Png.Image(w, h, 3, px), filterType = (docId % 5).toInt)
+  }
+
+  private case class PngMeta(format: String, width: Int, height: Int,
+                             channels: Int)
+
+  /** Media table with GENUINE PNG payloads; metadata comes from
+    * header-sniffing the bytes (not from the generator), so it is data
+    * a real ingest would produce. */
+  def asPngTable(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => synthPng(id))
+    val sniff = udf { (b: Array[Byte]) =>
+      Png.sniff(b).map { case (w, h, c) => PngMeta("image/png", w, h, c) }
+    }
+    docs.select(col("doc_id"), lit("image").as("modality"),
+      gen(col("doc_id")).as("content"))
+      .withColumn("meta", sniff(col("content")))
+  }
+
+  /** Full PNG decode per row (batched per partition) → exact per-channel
+    * pixel sums. Integer output, so the oracle comparison is exact. */
+  def decodeChannelSums(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val img = Png.decode(r.getAs[Array[Byte]]("content"))
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < img.pixels.length) {
+          val c = i % img.channels
+          if (c < 3) sums(c) += img.pixels(i) & 0xff
+          i += 1
+        }
+        Row(r.getAs[Long]("doc_id"), img.width.toLong, img.height.toLong,
+          sums(0), sums(1), sums(2))
+      }
+    }(enc)
+  }
+
+  /** True image resize: decode → nearest-neighbor resample → re-encode.
+    * One narrow projection, no shuffle; codec work is per-partition. */
+  def resizePng(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val f = udf { (b: Array[Byte]) =>
+      Png.encode(Png.resizeNearest(Png.decode(b), tw, th))
+    }
+    val sniff = udf { (b: Array[Byte]) =>
+      Png.sniff(b).map { case (w, h, c) => PngMeta("image/png", w, h, c) }
+    }
+    media.withColumn("content", f(col("content")))
+      .withColumn("meta", sniff(col("content")))
   }
 
   /** Pure-SQL media stats (oracle-checkable): payload size + fake-decode

@@ -986,6 +986,65 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** TPC-H Q10 shape (returned-item revenue by customer, one quarter):
+    * fact-fact join on orderkey + two broadcast dims, top-20. */
+  val tpchQ10: Q = sqlBoth("tpch_q10",
+    Seq("customer", "orders", "lineitem", "nation"),
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      | FROM customer, orders, lineitem, nation
+      | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |   AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |   AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      | GROUP BY c_custkey, c_name, c_acctbal, n_name
+      | ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+
+  /** Exact interpolated quantiles of doc length per language (Spark
+    * `percentile` == DuckDB `quantile_cont`, both linear interpolation;
+    * round-6 absorbs last-ulp differences). */
+  val lengthQuantiles: Q = q("length_quantiles",
+    """SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+      |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+      |  round(quantile_cont(n_chars, 0.9), 6) AS p90
+      | FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    t(s, dir, "documents").groupBy("lang").agg(
+      count(lit(1)).cast("long").as("n"),
+      round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
+      round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+      round(expr("percentile(n_chars, 0.9)"), 6).as("p90"))
+      .orderBy("lang")
+  }
+
+  /** Top-5 terms per language by document frequency — the explode →
+    * two-level aggregate → windowed top-k shape of corpus vocabulary
+    * analysis (shuffle keys: (lang, word), then lang). */
+  val topTerms: Q = q("top_terms",
+    """WITH w AS (
+      |  SELECT DISTINCT lang, doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT lang, word, CAST(count(*) AS BIGINT) AS df FROM w GROUP BY 1, 2),
+      |rnk AS (
+      |  SELECT lang, word, df,
+      |    row_number() OVER (PARTITION BY lang ORDER BY df DESC, word) AS rn
+      |  FROM cnt)
+      |SELECT lang, word, df, CAST(rn AS BIGINT) AS rn FROM rnk
+      |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("lang").orderBy(col("df").desc, col("word"))
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+      .groupBy("lang", "word").agg(count(lit(1)).cast("long").as("df"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .orderBy("lang", "rn")
+  }
+
   /** Real PNG decode, differentially tested: Spark synthesizes a genuine
     * PNG per doc (filter type cycling over all five), decodes it with the
     * pure-JDK codec, and sums pixels per channel; DuckDB computes the
@@ -1052,6 +1111,7 @@ object Queries {
     multimodalStats, multimodalFeatures,
     sampleSplit, sampleQuota, dupClusters, piiRedact, repetitionSignals,
     decontaminate, mixtureSample, packShards,
-    multimodalDecode, multimodalResize
+    multimodalDecode, multimodalResize,
+    tpchQ10, lengthQuantiles, topTerms
   )
 }

@@ -1,0 +1,63 @@
+package graft
+
+/** Plan-shape regression tests: the properties that make the operators
+  * survive a 100× scale-up are PLAN facts, not timings — lock them in so
+  * a refactor that silently degrades a candidate join to a cartesian (or
+  * un-pushes a filter) fails CI, not the next cluster run.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val q = Queries.all.find(_.name == name)
+      .getOrElse(fail(s"no gate query named $name"))
+    q.fn(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  test("LSH/sketch pair operators plan equi-joins, never cartesian products") {
+    // ngram_jaccard_pairs / ann_topk are exempt: documented brute-force
+    // oracle twins whose cross-join IS their contract
+    for (name <- Seq("dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
+      "ann_lsh_topk", "dup_clusters", "decontaminate")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a BroadcastNestedLoopJoin:\n$plan")
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan with a pruned schema") {
+    val plan = executedPlan("filter_pushdown")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("LessThan(l_shipdate") || plan.contains("LessThan(`l_shipdate`"),
+      s"shipdate predicate not pushed:\n$plan")
+    // projection pruning: the 16-column lineitem scan reads only 4 columns
+    assert(!plan.contains("l_comment"), s"scan not column-pruned:\n$plan")
+  }
+
+  test("top-k plans as TakeOrdered, not global sort") {
+    val plan = executedPlan("topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("dimension joins broadcast the dimension side") {
+    val plan = executedPlan("join_inner_agg")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("shuffle-free curation projections stay shuffle-free") {
+    // (sample_split's gate aggregates counts, so it is not in this list;
+    // the hashSplit operator's shuffle-freedom is asserted in CurationSpec)
+    for (name <- Seq("mixture_sample", "pii_redact",
+      "text_quality", "lang_id")) {
+      val plan = executedPlan(name)
+      // allow the final ORDER BY's exchange (gates sort for the oracle);
+      // there must be no exchange BELOW it, i.e. at most one in total
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"$name has $exchanges exchanges (expected <=1, the oracle sort):\n$plan")
+    }
+  }
+}

@@ -110,7 +110,7 @@ final class Catalog(val root: String, val namespace: Option[String] = None) {
     put(d.copy(name = qNew))
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }

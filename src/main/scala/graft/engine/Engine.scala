@@ -503,6 +503,62 @@ final class Engine(
     writeEmpty(d)
   }
 
+  // --- storage maintenance (beyond the reference: the hosted service
+  // owns physical layout there; a self-managed 100 TB deployment needs
+  // these, the Delta/Iceberg OPTIMIZE + VACUUM pair re-expressed over
+  // plain epoch-stamped parquet) ---
+
+  /** OPTIMIZE: rewrite a stream's storage into `targetFiles` files (the
+    * small-file problem — every append epoch adds a file set; thousands
+    * of appends make scans metadata-bound). Pure physical rewrite: rows,
+    * including their (epoch, seq, tombstone) stamps, are byte-identical,
+    * so compacted reads AND time-travel reads are unchanged — ordering
+    * lives in data columns, never in file layout. Swap is
+    * move-directory atomic for this engine's single-writer stance. */
+  def compactStorage(name: String, targetFiles: Int = 1): Unit = {
+    val d = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    require(targetFiles > 0, "targetFiles must be positive")
+    rewriteStorage(d, readRaw(d).repartition(targetFiles))
+  }
+
+  /** VACUUM: physically drop change-stream rows superseded as of
+    * `upToEpoch` — keeps exactly (a) the rows live at `upToEpoch` (their
+    * original stamps intact; keys whose latest row then was a tombstone
+    * vanish entirely) and (b) every row written after `upToEpoch`.
+    * Current reads and as-of reads at ≥ `upToEpoch` are unchanged;
+    * as-of reads BEFORE it lose history (that is the retention contract).
+    */
+  def vacuum(name: String, upToEpoch: Long): Unit = {
+    val d = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    val pk = d.schema.primaryKeyColumns
+    require(pk.nonEmpty, s"stream '${d.name}' has no primary key — " +
+      "vacuum folds change-stream history")
+    val raw = readRaw(d)
+    val w = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col(EpochCol).desc, col(SeqCol).desc)
+    val liveAtEpoch = raw.filter(col(EpochCol) <= lit(upToEpoch))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1 && !col(DeletedCol))
+      .drop("__graft_rn")
+    rewriteStorage(d, liveAtEpoch.unionByName(
+      raw.filter(col(EpochCol) > lit(upToEpoch))))
+  }
+
+  private def rewriteStorage(d: StreamDef, rows: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dataDir = catalog.dataPath(d.name)
+    val tmp = dataDir + ".rewrite"
+    val old = dataDir + ".old"
+    rows.write.mode(SaveMode.Overwrite).parquet(tmp)
+    Files.move(Paths.get(dataDir), Paths.get(old),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(dataDir),
+      StandardCopyOption.ATOMIC_MOVE)
+    catalog.deleteRecursively(Paths.get(old))
+  }
+
   // --- L9 run-operations (macros/operations.sql:17-111) ---
 
   private def targets(names: Option[Seq[String]]): Seq[StreamDef] = names match {

@@ -251,6 +251,57 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("compactStorage: physical rewrite — fewer files, identical rows and time travel") {
+    import spark.implicits._
+    val e = newEngine()
+    e.createStream("cmp", StreamSchema(
+      Seq(PhysicalField("k", FString), PhysicalField("v", FInt))))
+    (1 to 8).foreach(i => e.appendRows("cmp", Seq((s"k$i", i)).toDF("k", "v")))
+    val dataDir = Paths.get(e.catalog.dataPath("cmp"))
+    locally { import scala.jdk.CollectionConverters._
+      val before = Files.walk(dataDir).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+      assert(before >= 8, s"expected >=8 files from 8 appends, got $before")
+      val rawBefore = e.readStream("cmp", compact = false).collect().toSet
+      val asOf3Before = e.readStreamAsOf("cmp", 3L, compact = false).count()
+      e.compactStorage("cmp", targetFiles = 2)
+      val after = Files.walk(dataDir).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+      assert(after <= 2, s"expected <=2 files after compaction, got $after")
+      assert(e.readStream("cmp", compact = false).collect().toSet == rawBefore)
+      assert(e.readStreamAsOf("cmp", 3L, compact = false).count() == asOf3Before)
+    }
+  }
+
+  test("vacuum: drops superseded change-stream history, keeps state from the horizon on") {
+    import spark.implicits._
+    val e = newEngine()
+    val csv = writeCsv(tmpDir("seed-vac"), "s.csv", "k,v\na,1\nb,2\n")
+    e.seed("vac", csv)
+    e.catalog.put(e.catalog.get("vac").get.copy(
+      schema = e.catalog.get("vac").get.schema.copy(primaryKey = Seq("k"))))
+    e.appendRows("vac", Seq(("a", "10")).toDF("k", "v")) // supersedes a,1
+    e.deleteKeys("vac", Seq("b").toDF("k")) // b gone
+    val horizon = e.catalog.get("vac").get.writeEpoch
+    e.appendRows("vac", Seq(("c", "3")).toDF("k", "v")) // after horizon
+    val currentBefore = e.preview("SELECT k, v FROM vac ORDER BY k")
+
+    e.vacuum("vac", horizon)
+    // current state identical
+    assert(e.preview("SELECT k, v FROM vac ORDER BY k") == currentBefore)
+    // as-of at the horizon identical (a=10, b deleted)
+    assert(e.readStreamAsOf("vac", horizon).collect()
+      .map(r => (r.getString(0), r.get(1).toString)).toSeq == Seq(("a", "10")))
+    // history physically gone: raw rows = live-at-horizon (1) + later (1);
+    // b's tombstone and both superseded rows are dropped
+    assert(e.readStream("vac", compact = false).count() == 2)
+    // vacuum needs a PK
+    intercept[IllegalArgumentException] {
+      e.createStream("vnopk", StreamSchema(Seq(PhysicalField("x", FString))))
+      e.vacuum("vnopk", 1L)
+    }
+  }
+
   test("seed infers TIME(3) for HH:mm:ss columns and stores nanos-of-day (impl.py:150-172 agate time)") {
     val e = newEngine()
     val csv = writeCsv(tmpDir("seed-time"), "s.csv",

@@ -1045,6 +1045,61 @@ object Queries {
       .orderBy("lang", "rn")
   }
 
+  /** Dataset "data card": per (source, lang) corpus statistics — one
+    * tiny-cardinality hash aggregate, fully map-side-combined. */
+  val datasetCard: Q = q("dataset_card",
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(min(n_tok) AS BIGINT) AS min_tokens,
+      |  CAST(max(n_tok) AS BIGINT) AS max_tokens,
+      |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS avg_tokens,
+      |  round(CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS short_doc_frac
+      |FROM (SELECT source, lang,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |      FROM documents)
+      |GROUP BY source, lang ORDER BY source, lang""".stripMargin) { (s, dir) =>
+    operators.TextAnalysis.datasetCard(t(s, dir, "documents"))
+      .orderBy("source", "lang")
+  }
+
+  /** Duplicate canonicalization: LSH pairs → connected components →
+    * keep the highest-priority source per cluster (src0 > src1 > … ties
+    * by doc_id). Oracle closes the exact pair graph with a recursive CTE
+    * and replays the same window rank. */
+  val dedupCanonical: Q = q("dedup_canonical", {
+    val pairsSql = duckJaccardPairs(n = 2, threshold = 0.5, leftPred = "true")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |clu AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |rnk AS (
+       |  SELECT d.doc_id, d.source, CAST(clu.cluster_id AS BIGINT) AS cluster_id,
+       |    row_number() OVER (PARTITION BY clu.cluster_id
+       |      ORDER BY CASE d.source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+       |               ELSE 2 END, d.doc_id) AS rn
+       |  FROM documents d JOIN clu USING (doc_id))
+       |SELECT doc_id, source, cluster_id FROM rnk WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = operators.Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+    val clusters = operators.Dedup.duplicateClusters(
+      docs.select(col("doc_id").cast("long").as("doc_id")), pairs,
+      idCol = "doc_id")
+    operators.Dedup.canonicalBySource(
+      docs.select("doc_id", "source"), clusters, "doc_id", "source",
+      priority = Seq("src0", "src1"))
+      .select(col("doc_id"), col("source"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Real PNG decode, differentially tested: Spark synthesizes a genuine
     * PNG per doc (filter type cycling over all five), decodes it with the
     * pure-JDK codec, and sums pixels per channel; DuckDB computes the
@@ -1112,6 +1167,7 @@ object Queries {
     sampleSplit, sampleQuota, dupClusters, piiRedact, repetitionSignals,
     decontaminate, mixtureSample, packShards,
     multimodalDecode, multimodalResize,
-    tpchQ10, lengthQuantiles, topTerms
+    tpchQ10, lengthQuantiles, topTerms,
+    datasetCard, dedupCanonical
   )
 }

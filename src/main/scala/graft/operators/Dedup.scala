@@ -361,6 +361,27 @@ object Dedup {
     * Pairs may be any candidate relation: [[minhashLsh]], [[simhashPairs]],
     * [[embeddingNearDup]] outputs all fit (`id_a`/`id_b` columns).
     */
+  /** Canonical-document selection: given cluster assignments
+    * ([[duplicateClusters]] output) and a source-priority order, keep one
+    * document per cluster — highest-priority source wins, ties break by
+    * id (the Common-Crawl-style "prefer the curated source among dups"
+    * rule). One window shuffle keyed by cluster. `priority` is a
+    * plan-time literal list; unlisted sources rank last. */
+  def canonicalBySource(docs: DataFrame, clusters: DataFrame,
+                        idCol: String, sourceCol: String,
+                        priority: Seq[String]): DataFrame = {
+    val rank = priority.zipWithIndex
+      .foldRight(lit(priority.length): Column) { case ((s, i), els) =>
+        when(col(sourceCol) === s, lit(i)).otherwise(els)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(rank.asc, col(idCol).asc)
+    docs.join(clusters, idCol)
+      .withColumn("__graft_crn", row_number().over(w))
+      .filter(col("__graft_crn") === 1)
+      .drop("__graft_crn")
+  }
+
   def duplicateClusters(ids: DataFrame, pairs: DataFrame,
                         idCol: String = "id", maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

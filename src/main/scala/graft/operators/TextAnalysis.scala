@@ -116,6 +116,27 @@ object TextAnalysis {
         size(col("fp")).cast("long").as("n_fingerprints"),
         array_min(col("fp")).as("min_fp"))
 
+  /** Dataset "data card" profile: per (source, lang) corpus statistics —
+    * doc/token totals, length spread, short-doc share. One hash-aggregate
+    * over group keys whose cardinality is tiny (sources × languages), so
+    * partial aggregation reduces everything map-side; the scan is pruned
+    * to the three columns used. Averages/shares divide exact integer
+    * sums in double (deterministic, oracle-stable after round-6). */
+  def datasetCard(docs: DataFrame, shortDocTokens: Int = 20): DataFrame = {
+    val tokens = size(split(col("text"), " ")).cast("long")
+    docs.select(col("source"), col("lang"), tokens.as("n_tok"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        min(col("n_tok")).cast("long").as("min_tokens"),
+        max(col("n_tok")).cast("long").as("max_tokens"),
+        round(sum(col("n_tok")).cast("double") / count(lit(1)), 6)
+          .as("avg_tokens"),
+        round(sum(when(col("n_tok") < shortDocTokens, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("short_doc_frac"))
+  }
+
   /** PII patterns, ordered: specific shapes before general ones (an SSN
     * is also phone-shaped). Every pattern stays in the Java-regex ∩ RE2
     * common subset so the DuckDB oracle matches byte-for-byte. */

@@ -133,6 +133,41 @@ class CurationSpec extends SparkSpec {
       .except(again).isEmpty)
   }
 
+  test("canonicalBySource: priority wins within a cluster, ties by id; singletons survive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "curated"), (2L, "web"), (3L, "web"), // cluster 1: curated wins
+      (4L, "web"), (5L, "web"), // cluster 4: tie -> lower id
+      (6L, "unknown_source")) // singleton, unlisted source
+      .toDF("doc_id", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L)).toDF("doc_id", "cluster_id")
+    val kept = Dedup.canonicalBySource(d, clusters, "doc_id", "source",
+      priority = Seq("curated", "web"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 6L))
+  }
+
+  test("datasetCard: hand-checked stats") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "s1", "en", "a b c"), // 3 tokens (short)
+      (2L, "s1", "en", Seq.fill(25)("w").mkString(" ")), // 25 tokens
+      (3L, "s2", "de", "x y")) // 2 tokens (short)
+      .toDF("doc_id", "source", "lang", "text")
+    val card = TextAnalysis.datasetCard(d).orderBy("source").collect()
+    val r1 = card(0)
+    assert(r1.getString(0) == "s1" && r1.getLong(r1.fieldIndex("n_docs")) == 2)
+    assert(r1.getLong(r1.fieldIndex("total_tokens")) == 28)
+    assert(r1.getLong(r1.fieldIndex("min_tokens")) == 3)
+    assert(r1.getLong(r1.fieldIndex("max_tokens")) == 25)
+    assert(r1.getDouble(r1.fieldIndex("avg_tokens")) == 14.0)
+    assert(r1.getDouble(r1.fieldIndex("short_doc_frac")) == 0.5)
+    val r2 = card(1)
+    assert(r2.getString(0) == "s2" && r2.getLong(r2.fieldIndex("n_docs")) == 1)
+    assert(r2.getDouble(r2.fieldIndex("short_doc_frac")) == 1.0)
+  }
+
   test("redactPii: masks all kinds, counts non-overlapping matches") {
     import spark.implicits._
     val out = TextAnalysis.redactPii(Seq(

@@ -1100,6 +1100,31 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Real WAV decode, differentially tested like the PNG gates: Spark
+    * synthesizes genuine RIFF/PCM16 bytes per doc, decodes them, and
+    * computes integer audio features; DuckDB evaluates the sample
+    * generator's closed form. */
+  val audioDecode: Q = q("audio_decode",
+    """WITH d AS (
+      |  SELECT doc_id, 400 + doc_id % 256 AS n FROM documents),
+      |v AS (
+      |  SELECT doc_id, n, i, (doc_id * 7 + i * 13) % 65536 - 32768 AS s
+      |  FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM d)),
+      |w AS (
+      |  SELECT *, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM v)
+      |SELECT doc_id, CAST(16000 AS BIGINT) AS sample_rate,
+      |  CAST(max(n) AS BIGINT) AS n_samples,
+      |  CAST(sum(s * s) AS BIGINT) AS energy,
+      |  CAST(sum(CASE WHEN i > 0 AND (s < 0) <> (prev < 0) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS zero_crossings,
+      |  CAST(sum(CASE WHEN i < 160 THEN s * s ELSE 0 END) AS BIGINT)
+      |    AS frame0_energy
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Multimodal.decodeAudioFeatures(
+      operators.Multimodal.asWavTable(t(s, dir, "documents")))
+      .orderBy("doc_id")
+  }
+
   /** Real PNG decode, differentially tested: Spark synthesizes a genuine
     * PNG per doc (filter type cycling over all five), decodes it with the
     * pure-JDK codec, and sums pixels per channel; DuckDB computes the
@@ -1168,6 +1193,6 @@ object Queries {
     decontaminate, mixtureSample, packShards,
     multimodalDecode, multimodalResize,
     tpchQ10, lengthQuantiles, topTerms,
-    datasetCard, dedupCanonical
+    datasetCard, dedupCanonical, audioDecode
   )
 }

@@ -219,6 +219,57 @@ object Multimodal {
       .withColumn("meta", sniff(col("content")))
   }
 
+  // ------------------------------------------------------------ real WAV
+
+  /** Deterministic PCM16 sample generator: sample `i` of doc `docId` is
+    * `((docId*7 + i*13) mod 65536) - 32768` — full int16 range, closed-
+    * form computable by the DuckDB oracle. */
+  def wavSample(docId: Long, i: Long): Int =
+    (((docId * 7 + i * 13) % 65536) - 32768).toInt
+
+  /** Samples per doc: 400 + docId % 256. */
+  def wavLen(docId: Long): Int = (400 + docId % 256).toInt
+
+  /** A real mono 16 kHz WAV per document. */
+  def synthWav(docId: Long): Array[Byte] = {
+    val n = wavLen(docId)
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) { s(i) = wavSample(docId, i).toShort; i += 1 }
+    Wav.encode(Wav.Audio(16000, 1, s))
+  }
+
+  /** Audio table with GENUINE WAV payloads (metadata header-sniffed). */
+  def asWavTable(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => synthWav(id))
+    docs.select(col("doc_id"), lit("audio").as("modality"),
+      gen(col("doc_id")).as("content"))
+  }
+
+  /** Full WAV decode per row → exact integer audio features: sample
+    * count, total energy (sum of squares), zero crossings, and the
+    * energy of the first 160-sample frame (the 10 ms fbank hop at
+    * 16 kHz). Integer output, so the oracle comparison is exact. */
+  def decodeAudioFeatures(media: DataFrame, frameLen: Int = 160): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sample_rate", LongType),
+      StructField("n_samples", LongType),
+      StructField("energy", LongType),
+      StructField("zero_crossings", LongType),
+      StructField("frame0_energy", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val a = Wav.decode(r.getAs[Array[Byte]]("content"))
+        val frames = Wav.frameEnergies(a, frameLen)
+        Row(r.getAs[Long]("doc_id"), a.sampleRate.toLong,
+          a.samples.length.toLong, frames.sum, Wav.zeroCrossings(a),
+          if (frames.nonEmpty) frames(0) else 0L)
+      }
+    }(enc)
+  }
+
   /** Pure-SQL media stats (oracle-checkable): payload size + fake-decode
     * dimensions from metadata. Proves the binary column + struct metadata
     * path end-to-end without the UDF. */

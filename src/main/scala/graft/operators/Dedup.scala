@@ -153,10 +153,21 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Brute-force n-gram Jaccard pairs — the exact counterpart of
-    * [[minhashLsh]] (its oracle), restricted to `queryPred` on the left
-    * side to bound the O(n·m) join at bench scale. The shingle frame is
-    * persisted so prep runs once, not once per join side. */
+  /** EXACT n-gram Jaccard pairs via prefix-filter candidate generation —
+    * the AllPairs/PPJoin construction (Bayardo, Ma & Srikant, "Scaling
+    * Up All Pairs Similarity Search", WWW'07; public literature): with
+    * every shingle set sorted in one global order (ascending xxhash64
+    * here), any pair with J ≥ t shares its globally-smallest common
+    * element within BOTH prefixes of length `|s| − ⌈t·|s|⌉ + 1` — so an
+    * equi-join on prefix tokens finds every qualifying pair, and the
+    * exact verify discards false candidates. Same results as the brute
+    * nested-loop join, but the plan is explode → equi-join → verify:
+    * shuffle volume scales with corpus × document frequency, not n².
+    * The ⌈·⌉ is computed with a 1e-9 down-guard so float rounding can
+    * only lengthen a prefix (more candidates), never shorten one
+    * (missed pairs).
+    *
+    * `queryPred` (over `id`) bounds the probe side, as before. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2, threshold: Double = 0.5,
@@ -166,10 +177,19 @@ object Dedup {
       hashedShingles(shingles(col(textCol), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val left = withSh.filter(queryPred).select(
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val right = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    left.join(right, col("id_a") < col("id_b"))
+    val prefLen = (size(col("sh"))
+      - ceil(lit(threshold) * size(col("sh")).cast("double") - lit(1e-9))
+      + 1).cast("int")
+    val pref = withSh.select(col("id"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
+    val candidates = pref.filter(queryPred).select(col("id").as("id_a"), col("tok"))
+      .join(pref.select(col("id").as("id_b"), col("tok")), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -16,10 +16,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("LSH/sketch pair operators plan equi-joins, never cartesian products") {
-    // ngram_jaccard_pairs / ann_topk are exempt: documented brute-force
-    // oracle twins whose cross-join IS their contract
+    // ann_topk is exempt: a documented brute-force oracle twin whose
+    // cross-join IS its contract. ngram_jaccard_pairs is NOT exempt —
+    // its exact semantics now ride a PPJoin-style prefix-filter equi-join
     for (name <- Seq("dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
-      "ann_lsh_topk", "dup_clusters", "decontaminate")) {
+      "ngram_jaccard_pairs", "ann_lsh_topk", "dup_clusters", "decontaminate")) {
       val plan = executedPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")

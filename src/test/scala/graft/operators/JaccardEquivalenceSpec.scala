@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Differential test: the PPJoin prefix-filter plan in
+  * [[Dedup.ngramJaccardPairs]] must produce EXACTLY the brute-force
+  * all-pairs result — same pairs, same Jaccard values — across random
+  * corpora and thresholds. The expected answer is computed driver-side
+  * in plain Scala over string n-gram sets (hashing is injective for the
+  * comparison; a 64-bit collision would need ~2³² shingles). */
+class JaccardEquivalenceSpec extends SparkSpec {
+
+  private def ngrams(text: String, n: Int): Set[String] =
+    text.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+
+  private def bruteForce(docs: Seq[(Long, String)], n: Int,
+                         t: Double): Set[(Long, Long, Double)] = {
+    val sets = docs.map { case (id, s) => id -> ngrams(s, n) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= t
+    } yield (ia, ib, j)).toSet
+  }
+
+  test("prefix-filter equi-join == brute force over random corpora") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    for (seed <- 1 to 4; t <- Seq(0.3, 0.5, 0.75)) {
+      val rnd = new scala.util.Random(seed * 1000 + (t * 100).toInt)
+      val docs = (1L to 50L).map { id =>
+        val len = 2 + rnd.nextInt(20)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val expected = bruteForce(docs, n = 2, t)
+      val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 2, threshold = t)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected,
+        s"seed=$seed t=$t: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
+  test("queryPred bounds the probe side only") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "a b c d e"), (11L, "a b c d e"), // identical pair, both even/odd mix
+      (13L, "a b c d x"), (20L, "a b c d x"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 2,
+      threshold = 0.5, queryPred = col("id") % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the pred applies to the probe (id_a) side: pairs whose SMALLER id is
+    // even survive — 10 pairs with everything; (11,13), (11,20), (13,20)
+    // have odd probes and drop
+    assert(got == Set((10L, 11L), (10L, 13L), (10L, 20L)))
+  }
+}

@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Spark-standard library entry point: register the engine's native
+  * function surface at session build time via
+  * `spark.sql.extensions=graft.GraftExtensions` — the injection
+  * mechanism Spark provides for third-party catalyst extensions, so SQL
+  * users get `grok`, `vec_cosine`, `minhashes`, `plane_sigs`,
+  * `sorted_intersect_count`, `simhash56`, `to_timestamp_ltz` without
+  * any engine API call. [[graft.functions.GraftFunctions.register]]
+  * stays as the per-session imperative path (used by every operator
+  * entry point); both share the same builders.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.GraftFunctions.injectAll(ext)
+}

@@ -12,6 +12,9 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the library's session-build registration path — the whole suite
+    // runs with the injected native functions (ExtensionsSpec asserts it)
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 }
 

@@ -1125,6 +1125,31 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Real AVI container demux + frame sampling, differentially tested:
+    * Spark builds a genuine RIFF/AVI (uncompressed DIB frames) per doc,
+    * demuxes it, samples 4 evenly spaced frames, and sums each frame's
+    * pixels; DuckDB replays the generator + sampling arithmetic. */
+  val videoFrames: Q = q("video_frames",
+    """WITH d AS (
+      |  SELECT doc_id, 3 + doc_id % 5 AS nf FROM documents),
+      |s AS (
+      |  SELECT doc_id, nf, i AS sample_no, (i * nf) // LEAST(4, nf) AS frame_no
+      |  FROM (SELECT doc_id, nf, unnest(range(LEAST(4, nf))) AS i FROM d)),
+      |px AS (
+      |  SELECT doc_id, nf, sample_no, frame_no,
+      |    (doc_id * 11 + frame_no * 17 + j * 5) % 256 AS p
+      |  FROM (SELECT *, unnest(range(192)) AS j FROM s))
+      |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(sample_no AS BIGINT) AS sample_no,
+      |  CAST(frame_no AS BIGINT) AS frame_no,
+      |  CAST(sum(p) AS BIGINT) AS frame_sum
+      |FROM px GROUP BY doc_id, nf, sample_no, frame_no
+      |ORDER BY doc_id, sample_no""".stripMargin) { (s, dir) =>
+    operators.Multimodal.sampleVideoFrames(
+      operators.Multimodal.asAviTable(t(s, dir, "documents")), n = 4)
+      .orderBy("doc_id", "sample_no")
+  }
+
   /** Real PNG decode, differentially tested: Spark synthesizes a genuine
     * PNG per doc (filter type cycling over all five), decodes it with the
     * pure-JDK codec, and sums pixels per channel; DuckDB computes the
@@ -1193,6 +1218,6 @@ object Queries {
     decontaminate, mixtureSample, packShards,
     multimodalDecode, multimodalResize,
     tpchQ10, lengthQuantiles, topTerms,
-    datasetCard, dedupCanonical, audioDecode
+    datasetCard, dedupCanonical, audioDecode, videoFrames
   )
 }

@@ -270,6 +270,59 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------------------ real AVI
+
+  /** Frame-pixel generator: byte `j` of frame `f` in doc `docId` is
+    * `(docId*11 + f*17 + j*5) mod 256` — closed-form computable by the
+    * DuckDB oracle. Frames are 8×8 RGB24 (192 bytes). */
+  def aviPixel(docId: Long, frame: Long, j: Long): Int =
+    ((docId * 11 + frame * 17 + j * 5) % 256).toInt
+
+  /** Frames per doc: 3 + docId % 5. */
+  def aviFrames(docId: Long): Int = (3 + docId % 5).toInt
+
+  /** A real (uncompressed-DIB) AVI per document. */
+  def synthAvi(docId: Long): Array[Byte] = {
+    val frames = (0 until aviFrames(docId)).map { f =>
+      Array.tabulate(8 * 8 * 3)(j => aviPixel(docId, f, j).toByte)
+    }
+    Avi.encode(Avi.Video(8, 8, 10, frames))
+  }
+
+  /** Video table with GENUINE AVI payloads. */
+  def asAviTable(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => synthAvi(id))
+    docs.select(col("doc_id"), lit("video").as("modality"),
+      gen(col("doc_id")).as("content"))
+  }
+
+  /** REAL video frame sampling: demux the AVI container per row
+    * (batched per partition), pick `n` evenly spaced frames, emit one
+    * row per sampled frame with its original frame index and exact
+    * pixel sum — the explode shape a frame-feature pipeline consumes.
+    * Replaces [[frameSample]]'s flat-buffer fake for AVI payloads;
+    * compressed codecs still need external libraries. */
+  def sampleVideoFrames(media: DataFrame, n: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("sample_no", LongType),
+      StructField("frame_no", LongType),
+      StructField("frame_sum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val v = Avi.decode(r.getAs[Array[Byte]]("content"))
+        Avi.sampleFrames(v, n).zipWithIndex.map { case ((idx, f), i) =>
+          var s = 0L
+          f.foreach(b => s += (b & 0xff))
+          Row(r.getAs[Long]("doc_id"), v.frames.length.toLong, i.toLong,
+            idx.toLong, s)
+        }
+      }
+    }(enc)
+  }
+
   /** Pure-SQL media stats (oracle-checkable): payload size + fake-decode
     * dimensions from metadata. Proves the binary column + struct metadata
     * path end-to-end without the UDF. */

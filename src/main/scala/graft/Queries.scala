@@ -1125,6 +1125,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Skew-salted two-phase aggregation: partial on (key, salt), final on
+    * key — results must equal the plain GROUP BY (sums ride DECIMAL, so
+    * the two-phase combine is order-insensitive). */
+  val skewSaltedAgg: Q = q("skew_salted_agg",
+    """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+      | FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+    operators.SkewJoin.saltedCountSum(
+      t(s, dir, "lineitem").withColumn("q",
+        col("l_quantity").cast("decimal(18,2)")),
+      key = "l_suppkey", valueCol = "q", spreadCol = "l_orderkey")
+      .select(col("l_suppkey"), col("n"), col("total").cast("double"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Skew-salted fact⋈dim join (hot keys spread over 16 reducers, dim
+    * replicated per salt) — must equal the plain join + aggregate. */
+  val skewSaltedJoin: Q = q("skew_salted_join",
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      | FROM orders JOIN customer ON o_custkey = c_custkey
+      | GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+    val fact = t(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    operators.SkewJoin.salted(fact, dim, key = "custkey",
+      spreadCol = "o_orderkey", saltFactor = 16)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col("p")).cast("double").as("total"))
+      .orderBy("c_nationkey")
+  }
+
   /** Real AVI container demux + frame sampling, differentially tested:
     * Spark builds a genuine RIFF/AVI (uncompressed DIB frames) per doc,
     * demuxes it, samples 4 evenly spaced frames, and sums each frame's
@@ -1218,6 +1253,7 @@ object Queries {
     decontaminate, mixtureSample, packShards,
     multimodalDecode, multimodalResize,
     tpchQ10, lengthQuantiles, topTerms,
-    datasetCard, dedupCanonical, audioDecode, videoFrames
+    datasetCard, dedupCanonical, audioDecode, videoFrames,
+    skewSaltedAgg, skewSaltedJoin
   )
 }

@@ -559,6 +559,33 @@ final class Engine(
     catalog.deleteRecursively(Paths.get(old))
   }
 
+  /** Export a stream's compacted contents to files — the handoff step
+    * from curation to a training job (JSONL shards being the usual LLM
+    * format; csv/parquet for everything else). `partitionBy` columns
+    * become directory partitions (e.g. a [[graft.operators.Sampling
+    * .hashSplit]] `split` column → `split=train/` shards);
+    * `shardsPerPartition` bounds file counts the way
+    * [[compactStorage]] does for internal storage. Distributed writers
+    * only — nothing collects to the driver. */
+  def exportStream(name: String, path: String, format: String = "json",
+                   partitionBy: Seq[String] = Nil,
+                   shardsPerPartition: Int = 0): Unit = {
+    require(Seq("json", "csv", "parquet").contains(format),
+      s"unsupported export format '$format'")
+    var df = readStream(name)
+    if (shardsPerPartition > 0)
+      df = if (partitionBy.nonEmpty)
+        df.repartition(shardsPerPartition, partitionBy.map(col): _*)
+      else df.repartition(shardsPerPartition)
+    val w = df.write.mode(SaveMode.Overwrite)
+    val wp = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    (format match {
+      case "json" => wp.format("json")
+      case "csv" => wp.format("csv").option("header", "true")
+      case "parquet" => wp.format("parquet")
+    }).save(path)
+  }
+
   // --- L9 run-operations (macros/operations.sql:17-111) ---
 
   private def targets(names: Option[Seq[String]]): Seq[StreamDef] = names match {

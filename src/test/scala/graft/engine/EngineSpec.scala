@@ -302,6 +302,33 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("exportStream: JSONL shards partitioned by a split column round-trip") {
+    import spark.implicits._
+    val e = newEngine()
+    e.createStream("exp", StreamSchema(Seq(
+      PhysicalField("doc_id", FBigInt), PhysicalField("text", FString),
+      PhysicalField("split", FString))))
+    val rows = (1L to 40L).map(i =>
+      (i, s"doc $i", if (i % 4 == 0) "val" else "train"))
+    e.appendRows("exp", rows.toDF("doc_id", "text", "split"))
+
+    val out = tmpDir("export")
+    e.exportStream("exp", out, format = "json",
+      partitionBy = Seq("split"), shardsPerPartition = 2)
+    // hive-style split=... directories exist
+    assert(Files.exists(Paths.get(out, "split=train")))
+    assert(Files.exists(Paths.get(out, "split=val")))
+    // round trip: JSONL read-back equals the compacted stream contents
+    val back = spark.read.schema("doc_id LONG, text STRING, split STRING")
+      .json(out)
+    assert(back.count() == 40)
+    assert(back.select("doc_id", "text", "split")
+      .except(e.readStream("exp")).isEmpty)
+    intercept[IllegalArgumentException] {
+      e.exportStream("exp", out, format = "avro")
+    }
+  }
+
   test("seed infers TIME(3) for HH:mm:ss columns and stores nanos-of-day (impl.py:150-172 agate time)") {
     val e = newEngine()
     val csv = writeCsv(tmpDir("seed-time"), "s.csv",

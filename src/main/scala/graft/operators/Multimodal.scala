@@ -121,11 +121,12 @@ object Multimodal {
         col("meta.channels").as("channels")))
   }
 
-  /** DETERMINISTIC FAKE of video frame sampling: treats the payload as a
-    * contiguous frame buffer and cuts `n` evenly-spaced equal slices (a
-    * real implementation seeks keyframes via the container index). One
-    * row per (doc, frame) — the explode shape a frame-level pipeline
-    * consumes. */
+  /** DETERMINISTIC FAKE of video frame sampling for payloads in
+    * compressed containers this library cannot demux: cuts `n`
+    * evenly-spaced equal slices of the flat buffer. For real (AVI/DIB)
+    * containers use [[sampleVideoFrames]], which demuxes actual frames
+    * via [[Avi]]. One row per (doc, frame) — the explode shape a
+    * frame-level pipeline consumes. */
   def frameSample(media: DataFrame, n: Int): DataFrame = {
     val slicer = udf { (c: Array[Byte]) =>
       if (c == null || c.isEmpty) Seq.empty[Array[Byte]]

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Per-document quality metrics: char count, token count, average token
-    * length. Matches the DuckDB oracle expression-for-expression.
+    * length. Matches the DuckDB oracle expression-for-expression;
+    * zero-token (empty/null) documents get a NULL average instead of an
+    * ANSI divide-by-zero error (nullif guard).
     */
   def quality(docs: DataFrame): DataFrame =
     docs.select(
@@ -20,7 +22,7 @@ object TextAnalysis {
       expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT)")
         .as("n_tokens"),
       (length(regexp_replace(col("text"), " ", "")).cast("double") /
-        expr("CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS DOUBLE)"))
+        expr("nullif(CAST(size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS DOUBLE), 0.0)"))
         .cast("double").as("avg_token_len"))
 
   /** GPT-2-style pre-tokenizer regex (contractions | words | numbers |

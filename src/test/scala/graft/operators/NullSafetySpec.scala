@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Null robustness: real corpora contain null/empty text and metadata.
+  * Every text/dedup/curation operator must either process or cleanly
+  * drop such rows — never throw, never emit phantom matches. */
+class NullSafetySpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq[(java.lang.Long, String, String, String)](
+      (1L, "normal text with several words here", "en", "s1"),
+      (2L, null, "en", "s1"), // null text
+      (3L, "", "de", null), // empty text, null source
+      (4L, "normal text with several words here", null, "s2")) // dup of 1, null lang
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("quality / langId / tokenCount / redactPii tolerate null and empty text") {
+    assert(TextAnalysis.quality(docs).count() == 4)
+    assert(TextAnalysis.langId(docs).count() == 4)
+    assert(TextAnalysis.tokenCountBpe(docs).count() == 4)
+    val red = TextAnalysis.redactPii(docs).collect()
+    assert(red.length == 4)
+    assert(red.forall(r => !r.anyNull || r.isNullAt(r.fieldIndex("redacted"))))
+  }
+
+  test("repetitionSignals tolerates null/empty text") {
+    val out = TextAnalysis.repetitionSignals(docs)
+    assert(out.count() == 4)
+    assert(out.filter(col("doc_id") === 1).head().getLong(1) > 0)
+  }
+
+  test("dedup operators drop null-text rows instead of matching them") {
+    val mh = Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 2,
+      numHashes = 32, bands = 8, threshold = 0.5).collect()
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 4L)))
+    val nj = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 2,
+      threshold = 0.5).collect()
+    assert(nj.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 4L)))
+    // exact dedup: null text is a legitimate group key (SQL GROUP BY
+    // semantics — nulls group together), never a crash
+    assert(Dedup.exact(docs, Seq("text"), "doc_id").count() == 3)
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    assert(sh.count() == 4)
+  }
+
+  test("sampling / splitting are total over null group columns") {
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.2), salt = "n")
+    assert(split.count() == 4)
+    val mix = Sampling.mixtureSample(docs, "doc_id", "lang",
+      rates = Seq("en" -> 1.0), defaultRate = 1.0, salt = "n")
+    assert(mix.count() == 4) // null lang falls to defaultRate, not dropped
+    val quota = Sampling.quotaPerGroup(docs.select("lang", "doc_id"),
+      Seq("lang"), "doc_id", n = 5, salt = "n")
+    assert(quota.count() == 4) // null lang is its own group
+  }
+
+  test("decontaminate: null-text docs can never be flagged") {
+    val bench = docs.filter(col("doc_id") === 1)
+    val bad = Decontaminate.contaminatedIds(docs, "doc_id", "text",
+      bench, "text", n = 2).collect().map(_.getLong(0)).toSet
+    assert(bad == Set(1L, 4L))
+    assert(Decontaminate.decontaminate(docs, "doc_id", "text", bench,
+      "text", n = 2).count() == 2) // 2 and 3 survive
+  }
+
+  test("datasetCard groups null source/lang like SQL GROUP BY") {
+    val card = TextAnalysis.datasetCard(docs)
+    assert(card.count() == 3) // (s1,en)×2 merge; (null,de); (s2,null)
+    assert(card.agg(sum("n_docs")).head().getLong(0) == 4)
+  }
+}

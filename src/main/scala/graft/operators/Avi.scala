@@ -119,6 +119,8 @@ object Avi {
             require(compression == 0,
               s"compressed AVI stream (fourcc $compression) needs a codec")
           case s if s == FrameHeader || s == "00dc" =>
+            require(len >= 0 && len <= buf.remaining(),
+              s"frame chunk length $len exceeds stream (${buf.remaining()} left)")
             val f = new Array[Byte](len)
             buf.get(f)
             frames += f

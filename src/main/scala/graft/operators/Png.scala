@@ -110,6 +110,12 @@ object Png {
       pos = dataOff + len + 4 // + CRC
     }
     require(width > 0 && height > 0 && channels > 0, "missing IHDR")
+    // corrupted dimensions must not drive a huge allocation: the raw
+    // buffer can never legitimately exceed the compressed stream by more
+    // than deflate's theoretical max ratio ~1032:1
+    require(width.toLong * height * channels < (1L << 31)
+      && width.toLong * height <= 1032L * math.max(1, idat.size()),
+      s"implausible dimensions ${width}x$height for ${idat.size()} IDAT bytes")
 
     val stride = width * channels
     val raw = inflate(idat.toByteArray, (stride + 1) * height)

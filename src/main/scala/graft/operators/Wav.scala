@@ -69,6 +69,8 @@ object Wav {
           buf.position(fmtEnd)
         case "data" =>
           require(sampleRate > 0, "data chunk before fmt")
+          require(len >= 0 && len <= buf.remaining(),
+            s"data chunk length $len exceeds stream (${buf.remaining()} left)")
           val n = len / 2
           val out = new Array[Short](n)
           var i = 0

@@ -1125,6 +1125,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** TPC-H Q1, full aggregate set: 4 DECIMAL-exact sums, 3 averages as
+    * exact-sum / count divisions (order-insensitive, unlike native avg),
+    * one shuffle with map-side partial aggregation. */
+  val tpchQ1: Q = sqlBoth("tpch_q1", Seq("lineitem"),
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(1 - l_discount AS DECIMAL(18,2))
+      |    * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+      |  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+      |  count(*) AS count_order
+      | FROM lineitem
+      | WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+      | GROUP BY l_returnflag, l_linestatus
+      | ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  /** TPC-H Q18 shape (large-quantity orders): per-order aggregate →
+    * semi-join back to the fact, customer broadcast. */
+  val tpchQ18: Q = sqlBoth("tpch_q18", Seq("customer", "orders", "lineitem"),
+    """SELECT c_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      | FROM customer, orders, lineitem
+      | WHERE o_orderkey IN (
+      |     SELECT l_orderkey FROM lineitem
+      |     GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180)
+      |   AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      | GROUP BY c_custkey, o_orderkey, o_totalprice
+      | ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin)
+
   /** Skew-salted two-phase aggregation: partial on (key, salt), final on
     * key — results must equal the plain GROUP BY (sums ride DECIMAL, so
     * the two-phase combine is order-insensitive). */
@@ -1254,6 +1289,6 @@ object Queries {
     multimodalDecode, multimodalResize,
     tpchQ10, lengthQuantiles, topTerms,
     datasetCard, dedupCanonical, audioDecode, videoFrames,
-    skewSaltedAgg, skewSaltedJoin
+    skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18
   )
 }

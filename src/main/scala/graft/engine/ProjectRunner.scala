@@ -133,25 +133,60 @@ final class ProjectRunner(engine: Engine) {
       }.toSeq.sortBy(_.name)
 
   /** Materialize all models in dependency order (models whose sources are
-    * other models run after them — the dbt DAG walk, SURVEY §3.1). */
-  def run(dir: String, fullRefresh: Boolean = false): Map[String, ApplyResult] = {
+    * other models run after them — the dbt DAG walk, SURVEY §3.1).
+    *
+    * `select` is dbt's node-selection syntax over this project's model
+    * graph: `name` (just the model), `+name` (model plus every upstream
+    * ancestor), `name+` (model plus every downstream descendant),
+    * `+name+` (both); multiple selectors union. Empty = all models.
+    * Selected models still materialize after their in-selection deps;
+    * upstream deps OUTSIDE the selection are assumed current (dbt's
+    * behavior — use `+name` to rebuild them too).
+    */
+  def run(dir: String, fullRefresh: Boolean = false,
+          select: Seq[String] = Nil): Map[String, ApplyResult] = {
     val models = loadModels(dir)
+    def depsOf(m: Model): Seq[Model] = models.filter(o =>
+      o.name != m.name &&
+        (referencesIdentifier(m.sql, o.name) ||
+          referencesIdentifier(m.sql, engine.catalog.qualify(o.name))))
+
+    val selected: Set[String] =
+      if (select.isEmpty) models.map(_.name).toSet
+      else {
+        val byName = models.map(m => m.name -> m).toMap
+        val chosen = scala.collection.mutable.Set[String]()
+        def ancestors(n: String): Unit =
+          if (chosen.add(n)) byName.get(n).toSeq
+            .flatMap(depsOf).foreach(d => ancestors(d.name))
+        def descendants(n: String): Unit =
+          if (chosen.add(n)) models
+            .filter(o => depsOf(o).exists(_.name == n))
+            .foreach(o => descendants(o.name))
+        select.foreach { sel =>
+          val up = sel.startsWith("+")
+          val down = sel.endsWith("+")
+          val name = sel.stripPrefix("+").stripSuffix("+")
+          require(byName.contains(name), s"unknown model in selector: '$sel'")
+          chosen += name
+          if (up) { chosen -= name; ancestors(name) }
+          if (down) { chosen -= name; descendants(name) }
+        }
+        chosen.toSet
+      }
+
     val done = scala.collection.mutable.LinkedHashMap[String, ApplyResult]()
     val visiting = scala.collection.mutable.Set[String]()
 
     def visit(m: Model): Unit = {
-      if (done.contains(m.name)) return
+      if (done.contains(m.name) || !selected(m.name)) return
       require(visiting.add(m.name), s"model cycle involving '${m.name}'")
       // deps that are themselves models in this project: materialize first.
       // sourcesOf only resolves existing streams, so parse-level refs are
       // matched against project model names here — in BOTH spellings: refs
       // resolve to the bare name, but a model may also be spelled
       // namespace-qualified (ns__model) in hand-written SQL.
-      val deps = models.filter(o =>
-        o.name != m.name &&
-          (referencesIdentifier(m.sql, o.name) ||
-            referencesIdentifier(m.sql, engine.catalog.qualify(o.name))))
-      deps.foreach(visit)
+      depsOf(m).filter(d => selected(d.name)).foreach(visit)
       done(m.name) = materialize(m, fullRefresh)
       visiting.remove(m.name)
     }

@@ -78,6 +78,42 @@ class ProjectRunnerSpec extends SparkSpec {
     assert(again.values.forall(_ == Unchanged))
   }
 
+  test("node selection: name, +name, name+, +name+ over the model graph") {
+    import spark.implicits._
+    val e = new Engine(spark, tmpDir("graft-sel"))
+    val runner = new ProjectRunner(e)
+    e.createStream("raw_sel", StreamSchema(Seq(PhysicalField("x", FBigInt))))
+    e.appendRows("raw_sel", Seq(1L, 2L, 3L).toDF("x"))
+
+    val dir = tmpDir("models-sel")
+    // chain: base -> mid -> top, plus an unrelated island
+    Files.write(Paths.get(dir, "base.sql"),
+      "SELECT x FROM raw_sel".getBytes)
+    Files.write(Paths.get(dir, "mid.sql"),
+      "SELECT x FROM {{ ref('base') }} WHERE x > 1".getBytes)
+    Files.write(Paths.get(dir, "top.sql"),
+      "SELECT count(*) AS n FROM {{ ref('mid') }}".getBytes)
+    Files.write(Paths.get(dir, "island.sql"),
+      "SELECT x * 2 AS y FROM raw_sel".getBytes)
+
+    // bare name: just that node (deps must pre-exist)
+    assert(runner.run(dir, select = Seq("base")).keySet == Set("base"))
+    // +name: node plus ancestors
+    assert(runner.run(dir, select = Seq("+mid")).keySet == Set("base", "mid"))
+    // name+: node plus descendants
+    assert(runner.run(dir, select = Seq("mid+")).keySet == Set("mid", "top"))
+    // +name+ and unions
+    assert(runner.run(dir, select = Seq("+mid+")).keySet ==
+      Set("base", "mid", "top"))
+    assert(runner.run(dir, select = Seq("island", "top")).keySet ==
+      Set("island", "top"))
+    // everything when unselected
+    assert(runner.run(dir).keySet == Set("base", "mid", "top", "island"))
+    intercept[IllegalArgumentException] {
+      runner.run(dir, select = Seq("nope"))
+    }
+  }
+
   test("incremental materialization: append-only runs + unique_key merge (beyond-reference)") {
     import spark.implicits._
     val e = new Engine(spark, tmpDir("graft-proj3"))

@@ -1195,6 +1195,19 @@ object Queries {
       .orderBy("c_nationkey")
   }
 
+  /** Real JPEG decode (the JDK's own javax.imageio codec): lossy, so the
+    * oracle checks exact header dimensions; pixel-drift bounds live in
+    * MultimodalSpec. */
+  val jpegDecode: Q = q("jpeg_decode",
+    """SELECT doc_id, CAST(16 + doc_id % 32 AS BIGINT) AS width,
+      |  CAST(16 + (doc_id * 3) % 32 AS BIGINT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Multimodal.decodeJpeg(
+      operators.Multimodal.asJpegTable(t(s, dir, "documents")))
+      .select("doc_id", "width", "height")
+      .orderBy("doc_id")
+  }
+
   /** Real AVI container demux + frame sampling, differentially tested:
     * Spark builds a genuine RIFF/AVI (uncompressed DIB frames) per doc,
     * demuxes it, samples 4 evenly spaced frames, and sums each frame's
@@ -1289,6 +1302,6 @@ object Queries {
     multimodalDecode, multimodalResize,
     tpchQ10, lengthQuantiles, topTerms,
     datasetCard, dedupCanonical, audioDecode, videoFrames,
-    skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18
+    skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18, jpegDecode
   )
 }

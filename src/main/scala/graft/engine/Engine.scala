@@ -22,6 +22,16 @@ final case class ModelConfig(
     active: Boolean = true,
     properties: Map[String, String] = Map.empty)
 
+/** Operational stats for one stream ([[Engine.describeStream]]). */
+final case class StreamStats(
+    qualifiedName: String,
+    rows: Long,
+    files: Long,
+    bytes: Long,
+    writeEpoch: Long,
+    hasPipeline: Boolean,
+    active: Boolean)
+
 /** Result of a model materialization, mirroring the reference's apply
   * result states ("created"/"updated"/"unchanged", impl.py:402-417). */
 sealed trait ApplyResult
@@ -515,11 +525,22 @@ final class Engine(
     * so compacted reads AND time-travel reads are unchanged — ordering
     * lives in data columns, never in file layout. Swap is
     * move-directory atomic for this engine's single-writer stance. */
-  def compactStorage(name: String, targetFiles: Int = 1): Unit = {
+  def compactStorage(name: String, targetFiles: Int = 1,
+                     sortBy: Seq[String] = Nil): Unit = {
     val d = catalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"stream '$name' not found"))
     require(targetFiles > 0, "targetFiles must be positive")
-    rewriteStorage(d, readRaw(d).repartition(targetFiles))
+    // optional clustering: range-partition + sort by the given columns so
+    // parquet row-group min/max stats become selective — point/range
+    // predicates on those columns then skip whole files/row groups at
+    // scan time (the poor-man's Z-order; rows and stamps are unchanged,
+    // only physical placement moves)
+    val rows = readRaw(d)
+    val laid =
+      if (sortBy.isEmpty) rows.repartition(targetFiles)
+      else rows.repartitionByRange(targetFiles, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    rewriteStorage(d, laid)
   }
 
   /** VACUUM: physically drop change-stream rows superseded as of
@@ -544,6 +565,25 @@ final class Engine(
       .drop("__graft_rn")
     rewriteStorage(d, liveAtEpoch.unionByName(
       raw.filter(col(EpochCol) > lit(upToEpoch))))
+  }
+
+  /** Operational stats for a stream (DESCRIBE-style observability):
+    * row/file counts, bytes on disk, current write epoch, pipeline
+    * state. Row count is a distributed count over the raw store; file
+    * stats come from the filesystem. */
+  def describeStream(name: String): StreamStats = {
+    val d = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    val dir = java.nio.file.Paths.get(catalog.dataPath(d.name))
+    val (files, bytes) =
+      if (java.nio.file.Files.isDirectory(dir)) {
+        import scala.jdk.CollectionConverters._
+        val fs = java.nio.file.Files.walk(dir).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet")).toSeq
+        (fs.size.toLong, fs.map(java.nio.file.Files.size).sum)
+      } else (0L, 0L)
+    StreamStats(catalog.qualify(name), readRaw(d).count(),
+      files, bytes, d.writeEpoch, d.sql.nonEmpty, d.active)
   }
 
   private def rewriteStorage(d: StreamDef, rows: DataFrame): Unit = {

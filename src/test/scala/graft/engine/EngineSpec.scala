@@ -2,6 +2,8 @@ package graft.engine
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+
 import graft.SparkSpec
 import graft.schema._
 import graft.types.FlinkType._
@@ -271,6 +273,39 @@ class EngineSpec extends SparkSpec {
       assert(e.readStream("cmp", compact = false).collect().toSet == rawBefore)
       assert(e.readStreamAsOf("cmp", 3L, compact = false).count() == asOf3Before)
     }
+  }
+
+  test("sorted compaction clusters files for data-skipping; describeStream reports stats") {
+    import spark.implicits._
+    val e = newEngine()
+    e.createStream("lay", StreamSchema(
+      Seq(PhysicalField("k", FBigInt), PhysicalField("v", FString))))
+    // interleaved appends: every file initially spans the whole key range
+    (0 until 4).foreach { i =>
+      e.appendRows("lay", (0L until 100L).map(j => (j * 4 + i, s"v$i$j"))
+        .toDF("k", "v"))
+    }
+    val before = e.describeStream("lay")
+    assert(before.rows == 400 && before.files >= 4 && before.bytes > 0)
+    assert(before.writeEpoch >= 4 && !before.hasPipeline)
+
+    e.compactStorage("lay", targetFiles = 4, sortBy = Seq("k"))
+    val after = e.describeStream("lay")
+    assert(after.rows == 400 && after.files <= 4)
+    // range clustering: each file now holds a disjoint k-range, so a
+    // point predicate's min/max pruning can touch one file (verify via
+    // per-file key ranges: non-overlapping)
+    val ranges = spark.read.parquet(e.catalog.dataPath("lay"))
+      .select(col("k"), input_file_name().as("f"))
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2,
+        s"file ranges overlap after sorted compaction: $ranges")
+      case _ =>
+    }
+    // contents unchanged
+    assert(e.readStream("lay").count() == 400)
   }
 
   test("vacuum: drops superseded change-stream history, keeps state from the horizon on") {

@@ -526,20 +526,26 @@ final class Engine(
     * lives in data columns, never in file layout. Swap is
     * move-directory atomic for this engine's single-writer stance. */
   def compactStorage(name: String, targetFiles: Int = 1,
-                     sortBy: Seq[String] = Nil): Unit = {
+                     sortBy: Seq[String] = Nil,
+                     zorderBy: Seq[String] = Nil): Unit = {
     val d = catalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"stream '$name' not found"))
     require(targetFiles > 0, "targetFiles must be positive")
-    // optional clustering: range-partition + sort by the given columns so
-    // parquet row-group min/max stats become selective — point/range
-    // predicates on those columns then skip whole files/row groups at
-    // scan time (the poor-man's Z-order; rows and stamps are unchanged,
-    // only physical placement moves)
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy and zorderBy are mutually exclusive")
+    // optional clustering: files then hold narrow value ranges, so
+    // parquet min/max stats prune scans — sortBy for a single leading
+    // dimension, zorderBy (Morton interleave) for multi-dimensional
+    // predicates. Rows and epoch/seq stamps are unchanged either way;
+    // only physical placement moves.
     val rows = readRaw(d)
     val laid =
-      if (sortBy.isEmpty) rows.repartition(targetFiles)
-      else rows.repartitionByRange(targetFiles, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*)
+      if (zorderBy.nonEmpty)
+        graft.operators.ZOrder.cluster(rows, zorderBy, targetFiles)
+      else if (sortBy.nonEmpty)
+        rows.repartitionByRange(targetFiles, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else rows.repartition(targetFiles)
     rewriteStorage(d, laid)
   }
 

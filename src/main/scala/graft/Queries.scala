@@ -1195,6 +1195,27 @@ object Queries {
       .orderBy("c_nationkey")
   }
 
+  /** Overlapping token-window chunking (64-token windows, stride 16):
+    * the RAG/pretraining segmentation step, oracle-checked byte-for-byte
+    * including window text and last-chunk token counts. */
+  val chunkWindows: Q = q("chunk_windows",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, w, n,
+      |    unnest(range((greatest(n - 64, 0) + 15) // 16 + 1)) AS i
+      |  FROM w)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+      |  array_to_string(w[i * 16 + 1 : i * 16 + 64], ' ') AS chunk_text,
+      |  CAST(least(n - i * 16, 64) AS BIGINT) AS n_tokens
+      |FROM c ORDER BY doc_id, chunk_no""".stripMargin) { (s, dir) =>
+    operators.TextAnalysis.chunk(t(s, dir, "documents"),
+      chunkTokens = 64, stride = 16)
+      .orderBy("doc_id", "chunk_no")
+  }
+
   /** Real JPEG decode (the JDK's own javax.imageio codec): lossy, so the
     * oracle checks exact header dimensions; pixel-drift bounds live in
     * MultimodalSpec. */
@@ -1302,6 +1323,7 @@ object Queries {
     multimodalDecode, multimodalResize,
     tpchQ10, lengthQuantiles, topTerms,
     datasetCard, dedupCanonical, audioDecode, videoFrames,
-    skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18, jpegDecode
+    skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18, jpegDecode,
+    chunkWindows
   )
 }

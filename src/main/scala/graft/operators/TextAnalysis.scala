@@ -118,6 +118,34 @@ object TextAnalysis {
         size(col("fp")).cast("long").as("n_fingerprints"),
         array_min(col("fp")).as("min_fp"))
 
+  /** Overlapping token-window chunking — the segmentation step before
+    * embedding/RAG indexing or fixed-context pretraining: document
+    * tokens (whitespace granularity here; swap the splitter for a real
+    * tokenizer) become windows of `chunkTokens` advancing by `stride`.
+    * The last window starts at the final stride position that still
+    * covers unseen tokens, so every token lands in ≥1 chunk and short
+    * docs yield exactly one. Pure per-row explode — no shuffle; output
+    * order is (doc, chunk_no), so downstream repartitioning decides
+    * placement. */
+  def chunk(docs: DataFrame, chunkTokens: Int, stride: Int,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    val words = split(col(textCol), " ")
+    val n = size(words)
+    // number of stride steps: ceil(max(0, n - chunkTokens) / stride) + 1
+    val steps = (greatest(n - chunkTokens, lit(0)) + stride - 1) / stride + 1
+    docs
+      .withColumn("__w", words)
+      .withColumn("chunk_no", explode(sequence(lit(0), steps.cast("int") - 1)))
+      .select(col(idCol), col("chunk_no").cast("long").as("chunk_no"),
+        concat_ws(" ",
+          slice(col("__w"), col("chunk_no") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(size(col("__w")) - col("chunk_no") * stride, lit(chunkTokens))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Dataset "data card" profile: per (source, lang) corpus statistics —
     * doc/token totals, length spread, short-doc share. One hash-aggregate
     * over group keys whose cardinality is tiny (sources × languages), so

@@ -133,6 +133,27 @@ class CurationSpec extends SparkSpec {
       .except(again).isEmpty)
   }
 
+  test("chunk: window/stride arithmetic hand-checked, every token covered") {
+    import spark.implicits._
+    val out = TextAnalysis.chunk(
+      Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+        (2L, "a b")) // shorter than one window
+        .toDF("doc_id", "text"),
+      chunkTokens = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // steps = ceil((10-4)/2)+1 = 4 windows: [1..4],[3..6],[5..8],[7..10]
+    assert(d1.map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L, 4L))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0L, "a b", 2L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunk(Seq((1L, "x")).toDF("doc_id", "text"), 4, 5)
+    }
+  }
+
   test("canonicalBySource: priority wins within a cluster, ties by id; singletons survive") {
     import spark.implicits._
     val d = Seq(

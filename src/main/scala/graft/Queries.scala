@@ -1299,6 +1299,80 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The full curation pipeline as ONE lazy plan — decontaminate →
+    * MinHash-LSH near-dup clusters → canonical doc per cluster by source
+    * priority → 64/16 token-window chunks → doc-level train/val/test
+    * split (chunks inherit their document's split: no leakage). The
+    * oracle replays every stage in SQL (recursive CTE for the closure).
+    * Sketch == exact by the same corpus-margin argument as
+    * `dedup_minhash_lsh`. */
+  val pipelineCurationV2: Q = q("pipeline_curation_v2", {
+    val b = operators.Sampling.duckdbHashBucket("c.doc_id", "cv2", 10000)
+    s"""WITH RECURSIVE dsh AS (
+       |  SELECT doc_id, unnest(${duckShingles(4)}) AS g FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 4),
+       |bench AS (SELECT DISTINCT g FROM dsh WHERE doc_id % 50 = 0),
+       |bad AS (
+       |  SELECT DISTINCT doc_id FROM dsh JOIN bench USING (g)
+       |  WHERE doc_id % 50 <> 0),
+       |corpus AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)),
+       |sh AS (
+       |  SELECT doc_id, ${duckShingles(2)} AS s FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |clu AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |canon AS (
+       |  SELECT doc_id FROM (
+       |    SELECT c.doc_id,
+       |      row_number() OVER (PARTITION BY clu.cluster_id
+       |        ORDER BY CASE c.source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+       |                 ELSE 2 END, c.doc_id) AS rn
+       |    FROM corpus c JOIN clu USING (doc_id)) WHERE rn = 1),
+       |w AS (
+       |  SELECT c.doc_id, string_split(c.text, ' ') AS w,
+       |    len(string_split(c.text, ' ')) AS n,
+       |    CASE WHEN $b < 8000 THEN 'train'
+       |         WHEN $b < 9000 THEN 'val' ELSE 'test' END AS split
+       |  FROM corpus c JOIN canon USING (doc_id))
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+       |  array_to_string(w[i * 16 + 1 : i * 16 + 64], ' ') AS chunk_text,
+       |  CAST(least(n - i * 16, 64) AS BIGINT) AS n_tokens, split
+       |FROM (SELECT doc_id, w, n, split,
+       |        unnest(range((greatest(n - 64, 0) + 15) // 16 + 1)) AS i
+       |      FROM w)
+       |ORDER BY doc_id, chunk_no""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val corpus0 = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val clean = operators.Decontaminate.decontaminate(
+      corpus0, "doc_id", "text", bench, "text", n = 4)
+    val pairs = operators.Dedup.minhashLsh(clean, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+    val clusters = operators.Dedup.duplicateClusters(
+      clean.select(col("doc_id").cast("long").as("doc_id")), pairs, "doc_id")
+    val canon = operators.Dedup.canonicalBySource(
+      clean, clusters, "doc_id", "source", priority = Seq("src0", "src1"))
+    val chunks = operators.TextAnalysis.chunk(canon,
+      chunkTokens = 64, stride = 16)
+    operators.Sampling.hashSplit(chunks, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "cv2")
+      .select("doc_id", "chunk_no", "chunk_text", "n_tokens", "split")
+      .orderBy("doc_id", "chunk_no")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1324,6 +1398,6 @@ object Queries {
     tpchQ10, lengthQuantiles, topTerms,
     datasetCard, dedupCanonical, audioDecode, videoFrames,
     skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18, jpegDecode,
-    chunkWindows
+    chunkWindows, pipelineCurationV2
   )
 }

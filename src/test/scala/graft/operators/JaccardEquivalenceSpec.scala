@@ -47,6 +47,34 @@ class JaccardEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("simhash Hamming-LSH banding == brute force over random corpora") {
+    import spark.implicits._
+    // near-dup structure: perturb a base sentence so hamming distances
+    // spread around the threshold
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    for (seed <- 1 to 3; maxHamming <- Seq(6, 14)) {
+      val rnd = new scala.util.Random(seed * 77 + maxHamming)
+      val docs = (1L to 40L).map { id =>
+        val len = 6 + rnd.nextInt(10)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val df = docs.toDF("doc_id", "text")
+      // brute force from the operator's own per-doc signatures (the
+      // banding is what is under test, not the signature)
+      val sigs = Dedup.simhash(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+        if h <= maxHamming
+      } yield (a, b, h.toLong)).toSet
+      val got = Dedup.simhashPairs(df, "doc_id", "text", maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"seed=$seed maxHamming=$maxHamming: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("queryPred bounds the probe side only") {
     import spark.implicits._
     val docs = Seq(

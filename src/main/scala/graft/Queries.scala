@@ -1357,8 +1357,11 @@ object Queries {
     val docs = t(s, dir, "documents")
     val corpus0 = docs.filter(col("doc_id") % 50 =!= 0)
     val bench = docs.filter(col("doc_id") % 50 === 0)
+    // the decontaminated frame feeds three stages (signature pipeline,
+    // cluster ids, canonical join) — persist it once
     val clean = operators.Decontaminate.decontaminate(
       corpus0, "doc_id", "text", bench, "text", n = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = operators.Dedup.minhashLsh(clean, "doc_id", "text",
       shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
     val clusters = operators.Dedup.duplicateClusters(

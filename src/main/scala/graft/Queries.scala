@@ -764,9 +764,32 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** Winnowing fingerprints (Scala UDF state machine — not SQL-expressible;
-    * rows-only driver check, exactness covered in TextAnalysisSpec). */
-  val winnowFingerprint: Q = noOracle("winnow_fingerprint") { (s, dir) =>
+  /** Winnowing fingerprints, now FULLY oracle-checked: the selected set
+    * per document is {min of each w-window of k-gram hashes} — the
+    * rightmost-min tie rule only affects which INDEX is chosen, never
+    * the value, so DuckDB reproduces the exact fingerprint set with
+    * list ops (the base-31 polynomial can't overflow at k=5: max hash
+    * ≈ 122·31⁴ ≈ 1.1e8). */
+  val winnowFingerprint: Q = q("winnow_fingerprint",
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_transform(range(len(s) - 4), i ->
+      |      ascii(s[i+1]) * 923521 + ascii(s[i+2]) * 29791 +
+      |      ascii(s[i+3]) * 961 + ascii(s[i+4]) * 31 + ascii(s[i+5])) AS hs
+      |  FROM n WHERE len(s) >= 5),
+      |w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+      |         ELSE list_distinct(list_transform(range(len(hs) - 3),
+      |                j -> list_min(hs[j+1 : j+4]))) END AS fps
+      |  FROM h)
+      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+      |  CAST(list_min(fps) AS BIGINT) AS min_fp
+      |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
     operators.TextAnalysis.winnowSummary(t(s, dir, "documents"))
       .orderBy("doc_id")
   }

@@ -780,10 +780,11 @@ object Queries {
       |    list_transform(range(len(s) - 4), i ->
       |      ascii(s[i+1]) * 923521 + ascii(s[i+2]) * 29791 +
       |      ascii(s[i+3]) * 961 + ascii(s[i+4]) * 31 + ascii(s[i+5])) AS hs
-      |  FROM n WHERE len(s) >= 5),
+      |  FROM n),
       |w AS (
       |  SELECT doc_id,
-      |    CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+      |    CASE WHEN len(hs) = 0 THEN []
+      |         WHEN len(hs) <= 4 THEN [list_min(hs)]
       |         ELSE list_distinct(list_transform(range(len(hs) - 3),
       |                j -> list_min(hs[j+1 : j+4]))) END AS fps
       |  FROM h)

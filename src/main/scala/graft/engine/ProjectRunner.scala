@@ -156,21 +156,28 @@ final class ProjectRunner(engine: Engine) {
       else {
         val byName = models.map(m => m.name -> m).toMap
         val chosen = scala.collection.mutable.Set[String]()
-        def ancestors(n: String): Unit =
-          if (chosen.add(n)) byName.get(n).toSeq
-            .flatMap(depsOf).foreach(d => ancestors(d.name))
-        def descendants(n: String): Unit =
-          if (chosen.add(n)) models
-            .filter(o => depsOf(o).exists(_.name == n))
-            .foreach(o => descendants(o.name))
+        // each walk carries its OWN visited set — a node already chosen
+        // by an earlier selector must not truncate a later selector's
+        // graph traversal (its ancestors/descendants still need walking)
+        def ancestors(n: String, seen: scala.collection.mutable.Set[String]): Unit =
+          if (seen.add(n)) {
+            chosen += n
+            byName.get(n).toSeq.flatMap(depsOf).foreach(d => ancestors(d.name, seen))
+          }
+        def descendants(n: String, seen: scala.collection.mutable.Set[String]): Unit =
+          if (seen.add(n)) {
+            chosen += n
+            models.filter(o => depsOf(o).exists(_.name == n))
+              .foreach(o => descendants(o.name, seen))
+          }
         select.foreach { sel =>
           val up = sel.startsWith("+")
           val down = sel.endsWith("+")
           val name = sel.stripPrefix("+").stripSuffix("+")
           require(byName.contains(name), s"unknown model in selector: '$sel'")
           chosen += name
-          if (up) { chosen -= name; ancestors(name) }
-          if (down) { chosen -= name; descendants(name) }
+          if (up) ancestors(name, scala.collection.mutable.Set.empty)
+          if (down) descendants(name, scala.collection.mutable.Set.empty)
         }
         chosen.toSet
       }

@@ -13,8 +13,13 @@ import graft.operators.CrossHash
   * `sign(Σ_d w(t,p,d) · v[d]) > 0` with deterministic ±1 weights
   * `w(t,p,d) = ±1` from `CrossHash.scalaHash56(s"${seeds(t)}$p:$d")` —
   * the exact weight/summation convention of the original `zip_with` +
-  * `aggregate` formulation, so signature values (and therefore LSH
-  * buckets and pair recall) are bit-identical to it.
+  * `aggregate` formulation, so for well-formed vectors (length == dims,
+  * no null elements) signature values — and therefore LSH buckets and
+  * pair recall — are bit-identical to it. Ragged vectors differ BY
+  * DESIGN: the fused kernel dots the first min(len, dims) elements
+  * (a partial signature), where the old HOF formulation null-poisoned
+  * the fold and collapsed every short vector into bucket 0 — a hash
+  * hot-spot, not a feature.
   *
   * Why a custom Catalyst Expression: the HOF formulation is interpreted
   * (CodegenFallback) — tables×planes folds per row, each allocating a

@@ -102,6 +102,9 @@ object Avi {
       while (buf.position() + 8 <= end) {
         val id = ascii(4)
         val len = buf.getInt
+        require(len >= 0 && buf.position() + len.toLong <= bytes.length,
+          s"bad chunk length $len for '$id'") // negative lengths would walk
+        // backwards forever; the demuxer runs in executor tasks
         val dataEnd = buf.position() + len
         id match {
           case "LIST" =>

@@ -332,12 +332,14 @@ object Dedup {
       .filter(col("tbl") === firstTbl)
       .select("id_a", "id_b")
 
-    // vector lookup is a broadcast hash join (the corpus id→vector map is
-    // dimension-table-sized relative to the candidate pair stream; at
-    // larger corpora this becomes a shuffle join on id, still linear)
+    // vector lookup joins are left UN-hinted on purpose: `e` is persisted
+    // so its in-memory stats drive size-based planning — broadcast when
+    // the corpus fits (the bench case), shuffle hash join on id when it
+    // doesn't. A forced broadcast() would hard-fail past the 8 GB
+    // broadcast limit instead of degrading.
     candidates
-      .join(broadcast(e.select(col("id").as("id_a"), col("v").as("v_a"))), "id_a")
-      .join(broadcast(e.select(col("id").as("id_b"), col("v").as("v_b"))), "id_b")
+      .join(e.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cos", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

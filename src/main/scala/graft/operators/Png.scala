@@ -90,6 +90,9 @@ object Png {
     var seenEnd = false
     while (!seenEnd && pos + 8 <= bytes.length) {
       val len = ByteBuffer.wrap(bytes, pos, 4).getInt
+      require(len >= 0 && pos + 8 + len.toLong <= bytes.length,
+        s"bad chunk length $len at offset $pos") // a negative length would
+      // stall the walk forever; decoders run in executor tasks
       val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
       val dataOff = pos + 8
       ctype match {

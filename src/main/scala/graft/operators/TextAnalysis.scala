@@ -136,6 +136,10 @@ object TextAnalysis {
     // number of stride steps: ceil(max(0, n - chunkTokens) / stride) + 1
     val steps = (greatest(n - chunkTokens, lit(0)) + stride - 1) / stride + 1
     docs
+      // null-text rows are dropped, not chunked: greatest/least skip
+      // NULLs, so a null doc would otherwise fabricate one full-size
+      // phantom chunk (empty text, n_tokens = chunkTokens)
+      .filter(col(textCol).isNotNull)
       .withColumn("__w", words)
       .withColumn("chunk_no", explode(sequence(lit(0), steps.cast("int") - 1)))
       .select(col(idCol), col("chunk_no").cast("long").as("chunk_no"),
@@ -179,18 +183,20 @@ object TextAnalysis {
   /** PII redaction: replace emails / IPv4s / SSNs / US-phone shapes with
     * `<KIND>` placeholders and count each kind. Pure per-row projection of
     * codegen'd regexp builtins — no shuffle, no UDF; the scan stays
-    * column-pruned to (id, text). Counts are taken BEFORE replacement so
-    * an SSN consumed by the ssn pass is not double-counted by phone
-    * (replacement order still masks it first). */
+    * column-pruned to (id, text). Each kind is counted on the text AFTER
+    * earlier kinds were masked — exactly the matches its own replacement
+    * pass consumes — so a phone number inside an already-redacted email
+    * is neither double-counted nor reported without being redacted. */
   def redactPii(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val counts = PiiPatterns.map { case (kind, pat) =>
-      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$kind")
-    }
-    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+    // steps(k) = text with patterns 0..k-1 already replaced
+    val steps = PiiPatterns.scanLeft(col(textCol)) {
       case (c, (kind, pat)) => regexp_replace(c, pat, s"<${kind.toUpperCase}>")
     }
-    docs.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+    val counts = PiiPatterns.zip(steps).map { case ((kind, pat), pre) =>
+      regexp_count(pre, lit(pat)).cast("long").as(s"n_$kind")
+    }
+    docs.select(col(idCol) +: counts :+ steps.last.as("redacted"): _*)
   }
 
   /** Repetition signals (the Gopher-rules shape, word-granular because

@@ -55,6 +55,9 @@ object Wav {
     while (buf.remaining() >= 8 && samples == null) {
       val id = ascii(4)
       val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining(),
+        s"bad chunk length $len for '$id'") // negative lengths would walk
+      // backwards forever; decoders run in executor tasks
       id match {
         case "fmt " =>
           val fmtEnd = buf.position() + len

@@ -29,9 +29,14 @@ object ZOrder {
     val k = cols.size
     val quantized = cols.zip(ranges).map { case (c, (lo, hi)) =>
       val span = math.max(1L, hi - lo)
-      // (v - lo) * maxQ / span, clamped — monotone, endpoint-exact
+      // quantize in DOUBLE: (v-lo)*maxQ in long overflows once the span
+      // exceeds ~2^47 (e.g. epoch-nanosecond columns), silently wrecking
+      // the hyper-rectangle property; double math stays monotone (ties
+      // from the 53-bit mantissa only merge adjacent buckets)
       least(greatest(
-        (c.cast("long") - lit(lo)) * lit((1L << bitsPerCol) - 1) / lit(span),
+        ((c.cast("long") - lit(lo)).cast("double")
+          * lit(((1L << bitsPerCol) - 1).toDouble) / lit(span.toDouble))
+          .cast("long"),
         lit(0L)), lit((1L << bitsPerCol) - 1L))
     }
     // bit i of column c lands at position i*k + c

@@ -107,6 +107,13 @@ class ProjectRunnerSpec extends SparkSpec {
       Set("base", "mid", "top"))
     assert(runner.run(dir, select = Seq("island", "top")).keySet ==
       Set("island", "top"))
+    // a node chosen by an earlier selector must not truncate a later
+    // selector's graph walk: "mid" is already chosen, but +top still
+    // reaches base THROUGH mid
+    assert(runner.run(dir, select = Seq("mid", "+top")).keySet ==
+      Set("base", "mid", "top"))
+    assert(runner.run(dir, select = Seq("mid", "base+")).keySet ==
+      Set("base", "mid", "top"))
     // everything when unselected
     assert(runner.run(dir).keySet == Set("base", "mid", "top", "island"))
     intercept[IllegalArgumentException] {

@@ -46,4 +46,26 @@ class CodecFuzzSpec extends AnyFunSuite {
 
   test("AVI demuxer: random/truncated/corrupt input fails fast")(
     fuzzOne("avi", Avi.decode, validAvi))
+
+  test("negative chunk lengths in unknown-chunk paths reject, never loop") {
+    // craft an UNKNOWN chunk id with length -8: a skip of len+(len&1)
+    // exactly cancels the 8 header bytes — the walk would spin forever
+    // without the length guard (single-byte fuzz flips can't build this)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def be32(v: Int) = le32(v).reverse
+
+    val wavBad = validWav.take(12) ++ "JUNK".getBytes ++ le32(-8) ++
+      validWav.drop(12)
+    intercept[IllegalArgumentException](Wav.decode(wavBad))
+
+    val aviBad = validAvi.take(12) ++ "JUNK".getBytes ++ le32(-8) ++
+      validAvi.drop(12)
+    intercept[IllegalArgumentException](Avi.decode(aviBad))
+
+    // PNG lengths are big-endian; insert after the IHDR chunk (8+25 bytes)
+    val pngBad = validPng.take(33) ++ be32(-12) ++ "juNk".getBytes ++
+      validPng.drop(33)
+    intercept[IllegalArgumentException](Png.decode(pngBad))
+  }
 }

@@ -995,8 +995,9 @@ object Queries {
        |    $grp AS pack_group, $ord AS ord FROM documents),
        |c AS (
        |  SELECT doc_id, pack_group,
-       |    sum(n_tok) OVER (PARTITION BY pack_group ORDER BY ord, doc_id
-       |                     ROWS UNBOUNDED PRECEDING) - n_tok AS start_offset
+       |    CAST(sum(n_tok) OVER (PARTITION BY pack_group ORDER BY ord, doc_id
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok
+       |         AS BIGINT) AS start_offset
        |  FROM d)
        |SELECT doc_id, pack_group, start_offset,
        |  CAST(floor(start_offset / 2000) AS BIGINT) AS shard

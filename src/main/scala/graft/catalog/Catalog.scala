@@ -72,10 +72,12 @@ final class Catalog(val root: String, val namespace: Option[String] = None) {
   def exists(name: String): Boolean = Files.exists(defPath(name))
 
   def list(): Seq[StreamDef] =
-    Files.list(catalogDir).iterator().asScala
-      .filter(_.toString.endsWith(".json"))
-      .map(p => read(new String(Files.readAllBytes(p), "UTF-8")))
-      .toSeq.sortBy(_.name)
+    scala.util.Using.resource(Files.list(catalogDir)) { s =>
+      s.iterator().asScala
+        .filter(_.toString.endsWith(".json"))
+        .map(p => read(new String(Files.readAllBytes(p), "UTF-8")))
+        .toSeq
+    }.sortBy(_.name)
 
   def get(name: String): Option[StreamDef] =
     if (!exists(name)) None
@@ -112,7 +114,8 @@ final class Catalog(val root: String, val namespace: Option[String] = None) {
 
   private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      scala.util.Using.resource(Files.walk(p))(
+        _.iterator().asScala.toSeq.reverse.foreach(Files.delete))
     }
 
   // --- JSON (de)serialization via jackson tree model (on Spark's classpath) ---

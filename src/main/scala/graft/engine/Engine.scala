@@ -584,9 +584,11 @@ final class Engine(
     val (files, bytes) =
       if (java.nio.file.Files.isDirectory(dir)) {
         import scala.jdk.CollectionConverters._
-        val fs = java.nio.file.Files.walk(dir).iterator().asScala
-          .filter(p => p.toString.endsWith(".parquet")).toSeq
-        (fs.size.toLong, fs.map(java.nio.file.Files.size).sum)
+        scala.util.Using.resource(java.nio.file.Files.walk(dir)) { walk =>
+          val fs = walk.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet")).toSeq
+          (fs.size.toLong, fs.map(java.nio.file.Files.size).sum)
+        }
       } else (0L, 0L)
     StreamStats(catalog.qualify(name), readRaw(d).count(),
       files, bytes, d.writeEpoch, d.sql.nonEmpty, d.active)
@@ -620,9 +622,15 @@ final class Engine(
       s"unsupported export format '$format'")
     var df = readStream(name)
     if (shardsPerPartition > 0)
-      df = if (partitionBy.nonEmpty)
-        df.repartition(shardsPerPartition, partitionBy.map(col): _*)
-      else df.repartition(shardsPerPartition)
+      df = if (partitionBy.nonEmpty) {
+        // partition columns alone hash every directory partition's rows
+        // into ONE task (one file each, whatever shardsPerPartition
+        // says); a row-hash salt bounded to [0, shards) fans each
+        // directory partition out across ~N writer tasks → ~N shards
+        val salt = pmod(xxhash64(df.columns.map(col): _*),
+          lit(shardsPerPartition.toLong))
+        df.repartition(partitionBy.map(col) :+ salt: _*)
+      } else df.repartition(shardsPerPartition)
     val w = df.write.mode(SaveMode.Overwrite)
     val wp = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
     (format match {

@@ -125,12 +125,14 @@ final class ProjectRunner(engine: Engine) {
 
   /** Load all `*.sql` models in a directory (non-recursive). */
   def loadModels(dir: String): Seq[Model] =
-    Files.list(Paths.get(dir)).iterator().asScala
-      .filter(_.toString.endsWith(".sql"))
-      .map { p: Path =>
-        val name = p.getFileName.toString.stripSuffix(".sql")
-        parseModel(name, new String(Files.readAllBytes(p), "UTF-8"))
-      }.toSeq.sortBy(_.name)
+    scala.util.Using.resource(Files.list(Paths.get(dir))) { s =>
+      s.iterator().asScala
+        .filter(_.toString.endsWith(".sql"))
+        .map { p: Path =>
+          val name = p.getFileName.toString.stripSuffix(".sql")
+          parseModel(name, new String(Files.readAllBytes(p), "UTF-8"))
+        }.toSeq
+    }.sortBy(_.name)
 
   /** Materialize all models in dependency order (models whose sources are
     * other models run after them — the dbt DAG walk, SURVEY §3.1).
@@ -207,9 +209,11 @@ final class ProjectRunner(engine: Engine) {
   def runSeeds(dir: String, fullRefresh: Boolean = false): Map[String, ApplyResult] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Map.empty
-    else Files.list(p).iterator().asScala
-      .filter(_.toString.endsWith(".csv"))
-      .toSeq.sortBy(_.getFileName.toString)
+    else scala.util.Using.resource(Files.list(p))(
+      _.iterator().asScala
+        .filter(_.toString.endsWith(".csv"))
+        .toSeq)
+      .sortBy(_.getFileName.toString)
       .map { f =>
         val name = f.getFileName.toString.stripSuffix(".csv")
         name -> engine.seed(name, f.toString, fullRefresh = fullRefresh)
@@ -304,9 +308,11 @@ final class ProjectRunner(engine: Engine) {
   /** Run every generic test declared in a directory's yml files.
     * @return test name → judged result */
   def runTests(dir: String): Map[String, Engine#TestResult] =
-    Files.list(Paths.get(dir)).iterator().asScala
-      .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
-      .flatMap(p => parseSchemaTests(new String(Files.readAllBytes(p), "UTF-8")))
+    scala.util.Using.resource(Files.list(Paths.get(dir)))(
+      _.iterator().asScala
+        .filter(p => p.toString.endsWith(".yml") || p.toString.endsWith(".yaml"))
+        .flatMap(p => parseSchemaTests(new String(Files.readAllBytes(p), "UTF-8")))
+        .toSeq)
       .map { t =>
         t.name -> engine.runTestJudged(t.name,
           t.copy(model = engine.catalog.qualify(t.model)).sql)

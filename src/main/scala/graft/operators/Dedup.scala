@@ -156,16 +156,31 @@ object Dedup {
   /** EXACT n-gram Jaccard pairs via prefix-filter candidate generation —
     * the AllPairs/PPJoin construction (Bayardo, Ma & Srikant, "Scaling
     * Up All Pairs Similarity Search", WWW'07; public literature): with
-    * every shingle set sorted in one global order (ascending xxhash64
-    * here), any pair with J ≥ t shares its globally-smallest common
-    * element within BOTH prefixes of length `|s| − ⌈t·|s|⌉ + 1` — so an
-    * equi-join on prefix tokens finds every qualifying pair, and the
-    * exact verify discards false candidates. Same results as the brute
-    * nested-loop join, but the plan is explode → equi-join → verify:
-    * shuffle volume scales with corpus × document frequency, not n².
-    * The ⌈·⌉ is computed with a 1e-9 down-guard so float rounding can
-    * only lengthen a prefix (more candidates), never shorten one
-    * (missed pairs).
+    * every shingle set sorted in one global order, any pair with J ≥ t
+    * shares its globally-smallest common element within BOTH prefixes of
+    * length `|s| − ⌈t·|s|⌉ + 1` — so an equi-join on prefix tokens finds
+    * every qualifying pair, and the exact verify discards false
+    * candidates. Same results as the brute nested-loop join, but the
+    * plan is explode → equi-join → verify.
+    *
+    * The global order is **ascending document frequency** (ties by token
+    * hash) — the canonical AllPairs order (WW'07 §3). Prefixes then hold
+    * each document's RAREST tokens, so the equi-join's per-token buckets
+    * are tiny; a frequency-random order (e.g. raw hash, round 2's
+    * mistake) fills prefixes with common shingles and the join explodes
+    * (42.5 s → the bench's dominant line). df costs one extra aggregate
+    * over the exploded shingles; any consistent order yields identical
+    * results, so the gate output is unchanged.
+    *
+    * A length filter (same paper) drops candidates where
+    * `min(|a|,|b|) < t·max(|a|,|b|)` — such pairs cannot reach J ≥ t
+    * since `|∩| ≤ min` and `|∪| ≥ max`. Both the ⌈·⌉ and the length
+    * comparison carry a 1e-9 float guard so rounding can only ADMIT
+    * extra candidates (verified away), never drop a qualifying pair.
+    *
+    * The verify still runs the two-pointer merge over the hash-SORTED
+    * arrays ([[jaccardSorted]]) — the df order exists only inside
+    * candidate generation.
     *
     * `queryPred` (over `id`) bounds the probe side, as before. */
   def ngramJaccardPairs(
@@ -177,14 +192,27 @@ object Dedup {
       hashedShingles(shingles(col(textCol), shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val prefLen = (size(col("sh"))
-      - ceil(lit(threshold) * size(col("sh")).cast("double") - lit(1e-9))
+    // rare-first prefix: explode once, aggregate per-token df, rank each
+    // document's tokens by (df, tok) and keep the first prefLen — all
+    // equi-keyed shuffles (tok, tok, id), no pair blowup anywhere
+    val ex = withSh.select(col("id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("tok"))
+    val dfMap = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefLen = (col("len")
+      - ceil(lit(threshold) * col("len").cast("double") - lit(1e-9))
       + 1).cast("int")
-    val pref = withSh.select(col("id"),
-      explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
-    val candidates = pref.filter(queryPred).select(col("id").as("id_a"), col("tok"))
-      .join(pref.select(col("id").as("id_b"), col("tok")), "tok")
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("tok").asc)
+    val pref = ex.join(dfMap, "tok")
+      .withColumn("__rn", row_number().over(byRarity))
+      .filter(col("__rn") <= prefLen)
+      .select("id", "len", "tok")
+    val candidates = pref.filter(queryPred)
+      .select(col("id").as("id_a"), col("len").as("len_a"), col("tok"))
+      .join(pref.select(col("id").as("id_b"), col("len").as("len_b"), col("tok")), "tok")
       .filter(col("id_a") < col("id_b"))
+      .filter(col("len_a").cast("double") >= lit(threshold) * col("len_b") - lit(1e-9) &&
+              col("len_b").cast("double") >= lit(threshold) * col("len_a") - lit(1e-9))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     candidates
@@ -304,13 +332,16 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val b = withSigs.select(col("id").as("id_b"), col("sigs").as("sigs_b"),
       posexplode(col("sigs")).as(Seq("tbl", "bucket")))
-    // a-side: additionally exploded to all buckets within probeRadius
-    val flips: Seq[Column] =
-      (lit(0L) +: (0 until planes).map(p => lit(1L << p))) ++
-        (if (probeRadius >= 2)
-          for { x <- 0 until planes; y <- x + 1 until planes }
-            yield lit((1L << x) | (1L << y))
-        else Nil)
+    // a-side: additionally exploded to all buckets within probeRadius —
+    // every bit-combination up to the radius, so the join's collision set
+    // exactly matches the `firstTbl` predicate below for ANY radius
+    // (round 2 hard-coded radius ≤ 2 flips while firstTbl assumed the
+    // full radius: silent false negatives at probeRadius ≥ 3)
+    require(probeRadius <= planes,
+      s"probeRadius ($probeRadius) cannot exceed planes ($planes)")
+    val flips: Seq[Column] = (0 to probeRadius).flatMap(r =>
+      (0 until planes).combinations(r).map(bits =>
+        lit(bits.foldLeft(0L)((m, b) => m | (1L << b)))))
     val a = withSigs.select(col("id").as("id_a"), col("sigs").as("sigs_a"),
       posexplode(col("sigs")).as(Seq("tbl", "sig")))
       .withColumn("bucket", explode(array(flips.map(col("sig").bitwiseXOR): _*)))
@@ -422,13 +453,19 @@ object Dedup {
     while (!converged && it < maxIters) {
       val neighborMin = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("nid")).agg(min("label").as("nmin"))
+      // convergence rides the SAME frame as the new labels: `__chg` marks
+      // rows whose label improved this round, the eager checkpoint
+      // materializes labels+flags in one pass, and the convergence probe
+      // is then a short-circuiting scan of cached blocks — no second
+      // join, no plan re-execution (round-2's probe re-joined next⋈labels
+      // and cost an extra Spark job per iteration).
       val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("__chg"))
         .localCheckpoint(eager = true)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("__chg")).isEmpty
+      labels = next.drop("__chg")
       it += 1
     }
     edges.unpersist()

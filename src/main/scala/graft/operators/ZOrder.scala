@@ -47,13 +47,19 @@ object ZOrder {
     terms.reduce(_ + _).as("__zvalue")
   }
 
-  /** Observed (min, max) per column — one aggregate, 2k longs. */
+  /** Observed (min, max) per column — one aggregate, 2k longs. An empty
+    * (or all-null) frame has no observed range: fall back to (0, 0)
+    * instead of NPE-ing on the null aggregate (zvalue then quantizes
+    * everything to bucket 0, which is vacuously correct on no rows). */
   def columnRanges(df: DataFrame, cols: Seq[String]): Seq[(Long, Long)] = {
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"__lo_$c"),
       max(col(c).cast("long")).as(s"__hi_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.indices.map(i => (row.getLong(2 * i), row.getLong(2 * i + 1)))
+    cols.indices.map { i =>
+      if (row.isNullAt(2 * i)) (0L, 0L)
+      else (row.getLong(2 * i), row.getLong(2 * i + 1))
+    }
   }
 
   /** Repartition+sort `df` in Z-order over `cols` into `numFiles`

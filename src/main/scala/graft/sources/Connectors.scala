@@ -129,7 +129,8 @@ object Connectors {
     * for the `offsets/` log Spark writes on the first batch. */
   def hasCommittedOffsets(checkpoint: String): Boolean = {
     val offsets = Paths.get(checkpoint).resolve("offsets")
-    Files.isDirectory(offsets) && Files.list(offsets).findFirst().isPresent
+    Files.isDirectory(offsets) &&
+      scala.util.Using.resource(Files.list(offsets))(_.findFirst().isPresent)
   }
 
   /** Batch read of an external file table (the s3 connector's bounded

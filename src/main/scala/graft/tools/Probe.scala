@@ -13,6 +13,7 @@ object Probe {
     if (args.headOption.contains("sql")) return sqlMain(args.drop(1).mkString(" "))
     if (args.headOption.contains("time")) return timeMain(args.drop(1))
     if (args.headOption.contains("embed")) return embedMain(args.drop(1))
+    if (args.headOption.contains("simhash")) return simhashMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -124,6 +125,65 @@ object Probe {
         println(f"[time] ${q.name} run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       }
     }
+    spark.stop()
+  }
+
+  /** `Probe simhash <sf>` — stage timings for simhashPairs. */
+  private def simhashMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[simhash] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    timed("token count")(println("toks=" + docs.select(
+      sum(size(split(col("text"), " ")))).collect().head))
+    val sig = graft.operators.Dedup.simhash(docs, "doc_id", "text")
+    timed("signatures (cold)")(sig.count())
+    timed("signatures (warm)")(sig.count())
+    // raw join volume under the current banding (maxHamming=10 → 11 bands)
+    val bands = 11
+    val bounds = (0 to bands).map(i => i * 56 / bands)
+    val bandKeys = (0 until bands).map { i =>
+      val lo = bounds(i); val w = bounds(i + 1) - lo
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("bits"))
+    }
+    val exploded = sig.select(col("id"),
+      explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+    timed("bucket stats")(exploded.groupBy("band", "bits").count()
+      .agg(max("count").as("max_bucket"),
+        sum(col("count") * col("count")).as("sum_sq_join_rows")).show())
+    // variant: 6 wider bands (9-10 bits), a-side probes hamming ≤ 1 in-band
+    // (pigeonhole: 10 errors over 6 bands → some band carries ≤ 1)
+    val b6 = 6
+    val bounds6 = (0 to b6).map(i => i * 56 / b6)
+    val keys6 = (0 until b6).map { i =>
+      val lo = bounds6(i); val w = bounds6(i + 1) - lo
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("bits"),
+        lit(w).as("w"))
+    }
+    val ex6 = sig.select(col("id"),
+      explode(array(keys6: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bits").as("bits"),
+        col("bk.w").as("w"))
+    val probes6 = ex6.select(col("id"), col("band"),
+      explode(expr("concat(array(bits), transform(sequence(0, w - 1), " +
+        "p -> bits ^ shiftleft(1L, p)))")).as("bits"))
+    timed("6x9 probe join rows")(
+      println("rows=" + probes6.as("a").join(ex6.as("b"), Seq("band", "bits")).count()))
+    timed("full pairs (cold)")(println("pairs=" + graft.operators.Dedup
+      .simhashPairs(docs, "doc_id", "text", maxHamming = 10).count()))
+    timed("full pairs (warm)")(println("pairs=" + graft.operators.Dedup
+      .simhashPairs(docs, "doc_id", "text", maxHamming = 10).count()))
     spark.stop()
   }
 

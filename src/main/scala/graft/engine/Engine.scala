@@ -15,12 +15,25 @@ import graft.types.FlinkType
   * /root/reference/dbt/adapters/decodable/impl.py:449-480):
   * watermarks (http_events.sql:6-11), primary_key (events_count.sql:10-13),
   * execution.active default true (impl.py:458-460).
+  *
+  * @param declaredFields explicit `output_stream.schema_v2.fields` — when
+  *                       non-empty, schema inference is SKIPPED and these
+  *                       fields define the stream verbatim (reference
+  *                       `populate_output_stream_spec`, impl.py:490-500
+  *                       only infers when the declared list is empty)
+  * @param columnHints    per-column `data_type` overrides from schema.yml
+  *                       (reference `_get_model_schema_hints`,
+  *                       impl.py:663-669) — merged over the inferred
+  *                       schema by name; unhinted columns keep their
+  *                       inferred type
   */
 final case class ModelConfig(
     primaryKey: Seq[String] = Nil,
     watermarks: Seq[Watermark] = Nil,
     active: Boolean = true,
-    properties: Map[String, String] = Map.empty)
+    properties: Map[String, String] = Map.empty,
+    declaredFields: Seq[SchemaField] = Nil,
+    columnHints: Map[String, FlinkType] = Map.empty)
 
 /** Operational stats for one stream ([[Engine.describeStream]]). */
 final case class StreamStats(
@@ -187,10 +200,28 @@ final class Engine(
     }
 
   private def candidateDef(name: String, sql: String, cfg: ModelConfig): StreamDef = {
-    val inferred = inferSchema(sql)
+    // explicit schema_v2.fields bypass inference entirely (impl.py:490-500);
+    // otherwise infer and let per-column data_type hints override by name
+    // (impl.py:663-669). Either way [[write]] casts the pipeline output to
+    // the declared types, so a DECIMAL declaration over a DOUBLE-inferring
+    // SELECT materializes DECIMAL.
+    val schema =
+      if (cfg.declaredFields.nonEmpty)
+        StreamSchema(cfg.declaredFields, cfg.watermarks, cfg.primaryKey)
+      else {
+        val inferred = inferSchema(sql)
+        val fields =
+          if (cfg.columnHints.isEmpty) inferred.fields
+          else inferred.fields.map {
+            case PhysicalField(n, _) if cfg.columnHints.contains(n) =>
+              PhysicalField(n, cfg.columnHints(n))
+            case f => f
+          }
+        StreamSchema(fields, cfg.watermarks, cfg.primaryKey)
+      }
     StreamDef(
       name = catalog.qualify(name),
-      schema = inferred.copy(primaryKey = cfg.primaryKey, watermarks = cfg.watermarks),
+      schema = schema,
       sql = Some(SqlDialect.rewrite(sql)),
       sources = sourcesOf(sql),
       active = cfg.active,

@@ -7,7 +7,8 @@ import com.fasterxml.jackson.core.json.JsonReadFeature
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 
-import graft.schema.Watermark
+import graft.schema.{ComputedField, MetadataField, PhysicalField, SchemaField, Watermark}
+import graft.types.FlinkType
 
 /** Minimal dbt-style project runner: a directory of `<model>.sql` files,
   * each optionally starting with a `{{ config(...) }}` block (the
@@ -75,6 +76,11 @@ final class ProjectRunner(engine: Engine) {
       .map(_.elements().asScala.map(w =>
         Watermark(w.get("name").asText(), w.get("expression").asText())).toSeq)
       .getOrElse(Nil)
+    // explicit output-stream fields (impl.py:490-500 skips inference when
+    // the model declares them); kind defaults to physical like schema.py
+    val declaredFields = at("output_stream", "schema_v2", "fields")
+      .map(_.elements().asScala.map(parseField).toSeq)
+      .getOrElse(Nil)
     val pk = at("output_stream", "schema_v2", "constraints", "primary_key")
       .map(_.elements().asScala.map(_.asText()).toSeq)
       .getOrElse(Nil)
@@ -90,7 +96,18 @@ final class ProjectRunner(engine: Engine) {
       .getOrElse(Nil)
     (ModelConfig(primaryKey = (pk ++ uniqueKey).distinct,
       watermarks = watermarks, active = active,
-      properties = startPositions), materialized)
+      properties = startPositions,
+      declaredFields = declaredFields), materialized)
+  }
+
+  private def parseField(f: JsonNode): SchemaField = {
+    val name = f.get("name").asText()
+    Option(f.get("kind")).map(_.asText()).getOrElse("physical") match {
+      case "computed" => ComputedField(name, f.get("expression").asText())
+      case "metadata" => MetadataField(name, f.get("key").asText(),
+        FlinkType.parseOrThrow(f.get("type").asText()))
+      case _ => PhysicalField(name, FlinkType.parseOrThrow(f.get("type").asText()))
+    }
   }
 
   private def splitKwargs(s: String): Seq[(String, String)] = {
@@ -147,7 +164,12 @@ final class ProjectRunner(engine: Engine) {
     */
   def run(dir: String, fullRefresh: Boolean = false,
           select: Seq[String] = Nil): Map[String, ApplyResult] = {
-    val models = loadModels(dir)
+    // schema.yml per-column data_type hints attach to models by name
+    // (reference _get_model_schema_hints, impl.py:663-669)
+    val hints = loadColumnHints(dir)
+    val models = loadModels(dir).map(m =>
+      hints.get(m.name).fold(m)(h =>
+        m.copy(config = m.config.copy(columnHints = h))))
     def depsOf(m: Model): Seq[Model] = models.filter(o =>
       o.name != m.name &&
         (referencesIdentifier(m.sql, o.name) ||
@@ -284,6 +306,37 @@ final class ProjectRunner(engine: Engine) {
       case other =>
         throw new IllegalArgumentException(s"unsupported generic test '$other'")
     }
+  }
+
+  /** Parse a dbt schema.yml's models[].columns[].data_type declarations
+    * into per-model column type hints (impl.py:663-669). */
+  def parseColumnHints(yamlText: String): Map[String, Map[String, FlinkType]] = {
+    val yaml = new ObjectMapper(new YAMLFactory())
+    val root = yaml.readTree(yamlText)
+    Option(root.get("models")).toSeq
+      .flatMap(_.elements().asScala)
+      .map { m =>
+        val cols = Option(m.get("columns")).toSeq
+          .flatMap(_.elements().asScala)
+          .flatMap(c => Option(c.get("data_type")).map(t =>
+            c.get("name").asText() -> FlinkType.parseOrThrow(t.asText())))
+          .toMap
+        m.get("name").asText() -> cols
+      }
+      .filter(_._2.nonEmpty)
+      .toMap
+  }
+
+  /** All column hints declared by yml files in a models directory. */
+  private def loadColumnHints(dir: String): Map[String, Map[String, FlinkType]] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) Map.empty
+    else scala.util.Using.resource(Files.list(p))(
+      _.iterator().asScala
+        .filter(f => f.toString.endsWith(".yml") || f.toString.endsWith(".yaml"))
+        .toSeq)
+      .flatMap(f => parseColumnHints(new String(Files.readAllBytes(f), "UTF-8")))
+      .toMap
   }
 
   /** Parse a dbt schema.yml's models[].columns[].tests into generic

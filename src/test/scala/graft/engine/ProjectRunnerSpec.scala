@@ -256,4 +256,58 @@ class ProjectRunnerSpec extends SparkSpec {
       "{{ config(materialized='view') }}\nSELECT 1 AS x".getBytes)
     intercept[IllegalArgumentException](runner.run(dir))
   }
+
+  test("declared schema_v2.fields bypass inference (impl.py:490-500)") {
+    import spark.implicits._
+    val e = new Engine(spark, tmpDir("graft-declared"))
+    val runner = new ProjectRunner(e)
+    e.createStream("raw_amt", StreamSchema(Seq(PhysicalField("x", FDouble))))
+    e.appendRows("raw_amt", Seq(1.25, 2.5).toDF("x"))
+
+    val dir = tmpDir("models-declared")
+    // avg(x) infers DOUBLE; the declared field pins DECIMAL(10, 2)
+    Files.write(Paths.get(dir, "amounts.sql"),
+      """{{ config(output_stream={"schema_v2": {"fields": [
+        |  {"name": "amt", "type": "DECIMAL(10, 2)"}]}}) }}
+        |SELECT avg(x) AS amt FROM raw_amt""".stripMargin.getBytes)
+
+    assert(runner.run(dir)("amounts") == Created)
+    val d = e.catalog.get("amounts").get
+    assert(d.schema.fields == Seq(PhysicalField("amt", FDecimal(10, 2))))
+    // the materialized data is cast to the declared type, not the inferred one
+    val row = e.preview("SELECT amt FROM amounts").head
+    assert(row.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(row.getDecimal(0) == new java.math.BigDecimal("1.88"))
+  }
+
+  test("schema.yml data_type hints override inferred column types (impl.py:663-669)") {
+    import spark.implicits._
+    val e = new Engine(spark, tmpDir("graft-hints"))
+    val runner = new ProjectRunner(e)
+    e.createStream("raw_vals", StreamSchema(Seq(PhysicalField("x", FDouble))))
+    e.appendRows("raw_vals", Seq(3.0, 4.5).toDF("x"))
+
+    val dir = tmpDir("models-hints")
+    Files.write(Paths.get(dir, "totals.sql"),
+      "SELECT sum(x) AS total, count(*) AS n FROM raw_vals".getBytes)
+    Files.write(Paths.get(dir, "schema.yml"),
+      """models:
+        |  - name: totals
+        |    columns:
+        |      - name: total
+        |        data_type: DECIMAL(12, 3)
+        |      - name: n
+        |""".stripMargin.getBytes)
+
+    assert(runner.run(dir)("totals") == Created)
+    val d = e.catalog.get("totals").get
+    // hinted column overridden; unhinted column keeps its inferred type
+    assert(d.schema.fields.head == PhysicalField("total", FDecimal(12, 3)))
+    assert(d.schema.fields(1).name == "n")
+    val row = e.preview("SELECT total, n FROM totals").head
+    assert(row.schema("total").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 3))
+    assert(row.getDecimal(0) == new java.math.BigDecimal("7.500"))
+  }
 }

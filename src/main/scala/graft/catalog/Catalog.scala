@@ -47,10 +47,35 @@ final case class StreamDef(
   }
 }
 
+/** A connection resource: the catalog entity that binds an external
+  * connector to a stream (reference connections are first-class resources
+  * with their own id + activation lifecycle, client.py:433-501; seeds
+  * create one per table, impl.py:536-547, and `cleanup` deletes them per
+  * resource type, macros/operations.sql:90-104).
+  *
+  * @param name       fully-qualified connection name (seeds share the
+  *                   stream's name, impl.py:539-541)
+  * @param connector  connector kind (`datagen|kafka|rest|s3|file`)
+  * @param connType   `source` or `sink` (api.py:46-48)
+  * @param stream     the stream this connection feeds/reads
+  * @param properties connector properties (bootstrap servers, path, …)
+  * @param active     activation state (activate/deactivate_connection,
+  *                   client.py:470-487)
+  */
+final case class ConnectionDef(
+    name: String,
+    connector: String,
+    connType: String = "source",
+    stream: String = "",
+    properties: Map[String, String] = Map.empty,
+    active: Boolean = false)
+
 /** File-backed stream registry: `<root>/_catalog/<name>.json` beside the
   * stream data dirs `<root>/<name>`. The namespace is flat (reference
   * create/drop/list_schemas are no-ops, impl.py:178-189) with an optional
   * `ns__name` prefix (macros/adapters.sql:17-28, connections.py:47).
+  * Connections live under `_catalog/_connections/<name>.json` — a separate
+  * resource type, as in the reference control plane.
   */
 final class Catalog(val root: String, val namespace: Option[String] = None) {
 
@@ -117,6 +142,64 @@ final class Catalog(val root: String, val namespace: Option[String] = None) {
       scala.util.Using.resource(Files.walk(p))(
         _.iterator().asScala.toSeq.reverse.foreach(Files.delete))
     }
+
+  // --- connection resources (client.py:433-501) ---
+
+  private def connDir: Path = catalogDir.resolve("_connections")
+
+  private def connPath(name: String): Path = {
+    Files.createDirectories(connDir)
+    connDir.resolve(s"${qualify(name)}.json")
+  }
+
+  def connectionExists(name: String): Boolean = Files.exists(connPath(name))
+
+  def putConnection(c: ConnectionDef): Unit = {
+    val q = c.copy(name = qualify(c.name), stream = qualify(c.stream))
+    val node = mapper.createObjectNode()
+    node.put("name", q.name)
+    node.put("connector", q.connector)
+    node.put("conn_type", q.connType)
+    node.put("stream", q.stream)
+    val props = node.putObject("properties")
+    q.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    node.put("active", q.active)
+    Files.write(connPath(q.name),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node).getBytes("UTF-8"))
+  }
+
+  def getConnection(name: String): Option[ConnectionDef] =
+    if (!connectionExists(name)) None
+    else {
+      val n = mapper.readTree(new String(Files.readAllBytes(connPath(name)), "UTF-8"))
+      Some(ConnectionDef(
+        name = n.get("name").asText(),
+        connector = n.get("connector").asText(),
+        connType = n.get("conn_type").asText(),
+        stream = n.get("stream").asText(),
+        properties = Option(n.get("properties")).map(p =>
+          p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty),
+        active = Option(n.get("active")).exists(_.asBoolean())))
+    }
+
+  def listConnections(): Seq[ConnectionDef] =
+    if (!Files.isDirectory(connDir)) Nil
+    else scala.util.Using.resource(Files.list(connDir)) { s =>
+      s.iterator().asScala
+        .filter(_.toString.endsWith(".json"))
+        .map(p => p.getFileName.toString.stripSuffix(".json"))
+        .toSeq
+    }.sorted.flatMap(getConnection)
+
+  def deleteConnection(name: String): Unit =
+    Files.deleteIfExists(connPath(name))
+
+  /** Connections bound to a stream (for per-resource cleanup parity). */
+  def connectionsOf(stream: String): Seq[ConnectionDef] = {
+    val q = qualify(stream)
+    listConnections().filter(_.stream == q)
+  }
 
   // --- JSON (de)serialization via jackson tree model (on Spark's classpath) ---
 

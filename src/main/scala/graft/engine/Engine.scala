@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.catalog.{Catalog, StreamDef}
+import graft.catalog.{Catalog, ConnectionDef, StreamDef}
 import graft.functions.GraftFunctions
 import graft.schema._
 import graft.types.FlinkType
@@ -411,7 +411,14 @@ final class Engine(
         df.withColumn(n, timeStringToNanos(col(n)))
       case (df, _) => df
     }
+    // seeds ingest through a rest connection resource sharing the seed's
+    // name: create + activate, send events, deactivate (impl.py:536-575) —
+    // so cleanup can later remove it per resource type (operations.sql:96-98)
+    if (!catalog.connectionExists(name))
+      createConnection(name, "rest", stream = name)
+    activateConnection(name)
     appendRows(name, converted) // write() casts to the declared schema
+    deactivateConnection(name)
     if (existed) Updated else Created
   }
 
@@ -699,7 +706,91 @@ final class Engine(
       }
     }
 
-  /** cleanup: deactivate + delete pipeline + delete stream for each target. */
+  /** cleanup: per resource type like the reference's macro
+    * (operations.sql:90-104 — models: drop_relation; seeds:
+    * delete_connection + delete_stream): for each target stream, any bound
+    * connection is deactivated and deleted first, then the stream +
+    * pipeline pair is removed. */
   def cleanup(names: Option[Seq[String]] = None): Unit =
-    targets(names).foreach(d => catalog.delete(d.name))
+    targets(names).foreach { d =>
+      catalog.connectionsOf(d.name).foreach(c => deleteConnection(c.name))
+      catalog.delete(d.name)
+    }
+
+  // ------------------------------------------------------------------
+  // Connection resources (client.py:433-501, impl.py:536-637)
+  // ------------------------------------------------------------------
+
+  /** Create a connection resource bound to `stream` (client.py:433-447
+    * creates the connection and, for seeds, its stream in one call —
+    * here the stream must already exist or be created separately).
+    * Connections start inactive, like the reference's created state. */
+  def createConnection(name: String, connector: String, stream: String,
+                       connType: String = "source",
+                       properties: Map[String, String] = Map.empty): ConnectionDef = {
+    require(graft.sources.Connectors.Supported.contains(connector) ||
+      connector == "kinesis", // name-only, like the reference api.py:38-44
+      s"unsupported connector '$connector'")
+    val c = ConnectionDef(catalog.qualify(name), connector,
+      connType, catalog.qualify(stream), properties, active = false)
+    catalog.putConnection(c)
+    c
+  }
+
+  private def requireConnection(name: String, what: String): ConnectionDef =
+    catalog.getConnection(name).getOrElse(throw new IllegalArgumentException(
+      s"Unable to $what connection: '${catalog.qualify(name)}' does not exist"))
+
+  /** activate_connection (client.py:470-478). */
+  def activateConnection(name: String): Unit = {
+    val c = requireConnection(name, "activate")
+    catalog.putConnection(c.copy(active = true))
+  }
+
+  /** Running source-bind queries per connection (data plane of an ACTIVE
+    * source connection). */
+  private val boundQueries =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.streaming.StreamingQuery]
+
+  /** Activate a source connection's data plane: open its connector and
+    * continuously append into its stream ([[graft.sources.Connectors.bindSource]]).
+    * Marks the connection active; [[deactivateConnection]] stops the query. */
+  def bindConnection(name: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val c = requireConnection(name, "bind")
+    require(c.connType == "source", s"connection '${c.name}' is not a source")
+    val startPos =
+      if (c.properties.get("start_position").contains("latest"))
+        graft.sources.Connectors.Latest
+      else graft.sources.Connectors.Earliest
+    val source = graft.sources.Connectors.open(spark,
+      graft.sources.Connectors.ConnectorSpec(c.connector, c.properties, startPos))
+    val q = graft.sources.Connectors.bindSource(this, c.stream, source, checkpoint, startPos)
+    boundQueries.put(catalog.qualify(name), q)
+    activateConnection(name)
+    q
+  }
+
+  /** deactivate_connection (client.py:480-487) — also stops a bound
+    * ingest query, if one is running. */
+  def deactivateConnection(name: String): Unit = {
+    val c = requireConnection(name, "deactivate")
+    boundQueries.remove(catalog.qualify(name)).foreach(q => if (q.isActive) q.stop())
+    catalog.putConnection(c.copy(active = false))
+  }
+
+  /** reactivate_connection (impl.py:577-586) — errors if missing, then
+    * re-activates. */
+  def reactivateConnection(name: String): Unit = {
+    requireConnection(name, "reactivate")
+    activateConnection(name)
+  }
+
+  /** delete_connection (impl.py:626-637): deactivate, then remove the
+    * resource. Errors if the connection does not exist, like the
+    * reference's raise_database_error. */
+  def deleteConnection(name: String): Unit = {
+    requireConnection(name, "delete")
+    deactivateConnection(name)
+    catalog.deleteConnection(name)
+  }
 }

@@ -103,4 +103,66 @@ class ConnectorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Connectors.open(spark, Connectors.ConnectorSpec("file"))) // missing path
   }
+
+  test("connection lifecycle: create/activate/reactivate/delete as catalog entities (impl.py:577-637)") {
+    val e = new Engine(spark, tmpDir("graft-conn-life"))
+    e.createStream("fed", StreamSchema(Seq(PhysicalField("id", FBigInt))))
+    val c = e.createConnection("fed_src", "kafka", stream = "fed",
+      properties = Map("kafka.bootstrap.servers" -> "broker:9092"))
+    assert(!c.active, "connections start inactive like the reference's created state")
+    assert(e.catalog.getConnection("fed_src").exists(!_.active))
+
+    e.activateConnection("fed_src")
+    assert(e.catalog.getConnection("fed_src").exists(_.active))
+    e.deactivateConnection("fed_src")
+    assert(e.catalog.getConnection("fed_src").exists(!_.active))
+    e.reactivateConnection("fed_src")
+    assert(e.catalog.getConnection("fed_src").exists(_.active))
+
+    // delete = deactivate + remove; missing names raise like
+    // raise_database_error (impl.py:626-637)
+    e.deleteConnection("fed_src")
+    assert(!e.catalog.connectionExists("fed_src"))
+    intercept[IllegalArgumentException](e.deleteConnection("fed_src"))
+    intercept[IllegalArgumentException](e.reactivateConnection("nope"))
+    intercept[IllegalArgumentException](e.createConnection("x", "carrier-pigeon", "fed"))
+  }
+
+  test("seeds create their rest connection; cleanup removes it with the stream (operations.sql:96-98)") {
+    val e = new Engine(spark, tmpDir("graft-conn-seed"))
+    val csv = java.nio.file.Paths.get(tmpDir("seedcsv"), "people.csv")
+    java.nio.file.Files.write(csv, "id,name\n1,ada\n2,lin\n".getBytes)
+    e.seed("people", csv.toString)
+
+    // the seed ingested through a rest connection named after it, left
+    // deactivated after sending (impl.py:560-575)
+    val conn = e.catalog.getConnection("people")
+    assert(conn.exists(c => c.connector == "rest" && c.stream == "people" && !c.active))
+    assert(e.readStream("people").count() == 2)
+
+    // cleanup drops per resource type: connection AND stream
+    e.cleanup(Some(Seq("people")))
+    assert(!e.catalog.connectionExists("people"))
+    assert(!e.catalog.exists("people"))
+  }
+
+  test("cleanup deactivates and removes a BOUND connection (running ingest stops)") {
+    import spark.implicits._
+    val dir = tmpDir("boundsrc")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/data")
+    val e = new Engine(spark, tmpDir("graft-conn-bound"))
+    e.createStream("bound", StreamSchema(Seq(
+      PhysicalField("id", FBigInt), PhysicalField("v", FString))))
+    e.createConnection("bound_src", "file", stream = "bound", properties = Map(
+      "path" -> s"$dir/data", "schema" -> "id BIGINT, v STRING"))
+    val q = e.bindConnection("bound_src", tmpDir("ckpt-bound"))
+    q.processAllAvailable()
+    assert(e.readStream("bound").count() == 2)
+    assert(e.catalog.getConnection("bound_src").exists(_.active))
+
+    e.cleanup(Some(Seq("bound")))
+    assert(!q.isActive, "cleanup must stop the bound ingest query")
+    assert(!e.catalog.connectionExists("bound_src"))
+    assert(!e.catalog.exists("bound"))
+  }
 }

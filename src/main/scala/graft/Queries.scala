@@ -646,18 +646,94 @@ object Queries {
   }
 
   /** LSH-bucketed ANN (the scale path — equi-join on sign-signature
-    * buckets instead of a cross join). Approximate by construction → no
-    * SQL oracle; recall vs brute force is asserted in SimilaritySpec. */
-  val annLshTopK: Q = noOracle("ann_lsh_topk") { (s, dir) =>
+    * buckets instead of a cross join). The sign-plane signatures are
+    * deterministic (±1 weights from [[operators.CrossHash]], sequential
+    * double fold), so the oracle replays them exactly: a bit is set when
+    * the same left-fold dot product is positive, and the 22 multi-probe
+    * masks (≤2-bit flips over 6 planes) make the candidate set precisely
+    * the hamming≤2 signature pairs. A sketch with an exact value oracle,
+    * like `dedup_simhash`. */
+  val annLshTopK: Q = q("ann_lsh_topk", {
+    val h = operators.CrossHash.duckdbHash56(
+      "'hp' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
+    s"""WITH w AS (
+       |  SELECT p, list_transform(range(64), d ->
+       |    CASE WHEN $h % 2 = 0 THEN CAST(1 AS DOUBLE)
+       |         ELSE CAST(-1 AS DOUBLE) END) AS wl
+       |  FROM (SELECT unnest(range(6)) AS p) ps),
+       |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN list_reduce(
+       |          list_transform(range(64), d -> wl[d+1] * v[d+1]),
+       |          (a, b) -> a + b) > 0
+       |        THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS sig
+       |  FROM vecs CROSS JOIN w GROUP BY vec_id),
+       |side AS (SELECT s.vec_id, s.sig, x.v FROM sigs s JOIN vecs x USING (vec_id)),
+       |cand AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    round(list_cosine_similarity(q.v, c.v), 6) AS cos
+       |  FROM side q JOIN side c
+       |    ON q.vec_id <> c.vec_id AND bit_count(xor(q.sig, c.sig)) <= 2
+       |  WHERE q.vec_id < 10)
+       |SELECT q_id, n_id, rnk, cos FROM (
+       |  SELECT q_id, n_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, n_id) AS BIGINT) AS rnk, cos
+       |  FROM cand) t
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }) { (s, dir) =>
     operators.Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryPred = col("vec_id") < 10, k = 5, dims = 64, planes = 6)
       .orderBy("q_id", "rnk")
   }
 
   /** IVF ANN (coarse quantizer + nProbe cells — the third ANN path beside
-    * brute force and LSH). Approximate → rows-only; recall asserted in
-    * OperatorsSpec. */
-  val annIvfTopK: Q = noOracle("ann_ivf_topk") { (s, dir) =>
+    * brute force and LSH). Fully deterministic: seeds are the first 16
+    * corpus vectors by id, one Lloyd iteration averages per (cell, dim)
+    * and rounds centroids to FLOAT, and every cell argmax compares
+    * round-6 cosines with a cid tie-break — so the oracle replays the
+    * whole quantizer exactly. */
+  val annIvfTopK: Q = q("ann_ivf_topk",
+    """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |seeds AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+      |  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 16)),
+      |a0 AS (
+      |  SELECT vec_id, v, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS r
+      |  FROM (SELECT x.vec_id, x.v, s.cid,
+      |          round(list_cosine_similarity(x.v, s.v), 6) AS cos
+      |        FROM vecs x CROSS JOIN seeds s) t0),
+      |refined AS (
+      |  SELECT cell AS cid, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS v
+      |  FROM (SELECT cell, dim, avg(x) AS m
+      |        FROM (SELECT cid AS cell, unnest(v) AS x,
+      |                unnest(range(len(v))) AS dim
+      |              FROM a0 WHERE r = 1) e
+      |        GROUP BY cell, dim) g
+      |  GROUP BY cell),
+      |a1 AS (
+      |  SELECT vec_id, v, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS r
+      |  FROM (SELECT x.vec_id, x.v, c.cid,
+      |          round(list_cosine_similarity(x.v, c.v), 6) AS cos
+      |        FROM vecs x CROSS JOIN refined c) t1),
+      |corpus AS (SELECT vec_id AS n_id, v AS v_n, cid AS cell FROM a1 WHERE r = 1),
+      |qprobe AS (
+      |  SELECT vec_id AS q_id, v AS v_q, cid AS cell
+      |  FROM a1 WHERE vec_id < 10 AND r <= 3),
+      |cand AS (
+      |  SELECT q.q_id, c.n_id,
+      |    round(list_cosine_similarity(q.v_q, c.v_n), 6) AS cos
+      |  FROM qprobe q JOIN corpus c USING (cell)
+      |  WHERE q.q_id <> c.n_id)
+      |SELECT q_id, n_id, rnk, cos FROM (
+      |  SELECT q_id, n_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, n_id) AS BIGINT) AS rnk, cos
+      |  FROM cand) t
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
     operators.Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3)
       .orderBy("q_id", "rnk")

@@ -87,9 +87,12 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
 
+    // assignment cosines round to 6dp with the cid tie-break, so the cell
+    // argmax is bit-stable across engines (raw-double argmax could flip on
+    // last-ulp differences vs the DuckDB oracle's list_cosine_similarity)
     def cellStructs(centroids: Seq[(Int, Seq[Float])], v: Column): Column =
       array(centroids.map { case (cid, vec) =>
-        struct(cosine(v, typedlit(vec)).as("cos"), lit(cid).as("cid"))
+        struct(round(cosine(v, typedlit(vec)), 6).as("cos"), lit(cid).as("cid"))
       }: _*)
     def nearestCell(centroids: Seq[(Int, Seq[Float])], v: Column): Column =
       array_max(cellStructs(centroids, v)).getField("cid")

@@ -740,9 +740,55 @@ object Queries {
   }
 
   /** Custom typed Aggregator: per-source MinHash union sketches →
-    * estimated cross-source Jaccard (estimate ≠ exact → rows-only;
-    * estimator accuracy asserted in OperatorsSpec). */
-  val sourceSimilarity: Q = noOracle("source_similarity") { (s, dir) =>
+    * estimated cross-source Jaccard. The estimate itself is
+    * deterministic — shingles hash through the cross-engine 56-bit hash
+    * and the SplitMix64 permutations are pure 64-bit wraparound
+    * arithmetic — so the oracle replays the whole sketch: per (group,
+    * permutation) min of mix64(h ⊕ saltⱼ) over the group's shingle-hash
+    * union (elementwise-min union == min over the union), then the
+    * match-fraction estimator. 64-bit wraparound is emulated in DuckDB
+    * with UBIGINT lanes + HUGEINT split multiplication (BIGINT overflow
+    * throws there), and mins compare SIGNED like the JVM kernel. */
+  val sourceSimilarity: Q = q("source_similarity", {
+    val numHashes = 128
+    val phi = 0x9E3779B97F4A7C15L
+    val m1 = java.lang.Long.toUnsignedString(0xBF58476D1CE4E5B9L)
+    val m2 = java.lang.Long.toUnsignedString(0x94D049BB133111EBL)
+    val salts = (1 to numHashes)
+      .map(j => java.lang.Long.toUnsignedString(j * phi) + "::UBIGINT")
+      .mkString(", ")
+    // 64-bit wraparound multiply: split v into 32-bit halves so each
+    // HUGEINT partial product stays under 2^96
+    def mw(v: String, m: String): String =
+      s"CAST((CAST($v % 4294967296 AS HUGEINT) * $m + " +
+        s"((CAST($v >> 32 AS HUGEINT) * $m) % 4294967296) * 4294967296) " +
+        s"% 18446744073709551616 AS UBIGINT)"
+    s"""WITH docs AS (
+       |  SELECT source AS grp, text FROM documents
+       |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+       |toks AS (
+       |  SELECT grp, unnest(${duckShingles(2)}) AS sh FROM docs
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |hs AS (SELECT DISTINCT grp, ${operators.CrossHash.duckdbHash56("sh")} AS h FROM toks),
+       |salts AS (SELECT unnest(range($numHashes)) AS j, unnest([$salts]) AS salt),
+       |m0 AS (SELECT grp, j, xor(CAST(h AS UBIGINT), salt) AS v FROM hs CROSS JOIN salts),
+       |m1 AS (SELECT grp, j, xor(v, v >> 30) AS v FROM m0),
+       |m2 AS (SELECT grp, j, ${mw("v", m1)} AS v FROM m1),
+       |m3 AS (SELECT grp, j, xor(v, v >> 27) AS v FROM m2),
+       |m4 AS (SELECT grp, j, ${mw("v", m2)} AS v FROM m3),
+       |m5 AS (SELECT grp, j, xor(v, v >> 31) AS v FROM m4),
+       |mins AS (
+       |  SELECT grp, j, min(CAST(CASE WHEN v >= 9223372036854775808
+       |      THEN CAST(v AS HUGEINT) - 18446744073709551616
+       |      ELSE CAST(v AS HUGEINT) END AS BIGINT)) AS m
+       |  FROM m5 GROUP BY grp, j)
+       |SELECT a.grp AS grp_a, b.grp AS grp_b,
+       |  CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $numHashes AS est_jaccard
+       |FROM mins a JOIN mins b ON a.grp < b.grp AND a.j = b.j
+       |GROUP BY a.grp, b.grp
+       |ORDER BY grp_a, grp_b""".stripMargin
+  }) { (s, dir) =>
     operators.MinHashAgg.groupSimilarity(
       t(s, dir, "documents").filter(col("source").isin("src0", "src1", "src2", "src3")),
       "source", "text")

@@ -50,14 +50,18 @@ object MinHashAgg {
     size(filter(zip_with(a, b, (x, y) => x === y), c => c))
       .cast("double") / size(a).cast("double")
 
-  /** Per-group union sketches of a text corpus: (group, sketch). */
+  /** Per-group union sketches of a text corpus: (group, sketch).
+    * Shingles hash through [[CrossHash.hash56]] (not xxhash64) so the
+    * whole sketch — input hashes AND the SplitMix64 permutations — is
+    * replayable bit-for-bit in the DuckDB oracle (`source_similarity`
+    * gate), the same differential-testing upgrade as `dedup_simhash`. */
   def groupSketches(df: DataFrame, groupCol: String, textCol: String,
                     shingleN: Int = 2, numHashes: Int = 128): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val sigs = df.select(col(groupCol).as("grp"),
       call_function("minhashes",
         array_sort(array_distinct(transform(
-          Dedup.shingles(col(textCol), shingleN), s => xxhash64(s)))),
+          Dedup.shingles(col(textCol), shingleN), s => CrossHash.hash56(s)))),
         lit(numHashes)).as("sig"))
     import df.sparkSession.implicits._
     sigs.as[(String, Array[Long])]
@@ -74,8 +78,10 @@ object MinHashAgg {
     val sk = groupSketches(df, groupCol, textCol, shingleN, numHashes)
     val a = sk.select(col("grp").as("grp_a"), col("sketch").as("sk_a"))
     val b = sk.select(col("grp").as("grp_b"), col("sketch").as("sk_b"))
+    // matches/numHashes is an exact dyadic double (numHashes is a power of
+    // two) — no rounding, so the oracle compares bit-identical values
     a.join(b, col("grp_a") < col("grp_b"))
-      .withColumn("est_jaccard", round(estimateJaccard(col("sk_a"), col("sk_b")), 6))
+      .withColumn("est_jaccard", estimateJaccard(col("sk_a"), col("sk_b")))
       .select("grp_a", "grp_b", "est_jaccard")
   }
 }

@@ -1523,6 +1523,47 @@ object Queries {
       .orderBy("doc_id", "chunk_no")
   }
 
+  /** One BPE merge round's candidate statistics: adjacent char-pair counts
+    * over all word occurrences (Sennrich et al. 2016 `get_stats`), top 25
+    * by (count desc, pair) — the tokenizer-training half of the corpus
+    * pipeline. Explode → combinable count → TakeOrdered. */
+  val bpeMerges: Q = q("bpe_merges",
+    """WITH wrds AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(len(w) - 1),
+      |    i -> substr(w, CAST(i + 1 AS INTEGER), 2))) AS pair
+      |  FROM wrds WHERE len(w) >= 2),
+      |cnt AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY pair)
+      |SELECT pair, cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rn
+      |FROM cnt ORDER BY rn LIMIT 25""".stripMargin) { (s, dir) =>
+    operators.Vocab.bpeMergeCandidates(t(s, dir, "documents"), k = 25)
+  }
+
+  /** Per-source salient terms by tf·idf (tf within source, ln(N/df) idf,
+    * round-6 for cross-engine ln parity), top 10 per source. */
+  val tfidfTerms: Q = q("tfidf_terms",
+    """WITH words AS (
+      |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |tf AS (
+      |  SELECT source, word, CAST(count(*) AS BIGINT) AS tf
+      |  FROM words GROUP BY 1, 2),
+      |df AS (
+      |  SELECT word, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
+      |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT source, word, tf, round(tf * ln(n.n / df), 6) AS tfidf
+      |  FROM tf JOIN df USING (word) CROSS JOIN n)
+      |SELECT source, word, tf, tfidf, rn FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY tfidf DESC, word) AS BIGINT) AS rn FROM scored) t
+      |WHERE rn <= 10 ORDER BY source, rn""".stripMargin) { (s, dir) =>
+    operators.Vocab.tfidfTerms(t(s, dir, "documents"), k = 10)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1548,6 +1589,6 @@ object Queries {
     tpchQ10, lengthQuantiles, topTerms,
     datasetCard, dedupCanonical, audioDecode, videoFrames,
     skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18, jpegDecode,
-    chunkWindows, pipelineCurationV2
+    chunkWindows, pipelineCurationV2, bpeMerges, tfidfTerms
   )
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-training / vocabulary operators over a text corpus — the
+  * corpus-statistics half of a training-data pipeline (the reference has
+  * no tokenizer surface; these are the standard distributed formulations).
+  *
+  * Scale shape: everything here is explode → map-side-combinable count
+  * aggregate → (optionally windowed) top-k. The only shuffles are on the
+  * count keys (pair / (source, word) / word); top-k goes through
+  * TakeOrdered or a per-group window over already-aggregated counts —
+  * at 100 TB the aggregates are the corpus-vocabulary size (millions of
+  * rows), not the corpus size.
+  */
+object Vocab {
+
+  /** Character-pair candidates for ONE BPE merge round: the count of each
+    * adjacent symbol pair across all word occurrences (weighted by
+    * occurrence, as BPE training counts — Sennrich et al. 2016's
+    * `get_stats`), ranked by (count desc, pair).
+    *
+    * @return (pair, cnt, rn) top `k` merge candidates
+    */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String = "text",
+                         k: Int = 25): DataFrame = {
+    val word = col("word")
+    // adjacent char pairs of one word: starts 1..len-1 (1-based substr);
+    // sequence() counts DOWN for len<2, so filter short words first
+    docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(word) >= 2)
+      .select(explode(transform(sequence(lit(0), length(word) - 2),
+        i => word.substr(i + 1, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair"))).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("rn")
+  }
+
+  /** Per-group salient terms by tf·idf: tf = term occurrences within the
+    * group, idf = ln(N / df) with N = corpus document count and df = number
+    * of distinct documents containing the term. Scores round to 6 dp
+    * (cross-engine ln parity, same convention as the cosine gates).
+    *
+    * @return (source, word, tf, tfidf, rn) top `k` terms per group
+    */
+  def tfidfTerms(docs: DataFrame, groupCol: String = "source",
+                 idCol: String = "doc_id", textCol: String = "text",
+                 k: Int = 10): DataFrame = {
+    val words = docs.select(col(groupCol).as("source"), col(idCol).as("did"),
+      explode(split(col(textCol), " ")).as("word"))
+    val tf = words.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+    val df = words.select("did", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    // N is a 1-row aggregate — crossJoin(broadcast(...)) keeps the plan
+    // fully distributed (no driver-side count action)
+    val n = docs.agg(countDistinct(col(idCol)).cast("double").as("n"))
+    val scored = tf.join(df, "word").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 6))
+    val w = Window.partitionBy("source").orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("source", "word", "tf", "tfidf", "rn")
+      .orderBy("source", "rn")
+  }
+}

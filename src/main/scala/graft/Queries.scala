@@ -1564,6 +1564,44 @@ object Queries {
     operators.Vocab.tfidfTerms(t(s, dir, "documents"), k = 10)
   }
 
+  /** Gopher-style quality filter decision: rule signals + keep verdict per
+    * doc. mean_word_len is one int/int double division (bit-exact both
+    * engines); stop-word counts are exact list filters. */
+  val gopherFilter: Q = q("gopher_filter", {
+    val stops = operators.TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS mean_word_len,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stops))) AS BIGINT) AS n_stop,
+       |  len(string_split(text, ' ')) BETWEEN 10 AND 100000
+       |    AND (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |         / len(string_split(text, ' '))) BETWEEN 3.0 AND 10.0
+       |    AND len(list_filter(string_split(text, ' '), w -> w IN ($stops))) >= 2
+       |    AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    operators.TextAnalysis.gopherFilter(t(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
+  /** Percentile quality prune: keep the top 40% of docs per language by
+    * (n_chars desc, doc_id) — integer rank vs ceil(frac·count), no
+    * percent_rank edge cases. */
+  val qualityTopFrac: Q = q("quality_topfrac",
+    """SELECT lang, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents) t
+      |WHERE rn <= ceil(0.4 * n)
+      |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    operators.Sampling.topFractionPerGroup(
+      t(s, dir, "documents").select("lang", "doc_id", "n_chars"),
+      Seq("lang"), "n_chars", "doc_id", frac = 0.4)
+      .orderBy("lang", "doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1589,6 +1627,7 @@ object Queries {
     tpchQ10, lengthQuantiles, topTerms,
     datasetCard, dedupCanonical, audioDecode, videoFrames,
     skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18, jpegDecode,
-    chunkWindows, pipelineCurationV2, bpeMerges, tfidfTerms
+    chunkWindows, pipelineCurationV2, bpeMerges, tfidfTerms,
+    gopherFilter, qualityTopFrac
   )
 }

@@ -127,4 +127,23 @@ object Sampling {
       .filter(col("__graft_qrn") <= n)
       .drop("__graft_qrn")
   }
+
+  /** Keep the top `frac` of each group by `(scoreCol desc, idCol)` — the
+    * percentile-thresholding quality prune (keep the best X% per
+    * language/source) without a precomputed cutoff. The threshold is
+    * `rn <= ceil(frac * group_count)` in integer space (one double
+    * multiply, computed identically by any engine) rather than
+    * percent_rank, which NaNs on single-row groups. One shuffle on the
+    * group key; rank and count share the same window partition. */
+  def topFractionPerGroup(df: DataFrame, groupCols: Seq[String],
+                          scoreCol: String, idCol: String,
+                          frac: Double): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__graft_trn", row_number().over(w).cast("long"))
+      .withColumn("__graft_tn", count(lit(1)).over(wAll))
+      .filter(col("__graft_trn") <= ceil(lit(frac) * col("__graft_tn")))
+      .drop("__graft_trn", "__graft_tn")
+  }
 }

@@ -199,6 +199,39 @@ object TextAnalysis {
     docs.select(col(idCol) +: counts :+ steps.last.as("redacted"): _*)
   }
 
+  /** Stop words for the Gopher "contains ≥2 stop words" rule (Rae et al.
+    * 2021 §A1.1 uses a similar small English function-word set). */
+  val StopWords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality filter DECISION (Rae et al. 2021 §A1.1, adapted
+    * to the word-granular corpus): per document, the rule signals and the
+    * keep verdict —
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10] characters
+    *   - at least `minStopWords` stop-word occurrences
+    * Pure per-row projection (split + codegen'd regexp counts): no
+    * shuffle, the scan prunes to (id, text). `mean_word_len` is one
+    * int/int double division — bit-identical across engines. This is the
+    * decision operator on top of the [[quality]] signal extractor. */
+  def gopherFilter(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   minWords: Int = 10, maxWords: Int = 100000,
+                   minStopWords: Int = 2): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWords = size(words).cast("long")
+    val meanLen = (length(col(textCol)) - (size(words) - 1)).cast("double") /
+      nWords.cast("double")
+    // exact occurrence count (incl. adjacent repeats, which consuming
+    // regexes undercount); one interpreted HOF pass per row is fine here
+    val nStop = size(filter(words, w => w.isin(StopWords: _*))).cast("long")
+    docs.select(col(idCol), nWords.as("n_words"),
+      meanLen.as("mean_word_len"), nStop.as("n_stop"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("n_stop") >= minStopWords)
+  }
+
   /** Repetition signals (the Gopher-rules shape, word-granular because
     * the corpus is single-line): per document —
     *   - `n_words`, `dup_word_frac`: fraction of tokens that are repeats

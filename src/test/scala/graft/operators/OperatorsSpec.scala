@@ -164,6 +164,39 @@ class OperatorsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(f1, f2))
   }
 
+  test("gopherFilter: rule boundaries and empty-text degenerate") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the and any fox did run far too big now"), // 10×3-char words
+      (1L, ""),                                      // split("") -> [""], 1 word
+      (2L, ("the quick brown foxes jumped over " * 3).trim + " of that"),
+      (3L, "supercalifragilistic antidisestablishmentarianism " * 1 + "xx")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(d, minWords = 5, minStopWords = 2)
+      .orderBy("doc_id").collect()
+    // doc 0: 10 words, mean len (39-9)/10 = 3.0 (inclusive bound), 2 stops
+    assert(got(0).getBoolean(4), "inclusive lower mean-length bound")
+    assert(got(0).getLong(3) == 2L)
+    // doc 1: 1 word, mean 0 → rejected, no division error
+    assert(!got(1).getBoolean(4) && got(1).getLong(1) == 1L)
+    // doc 2: enough words + stops, mean in range → kept
+    assert(got(2).getBoolean(4))
+    // doc 3: too few words and mean length way over 10 → rejected
+    assert(!got(3).getBoolean(4))
+  }
+
+  test("topFractionPerGroup: ceil threshold, ties by id, single-row groups survive") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L), ("a", 4L, 30L),
+      ("b", 5L, 7L)).toDF("g", "id", "score")
+    val got = Sampling.topFractionPerGroup(d, Seq("g"), "score", "id", 0.5)
+      .orderBy("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    // group a: ceil(0.5*4)=2 → the two score-30 rows, tie broken by id (2 before 4)
+    // group b: ceil(0.5*1)=1 → the single row survives (no percent_rank NaN)
+    assert(got.toSeq == Seq(("a", 2L), ("a", 4L), ("b", 5L)))
+  }
+
   test("multimodal: stub decode through mapPartitions preserves schema and count") {
     val media = Multimodal.asMediaTable(docs)
     val feats = Multimodal.extractFeatures(media)

@@ -1602,6 +1602,29 @@ object Queries {
       .orderBy("lang", "doc_id")
   }
 
+  /** Per-label embedding cohesion: centroid (FLOAT-rounded avg per dim) +
+    * mean cosine-to-centroid in exact integer micro-units — label-noise
+    * screening for classifier data. */
+  val labelCohesion: Q = q("label_cohesion",
+    """WITH vecs AS (
+      |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (
+      |  SELECT label, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS c
+      |  FROM (SELECT label, dim, avg(x) AS m
+      |        FROM (SELECT label, unnest(v) AS x,
+      |                unnest(range(len(v))) AS dim FROM vecs) e
+      |        GROUP BY label, dim) g
+      |  GROUP BY label)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(CAST(round(list_cosine_similarity(v.v, c.c) * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / (count(*) * 1000000) AS avg_cos
+      |FROM vecs v JOIN cent c USING (label)
+      |GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    operators.Similarity.labelCentroidStats(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      .orderBy("label")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1628,6 +1651,6 @@ object Queries {
     datasetCard, dedupCanonical, audioDecode, videoFrames,
     skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18, jpegDecode,
     chunkWindows, pipelineCurationV2, bpeMerges, tfidfTerms,
-    gopherFilter, qualityTopFrac
+    gopherFilter, qualityTopFrac, labelCohesion
   )
 }

@@ -129,6 +129,39 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos")
   }
 
+  /** Per-label centroid cohesion stats for labeled embeddings (classifier
+    * training-data curation: low intra-class cohesion flags label noise).
+    * Per label: vector count and mean cosine-to-centroid.
+    *
+    * Determinism recipe: centroid components round to FLOAT (like
+    * [[ivfTopK]]'s Lloyd step); each cosine converts to integer
+    * micro-units (`round(cos·1e6)`) so the per-label SUM is exact integer
+    * arithmetic — summation order cannot perturb the mean, and the final
+    * value is a single double division. Fully distributed: centroid build
+    * is a (label, dim) aggregate with map-side combine; centroids
+    * broadcast back (K×d metadata); one corpus-linear cosine pass.
+    */
+  def labelCentroidStats(emb: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(labelCol).as("label"), col(vecCol).as("v"))
+    val centroids = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(avg("x").as("m"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ms"))
+      .select(col("label"),
+        expr("transform(ms, s -> CAST(s.m AS FLOAT))").as("centroid"))
+    e.join(broadcast(centroids), "label")
+      .withColumn("micro",
+        round(cosine(col("v"), col("centroid")) * 1000000L).cast("long"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("micro").as("sum_micro"))
+      .withColumn("avg_cos",
+        col("sum_micro").cast("double") / (col("n_vecs") * 1000000L))
+      .select("label", "n_vecs", "avg_cos")
+  }
+
   /** Approximate top-k via LSH bucketing: corpus hashed to sign-signature
     * buckets once; each query multi-probes its own bucket plus every
     * 1- and 2-bit-flip neighbor (standard multi-probe — raises recall

@@ -52,7 +52,7 @@ class PlanShapeSpec extends SparkSpec {
     // (sample_split's gate aggregates counts, so it is not in this list;
     // the hashSplit operator's shuffle-freedom is asserted in CurationSpec)
     for (name <- Seq("mixture_sample", "pii_redact",
-      "text_quality", "lang_id")) {
+      "text_quality", "lang_id", "gopher_filter")) {
       val plan = executedPlan(name)
       // allow the final ORDER BY's exchange (gates sort for the oracle);
       // there must be no exchange BELOW it, i.e. at most one in total
@@ -60,5 +60,25 @@ class PlanShapeSpec extends SparkSpec {
       assert(exchanges <= 1,
         s"$name has $exchanges exchanges (expected <=1, the oracle sort):\n$plan")
     }
+  }
+
+  test("vocab counting ops partial-aggregate map-side and TakeOrdered their top-k") {
+    val bpe = executedPlan("bpe_merges")
+    // explode → count must split into partial + final hash aggregates so
+    // the shuffle carries distinct pairs, not every exploded token
+    assert("HashAggregate".r.findAllIn(bpe).size >= 2,
+      s"bpe_merges lost its partial aggregate:\n$bpe")
+    assert(!bpe.contains("CartesianProduct"), bpe)
+    val tfidf = executedPlan("tfidf_terms")
+    assert(!tfidf.contains("CartesianProduct"),
+      s"tfidf_terms must join tf to df on word (the 1-row N is a " +
+        s"broadcast nested loop, never a cartesian):\n$tfidf")
+  }
+
+  test("label cohesion broadcasts centroids back, never shuffling the corpus twice") {
+    val plan = executedPlan("label_cohesion")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join must broadcast the K-row centroid side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 }

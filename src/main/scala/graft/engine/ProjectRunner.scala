@@ -227,19 +227,54 @@ final class ProjectRunner(engine: Engine) {
   }
 
   /** Materialize every `*.csv` in a dbt-style `seeds/` directory
-    * (macros/materializations/seed/seed.sql:17-61). Missing dir → no-op. */
+    * (macros/materializations/seed/seed.sql:17-61). Missing dir → no-op.
+    * Per-seed `config.column_types` declared in the directory's yml
+    * properties files override type inference per column, like the
+    * reference's `column_override` (`create_seed_table`,
+    * impl.py:516-531 — unknown type strings fall back to inferred). */
   def runSeeds(dir: String, fullRefresh: Boolean = false): Map[String, ApplyResult] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) Map.empty
-    else scala.util.Using.resource(Files.list(p))(
-      _.iterator().asScala
-        .filter(_.toString.endsWith(".csv"))
-        .toSeq)
-      .sortBy(_.getFileName.toString)
-      .map { f =>
-        val name = f.getFileName.toString.stripSuffix(".csv")
-        name -> engine.seed(name, f.toString, fullRefresh = fullRefresh)
+    else {
+      val overrides = loadSeedColumnTypes(dir)
+      scala.util.Using.resource(Files.list(p))(
+        _.iterator().asScala
+          .filter(_.toString.endsWith(".csv"))
+          .toSeq)
+        .sortBy(_.getFileName.toString)
+        .map { f =>
+          val name = f.getFileName.toString.stripSuffix(".csv")
+          name -> engine.seed(name, f.toString,
+            columnTypes = overrides.getOrElse(name, Map.empty),
+            fullRefresh = fullRefresh)
+        }.toMap
+    }
+  }
+
+  /** Parse dbt seed properties: `seeds: [{name, config: {column_types:
+    * {col: TYPE}}}]` → per-seed column type strings. */
+  def parseSeedColumnTypes(yamlText: String): Map[String, Map[String, String]] = {
+    val yaml = new ObjectMapper(new YAMLFactory())
+    val root = yaml.readTree(yamlText)
+    Option(root.get("seeds")).toSeq
+      .flatMap(_.elements().asScala)
+      .flatMap { s =>
+        val types = Option(s.get("config")).flatMap(c => Option(c.get("column_types")))
+          .map(ct => ct.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty)
+        if (types.isEmpty) None else Some(s.get("name").asText() -> types)
       }.toMap
+  }
+
+  private def loadSeedColumnTypes(dir: String): Map[String, Map[String, String]] = {
+    val p = Paths.get(dir)
+    scala.util.Using.resource(Files.list(p))(
+      _.iterator().asScala
+        .filter(f => f.toString.endsWith(".yml") || f.toString.endsWith(".yaml"))
+        .toSeq)
+      .flatMap(f => parseSeedColumnTypes(new String(Files.readAllBytes(f), "UTF-8")))
+      .toMap
   }
 
   /** Full dbt-style project build: CSV seeds under `seeds` first (models

@@ -257,6 +257,35 @@ class ProjectRunnerSpec extends SparkSpec {
     intercept[IllegalArgumentException](runner.run(dir))
   }
 
+  test("seed column_types from yml properties override inference (impl.py:516-531)") {
+    val e = new Engine(spark, tmpDir("graft-seedtypes"))
+    val runner = new ProjectRunner(e)
+    val root = tmpDir("proj-seedtypes")
+    val seeds = Paths.get(root, "seeds")
+    Files.createDirectories(seeds)
+    Files.createDirectories(Paths.get(root, "models"))
+    Files.write(seeds.resolve("prices.csv"), "sku,amount\na,1.5\nb,2.25\n".getBytes)
+    Files.write(seeds.resolve("schema.yml"),
+      """seeds:
+        |  - name: prices
+        |    config:
+        |      column_types:
+        |        amount: DECIMAL(8, 2)
+        |        bogus_column: NO_SUCH_TYPE
+        |""".stripMargin.getBytes)
+
+    assert(runner.runProject(root)("prices") == Created)
+    val d = e.catalog.get("prices").get
+    // amount: DOUBLE inferred, DECIMAL declared; unknown override strings
+    // fall back to inferred silently (impl.py:521-527)
+    assert(d.schema.fields.find(_.name == "amount").get ==
+      PhysicalField("amount", FDecimal(8, 2)))
+    val row = e.preview("SELECT amount FROM prices ORDER BY sku").head
+    assert(row.schema("amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(8, 2))
+    assert(row.getDecimal(0) == new java.math.BigDecimal("1.50"))
+  }
+
   test("declared schema_v2.fields bypass inference (impl.py:490-500)") {
     import spark.implicits._
     val e = new Engine(spark, tmpDir("graft-declared"))

@@ -152,7 +152,11 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ms"))
       .select(col("label"),
         expr("transform(ms, s -> CAST(s.m AS FLOAT))").as("centroid"))
-    e.join(broadcast(centroids), "label")
+    // null-safe join key: the unlabeled bucket is a real group (GROUP BY
+    // keeps nulls), so the centroid re-join must not drop it
+    e.join(broadcast(centroids.withColumnRenamed("label", "c_label")),
+        col("label") <=> col("c_label"))
+      .drop("c_label")
       .withColumn("micro",
         round(cosine(col("v"), col("centroid")) * 1000000L).cast("long"))
       .groupBy("label")

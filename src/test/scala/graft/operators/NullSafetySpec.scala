@@ -76,4 +76,54 @@ class NullSafetySpec extends SparkSpec {
     assert(card.count() == 3) // (s1,en)×2 merge; (null,de); (s2,null)
     assert(card.agg(sum("n_docs")).head().getLong(0) == 4)
   }
+
+  test("gopherFilter: null text yields null signals and a non-keep verdict, never a throw") {
+    val out = TextAnalysis.gopherFilter(docs, minWords = 1, minStopWords = 0)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    // null text → null rule columns → keep is null (three-valued AND),
+    // which every filter treats as not-kept
+    assert(out(1).isNullAt(out(1).fieldIndex("keep")) ||
+      !out(1).getBoolean(out(1).fieldIndex("keep")))
+    // empty text: 1 word of length 0 — rejected on mean length, no ANSI error
+    assert(!out(2).getBoolean(out(2).fieldIndex("keep")))
+  }
+
+  test("vocab operators drop null text rather than counting phantom pairs") {
+    assert(Vocab.bpeMergeCandidates(docs.filter(col("doc_id") === 2)).count() == 0)
+    val pairs = Vocab.bpeMergeCandidates(docs)
+    assert(pairs.filter(col("pair").isNull).count() == 0)
+    // tf·idf: null-text docs contribute no words; null group key groups
+    // like SQL GROUP BY; no throw
+    val terms = Vocab.tfidfTerms(docs)
+    assert(terms.filter(col("word").isNull).count() == 0)
+  }
+
+  test("topFractionPerGroup: null scores sort last and single/null groups survive") {
+    import spark.implicits._
+    val d = Seq[(String, java.lang.Long, java.lang.Long)](
+      ("a", 1L, 5L), ("a", 2L, null), (null, 3L, 1L))
+      .toDF("g", "id", "score")
+    val kept = Sampling.topFractionPerGroup(d, Seq("g"), "score", "id", 0.5)
+      .collect().map(_.getLong(1)).toSet
+    // group a: ceil(0.5*2)=1 → the non-null score wins (desc sort puts
+    // nulls last); null group: its own group, survives
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("labelCentroidStats: null vectors/labels never poison centroids") {
+    import spark.implicits._
+    val d = Seq[(java.lang.Long, Array[Float], java.lang.Integer)](
+      (1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0),
+      (3L, null, 0), (4L, Array(1f, 1f), null))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidStats(d, "vec_id", "embedding", "label")
+      .orderBy("label").collect()
+    // posexplode drops the null vector from the centroid; the cosine pass
+    // emits null micro for it, which sum() skips — n_vecs still counts it
+    assert(out.length == 2)
+    val l0 = out.find(r => !r.isNullAt(0)).get
+    assert(l0.getLong(1) == 3L)
+    assert(!l0.isNullAt(2))
+  }
 }

@@ -1625,6 +1625,55 @@ object Queries {
       .orderBy("label")
   }
 
+  /** Round-3 capstone: quality-curation pipeline chaining the decision /
+    * prune / sample / profile operators — Gopher rule filter → keep the
+    * top 60% per language by length → 30-doc quota per source (salted
+    * hash order) → dataset card of the survivors. One lazy DAG; every
+    * stage deterministic, so the oracle replays all four. */
+  val pipelineQualityV3: Q = q("pipeline_quality_v3", {
+    val stops = operators.TextAnalysis.StopWords.map(w => s"'$w'").mkString(", ")
+    val bucket = operators.Sampling.duckdbHashBucket("doc_id", "v3", 1 << 30)
+    s"""WITH flags AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE len(string_split(text, ' ')) BETWEEN 10 AND 100000
+       |    AND (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |         / len(string_split(text, ' '))) BETWEEN 3.0 AND 10.0
+       |    AND len(list_filter(string_split(text, ' '), w -> w IN ($stops))) >= 2),
+       |kept AS (SELECT d.* FROM documents d JOIN flags USING (doc_id)),
+       |pruned AS (
+       |  SELECT * FROM (
+       |    SELECT *,
+       |      row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn,
+       |      count(*) OVER (PARTITION BY lang) AS n
+       |    FROM kept) t WHERE rn <= ceil(0.6 * n)),
+       |sampled AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY $bucket, doc_id) AS qrn
+       |    FROM pruned) t WHERE qrn <= 30)
+       |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(min(n_tok) AS BIGINT) AS min_tokens,
+       |  CAST(max(n_tok) AS BIGINT) AS max_tokens,
+       |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       |  round(CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS short_doc_frac
+       |FROM (SELECT source, lang,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |      FROM sampled)
+       |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+  }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val kept = docs.join(
+      operators.TextAnalysis.gopherFilter(docs)
+        .filter(col("keep")).select("doc_id"), "doc_id")
+    val pruned = operators.Sampling.topFractionPerGroup(
+      kept, Seq("lang"), "n_chars", "doc_id", frac = 0.6)
+    val sampled = operators.Sampling.quotaPerGroup(
+      pruned, Seq("source"), "doc_id", n = 30, salt = "v3")
+    operators.TextAnalysis.datasetCard(sampled).orderBy("source", "lang")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1651,6 +1700,6 @@ object Queries {
     datasetCard, dedupCanonical, audioDecode, videoFrames,
     skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18, jpegDecode,
     chunkWindows, pipelineCurationV2, bpeMerges, tfidfTerms,
-    gopherFilter, qualityTopFrac, labelCohesion
+    gopherFilter, qualityTopFrac, labelCohesion, pipelineQualityV3
   )
 }

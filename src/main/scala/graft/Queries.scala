@@ -1674,6 +1674,37 @@ object Queries {
     operators.TextAnalysis.datasetCard(sampled).orderBy("source", "lang")
   }
 
+  /** Unigram log-perplexity quality score per doc (corpus-as-LM): exact
+    * integer micro-unit sums, one double division. */
+  val unigramPpl: Q = q("unigram_logppl",
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |vocab AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+      |total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+      |scored AS (
+      |  SELECT word, CAST(round(ln(cnt / total.total) * 1000000) AS BIGINT) AS lp
+      |  FROM vocab CROSS JOIN total)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  -CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000) AS avg_neg_logp
+      |FROM words JOIN scored USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Vocab.unigramLogPerplexity(t(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
+  /** JSON field extraction from a string column (the semi-structured ETL
+    * hop: events.props carries a JSON payload). */
+  val jsonExtract: Q = q("json_extract",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """SELECT event_id,
+        |  CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1700,6 +1731,7 @@ object Queries {
     datasetCard, dedupCanonical, audioDecode, videoFrames,
     skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18, jpegDecode,
     chunkWindows, pipelineCurationV2, bpeMerges, tfidfTerms,
-    gopherFilter, qualityTopFrac, labelCohesion, pipelineQualityV3
+    gopherFilter, qualityTopFrac, labelCohesion, pipelineQualityV3,
+    unigramPpl, jsonExtract
   )
 }

@@ -41,6 +41,37 @@ object Vocab {
       .orderBy("rn")
   }
 
+  /** Unigram log-perplexity scoring (the perplexity-filter shape of CCNet/
+    * RedPajama quality pipelines, with the corpus itself as the LM): each
+    * document's mean negative log-probability under the corpus unigram
+    * distribution. High scores flag gibberish / rare-token soup.
+    *
+    * Determinism: per-word logprobs convert to integer micro-units
+    * (`round(ln(cnt/total)·1e6)`), per-doc SUMS are exact integer
+    * arithmetic, and the mean is one double division — same recipe as
+    * [[Similarity.labelCentroidStats]]. Scale shape: one vocab aggregate
+    * (map-side combine), corpus total as a broadcast 1-row aggregate, one
+    * shuffle join words→vocab (vocab may exceed broadcast size at 100 TB,
+    * so no broadcast hint on it), one per-doc aggregate.
+    */
+  def unigramLogPerplexity(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol).as("did"),
+      explode(split(col(textCol), " ")).as("word"))
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").cast("double").as("total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .withColumn("lp_micro",
+        round(log(col("cnt") / col("total")) * 1000000L).cast("long"))
+      .select("word", "lp_micro")
+    words.join(scored, "word")
+      .groupBy(col("did").as(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("lp_micro").as("s"))
+      .withColumn("avg_neg_logp",
+        -col("s").cast("double") / (col("n_words") * 1000000L))
+      .select(idCol, "n_words", "avg_neg_logp")
+  }
+
   /** Per-group salient terms by tf·idf: tf = term occurrences within the
     * group, idf = ln(N / df) with N = corpus document count and df = number
     * of distinct documents containing the term. Scores round to 6 dp

@@ -58,15 +58,19 @@ object Vocab {
                            textCol: String = "text"): DataFrame = {
     val words = docs.select(col(idCol).as("did"),
       explode(split(col(textCol), " ")).as("word"))
-    val vocab = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    // pre-aggregate to distinct (doc, word) term frequencies so the
+    // vocab join shuffles doc-vocabulary rows, not every token
+    // occurrence — at corpus scale that is the repetition factor saved
+    val docTf = words.groupBy("did", "word").agg(count(lit(1)).as("tf"))
+    val vocab = docTf.groupBy("word").agg(sum("tf").as("cnt"))
     val total = vocab.agg(sum("cnt").cast("double").as("total"))
     val scored = vocab.crossJoin(broadcast(total))
       .withColumn("lp_micro",
         round(log(col("cnt") / col("total")) * 1000000L).cast("long"))
       .select("word", "lp_micro")
-    words.join(scored, "word")
+    docTf.join(scored, "word")
       .groupBy(col("did").as(idCol))
-      .agg(count(lit(1)).as("n_words"), sum("lp_micro").as("s"))
+      .agg(sum("tf").as("n_words"), sum(col("lp_micro") * col("tf")).as("s"))
       .withColumn("avg_neg_logp",
         -col("s").cast("double") / (col("n_words") * 1000000L))
       .select(idCol, "n_words", "avg_neg_logp")

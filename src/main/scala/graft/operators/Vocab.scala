@@ -86,11 +86,18 @@ object Vocab {
   def tfidfTerms(docs: DataFrame, groupCol: String = "source",
                  idCol: String = "doc_id", textCol: String = "text",
                  k: Int = 10): DataFrame = {
-    val words = docs.select(col(groupCol).as("source"), col(idCol).as("did"),
+    // one corpus explode → per-(doc, word) term counts; tf and df both
+    // derive from that (much smaller) frame. Persisted because two
+    // aggregations consume it — without it Catalyst plans the corpus
+    // scan + explode twice (no exchange reuse across the two shuffles)
+    val docTf = docs.select(col(groupCol).as("source"), col(idCol).as("did"),
       explode(split(col(textCol), " ")).as("word"))
-    val tf = words.groupBy("source", "word").agg(count(lit(1)).as("tf"))
-    val df = words.select("did", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+      .groupBy("source", "did", "word").agg(count(lit(1)).as("wtf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = docTf.groupBy("source", "word").agg(sum("wtf").as("tf"))
+    // docTf rows are distinct (doc, word) pairs (each doc has one
+    // source), so df is a plain row count per word
+    val df = docTf.groupBy("word").agg(count(lit(1)).as("df"))
     // N is a 1-row aggregate — crossJoin(broadcast(...)) keeps the plan
     // fully distributed (no driver-side count action)
     val n = docs.agg(countDistinct(col(idCol)).cast("double").as("n"))

@@ -60,8 +60,10 @@ object Vocab {
       explode(split(col(textCol), " ")).as("word"))
     // pre-aggregate to distinct (doc, word) term frequencies so the
     // vocab join shuffles doc-vocabulary rows, not every token
-    // occurrence — at corpus scale that is the repetition factor saved
+    // occurrence — at corpus scale that is the repetition factor saved.
+    // Persisted: both the vocab derivation and the score join consume it
     val docTf = words.groupBy("did", "word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = docTf.groupBy("word").agg(sum("tf").as("cnt"))
     val total = vocab.agg(sum("cnt").cast("double").as("total"))
     val scored = vocab.crossJoin(broadcast(total))

@@ -1293,6 +1293,41 @@ object Queries {
       | GROUP BY l_returnflag, l_linestatus
       | ORDER BY l_returnflag, l_linestatus""".stripMargin)
 
+  /** TPC-H Q6 (forecasting revenue change): the pure filter-aggregate —
+    * every predicate must push to the scan, no shuffle but the final
+    * 1-row combine. */
+  val tpchQ6: Q = sqlBoth("tpch_q6", Seq("lineitem"),
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |  * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |   AND l_discount BETWEEN 0.05 AND 0.07
+      |   AND l_quantity < 24""".stripMargin)
+
+  /** TPC-H Q13 (customer order-count distribution): left join preserving
+    * order-less customers → two-level aggregate histogram. */
+  val tpchQ13: Q = sqlBoth("tpch_q13", Seq("customer", "orders"),
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) c_orders
+      | GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+
+  /** TPC-H Q22 shape (global sales opportunity; adapted — the testdata's
+    * customer has no phone cntrycode and every customer has SOME order,
+    * so the anti-join keys on recent orders): above-average-balance
+    * customers lapsed since 2001, per nation. Scalar subquery threshold
+    * + anti join with a pushed-down date predicate. */
+  val tpchQ22: Q = sqlBoth("tpch_q22_shape", Seq("customer", "orders"),
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      | FROM customer
+      | WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                   AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      | GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+
   /** TPC-H Q18 shape (large-quantity orders): per-order aggregate →
     * semi-join back to the fact, customer broadcast. */
   val tpchQ18: Q = sqlBoth("tpch_q18", Seq("customer", "orders", "lineitem"),
@@ -1732,6 +1767,6 @@ object Queries {
     skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18, jpegDecode,
     chunkWindows, pipelineCurationV2, bpeMerges, tfidfTerms,
     gopherFilter, qualityTopFrac, labelCohesion, pipelineQualityV3,
-    unigramPpl, jsonExtract
+    unigramPpl, jsonExtract, tpchQ6, tpchQ13, tpchQ22
   )
 }

@@ -52,6 +52,43 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopher filter + stateful exact dedup curate a stream across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // decision filter is a stateless projection; cross-batch exact dedup
+    // is Structured Streaming's own state store via dropDuplicates on the
+    // content hash — the streaming twin of Dedup.exactByHash
+    val curated = docs
+      .join(TextAnalysis.gopherFilter(docs, minWords = 4, minStopWords = 1)
+        .select("doc_id", "keep"), "doc_id")
+      .filter(col("keep"))
+      .withColumn("content_key", md5(col("text")))
+      .dropDuplicates("content_key")
+
+    val q = curated.writeStream.format("memory").queryName("gcur")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown foxes jumped clean"),
+        (2L, "bad"), // too few words → filtered by the rule
+        (3L, "the quick brown foxes jumped clean")) // dup of 1 in-batch
+      q.processAllAvailable()
+      input.addData(
+        (4L, "the quick brown foxes jumped clean"), // dup of 1 ACROSS batches
+        (5L, "with some other perfectly fine words"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM gcur ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      // one survivor per content, rule-rejects gone, state spans batches
+      assert(ids.length == 2)
+      assert(ids.head == 1L || ids.head == 3L)
+      assert(ids.last == 5L)
+    } finally q.stop()
+  }
+
   test("streaming near-dup signatures: minhash bands as a stateless projection") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -208,6 +208,52 @@ object Queries {
       .orderBy("hour_start", "event_type")
   }
 
+  /** ST5 hopping (sliding) windows: 1-hour windows every 30 minutes —
+    * each event lands in exactly two windows. The oracle derives both
+    * epoch-aligned window starts per event explicitly. */
+  val windowHopping: Q = q("window_hopping",
+    """WITH e AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events),
+      |b AS (
+      |  SELECT t, event_type, value,
+      |    date_trunc('hour', t) + CASE WHEN minute(t) >= 30
+      |      THEN INTERVAL '30 minutes' ELSE INTERVAL '0 minutes' END AS slot
+      |  FROM e),
+      |w AS (
+      |  SELECT event_type, value,
+      |    unnest([slot, slot - INTERVAL '30 minutes']) AS win_start
+      |  FROM b)
+      |SELECT win_start, event_type, count(*) AS n,
+      |  min(value) AS min_v, max(value) AS max_v
+      |FROM w GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min("value").as("min_v"), max("value").as("max_v"))
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"), col("min_v"), col("max_v"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Pivot: event counts per user, one static column per event type —
+    * the dynamic-to-columnar reshape (`RelationalGroupedDataset.pivot`);
+    * the oracle spells the same thing as conditional aggregates. */
+  val pivotCounts: Q = q("pivot_counts",
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(coalesce(count(lit(1)), lit(0L)))
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+      .orderBy("user_id")
+  }
+
   /** ST5 session windows, batch-checkable: Spark `session_window` (30-min
     * gap) vs a gaps-and-islands oracle. Spark's window end is exclusive —
     * an event exactly gap-after the previous one starts a NEW session —
@@ -1767,6 +1813,7 @@ object Queries {
     skewSaltedAgg, skewSaltedJoin, tpchQ1, tpchQ18, jpegDecode,
     chunkWindows, pipelineCurationV2, bpeMerges, tfidfTerms,
     gopherFilter, qualityTopFrac, labelCohesion, pipelineQualityV3,
-    unigramPpl, jsonExtract, tpchQ6, tpchQ13, tpchQ22
+    unigramPpl, jsonExtract, tpchQ6, tpchQ13, tpchQ22,
+    windowHopping, pivotCounts
   )
 }

@@ -480,6 +480,39 @@ object Queries {
       .orderBy("custkey")
   }
 
+  /** EXCEPT ALL — multiplicity-preserving set difference (a distinct
+    * planner path from the distinct-folding EXCEPT). */
+  val setExceptAll: Q = q("set_except_all",
+    """SELECT et FROM (SELECT event_type AS et FROM events
+      |   EXCEPT ALL SELECT event_type FROM events WHERE event_id % 2 = 0) t
+      | ORDER BY et""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(
+      """SELECT et FROM (SELECT event_type AS et FROM events
+        |   EXCEPT ALL SELECT event_type FROM events WHERE event_id % 2 = 0) t
+        | ORDER BY et""".stripMargin)
+  }
+
+  /** Correlated scalar subquery (RewriteCorrelatedScalarSubquery path):
+    * each order's share of its customer's total spend. DECIMAL sums are
+    * order-independent; one double division, round-6. */
+  val correlatedScalar: Q = q("correlated_scalar",
+    """SELECT o_orderkey,
+      |  round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+      |    / CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+      |            FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE),
+      |    6) AS spend_share
+      | FROM orders o ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |  round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |    / CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+        |            FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE),
+        |    6) AS spend_share
+        | FROM orders o ORDER BY o_orderkey""".stripMargin)
+  }
+
   // ---------------------------------------------------------------------
   // §2.6 engine lifecycle proven through the driver gate: the full
   // seed → stream → model → read path runs inside these queries.
@@ -1814,6 +1847,6 @@ object Queries {
     chunkWindows, pipelineCurationV2, bpeMerges, tfidfTerms,
     gopherFilter, qualityTopFrac, labelCohesion, pipelineQualityV3,
     unigramPpl, jsonExtract, tpchQ6, tpchQ13, tpchQ22,
-    windowHopping, pivotCounts
+    windowHopping, pivotCounts, setExceptAll, correlatedScalar
   )
 }

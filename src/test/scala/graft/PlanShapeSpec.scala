@@ -36,6 +36,15 @@ class PlanShapeSpec extends SparkSpec {
       s"shipdate predicate not pushed:\n$plan")
     // projection pruning: the 16-column lineitem scan reads only 4 columns
     assert(!plan.contains("l_comment"), s"scan not column-pruned:\n$plan")
+    // tpch_q6 is the pure filter-aggregate: all four predicates reach the
+    // scan (formatted mode — plain toString truncates PushedFilters)
+    val q6 = Queries.all.find(_.name == "tpch_q6").get.fn(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    for (pushed <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity"))
+      assert(q6.contains(pushed), s"q6 predicate $pushed not pushed:\n$q6")
   }
 
   test("top-k plans as TakeOrdered, not global sort") {

@@ -1819,6 +1819,24 @@ object Queries {
         |FROM events ORDER BY event_id""".stripMargin)
   }
 
+  /** Real BMP decode — lossless, so the full pixel channel sums oracle
+    * exactly (the PNG gate's differential twin through a second codec). */
+  val bmpDecode: Q = q("bmp_decode",
+    """WITH d AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 32 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(range(w * h)) AS k FROM d)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(sum((doc_id * 31 + (3 * k + 0) * 7) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id * 31 + (3 * k + 1) * 7) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id * 31 + (3 * k + 2) * 7) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Multimodal.decodeBmpChannelSums(
+      operators.Multimodal.asBmpTable(t(s, dir, "documents")))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1847,6 +1865,6 @@ object Queries {
     chunkWindows, pipelineCurationV2, bpeMerges, tfidfTerms,
     gopherFilter, qualityTopFrac, labelCohesion, pipelineQualityV3,
     unigramPpl, jsonExtract, tpchQ6, tpchQ13, tpchQ22,
-    windowHopping, pivotCounts, setExceptAll, correlatedScalar
+    windowHopping, pivotCounts, setExceptAll, correlatedScalar, bmpDecode
   )
 }

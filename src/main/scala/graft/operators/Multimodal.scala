@@ -339,6 +339,70 @@ object Multimodal {
     }(enc)
   }
 
+  /** Real BMP via the same ImageIO codec family — LOSSLESS, so unlike
+    * JPEG the pixel values round-trip exactly and the gate checks the
+    * full closed-form channel sums (the PNG oracle's differential twin
+    * through a second container format). */
+  def synthBmp(docId: Long): Array[Byte] = {
+    val (w, h) = pngDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = 3L * (y * w + x)
+        img.setRGB(x, y,
+          (pngPixel(docId, base) << 16) | (pngPixel(docId, base + 1) << 8)
+            | pngPixel(docId, base + 2))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  /** BMP table with genuine DIB payloads. */
+  def asBmpTable(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => synthBmp(id))
+    docs.select(col("doc_id"), lit("image").as("modality"),
+      gen(col("doc_id")).as("content"))
+  }
+
+  /** Exact per-channel sums from a decoded BMP (lossless round trip). */
+  def decodeBmpChannelSums(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")))
+        require(img != null, "undecodable BMP payload")
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getAs[Long]("doc_id"), img.getWidth.toLong, img.getHeight.toLong,
+          sr, sg, sb)
+      }
+    }(enc)
+  }
+
   // ------------------------------------------------------------ real AVI
 
   /** Frame-pixel generator: byte `j` of frame `f` in doc `docId` is

@@ -64,6 +64,30 @@ object ScaleCheck {
       println(s"[scale] ngram pairs x$n = $nj")
       docs.unpersist()
     }
+
+    // ANN paths over a Kx embedding corpus: queries stay fixed (10), the
+    // corpus grows — brute force must grow linearly, the bucketed paths
+    // with corpus-side bucketing only (no pair blowup: top-k output is
+    // fixed at |Q|·k regardless of corpus size)
+    val embBase = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    def embReplicated(n: Int): DataFrame =
+      (0 until n).map(i => embBase.select(
+        (col("vec_id") + lit(i * offset)).as("vec_id"), col("embedding")))
+        .reduce(_ unionAll _)
+    import graft.operators.Similarity
+    for (n <- Seq(1, k)) {
+      val emb = embReplicated(n).persist()
+      println(s"[scale] embeddings x$n = ${emb.count()} vecs")
+      if (n == 1) { Similarity.lshTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, 5, 64, 6).count() }
+      time(s"ann_brute x$n")(Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", col("vec_id") < 10, 5).count())
+      time(s"ann_lsh x$n")(Similarity.lshTopK(
+        emb, "vec_id", "embedding", col("vec_id") < 10, 5, 64, 6).count())
+      time(s"ann_ivf x$n")(Similarity.ivfTopK(
+        emb, "vec_id", "embedding", col("vec_id") < 10, 5, 16, 3).count())
+      emb.unpersist()
+    }
     spark.stop()
   }
 }

@@ -29,4 +29,27 @@ class MultimodalSpec extends SparkSpec {
     val bytes = Multimodal.synthJpeg(5L)
     assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
   }
+
+  test("BMP round trip is lossless and agrees with the closed-form pixels") {
+    for (id <- Seq(0L, 7L, 31L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthBmp(id)))
+      val (w, h) = Multimodal.pngDims(id)
+      assert(img.getWidth == w && img.getHeight == h)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      }
+      val exp = (0 until w * h).map(k => (
+        Multimodal.pngPixel(id, 3L * k), Multimodal.pngPixel(id, 3L * k + 1),
+        Multimodal.pngPixel(id, 3L * k + 2)))
+      assert((sr, sg, sb) ==
+        (exp.map(_._1.toLong).sum, exp.map(_._2.toLong).sum, exp.map(_._3.toLong).sum),
+        s"doc $id: BMP pixels drifted — the codec must be lossless")
+      // the payload really is BMP
+      val bytes = Multimodal.synthBmp(id)
+      assert(bytes(0) == 'B' && bytes(1) == 'M')
+    }
+  }
 }

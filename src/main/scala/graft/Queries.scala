@@ -403,6 +403,27 @@ object Queries {
       .orderBy("c_custkey")
   }
 
+  /** Full outer join — both sides restricted so left-only (small customers
+    * without a jumbo order) AND right-only (jumbo orders of large-key
+    * customers) rows survive; the coalesced key keeps the ORDER BY total
+    * and null-free on both engines. */
+  val joinFull: Q = q("join_full",
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+      |  c.c_custkey AS matched_cust, o.o_orderkey, o.o_totalprice
+      | FROM (SELECT * FROM customer WHERE c_custkey <= 100) c
+      | FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      |   ON c.c_custkey = o.o_custkey
+      | ORDER BY custkey, coalesce(o.o_orderkey, -1)""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer").filter(col("c_custkey") <= 100)
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").as("matched_cust"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("custkey"), coalesce(col("o_orderkey"), lit(-1L)))
+  }
+
   val windowRank: Q = q("window_rank",
     """SELECT o_custkey, o_orderkey, rnk FROM (
       |  SELECT o_custkey, o_orderkey,
@@ -1407,6 +1428,35 @@ object Queries {
       |                   AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
       | GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
 
+  /** TPC-H Q12 shape (priority shipping audit; adapted — the testdata has
+    * no l_shipmode, so lines group by l_linestatus): orders⋈lineitem with
+    * a pushed-down shipdate range, conditional counts by order priority. */
+  val tpchQ12: Q = sqlBoth("tpch_q12_shape", Seq("orders", "lineitem"),
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      | GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+
+  /** TPC-H Q19 shape (discounted revenue over disjunctive brand/size/
+    * quantity clauses; adapted — no p_container in the testdata). The
+    * planner-interesting part survives: each disjunct spans both join
+    * sides, so only the per-side OR-envelope can push below the join. */
+  val tpchQ19: Q = sqlBoth("tpch_q19_shape", Seq("lineitem", "part"),
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |  * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      | FROM lineitem JOIN part ON p_partkey = l_partkey
+      | WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity BETWEEN 1 AND 21)
+      |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+      |        AND l_quantity BETWEEN 10 AND 30)
+      |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45
+      |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin)
+
   /** TPC-H Q18 shape (large-quantity orders): per-order aggregate →
     * semi-join back to the fact, customer broadcast. */
   val tpchQ18: Q = sqlBoth("tpch_q18", Seq("customer", "orders", "lineitem"),
@@ -1865,6 +1915,7 @@ object Queries {
     chunkWindows, pipelineCurationV2, bpeMerges, tfidfTerms,
     gopherFilter, qualityTopFrac, labelCohesion, pipelineQualityV3,
     unigramPpl, jsonExtract, tpchQ6, tpchQ13, tpchQ22,
-    windowHopping, pivotCounts, setExceptAll, correlatedScalar, bmpDecode
+    windowHopping, pivotCounts, setExceptAll, correlatedScalar, bmpDecode,
+    joinFull, tpchQ12, tpchQ19
   )
 }

@@ -794,31 +794,40 @@ object Queries {
     * and rounds centroids to FLOAT, and every cell argmax compares
     * round-6 cosines with a cid tie-break — so the oracle replays the
     * whole quantizer exactly. */
+  /** The deterministic IVF coarse quantizer as DuckDB CTEs (shared by the
+    * `ann_ivf_topk` and `semdedup` oracles): seeds = first `nCentroids`
+    * vectors by id, one Lloyd iteration with FLOAT-rounded centroids,
+    * round-6 assignment cosines with a cid tie-break — the exact replay of
+    * [[operators.Similarity]]'s quantizer. `a1 WHERE r = 1` is the final
+    * cell assignment; `a1 WHERE r <= nProbe` gives probe cells. */
+  private def duckIvfCells(nCentroids: Int): String =
+    s"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+       |  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT $nCentroids)),
+       |a0 AS (
+       |  SELECT vec_id, v, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS r
+       |  FROM (SELECT x.vec_id, x.v, s.cid,
+       |          round(list_cosine_similarity(x.v, s.v), 6) AS cos
+       |        FROM vecs x CROSS JOIN seeds s) t0),
+       |refined AS (
+       |  SELECT cell AS cid, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS v
+       |  FROM (SELECT cell, dim, avg(x) AS m
+       |        FROM (SELECT cid AS cell, unnest(v) AS x,
+       |                unnest(range(len(v))) AS dim
+       |              FROM a0 WHERE r = 1) e
+       |        GROUP BY cell, dim) g
+       |  GROUP BY cell),
+       |a1 AS (
+       |  SELECT vec_id, v, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS r
+       |  FROM (SELECT x.vec_id, x.v, c.cid,
+       |          round(list_cosine_similarity(x.v, c.v), 6) AS cos
+       |        FROM vecs x CROSS JOIN refined c) t1)""".stripMargin
+
   val annIvfTopK: Q = q("ann_ivf_topk",
-    """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |seeds AS (
-      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
-      |  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 16)),
-      |a0 AS (
-      |  SELECT vec_id, v, cid,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS r
-      |  FROM (SELECT x.vec_id, x.v, s.cid,
-      |          round(list_cosine_similarity(x.v, s.v), 6) AS cos
-      |        FROM vecs x CROSS JOIN seeds s) t0),
-      |refined AS (
-      |  SELECT cell AS cid, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS v
-      |  FROM (SELECT cell, dim, avg(x) AS m
-      |        FROM (SELECT cid AS cell, unnest(v) AS x,
-      |                unnest(range(len(v))) AS dim
-      |              FROM a0 WHERE r = 1) e
-      |        GROUP BY cell, dim) g
-      |  GROUP BY cell),
-      |a1 AS (
-      |  SELECT vec_id, v, cid,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS r
-      |  FROM (SELECT x.vec_id, x.v, c.cid,
-      |          round(list_cosine_similarity(x.v, c.v), 6) AS cos
-      |        FROM vecs x CROSS JOIN refined c) t1),
+    s"""WITH ${duckIvfCells(16)},
       |corpus AS (SELECT vec_id AS n_id, v AS v_n, cid AS cell FROM a1 WHERE r = 1),
       |qprobe AS (
       |  SELECT vec_id AS q_id, v AS v_q, cid AS cell
@@ -837,6 +846,26 @@ object Queries {
     operators.Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3)
       .orderBy("q_id", "rnk")
+  }
+
+  /** SemDedup (cluster-then-dedup over embeddings): the oracle replays the
+    * whole quantizer via [[duckIvfCells]], then the intra-cell lowest-id
+    * keep rule — a semantic-dedup sketch with an exact value oracle. */
+  val semDedupGate: Q = q("semdedup",
+    s"""WITH ${duckIvfCells(16)},
+      |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
+      |dups AS (
+      |  SELECT DISTINCT b.vec_id AS vec_id
+      |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+      |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+      |  (d.vec_id IS NULL) AS kept
+      |FROM corpus c LEFT JOIN dups d ON c.vec_id = d.vec_id
+      |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
+    operators.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      nCentroids = 16, threshold = 0.4)
+      .withColumn("cell", col("cell").cast("long"))
+      .orderBy("vec_id")
   }
 
   /** Custom typed Aggregator: per-source MinHash union sketches →
@@ -1856,6 +1885,80 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Asymmetric containment pairs (C(A,B) = |A∩B|/|A|) — hash-based
+    * intersection counts equal string-based ones (64-bit collision odds
+    * ~4e-9, same argument as the Jaccard gates), so the oracle verifies
+    * over the raw shingle strings. */
+  val containmentPairs: Q = q("containment_pairs",
+    s"""WITH sh AS (
+      |  SELECT doc_id, ${duckShingles(3)} AS s FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+      |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      |WHERE a.doc_id % 10 = 0
+      |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    operators.Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, threshold = 0.5, queryPred = col("id") % 10 === 0)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** CCNet-style boilerplate-segment removal with full text reassembly —
+    * byte-for-byte clean_text parity (the oracle rebuilds every document
+    * through the same segmentation + df verdict). */
+  val boilerplateSegments: Q = q("boilerplate_segments",
+    """WITH W AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, unnest(w) AS x, unnest(range(len(w))) AS i FROM W),
+      |seg AS (
+      |  SELECT doc_id, i // 8 AS seg_id, string_agg(x, ' ' ORDER BY i) AS seg
+      |  FROM tok GROUP BY doc_id, i // 8),
+      |sdf AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+      |  CAST(sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN df <= 1 THEN seg END, ' ' ORDER BY seg_id),
+      |           '') AS clean_text
+      |FROM seg JOIN sdf USING (seg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.TextAnalysis.removeBoilerplate(t(s, dir, "documents"),
+      windowWords = 8, dfLimit = 1L)
+      .orderBy("doc_id")
+  }
+
+  /** Interpolated bigram log-perplexity — the integer-micro-unit recipe
+    * keeps the per-doc sums exact; p's arithmetic is the same fixed-order
+    * double expression in both engines. */
+  val bigramPpl: Q = q("bigram_logppl",
+    """WITH W AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bigr AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(len(w) - 1), i -> w[i + 1])) AS w1,
+      |    unnest(list_transform(range(len(w) - 1), i -> w[i + 2])) AS w2
+      |  FROM W WHERE len(w) >= 2),
+      |docbf AS (
+      |  SELECT doc_id, w1, w2, count(*) AS tf FROM bigr GROUP BY doc_id, w1, w2),
+      |bi AS (SELECT w1, w2, sum(tf) AS bi FROM docbf GROUP BY w1, w2),
+      |ctx AS (SELECT w1, sum(bi) AS ctx FROM bi GROUP BY w1),
+      |uni AS (
+      |  SELECT w2, count(*) AS uni
+      |  FROM (SELECT unnest(w) AS w2 FROM W) GROUP BY w2),
+      |total AS (SELECT CAST(sum(uni) AS DOUBLE) AS total FROM uni),
+      |scored AS (
+      |  SELECT w1, w2,
+      |    CAST(round(ln(0.5 * (CAST(bi AS DOUBLE) / CAST(ctx AS DOUBLE))
+      |                  + 0.5 * (CAST(uni AS DOUBLE) / total.total))
+      |               * 1000000) AS BIGINT) AS lp
+      |  FROM bi JOIN ctx USING (w1) JOIN uni USING (w2) CROSS JOIN total)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |  -CAST(sum(lp * tf) AS DOUBLE) / (sum(tf) * 1000000) AS avg_neg_logp
+      |FROM docbf JOIN scored USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Vocab.bigramLogPerplexity(t(s, dir, "documents"), lambda = 0.5)
+      .orderBy("doc_id")
+  }
+
   /** JSON field extraction from a string column (the semi-structured ETL
     * hop: events.props carries a JSON payload). */
   val jsonExtract: Q = q("json_extract",
@@ -1916,6 +2019,7 @@ object Queries {
     gopherFilter, qualityTopFrac, labelCohesion, pipelineQualityV3,
     unigramPpl, jsonExtract, tpchQ6, tpchQ13, tpchQ22,
     windowHopping, pivotCounts, setExceptAll, correlatedScalar, bmpDecode,
-    joinFull, tpchQ12, tpchQ19
+    joinFull, tpchQ12, tpchQ19,
+    containmentPairs, semDedupGate, boilerplateSegments, bigramPpl
   )
 }

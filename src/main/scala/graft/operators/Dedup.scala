@@ -223,6 +223,69 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT asymmetric containment pairs — `C(A,B) = |A∩B| / |A| ≥ t`
+    * (the "A is mostly inside B" relation that doc-level Jaccard misses:
+    * a paragraph quoted verbatim inside a much larger page has high
+    * containment but low Jaccard; substring-style dedup pipelines filter
+    * on exactly this signal).
+    *
+    * Candidate generation is the one-sided prefix filter (the containment
+    * variant of AllPairs/PPJoin, Bayardo et al. WWW'07): if
+    * `|A∩B| ≥ ⌈t·|A|⌉`, then A has at most `|A| − ⌈t·|A|⌉` tokens outside
+    * B, so its rarest-first prefix of length `|A| − ⌈t·|A|⌉ + 1` must hit
+    * B. Unlike the symmetric join, only the PROBE side (A) prunes to a
+    * prefix — the indexed side (B) keeps every token, because containment
+    * has no lower bound on B's share of the intersection. The only valid
+    * length filter is `|B| ≥ ⌈t·|A|⌉` (the intersection fits inside B).
+    *
+    * Scale shape: explode → df aggregate → rarity-ranked prefix (probe
+    * side only) → equi-join on token → verify ([[jaccardSorted]]'s
+    * two-pointer kernel divided by |A|). All shuffles are equi-keyed on
+    * (tok | id); no pair blowup outside true candidates.
+    *
+    * @return (id_a, id_b, containment) with id_a ≠ id_b, C(A,B) ≥ t
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      queryPred: Column = lit(true)): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val withSh = df.select(col(idCol).as("id"),
+      hashedShingles(shingles(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = withSh.select(col("id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("tok"))
+    val dfMap = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    // probe prefix: |A| − ⌈t·|A|⌉ + 1 rarest tokens (1e-9 guard admits,
+    // never drops — same convention as ngramJaccardPairs)
+    val prefLen = (col("len")
+      - ceil(lit(threshold) * col("len").cast("double") - lit(1e-9))
+      + 1).cast("int")
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("tok").asc)
+    val probe = ex.filter(queryPred)
+      .join(dfMap, "tok")
+      .withColumn("__rn", row_number().over(byRarity))
+      .filter(col("__rn") <= prefLen)
+      .select(col("id").as("id_a"), col("len").as("len_a"), col("tok"))
+    val indexed = ex.select(col("id").as("id_b"), col("len").as("len_b"), col("tok"))
+    val candidates = probe.join(indexed, "tok")
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("len_b").cast("double")
+        >= lit(threshold) * col("len_a") - lit(1e-9))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("containment",
+        call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
+          .cast("double") / size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** 56-bit SimHash of whitespace tokens, built entirely from commutative
     * aggregations (explode words × bits → per-bit vote sums → weighted
     * recombine), so the result is independent of row/partition order and

@@ -81,35 +81,39 @@ object Similarity {
     * join. Higher recall than single-probe sign-LSH at the same cost
     * shape (asserted in the spec).
     */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryPred: Column, k: Int, nCentroids: Int = 16,
-              nProbe: Int = 2): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
-    val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+  // assignment cosines round to 6dp with the cid tie-break, so the cell
+  // argmax is bit-stable across engines (raw-double argmax could flip on
+  // last-ulp differences vs the DuckDB oracle's list_cosine_similarity)
+  private def cellStructs(centroids: Seq[(Int, Seq[Float])], v: Column): Column =
+    array(centroids.map { case (cid, vec) =>
+      struct(round(cosine(v, typedlit(vec)), 6).as("cos"), lit(cid).as("cid"))
+    }: _*)
+  private def nearestCell(centroids: Seq[(Int, Seq[Float])], v: Column): Column =
+    array_max(cellStructs(centroids, v)).getField("cid")
 
-    // assignment cosines round to 6dp with the cid tie-break, so the cell
-    // argmax is bit-stable across engines (raw-double argmax could flip on
-    // last-ulp differences vs the DuckDB oracle's list_cosine_similarity)
-    def cellStructs(centroids: Seq[(Int, Seq[Float])], v: Column): Column =
-      array(centroids.map { case (cid, vec) =>
-        struct(round(cosine(v, typedlit(vec)), 6).as("cos"), lit(cid).as("cid"))
-      }: _*)
-    def nearestCell(centroids: Seq[(Int, Seq[Float])], v: Column): Column =
-      array_max(cellStructs(centroids, v)).getField("cid")
-
-    // seeds: first nCentroids vectors by id (deterministic)
+  /** Deterministic coarse quantizer shared by [[ivfTopK]] and [[semDedup]]:
+    * seeds = the first `nCentroids` vectors of `e` (id, v) by id, refined
+    * by one Lloyd iteration (elementwise mean per assigned cell, rounded
+    * to FLOAT). Both collects are K×d centroid metadata — the standard
+    * IVF deployment shape, not a corpus collect. */
+  private def refinedCentroids(e: DataFrame, nCentroids: Int): Seq[(Int, Seq[Float])] = {
     val seeds: Seq[(Int, Seq[Float])] = e.orderBy("n_id").limit(nCentroids)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
-
-    // one Lloyd iteration: elementwise mean per assigned cell
-    val assigned = e.withColumn("cell", nearestCell(seeds, col("v")))
-    val refined: Seq[(Int, Seq[Float])] = assigned
+    e.withColumn("cell", nearestCell(seeds, col("v")))
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cell", "dim").agg(avg("x").as("m"))
       .groupBy("cell").agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ms"))
       .select(col("cell"), expr("transform(ms, s -> CAST(s.m AS FLOAT))").as("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+  }
+
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, nCentroids: Int = 16,
+              nProbe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val refined = refinedCentroids(e, nCentroids)
 
     val corpus = e.withColumn("cell", nearestCell(refined, col("v")))
       .withColumnRenamed("v", "v_n")
@@ -127,6 +131,42 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("q_id", "n_id", "rnk", "cos")
+  }
+
+  /** SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — public literature):
+    * cluster the embedding space with a coarse k-means quantizer, then
+    * compare pairs ONLY within a cluster and drop all but one member of
+    * each semantic-duplicate neighborhood. The clustering is what makes
+    * the O(n²) cosine comparison tractable — pair candidates are an
+    * equi-join on cell id, never a cross join, so at 100 TB the blowup is
+    * bounded by the largest cell, which nCentroids controls.
+    *
+    * Keep rule (deterministic): a document is removed iff some SAME-CELL
+    * neighbor with a smaller id has round-6 cosine ≥ `threshold` — i.e.
+    * each intra-cell duplicate neighborhood keeps its lowest id. The
+    * quantizer reuses [[ivfTopK]]'s deterministic recipe (first-K seeds,
+    * one Lloyd iteration, FLOAT-rounded centroids, round-6 argmax with
+    * cid tie-break), so the DuckDB oracle replays cells AND verdicts
+    * exactly.
+    *
+    * @return (vec_id, cell, kept) for every corpus vector
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int = 16, threshold: Double = 0.4): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val refined = refinedCentroids(e, nCentroids)
+    val corpus = e.withColumn("cell", nearestCell(refined, col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dups = corpus.as("a")
+      .join(corpus.as("b"), col("a.cell") === col("b.cell")
+        && col("a.n_id") < col("b.n_id"))
+      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("b.n_id").as("dup_id")).distinct()
+    corpus.join(dups, col("n_id") === col("dup_id"), "left")
+      .select(col("n_id").as("vec_id"), col("cell"),
+        col("dup_id").isNull.as("kept"))
   }
 
   /** Per-label centroid cohesion stats for labeled embeddings (classifier

@@ -150,6 +150,50 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** CCNet-style boilerplate removal (Wenzek et al. 2020 deduplicate at
+    * paragraph granularity; this corpus has no newlines, so the segment
+    * unit is a fixed non-overlapping window of `windowWords` words):
+    * segments whose exact text occurs in more than `dfLimit` distinct
+    * documents are corpus boilerplate (headers, licence blurbs, copied
+    * spans) and are cut; the survivors re-concatenate in order.
+    *
+    * Scale shape: per-doc segmentation is a row-local explode; the
+    * segment-frequency table is one count-distinct aggregate keyed on
+    * segment text (map-side combinable after the (seg, did) dedup); the
+    * verdict is an equi-join segments→df; reassembly is one per-doc
+    * aggregate whose collect_list holds only that document's segments.
+    * Nothing driver-side; the df table shuffles corpus-distinct segments,
+    * not token occurrences.
+    *
+    * @return (doc_id, n_segments, n_kept, clean_text) for every input doc
+    *         (docs that are 100% boilerplate keep an empty clean_text)
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", windowWords: Int = 8,
+                        dfLimit: Long = 1L): DataFrame = {
+    require(windowWords > 0, "windowWords must be positive")
+    val words = split(col(textCol), " ")
+    val segs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("did"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST((size(split($textCol, ' ')) - 1) / $windowWords AS INT)),
+             |  i -> concat_ws(' ', slice(split($textCol, ' '), i * $windowWords + 1, $windowWords)))"""
+            .stripMargin)).as(Seq("seg_id", "seg")))
+    // df counts DISTINCT docs per segment text: dedup (seg, did) first so
+    // the count aggregate is a plain map-side-combinable count
+    val segDf = segs.select("seg", "did").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+    val judged = segs.join(segDf, "seg")
+    judged.groupBy(col("did").as(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("df") <= dfLimit, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", expr(
+          s"transform(filter(sort_array(collect_list(struct(seg_id, seg, df))), s -> s.df <= $dfLimit), s -> s.seg)"))
+          .as("clean_text"))
+      .select(idCol, "n_segments", "n_kept", "clean_text")
+  }
+
   /** Dataset "data card" profile: per (source, lang) corpus statistics —
     * doc/token totals, length spread, short-doc share. One hash-aggregate
     * over group keys whose cardinality is tiny (sources × languages), so

@@ -78,6 +78,61 @@ object Vocab {
       .select(idCol, "n_words", "avg_neg_logp")
   }
 
+  /** Interpolated bigram log-perplexity (the KenLM-shaped upgrade of
+    * [[unigramLogPerplexity]], with the corpus itself as the LM): each
+    * document's mean negative log-probability of its bigrams under
+    * `p(w₂|w₁) = λ·cnt(w₁w₂)/cnt(w₁·) + (1−λ)·cnt(w₂)/total` — Jelinek-
+    * Mercer interpolation, so unseen-in-context words still score via the
+    * unigram floor (every bigram in the corpus LM is seen here, but the
+    * formula is the deployable one).
+    *
+    * Determinism: p is a fixed-order double expression over exact integer
+    * counts (identical IEEE ops both engines), log converts to integer
+    * micro-units, per-doc sums are exact, one final double division.
+    * Scale shape: per-(doc,bigram) pre-aggregation bounds every shuffle by
+    * document-vocabulary size; the bigram/context/unigram count tables are
+    * corpus-vocabulary-sized equi-joins with map-side combine — no
+    * broadcast hints, since a 100 TB corpus's bigram vocabulary outgrows
+    * any broadcast budget.
+    */
+  def bigramLogPerplexity(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          lambda: Double = 0.5): DataFrame = {
+    val w = split(col(textCol), " ")
+    // per-doc bigram term frequencies — one explode, one pre-aggregate
+    val docBf = docs.filter(size(w) >= 2)
+      .select(col(idCol).as("did"),
+        explode(expr(
+          s"""transform(sequence(0, size(split($textCol, ' ')) - 2),
+             |  i -> struct(element_at(split($textCol, ' '), i + 1) AS w1,
+             |              element_at(split($textCol, ' '), i + 2) AS w2))"""
+            .stripMargin)).as("bg"))
+      .select(col("did"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("did", "w1", "w2").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biCnt = docBf.groupBy("w1", "w2").agg(sum("tf").as("bi"))
+    // context count = occurrences of w1 as a bigram LHS (= Σ bi over w2);
+    // unigram counts/total come from ALL word occurrences, matching the
+    // unigram gate's distribution
+    val ctxCnt = biCnt.groupBy("w1").agg(sum("bi").as("ctx"))
+    val uniWords = docs.select(explode(split(col(textCol), " ")).as("w2"))
+    val uniCnt = uniWords.groupBy("w2").agg(count(lit(1)).as("uni"))
+    val total = uniCnt.agg(sum("uni").cast("double").as("total"))
+    val scored = biCnt.join(ctxCnt, "w1").join(uniCnt, "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lp_micro", round(log(
+        lit(lambda) * (col("bi").cast("double") / col("ctx").cast("double"))
+          + lit(1.0 - lambda) * (col("uni").cast("double") / col("total")))
+        * 1000000L).cast("long"))
+      .select("w1", "w2", "lp_micro")
+    docBf.join(scored, Seq("w1", "w2"))
+      .groupBy(col("did").as(idCol))
+      .agg(sum("tf").as("n_bigrams"), sum(col("lp_micro") * col("tf")).as("s"))
+      .withColumn("avg_neg_logp",
+        -col("s").cast("double") / (col("n_bigrams") * 1000000L))
+      .select(idCol, "n_bigrams", "avg_neg_logp")
+  }
+
   /** Per-group salient terms by tf·idf: tf = term occurrences within the
     * group, idf = ln(N / df) with N = corpus document count and df = number
     * of distinct documents containing the term. Scores round to 6 dp

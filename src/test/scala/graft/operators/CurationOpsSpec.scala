@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-3 curation tranche: containment pairs, SemDedup, boilerplate
+  * removal, bigram perplexity — hand-computed small-corpus semantics. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("containment is asymmetric: quoted span scores 1.0 one way only") {
+    import spark.implicits._
+    // doc 1 = a 6-word span; doc 2 = the same span inside a longer page
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "intro words here alpha beta gamma delta epsilon zeta plus a long unrelated tail of many extra words"),
+      (3L, "totally different content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // all 4 of doc 1's 3-shingles appear verbatim in doc 2 → C(1,2) = 1.0
+    assert(out((1L, 2L)) == 1.0)
+    // doc 2 has 16 shingles, only 4 shared → C(2,1) = 0.25 < t, absent
+    assert(!out.contains((2L, 1L)))
+    assert(out.keys.forall(p => !p._1.equals(3L) && !p._2.equals(3L)))
+  }
+
+  test("containment pairs match brute force on a shingle-rich corpus") {
+    import spark.implicits._
+    val words = Vector("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    val docs = (0L until 30L).map { i =>
+      val txt = (0 until 12).map(j => words(((i * 7 + j * j + j) % 8).toInt))
+        .mkString(" ")
+      (i, txt)
+    }.toDF("doc_id", "text")
+    val fast = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 2, threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force: per-pair intersect over distinct 2-shingles
+    val sh = docs.select(col("doc_id"),
+      array_distinct(expr(
+        """transform(sequence(0, size(split(text,' ')) - 2),
+          |  i -> concat_ws(' ', slice(split(text,' '), i + 1, 2)))""".stripMargin))
+        .as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val brute = for {
+      a <- sh.keys; b <- sh.keys if a != b
+      c = sh(a).count(sh(b).contains).toDouble / sh(a).size
+      if c >= 0.6
+    } yield ((a, b), c)
+    assert(fast == brute.toMap)
+  }
+
+  test("semDedup keeps the lowest id of an intra-cell duplicate pair") {
+    import spark.implicits._
+    val e1 = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.01f * i)
+    val e2 = Array.tabulate(8)(i => if (i == 1) 1.0f else 0.0f)
+    val docs = Seq(
+      (10L, e1), (11L, e1.map(x => x * 2.0f)), // colinear → cos 1.0
+      (20L, e2)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(docs, "vec_id", "embedding",
+      nCentroids = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(10L -> true, 11L -> false, 20L -> true))
+  }
+
+  test("semDedup distinct-direction vectors all survive") {
+    import spark.implicits._
+    val docs = (0 until 6).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(docs, "vec_id", "embedding",
+      nCentroids = 3, threshold = 0.5).collect()
+    assert(out.length == 6 && out.forall(_.getBoolean(2)))
+  }
+
+  test("boilerplate removal cuts shared windows and reassembles in order") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight" // one exact window
+    val docs = Seq(
+      (1L, s"$shared unique1 u2 u3 u4 u5 u6 u7 u8"),
+      (2L, s"$shared only9 o10 o11 o12 o13 o14 o15 o16"),
+      (3L, shared) // 100% boilerplate
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, windowWords = 8, dfLimit = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, "unique1 u2 u3 u4 u5 u6 u7 u8")))
+    assert(out(2L) == ((2L, 1L, "only9 o10 o11 o12 o13 o14 o15 o16")))
+    assert(out(3L) == ((1L, 0L, "")))
+  }
+
+  test("boilerplate: unique docs pass through verbatim (word-boundary segs)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k"), // 11 words → segments of 8 + 3
+      (2L, "p q r s t u v w x y z")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(docs, windowWords = 8, dfLimit = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(1L -> "a b c d e f g h i j k",
+                      2L -> "p q r s t u v w x y z"))
+  }
+
+  test("bigram perplexity matches the hand-computed interpolated LM") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Vocab.bigramLogPerplexity(docs, lambda = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // unigrams: a=3 b=2 c=1, total 6; bigrams: (a,b)=2 (b,a)=1 (a,c)=1
+    // ctx: a=3 b=1
+    def lp(p: Double): Long = math.round(math.log(p) * 1000000L)
+    val pAB = 0.5 * (2.0 / 3.0) + 0.5 * (2.0 / 6.0)
+    val pBA = 0.5 * (1.0 / 1.0) + 0.5 * (3.0 / 6.0)
+    val pAC = 0.5 * (1.0 / 3.0) + 0.5 * (1.0 / 6.0)
+    val exp1 = -(2 * lp(pAB) + lp(pBA)).toDouble / (3 * 1000000L)
+    val exp2 = -lp(pAC).toDouble / 1000000L
+    assert(out(1L) == ((3L, exp1)))
+    assert(out(2L) == ((1L, exp2)))
+  }
+
+  test("bigram perplexity: single-word docs are excluded") {
+    import spark.implicits._
+    val docs = Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text")
+    val out = Vocab.bigramLogPerplexity(docs)
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+}

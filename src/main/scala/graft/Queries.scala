@@ -1959,6 +1959,112 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Cross-corpus duplicated-4-gram fraction per document (Lee et al.
+    * 2021's doc-level dup diagnostic) — corpus-linear, no pair list. */
+  val dupNgramFrac: Q = q("dup_ngram_frac",
+    s"""WITH ex AS (
+      |  SELECT doc_id, unnest(${duckShingles(4)}) AS g FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 4),
+      |gdf AS (SELECT g, count(*) AS gdf FROM ex GROUP BY g)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+      |  round(CAST(sum(CASE WHEN gdf > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS dup_frac
+      |FROM ex JOIN gdf USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Dedup.dupNgramFraction(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 4)
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc Shannon entropy + type-token ratio (integer micro-unit log
+    * sums — exact, order-independent). */
+  val tokenEntropy: Q = q("token_entropy",
+    """WITH tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |    FROM documents) GROUP BY doc_id, word),
+      |wn AS (
+      |  SELECT doc_id, tf, sum(tf) OVER (PARTITION BY doc_id) AS n FROM tf),
+      |sc AS (
+      |  SELECT doc_id, tf, n,
+      |    CAST(round(ln(CAST(tf AS DOUBLE) / n) * 1000000) AS BIGINT) AS lp
+      |  FROM wn)
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  round(CAST(count(*) AS DOUBLE) / max(n), 6) AS ttr,
+      |  -CAST(sum(tf * lp) AS DOUBLE) / (max(n) * 1000000) AS entropy
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.TextAnalysis.tokenEntropy(t(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc OOV rate vs the deterministic top-16 corpus vocabulary. */
+  val oovRate: Q = q("oov_rate",
+    """WITH dtf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |    FROM documents) GROUP BY doc_id, word),
+      |vocab AS (
+      |  SELECT word FROM (
+      |    SELECT word, row_number() OVER (ORDER BY sum(tf) DESC, word ASC) AS rn
+      |    FROM dtf GROUP BY word) v WHERE rn <= 16)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(CASE WHEN v.word IS NULL THEN tf ELSE 0 END) AS DOUBLE)
+      |    / sum(tf), 6) AS oov_rate
+      |FROM dtf LEFT JOIN vocab v USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Vocab.oovRate(t(s, dir, "documents"), k = 16)
+      .orderBy("doc_id")
+  }
+
+  /** RANGE-interval window frame (trailing 30-day revenue per customer) —
+    * the time-based frame the ROWS gates don't cover; peers at equal
+    * order keys aggregate identically in both engines, and the DECIMAL
+    * sum keeps the double exact. */
+  val windowRangeInterval: Q = sqlBoth("window_range_interval", Seq("orders"),
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+      |    AS DOUBLE) AS sum_30d
+      | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  /** ntile / percent_rank / cume_dist — the ranking-window trio over a
+    * total (tie-broken) order. */
+  val windowNtile: Q = sqlBoth("window_ntile", Seq("orders"),
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pr,
+      |  round(cume_dist() OVER w, 6) AS cd
+      | FROM orders
+      | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      | ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  /** Unpivot (wide metrics → long rows): Spark's stack() generator vs a
+    * UNION ALL oracle. */
+  val unpivotMetrics: Q = q("unpivot_metrics",
+    """WITH t AS (
+      |  SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS n_cust,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT n_name, metric, val FROM (
+      |  SELECT c_nationkey, 'n_cust' AS metric, n_cust AS val FROM t
+      |  UNION ALL
+      |  SELECT c_nationkey, 'sum_bal', sum_bal FROM t) u
+      |JOIN nation ON n_nationkey = c_nationkey
+      |ORDER BY n_name, metric""".stripMargin) { (s, dir) =>
+    Seq("customer", "nation").foreach(n =>
+      Tables.load(s, dir, n).createOrReplaceTempView(n))
+    s.sql(
+      """SELECT n_name, metric, val FROM (
+        |  SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS n_cust,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |  FROM customer GROUP BY c_nationkey) t
+        |JOIN nation ON n_nationkey = c_nationkey
+        |LATERAL VIEW stack(2, 'n_cust', n_cust, 'sum_bal', sum_bal) s AS metric, val
+        |ORDER BY n_name, metric""".stripMargin)
+  }
+
   /** JSON field extraction from a string column (the semi-structured ETL
     * hop: events.props carries a JSON payload). */
   val jsonExtract: Q = q("json_extract",
@@ -2020,6 +2126,8 @@ object Queries {
     unigramPpl, jsonExtract, tpchQ6, tpchQ13, tpchQ22,
     windowHopping, pivotCounts, setExceptAll, correlatedScalar, bmpDecode,
     joinFull, tpchQ12, tpchQ19,
-    containmentPairs, semDedupGate, boilerplateSegments, bigramPpl
+    containmentPairs, semDedupGate, boilerplateSegments, bigramPpl,
+    dupNgramFrac, tokenEntropy, oovRate,
+    windowRangeInterval, windowNtile, unpivotMetrics
   )
 }

@@ -286,6 +286,34 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Per-document cross-corpus duplicated-n-gram fraction — the doc-level
+    * diagnostic from Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better", public literature): what share of a
+    * document's distinct n-grams also occur in at least one OTHER
+    * document. High fractions flag boilerplate-heavy or near-duplicate
+    * docs without materializing any pair list.
+    *
+    * Scale shape: one explode to distinct (doc, gram), one gram-keyed
+    * count aggregate (map-side combinable), one equi-join back, one
+    * per-doc aggregate — no joins over pairs, so cost is corpus-linear
+    * regardless of duplication structure.
+    *
+    * @return (doc_id, n_ngrams, dup_frac) for docs with ≥ n words
+    */
+  def dupNgramFraction(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 4): DataFrame = {
+    val ex = df.select(col(idCol).as("did"),
+      explode(shingles(col(textCol), shingleN)).as("g"))
+    val gDf = ex.groupBy("g").agg(count(lit(1)).as("gdf"))
+    ex.join(gDf, "g")
+      .groupBy(col("did").as(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("gdf") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_ngrams"), 6))
+      .select(idCol, "n_ngrams", "dup_frac")
+  }
+
   /** 56-bit SimHash of whitespace tokens, built entirely from commutative
     * aggregations (explode words × bits → per-bit vote sums → weighted
     * recombine), so the result is independent of row/partition order and

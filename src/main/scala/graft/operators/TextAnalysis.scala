@@ -194,6 +194,37 @@ object TextAnalysis {
       .select(idCol, "n_segments", "n_kept", "clean_text")
   }
 
+  /** Per-document token-distribution statistics: Shannon entropy of the
+    * document's own unigram distribution (low entropy = repetitive /
+    * templated text; a standard gibberish-vs-natural signal next to
+    * [[repetitionSignals]]) and type-token ratio.
+    *
+    * Determinism: H = −(1/n)·Σ tf·ln(tf/n) with each ln converted to
+    * integer micro-units before the (exact, integer) per-doc sum — the
+    * same recipe as the perplexity operators, so summation order cannot
+    * perturb the result. One explode → per-(doc,word) count → per-doc
+    * aggregate; every shuffle is corpus-linear with map-side combine. */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).as("did"),
+      explode(split(col(textCol), " ")).as("word"))
+      .groupBy("did", "word").agg(count(lit(1)).as("tf"))
+    // per-doc total via a window over the (already doc-keyed) tf frame —
+    // the explode output never shuffles twice
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("did")
+    tf.withColumn("n", sum("tf").over(byDoc))
+      .withColumn("lp_micro",
+        round(log(col("tf").cast("double") / col("n")) * 1000000L).cast("long"))
+      .groupBy(col("did").as(idCol))
+      .agg(max("n").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("tf") * col("lp_micro")).as("s"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens"), 6))
+      .withColumn("entropy",
+        -col("s").cast("double") / (col("n_tokens") * 1000000L))
+      .select(idCol, "n_tokens", "n_types", "ttr", "entropy")
+  }
+
   /** Dataset "data card" profile: per (source, lang) corpus statistics —
     * doc/token totals, length spread, short-doc share. One hash-aggregate
     * over group keys whose cardinality is tiny (sources × languages), so

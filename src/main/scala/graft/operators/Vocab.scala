@@ -133,6 +133,39 @@ object Vocab {
       .select(idCol, "n_bigrams", "avg_neg_logp")
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus top-`k`
+    * vocabulary (count desc, word asc tie-break — fully deterministic):
+    * the coverage check run before committing to a fixed tokenizer/vocab
+    * size. High OOV docs are either foreign-language or gibberish.
+    *
+    * Scale shape: vocabulary = one word-keyed count aggregate + rank
+    * (top-k of the VOCABULARY, not the corpus); membership rides a left
+    * join from per-(doc,word) counts. The vocab side is k rows after the
+    * rank filter, but no broadcast hint is forced — size-based planning
+    * broadcasts it when it fits.
+    *
+    * @return (doc_id, n_tokens, oov_rate)
+    */
+  def oovRate(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", k: Int = 1000): DataFrame = {
+    val docTf = docs.select(col(idCol).as("did"),
+      explode(split(col(textCol), " ")).as("word"))
+      .groupBy("did", "word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = docTf.groupBy("word").agg(sum("tf").as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word").asc)))
+      .filter(col("rn") <= k)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    docTf.join(vocab, Seq("word"), "left")
+      .groupBy(col("did").as(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .select(idCol, "n_tokens", "oov_rate")
+  }
+
   /** Per-group salient terms by tf·idf: tf = term occurrences within the
     * group, idf = ln(N / df) with N = corpus document count and df = number
     * of distinct documents containing the term. Scores round to 6 dp

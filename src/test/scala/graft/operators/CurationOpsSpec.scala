@@ -126,4 +126,53 @@ class CurationOpsSpec extends SparkSpec {
     val out = Vocab.bigramLogPerplexity(docs)
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("dupNgramFraction flags shared 4-grams, distinct per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),       // grams: abcd bcde
+      (2L, "a b c d x"),       // grams: abcd bcdx → shares abcd with 1
+      (3L, "p q r s t u")      // grams all unique to 3
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramFraction(docs, "doc_id", "text", shingleN = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((2L, 0.5)))
+    assert(out(2L) == ((2L, 0.5)))
+    assert(out(3L) == ((3L, 0.0)))
+  }
+
+  test("tokenEntropy: uniform doc hits ln(k); repeated doc hits 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // 4 uniform types → H = ln 4
+      (2L, "x x x x")    // single type → H = 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val lnQuarterMicro = math.round(math.log(0.25) * 1000000L)
+    assert(out(1L) == ((4L, 4L, 1.0,
+      -(4.0 * lnQuarterMicro) / (4 * 1000000L))))
+    assert(out(2L) == ((4L, 1L, 0.25, -0.0)) || out(2L) == ((4L, 1L, 0.25, 0.0)))
+  }
+
+  test("oovRate counts occurrences outside the deterministic top-k") {
+    import spark.implicits._
+    // counts: a=4, b=2, c=1, d=1 → top-2 = {a, b}
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "a a b d")
+    ).toDF("doc_id", "text")
+    val out = Vocab.oovRate(docs, k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(1L -> ((4L, 0.25)), 2L -> ((4L, 0.25))))
+  }
+
+  test("oovRate top-k tie-break is by word ascending") {
+    import spark.implicits._
+    // b and c tie at 2; top-2 = {a(3), b} by (cnt desc, word asc)
+    val docs = Seq((1L, "a a a b b c c")).toDF("doc_id", "text")
+    val out = Vocab.oovRate(docs, k = 2).collect().head
+    assert(out.getLong(1) == 7L && out.getDouble(2) == math.rint(2.0 / 7.0 * 1e6) / 1e6)
+  }
 }

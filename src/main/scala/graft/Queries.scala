@@ -2065,6 +2065,26 @@ object Queries {
         |ORDER BY n_name, metric""".stripMargin)
   }
 
+  /** INTERSECT ALL — multiplicity-preserving set intersection (the
+    * EXCEPT ALL twin; order counts repeated o_custkey hits). */
+  val setIntersectAll: Q = sqlBoth("set_intersect_all", Seq("customer", "orders"),
+    """SELECT k FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_custkey <= 120
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000) t
+      | ORDER BY k""".stripMargin)
+
+  /** Correlated LATERAL derived table (top-2 customers per nation by
+    * account balance) — the decorrelation path a window can express but
+    * a planner must handle natively for LATERAL-written queries. */
+  val lateralTopN: Q = sqlBoth("lateral_topn", Seq("nation", "customer"),
+    """SELECT n_name, c.c_custkey, c.bal
+      | FROM nation, LATERAL (
+      |   SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      |   FROM customer WHERE c_nationkey = n_nationkey
+      |   ORDER BY bal DESC, c_custkey LIMIT 2) c
+      | ORDER BY n_name, c.c_custkey""".stripMargin)
+
   /** JSON field extraction from a string column (the semi-structured ETL
     * hop: events.props carries a JSON payload). */
   val jsonExtract: Q = q("json_extract",
@@ -2128,6 +2148,7 @@ object Queries {
     joinFull, tpchQ12, tpchQ19,
     containmentPairs, semDedupGate, boilerplateSegments, bigramPpl,
     dupNgramFrac, tokenEntropy, oovRate,
-    windowRangeInterval, windowNtile, unpivotMetrics
+    windowRangeInterval, windowNtile, unpivotMetrics,
+    setIntersectAll, lateralTopN
   )
 }

@@ -62,6 +62,15 @@ object ScaleCheck {
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3,
           threshold = 0.3, queryPred = col("id") % 10 === 0).count())
       println(s"[scale] ngram pairs x$n = $nj")
+      val ct = time(s"containment x$n")(
+        Dedup.containmentPairs(docs, "doc_id", "text", shingleN = 3,
+          threshold = 0.5, queryPred = col("id") % 10 === 0).count())
+      println(s"[scale] containment pairs x$n = $ct")
+      // corpus-linear diagnostics: cost must scale ~n (no pair terms at all)
+      time(s"dup_ngram_frac x$n")(
+        Dedup.dupNgramFraction(docs, "doc_id", "text", 4).count())
+      time(s"boilerplate x$n")(
+        graft.operators.TextAnalysis.removeBoilerplate(docs).count())
       docs.unpersist()
     }
 
@@ -86,6 +95,12 @@ object ScaleCheck {
         emb, "vec_id", "embedding", col("vec_id") < 10, 5, 64, 6).count())
       time(s"ann_ivf x$n")(Similarity.ivfTopK(
         emb, "vec_id", "embedding", col("vec_id") < 10, 5, 16, 3).count())
+      // SemDedup's honest scale story: cluster count grows WITH the
+      // corpus (cells stay constant-sized, so the intra-cell pair join
+      // stays corpus-linear) — fixed nCentroids at 10× would square the
+      // within-cell comparisons instead
+      time(s"semdedup x$n (centroids=${16 * n})")(Similarity.semDedup(
+        emb, "vec_id", "embedding", nCentroids = 16 * n, threshold = 0.4).count())
       emb.unpersist()
     }
     spark.stop()

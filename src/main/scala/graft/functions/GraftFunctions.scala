@@ -69,6 +69,16 @@ object GraftFunctions {
     ("grok", classOf[GrokExtract], { args =>
       require(args.length == 2, "grok(value, pattern) takes two string args")
       GrokExtract(args.head, args(1))
+    }),
+    ("centroid_cosines", classOf[CentroidCosines], { args =>
+      require(args.length == 3,
+        "centroid_cosines(vec, flatCentroids, dims) takes three args")
+      CentroidCosines(args.head, args(1), args(2))
+    }),
+    ("nearest_centroid", classOf[NearestCentroid], { args =>
+      require(args.length == 3,
+        "nearest_centroid(vec, flatCentroids, dims) takes three args")
+      NearestCentroid(args.head, args(1), args(2))
     }))
 
   /** Idempotently register all functions on a session. */

@@ -81,15 +81,42 @@ object Similarity {
     * join. Higher recall than single-probe sign-LSH at the same cost
     * shape (asserted in the spec).
     */
+  /** All assignment cosines for one row in a single fused codegen loop
+    * ([[graft.functions.CentroidCosines]]) — K inline [[cosine]] literal
+    * subtrees blow the JVM method limit near K≈100 and drop the whole
+    * stage to interpreted eval (the SemDedup-at-10× cliff: 37 s at K=160
+    * vs ~0.5 s at K=16). */
+  private def cosScores(v: Column, centroids: Seq[(Int, Seq[Float])]): Column = {
+    val dims = centroids.head._2.length
+    val flat = centroids.flatMap(_._2).toArray
+    call_function("centroid_cosines", v, typedlit(flat), lit(dims))
+  }
+
   // assignment cosines round to 6dp with the cid tie-break, so the cell
   // argmax is bit-stable across engines (raw-double argmax could flip on
-  // last-ulp differences vs the DuckDB oracle's list_cosine_similarity)
-  private def cellStructs(centroids: Seq[(Int, Seq[Float])], v: Column): Column =
-    array(centroids.map { case (cid, vec) =>
-      struct(round(cosine(v, typedlit(vec)), 6).as("cos"), lit(cid).as("cid"))
+  // last-ulp differences vs the DuckDB oracle's list_cosine_similarity).
+  // `scores` MUST be a materialized column reference (never the raw
+  // cosScores call) — embedding the kernel expression K× re-runs it K×.
+  private def cellStructs(scores: Column, centroids: Seq[(Int, Seq[Float])]): Column =
+    array(centroids.zipWithIndex.map { case ((cid, _), i) =>
+      struct(round(element_at(scores, i + 1), 6).as("cos"), lit(cid).as("cid"))
     }: _*)
-  private def nearestCell(centroids: Seq[(Int, Seq[Float])], v: Column): Column =
-    array_max(cellStructs(centroids, v)).getField("cid")
+
+  /** Adds `cell` = argmax-cosine centroid id (round-6, cid tie-break) to
+    * a frame with vector column `v` — one fused
+    * [[graft.functions.NearestCentroid]] evaluation per row (round + tie
+    * logic INSIDE the kernel; a score-array + per-element argmax
+    * formulation re-runs the kernel per reference once Catalyst collapses
+    * the projections). Centroids sort by cid so the kernel's
+    * highest-index tie-break equals the oracle's highest-cid rule. */
+  private def withCell(df: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    val sorted = centroids.sortBy(_._1)
+    val dims = sorted.head._2.length
+    val flat = sorted.flatMap(_._2).toArray
+    val cids = sorted.map(_._1).toArray
+    df.withColumn("cell", element_at(typedlit(cids),
+      call_function("nearest_centroid", col("v"), typedlit(flat), lit(dims)) + 1))
+  }
 
   /** Deterministic coarse quantizer shared by [[ivfTopK]] and [[semDedup]]:
     * seeds = the first `nCentroids` vectors of `e` (id, v) by id, refined
@@ -100,7 +127,7 @@ object Similarity {
     val seeds: Seq[(Int, Seq[Float])] = e.orderBy("n_id").limit(nCentroids)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
-    e.withColumn("cell", nearestCell(seeds, col("v")))
+    withCell(e, seeds)
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cell", "dim").agg(avg("x").as("m"))
       .groupBy("cell").agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ms"))
@@ -115,11 +142,12 @@ object Similarity {
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
     val refined = refinedCentroids(e, nCentroids)
 
-    val corpus = e.withColumn("cell", nearestCell(refined, col("v")))
+    val corpus = withCell(e, refined)
       .withColumnRenamed("v", "v_n")
     val queries = e.filter(queryPred)
+      .withColumn("__cos", cosScores(col("v"), refined))
       .select(col("n_id").as("q_id"), col("v").as("v_q"),
-        cellStructs(refined, col("v")).as("cells"))
+        cellStructs(col("__cos"), refined).as("cells"))
       .select(col("q_id"), col("v_q"),
         explode(expr(s"transform(slice(sort_array(cells, false), 1, $nProbe), s -> s.cid)"))
           .as("cell"))
@@ -157,7 +185,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
     val refined = refinedCentroids(e, nCentroids)
-    val corpus = e.withColumn("cell", nearestCell(refined, col("v")))
+    val corpus = withCell(e, refined)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = corpus.as("a")
       .join(corpus.as("b"), col("a.cell") === col("b.cell")

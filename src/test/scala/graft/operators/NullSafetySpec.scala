@@ -111,6 +111,36 @@ class NullSafetySpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("round-3 curation operators tolerate null/empty text") {
+    // containment: null/empty shingle sets drop, the dup pair still found
+    val ct = Dedup.containmentPairs(docs, "doc_id", "text", shingleN = 2,
+      threshold = 0.5).collect()
+    assert(ct.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 4L), (4L, 1L)))
+    // corpus-linear diagnostics: null text drops, everything else scores
+    assert(Dedup.dupNgramFraction(docs, "doc_id", "text", 2).count() == 2)
+    val ent = TextAnalysis.tokenEntropy(docs)
+    assert(ent.filter(col("doc_id") === 1).head().getLong(1) == 6L)
+    assert(ent.count() == 3) // null text drops; empty text = one "" token
+    assert(Vocab.oovRate(docs, k = 3).count() == 3)
+    val bp = TextAnalysis.removeBoilerplate(docs, windowWords = 3, dfLimit = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(bp.size == 3 && !bp.contains(2L)) // null text dropped
+    assert(bp(1L) == "" && bp(4L) == "") // exact dups → all segments cut
+    val bg = Vocab.bigramLogPerplexity(docs)
+    assert(bg.count() == 2) // null and sub-2-word docs excluded
+  }
+
+  test("semDedup: null embedding survives with a null cell, never matches") {
+    import spark.implicits._
+    val d = Seq[(java.lang.Long, Array[Float])](
+      (1L, Array(1f, 0f)), (2L, Array(2f, 0f)), (3L, null))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(d, "vec_id", "embedding",
+      nCentroids = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("labelCentroidStats: null vectors/labels never poison centroids") {
     import spark.implicits._
     val d = Seq[(java.lang.Long, Array[Float], java.lang.Integer)](

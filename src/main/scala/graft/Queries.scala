@@ -2116,6 +2116,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Real GIF decode — grayscale payloads fit one palette, so the round
+    * trip is lossless and the gray sum oracles exactly (the third
+    * lossless container after PNG and BMP). */
+  val gifDecode: Q = q("gif_decode",
+    """WITH d AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 32 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(range(w * h)) AS k FROM d)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(sum((doc_id * 31 + k * 7) % 256) AS BIGINT) AS sum_gray
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Multimodal.decodeGifGraySum(
+      operators.Multimodal.asGifTable(t(s, dir, "documents")))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2149,6 +2166,6 @@ object Queries {
     containmentPairs, semDedupGate, boilerplateSegments, bigramPpl,
     dupNgramFrac, tokenEntropy, oovRate,
     windowRangeInterval, windowNtile, unpivotMetrics,
-    setIntersectAll, lateralTopN
+    setIntersectAll, lateralTopN, gifDecode
   )
 }

@@ -403,6 +403,64 @@ object Multimodal {
     }(enc)
   }
 
+  /** Real GIF via ImageIO — palette-based, so lossless only when the
+    * source fits one 256-entry palette: grayscale payloads round-trip
+    * exactly (verified: TYPE_BYTE_GRAY → 256-gray palette, no dither),
+    * giving a third lossless container with a closed-form oracle. Pixel
+    * k of doc d is `(d*31 + k*7) mod 256`, dims from [[pngDims]]. */
+  def synthGif(docId: Long): Array[Byte] = {
+    val (w, h) = pngDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, ((docId * 31 + (y * w + x) * 7) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", out)
+    out.toByteArray
+  }
+
+  /** GIF table with genuine palette-encoded payloads. */
+  def asGifTable(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => synthGif(id))
+    docs.select(col("doc_id"), lit("image").as("modality"),
+      gen(col("doc_id")).as("content"))
+  }
+
+  /** Exact gray-value sum from a decoded GIF (lossless round trip). */
+  def decodeGifGraySum(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("sum_gray", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")))
+        require(img != null, "undecodable GIF payload")
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            s += img.getRGB(x, y) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getAs[Long]("doc_id"), img.getWidth.toLong, img.getHeight.toLong, s)
+      }
+    }(enc)
+  }
+
   // ------------------------------------------------------------ real AVI
 
   /** Frame-pixel generator: byte `j` of frame `f` in doc `docId` is

@@ -52,4 +52,20 @@ class MultimodalSpec extends SparkSpec {
       assert(bytes(0) == 'B' && bytes(1) == 'M')
     }
   }
+
+  test("GIF gray round trip is lossless and agrees with the closed-form pixels") {
+    for (id <- Seq(0L, 7L, 31L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthGif(id)))
+      val (w, h) = Multimodal.pngDims(id)
+      assert(img.getWidth == w && img.getHeight == h)
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w) s += img.getRGB(x, y) & 0xff
+      val exp = (0 until w * h).map(k => (id * 31 + k * 7) % 256).sum
+      assert(s == exp, s"doc $id: GIF grays drifted — palette must be exact")
+      // the payload really is GIF
+      val bytes = Multimodal.synthGif(id)
+      assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"))
+    }
+  }
 }

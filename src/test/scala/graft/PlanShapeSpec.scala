@@ -90,4 +90,37 @@ class PlanShapeSpec extends SparkSpec {
       s"centroid join must broadcast the K-row centroid side:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("round-3 pair generators are equi-joins, never cartesian/BNLJ") {
+    for (name <- Seq("containment_pairs", "semdedup")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a BroadcastNestedLoopJoin:\n$plan")
+    }
+  }
+
+  test("semdedup assignment runs the fused kernel, not K inline cosines") {
+    val plan = executedPlan("semdedup")
+    assert(plan.contains("nearest_centroid"),
+      s"cell assignment must go through the fused NearestCentroid kernel " +
+        s"(K inline cosine trees drop to interpreted eval past K~100):\n$plan")
+  }
+
+  test("corpus-linear diagnostics shuffle on aggregate keys only") {
+    // explode → keyed count → join back → per-doc aggregate: partial
+    // aggregation must survive (shuffles carry distinct keys, not tokens)
+    for (name <- Seq("dup_ngram_frac", "token_entropy", "oov_rate",
+      "boilerplate_segments", "bigram_logppl")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      // bigram_logppl's 1-row corpus total rides a broadcast nested loop
+      // on purpose (same documented pattern as tfidf_terms' N)
+      if (name != "bigram_logppl")
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$name lost its partial aggregate:\n$plan")
+    }
+  }
 }

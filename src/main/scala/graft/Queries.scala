@@ -2116,6 +2116,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Canonical text normalization — byte-for-byte norm_text parity
+    * (regexes in the Java ∩ RE2 common subset, like pii_redact). */
+  val normalizeTextGate: Q = q("normalize_text",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |       ' +', ' ', 'g')) AS norm_text,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok_before,
+      |  CAST(CASE WHEN len(trim(regexp_replace(regexp_replace(lower(text),
+      |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) = 0 THEN 0
+      |       ELSE len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+      |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) END AS BIGINT)
+      |    AS n_tok_after
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.TextAnalysis.normalizeText(t(s, dir, "documents"))
+      .orderBy("doc_id")
+  }
+
   /** Real GIF decode — grayscale payloads fit one palette, so the round
     * trip is lossless and the gray sum oracles exactly (the third
     * lossless container after PNG and BMP). */
@@ -2166,6 +2183,6 @@ object Queries {
     containmentPairs, semDedupGate, boilerplateSegments, bigramPpl,
     dupNgramFrac, tokenEntropy, oovRate,
     windowRangeInterval, windowNtile, unpivotMetrics,
-    setIntersectAll, lateralTopN, gifDecode
+    setIntersectAll, lateralTopN, gifDecode, normalizeTextGate
   )
 }

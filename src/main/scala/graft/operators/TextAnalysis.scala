@@ -150,6 +150,25 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** Canonical text normalization (the pre-tokenization cleanup pass):
+    * lowercase → strip every char outside `[a-z0-9 ]` → collapse runs of
+    * spaces → trim. Pure codegen'd projection, no shuffle; the regexes
+    * stay in the Java-regex ∩ RE2 common subset (the [[PiiPatterns]]
+    * convention) so the DuckDB oracle matches byte-for-byte.
+    *
+    * @return (doc_id, norm_text, n_tok_before, n_tok_after)
+    */
+  def normalizeText(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    docs.select(col(idCol),
+      norm.as("norm_text"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok_before"),
+      when(length(norm) === 0, 0L)
+        .otherwise(size(split(norm, " ")).cast("long")).as("n_tok_after"))
+  }
+
   /** CCNet-style boilerplate removal (Wenzek et al. 2020 deduplicate at
     * paragraph granularity; this corpus has no newlines, so the segment
     * unit is a fixed non-overlapping window of `windowWords` words):

@@ -302,8 +302,14 @@ object Dedup {
     */
   def dupNgramFraction(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // hashed grams (8-byte keys through both shuffles, same ~4e-9
+    // collision argument as [[hashedShingles]]); persisted because BOTH
+    // the df aggregate and the verdict join consume the explode —
+    // without it the interpreted shingle HOF chain runs twice
     val ex = df.select(col(idCol).as("did"),
-      explode(shingles(col(textCol), shingleN)).as("g"))
+      explode(hashedShingles(shingles(col(textCol), shingleN))).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val gDf = ex.groupBy("g").agg(count(lit(1)).as("gdf"))
     ex.join(gDf, "g")
       .groupBy(col("did").as(idCol))

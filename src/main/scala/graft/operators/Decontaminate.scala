@@ -43,4 +43,32 @@ object Decontaminate {
     docs.join(
       broadcast(contaminatedIds(docs, idCol, textCol, bench, benchTextCol, n)),
       Seq(idCol), "left_anti")
+
+  /** Bloom-filter variant of [[contaminatedIds]] for when the benchmark
+    * n-gram set outgrows an exact broadcast (a multi-benchmark sweep at
+    * 100 TB: hundreds of millions of grams × 8 bytes): the grams compress
+    * into a fixed-size Bloom sketch (`-ln(fpp)/ln²2 ≈ 14.4` bits/gram at
+    * fpp 1e-3) built once and broadcast, and the corpus probes it
+    * map-side. GUARANTEE: no false negatives — the result is a superset
+    * of [[contaminatedIds]]'s, with FP-rate-bounded extra ids (spec
+    * asserts both); acceptable for a removal list, where over-removal by
+    * 0.1 % is the safe direction. Spec-backed, not gated: the sketch's
+    * bit layout is insertion-order-dependent, so there is no engine-
+    * independent oracle. */
+  def bloomContaminatedIds(docs: DataFrame, idCol: String, textCol: String,
+                           bench: DataFrame, benchTextCol: String,
+                           n: Int, fpp: Double = 0.001): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    val expected = math.max(benchGrams.count(), 1L)
+    val bf = benchGrams.stat.bloomFilter("gh", expected, fpp)
+    val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((gh: Long) => bfBc.value.mightContainLong(gh))
+    docs.select(col(idCol).as("id"),
+      explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+      .filter(mightContain(col("gh")))
+      .select(col("id").as(idCol)).distinct()
+  }
 }

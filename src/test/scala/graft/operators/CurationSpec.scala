@@ -97,6 +97,22 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L, 3L)) // sub-n docs can never be contaminated
   }
 
+  test("bloom decontamination: superset of exact, FP-bounded on a real corpus") {
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val bench = corpus.filter(org.apache.spark.sql.functions.col("doc_id") % 25 === 0)
+      .limit(20)
+    val exact = Decontaminate.contaminatedIds(corpus, "doc_id", "text",
+      bench, "text", n = 4).collect().map(_.getLong(0)).toSet
+    val bloom = Decontaminate.bloomContaminatedIds(corpus, "doc_id", "text",
+      bench, "text", n = 4, fpp = 0.001).collect().map(_.getLong(0)).toSet
+    // no false negatives, ever — the removal list may only grow
+    assert(exact.subsetOf(bloom),
+      s"bloom missed ${exact.diff(bloom)} — bloom filters cannot false-negative")
+    // FP budget: extra docs ≤ corpus × (grams/doc × fpp) with slack
+    assert(bloom.size - exact.size <= 50,
+      s"${bloom.size - exact.size} extra ids exceeds the 1e-3 FP budget")
+  }
+
   test("mixtureSample: per-group rates honored, deterministic, map literal plan") {
     val s = Sampling.mixtureSample(docs.select("doc_id", "lang"), "doc_id",
       "lang", rates = Seq("en" -> 1.0, "de" -> 0.0), defaultRate = 0.5,

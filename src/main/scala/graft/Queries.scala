@@ -2133,6 +2133,79 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling without replacement (Efraimidis-Spirakis priorities
+    * from the cross-engine hash; integer nano-unit ranks). */
+  val weightedSampleGate: Q = q("weighted_sample", {
+    val h = operators.CrossHash.duckdbHash56("'ws1:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH pri AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |    CAST(round(ln(CAST(($h) + 1 AS DOUBLE) / 72057594037927936.0)
+      |      / len(string_split(text, ' ')) * 1000000000) AS BIGINT)
+      |      AS priority_nano
+      |  FROM documents)
+      |SELECT doc_id, w, priority_nano,
+      |  CAST(row_number() OVER (ORDER BY priority_nano DESC, doc_id) AS BIGINT) AS rn
+      |FROM pri QUALIFY rn <= 100 ORDER BY rn""".stripMargin
+  }) { (s, dir) =>
+    operators.Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+      size(split(col("text"), " ")), k = 100, salt = "ws1")
+      .orderBy("rn")
+  }
+
+  /** Round-3 curation capstone: normalize → boilerplate-segment removal →
+    * entropy quality filter → weighted sample — four chained stages under
+    * ONE oracle that replays every stage (byte-exact normalization and
+    * reassembly, micro-unit entropy, nano-unit WRS priorities). */
+  val pipelineCurationV4: Q = q("pipeline_curation_v4", {
+    val h = operators.CrossHash.duckdbHash56("'v4:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH W0 AS (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t FROM documents),
+      |W AS (SELECT doc_id, string_split(t, ' ') AS w FROM W0 WHERE len(t) > 0),
+      |tok AS (SELECT doc_id, unnest(w) AS x, unnest(range(len(w))) AS i FROM W),
+      |seg AS (
+      |  SELECT doc_id, i // 8 AS seg_id, string_agg(x, ' ' ORDER BY i) AS seg
+      |  FROM tok GROUP BY doc_id, i // 8),
+      |sdf AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg),
+      |clean AS (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN df <= 1 THEN seg END, ' ' ORDER BY seg_id) AS ct,
+      |    sum(CASE WHEN df <= 1 THEN 1 ELSE 0 END) AS n_kept
+      |  FROM seg JOIN sdf USING (seg) GROUP BY doc_id),
+      |C AS (SELECT doc_id, string_split(ct, ' ') AS cw FROM clean WHERE n_kept > 0),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM (
+      |         SELECT doc_id, unnest(cw) AS word FROM C) GROUP BY doc_id, word),
+      |wn AS (SELECT doc_id, tf, sum(tf) OVER (PARTITION BY doc_id) AS n FROM tf),
+      |ent AS (
+      |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tok,
+      |    -CAST(sum(tf * CAST(round(ln(CAST(tf AS DOUBLE) / n) * 1000000)
+      |      AS BIGINT)) AS DOUBLE) / (max(n) * 1000000) AS entropy
+      |  FROM wn GROUP BY doc_id),
+      |pri AS (
+      |  SELECT doc_id, n_tok AS w,
+      |    CAST(round(ln(CAST(($h) + 1 AS DOUBLE) / 72057594037927936.0)
+      |      / n_tok * 1000000000) AS BIGINT) AS priority_nano
+      |  FROM ent WHERE entropy >= 2.8)
+      |SELECT doc_id, w, priority_nano,
+      |  CAST(row_number() OVER (ORDER BY priority_nano DESC, doc_id) AS BIGINT) AS rn
+      |FROM pri QUALIFY rn <= 100 ORDER BY rn""".stripMargin
+  }) { (s, dir) =>
+    val norm = operators.TextAnalysis.normalizeText(t(s, dir, "documents"))
+      .filter(length(col("norm_text")) > 0)
+      .select(col("doc_id"), col("norm_text").as("text"))
+    val clean = operators.TextAnalysis.removeBoilerplate(norm,
+        windowWords = 8, dfLimit = 1L)
+      .filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("clean_text"))
+    val kept = operators.TextAnalysis.tokenEntropy(clean, "doc_id", "clean_text")
+      .filter(col("entropy") >= 2.8)
+      .select(col("doc_id"), col("n_tokens"))
+    operators.Sampling.weightedSample(kept, "doc_id", col("n_tokens"),
+      k = 100, salt = "v4")
+      .orderBy("rn")
+  }
+
   /** Real GIF decode — grayscale payloads fit one palette, so the round
     * trip is lossless and the gray sum oracles exactly (the third
     * lossless container after PNG and BMP). */
@@ -2183,6 +2256,7 @@ object Queries {
     containmentPairs, semDedupGate, boilerplateSegments, bigramPpl,
     dupNgramFrac, tokenEntropy, oovRate,
     windowRangeInterval, windowNtile, unpivotMetrics,
-    setIntersectAll, lateralTopN, gifDecode, normalizeTextGate
+    setIntersectAll, lateralTopN, gifDecode, normalizeTextGate,
+    weightedSampleGate, pipelineCurationV4
   )
 }

@@ -119,6 +119,37 @@ object Sampling {
     * on the hash break by id, so the result is total-order stable. One
     * shuffle (hash-partition by group); skewed groups are bounded by the
     * per-partition top-n accumulation of window row_number. */
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir" — public
+    * literature): each row draws `u ∈ (0, 1]` from its salted hash and
+    * ranks by `u^(1/w)` descending — equivalently by `ln(u)/w`
+    * descending, which is the form used here; taking the top `k` yields
+    * exactly the WRS-without-replacement distribution, with heavier rows
+    * proportionally likelier. Hash-derived `u` makes the draw
+    * reproducible across runs AND engines (the [[CrossHash]] trick), and
+    * the priority converts to integer nano-units so rank comparisons
+    * never hinge on a float ulp.
+    *
+    * Scale shape: one projection + one top-k (TakeOrdered via the rank
+    * window on an already-tiny k) — rows never shuffle except the k
+    * winners.
+    *
+    * @param weight strictly-positive weight column (e.g. token count)
+    * @return (idCol, weight AS w, priority_nano, rn) the k winners
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     k: Int, salt: String): DataFrame = {
+    val h = CrossHash.hash56(concat(lit(salt + ":"), col(idCol).cast("string")))
+    // (h+1)/2^56 ∈ (0, 2^-56 .. 1]: exact BIGINT arithmetic, one double
+    // division — identical rounding in the JVM and DuckDB
+    val u = (h + lit(1L)).cast("double") / lit(72057594037927936.0)
+    val pri = round(log(u) / weight.cast("double") * 1e9).cast("long")
+    df.select(col(idCol), weight.cast("long").as("w"), pri.as("priority_nano"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("priority_nano").desc, col(idCol).asc)).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   def quotaPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
                     n: Int, salt: String): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)

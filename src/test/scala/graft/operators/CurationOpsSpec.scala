@@ -168,6 +168,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Map(1L -> ((4L, 0.25)), 2L -> ((4L, 0.25))))
   }
 
+  test("weightedSample replays the Efraimidis-Spirakis priorities exactly") {
+    import spark.implicits._
+    val rows = (1L to 50L).map(i => (i, 1L + (i % 7) * 10))
+    val out = Sampling.weightedSample(rows.toDF("id", "wt"), "id", col("wt"),
+      k = 10, salt = "spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // scala-side oracle: same hash, same u, same nano-rounded priority
+    val expected = rows.map { case (id, w) =>
+      val u = (CrossHash.scalaHash56(s"spec:$id") + 1L).toDouble / 7.2057594037927936e16
+      // Spark's round = BigDecimal HALF_UP (math.round floors negative halves)
+      (id, w, java.math.BigDecimal.valueOf(math.log(u) / w * 1e9)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    }.sortBy { case (id, _, p) => (-p, id) }
+      .take(10).zipWithIndex
+      .map { case ((id, w, p), i) => (id, w, p, (i + 1).toLong) }
+    assert(out.toSeq == expected)
+    // heavier rows dominate the sample: mean weight of winners above corpus mean
+    val meanAll = rows.map(_._2).sum.toDouble / rows.size
+    val meanWin = out.map(_._2).sum.toDouble / out.length
+    assert(meanWin > meanAll,
+      s"winners' mean weight $meanWin should exceed corpus mean $meanAll")
+  }
+
   test("oovRate top-k tie-break is by word ascending") {
     import spark.implicits._
     // b and c tie at 2; top-2 = {a(3), b} by (cnt desc, word asc)

@@ -2206,6 +2206,30 @@ object Queries {
       .orderBy("rn")
   }
 
+  /** Date/time part extraction + truncation (the ETL time-dimension hop).
+    * DOW normalized to Spark's 1=Sunday convention (DuckDB's dow is
+    * 0=Sunday). */
+  val datetimeParts: Q = q("datetime_parts",
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+      |  CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d,
+      |  CAST(EXTRACT(hour FROM o_orderdate) AS BIGINT) AS h,
+      |  CAST(EXTRACT(dow FROM o_orderdate) + 1 AS BIGINT) AS dow,
+      |  date_trunc('month', o_orderdate) AS month_start
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS d,
+        |  CAST(hour(o_orderdate) AS BIGINT) AS h,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        |  CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Real GIF decode — grayscale payloads fit one palette, so the round
     * trip is lossless and the gray sum oracles exactly (the third
     * lossless container after PNG and BMP). */
@@ -2257,6 +2281,6 @@ object Queries {
     dupNgramFrac, tokenEntropy, oovRate,
     windowRangeInterval, windowNtile, unpivotMetrics,
     setIntersectAll, lateralTopN, gifDecode, normalizeTextGate,
-    weightedSampleGate, pipelineCurationV4
+    weightedSampleGate, pipelineCurationV4, datetimeParts
   )
 }

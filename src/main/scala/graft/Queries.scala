@@ -2230,6 +2230,26 @@ object Queries {
         |FROM orders ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Ordered string aggregation (LISTAGG/string_agg): Spark has no
+    * within-aggregate ORDER BY, so the deterministic spelling is
+    * sort_array over collected (key, value) structs — a genuinely
+    * different plan for the same semantics. */
+  val stringAggOrdered: Q = q("string_agg_ordered",
+    """SELECT c_nationkey,
+      |  string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM customer WHERE c_custkey <= 60
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").filter(col("c_custkey") <= 60)
+      .groupBy("c_nationkey")
+      .agg(
+        concat_ws(",", expr(
+          "transform(sort_array(collect_list(struct(c_custkey, c_name))), s -> s.c_name)"))
+          .as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
   /** Real GIF decode — grayscale payloads fit one palette, so the round
     * trip is lossless and the gray sum oracles exactly (the third
     * lossless container after PNG and BMP). */
@@ -2281,6 +2301,6 @@ object Queries {
     dupNgramFrac, tokenEntropy, oovRate,
     windowRangeInterval, windowNtile, unpivotMetrics,
     setIntersectAll, lateralTopN, gifDecode, normalizeTextGate,
-    weightedSampleGate, pipelineCurationV4, datetimeParts
+    weightedSampleGate, pipelineCurationV4, datetimeParts, stringAggOrdered
   )
 }

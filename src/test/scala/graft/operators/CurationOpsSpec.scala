@@ -168,6 +168,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Map(1L -> ((4L, 0.25)), 2L -> ((4L, 0.25))))
   }
 
+  test("normalizeText matches a plain-Scala model on fuzzed ASCII") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val chars = "abcXYZ019 ..,!?-_@#  \t"
+    val docs = (0L until 200L).map { i =>
+      (i, (0 until rnd.nextInt(40)).map(_ => chars(rnd.nextInt(chars.length))).mkString)
+    }
+    def model(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    val out = TextAnalysis.normalizeText(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, s) =>
+      assert(out(id) == model(s), s"doc $id: '${s}' → '${out(id)}' vs '${model(s)}'")
+    }
+    // token counting: empty normalization yields 0, not 1
+    val counts = TextAnalysis.normalizeText(Seq((1L, "!!! ...")).toDF("doc_id", "text"))
+      .collect().head
+    assert(counts.getString(1) == "" && counts.getLong(3) == 0L)
+  }
+
   test("weightedSample replays the Efraimidis-Spirakis priorities exactly") {
     import spark.implicits._
     val rows = (1L to 50L).map(i => (i, 1L + (i % 7) * 10))

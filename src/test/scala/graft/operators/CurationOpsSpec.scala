@@ -168,6 +168,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Map(1L -> ((4L, 0.25)), 2L -> ((4L, 0.25))))
   }
 
+  test("removeBoilerplate matches a plain-Scala model on a fuzzed corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val sharedBlock = "s1 s2 s3 s4" // 4 words = one whole window at w=4
+    val docs = (0L until 60L).map { i =>
+      val words = (0 until 3 + rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val txt = if (i % 3 == 0) (sharedBlock +: words).mkString(" ")
+                else words.mkString(" ")
+      (i, txt)
+    }
+    val w = 4
+    // scala model: same segmentation, df over exact segment text, reassembly
+    val segsOf = (t: String) => t.split(" ").grouped(w).map(_.mkString(" ")).toVector
+    val df = docs.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+    val expect = docs.map { case (id, t) =>
+      val segs = segsOf(t)
+      id -> ((segs.size.toLong, segs.count(df(_) <= 1).toLong,
+        segs.filter(df(_) <= 1).mkString(" ")))
+    }.toMap
+    val out = TextAnalysis.removeBoilerplate(docs.toDF("doc_id", "text"),
+      windowWords = w, dfLimit = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == expect)
+  }
+
   test("normalizeText matches a plain-Scala model on fuzzed ASCII") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

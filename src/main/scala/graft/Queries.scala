@@ -2111,7 +2111,7 @@ object Queries {
       |  CAST(sum((doc_id * 31 + (3 * k + 1) * 7) % 256) AS BIGINT) AS sum_g,
       |  CAST(sum((doc_id * 31 + (3 * k + 2) * 7) % 256) AS BIGINT) AS sum_b
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    operators.Multimodal.decodeBmpChannelSums(
+    operators.Multimodal.decodeRgbChannelSums(
       operators.Multimodal.asBmpTable(t(s, dir, "documents")))
       .orderBy("doc_id")
   }
@@ -2267,6 +2267,32 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Real TIFF decode — baseline RGB strips are lossless, so the BMP
+    * channel-sum oracle applies unchanged through a fourth container. */
+  val tiffDecode: Q = q("tiff_decode",
+    """WITH d AS (
+      |  SELECT doc_id, 16 + doc_id % 32 AS w, 16 + (doc_id * 3) % 32 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(range(w * h)) AS k FROM d)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(sum((doc_id * 31 + (3 * k + 0) * 7) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id * 31 + (3 * k + 1) * 7) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id * 31 + (3 * k + 2) * 7) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Multimodal.decodeRgbChannelSums(
+      operators.Multimodal.asTiffTable(t(s, dir, "documents")))
+      .orderBy("doc_id")
+  }
+
+  /** Correlated EXISTS subquery (decorrelates to a semi-join). */
+  val existsSubquery: Q = sqlBoth("exists_subquery", Seq("customer", "orders"),
+    """SELECT c_custkey, c_name FROM customer c
+      | WHERE EXISTS (SELECT 1 FROM orders o
+      |               WHERE o.o_custkey = c.c_custkey
+      |                 AND o.o_totalprice > 300000)
+      | ORDER BY c_custkey""".stripMargin)
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2301,6 +2327,7 @@ object Queries {
     dupNgramFrac, tokenEntropy, oovRate,
     windowRangeInterval, windowNtile, unpivotMetrics,
     setIntersectAll, lateralTopN, gifDecode, normalizeTextGate,
-    weightedSampleGate, pipelineCurationV4, datetimeParts, stringAggOrdered
+    weightedSampleGate, pipelineCurationV4, datetimeParts, stringAggOrdered,
+    tiffDecode, existsSubquery
   )
 }

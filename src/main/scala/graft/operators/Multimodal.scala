@@ -371,8 +371,9 @@ object Multimodal {
       gen(col("doc_id")).as("content"))
   }
 
-  /** Exact per-channel sums from a decoded BMP (lossless round trip). */
-  def decodeBmpChannelSums(media: DataFrame): DataFrame = {
+  /** Exact per-channel sums from any losslessly-decodable RGB payload
+    * (BMP and TIFF gates share this — ImageIO sniffs the container). */
+  def decodeRgbChannelSums(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("width", LongType),
@@ -385,7 +386,7 @@ object Multimodal {
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")))
-        require(img != null, "undecodable BMP payload")
+        require(img != null, "undecodable RGB image payload")
         var (sr, sg, sb) = (0L, 0L, 0L)
         var y = 0
         while (y < img.getHeight) {
@@ -401,6 +402,37 @@ object Multimodal {
           sr, sg, sb)
       }
     }(enc)
+  }
+
+  /** Real TIFF via ImageIO (the JDK bundles the TIFF plugin since 9) —
+    * baseline RGB strips are lossless, so the BMP gate's exact
+    * channel-sum oracle applies unchanged through a fourth container. */
+  def synthTiff(docId: Long): Array[Byte] = {
+    val (w, h) = pngDims(docId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = 3L * (y * w + x)
+        img.setRGB(x, y,
+          (pngPixel(docId, base) << 16) | (pngPixel(docId, base + 1) << 8)
+            | pngPixel(docId, base + 2))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "tiff", out)
+    out.toByteArray
+  }
+
+  /** TIFF table with genuine baseline-RGB payloads. */
+  def asTiffTable(docs: DataFrame): DataFrame = {
+    val gen = udf((id: Long) => synthTiff(id))
+    docs.select(col("doc_id"), lit("image").as("modality"),
+      gen(col("doc_id")).as("content"))
   }
 
   /** Real GIF via ImageIO — palette-based, so lossless only when the

@@ -53,6 +53,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("TIFF round trip is lossless and agrees with the closed-form pixels") {
+    for (id <- Seq(0L, 7L, 31L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthTiff(id)))
+      val (w, h) = Multimodal.pngDims(id)
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      }
+      val exp = (0 until w * h).map(k => (
+        Multimodal.pngPixel(id, 3L * k), Multimodal.pngPixel(id, 3L * k + 1),
+        Multimodal.pngPixel(id, 3L * k + 2)))
+      assert((sr, sg, sb) ==
+        (exp.map(_._1.toLong).sum, exp.map(_._2.toLong).sum, exp.map(_._3.toLong).sum),
+        s"doc $id: TIFF pixels drifted — the codec must be lossless")
+      // the payload really is TIFF (II*\0 little-endian or MM\0* big-endian)
+      val b = Multimodal.synthTiff(id)
+      assert((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))
+    }
+  }
+
   test("GIF gray round trip is lossless and agrees with the closed-form pixels") {
     for (id <- Seq(0L, 7L, 31L)) {
       val img = javax.imageio.ImageIO.read(

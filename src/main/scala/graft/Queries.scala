@@ -2285,6 +2285,42 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span masking (exact substring-dedup semantics at fixed
+    * span length): overlapping windows, token-precise masking, byte-exact
+    * clean_text oracle. */
+  val maskSpans: Q = q("mask_dup_spans",
+    """WITH W AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 8),
+      |toks AS (
+      |  SELECT doc_id, unnest(w) AS tok, unnest(range(len(w))) AS pos FROM W),
+      |grams AS (
+      |  SELECT doc_id, unnest(range(len(w) - 7)) AS p,
+      |    unnest(list_transform(range(len(w) - 7),
+      |      i -> array_to_string(w[i+1:i+8], ' '))) AS g
+      |  FROM W),
+      |gdf AS (SELECT g, count(DISTINCT doc_id) AS gdocs FROM grams GROUP BY g),
+      |cov AS (
+      |  SELECT DISTINCT grams.doc_id, grams.p + t.range AS pos
+      |  FROM grams JOIN gdf USING (g) CROSS JOIN range(8) t
+      |  WHERE gdocs > 1),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+      |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |  WHERE c.pos IS NULL),
+      |reb AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY pos) AS ct
+      |  FROM kept GROUP BY doc_id)
+      |SELECT W.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_masked,
+      |  coalesce(ct, '') AS clean_text
+      |FROM W LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Dedup.maskDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+      spanTokens = 8)
+      .orderBy("doc_id")
+  }
+
   /** Correlated EXISTS subquery (decorrelates to a semi-join). */
   val existsSubquery: Q = sqlBoth("exists_subquery", Seq("customer", "orders"),
     """SELECT c_custkey, c_name FROM customer c
@@ -2328,6 +2364,6 @@ object Queries {
     windowRangeInterval, windowNtile, unpivotMetrics,
     setIntersectAll, lateralTopN, gifDecode, normalizeTextGate,
     weightedSampleGate, pipelineCurationV4, datetimeParts, stringAggOrdered,
-    tiffDecode, existsSubquery
+    tiffDecode, existsSubquery, maskSpans
   )
 }

@@ -320,6 +320,57 @@ object Dedup {
       .select(idCol, "n_ngrams", "dup_frac")
   }
 
+  /** Cross-document duplicated-SPAN masking — the doc-rewriting half of
+    * exact substring deduplication (Lee et al. 2021 §4 run their masking
+    * over a suffix array; the fixed-span relational formulation here
+    * masks every token covered by some `spanTokens`-long window whose
+    * exact text occurs in ≥ 2 distinct documents, which is the same
+    * verdict for spans of exactly that length and needs no suffix
+    * structure). Differs from [[dupNgramFraction]] (a per-doc score) and
+    * [[graft.operators.TextAnalysis.removeBoilerplate]] (non-overlapping
+    * fixed segments): windows here OVERLAP, so a duplicated region is
+    * masked precisely token-by-token, not rounded to segment boundaries.
+    *
+    * Plan: positional window explode → hashed-window df (distinct docs,
+    * map-side combinable) → duplicated window starts → covered-position
+    * explode (×spanTokens per duplicated start, bounded by corpus dup
+    * volume) → anti-join against the token stream → ordered reassembly.
+    * Every shuffle is equi-keyed on (window-hash | doc | doc,pos); no
+    * pair join anywhere, so cost is corpus-linear plus true-duplication
+    * volume.
+    *
+    * @return (doc_id, n_tokens, n_masked, clean_text) for every doc with
+    *         ≥ spanTokens tokens (fully-masked docs keep clean_text = "")
+    */
+  def maskDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int = 8): DataFrame = {
+    val words = split(col(textCol), " ")
+    val base = df.filter(col(textCol).isNotNull && size(words) >= spanTokens)
+      .select(col(idCol).as("did"), words.as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val toks = base.select(col("did"), posexplode(col("w")).as(Seq("pos", "tok")))
+    val grams = base.select(col("did"),
+      posexplode(expr(
+        s"transform(sequence(0, size(w) - $spanTokens), i -> xxhash64(concat_ws(' ', slice(w, i + 1, $spanTokens))))"))
+        .as(Seq("p", "gh")))
+    val gdf = grams.select("gh", "did").distinct()
+      .groupBy("gh").agg(count(lit(1)).as("gdocs"))
+    val covered = grams.join(gdf.filter(col("gdocs") > 1), "gh")
+      .select(col("did"), explode(sequence(col("p"), col("p") + spanTokens - 1)).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("did", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("did")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)"))
+          .as("clean_text"))
+    base.select(col("did"), size(col("w")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("did"), "left")
+      .select(col("did").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_masked"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** 56-bit SimHash of whitespace tokens, built entirely from commutative
     * aggregations (explode words × bits → per-bit vote sums → weighted
     * recombine), so the result is independent of row/partition order and

@@ -112,7 +112,7 @@ class PlanShapeSpec extends SparkSpec {
     // explode → keyed count → join back → per-doc aggregate: partial
     // aggregation must survive (shuffles carry distinct keys, not tokens)
     for (name <- Seq("dup_ngram_frac", "token_entropy", "oov_rate",
-      "boilerplate_segments", "bigram_logppl")) {
+      "boilerplate_segments", "bigram_logppl", "mask_dup_spans")) {
       val plan = executedPlan(name)
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
       // bigram_logppl's 1-row corpus total rides a broadcast nested loop

@@ -196,6 +196,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("maskDuplicatedSpans masks exactly the covered tokens, at any offset") {
+    import spark.implicits._
+    val span = "d1 d2 d3 d4" // 4 tokens, spanTokens = 4
+    val docs = Seq(
+      (1L, s"$span tail1 tail2 tail3"),          // span at pos 0..3
+      (2L, s"head1 head2 $span after"),          // span at pos 2..5
+      (3L, "u1 u2 u3 u4 u5 u6 u7"),              // no duplication
+      (4L, "x1 x2 x3")                           // sub-span doc: excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskDuplicatedSpans(docs, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((7L, 4L, "tail1 tail2 tail3")))
+    assert(out(2L) == ((7L, 4L, "head1 head2 after")))
+    assert(out(3L) == ((7L, 0L, "u1 u2 u3 u4 u5 u6 u7")))
+    assert(!out.contains(4L))
+  }
+
+  test("maskDuplicatedSpans: overlapping duplicated windows merge their cover") {
+    import spark.implicits._
+    // doc 2 repeats doc 1's five-token run: windows (0..3) and (1..4)
+    // both duplicate → positions 0..4 masked once, not double-counted
+    val docs = Seq(
+      (1L, "a b c d e x1 x2"),
+      (2L, "a b c d e y1 y2")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskDuplicatedSpans(docs, "doc_id", "text", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((5L, "x1 x2")))
+    assert(out(2L) == ((5L, "y1 y2")))
+  }
+
   test("normalizeText matches a plain-Scala model on fuzzed ASCII") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

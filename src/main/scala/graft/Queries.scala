@@ -2321,6 +2321,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** FILTER (WHERE …) aggregate clauses — per-condition partial counts
+    * in one pass (the idiomatic spelling of conditional aggregation). */
+  val filteredAgg: Q = sqlBoth("filtered_agg", Seq("orders"),
+    """SELECT o_custkey,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+      |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+      |    AS n_urgent
+      | FROM orders GROUP BY o_custkey
+      | HAVING count(*) >= 10 ORDER BY o_custkey""".stripMargin)
+
+  /** IS [NOT] DISTINCT FROM — null-safe comparison semantics. */
+  val distinctFrom: Q = sqlBoth("distinct_from", Seq("customer"),
+    """SELECT c_custkey, c_name
+      | FROM customer
+      | WHERE (c_mktsegment IS DISTINCT FROM 'BUILDING')
+      |   AND (c_nationkey IS NOT DISTINCT FROM c_custkey % 25)
+      | ORDER BY c_custkey""".stripMargin)
+
   /** Correlated EXISTS subquery (decorrelates to a semi-join). */
   val existsSubquery: Q = sqlBoth("exists_subquery", Seq("customer", "orders"),
     """SELECT c_custkey, c_name FROM customer c
@@ -2364,6 +2383,6 @@ object Queries {
     windowRangeInterval, windowNtile, unpivotMetrics,
     setIntersectAll, lateralTopN, gifDecode, normalizeTextGate,
     weightedSampleGate, pipelineCurationV4, datetimeParts, stringAggOrdered,
-    tiffDecode, existsSubquery, maskSpans
+    tiffDecode, existsSubquery, maskSpans, filteredAgg, distinctFrom
   )
 }

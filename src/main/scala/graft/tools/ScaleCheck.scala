@@ -71,6 +71,8 @@ object ScaleCheck {
         Dedup.dupNgramFraction(docs, "doc_id", "text", 4).count())
       time(s"boilerplate x$n")(
         graft.operators.TextAnalysis.removeBoilerplate(docs).count())
+      time(s"mask_spans x$n")(
+        Dedup.maskDuplicatedSpans(docs, "doc_id", "text", 8).count())
       docs.unpersist()
     }
 

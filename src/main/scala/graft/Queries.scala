@@ -2340,6 +2340,34 @@ object Queries {
       |   AND (c_nationkey IS NOT DISTINCT FROM c_custkey % 25)
       | ORDER BY c_custkey""".stripMargin)
 
+  /** Explicit NULLS FIRST/LAST ordering — the engines DISAGREE on the
+    * default (Spark ascending = NULLS FIRST, DuckDB = NULLS LAST), so
+    * portable SQL must spell it out; this gate locks the spelled-out
+    * form to identical results. */
+  val nullsOrdering: Q = sqlBoth("nulls_ordering", Seq("customer"),
+    """SELECT c_custkey,
+      |  CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_nationkey END AS k
+      | FROM customer WHERE c_custkey <= 50
+      | ORDER BY k ASC NULLS LAST, c_custkey DESC""".stripMargin)
+
+  /** Mean/stddev via closed-form exact integer sums (acctbal in cents →
+    * BIGINT; sqrt applied once at the end) — order-independent where the
+    * engines' native stddev accumulation orders could differ in final
+    * ulps. */
+  val statsAgg: Q = sqlBoth("stats_agg", Seq("customer"),
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / (100 * count(*))
+      |    AS mean_bal,
+      |  sqrt((CAST(count(*) AS DOUBLE)
+      |          * CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+      |                     * CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+      |        - CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+      |          * CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE))
+      |       / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) / 100
+      |    AS stddev_bal
+      | FROM customer GROUP BY c_nationkey
+      | HAVING count(*) > 1 ORDER BY c_nationkey""".stripMargin)
+
   /** Correlated EXISTS subquery (decorrelates to a semi-join). */
   val existsSubquery: Q = sqlBoth("exists_subquery", Seq("customer", "orders"),
     """SELECT c_custkey, c_name FROM customer c
@@ -2383,6 +2411,7 @@ object Queries {
     windowRangeInterval, windowNtile, unpivotMetrics,
     setIntersectAll, lateralTopN, gifDecode, normalizeTextGate,
     weightedSampleGate, pipelineCurationV4, datetimeParts, stringAggOrdered,
-    tiffDecode, existsSubquery, maskSpans, filteredAgg, distinctFrom
+    tiffDecode, existsSubquery, maskSpans, filteredAgg, distinctFrom,
+    nullsOrdering, statsAgg
   )
 }

@@ -127,6 +127,7 @@ object Similarity {
     val seeds: Seq[(Int, Seq[Float])] = e.orderBy("n_id").limit(nCentroids)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
+    if (seeds.isEmpty) return Nil // empty corpus: no cells to refine
     withCell(e, seeds)
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cell", "dim").agg(avg("x").as("m"))
@@ -141,6 +142,9 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
     val refined = refinedCentroids(e, nCentroids)
+    if (refined.isEmpty) // empty corpus: empty result, same schema
+      return e.limit(0).select(col("n_id").as("q_id"), col("n_id"),
+        lit(0L).as("rnk"), lit(0.0).as("cos"))
 
     val corpus = withCell(e, refined)
       .withColumnRenamed("v", "v_n")
@@ -185,6 +189,9 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
     val refined = refinedCentroids(e, nCentroids)
+    if (refined.isEmpty) // empty corpus: empty result, same schema
+      return e.limit(0).select(col("n_id").as("vec_id"),
+        lit(null).cast("int").as("cell"), lit(true).as("kept"))
     val corpus = withCell(e, refined)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dups = corpus.as("a")

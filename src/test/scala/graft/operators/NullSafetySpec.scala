@@ -141,6 +141,16 @@ class NullSafetySpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("quantizer paths tolerate an EMPTY corpus (no seeds to collect)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(empty, "vec_id", "embedding").count() == 0)
+    assert(Similarity.ivfTopK(empty, "vec_id", "embedding",
+      col("vec_id") < 10, k = 5).count() == 0)
+    assert(Similarity.bruteForceTopK(empty, "vec_id", "embedding",
+      col("vec_id") < 10, k = 5).count() == 0)
+  }
+
   test("labelCentroidStats: null vectors/labels never poison centroids") {
     import spark.implicits._
     val d = Seq[(java.lang.Long, Array[Float], java.lang.Integer)](

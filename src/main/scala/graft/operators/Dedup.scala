@@ -589,6 +589,13 @@ object Dedup {
     *
     * Pairs may be any candidate relation: [[minhashLsh]], [[simhashPairs]],
     * [[embeddingNearDup]] outputs all fit (`id_a`/`id_b` columns).
+    *
+    * Hybrid execution: when the (output-sized) pair list is small enough
+    * to collect safely (`driverUnionFindLimit`, default 2M pairs ≈ 32 MB)
+    * and ids are integral, a driver-side union-find resolves components
+    * in ONE collect — identical min-label result, none of the per-round
+    * fixed job overhead. Larger pair sets fall through to the iterative
+    * plan, so the scale path is never lost.
     */
   /** Canonical-document selection: given cluster assignments
     * ([[duplicateClusters]] output) and a source-priority order, keep one
@@ -612,10 +619,58 @@ object Dedup {
   }
 
   def duplicateClusters(ids: DataFrame, pairs: DataFrame,
-                        idCol: String = "id", maxIters: Int = 20): DataFrame = {
+                        idCol: String = "id", maxIters: Int = 20,
+                        driverUnionFindLimit: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // FAST PATH: the edge list is OUTPUT-sized (near-dup pair count), not
+    // corpus-sized — when it fits comfortably on the driver (≤ ~32 MB at
+    // the default limit), a local union-find resolves components in one
+    // collect instead of diameter-many distributed rounds, each of which
+    // costs two Spark jobs of fixed overhead. Same min-label result by
+    // construction. Past the limit the iterative path below takes over,
+    // so a pathological pair explosion degrades to the scalable plan,
+    // never to a driver OOM.
+    val integralIds = pairs.schema("id_a").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (integralIds) {
+      val pairRows = pairs
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val small =
+        pairRows.limit((driverUnionFindLimit + 1).toInt).count() <= driverUnionFindLimit
+      if (small) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        pairRows.collect().foreach { r =>
+          val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        // roots never enter `parent`; the left-join coalesce below labels
+        // them (and every singleton) with themselves
+        val resolved = parent.keys.map(k => (k, find(k))).toSeq
+        pairRows.unpersist()
+        edges.unpersist()
+        val spark = ids.sparkSession
+        import spark.implicits._
+        val labelDf = resolved.toDF("id", "label")
+        return ids.select(col(idCol).cast("long").as("id"))
+          .join(broadcast(labelDf), Seq("id"), "left")
+          .select(col("id").as(idCol),
+            coalesce(col("label"), col("id")).as("cluster_id"))
+      }
+      pairRows.unpersist()
+    }
     // the loop runs ONLY on nodes that have an edge — every other id is a
     // singleton by construction and never changes label. The pair graph
     // is output-sized (near-dup count), so each round's join/aggregate

@@ -228,6 +228,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2L) == ((5L, "y1 y2")))
   }
 
+  test("duplicateClusters: driver union-find and iterative paths agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val n = 200L
+    val ids = (1L to n).toDF("id")
+    // random sparse graph: chains, cliques, singletons
+    val pairs = (1 to 150).map { _ =>
+      val a = 1L + rnd.nextInt(n.toInt); val b = 1L + rnd.nextInt(n.toInt)
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("id_a", "id_b")
+    val fast = Dedup.duplicateClusters(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iterative = Dedup.duplicateClusters(ids, pairs,
+      driverUnionFindLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == iterative)
+    // min-label invariant: every cluster id is its own cluster's minimum
+    assert(fast.forall { case (id, c) => c <= id && fast(c) == c })
+  }
+
   test("normalizeText matches a plain-Scala model on fuzzed ASCII") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -18,10 +18,30 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** When set, [[load]] returns an incremental `readStream` frame instead
+    * of a batch scan — the hook [[graft.streaming.StreamingParity]] uses
+    * to replay the VERY SAME gate code as a Structured Streaming plan
+    * (batch≡streaming differential testing). Thread-scoped so concurrent
+    * specs can't leak the mode into each other. */
+  private[graft] val streamingReads = new scala.util.DynamicVariable[Boolean](false)
+
+  def withStreamingReads[T](body: => T): T =
+    streamingReads.withValue(true)(body)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, name))
+    if (streamingReads.value) {
+      // file streaming source needs an explicit schema: probe it with a
+      // footer-only batch read (no data scan). The testdata tables are
+      // single .parquet FILES: FileStreamSource force-sets basePath to
+      // the path itself UNLESS the path is a glob (then it honors the
+      // user option) — so phrase the path as a brace-glob matching only
+      // this file and pass the parent directory explicitly.
+      val schema = spark.read.parquet(path(dir, name)).schema
+      spark.readStream.schema(schema).option("basePath", dir)
+        .parquet(s"$dir/$name.{parquet}")
+    } else spark.read.parquet(path(dir, name))
   }
 
   /** events with `ts` = epoch nanos (bigint) and `event_time` = timestamp(us). */

@@ -10,8 +10,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   * chunk machinery as [[Wav]]; biCompression=0 / BI_RGB frames).
   *
   * This makes VIDEO frame-sampling real at the container level: the
-  * demuxer walks the movi list and returns exact frame payloads — what
-  * [[Multimodal.frameSample]]'s stub faked by slicing a flat buffer.
+  * demuxer walks the movi list and returns exact frame payloads
+  * ([[Multimodal.sampleVideoFrames]] is the DataFrame-level operator).
   * Compressed codecs (H.264 & co) remain honestly out of scope: they
   * need external decoder libraries; the container/demux plumbing here
   * is the Spark-side part a real pipeline exercises.

@@ -58,11 +58,15 @@ object Decontaminate {
   def bloomContaminatedIds(docs: DataFrame, idCol: String, textCol: String,
                            bench: DataFrame, benchTextCol: String,
                            n: Int, fpp: Double = 0.001): DataFrame = {
+    // two actions consume benchGrams (the size probe, then the sketch
+    // build) — persist so the shingle explode + distinct runs once
     val benchGrams = bench
       .select(explode(Dedup.shingles(col(benchTextCol), n)).as("g"))
       .select(xxhash64(col("g")).as("gh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = math.max(benchGrams.count(), 1L)
     val bf = benchGrams.stat.bloomFilter("gh", expected, fpp)
+    benchGrams.unpersist()
     val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((gh: Long) => bfBc.value.mightContainLong(gh))
     docs.select(col(idCol).as("id"),

@@ -638,12 +638,17 @@ object Dedup {
       case _ => false
     }
     if (integralIds) {
+      val idType = ids.schema(idCol).dataType
+      // size-check and fetch in ONE action: take(limit+1) returns the
+      // whole edge list when it fits and proves it doesn't when the
+      // extra row comes back — the truncated fetch then falls through to
+      // the iterative plan. Clamped so limits near Long.MaxValue can't
+      // overflow take's Int argument.
+      val probeN = math.min(driverUnionFindLimit + 1, Int.MaxValue.toLong).toInt
       val pairRows = pairs
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val small =
-        pairRows.limit((driverUnionFindLimit + 1).toInt).count() <= driverUnionFindLimit
-      if (small) {
+        .take(probeN)
+      if (pairRows.length <= driverUnionFindLimit) {
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -652,24 +657,24 @@ object Dedup {
           while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        pairRows.collect().foreach { r =>
+        pairRows.foreach { r =>
           val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
           if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
         }
         // roots never enter `parent`; the left-join coalesce below labels
         // them (and every singleton) with themselves
         val resolved = parent.keys.map(k => (k, find(k))).toSeq
-        pairRows.unpersist()
         edges.unpersist()
         val spark = ids.sparkSession
         import spark.implicits._
         val labelDf = resolved.toDF("id", "label")
+        // cast back to the caller's id type so the output schema doesn't
+        // depend on which path the runtime pair count selected
         return ids.select(col(idCol).cast("long").as("id"))
           .join(broadcast(labelDf), Seq("id"), "left")
-          .select(col("id").as(idCol),
-            coalesce(col("label"), col("id")).as("cluster_id"))
+          .select(col("id").cast(idType).as(idCol),
+            coalesce(col("label"), col("id")).cast(idType).as("cluster_id"))
       }
-      pairRows.unpersist()
     }
     // the loop runs ONLY on nodes that have an edge — every other id is a
     // singleton by construction and never changes label. The pair graph

@@ -15,8 +15,8 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   *
   * This makes the multimodal image path REAL: pipelines carry genuine
   * PNG bytes through the binary column and the decoder reconstructs
-  * exact pixels — only codec-heavy formats (JPEG/audio/video) remain
-  * stubs in [[Multimodal]].
+  * exact pixels; JPEG/BMP/GIF/TIFF ride `javax.imageio` and audio/video
+  * ride [[Wav]]/[[Avi]] — every decode path in [[Multimodal]] is real.
   */
 object Png {
 
@@ -181,6 +181,47 @@ object Png {
       y += 1
     }
     Image(tw, th, img.channels, out)
+  }
+
+  /** Area (box-average) resample with integer-exact arithmetic — the
+    * anti-aliasing downscale filter. The source is cropped to the largest
+    * block-aligned region (block = `(width/tw) × (height/th)` source
+    * pixels per target pixel) and each target component is the floor
+    * average of its block. Every step is integer (sum + one floor
+    * division), so an oracle can replay it in closed form — no float
+    * rounding to diverge on. */
+  def resizeArea(img: Image, tw: Int, th: Int): Image = {
+    val bw = img.width / tw
+    val bh = img.height / th
+    require(bw >= 1 && bh >= 1,
+      s"area resample needs tw<=width, th<=height (got ${tw}x$th from ${img.width}x${img.height})")
+    val c = img.channels
+    val area = bw * bh
+    val out = new Array[Byte](tw * th * c)
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        var ch = 0
+        while (ch < c) {
+          var s = 0L
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              s += img.pixels(((ty * bh + by) * img.width + tx * bw + bx) * c + ch) & 0xff
+              bx += 1
+            }
+            by += 1
+          }
+          out((ty * tw + tx) * c + ch) = (s / area).toByte
+          ch += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    Image(tw, th, c, out)
   }
 
   // ------------------------------------------------------------- helpers

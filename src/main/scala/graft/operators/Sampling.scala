@@ -144,7 +144,12 @@ object Sampling {
     // division — identical rounding in the JVM and DuckDB
     val u = (h + lit(1L)).cast("double") / lit(72057594037927936.0)
     val pri = round(log(u) / weight.cast("double") * 1e9).cast("long")
-    df.select(col(idCol), weight.cast("long").as("w"), pri.as("priority_nano"))
+    // w = 0 would yield ±Infinity priorities and w < 0 (e.g. Spark's
+    // size(split(null,' ')) = -1 for null text) would flip the sign and
+    // rank such rows FIRST — drop degenerate rows up front so the sample
+    // matches any engine where log(u)/w is NULL-ish for them
+    df.filter(weight.cast("double") > 0)
+      .select(col(idCol), weight.cast("long").as("w"), pri.as("priority_nano"))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("priority_nano").desc, col(idCol).asc)).cast("long"))
       .filter(col("rn") <= k)

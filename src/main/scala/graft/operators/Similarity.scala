@@ -108,14 +108,20 @@ object Similarity {
     * logic INSIDE the kernel; a score-array + per-element argmax
     * formulation re-runs the kernel per reference once Catalyst collapses
     * the projections). Centroids sort by cid so the kernel's
-    * highest-index tie-break equals the oracle's highest-cid rule. */
+    * highest-index tie-break equals the oracle's highest-cid rule.
+    * The kernel returns -1 when every cosine is NaN (zero-norm or empty
+    * vector); `pmod` folds that to the LAST (highest-cid) centroid —
+    * the same cell the pre-kernel struct-max formulation picked, since
+    * Spark's ordering ranks NaN above every number — with a single
+    * kernel reference (a `when` guard would mention it twice). */
   private def withCell(df: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     val sorted = centroids.sortBy(_._1)
     val dims = sorted.head._2.length
     val flat = sorted.flatMap(_._2).toArray
     val cids = sorted.map(_._1).toArray
     df.withColumn("cell", element_at(typedlit(cids),
-      call_function("nearest_centroid", col("v"), typedlit(flat), lit(dims)) + 1))
+      pmod(call_function("nearest_centroid", col("v"), typedlit(flat), lit(dims)),
+        lit(cids.length)) + 1))
   }
 
   /** Deterministic coarse quantizer shared by [[ivfTopK]] and [[semDedup]]:

@@ -9,10 +9,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * chunk, fmt  subchunk with audioFormat=1/PCM, data subchunk), tolerant
   * of extra ancillary chunks on decode.
   *
-  * Together with [[Png]] this makes two of the three multimodal payload
-  * types REAL — audio pipelines carry genuine WAV bytes and the decoder
-  * recovers exact samples; only video (container demux + codec) remains
-  * a stub in [[Multimodal]].
+  * Together with [[Png]] and [[Avi]] this makes every multimodal payload
+  * type REAL — audio pipelines carry genuine WAV bytes and the decoder
+  * recovers exact samples.
   */
 object Wav {
 

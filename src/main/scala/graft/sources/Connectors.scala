@@ -18,7 +18,7 @@ import graft.schema.{MetadataField, PhysicalField, StreamSchema}
   * |---|---|---|
   * | datagen  | `rate` source | rows/sec generator, remapped through a projection |
   * | kafka    | `kafka` source/sink | passes options through; needs the kafka connector jar + brokers at runtime |
-  * | kinesis  | — | third-party connector; declared unsupported (the reference itself just names it) |
+  * | kinesis  | third-party `spark-sql-kinesis` behind a classpath probe | Spark ships no first-party kinesis source; [[open]] degrades with actionable guidance when the jar is absent |
   * | rest     | direct DataFrame append | [[Engine.appendRows]] — the seed-ingest path (impl.py:502-574) |
   * | s3       | file source (parquet/csv/json on s3a://) | start positions via checkpoint fast-forward |
   *
@@ -40,7 +40,24 @@ object Connectors {
       properties: Map[String, String] = Map.empty,
       startPosition: StartPosition = Earliest)
 
-  val Supported: Set[String] = Set("datagen", "kafka", "rest", "s3", "file")
+  /** The reference's five connectors (api.py:38-44) plus the local `file`
+    * alias for `s3`. */
+  val Supported: Set[String] = Set("datagen", "kafka", "kinesis", "rest", "s3", "file")
+
+  /** Provider classes registered by the two community kinesis connectors
+    * (qubole/awslabs spark-sql-kinesis and its DSv2 successor). Spark has
+    * no first-party kinesis source, so availability is a runtime
+    * classpath question — probed, never linked. */
+  private val KinesisProviders = Seq(
+    "org.apache.spark.sql.kinesis.KinesisSourceProvider",
+    "org.apache.spark.sql.connector.kinesis.KinesisV2TableProvider")
+
+  /** The kinesis source format name if a provider is on the classpath. */
+  def kinesisProviderAvailable: Option[String] =
+    KinesisProviders.find { cls =>
+      try { Class.forName(cls, false, getClass.getClassLoader); true }
+      catch { case _: ClassNotFoundException => false }
+    }.map(_ => "kinesis")
 
   /** Open a streaming source for a connector spec. The returned frame is
     * unbounded; bind it to a stream with [[bindSource]]. */
@@ -62,6 +79,25 @@ object Connectors {
       // `latest` is NOT latestFirst (that only reorders; all existing files
       // still process) — it's handled by bindSource's checkpoint fast-forward
       spark.readStream.format(format).schema(schema).load(path)
+    case "kinesis" =>
+      kinesisProviderAvailable match {
+        case Some(fmt) =>
+          // startingposition is the qubole connector's option name; pass
+          // every user property through untouched on top of it
+          val reader = spark.readStream.format(fmt)
+            .option("startingposition",
+              spec.startPosition match {
+                case Earliest => "TRIM_HORIZON"
+                case Latest => "LATEST"
+              })
+          spec.properties.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
+        case None =>
+          throw new IllegalStateException(
+            "kinesis connector requires the third-party spark-sql-kinesis " +
+              "connector on the classpath (Spark has no first-party kinesis " +
+              "source; add the qubole/awslabs spark-sql-kinesis jar to " +
+              "spark.jars) — probed for: " + KinesisProviders.mkString(", "))
+      }
     case "rest" =>
       throw new IllegalArgumentException(
         "rest connector has no continuous source; append events with Engine.appendRows " +

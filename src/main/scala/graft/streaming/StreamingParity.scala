@@ -1,0 +1,79 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.catalyst.plans.logical.Sort
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables
+
+/** Batch ≡ streaming differential executor (SURVEY §2.5 ST1-ST6 proof
+  * harness).
+  *
+  * The reference's pipelines are CONTINUOUS by construction — a dbt model
+  * is an always-on Flink `INSERT INTO sink SELECT …` (impl.py:690-692,
+  * 458-460) — while the driver's DuckDB oracle can only check the batch
+  * semantics of each gate. This harness closes that gap: it re-executes a
+  * gate's OWN plan-building code with [[Tables.withStreamingReads]] active,
+  * so every `Tables.load` becomes an incremental file-source `readStream`
+  * over the same parquet, then runs the resulting Structured Streaming
+  * plan to completion with `Trigger.AvailableNow` + `foreachBatch` and
+  * hands back the accumulated rows. A gate passes parity when those rows
+  * are bit-identical (as an unordered multiset) to the batch result the
+  * oracle already certified — the same differential-testing contract, with
+  * the micro-batch engine in the DuckDB seat.
+  *
+  * Execution-mode mapping (mirrors [[StreamingEngine.startQuery]]):
+  *   - aggregating plans run in `complete` mode — every trigger re-emits
+  *     the full result, so the LAST micro-batch is the answer (the
+  *     retract-stream "materialized view" reading, handler.py:79-94);
+  *   - non-aggregating plans run in `append` — micro-batches concatenate.
+  *
+  * Top-level global `Sort`s are stripped before execution: they are
+  * presentation-only (every gate orders solely for the driver's
+  * deterministic hash), streaming append mode rejects them, and the
+  * parity comparison is order-insensitive anyway.
+  */
+object StreamingParity {
+
+  /** Run `fn` (a gate body) as a Structured Streaming job; return its
+    * output schema and the complete result rows. */
+  def run(fn: (SparkSession, String) => DataFrame, spark: SparkSession,
+          dir: String, timeoutMs: Long = 180000L): (StructType, Seq[Row]) = {
+    val plan = Tables.withStreamingReads { fn(spark, dir) }
+    require(plan.isStreaming,
+      "gate does not read through Tables.load — nothing to stream")
+    val analyzed = plan.queryExecution.analyzed
+    val noSort = analyzed.transform { case s: Sort if s.global => s.child }
+    val ds = org.apache.spark.sql.GraftInternal.ofRows(spark, noSort)
+    val aggregating = analyzed.collectFirst { case a: Aggregate => a }.nonEmpty
+
+    val batches = mutable.ArrayBuffer.empty[(Long, Array[Row])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-parity").toString
+    val q = ds.writeStream
+      .outputMode(if (aggregating) "complete" else "append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val rows = b.collect()
+        batches.synchronized { batches += ((id, rows)) }
+        ()
+      }
+      .start()
+    try {
+      if (!q.awaitTermination(timeoutMs))
+        throw new RuntimeException(
+          s"streaming parity run did not finish in ${timeoutMs}ms")
+    } finally if (q.isActive) q.stop()
+
+    val rows = batches.synchronized {
+      val inOrder = batches.sortBy(_._1)
+      if (aggregating) inOrder.lastOption.map(_._2.toSeq).getOrElse(Nil)
+      else inOrder.iterator.flatMap(_._2).toSeq
+    }
+    (ds.schema, rows)
+  }
+}

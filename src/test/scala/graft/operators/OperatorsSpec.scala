@@ -145,23 +145,27 @@ class OperatorsSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
-  test("multimodal: resize rewrites payload + metadata; frameSample explodes to frames") {
-    val media = Multimodal.asMediaTable(docs.limit(10))
-    val resized = Multimodal.resize(media, 32, 16)
-    val r = resized.orderBy("doc_id").head()
-    assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == 32)
-    assert(r.getAs[Array[Byte]]("content").length <= 32 * 16)
-
-    val frames = Multimodal.frameSample(media, 4)
-    assert(frames.columns.toSeq == Seq("doc_id", "frame_no", "frame"))
-    val perDoc = frames.groupBy("doc_id").count().select("count")
-      .distinct().collect().map(_.getLong(0)).toSeq
-    assert(perDoc == Seq(4L))
-    // deterministic: same payload → same first frame
-    val f1 = frames.orderBy("doc_id", "frame_no").head().getAs[Array[Byte]]("frame")
-    val f2 = Multimodal.frameSample(media, 4)
-      .orderBy("doc_id", "frame_no").head().getAs[Array[Byte]]("frame")
-    assert(java.util.Arrays.equals(f1, f2))
+  test("multimodal: real area resize — payload decodes, metadata re-sniffed, pixels match driver-side resample") {
+    val media = Multimodal.asPngTable(docs.limit(10))
+    val resized = Multimodal.resize(media, 8, 8)
+    val rows = resized.orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+      assert(meta.getAs[Int]("width") == 8 && meta.getAs[Int]("height") == 8)
+      val id = r.getAs[Long]("doc_id")
+      // distributed result must be byte-identical to the same decode →
+      // integer box-average → re-encode computed driver-side
+      val expect = Png.encode(Png.resizeArea(
+        Png.decode(Multimodal.synthPng(id)), 8, 8))
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("content"), expect))
+    }
+    // the area filter really averages: a constant-color image stays
+    // constant, and a half-black/half-white block lands in between
+    val flat = Png.Image(4, 4, 3, Array.fill(48)(100.toByte))
+    assert(Png.resizeArea(flat, 2, 2).pixels.forall(_ == 100.toByte))
+    val split = Png.Image(2, 1, 3,
+      Array[Byte](0, 0, 0, 110.toByte, 110, 110))
+    assert(Png.resizeArea(split, 1, 1).pixels.toSeq == Seq[Byte](55, 55, 55))
   }
 
   test("gopherFilter: rule boundaries and empty-text degenerate") {
@@ -197,17 +201,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 2L), ("a", 4L), ("b", 5L)))
   }
 
-  test("multimodal: stub decode through mapPartitions preserves schema and count") {
-    val media = Multimodal.asMediaTable(docs)
+  test("multimodal: real feature decode through mapPartitions — image and audio layouts") {
+    val media = Multimodal.asPngTable(docs.limit(20))
     val feats = Multimodal.extractFeatures(media)
-    assert(feats.count() == docs.count())
+    assert(feats.count() == 20)
     val row = feats.orderBy("doc_id").head()
     assert(row.getSeq[Float](3).size == Multimodal.FeatureDim)
-    // deterministic: same payload → same features
-    val again = Multimodal.extractFeatures(media).orderBy("doc_id").head()
-    assert(row.getSeq[Float](3) == again.getSeq[Float](3))
-    // feature values match the stub computed driver-side
-    val text = docs.orderBy("doc_id").head().getAs[String]("text")
-    assert(row.getSeq[Float](3) == Multimodal.decodeStub(text.getBytes("UTF-8")).toSeq)
+    // distributed features == the same real decode run driver-side
+    val id = row.getLong(0)
+    assert(row.getSeq[Float](3) ==
+      Multimodal.decodeFeatures(Multimodal.synthPng(id)).toSeq)
+    // width/height in the frame come from the DECODE, not metadata
+    val (w, h) = Multimodal.pngDims(id)
+    assert(row.getInt(1) == w && row.getInt(2) == h)
+
+    // audio payloads take the RIFF layout: [sr, 1, n, zc, max, min, first, last]
+    val wavFeats = Multimodal.decodeFeatures(Multimodal.synthWav(7L))
+    assert(wavFeats(0) == 16000f && wavFeats(1) == 1f)
+    assert(wavFeats(2) == Multimodal.wavLen(7L).toFloat)
+    assert(wavFeats(6) == Multimodal.wavSample(7L, 0).toFloat)
+
+    // undecodable payloads fail loudly rather than emit garbage features
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeFeatures("not an image".getBytes("UTF-8"))
+    }
   }
 }

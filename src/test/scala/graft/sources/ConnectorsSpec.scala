@@ -97,11 +97,24 @@ class ConnectorsSpec extends SparkSpec {
 
   test("unsupported / invalid connectors error clearly") {
     intercept[IllegalArgumentException](
-      Connectors.open(spark, Connectors.ConnectorSpec("kinesis")))
-    intercept[IllegalArgumentException](
       Connectors.open(spark, Connectors.ConnectorSpec("rest")))
     intercept[IllegalArgumentException](
       Connectors.open(spark, Connectors.ConnectorSpec("file"))) // missing path
+    intercept[IllegalArgumentException](
+      Connectors.open(spark, Connectors.ConnectorSpec("pulsar"))) // unknown
+  }
+
+  test("kinesis: catalogued like the reference (api.py:38-44), degrades with guidance without the 3rd-party jar (S4)") {
+    // all five reference connectors are claimed
+    assert(Set("datagen", "kafka", "kinesis", "rest", "s3")
+      .subsetOf(Connectors.Supported))
+    // this sandbox has no spark-sql-kinesis jar: the probe must say so
+    // and open() must fail actionably (not claim 'unsupported connector')
+    assert(Connectors.kinesisProviderAvailable.isEmpty)
+    val err = intercept[IllegalStateException](
+      Connectors.open(spark, Connectors.ConnectorSpec("kinesis")))
+    assert(err.getMessage.contains("spark-sql-kinesis"))
+    assert(err.getMessage.contains("classpath"))
   }
 
   test("connection lifecycle: create/activate/reactivate/delete as catalog entities (impl.py:577-637)") {

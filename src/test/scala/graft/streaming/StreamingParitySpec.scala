@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.{Queries, SparkSpec}
+import graft.engine.Engine
+import graft.schema.StreamSchema
+
+/** Systematic batch ≡ streaming differential proof (round-3 verdict item
+  * #1): every gate whose plan Structured Streaming can express is
+  * re-executed incrementally via [[StreamingParity]] — the gate's own
+  * code, `Tables.load` swapped to `readStream`, `Trigger.AvailableNow`,
+  * results accumulated through `foreachBatch` — and must reproduce the
+  * DuckDB-certified batch result bit-for-bit (order-insensitive; the
+  * stripped top-level sort is presentation-only).
+  *
+  * This converts ST1-ST6 (SURVEY §2.5) from example-level specs into a
+  * sweep: projections/filters/scalar kernels run in append mode,
+  * aggregations (incl. tumbling/hopping/session windows — the reference's
+  * continuous-pipeline core, impl.py:690-692) in complete mode.
+  *
+  * Gates deliberately NOT in the sweep, and why (Spark's documented
+  * streaming unsupported-operations list, not engine gaps):
+  *   - count(DISTINCT) (`distinct_agg`), grouping sets/rollup/cube,
+  *     chained/multiple aggregations (`token_entropy`,
+  *     `repetition_signals`, vocab/tf-idf, dedup candidate joins, and
+  *     `pivot_counts` — RelationalGroupedDataset.pivot lowers to TWO
+  *     stacked Aggregates, which the streaming correctness checker
+  *     rejects);
+  *   - analytic window functions (`window_rank`, `change_stream_compact`'s
+  *     row_number — its streaming twin is the engine's PK-compaction
+  *     path, covered by the dedicated change-stream test below);
+  *   - sort-limit top-k (`topk`, `lateral_topn`) and stream-stream joins
+  *     (the TPC-H join gates) — batch-only shapes by design.
+  */
+class StreamingParitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def gate(name: String): Queries.Q =
+    Queries.all.find(_.name == name).getOrElse(fail(s"no gate named $name"))
+
+  /** Canonical order-insensitive row rendering: stable, type-faithful
+    * strings (Double/Timestamp toString round-trip exactly), so multiset
+    * equality is bit-equality and mismatches print readably. */
+  private def canon(rows: Seq[Row]): Seq[String] = rows.map(_.toSeq.map {
+    case null => "∅"
+    case b: Array[Byte] => b.mkString("[", ",", "]")
+    case x => x.toString
+  }.mkString("|")).sorted
+
+  private def names(s: StructType): Seq[(String, String)] =
+    s.fields.toSeq.map(f => (f.name, f.dataType.sql))
+
+  private def assertParity(name: String): Unit = {
+    val g = gate(name)
+    val batch = g.fn(spark, dir)
+    val bSchema = batch.schema
+    val bRows = batch.collect().toSeq
+    val (sSchema, sRows) = StreamingParity.run(g.fn, spark, dir)
+    assert(names(sSchema) == names(bSchema), s"$name: schema diverged")
+    assert(sRows.size == bRows.size, s"$name: row count diverged")
+    assert(canon(sRows) == canon(bRows), s"$name: rows diverged")
+  }
+
+  /** Append-mode sweep: stateless projections / filters / scalar kernels
+    * (grok, json, PII regexes, winnowing, chunking — each micro-batch
+    * maps independently). */
+  private val appendGates = Seq(
+    "scan_project", "filter_pushdown", "project_cast", "grok_extract",
+    "to_timestamp_roundtrip", "backtick_ident", "map_access",
+    "json_extract", "datetime_parts", "normalize_text", "pii_redact",
+    "fingerprint_md5", "text_quality", "text_quality_ext", "lang_id",
+    "token_count_bpe", "chunk_windows", "winnow_fingerprint")
+
+  /** Complete-mode sweep: single-aggregation plans, incl. all three ST5
+    * window shapes (tumbling/hopping/session) and the reference's own
+    * flagship `events_count` model. */
+  private val aggGates = Seq(
+    "events_count", "agg_sum_q1", "subquery_coalesce", "neq_dialect",
+    "window_tumbling", "window_hopping", "session_windows",
+    "tpch_q1", "tpch_q6")
+
+  (appendGates ++ aggGates).foreach { n =>
+    test(s"batch == streaming: $n") { assertParity(n) }
+  }
+
+  /** Change-stream semantics (ST2/A6): PK compaction + tombstones must
+    * not care whether rows arrived in one batch write or as streamed
+    * micro-batches — the same `change_stream_compact`/`tombstone_delete`
+    * fold (handler.py:87-94 retract semantics), driven here by a real
+    * Structured Streaming query routing each micro-batch through
+    * appendRows/deleteKeys. */
+  test("batch == streaming: change-stream PK ingest (compaction + tombstones)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val root = tmpDir("graft-parity-cs")
+    val eBatch = new Engine(spark, s"$root/batch")
+    val eStream = new Engine(spark, s"$root/stream")
+    val schema = StreamSchema.fromStruct(
+      new StructType().add("k", "long", nullable = false).add("v", "string"),
+      primaryKey = Seq("k"))
+    eBatch.createStream("s", schema)
+    eStream.createStream("s", schema)
+
+    // (key, value, isDelete) scripted in four arrival waves: inserts,
+    // update+insert, delete+update, re-insert of the deleted key
+    val waves: Seq[Seq[(Long, String, Boolean)]] = Seq(
+      (1L to 10L).map(i => (i, s"v$i", false)),
+      Seq((3L, "v3b", false), (11L, "v11", false)),
+      Seq((5L, "", true), (3L, "v3c", false)),
+      Seq((5L, "v5-re", false)))
+
+    def apply(e: Engine, b: DataFrame): Unit = {
+      val ups = b.filter(!col("del")).select("k", "v")
+      val dels = b.filter(col("del")).select("k")
+      if (!ups.isEmpty) e.appendRows("s", ups)
+      if (!dels.isEmpty) e.deleteKeys("s", dels)
+    }
+
+    // batch twin: the waves applied as plain sequential writes
+    waves.foreach(w => apply(eBatch, w.toDF("k", "v", "del")))
+
+    // streaming twin: the same waves as MemoryStream micro-batches
+    val input = MemoryStream[(Long, String, Boolean)]
+    val q = input.toDF().toDF("k", "v", "del").writeStream
+      .outputMode("append")
+      .foreachBatch((b: DataFrame, _: Long) => apply(eStream, b))
+      .start()
+    try {
+      waves.foreach { w => input.addData(w: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val expected = Seq( // hand-folded: latest per key, deletes applied
+      (1L, "v1"), (2L, "v2"), (3L, "v3c"), (4L, "v4"), (5L, "v5-re"),
+      (6L, "v6"), (7L, "v7"), (8L, "v8"), (9L, "v9"), (10L, "v10"),
+      (11L, "v11"))
+    val got = (e: Engine) => e.readStream("s").as[(Long, String)]
+      .collect().toSeq.sorted
+    assert(got(eBatch) == expected)
+    assert(got(eStream) == expected)
+  }
+}

@@ -113,7 +113,11 @@ final class Engine(
     * with no data yet reads as empty (its first write creates the dir;
     * the def can exist first, e.g. mid-createModel). */
   private def readRaw(d: StreamDef): DataFrame =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(catalog.dataPath(d.name))))
+    if (bucketSpec(d).nonEmpty && spark.catalog.tableExists(bucketTableName(d.name)))
+      // table read carries the bucket spec into the scan — the whole
+      // point of bucketed storage (a path read would re-shuffle)
+      spark.table(bucketTableName(d.name))
+    else if (java.nio.file.Files.exists(java.nio.file.Paths.get(catalog.dataPath(d.name))))
       spark.read.schema(storedStruct(d)).parquet(catalog.dataPath(d.name))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storedStruct(d))
 
@@ -290,9 +294,47 @@ final class Engine(
       .withColumn(SeqCol, monotonically_increasing_id())
       .select((target.fieldNames.toSeq ++ Seq(EpochCol, SeqCol, DeletedCol))
         .map(col): _*)
-    stamped.write.mode(mode).parquet(catalog.dataPath(d.name))
+    bucketSpec(d) match {
+      case Some((n, cols)) =>
+        // bucketed storage must go through the session catalog —
+        // path-based parquet writes cannot carry a bucket spec, and a
+        // path-based read would discard it. External table at the
+        // stream's own data dir, so every other lifecycle op (rename,
+        // OPTIMIZE, VACUUM fallback paths) still sees the same files.
+        stamped.write.mode(mode)
+          .bucketBy(n, cols.head, cols.tail: _*)
+          .sortBy(cols.head, cols.tail: _*)
+          .option("path", catalog.dataPath(d.name))
+          .format("parquet")
+          .saveAsTable(bucketTableName(d.name))
+      case None =>
+        stamped.write.mode(mode).parquet(catalog.dataPath(d.name))
+    }
     catalog.put(d.copy(writeEpoch = epoch))
   }
+
+  // ------------------------------------------------------------------
+  // Bucketed (co-partitioned) storage
+  // ------------------------------------------------------------------
+
+  /** Declared bucket layout from stream properties: `bucket_by` =
+    * comma-separated columns, `bucket_count` = N (default 32). At 100 TB
+    * this is the fact-fact join answer: two streams bucketed on the same
+    * key with the same count join with ZERO exchange on either side —
+    * the shuffle is paid once at write time, amortized over every
+    * downstream join/aggregation on that key (PlanShapeSpec asserts the
+    * exchange-free plan). */
+  private def bucketSpec(d: StreamDef): Option[(Int, Seq[String])] =
+    d.properties.get("bucket_by").map { cols =>
+      (d.properties.getOrElse("bucket_count", "32").toInt,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+
+  /** Session-catalog table backing a bucketed stream — scoped by the
+    * engine root so two engines in one session can't collide. */
+  private[graft] def bucketTableName(name: String): String =
+    s"graft_b${(root.hashCode.toLong & 0xffffffffL).toString}_${catalog.qualify(name).toLowerCase}"
+      .replaceAll("[^a-z0-9_]", "_")
 
   /** Tombstone delete for change streams: append a deletion marker per key
     * (the reference's change event with an empty `after`, handler.py:87-94)
@@ -320,9 +362,14 @@ final class Engine(
     write(d, empty, SaveMode.Overwrite)
   }
 
-  /** Create a raw (externally-fed) stream with an explicit schema. */
-  def createStream(name: String, schema: StreamSchema): Unit = {
-    val d = StreamDef(catalog.qualify(name), schema)
+  /** Create a raw (externally-fed) stream with an explicit schema.
+    * `properties` may declare a bucketed layout (`bucket_by` =
+    * comma-separated columns, `bucket_count` = N): writes then hash-
+    * partition into fixed buckets and same-keyed joins between
+    * co-bucketed streams plan with no Exchange. */
+  def createStream(name: String, schema: StreamSchema,
+                   properties: Map[String, String] = Map.empty): Unit = {
+    val d = StreamDef(catalog.qualify(name), schema, properties = properties)
     catalog.put(d)
     writeEmpty(d)
   }
@@ -515,6 +562,7 @@ final class Engine(
     if (!catalog.exists(name)) return
     if (cascade && !keepConsumers)
       catalog.consumers(name).foreach(c => dropStream(c.name, cascade = true))
+    spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(name)}")
     catalog.delete(name)
   }
 
@@ -525,6 +573,11 @@ final class Engine(
   def renameStream(oldName: String, newName: String): Unit = {
     val qOld = catalog.qualify(oldName)
     val qNew = catalog.qualify(newName)
+    // a bucketed stream's backing table points at the OLD data dir; drop
+    // it (metadata only — external table) and let the next write
+    // re-register it at the new path. Reads in between fall back to the
+    // plain path scan: correct rows, bucket info re-attached on write.
+    spark.sql(s"DROP TABLE IF EXISTS ${bucketTableName(oldName)}")
     catalog.rename(oldName, newName)
     // rewrite this stream's own def sources stay as-is; rewrite consumers.
     // Consumer SQL may spell the source either bare (ref() resolves to the
@@ -636,13 +689,30 @@ final class Engine(
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dataDir = catalog.dataPath(d.name)
     val tmp = dataDir + ".rewrite"
-    val old = dataDir + ".old"
-    rows.write.mode(SaveMode.Overwrite).parquet(tmp)
-    Files.move(Paths.get(dataDir), Paths.get(old),
-      StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(dataDir),
-      StandardCopyOption.ATOMIC_MOVE)
-    catalog.deleteRecursively(Paths.get(old))
+    bucketSpec(d) match {
+      case Some((n, cols)) =>
+        // a bucketed table can't be Overwrite-written while its own scan
+        // feeds the plan, and a directory swap would orphan the bucket
+        // file-name encoding — so stage the rewritten rows as plain
+        // parquet, then rewrite the table from the stage (bucket layout
+        // governs file placement; `targetFiles` intent is advisory here)
+        rows.write.mode(SaveMode.Overwrite).parquet(tmp)
+        spark.read.parquet(tmp).write.mode(SaveMode.Overwrite)
+          .bucketBy(n, cols.head, cols.tail: _*)
+          .sortBy(cols.head, cols.tail: _*)
+          .option("path", dataDir)
+          .format("parquet")
+          .saveAsTable(bucketTableName(d.name))
+        catalog.deleteRecursively(Paths.get(tmp))
+      case None =>
+        val old = dataDir + ".old"
+        rows.write.mode(SaveMode.Overwrite).parquet(tmp)
+        Files.move(Paths.get(dataDir), Paths.get(old),
+          StandardCopyOption.ATOMIC_MOVE)
+        Files.move(Paths.get(tmp), Paths.get(dataDir),
+          StandardCopyOption.ATOMIC_MOVE)
+        catalog.deleteRecursively(Paths.get(old))
+    }
   }
 
   /** Export a stream's compacted contents to files — the handoff step

@@ -14,9 +14,118 @@ import graft.operators.Dedup
   * square). Results are recorded in PERF.md.
   *
   * `runMain graft.tools.ScaleCheck <sfDir> <K>`
+  * `runMain graft.tools.ScaleCheck skew <sfDir> [hotFrac]` — adversarial
+  * skew probe (see [[skewMain]]).
   */
 object ScaleCheck {
+
+  /** Adversarial-skew probe for the candidate equi-joins: plant ONE hot
+    * key holding `hotFrac` (default 10%) of the corpus — every planted
+    * row carries identical text, so all its LSH band keys collide into
+    * one bucket — then measure the banded self-join with AQE skew-split
+    * off vs on, recording wall time and PER-TASK duration spread from a
+    * SparkListener. The claim under test (PERF.md): the skewed bucket
+    * does not serialize into one straggler task; AQE splits it and the
+    * max task duration stays within a small factor of the median.
+    * Local runs scale the skew thresholds down (4 MB / factor 2) the
+    * same way a 100 TB deployment leaves them at the 256 MB defaults —
+    * the mechanism, not the constants, is what's probed. */
+  private def skewMain(args: Array[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val hotFrac = args.lift(1).map(_.toDouble).getOrElse(0.1)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-skewcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null) durations.add(e.taskInfo.duration)
+    })
+    def measure(what: String)(f: => Long): Unit = {
+      durations.clear()
+      val t0 = System.nanoTime()
+      val out = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ds = durations.asScala.map(_.longValue).toSeq.sorted
+      val mx = ds.lastOption.getOrElse(0L)
+      val p50 = if (ds.nonEmpty) ds(ds.size / 2) else 0L
+      println(f"[skew] $what: $secs%.2f s wall, ${ds.size} tasks, " +
+        f"p50 task $p50 ms, max task $mx ms, out=$out")
+    }
+
+    val rep = args.lift(2).map(_.toInt).getOrElse(10)
+    val single = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val base = (0 until rep).map(i => single.select(
+      (col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+    val every = math.max(1, math.round(1.0 / hotFrac)).toInt
+    val viral = single.orderBy("doc_id").select("text").head().getString(0)
+    val docs = base.withColumn("text",
+      when(pmod(col("doc_id"), lit(every)) === 0, lit(viral))
+        .otherwise(col("text")))
+      .persist()
+    val total = docs.count()
+    println(s"[skew] corpus $total docs, 1/$every identical-text (hot bucket)")
+
+    // untimed warmup so codegen/JIT doesn't contaminate the first setting
+    Dedup.minhashLsh(docs, "doc_id", "text", 2, 128, 32, 0.5).count()
+    Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
+
+    for (skewOn <- Seq(false, true)) {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+      // scale the trigger thresholds to local data volumes (the 100 TB
+      // deployment uses the 256 MB defaults; the split mechanism is the
+      // same)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+      measure(s"minhash_lsh hot-bucket aqeSkew=$skewOn")(
+        Dedup.minhashLsh(docs, "doc_id", "text", 2, 128, 32, 0.5).count())
+      measure(s"simhash hot-bucket aqeSkew=$skewOn")(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count())
+    }
+
+    // the mitigation the curation pipelines actually deploy: EXACT
+    // dedup collapse first (identical texts fold to one representative
+    // via content hash), near-dup LSH over representatives only — the
+    // degenerate bucket disappears at the source instead of being
+    // split after the fact (membership of the collapsed docs is then
+    // one broadcast join back, output-sized)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    measure("minhash_lsh after exact-collapse") {
+      val reps = docs.withColumn("__h", xxhash64(col("text")))
+        .groupBy("__h").agg(min("doc_id").as("doc_id"), first("text").as("text"))
+        .drop("__h")
+      Dedup.minhashLsh(reps, "doc_id", "text", 2, 128, 32, 0.5).count()
+    }
+
+    // the salted two-phase aggregate vs a naive hot-key groupBy: the
+    // events table with user_id skewed the same way
+    val ev = Tables.events(spark, sf).select(
+      when(pmod(col("event_id"), lit(every)) === 0, lit(0L))
+        .otherwise(col("user_id")).as("user_id"),
+      col("value"), col("event_id")).persist()
+    ev.count()
+    measure("salted count+sum on hot key")(
+      graft.operators.SkewJoin.saltedCountSum(
+        ev, "user_id", "value", spreadCol = "event_id").count())
+    measure("naive count+sum on hot key")(
+      ev.groupBy("user_id").agg(count(lit(1)), sum("value")).count())
+    ev.unpersist()
+    docs.unpersist()
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()

@@ -881,6 +881,81 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Semantic (embedding-space) decontamination — round 4: corpus rows
+    * within cosine ≥ 0.35 of ANY benchmark vector are removed (the
+    * paraphrased-contamination rule n-gram overlap misses). Bench
+    * broadcasts; corpus never shuffles. */
+  val semanticDecontaminateGate: Q = q("semantic_decontaminate",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT v FROM e WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+      |bad AS (
+      |  SELECT DISTINCT c.vec_id FROM c JOIN b
+      |    ON round(list_cosine_similarity(c.v, b.v), 6) >= 0.35)
+      |SELECT c.vec_id FROM c
+      |WHERE c.vec_id NOT IN (SELECT vec_id FROM bad)
+      |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    operators.Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") % 50 =!= 0), "vec_id", "embedding",
+      emb.filter(col("vec_id") % 50 === 0), "embedding", threshold = 0.35)
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
+  /** Per-vector symmetric int8 quantization — round 4: the 4× embedding
+    * compression step, value-oracled end to end (scale is one double
+    * division off an order-free max; per-element errors pre-round to
+    * nano-units so the sum is exact integer arithmetic). Scalars only in
+    * the gate frame (driver sorts every column). */
+  val embeddingQuantize: Q = q("embedding_quantize",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v, len(v) AS n_dims,
+      |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+      |  FROM e)
+      |SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, scale,
+      |  CAST(list_sum(list_transform(v, x -> CAST(CASE WHEN scale = 0 THEN 0
+      |    ELSE round(x / scale) END AS INT))) AS BIGINT) AS q_sum,
+      |  CAST(list_max(list_transform(v, x -> abs(CAST(CASE WHEN scale = 0 THEN 0
+      |    ELSE round(x / scale) END AS INT)))) AS BIGINT) AS q_abs_max,
+      |  CAST(list_sum(list_transform(v, x -> CAST(round(abs(x -
+      |    CAST(CASE WHEN scale = 0 THEN 0 ELSE round(x / scale) END AS INT)
+      |    * scale) * 1e9) AS BIGINT))) AS BIGINT) AS err_nano_sum
+      |FROM s ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    operators.Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .drop("q")
+      .orderBy("vec_id")
+  }
+
+  /** Time-travel (as-of epoch) read over a PK change stream — round 4:
+    * base rows, then an update epoch, then a delete epoch; reading AS OF
+    * the update epoch must show the updates and not the deletes. The
+    * oracle replays the expected state from the source table. */
+  val timeTravelAsOf: Q = q("time_travel_asof",
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  CASE WHEN n_regionkey = 0 THEN n_name || '_v2' ELSE n_name END AS n_name
+      | FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val e = new engine.Engine(s, s"$tmp/cat")
+    val nat = t(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+      col("n_regionkey").cast("long").as("n_regionkey"))
+    e.createStream("nation_tt",
+      graft.schema.StreamSchema.fromStruct(nat.schema, primaryKey = Seq("n_nationkey")))
+    e.appendRows("nation_tt", nat)
+    e.appendRows("nation_tt", nat.filter(col("n_regionkey") === 0)
+      .withColumn("n_name", concat(col("n_name"), lit("_v2"))))
+    val asOf = e.catalog.get("nation_tt").get.writeEpoch
+    e.deleteKeys("nation_tt",
+      nat.filter(col("n_regionkey") === 1).select("n_nationkey"))
+    e.readStreamAsOf("nation_tt", asOf)
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy("n_nationkey")
+  }
+
   /** Custom typed Aggregator: per-source MinHash union sketches →
     * estimated cross-source Jaccard. The estimate itself is
     * deterministic — shingles hash through the cross-engine 56-bit hash
@@ -2457,6 +2532,7 @@ object Queries {
     dedupExact, dedupExactHash, textQuality, fingerprintMd5,
     dedupMinhashLsh, ngramJaccard, dedupSimhash, embeddingNearDup,
     annTopK, annLshTopK, annIvfTopK, sourceSimilarity, mapAccess,
+    semanticDecontaminateGate, embeddingQuantize, timeTravelAsOf,
     textQualityExt, pipelineComposed,
     langId, tokenCountBpe, winnowFingerprint,
     multimodalStats, multimodalFeatures,

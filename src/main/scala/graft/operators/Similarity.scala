@@ -247,6 +247,68 @@ object Similarity {
       .select("label", "n_vecs", "avg_cos")
   }
 
+  /** Semantic decontamination — the embedding-space analog of
+    * [[Decontaminate.contaminatedIds]]'s n-gram rule: ids of corpus rows
+    * whose embedding lies within cosine ≥ `threshold` of ANY benchmark
+    * vector (paraphrased eval contamination that exact n-gram overlap
+    * misses).
+    *
+    * Scale shape: the benchmark set is eval-set-sized and BROADCASTS;
+    * the corpus never shuffles. The plan is a BroadcastNestedLoopJoin
+    * LeftSemi — the documented broadcast-small-side contract (same as
+    * [[bruteForceTopK]]) — which short-circuits per corpus row on its
+    * first matching bench vector. Cosines round to 6 dp for
+    * cross-engine determinism. */
+  def semanticContaminatedIds(emb: DataFrame, idCol: String, vecCol: String,
+                              bench: DataFrame, benchVecCol: String,
+                              threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val b = bench.select(col(benchVecCol).as("__bv"))
+    emb.select(col(idCol), col(vecCol).as("__v"))
+      .join(broadcast(b),
+        round(cosine(col("__v"), col("__bv")), 6) >= threshold, "left_semi")
+      .select(idCol)
+  }
+
+  /** `emb` minus the semantically contaminated rows (broadcast anti-join
+    * on the output-sized id set). */
+  def semanticDecontaminate(emb: DataFrame, idCol: String, vecCol: String,
+                            bench: DataFrame, benchVecCol: String,
+                            threshold: Double): DataFrame =
+    emb.join(
+      broadcast(semanticContaminatedIds(emb, idCol, vecCol, bench,
+        benchVecCol, threshold)),
+      Seq(idCol), "left_anti")
+
+  /** Symmetric per-vector int8 quantization — the storage/serving
+    * compression step of a 100 TB embedding pipeline (4× smaller than
+    * FLOAT, dot products stay SIMD-able): `scale = max|v| / 127`,
+    * `q_i = round(v_i / scale)` ∈ [-127, 127]; an all-zero vector
+    * quantizes to zeros with scale 0.
+    *
+    * Pure projection — no shuffle, no state. Determinism recipe: the
+    * max is order-independent, each element's quantization and nano-unit
+    * reconstruction error are per-element double arithmetic (exact in
+    * both engines), and the error SUM is over pre-rounded integers so
+    * summation order cannot perturb it.
+    *
+    * @return (idCol, n_dims, scale, q, q_sum, q_abs_max, err_nano_sum)
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("n_dims", size(col("__v")).cast("long"))
+      .withColumn("scale", expr(
+        "aggregate(__v, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127"))
+      .withColumn("q", expr(
+        "transform(__v, x -> CAST(CASE WHEN scale = 0 THEN 0 ELSE round(CAST(x AS DOUBLE) / scale) END AS INT))"))
+      .withColumn("q_sum", expr("aggregate(q, 0L, (s, x) -> s + x)"))
+      .withColumn("q_abs_max", expr("aggregate(q, 0L, (s, x) -> greatest(s, abs(CAST(x AS BIGINT))))"))
+      .withColumn("err_nano_sum", expr(
+        """aggregate(zip_with(__v, q, (x, qi) ->
+          |  CAST(round(abs(CAST(x AS DOUBLE) - qi * scale) * 1e9) AS BIGINT)),
+          |0L, (s, e) -> s + e)""".stripMargin))
+      .drop("__v")
+
   /** Approximate top-k via LSH bucketing: corpus hashed to sign-signature
     * buckets once; each query multi-probes its own bucket plus every
     * 1- and 2-bit-flip neighbor (standard multi-probe — raises recall

@@ -298,4 +298,44 @@ class CurationOpsSpec extends SparkSpec {
     val out = Vocab.oovRate(docs, k = 2).collect().head
     assert(out.getLong(1) == 7L && out.getDouble(2) == math.rint(2.0 / 7.0 * 1e6) / 1e6)
   }
+
+  test("semantic decontamination drops the paraphrase-close rows only") {
+    import spark.implicits._
+    // corpus: one vector equal to a bench vector (cos 1), one negated
+    // (cos -1), one orthogonal (cos 0) — only the equal one is removed
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(-1f, 0f, 0f)), (3L, Seq(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((100L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDecontaminate(
+      corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+    val bad = Similarity.semanticContaminatedIds(
+      corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.9)
+      .as[Long].collect().toSeq
+    assert(bad == Seq(1L))
+  }
+
+  test("int8 quantization: zero vector, exact scale, bounded reconstruction error") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0f, 0f, 0f)),            // zero vector: scale 0, q all 0
+      (2L, Seq(127f, -127f, 63.5f)),    // scale exactly 1.0
+      (3L, Seq(0.1f, -0.2f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    assert(out(0).getAs[Double]("scale") == 0.0 &&
+      out(0).getAs[Long]("q_sum") == 0L && out(0).getAs[Long]("err_nano_sum") == 0L)
+    assert(out(1).getAs[Double]("scale") == 1.0)
+    // q = [127, -127, 64] (63.5 rounds half-up away from zero)
+    assert(out(1).getAs[Long]("q_sum") == 64L &&
+      out(1).getAs[Long]("q_abs_max") == 127L)
+    // per-dim reconstruction error is at most scale/2 (+rounding slack)
+    val r3 = out(2)
+    val maxErrNano = r3.getAs[Double]("scale") / 2 * 1e9 * 3 + 3
+    assert(r3.getAs[Long]("err_nano_sum") <= maxErrNano.toLong)
+    assert(r3.getAs[Long]("q_abs_max") == 127L) // the max component hits full range
+  }
 }

@@ -956,6 +956,35 @@ object Queries {
       .orderBy("n_nationkey")
   }
 
+  /** Range (interval-containment) join — round 4: every ~1%-sampled
+    * order's 7-day window counts the lineitem shipments falling inside
+    * it. The operator rewrites the inequality join into bucket-explode +
+    * EQUI-join + exact filter (PlanShapeSpec asserts no BNLJ/cartesian);
+    * the oracle states the same join as the plain inequality. */
+  val rangeJoinGate: Q = q("range_join",
+    """WITH iv AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ws,
+      |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY AS we
+      |  FROM orders WHERE o_orderkey % 97 = 1),
+      |pt AS (SELECT l_shipdate, l_quantity FROM lineitem)
+      |SELECT iv.o_orderkey, CAST(count(*) AS BIGINT) AS n_ship,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM iv JOIN pt ON pt.l_shipdate >= iv.ws AND pt.l_shipdate < iv.we
+      |GROUP BY iv.o_orderkey ORDER BY iv.o_orderkey""".stripMargin) { (s, dir) =>
+    val iv = t(s, dir, "orders").filter(col("o_orderkey") % 97 === 1)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("ws"),
+        (col("o_orderdate").cast("timestamp") + expr("INTERVAL 7 DAYS")).as("we"))
+    val pt = t(s, dir, "lineitem").select(
+      col("l_shipdate").cast("timestamp").as("l_shipdate"), col("l_quantity"))
+    operators.RangeJoin.pointInInterval(pt, "l_shipdate", iv, "ws", "we",
+      bucketSeconds = 7L * 86400)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_ship"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .orderBy("o_orderkey")
+  }
+
   /** Custom typed Aggregator: per-source MinHash union sketches →
     * estimated cross-source Jaccard. The estimate itself is
     * deterministic — shingles hash through the cross-engine 56-bit hash
@@ -2533,6 +2562,7 @@ object Queries {
     dedupMinhashLsh, ngramJaccard, dedupSimhash, embeddingNearDup,
     annTopK, annLshTopK, annIvfTopK, sourceSimilarity, mapAccess,
     semanticDecontaminateGate, embeddingQuantize, timeTravelAsOf,
+    rangeJoinGate,
     textQualityExt, pipelineComposed,
     langId, tokenCountBpe, winnowFingerprint,
     multimodalStats, multimodalFeatures,

@@ -92,7 +92,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("round-3 pair generators are equi-joins, never cartesian/BNLJ") {
-    for (name <- Seq("containment_pairs", "semdedup")) {
+    for (name <- Seq("containment_pairs", "semdedup", "range_join")) {
       val plan = executedPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")

@@ -317,6 +317,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(bad == Seq(1L))
   }
 
+  test("range join: end-exclusive boundaries, multi-bucket spans, no pair loss at bucket edges") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // == start: IN (inclusive)
+      (2L, ts("2024-01-07 23:59:59")), // last second: IN
+      (3L, ts("2024-01-08 00:00:00")), // == end: OUT (exclusive)
+      (4L, ts("2023-12-31 23:59:59")), // before: OUT
+      (5L, ts("2024-01-04 12:00:00"))  // middle: IN
+    ).toDF("pid", "pt")
+    val iv = Seq((10L, ts("2024-01-01 00:00:00"), ts("2024-01-08 00:00:00")))
+      .toDF("iid", "ws", "we")
+    // width much smaller than the interval: span explodes over many
+    // buckets and every contained point must still match exactly once
+    for (width <- Seq(3600L, 86400L, 7L * 86400L)) {
+      val got = RangeJoin.pointInInterval(points, "pt", iv, "ws", "we", width)
+        .select("pid").as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 2L, 5L), s"width=$width")
+    }
+  }
+
   test("int8 quantization: zero vector, exact scale, bounded reconstruction error") {
     import spark.implicits._
     val emb = Seq(

@@ -94,9 +94,17 @@ final class ProjectRunner(engine: Engine) {
       .map(n => if (n.isArray) n.elements().asScala.map(_.asText()).toSeq
                 else Seq(n.asText()))
       .getOrElse(Nil)
+    // engine-extension properties: `graft={'bucket_by': 'k', ...}` pass
+    // through to StreamDef.properties verbatim (bucketed storage & co —
+    // the engine-specific knob surface the reference exposes as adapter
+    // `properties`, client.py:364-398)
+    val graftProps = at("graft")
+      .map(n => n.properties().asScala.map(e =>
+        e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
     (ModelConfig(primaryKey = (pk ++ uniqueKey).distinct,
       watermarks = watermarks, active = active,
-      properties = startPositions,
+      properties = startPositions ++ graftProps,
       declaredFields = declaredFields), materialized)
   }
 

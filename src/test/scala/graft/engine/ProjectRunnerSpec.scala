@@ -339,4 +339,29 @@ class ProjectRunnerSpec extends SparkSpec {
       org.apache.spark.sql.types.DecimalType(12, 3))
     assert(row.getDecimal(0) == new java.math.BigDecimal("7.500"))
   }
+
+  test("graft config namespace passes bucketing through to the stream def (round 4)") {
+    import spark.implicits._
+    val e = new Engine(spark, tmpDir("graft-proj-bkt"))
+    val runner = new ProjectRunner(e)
+    e.createStream("src_bkt", StreamSchema(Seq(
+      PhysicalField("k", FBigInt), PhysicalField("v", FString))))
+    e.appendRows("src_bkt", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+
+    val dir = tmpDir("models-bkt")
+    Files.write(Paths.get(dir, "bucketed.sql"),
+      """{{ config(graft={'bucket_by': 'k', 'bucket_count': '4'}) }}
+        |SELECT k, v FROM src_bkt""".stripMargin.getBytes)
+    assert(runner.run(dir)("bucketed") == Created)
+
+    val d = e.catalog.get("bucketed").get
+    assert(d.properties.get("bucket_by").contains("k"))
+    assert(d.properties.get("bucket_count").contains("4"))
+    // the materialized stream really is table-backed with the bucket spec
+    assert(spark.catalog.tableExists(e.bucketTableName("bucketed")))
+    assert(e.readStream("bucketed").orderBy("k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    e.dropStream("bucketed")
+    assert(!spark.catalog.tableExists(e.bucketTableName("bucketed")))
+  }
 }

@@ -74,7 +74,8 @@ class StreamingParitySpec extends SparkSpec {
     "to_timestamp_roundtrip", "backtick_ident", "map_access",
     "json_extract", "datetime_parts", "normalize_text", "pii_redact",
     "fingerprint_md5", "text_quality", "text_quality_ext", "lang_id",
-    "token_count_bpe", "chunk_windows", "winnow_fingerprint")
+    "token_count_bpe", "chunk_windows", "winnow_fingerprint",
+    "embedding_quantize")
 
   /** Complete-mode sweep: single-aggregation plans, incl. all three ST5
     * window shapes (tumbling/hopping/session) and the reference's own

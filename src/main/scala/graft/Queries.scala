@@ -1637,6 +1637,224 @@ object Queries {
       | GROUP BY c_custkey, o_orderkey, o_totalprice
       | ORDER BY total DESC, o_orderkey LIMIT 100""".stripMargin)
 
+  // ---------------------------------------------------------------------
+  // Remaining TPC-H shapes (round 4) — the eleven queries not yet gated,
+  // adapted to the testdata star schema (no partsupp table, no
+  // l_shipmode/commitdate/receiptdate; substitutions documented per
+  // query). Together with q1/q3/q5/q6/q10/q12/q13/q14/q18/q19/q22 this
+  // completes all 22 TPC-H planner shapes.
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q2 shape (minimum-cost supplier; adapted — no partsupp, so
+    * "supplied the part" comes from lineitem and the cost being minimized
+    * is s_acctbal): correlated scalar MIN subquery re-joining four tables
+    * against the outer part, the classic decorrelate-to-aggregate-join
+    * planner test. DISTINCT collapses the lineitem fan-out. */
+  val tpchQ2: Q = sqlBoth("tpch_q2_shape",
+    Seq("part", "supplier", "lineitem", "nation", "region"),
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+      | FROM part, supplier, lineitem, nation, region
+      | WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |   AND p_size = 15 AND p_type = 'SMALL'
+      |   AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |   AND r_name = 'EUROPE'
+      |   AND s_acctbal = (SELECT min(s2.s_acctbal)
+      |                    FROM supplier s2, lineitem l2, nation n2, region r2
+      |                    WHERE p_partkey = l2.l_partkey
+      |                      AND s2.s_suppkey = l2.l_suppkey
+      |                      AND s2.s_nationkey = n2.n_nationkey
+      |                      AND n2.n_regionkey = r2.r_regionkey
+      |                      AND r2.r_name = 'EUROPE')
+      | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)
+
+  /** TPC-H Q4 (order-priority checking; adapted — no commit/receipt
+    * dates, so the "late line" marker is l_returnflag = 'R'): EXISTS
+    * decorrelated to a left-semi join on the order key, priority
+    * histogram on top. */
+  val tpchQ4: Q = sqlBoth("tpch_q4_shape", Seq("orders", "lineitem"),
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      | FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |   AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      |   AND EXISTS (SELECT 1 FROM lineitem
+      |               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  /** TPC-H Q7 (volume shipping between two nations): the double-aliased
+    * nation dimension (supplier side vs customer side) with a disjunctive
+    * cross-pair predicate — only the OR-envelope can push below the
+    * joins — and a year extraction feeding the group. */
+  val tpchQ7: Q = sqlBoth("tpch_q7_shape",
+    Seq("supplier", "lineitem", "orders", "customer", "nation"),
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      | FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |         CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
+      |       FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |         AND c_custkey = o_custkey
+      |         AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |         AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                            AND TIMESTAMP '1997-12-31 00:00:00') shipping
+      | GROUP BY supp_nation, cust_nation, l_year
+      | ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+
+  /** TPC-H Q8 (national market share): eight-table join, the share ratio
+    * as a conditional-sum / sum division — both sums DECIMAL-exact so the
+    * quotient is deterministic across engines. */
+  val tpchQ8: Q = sqlBoth("tpch_q8_shape",
+    Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region"),
+    """SELECT o_year,
+      |  round(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+      |                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+      | FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |         CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume,
+      |         n2.n_name AS nation
+      |       FROM part, supplier, lineitem, orders, customer,
+      |            nation n1, nation n2, region
+      |       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |         AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |         AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |         AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+      |         AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                             AND TIMESTAMP '1997-12-31 00:00:00'
+      |         AND p_type = 'STANDARD') all_nations
+      | GROUP BY o_year ORDER BY o_year""".stripMargin)
+
+  /** TPC-H Q9 (product-type profit; adapted — no ps_supplycost, so cost
+    * is modeled as 10% of p_retailprice per unit): profit expression
+    * spanning three tables, LIKE-filtered part, nation×year rollup. All
+    * arithmetic DECIMAL-exact. */
+  val tpchQ9: Q = sqlBoth("tpch_q9_shape",
+    Seq("part", "supplier", "lineitem", "orders", "nation"),
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      | FROM (SELECT n_name AS nation,
+      |         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |         CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * CAST(1 - l_discount AS DECIMAL(18,2))
+      |         - CAST(p_retailprice AS DECIMAL(18,2))
+      |           * CAST(l_quantity AS DECIMAL(18,2))
+      |           * CAST(0.1 AS DECIMAL(2,1)) AS amount
+      |       FROM part, supplier, lineitem, orders, nation
+      |       WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |         AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |         AND p_name LIKE '%gear%') profit
+      | GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin)
+
+  /** TPC-H Q11 (important stock; adapted — no partsupp, so per-part value
+    * is the extended-price volume shipped by the nation's suppliers):
+    * the HAVING-against-global-fraction shape — a scalar subquery over
+    * the same join re-used as the filter threshold. */
+  val tpchQ11: Q = sqlBoth("tpch_q11_shape",
+    Seq("lineitem", "supplier", "nation"),
+    """SELECT l_partkey, value FROM (
+      |   SELECT l_partkey,
+      |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+      |   FROM lineitem, supplier, nation
+      |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |     AND n_name = 'NATION_7'
+      |   GROUP BY l_partkey) t
+      | WHERE value > (SELECT 0.001 *
+      |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   FROM lineitem, supplier, nation
+      |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |     AND n_name = 'NATION_7')
+      | ORDER BY value DESC, l_partkey""".stripMargin)
+
+  /** TPC-H Q15 (top supplier): a CTE consumed twice — once as the join
+    * input and once under max() — exercising plan re-use vs re-execution;
+    * revenue equality is deterministic because both sides come off the
+    * same DECIMAL-exact aggregate. */
+  val tpchQ15: Q = sqlBoth("tpch_q15_shape", Seq("lineitem", "supplier"),
+    """WITH revenue AS (
+      |   SELECT l_suppkey AS supplier_no,
+      |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |       * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |   FROM lineitem
+      |   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |     AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |   GROUP BY l_suppkey)
+      | SELECT s_suppkey, s_name, total_revenue
+      | FROM supplier, revenue
+      | WHERE s_suppkey = supplier_no
+      |   AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      | ORDER BY s_suppkey""".stripMargin)
+
+  /** TPC-H Q16 (supplier relationship; adapted — "complaint" suppliers
+    * are those in arrears, s_acctbal < 0): NOT IN anti-join against a
+    * non-nullable key set plus count(DISTINCT) over the surviving
+    * fan-out. */
+  val tpchQ16: Q = sqlBoth("tpch_q16_shape",
+    Seq("lineitem", "part", "supplier"),
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      | FROM lineitem, part
+      | WHERE p_partkey = l_partkey
+      |   AND p_brand <> 'Brand#5' AND p_type NOT LIKE 'MEDIUM%'
+      |   AND p_size IN (1, 4, 7, 10, 15, 23, 30, 45)
+      |   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                         WHERE s_acctbal < 0)
+      | GROUP BY p_brand, p_type, p_size
+      | ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+
+  /** TPC-H Q17 (small-quantity-order revenue): correlated scalar AVG per
+    * part key under the outer filter. Quantities are integral doubles, so
+    * the 0.2×avg threshold is bit-identical across engines. */
+  val tpchQ17: Q = sqlBoth("tpch_q17_shape", Seq("lineitem", "part"),
+    """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   / 7.0, 6) AS avg_yearly
+      | FROM lineitem, part
+      | WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+      |   AND p_type = 'MEDIUM'
+      |   AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      |                     WHERE l2.l_partkey = p_partkey)""".stripMargin)
+
+  /** TPC-H Q20 shape (part promotion; adapted — no ps_availqty, so the
+    * inner threshold is an absolute moved-quantity floor): IN-subquery
+    * nested inside an IN-subquery with a grouped HAVING between them.
+    * The nation filter is relaxed to a join (returning n_name) to keep
+    * the result set non-trivial at sf0.01. */
+  val tpchQ20: Q = sqlBoth("tpch_q20_shape",
+    Seq("supplier", "nation", "lineitem", "part"),
+    """SELECT s_name, n_name, s_acctbal
+      | FROM supplier, nation
+      | WHERE s_suppkey IN (
+      |     SELECT l_suppkey FROM lineitem
+      |     WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                         WHERE p_name LIKE 'red%')
+      |       AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |     GROUP BY l_suppkey, l_partkey
+      |     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+      |   AND s_nationkey = n_nationkey
+      | ORDER BY s_name""".stripMargin)
+
+  /** TPC-H Q21 (suppliers who kept orders waiting; adapted — the "late"
+    * marker is l_returnflag = 'R'): the EXISTS + NOT EXISTS pair over
+    * sibling lineitems of the same order — two correlated semi/anti
+    * joins against the fact table itself. */
+  val tpchQ21: Q = sqlBoth("tpch_q21_shape",
+    Seq("supplier", "lineitem", "orders", "nation"),
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      | FROM supplier, lineitem l1, orders, nation
+      | WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |   AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |   AND EXISTS (SELECT 1 FROM lineitem l2
+      |               WHERE l2.l_orderkey = l1.l_orderkey
+      |                 AND l2.l_suppkey <> l1.l_suppkey)
+      |   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                   WHERE l3.l_orderkey = l1.l_orderkey
+      |                     AND l3.l_suppkey <> l1.l_suppkey
+      |                     AND l3.l_returnflag = 'R')
+      |   AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      | GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+
   /** Skew-salted two-phase aggregation: partial on (key, salt), final on
     * key — results must equal the plain GROUP BY (sums ride DECIMAL, so
     * the two-phase combine is order-insensitive). */
@@ -2583,6 +2801,8 @@ object Queries {
     setIntersectAll, lateralTopN, gifDecode, normalizeTextGate,
     weightedSampleGate, pipelineCurationV4, datetimeParts, stringAggOrdered,
     tiffDecode, existsSubquery, maskSpans, filteredAgg, distinctFrom,
-    nullsOrdering, statsAgg
+    nullsOrdering, statsAgg,
+    tpchQ2, tpchQ4, tpchQ7, tpchQ8, tpchQ9, tpchQ11,
+    tpchQ15, tpchQ16, tpchQ17, tpchQ20, tpchQ21
   )
 }

@@ -1750,7 +1750,10 @@ object Queries {
   /** TPC-H Q11 (important stock; adapted — no partsupp, so per-part value
     * is the extended-price volume shipped by the nation's suppliers):
     * the HAVING-against-global-fraction shape — a scalar subquery over
-    * the same join re-used as the filter threshold. */
+    * the same join re-used as the filter threshold. The fraction is
+    * 2× the average per-part value (not TPC-H's fixed 0.0001), so the
+    * selectivity is scale-invariant: part count grows with SF, and a
+    * fixed fraction of the total empties the result at larger scales. */
   val tpchQ11: Q = sqlBoth("tpch_q11_shape",
     Seq("lineitem", "supplier", "nation"),
     """SELECT l_partkey, value FROM (
@@ -1760,8 +1763,9 @@ object Queries {
       |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       |     AND n_name = 'NATION_7'
       |   GROUP BY l_partkey) t
-      | WHERE value > (SELECT 0.001 *
+      | WHERE value > (SELECT 2.0 *
       |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |       / count(DISTINCT l_partkey)
       |   FROM lineitem, supplier, nation
       |   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
       |     AND n_name = 'NATION_7')

@@ -163,4 +163,27 @@ class PlanShapeSpec extends SparkSpec {
         s"$name lost its partial aggregate:\n$plan")
     }
   }
+
+  test("TPC-H correlated subqueries decorrelate to joins, never cartesians") {
+    // the round-4 tranche completing all 22 shapes: every correlated
+    // scalar/EXISTS subquery must plan as an aggregate + (semi/anti)
+    // join — a regression to per-row subquery execution or a cartesian
+    // would be quadratic at cluster scale
+    for (name <- Seq("tpch_q2_shape", "tpch_q4_shape", "tpch_q7_shape",
+      "tpch_q8_shape", "tpch_q9_shape", "tpch_q11_shape", "tpch_q15_shape",
+      "tpch_q16_shape", "tpch_q17_shape", "tpch_q20_shape", "tpch_q21_shape")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+    }
+    // q21's EXISTS + NOT EXISTS pair must become one semi and one anti join
+    val q21 = executedPlan("tpch_q21_shape")
+    assert(q21.contains("LeftSemi"), s"q21 lost its semi join:\n$q21")
+    assert(q21.contains("LeftAnti"), s"q21 lost its anti join:\n$q21")
+    // q17's correlated AVG must ride a grouped aggregate, not a per-row
+    // subquery: the decorrelated plan joins lineitem against its own
+    // per-part average
+    val q17 = executedPlan("tpch_q17_shape")
+    assert(q17.contains("avg(l_quantity"), s"q17 lost the decorrelated avg:\n$q17")
+  }
 }

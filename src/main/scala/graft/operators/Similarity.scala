@@ -247,6 +247,35 @@ object Similarity {
       .select("label", "n_vecs", "avg_cos")
   }
 
+  /** kNN label vote — classify query vectors by the majority label of
+    * their k exact nearest neighbors (the standard embedding-space label
+    * propagation / quality-classifier transfer step in data curation).
+    *
+    * Rides [[bruteForceTopK]]'s contract (queries broadcast, corpus
+    * scans in place, cosines rounded to 6 dp with n_id tie-break), so
+    * the vote is deterministic end-to-end; vote ties break by best
+    * (smallest) neighbor rank holding that label, then by label value —
+    * both reproducible in any engine.
+    *
+    * Scale shape: top-k is the broadcast×scan; the label lookup is an
+    * equi-join on the neighbor id (k rows per query); the vote is a
+    * (query, label) aggregate with map-side combine.
+    *
+    * @return (q_id, label, votes) — one row per query
+    */
+  def knnLabelVote(emb: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val top = bruteForceTopK(emb, idCol, vecCol, queryPred, k)
+    val labels = emb.select(col(idCol).as("n_id"), col(labelCol).as("n_label"))
+    val votes = top.join(labels, "n_id")
+      .groupBy("q_id", "n_label")
+      .agg(count(lit(1)).as("votes"), min("rnk").as("best_rnk"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("votes").desc, col("best_rnk").asc, col("n_label").asc)
+    votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("q_id"), col("n_label").as("label"), col("votes"))
+  }
+
   /** Semantic decontamination — the embedding-space analog of
     * [[Decontaminate.contaminatedIds]]'s n-gram rule: ids of corpus rows
     * whose embedding lies within cosine ≥ `threshold` of ANY benchmark

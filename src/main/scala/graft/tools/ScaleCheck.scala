@@ -182,6 +182,16 @@ object ScaleCheck {
         graft.operators.TextAnalysis.removeBoilerplate(docs).count())
       time(s"mask_spans x$n")(
         Dedup.maskDuplicatedSpans(docs, "doc_id", "text", 8).count())
+      // incremental ingest: a FIXED-size incoming shard probed against
+      // the n× standing index — cost must track one index scan plus
+      // shard-proportional candidates, never index×index pairs (the
+      // full-re-dedup alternative is the minhash_lsh x$n line above)
+      val shard = base.select(
+        (col("doc_id") + lit(50000000L)).as("doc_id"), col("text"))
+      val ic = time(s"incremental_dedup shard-vs-x$n")(
+        Dedup.incrementalNearDups(docs, shard, "doc_id", "text",
+          2, 128, 32, 0.5).count())
+      println(s"[scale] incremental pairs shard-vs-x$n = $ic")
       docs.unpersist()
     }
 

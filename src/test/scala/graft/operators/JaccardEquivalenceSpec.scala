@@ -89,4 +89,36 @@ class JaccardEquivalenceSpec extends SparkSpec {
     // have odd probes and drop
     assert(got == Set((10L, 11L), (10L, 13L), (10L, 20L)))
   }
+
+  test("incremental shard-vs-index near-dup == full run restricted to cross pairs") {
+    import spark.implicits._
+    // both paths use the same hash family, signatures, and band keys, so
+    // the incremental result must EXACTLY equal the full-corpus result
+    // filtered to (incoming, existing) pairs — no probabilistic slop
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 31)
+      val docs = (1L to 60L).map { id =>
+        val len = 2 + rnd.nextInt(20)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val df = docs.toDF("doc_id", "text")
+      val full = Dedup.minhashLsh(df, "doc_id", "text", threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // orient full-run pairs (id_a < id_b) as (incoming, existing)
+      val expected = full.flatMap { case (a, b, j) =>
+        if (a % 3 == 0 && b % 3 != 0) Some((a, b, j))
+        else if (b % 3 == 0 && a % 3 != 0) Some((b, a, j))
+        else None
+      }
+      val inc = Dedup.incrementalNearDups(
+        existing = df.filter($"doc_id" % 3 =!= 0),
+        incoming = df.filter($"doc_id" % 3 === 0),
+        "doc_id", "text", threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(inc == expected,
+        s"seed=$seed: missing=${expected -- inc} extra=${inc -- expected}")
+    }
+  }
 }

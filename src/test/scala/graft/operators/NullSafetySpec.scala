@@ -166,4 +166,36 @@ class NullSafetySpec extends SparkSpec {
     assert(l0.getLong(1) == 3L)
     assert(!l0.isNullAt(2))
   }
+
+  test("incrementalNearDups drops null/empty text on either side") {
+    import spark.implicits._
+    val existing = Seq[(java.lang.Long, String)](
+      (1L, "normal text with several words here"), (2L, null), (3L, ""))
+      .toDF("doc_id", "text")
+    val incoming = Seq[(java.lang.Long, String)](
+      (10L, "normal text with several words here"), (11L, null), (12L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(existing, incoming, "doc_id", "text",
+      shingleN = 2, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // only the real text pair survives; nulls/empties never phantom-match
+    // each other (null text ∩ null text must NOT be a pair)
+    assert(got == Seq((10L, 1L)))
+  }
+
+  test("knnLabelVote: null neighbor labels are a votable group, never a crash") {
+    import spark.implicits._
+    // query 0 has three neighbors: two null-labeled, one labeled 7 —
+    // the null group wins the vote (Spark GROUP BY keeps nulls) and the
+    // result surfaces it as a null label rather than dropping the query
+    val d = Seq[(java.lang.Long, Array[Float], java.lang.Integer)](
+      (0L, Array(1f, 0f), 5),
+      (1L, Array(1f, 0.1f), null), (2L, Array(1f, -0.1f), null),
+      (3L, Array(1f, 0.2f), 7))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelVote(d, "vec_id", "embedding", "label",
+      queryPred = col("vec_id") === 0, k = 3).collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(1) && out.head.getLong(2) == 2L)
+  }
 }

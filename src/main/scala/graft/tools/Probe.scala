@@ -14,6 +14,7 @@ object Probe {
     if (args.headOption.contains("time")) return timeMain(args.drop(1))
     if (args.headOption.contains("embed")) return embedMain(args.drop(1))
     if (args.headOption.contains("simhash")) return simhashMain(args.drop(1))
+    if (args.headOption.contains("hashprobe")) return hashProbeMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -50,6 +51,51 @@ object Probe {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     timed("candidate pairs raw")(println("cand=" + candidates.count()))
     timed("candidate pairs dedup")(println("cand distinct=" + candidates.dropDuplicates("id_a", "id_b").count()))
+    spark.stop()
+  }
+
+  /** `Probe hashprobe <sf>` — isolate the shingle-hash stage cost:
+    * string-shingle concat + xxhash64 (the deployed formulation) vs
+    * hashing the pre-hashed token array pairwise with no string
+    * materialization. Decides whether the concat is worth eliminating. */
+  private def hashProbeMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).persist()
+    docs.count()
+    def timed(label: String, runs: Int = 3)(f: => Any): Unit =
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime(); f
+        println(f"[hashprobe] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    import graft.operators.Dedup
+    val viaStrings = docs.select(
+      array_sort(array_distinct(transform(
+        Dedup.shingles(col("text"), 2), s => xxhash64(s)))).as("hs"))
+    timed("string-shingle xxhash64")(
+      viaStrings.agg(sum(size(col("hs")))).collect())
+    val viaTokenHashes = docs.select(
+      array_sort(array_distinct(expr(
+        """transform(sequence(0, size(split(text, ' ')) - 2),
+          |  i -> xxhash64(xxhash64(element_at(split(text, ' '), i + 1)),
+          |                xxhash64(element_at(split(text, ' '), i + 2))))"""
+          .stripMargin))).as("hs"))
+    timed("token-hash pairwise xxhash64")(
+      viaTokenHashes.agg(sum(size(col("hs")))).collect())
+    val withMinhash = docs.select(
+      call_function("minhashes",
+        array_sort(array_distinct(transform(
+          Dedup.shingles(col("text"), 2), s => xxhash64(s)))),
+        lit(128)).as("mh"))
+    timed("strings + 128 minhashes")(
+      withMinhash.agg(sum(size(col("mh")))).collect())
     spark.stop()
   }
 

@@ -127,4 +127,38 @@ class StreamingCurationSpec extends SparkSpec {
       assert(bands1.intersect(bands3).isEmpty)
     } finally q.stop()
   }
+
+  test("incremental near-dup probes the standing index per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the continuous-ingest deployment of Dedup.incrementalNearDups:
+    // each micro-batch of arriving documents probes the standing corpus
+    // index inside foreachBatch — the shard-vs-index batch operator IS
+    // the streaming ingest step, no separate code path
+    val existing = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "totally different words entirely here"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val found = scala.collection.concurrent.TrieMap.empty[(Long, Long), Double]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Dedup.incrementalNearDups(existing, batch,
+          "doc_id", "text", shingleN = 2, numHashes = 32, bands = 8,
+          threshold = 0.5)
+          .collect()
+          .foreach(r => found((r.getLong(0), r.getLong(1))) = r.getDouble(2))
+      }.start()
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon"), // dups index doc 100
+        (2L, "unrelated content stream words arriving"))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "totally different words entirely here")) // dups 101, batch 2
+      q.processAllAvailable()
+      assert(found.keySet == Set((1L, 100L), (3L, 101L)))
+      assert(found((1L, 100L)) == 1.0 && found((3L, 101L)) == 1.0)
+    } finally q.stop()
+  }
 }

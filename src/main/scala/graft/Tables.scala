@@ -22,26 +22,55 @@ object Tables {
     * of a batch scan — the hook [[graft.streaming.StreamingParity]] uses
     * to replay the VERY SAME gate code as a Structured Streaming plan
     * (batch≡streaming differential testing). Thread-scoped so concurrent
-    * specs can't leak the mode into each other. */
-  private[graft] val streamingReads = new scala.util.DynamicVariable[Boolean](false)
+    * specs can't leak the mode into each other.
+    *
+    * `chunks = 1` streams each single-file table as one micro-batch;
+    * `chunks > 1` first re-materializes the table as `chunks` parquet
+    * files under `chunkDir` and streams them with `maxFilesPerTrigger=1`,
+    * so the SAME gate plan executes across `chunks` REAL micro-batches —
+    * the cross-batch state-folding proof a single-file source can't give
+    * (AvailableNow processes a file atomically). */
+  private[graft] case class StreamReadMode(chunks: Int, chunkDir: String)
+  private[graft] val streamingReads =
+    new scala.util.DynamicVariable[Option[StreamReadMode]](None)
 
   def withStreamingReads[T](body: => T): T =
-    streamingReads.withValue(true)(body)
+    streamingReads.withValue(Some(StreamReadMode(1, "")))(body)
+
+  def withChunkedStreamingReads[T](chunks: Int, chunkDir: String)(body: => T): T = {
+    require(chunks > 1, "use withStreamingReads for the single-batch mode")
+    streamingReads.withValue(Some(StreamReadMode(chunks, chunkDir)))(body)
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (streamingReads.value) {
-      // file streaming source needs an explicit schema: probe it with a
-      // footer-only batch read (no data scan). The testdata tables are
-      // single .parquet FILES: FileStreamSource force-sets basePath to
-      // the path itself UNLESS the path is a glob (then it honors the
-      // user option) — so phrase the path as a brace-glob matching only
-      // this file and pass the parent directory explicitly.
-      val schema = spark.read.parquet(path(dir, name)).schema
-      spark.readStream.schema(schema).option("basePath", dir)
-        .parquet(s"$dir/$name.{parquet}")
-    } else spark.read.parquet(path(dir, name))
+    streamingReads.value match {
+      case Some(mode) =>
+        // file streaming source needs an explicit schema: probe it with a
+        // footer-only batch read (no data scan)
+        val schema = spark.read.parquet(path(dir, name)).schema
+        if (mode.chunks > 1) {
+          // split once per (chunkDir, table); RoundRobinPartitioning
+          // spreads rows so every chunk (micro-batch) carries a slice of
+          // every group/window — the adversarial arrival order for state
+          val sub = s"${mode.chunkDir}/$name"
+          if (!new java.io.File(sub).isDirectory)
+            spark.read.parquet(path(dir, name)).repartition(mode.chunks)
+              .write.mode("ignore").parquet(sub)
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(sub)
+        } else {
+          // The testdata tables are single .parquet FILES:
+          // FileStreamSource force-sets basePath to the path itself
+          // UNLESS the path is a glob (then it honors the user option) —
+          // so phrase the path as a brace-glob matching only this file
+          // and pass the parent directory explicitly.
+          spark.readStream.schema(schema).option("basePath", dir)
+            .parquet(s"$dir/$name.{parquet}")
+        }
+      case None => spark.read.parquet(path(dir, name))
+    }
   }
 
   /** events with `ts` = epoch nanos (bigint) and `event_time` = timestamp(us). */

@@ -40,10 +40,23 @@ import graft.Tables
 object StreamingParity {
 
   /** Run `fn` (a gate body) as a Structured Streaming job; return its
-    * output schema and the complete result rows. */
+    * output schema and the complete result rows.
+    *
+    * `chunks > 1` re-materializes every table `fn` loads as that many
+    * files and streams them one file per trigger — the gate's aggregation
+    * state then folds across `chunks` real micro-batches instead of one
+    * (see [[Tables.withChunkedStreamingReads]]); `batchCount` (when
+    * non-null) receives the number of micro-batches actually executed so
+    * callers can assert the run was genuinely incremental. */
   def run(fn: (SparkSession, String) => DataFrame, spark: SparkSession,
-          dir: String, timeoutMs: Long = 180000L): (StructType, Seq[Row]) = {
-    val plan = Tables.withStreamingReads { fn(spark, dir) }
+          dir: String, timeoutMs: Long = 180000L, chunks: Int = 1,
+          batchCount: java.util.concurrent.atomic.AtomicInteger = null)
+      : (StructType, Seq[Row]) = {
+    val plan =
+      if (chunks > 1) {
+        val cd = java.nio.file.Files.createTempDirectory("graft-chunks").toString
+        Tables.withChunkedStreamingReads(chunks, cd) { fn(spark, dir) }
+      } else Tables.withStreamingReads { fn(spark, dir) }
     require(plan.isStreaming,
       "gate does not read through Tables.load — nothing to stream")
     val analyzed = plan.queryExecution.analyzed
@@ -60,6 +73,7 @@ object StreamingParity {
       .foreachBatch { (b: DataFrame, id: Long) =>
         val rows = b.collect()
         batches.synchronized { batches += ((id, rows)) }
+        if (batchCount != null) batchCount.incrementAndGet()
         ()
       }
       .start()

@@ -89,6 +89,29 @@ class StreamingParitySpec extends SparkSpec {
     test(s"batch == streaming: $n") { assertParity(n) }
   }
 
+  /** Multi-batch state folding: the single-file sources above process in
+    * ONE micro-batch, so they prove plan parity but not cross-batch
+    * state. Here the events table is re-materialized as 4 round-robin
+    * chunks streamed one file per trigger — every window receives rows
+    * in ≥2 different micro-batches (round-robin is the adversarial
+    * arrival order) and the complete-mode aggregation state must fold
+    * them to the exact batch result. */
+  Seq("events_count", "window_tumbling", "window_hopping",
+    "session_windows", "agg_sum_q1").foreach { n =>
+    test(s"batch == streaming across 4 micro-batches: $n") {
+      val g = gate(n)
+      val batch = g.fn(spark, dir)
+      val bRows = batch.collect().toSeq
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val (sSchema, sRows) =
+        StreamingParity.run(g.fn, spark, dir, chunks = 4, batchCount = nBatches)
+      assert(names(sSchema) == names(batch.schema), s"$n: schema diverged")
+      assert(nBatches.get >= 4,
+        s"$n: expected >=4 micro-batches, got ${nBatches.get} — not incremental")
+      assert(canon(sRows) == canon(bRows), s"$n: rows diverged")
+    }
+  }
+
   /** Change-stream semantics (ST2/A6): PK compaction + tombstones must
     * not care whether rows arrived in one batch write or as streamed
     * micro-batches — the same `change_stream_compact`/`tombstone_delete`

@@ -279,6 +279,34 @@ final class Engine(
     write(d, df, SaveMode.Append)
   }
 
+  /** Ingest-time near-dup curation: append only the rows of `df` whose
+    * `textCol` does NOT near-duplicate (MinHash-LSH Jaccard ≥
+    * `threshold`) the stream's EXISTING content — the
+    * [[graft.operators.Dedup.incrementalNearDups]] shard-vs-index
+    * probe wired into the engine write path, so a continuously-fed
+    * stream stays deduplicated without ever re-pairing its standing
+    * corpus (per-ingest cost: one index scan + shard-sized candidates).
+    * In-batch duplicates of a surviving novel row are kept (dedup is
+    * against the INDEX; run [[graft.operators.Dedup.minhashLsh]] on the
+    * shard first if intra-shard dedup is also wanted).
+    *
+    * @return number of incoming rows dropped as near-duplicates
+    */
+  def appendRowsDeduped(name: String, df: DataFrame, idCol: String,
+                        textCol: String, threshold: Double = 0.5): Long = {
+    val existing = readStream(name).select(col(idCol), col(textCol))
+    val flagged = graft.operators.Dedup.incrementalNearDups(
+      existing, df, idCol, textCol, threshold = threshold)
+      .select(col("in_id").as(idCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dropped = flagged.count() // materializes the id set once; the
+      // anti-join below then reuses it instead of re-running the probe
+      appendRows(name, df.join(flagged, Seq(idCol), "left_anti"))
+      dropped
+    } finally flagged.unpersist()
+  }
+
   private def write(d: StreamDef, df: DataFrame, mode: SaveMode): Unit = {
     val epoch = d.writeEpoch + 1
     val target = d.schema.toStruct

@@ -390,4 +390,31 @@ class EngineSpec extends SparkSpec {
     em.seed("bs", csv)
     assert(em.runTest("digits_mt", raw"SELECT k FROM bs WHERE k RLIKE '\d'") == 1L)
   }
+
+  test("appendRowsDeduped: ingest-time near-dup curation against the standing stream") {
+    import spark.implicits._
+    val e = newEngine()
+    e.createStream("corpus", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long", nullable = false).add("text", "string")))
+
+    // first ingest into an empty stream: nothing to collide with
+    val d0 = e.appendRowsDeduped("corpus",
+      Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "totally different words entirely here")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(d0 == 0L)
+    assert(e.readStream("corpus").count() == 2)
+
+    // second ingest: one exact dup of doc 1, one near-dup of doc 2 (one
+    // word changed), one novel doc — only the novel row may land
+    val d1 = e.appendRowsDeduped("corpus",
+      Seq((10L, "alpha beta gamma delta epsilon"),
+        (11L, "totally different words entirely again"),
+        (12L, "fresh content nothing like the others")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(d1 == 2L)
+    assert(e.readStream("corpus").select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 12L))
+  }
 }

@@ -295,8 +295,9 @@ final class Engine(
   def appendRowsDeduped(name: String, df: DataFrame, idCol: String,
                         textCol: String, threshold: Double = 0.5): Long = {
     val existing = readStream(name).select(col(idCol), col(textCol))
-    val flagged = graft.operators.Dedup.incrementalNearDups(
+    val (pairs, cleanup) = graft.operators.Dedup.incrementalNearDupsManaged(
       existing, df, idCol, textCol, threshold = threshold)
+    val flagged = pairs
       .select(col("in_id").as(idCol)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -304,7 +305,7 @@ final class Engine(
       // anti-join below then reuses it instead of re-running the probe
       appendRows(name, df.join(flagged, Seq(idCol), "left_anti"))
       dropped
-    } finally flagged.unpersist()
+    } finally { flagged.unpersist(); cleanup() }
   }
 
   private def write(d: StreamDef, df: DataFrame, mode: SaveMode): Unit = {

@@ -175,7 +175,21 @@ object Dedup {
       existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 2,
       numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    incrementalNearDupsManaged(existing, incoming, idCol, textCol,
+      shingleN, numHashes, bands, threshold)._1
+
+  /** [[incrementalNearDups]] plus a cleanup handle that unpersists the
+    * two internal signature frames. The one-shot gate path never needs
+    * it (the session ends with the query); a LONG-RUNNING caller that
+    * probes per ingest ([[graft.engine.Engine.appendRowsDeduped]]) must
+    * invoke the handle after consuming the result, or every ingest
+    * leaks two MEMORY_AND_DISK frames into the block store. */
+  def incrementalNearDupsManaged(
+      existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 2,
+      numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     graft.functions.GraftFunctions.register(existing.sparkSession)
@@ -203,12 +217,13 @@ object Dedup {
       .select(col("a.id").as("in_id"), col("b.id").as("ex_id"))
       .dropDuplicates("in_id", "ex_id")
 
-    candidates
+    val out = candidates
       .join(inSig.select(col("id").as("in_id"), col("hs").as("hs_a")), "in_id")
       .join(exSig.select(col("id").as("ex_id"), col("hs").as("hs_b")), "ex_id")
       .withColumn("jaccard", jaccardSorted(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select("in_id", "ex_id", "jaccard")
+    (out, () => { exSig.unpersist(); inSig.unpersist(); () })
   }
 
   /** EXACT n-gram Jaccard pairs via prefix-filter candidate generation —

@@ -394,6 +394,7 @@ class EngineSpec extends SparkSpec {
   test("appendRowsDeduped: ingest-time near-dup curation against the standing stream") {
     import spark.implicits._
     val e = newEngine()
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     e.createStream("corpus", StreamSchema.fromStruct(
       new org.apache.spark.sql.types.StructType()
         .add("doc_id", "long", nullable = false).add("text", "string")))
@@ -416,5 +417,8 @@ class EngineSpec extends SparkSpec {
     assert(d1 == 2L)
     assert(e.readStream("corpus").select("doc_id").as[Long].collect().sorted
       .toSeq == Seq(1L, 2L, 12L))
+    // repeated-ingest hygiene: each call unpersists its probe frames —
+    // a long-running engine must not accumulate blocks per ingest
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore)
   }
 }

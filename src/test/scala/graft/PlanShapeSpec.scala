@@ -20,7 +20,8 @@ class PlanShapeSpec extends SparkSpec {
     // cross-join IS its contract. ngram_jaccard_pairs is NOT exempt —
     // its exact semantics now ride a PPJoin-style prefix-filter equi-join
     for (name <- Seq("dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
-      "ngram_jaccard_pairs", "ann_lsh_topk", "dup_clusters", "decontaminate")) {
+      "ngram_jaccard_pairs", "ann_lsh_topk", "dup_clusters", "decontaminate",
+      "incremental_dedup")) {
       val plan = executedPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")

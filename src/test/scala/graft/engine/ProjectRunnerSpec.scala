@@ -364,4 +364,74 @@ class ProjectRunnerSpec extends SparkSpec {
     e.dropStream("bucketed")
     assert(!spark.catalog.tableExists(e.bucketTableName("bucketed")))
   }
+
+  test("a training-data curation project runs end-to-end through the model surface") {
+    import spark.implicits._
+    // The library's two halves meeting: the reference's dbt-style
+    // project workflow (models + ref() + configs + tests) expressing a
+    // corpus-curation DAG in plain SQL — score, dedup-by-content,
+    // redact, split — over the driver's documents table. A reference
+    // user's day-one curation project, no Scala API required.
+    val e = new Engine(spark, tmpDir("graft-curproj"))
+    val runner = new ProjectRunner(e)
+    e.createStream("raw_docs", StreamSchema(Seq(
+      PhysicalField("doc_id", FBigInt), PhysicalField("text", FString),
+      PhysicalField("source", FString))))
+    val raw = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "source")
+    e.appendRows("raw_docs", raw)
+
+    val dir = tmpDir("curation-models")
+    Files.write(Paths.get(dir, "scored_docs.sql"),
+      """SELECT doc_id, text, source,
+        |  CHAR_LENGTH(text) AS n_chars,
+        |  size(split(text, ' ')) AS n_tokens
+        |FROM raw_docs
+        |WHERE size(split(text, ' ')) >= 5""".stripMargin.getBytes)
+    Files.write(Paths.get(dir, "clean_docs.sql"),
+      """{{ config(output_stream={"schema_v2": {"constraints": {"primary_key": ["doc_id"]}}}) }}
+        |SELECT doc_id, regexp_replace(text, '[0-9]+', '<NUM>') AS text,
+        |  source, n_chars, n_tokens
+        |FROM (SELECT *,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM {{ ref('scored_docs') }})
+        |WHERE rn = 1""".stripMargin.getBytes)
+    Files.write(Paths.get(dir, "doc_splits.sql"),
+      """SELECT doc_id, source,
+        |  CASE WHEN pmod(xxhash64(doc_id), 10) < 8 THEN 'train'
+        |       WHEN pmod(xxhash64(doc_id), 10) = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM {{ ref('clean_docs') }}""".stripMargin.getBytes)
+
+    val results = runner.run(dir)
+    assert(results.keySet == Set("scored_docs", "clean_docs", "doc_splits"))
+    assert(results.values.forall(_ == Created))
+    // idempotency: unchanged model specs skip on re-run
+    assert(runner.run(dir).values.forall(_ == Unchanged))
+
+    // the DAG computed what the equivalent direct plan computes
+    val expectScored = raw
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")) >= 5)
+    assert(e.preview("SELECT count(*) AS n FROM scored_docs").head.getLong(0)
+      == expectScored.count())
+    val expectClean = expectScored.select(
+      org.apache.spark.sql.functions.md5($"text")).distinct().count()
+    assert(e.preview("SELECT count(*) AS n FROM clean_docs").head.getLong(0)
+      == expectClean)
+    assert(e.catalog.get("clean_docs").get.schema.primaryKey == Seq("doc_id"))
+    // redaction landed: no digits survive in clean text
+    assert(e.runTest("digits_redacted",
+      "SELECT doc_id FROM clean_docs WHERE text RLIKE '[0-9]'") == 0L)
+    // split covers every clean doc and is deterministic three-way
+    val splits = e.preview(
+      "SELECT split, count(*) AS n FROM doc_splits GROUP BY split")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet.subsetOf(Set("train", "val", "test")))
+    assert(splits.values.sum == expectClean)
+    assert(splits("train") > splits.getOrElse("val", 0L))
+    // dbt-style schema test over the materialized output
+    assert(e.runTest("split_not_null",
+      "SELECT doc_id FROM doc_splits WHERE split IS NULL") == 0L)
+  }
 }

@@ -111,8 +111,11 @@ final class Engine(
 
   /** Raw stored rows incl. the ingest-sequence column. A declared stream
     * with no data yet reads as empty (its first write creates the dir;
-    * the def can exist first, e.g. mid-createModel). */
-  private def readRaw(d: StreamDef): DataFrame =
+    * the def can exist first, e.g. mid-createModel). Repairs any
+    * interrupted [[rewriteStorage]] first, so a crash mid-OPTIMIZE can
+    * never surface a partial store ([[repairInterruptedRewrite]]). */
+  private def readRaw(d: StreamDef): DataFrame = {
+    repairInterruptedRewrite(d)
     if (bucketSpec(d).nonEmpty && spark.catalog.tableExists(bucketTableName(d.name)))
       // table read carries the bucket spec into the scan — the whole
       // point of bucketed storage (a path read would re-shuffle)
@@ -120,6 +123,7 @@ final class Engine(
     else if (java.nio.file.Files.exists(java.nio.file.Paths.get(catalog.dataPath(d.name))))
       spark.read.schema(storedStruct(d)).parquet(catalog.dataPath(d.name))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], storedStruct(d))
+  }
 
   /** ST2/A6 change-stream fold: latest row per PK by arrival order
     * (epoch, seq); a key whose latest row is a tombstone disappears —
@@ -301,14 +305,20 @@ final class Engine(
       .select(col("in_id").as(idCol)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dropped = flagged.count() // materializes the id set once; the
-      // anti-join below then reuses it instead of re-running the probe
+      // ROW-accurate drop count (a shard that repeats a flagged id drops
+      // every copy): semi-join against the materialized id set — which
+      // the anti-join write below then reuses instead of re-probing
+      val dropped = df.join(flagged, Seq(idCol), "left_semi").count()
       appendRows(name, df.join(flagged, Seq(idCol), "left_anti"))
       dropped
     } finally { flagged.unpersist(); cleanup() }
   }
 
   private def write(d: StreamDef, df: DataFrame, mode: SaveMode): Unit = {
+    // settle any interrupted rewrite BEFORE appending: otherwise rows
+    // appended over a crashed-rewrite store would be clobbered when a
+    // later read replays the (pre-append) stage
+    repairInterruptedRewrite(d)
     val epoch = d.writeEpoch + 1
     val target = d.schema.toStruct
     // align column order/casts to the declared schema; carry the tombstone
@@ -724,14 +734,14 @@ final class Engine(
         // feeds the plan, and a directory swap would orphan the bucket
         // file-name encoding — so stage the rewritten rows as plain
         // parquet, then rewrite the table from the stage (bucket layout
-        // governs file placement; `targetFiles` intent is advisory here)
+        // governs file placement; `targetFiles` intent is advisory
+        // here). The stage's `_SUCCESS` marker is the commit point: a
+        // crash during the table rewrite leaves a complete stage, and
+        // [[repairInterruptedRewrite]] replays it on the next read —
+        // the table write itself cannot be made atomic, but the data
+        // is never unrecoverable
         rows.write.mode(SaveMode.Overwrite).parquet(tmp)
-        spark.read.parquet(tmp).write.mode(SaveMode.Overwrite)
-          .bucketBy(n, cols.head, cols.tail: _*)
-          .sortBy(cols.head, cols.tail: _*)
-          .option("path", dataDir)
-          .format("parquet")
-          .saveAsTable(bucketTableName(d.name))
+        bucketTableFromStage(d, n, cols, tmp, dataDir)
         catalog.deleteRecursively(Paths.get(tmp))
       case None =>
         val old = dataDir + ".old"
@@ -742,6 +752,43 @@ final class Engine(
           StandardCopyOption.ATOMIC_MOVE)
         catalog.deleteRecursively(Paths.get(old))
     }
+  }
+
+  private def bucketTableFromStage(d: StreamDef, n: Int, cols: Seq[String],
+                                   stage: String, dataDir: String): Unit =
+    spark.read.parquet(stage).write.mode(SaveMode.Overwrite)
+      .bucketBy(n, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .option("path", dataDir)
+      .format("parquet")
+      .saveAsTable(bucketTableName(d.name))
+
+  /** Crash recovery for [[rewriteStorage]], run before every raw read: a
+    * completed stage (`.rewrite/_SUCCESS` present) is the rewrite's
+    * commit record. Non-bucketed: finish the interrupted two-move swap
+    * (stage → data dir) if the data dir is gone, else the rewrite never
+    * commenced — drop the stage. Bucketed: the table write may have died
+    * at any point, so always replay it from the stage (same rows —
+    * idempotent). A stage without `_SUCCESS` is a dead partial write;
+    * a leftover `.old` dir is post-swap garbage. Both are deleted. */
+  private def repairInterruptedRewrite(d: StreamDef): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dataDir = catalog.dataPath(d.name)
+    val tmp = Paths.get(dataDir + ".rewrite")
+    val old = Paths.get(dataDir + ".old")
+    if (Files.exists(tmp)) {
+      val staged = Files.exists(tmp.resolve("_SUCCESS"))
+      bucketSpec(d) match {
+        case Some((n, cols)) if staged =>
+          bucketTableFromStage(d, n, cols, tmp.toString, dataDir)
+          catalog.deleteRecursively(tmp)
+        case None if staged && !Files.exists(Paths.get(dataDir)) =>
+          Files.move(tmp, Paths.get(dataDir), StandardCopyOption.ATOMIC_MOVE)
+        case _ =>
+          catalog.deleteRecursively(tmp)
+      }
+    }
+    if (Files.exists(old)) catalog.deleteRecursively(old)
   }
 
   /** Export a stream's compacted contents to files — the handoff step

@@ -24,19 +24,35 @@ object RangeJoin {
   /** Join `points` to the `intervals` whose `[startCol, endCol)` contain
     * `ptCol` (end exclusive). Columns must be timestamp-castable; bucket
     * width is in seconds. Both frames' columns survive (caller
-    * disambiguates names). */
+    * disambiguates names).
+    *
+    * Bucket math runs on integer MICROSECONDS with a pmod-based floor
+    * division — all-Long arithmetic, so sub-second timestamps bucket
+    * exactly (a whole-second formulation loses points that land in the
+    * bucket holding a fractional interval end, and double division can
+    * mis-bucket values within half-an-ulp of a boundary). Degenerate
+    * intervals (`end <= start`) contain nothing by the [start, end)
+    * contract and are dropped BEFORE the explode — otherwise an inverted
+    * pair feeds `sequence()` a descending range and bloats the shuffle
+    * with candidates the exact filter only discards later. */
   def pointInInterval(points: DataFrame, ptCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
                       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
-    val pb = points.withColumn("__bucket",
-      floor(col(ptCol).cast("long") / bucketSeconds))
-    // end is exclusive, so the last overlapped bucket is the one holding
-    // end - 1s; sequence() is inclusive on both ends
-    val ib = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(startCol).cast("long") / bucketSeconds),
-        floor((col(endCol).cast("long") - 1) / bucketSeconds))))
+    val b = bucketSeconds * 1000000L // bucket width in microseconds
+    def floorDiv(c: String): String = s"($c - pmod($c, ${b}L)) div ${b}L"
+    val pb = points
+      .withColumn("__pt_us", unix_micros(col(ptCol).cast("timestamp")))
+      .withColumn("__bucket", expr(floorDiv("__pt_us")))
+      .drop("__pt_us")
+    // end is exclusive: the last overlapped bucket holds end − 1 µs
+    val ib = intervals
+      .withColumn("__s_us", unix_micros(col(startCol).cast("timestamp")))
+      .withColumn("__e_us", unix_micros(col(endCol).cast("timestamp")))
+      .filter(col("__e_us") > col("__s_us"))
+      .withColumn("__bucket", explode(sequence(
+        expr(floorDiv("__s_us")), expr(floorDiv("(__e_us - 1)")))))
+      .drop("__s_us", "__e_us")
     pb.join(ib, Seq("__bucket"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bucket")

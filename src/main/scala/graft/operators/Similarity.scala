@@ -299,15 +299,21 @@ object Similarity {
       .select(idCol)
   }
 
-  /** `emb` minus the semantically contaminated rows (broadcast anti-join
-    * on the output-sized id set). */
+  /** `emb` minus the semantically contaminated rows: ONE corpus scan
+    * with a broadcast LeftAnti against the eval-sized bench set — the
+    * dual of [[semanticContaminatedIds]]'s LeftSemi. (Anti-joining on a
+    * materialized contaminated-id set would scan the corpus twice and
+    * broadcast a set that is CORPUS-sized in the worst case — a heavily
+    * contaminated corpus would blow the broadcast ceiling at scale; the
+    * bench set is the only side small by construction.) */
   def semanticDecontaminate(emb: DataFrame, idCol: String, vecCol: String,
                             bench: DataFrame, benchVecCol: String,
-                            threshold: Double): DataFrame =
-    emb.join(
-      broadcast(semanticContaminatedIds(emb, idCol, vecCol, bench,
-        benchVecCol, threshold)),
-      Seq(idCol), "left_anti")
+                            threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val b = bench.select(col(benchVecCol).as("__bv"))
+    emb.join(broadcast(b),
+        round(cosine(col(vecCol), col("__bv")), 6) >= threshold, "left_anti")
+  }
 
   /** Symmetric per-vector int8 quantization — the storage/serving
     * compression step of a 100 TB embedding pipeline (4× smaller than

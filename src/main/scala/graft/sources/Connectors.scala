@@ -44,20 +44,31 @@ object Connectors {
     * alias for `s3`. */
   val Supported: Set[String] = Set("datagen", "kafka", "kinesis", "rest", "s3", "file")
 
-  /** Provider classes registered by the two community kinesis connectors
-    * (qubole/awslabs spark-sql-kinesis and its DSv2 successor). Spark has
-    * no first-party kinesis source, so availability is a runtime
-    * classpath question — probed, never linked. */
+  /** The two community kinesis connectors (qubole/awslabs
+    * spark-sql-kinesis and its DSv2 successor), each with ITS OWN
+    * registered short format name and start-position option dialect —
+    * the qubole DSv1 source registers `kinesis` and reads
+    * `startingposition`; the awslabs DSv2 catalog provider registers
+    * `aws-kinesis` and reads `kinesis.startingPosition`. Spark has no
+    * first-party kinesis source, so availability is a runtime classpath
+    * question — probed, never linked. */
+  private case class KinesisProvider(cls: String, format: String,
+                                     startPosOption: String)
   private val KinesisProviders = Seq(
-    "org.apache.spark.sql.kinesis.KinesisSourceProvider",
-    "org.apache.spark.sql.connector.kinesis.KinesisV2TableProvider")
+    KinesisProvider("org.apache.spark.sql.kinesis.KinesisSourceProvider",
+      "kinesis", "startingposition"),
+    KinesisProvider("org.apache.spark.sql.connector.kinesis.KinesisV2TableProvider",
+      "aws-kinesis", "kinesis.startingPosition"))
 
-  /** The kinesis source format name if a provider is on the classpath. */
-  def kinesisProviderAvailable: Option[String] =
-    KinesisProviders.find { cls =>
-      try { Class.forName(cls, false, getClass.getClassLoader); true }
+  /** The connector-specific source format name if a kinesis provider is
+    * on the classpath. */
+  def kinesisProviderAvailable: Option[String] = kinesisProvider.map(_.format)
+
+  private def kinesisProvider: Option[KinesisProvider] =
+    KinesisProviders.find { p =>
+      try { Class.forName(p.cls, false, getClass.getClassLoader); true }
       catch { case _: ClassNotFoundException => false }
-    }.map(_ => "kinesis")
+    }
 
   /** Open a streaming source for a connector spec. The returned frame is
     * unbounded; bind it to a stream with [[bindSource]]. */
@@ -80,12 +91,12 @@ object Connectors {
       // still process) — it's handled by bindSource's checkpoint fast-forward
       spark.readStream.format(format).schema(schema).load(path)
     case "kinesis" =>
-      kinesisProviderAvailable match {
-        case Some(fmt) =>
-          // startingposition is the qubole connector's option name; pass
-          // every user property through untouched on top of it
-          val reader = spark.readStream.format(fmt)
-            .option("startingposition",
+      kinesisProvider match {
+        case Some(p) =>
+          // each provider's own format name and start-position option
+          // dialect; every user property passes through untouched on top
+          val reader = spark.readStream.format(p.format)
+            .option(p.startPosOption,
               spec.startPosition match {
                 case Earliest => "TRIM_HORIZON"
                 case Latest => "LATEST"
@@ -96,7 +107,8 @@ object Connectors {
             "kinesis connector requires the third-party spark-sql-kinesis " +
               "connector on the classpath (Spark has no first-party kinesis " +
               "source; add the qubole/awslabs spark-sql-kinesis jar to " +
-              "spark.jars) — probed for: " + KinesisProviders.mkString(", "))
+              "spark.jars) — probed for: " +
+              KinesisProviders.map(_.cls).mkString(", "))
       }
     case "rest" =>
       throw new IllegalArgumentException(

@@ -60,7 +60,17 @@ object StreamingParity {
     require(plan.isStreaming,
       "gate does not read through Tables.load — nothing to stream")
     val analyzed = plan.queryExecution.analyzed
-    val noSort = analyzed.transform { case s: Sort if s.global => s.child }
+    // strip ONLY the root presentation sort (gates order solely for the
+    // driver's deterministic hash): a blanket transform would also strip
+    // sorts that carry semantics, e.g. the Sort under a top-N limit —
+    // stripping those would silently change which rows a limit keeps
+    @annotation.tailrec
+    def stripRootSort(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      case s: Sort if s.global => stripRootSort(s.child)
+      case other => other
+    }
+    val noSort = stripRootSort(analyzed)
     val ds = org.apache.spark.sql.GraftInternal.ofRows(spark, noSort)
     val aggregating = analyzed.collectFirst { case a: Aggregate => a }.nonEmpty
 

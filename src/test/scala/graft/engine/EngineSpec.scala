@@ -1,6 +1,8 @@
 package graft.engine
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.functions.{col, input_file_name, max, min}
 
@@ -420,5 +422,53 @@ class EngineSpec extends SparkSpec {
     // repeated-ingest hygiene: each call unpersists its probe frames —
     // a long-running engine must not accumulate blocks per ingest
     assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore)
+  }
+
+  test("interrupted OPTIMIZE rewrites repair on the next read (both storage layouts)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val e = newEngine()
+
+    // --- non-bucketed: crash simulated between the two atomic moves ---
+    e.createStream("plainst", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "long", nullable = false).add("v", "string")))
+    e.appendRows("plainst", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val dataDir = e.catalog.dataPath("plainst")
+    // stage = byte-identical raw store (internal columns included),
+    // exactly what rewriteStorage writes before the swap
+    spark.read.parquet(dataDir).write.parquet(dataDir + ".rewrite")
+    Files.move(Paths.get(dataDir), Paths.get(dataDir + ".old"),
+      StandardCopyOption.ATOMIC_MOVE) // crash: data dir gone, stage complete
+    assert(e.readStream("plainst").orderBy("k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(!Files.exists(Paths.get(dataDir + ".rewrite")))
+    assert(!Files.exists(Paths.get(dataDir + ".old")))
+
+    // --- bucketed: crash simulated mid-saveAsTable (table truncated) ---
+    e.createStream("bucketst", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "long", nullable = false).add("v", "string")),
+      Map("bucket_by" -> "k", "bucket_count" -> "2"))
+    e.appendRows("bucketst", Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v"))
+    val bDir = e.catalog.dataPath("bucketst")
+    spark.read.parquet(bDir).write.parquet(bDir + ".rewrite")
+    // the crash state: a complete stage next to a gutted table dir
+    Using.resource(Files.list(Paths.get(bDir))) { s =>
+      s.iterator().asScala.toSeq.filter(_.toString.contains("part-"))
+        .foreach(Files.delete)
+    }
+    assert(e.readStream("bucketst").orderBy("k").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "x"), (2L, "y"), (3L, "z")))
+    assert(!Files.exists(Paths.get(bDir + ".rewrite")))
+    // and the repaired store is still the bucketed table (no exchange lost)
+    assert(spark.catalog.tableExists(e.bucketTableName("bucketst")))
+
+    // a stage WITHOUT _SUCCESS is a dead partial write: dropped, live
+    // data untouched
+    Files.createDirectories(Paths.get(bDir + ".rewrite"))
+    Files.writeString(Paths.get(bDir + ".rewrite", "part-junk"), "junk")
+    assert(e.readStream("bucketst").count() == 3)
+    assert(!Files.exists(Paths.get(bDir + ".rewrite")))
   }
 }

@@ -338,6 +338,30 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("range join: fractional-second ends keep their last bucket; inverted intervals match nothing") {
+    import spark.implicits._
+    // interval end 13:00:00.250 (exclusive) — a point at 13:00:00.100 is
+    // INSIDE and lives in the hour-bucket that only the fractional part
+    // of the end reaches; whole-second bucket math silently loses it
+    val points = Seq(
+      (1L, "2024-01-01 13:00:00.1"),  // in [.., 13:00:00.250): IN
+      (2L, "2024-01-01 13:00:00.25"), // == end: OUT (exclusive)
+      (3L, "2024-01-01 12:30:00.0"))  // middle: IN
+      .toDF("pid", "s").select(col("pid"), col("s").cast("timestamp").as("pt"))
+    val iv = Seq(
+      (10L, "2024-01-01 12:00:00.0", "2024-01-01 13:00:00.25"),
+      (11L, "2024-01-01 18:00:00.0", "2024-01-01 17:00:00.0"), // inverted
+      (12L, "2024-01-01 19:00:00.0", "2024-01-01 19:00:00.0")) // empty
+      .toDF("iid", "a", "b")
+      .select(col("iid"), col("a").cast("timestamp").as("ws"),
+        col("b").cast("timestamp").as("we"))
+    for (width <- Seq(60L, 3600L)) {
+      val got = RangeJoin.pointInInterval(points, "pt", iv, "ws", "we", width)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted
+      assert(got.toSeq == Seq((1L, 10L), (3L, 10L)), s"width=$width")
+    }
+  }
+
   test("int8 quantization: zero vector, exact scale, bounded reconstruction error") {
     import spark.implicits._
     val emb = Seq(

@@ -299,19 +299,25 @@ final class Engine(
   def appendRowsDeduped(name: String, df: DataFrame, idCol: String,
                         textCol: String, threshold: Double = 0.5): Long = {
     val existing = readStream(name).select(col(idCol), col(textCol))
-    val (pairs, cleanup) = graft.operators.Dedup.incrementalNearDupsManaged(
-      existing, df, idCol, textCol, threshold = threshold)
-    val flagged = pairs
-      .select(col("in_id").as(idCol)).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the shard feeds three jobs (index probe, drop count, anti-join
+    // append) — persist it for the call so an expensive upstream plan
+    // isn't recomputed per job
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // ROW-accurate drop count (a shard that repeats a flagged id drops
-      // every copy): semi-join against the materialized id set — which
-      // the anti-join write below then reuses instead of re-probing
-      val dropped = df.join(flagged, Seq(idCol), "left_semi").count()
-      appendRows(name, df.join(flagged, Seq(idCol), "left_anti"))
-      dropped
-    } finally { flagged.unpersist(); cleanup() }
+      val (pairs, cleanup) = graft.operators.Dedup.incrementalNearDupsManaged(
+        existing, df, idCol, textCol, threshold = threshold)
+      val flagged = pairs
+        .select(col("in_id").as(idCol)).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // ROW-accurate drop count (a shard that repeats a flagged id drops
+        // every copy): semi-join against the materialized id set — which
+        // the anti-join write below then reuses instead of re-probing
+        val dropped = df.join(flagged, Seq(idCol), "left_semi").count()
+        appendRows(name, df.join(flagged, Seq(idCol), "left_anti"))
+        dropped
+      } finally { flagged.unpersist(); cleanup() }
+    } finally df.unpersist()
   }
 
   private def write(d: StreamDef, df: DataFrame, mode: SaveMode): Unit = {
@@ -724,11 +730,23 @@ final class Engine(
       files, bytes, d.writeEpoch, d.sql.nonEmpty, d.active)
   }
 
+  /** Streams with a [[rewriteStorage]] currently executing in THIS
+    * process. [[repairInterruptedRewrite]] skips them: the stage (and
+    * its `_SUCCESS` marker) legitimately exists for the whole table-
+    * rewrite window of a live OPTIMIZE/VACUUM, and a concurrent read
+    * must not mistake it for a crashed rewrite's commit record — it
+    * would double-run the table write and delete the stage out from
+    * under the live job. Crash recovery only applies cross-process,
+    * where this set is empty by construction. */
+  private val liveRewrites =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def rewriteStorage(d: StreamDef, rows: DataFrame): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dataDir = catalog.dataPath(d.name)
     val tmp = dataDir + ".rewrite"
-    bucketSpec(d) match {
+    liveRewrites.add(d.name)
+    try bucketSpec(d) match {
       case Some((n, cols)) =>
         // a bucketed table can't be Overwrite-written while its own scan
         // feeds the plan, and a directory swap would orphan the bucket
@@ -742,7 +760,7 @@ final class Engine(
         // is never unrecoverable
         rows.write.mode(SaveMode.Overwrite).parquet(tmp)
         bucketTableFromStage(d, n, cols, tmp, dataDir)
-        catalog.deleteRecursively(Paths.get(tmp))
+        dropStage(Paths.get(tmp))
       case None =>
         val old = dataDir + ".old"
         rows.write.mode(SaveMode.Overwrite).parquet(tmp)
@@ -751,7 +769,19 @@ final class Engine(
         Files.move(Paths.get(tmp), Paths.get(dataDir),
           StandardCopyOption.ATOMIC_MOVE)
         catalog.deleteRecursively(Paths.get(old))
-    }
+    } finally liveRewrites.remove(d.name)
+  }
+
+  /** Delete a rewrite stage commit-record-FIRST: `_SUCCESS` is what
+    * marks a stage replayable, so it must be the first thing to go —
+    * a crash mid-cleanup then leaves a dead partial stage (swept as
+    * garbage by the next repair) rather than a truncated stage that
+    * still looks committed, which a replay would overwrite good data
+    * with ([[catalog.Catalog.deleteRecursively]] walks in unspecified
+    * order, so part files can vanish before the marker otherwise). */
+  private def dropStage(stage: java.nio.file.Path): Unit = {
+    java.nio.file.Files.deleteIfExists(stage.resolve("_SUCCESS"))
+    catalog.deleteRecursively(stage)
   }
 
   private def bucketTableFromStage(d: StreamDef, n: Int, cols: Seq[String],
@@ -773,6 +803,7 @@ final class Engine(
     * a leftover `.old` dir is post-swap garbage. Both are deleted. */
   private def repairInterruptedRewrite(d: StreamDef): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    if (liveRewrites.contains(d.name)) return
     val dataDir = catalog.dataPath(d.name)
     val tmp = Paths.get(dataDir + ".rewrite")
     val old = Paths.get(dataDir + ".old")
@@ -781,11 +812,11 @@ final class Engine(
       bucketSpec(d) match {
         case Some((n, cols)) if staged =>
           bucketTableFromStage(d, n, cols, tmp.toString, dataDir)
-          catalog.deleteRecursively(tmp)
+          dropStage(tmp)
         case None if staged && !Files.exists(Paths.get(dataDir)) =>
           Files.move(tmp, Paths.get(dataDir), StandardCopyOption.ATOMIC_MOVE)
         case _ =>
-          catalog.deleteRecursively(tmp)
+          dropStage(tmp)
       }
     }
     if (Files.exists(old)) catalog.deleteRecursively(old)

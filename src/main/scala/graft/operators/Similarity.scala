@@ -299,20 +299,22 @@ object Similarity {
       .select(idCol)
   }
 
-  /** `emb` minus the semantically contaminated rows: ONE corpus scan
-    * with a broadcast LeftAnti against the eval-sized bench set — the
-    * dual of [[semanticContaminatedIds]]'s LeftSemi. (Anti-joining on a
-    * materialized contaminated-id set would scan the corpus twice and
-    * broadcast a set that is CORPUS-sized in the worst case — a heavily
-    * contaminated corpus would blow the broadcast ceiling at scale; the
-    * bench set is the only side small by construction.) */
+  /** `emb` minus the semantically contaminated IDS — the exact dual of
+    * [[semanticContaminatedIds]]: every row sharing an id with a
+    * contaminated row is removed, even when ids repeat (re-embedded
+    * duplicates), so `decontaminate(emb) ∪ emb.semijoin(contaminatedIds)`
+    * always partitions `emb`. Two corpus scans: the broadcast-bench
+    * LeftSemi that finds the ids, then a LeftAnti on the id key. The id
+    * anti-join carries NO broadcast hint — the contaminated set is
+    * corpus-sized in the worst case (a forced broadcast would blow the
+    * ceiling at scale); AQE broadcasts it dynamically in the common
+    * small case. */
   def semanticDecontaminate(emb: DataFrame, idCol: String, vecCol: String,
                             bench: DataFrame, benchVecCol: String,
                             threshold: Double): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
-    val b = bench.select(col(benchVecCol).as("__bv"))
-    emb.join(broadcast(b),
-        round(cosine(col(vecCol), col("__bv")), 6) >= threshold, "left_anti")
+    val bad = semanticContaminatedIds(
+      emb, idCol, vecCol, bench, benchVecCol, threshold).distinct()
+    emb.join(bad, Seq(idCol), "left_anti")
   }
 
   /** Symmetric per-vector int8 quantization — the storage/serving

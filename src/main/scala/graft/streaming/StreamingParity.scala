@@ -60,14 +60,19 @@ object StreamingParity {
     require(plan.isStreaming,
       "gate does not read through Tables.load — nothing to stream")
     val analyzed = plan.queryExecution.analyzed
-    // strip ONLY the root presentation sort (gates order solely for the
-    // driver's deterministic hash): a blanket transform would also strip
-    // sorts that carry semantics, e.g. the Sort under a top-N limit —
-    // stripping those would silently change which rows a limit keeps
-    @annotation.tailrec
+    // strip ONLY presentation sorts (gates order solely for the driver's
+    // deterministic hash): global Sorts reachable from the root through
+    // ordering-preserving Projects — `orderBy.select(...)` analyzes to
+    // Project(Sort) and append mode rejects the Sort just the same. A
+    // blanket transform would also strip sorts that carry semantics,
+    // e.g. the Sort under a top-N Limit — stripping those would silently
+    // change which rows the limit keeps, so recursion stops at any
+    // non-Project, non-Sort node
     def stripRootSort(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
       case s: Sort if s.global => stripRootSort(s.child)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        pr.copy(child = stripRootSort(pr.child))
       case other => other
     }
     val noSort = stripRootSort(analyzed)

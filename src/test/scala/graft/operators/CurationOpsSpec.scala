@@ -317,6 +317,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(bad == Seq(1L))
   }
 
+  test("semantic decontamination removes every row of a contaminated id") {
+    import spark.implicits._
+    // id 1 appears twice (a re-embedded duplicate): one copy matches a
+    // bench vector, the other is orthogonal. Id-level semantics — the
+    // dual of semanticContaminatedIds — must drop BOTH copies.
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)), (3L, Seq(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((100L, Seq(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDecontaminate(
+      corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L))
+  }
+
   test("range join: end-exclusive boundaries, multi-bucket spans, no pair loss at bucket edges") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

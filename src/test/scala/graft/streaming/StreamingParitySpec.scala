@@ -89,6 +89,19 @@ class StreamingParitySpec extends SparkSpec {
     test(s"batch == streaming: $n") { assertParity(n) }
   }
 
+  test("non-root presentation sort (orderBy then select) is stripped too") {
+    // orderBy.select analyzes to Project(Sort(global)) — the Sort is not
+    // the plan root, but it is still presentation-only and append mode
+    // rejects it; the harness must strip through the Project
+    val fn = (s: org.apache.spark.sql.SparkSession, d: String) =>
+      graft.Tables.load(s, d, "events")
+        .orderBy("event_id").select("event_id", "event_type")
+    val batch = fn(spark, dir)
+    val (sSchema, sRows) = StreamingParity.run(fn, spark, dir)
+    assert(names(sSchema) == names(batch.schema))
+    assert(canon(sRows) == canon(batch.collect().toSeq))
+  }
+
   /** Multi-batch state folding: the single-file sources above process in
     * ONE micro-batch, so they prove plan parity but not cross-batch
     * state. Here the events table is re-materialized as 4 round-robin

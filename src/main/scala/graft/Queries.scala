@@ -2819,6 +2819,65 @@ object Queries {
       | FROM customer GROUP BY c_nationkey
       | HAVING count(*) > 1 ORDER BY c_nationkey""".stripMargin)
 
+  /** DSIR importance weights (Xie et al. 2023) — round 4: per-doc mean
+    * log-importance ratio under Laplace-smoothed unigram models of a
+    * target subcorpus (source = 'src0' as the curated-set proxy) vs the
+    * whole corpus. Value-oracled end to end: per-word log-ratios in
+    * integer micro-units, exact per-doc integer sums, one double
+    * division. */
+  val dsirWeightsGate: Q = q("dsir_weights",
+    """WITH words AS (
+      |  SELECT doc_id, (source = 'src0') AS tgt,
+      |         unnest(string_split(text, ' ')) AS word FROM documents),
+      |dtf AS (SELECT doc_id, tgt, word, count(*) AS tf
+      |        FROM words GROUP BY doc_id, tgt, word),
+      |vocab AS (
+      |  SELECT word, sum(tf) AS raw_cnt,
+      |         sum(CASE WHEN tgt THEN tf ELSE 0 END) AS tgt_cnt
+      |  FROM dtf GROUP BY word),
+      |totals AS (
+      |  SELECT CAST(sum(raw_cnt) AS DOUBLE) AS raw_total,
+      |         CAST(sum(tgt_cnt) AS DOUBLE) AS tgt_total,
+      |         CAST(count(*) AS DOUBLE) AS v FROM vocab),
+      |scored AS (
+      |  SELECT word, CAST(round(
+      |      (ln(CAST(tgt_cnt + 1 AS DOUBLE) / (tgt_total + v))
+      |     - ln(CAST(raw_cnt + 1 AS DOUBLE) / (raw_total + v)))
+      |      * 1000000) AS BIGINT) AS lr
+      |  FROM vocab CROSS JOIN totals)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  CAST(sum(lr * tf) AS DOUBLE) / (sum(tf) * 1000000) AS avg_logratio
+      |FROM dtf JOIN scored USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Vocab.dsirWeights(
+      t(s, dir, "documents"), col("source") === "src0")
+      .orderBy("doc_id")
+  }
+
+  /** Source-level (domain) curation — round 4: only documents from
+    * sources whose mean type-token ratio clears the bar survive
+    * (RefinedWeb-style whole-domain filtering). Pure-projection doc
+    * score, one source-keyed aggregate, verdict semi-joined back. */
+  val sourceQualityGate: Q = q("source_quality_filter",
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) * 1000000) AS BIGINT) AS ttr_micro
+      |  FROM documents),
+      |keep AS (
+      |  SELECT source, CAST(s AS DOUBLE) / (n_docs * 1000000) AS src_mean_ttr,
+      |         CAST(n_docs AS BIGINT) AS src_docs
+      |  FROM (SELECT source, sum(ttr_micro) AS s, count(*) AS n_docs
+      |        FROM scored GROUP BY source)
+      |  WHERE CAST(s AS DOUBLE) / (n_docs * 1000000) >= 0.5 AND n_docs >= 10)
+      |SELECT doc_id, source, ttr_micro, src_mean_ttr, src_docs
+      |FROM scored JOIN keep USING (source)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.TextAnalysis.sourceQualityFilter(
+      t(s, dir, "documents"), minMeanTtr = 0.5, minDocs = 10L)
+      .orderBy("doc_id")
+  }
+
   /** Correlated EXISTS subquery (decorrelates to a semi-join). */
   val existsSubquery: Q = sqlBoth("exists_subquery", Seq("customer", "orders"),
     """SELECT c_custkey, c_name FROM customer c
@@ -2868,6 +2927,6 @@ object Queries {
     nullsOrdering, statsAgg,
     tpchQ2, tpchQ4, tpchQ7, tpchQ8, tpchQ9, tpchQ11,
     tpchQ15, tpchQ16, tpchQ17, tpchQ20, tpchQ21,
-    incrementalDedup, knnLabelVote
+    incrementalDedup, knnLabelVote, dsirWeightsGate, sourceQualityGate
   )
 }

@@ -362,4 +362,44 @@ object TextAnalysis {
           / greatest(col("n_words") - 1, lit(1L)), 6))
       .drop("top_bigram")
   }
+
+  /** Source-level (domain) curation — the RefinedWeb/C4-shaped rule
+    * "judge the DOMAIN, not just the page": per-document type-token
+    * ratio (distinct words / words — template spam repeats itself and
+    * scores low) aggregated to a per-source mean, and only documents
+    * from sources clearing BOTH bars (mean TTR ≥ `minMeanTtr` over at
+    * least `minDocs` documents) survive. The whole-source drop is the
+    * point: a domain whose average page is boilerplate loses its
+    * occasional good-looking page too, which document-level filters
+    * cannot express.
+    *
+    * Determinism: per-doc TTR rounds to integer micro-units, the
+    * source mean is an exact integer sum over one double division.
+    * Scale shape: the per-doc score is a shuffle-free row expression;
+    * the only aggregate is source-keyed (domain cardinality ≪ corpus);
+    * the verdict rejoins by source with no hint — size-based planning
+    * broadcasts the post-filter source stats when they fit. The corpus
+    * itself never shuffles.
+    *
+    * @return (idCol, srcCol, ttr_micro, src_mean_ttr, src_docs)
+    */
+  def sourceQualityFilter(docs: DataFrame, idCol: String = "doc_id",
+                          srcCol: String = "source",
+                          textCol: String = "text",
+                          minMeanTtr: Double = 0.5,
+                          minDocs: Long = 10L): DataFrame = {
+    val w = split(col(textCol), " ")
+    val scored = docs.select(col(idCol), col(srcCol),
+      round(size(array_distinct(w)).cast("double") / size(w) * 1000000L)
+        .cast("long").as("ttr_micro"))
+    val keep = scored.groupBy(col(srcCol))
+      .agg(sum("ttr_micro").as("s"), count(lit(1)).as("n_docs"))
+      .withColumn("src_mean_ttr",
+        col("s").cast("double") / (col("n_docs") * 1000000L))
+      .filter(col("src_mean_ttr") >= minMeanTtr && col("n_docs") >= minDocs)
+      .select(col(srcCol), col("src_mean_ttr"), col("n_docs").as("src_docs"))
+    scored.join(keep, Seq(srcCol))
+      .select(col(idCol), col(srcCol), col("ttr_micro"),
+        col("src_mean_ttr"), col("src_docs"))
+  }
 }

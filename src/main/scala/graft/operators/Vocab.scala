@@ -166,6 +166,60 @@ object Vocab {
       .select(idCol, "n_tokens", "oov_rate")
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): each document's mean
+    * log-importance ratio `log p_target(w) − log p_raw(w)` summed over
+    * its tokens, under Laplace-smoothed bag-of-words unigram models of
+    * a TARGET subcorpus (rows where `isTarget`) vs the whole raw
+    * corpus. The standard cheap-proxy selector for "give me raw-web
+    * documents that look like my curated set": positive weights are
+    * target-like; rank and take the top fraction (or Gumbel-top-k
+    * resample) downstream.
+    *
+    * Both models smooth over the UNION vocabulary `V`:
+    * `p(w) = (cnt(w)+1) / (total+|V|)`, so words absent from the target
+    * still score finitely. Determinism: per-word log-ratios round to
+    * integer micro-units, per-doc sums are exact integer arithmetic,
+    * the mean is one double division (house recipe).
+    *
+    * Scale shape: ONE corpus explode, pre-aggregated to per-(doc,word)
+    * term frequencies (persisted — the vocabulary and the scoring join
+    * both consume it); both models come out of one vocabulary-sized
+    * aggregate (the target is a conditional sum, not a second corpus
+    * pass); totals ride a broadcast 1-row aggregate; the scoring join
+    * is vocab-keyed with NO broadcast hint (a 100 TB corpus vocabulary
+    * outgrows any broadcast budget).
+    *
+    * @return (idCol, n_tokens, avg_logratio)
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val docTf = docs.select(col(idCol).as("did"), isTarget.as("tgt"),
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy("did", "tgt", "word").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = docTf.groupBy("word").agg(
+      sum("tf").as("raw_cnt"),
+      sum(when(col("tgt"), col("tf")).otherwise(0L)).as("tgt_cnt"))
+    val totals = vocab.agg(
+      sum("raw_cnt").cast("double").as("raw_total"),
+      sum("tgt_cnt").cast("double").as("tgt_total"),
+      count(lit(1)).cast("double").as("v"))
+    val scored = vocab.crossJoin(broadcast(totals))
+      .withColumn("lr_micro", round(
+        (log((col("tgt_cnt") + 1).cast("double") / (col("tgt_total") + col("v")))
+          - log((col("raw_cnt") + 1).cast("double") / (col("raw_total") + col("v"))))
+          * 1000000L).cast("long"))
+      .select("word", "lr_micro")
+    docTf.join(scored, "word")
+      .groupBy(col("did").as(idCol))
+      .agg(sum("tf").as("n_tokens"), sum(col("lr_micro") * col("tf")).as("s"))
+      .withColumn("avg_logratio",
+        col("s").cast("double") / (col("n_tokens") * 1000000L))
+      .select(idCol, "n_tokens", "avg_logratio")
+  }
+
   /** Per-group salient terms by tf·idf: tf = term occurrences within the
     * group, idf = ln(N / df) with N = corpus document count and df = number
     * of distinct documents containing the term. Scores round to 6 dp

@@ -317,6 +317,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(bad == Seq(1L))
   }
 
+  test("dsirWeights: hand-computed Laplace log-ratios") {
+    import spark.implicits._
+    // target = doc 1 ("a a"); raw corpus = all three docs.
+    // vocab: a: raw 3 / tgt 2, b: raw 3 / tgt 0; V = 2, totals 6 / 2.
+    //   lr(a) = ln((2+1)/(2+2)) - ln((3+1)/(6+2)) = ln 1.5  =  405465 µ
+    //   lr(b) = ln((0+1)/(2+2)) - ln((3+1)/(6+2)) = ln 0.5  = -693147 µ
+    val docs = Seq((1L, "a a"), (2L, "b b"), (3L, "a b")).toDF("doc_id", "text")
+    val out = Vocab.dsirWeights(docs, col("doc_id") === 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 2L && math.abs(out(1L)._2 - 0.405465) < 1e-6)
+    assert(math.abs(out(2L)._2 - -0.693147) < 1e-6)
+    assert(math.abs(out(3L)._2 - (405465L - 693147L) / 2e6) < 1e-9)
+    // the target-like doc must outrank the raw-only doc
+    assert(out(1L)._2 > out(3L)._2 && out(3L)._2 > out(2L)._2)
+  }
+
+  test("sourceQualityFilter: whole source drops, and minDocs bites") {
+    import spark.implicits._
+    // good: TTR 1.0 twice; bad: TTR 0.25 twice (mean 0.25 < 0.5);
+    // tiny: one perfect doc but below the minDocs floor
+    val docs = Seq(
+      (1L, "good", "a b c d"), (2L, "good", "e f g h"),
+      (3L, "bad", "a a a a"), (4L, "bad", "b b b b"),
+      (5L, "tiny", "x y z w")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceQualityFilter(
+      docs, minMeanTtr = 0.5, minDocs = 2L)
+    val kept = out.select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+    val row = out.filter(col("doc_id") === 1L).collect().head
+    assert(row.getAs[Double]("src_mean_ttr") == 1.0 &&
+      row.getAs[Long]("src_docs") == 2L)
+  }
+
   test("semantic decontamination removes every row of a contaminated id") {
     import spark.implicits._
     // id 1 appears twice (a re-embedded duplicate): one copy matches a

@@ -389,9 +389,13 @@ object TextAnalysis {
                           minMeanTtr: Double = 0.5,
                           minDocs: Long = 10L): DataFrame = {
     val w = split(col(textCol), " ")
-    val scored = docs.select(col(idCol), col(srcCol),
-      round(size(array_distinct(w)).cast("double") / size(w) * 1000000L)
-        .cast("long").as("ttr_micro"))
+    // null text would score -1/-1 = a PERFECT ttr (size(null) = -1) and
+    // silently inflate its source's mean — drop such rows up front, the
+    // same guard weightedSample carries for degenerate weights
+    val scored = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(srcCol),
+        round(size(array_distinct(w)).cast("double") / size(w) * 1000000L)
+          .cast("long").as("ttr_micro"))
     val keep = scored.groupBy(col(srcCol))
       .agg(sum("ttr_micro").as("s"), count(lit(1)).as("n_docs"))
       .withColumn("src_mean_ttr",

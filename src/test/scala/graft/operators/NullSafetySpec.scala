@@ -198,4 +198,20 @@ class NullSafetySpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.isNullAt(1) && out.head.getLong(2) == 2L)
   }
+
+  test("dsirWeights / sourceQualityFilter drop null text, never score it") {
+    // dsir: explode(split(null)) yields no tokens — doc 2 is simply
+    // absent from the output, not a zero/NaN row
+    val dw = Vocab.dsirWeights(docs, col("doc_id") === 1L)
+    assert(dw.filter(col("doc_id") === 2L).count() == 0)
+    assert(dw.count() == 3) // empty text still scores (one "" token)
+    // source filter: without the guard a null-text doc scores a perfect
+    // ttr (size(null) = -1 ⇒ -1/-1) and inflates its source's mean;
+    // with it, source s1's mean comes from doc 1 alone
+    val sq = TextAnalysis.sourceQualityFilter(
+      docs, minMeanTtr = 0.0, minDocs = 1L)
+    assert(sq.filter(col("doc_id") === 2L).count() == 0)
+    val s1 = sq.filter(col("source") === "s1").collect()
+    assert(s1.length == 1 && s1.head.getAs[Long]("src_docs") == 1L)
+  }
 }

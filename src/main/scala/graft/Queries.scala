@@ -2878,6 +2878,67 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Five-stage DSIR-selection capstone — round 4: the data-selection
+    * pipeline a pretraining corpus actually runs, composed from this
+    * round's operators. (1) source-level curation drops whole domains
+    * below the TTR bar; (2) DSIR scores the survivors against a
+    * high-TTR target proxy (docs with ttr ≥ 0.5); (3) the top half by
+    * importance weight is selected globally. One lazy DAG; the only
+    * global window is the final rank over the already-aggregated
+    * per-doc weight frame (corpus-vocabulary work is all equi-joins). */
+  val pipelineCurationV5: Q = q("pipeline_curation_v5",
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    CAST(round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) * 1000000) AS BIGINT) AS ttr_micro
+      |  FROM documents WHERE text IS NOT NULL),
+      |keep AS (
+      |  SELECT source
+      |  FROM (SELECT source, sum(ttr_micro) AS s, count(*) AS n_docs
+      |        FROM scored GROUP BY source)
+      |  WHERE CAST(s AS DOUBLE) / (n_docs * 1000000) >= 0.5 AND n_docs >= 10),
+      |kept AS (SELECT doc_id, ttr_micro FROM scored JOIN keep USING (source)),
+      |words AS (
+      |  SELECT d.doc_id, (k.ttr_micro >= 500000) AS tgt,
+      |         unnest(string_split(d.text, ' ')) AS word
+      |  FROM documents d JOIN kept k USING (doc_id)),
+      |dtf AS (SELECT doc_id, tgt, word, count(*) AS tf
+      |        FROM words GROUP BY doc_id, tgt, word),
+      |vocab AS (
+      |  SELECT word, sum(tf) AS raw_cnt,
+      |         sum(CASE WHEN tgt THEN tf ELSE 0 END) AS tgt_cnt
+      |  FROM dtf GROUP BY word),
+      |totals AS (
+      |  SELECT CAST(sum(raw_cnt) AS DOUBLE) AS raw_total,
+      |         CAST(sum(tgt_cnt) AS DOUBLE) AS tgt_total,
+      |         CAST(count(*) AS DOUBLE) AS v FROM vocab),
+      |lr AS (
+      |  SELECT word, CAST(round(
+      |      (ln(CAST(tgt_cnt + 1 AS DOUBLE) / (tgt_total + v))
+      |     - ln(CAST(raw_cnt + 1 AS DOUBLE) / (raw_total + v)))
+      |      * 1000000) AS BIGINT) AS lr
+      |  FROM vocab CROSS JOIN totals),
+      |w8 AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |    CAST(sum(lr * tf) AS DOUBLE) / (sum(tf) * 1000000) AS avg_logratio
+      |  FROM dtf JOIN lr USING (word) GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, avg_logratio FROM (
+      |  SELECT *, row_number() OVER (ORDER BY avg_logratio DESC, doc_id) AS rn,
+      |         count(*) OVER () AS n FROM w8) t
+      |WHERE rn <= ceil(0.5 * n)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val kept = operators.TextAnalysis.sourceQualityFilter(
+      docs, minMeanTtr = 0.5, minDocs = 10L)
+      .select(col("doc_id"), col("ttr_micro"))
+    val corpus = docs.join(kept, Seq("doc_id"))
+    val weights = operators.Vocab.dsirWeights(
+      corpus, col("ttr_micro") >= 500000L)
+    operators.Sampling.topFractionPerGroup(
+      weights, Seq.empty, "avg_logratio", "doc_id", 0.5)
+      .orderBy("doc_id")
+  }
+
   /** Correlated EXISTS subquery (decorrelates to a semi-join). */
   val existsSubquery: Q = sqlBoth("exists_subquery", Seq("customer", "orders"),
     """SELECT c_custkey, c_name FROM customer c
@@ -2927,6 +2988,7 @@ object Queries {
     nullsOrdering, statsAgg,
     tpchQ2, tpchQ4, tpchQ7, tpchQ8, tpchQ9, tpchQ11,
     tpchQ15, tpchQ16, tpchQ17, tpchQ20, tpchQ21,
-    incrementalDedup, knnLabelVote, dsirWeightsGate, sourceQualityGate
+    incrementalDedup, knnLabelVote, dsirWeightsGate, sourceQualityGate,
+    pipelineCurationV5
   )
 }

@@ -730,14 +730,16 @@ final class Engine(
       files, bytes, d.writeEpoch, d.sql.nonEmpty, d.active)
   }
 
-  /** Streams with a [[rewriteStorage]] currently executing in THIS
-    * process. [[repairInterruptedRewrite]] skips them: the stage (and
-    * its `_SUCCESS` marker) legitimately exists for the whole table-
-    * rewrite window of a live OPTIMIZE/VACUUM, and a concurrent read
-    * must not mistake it for a crashed rewrite's commit record — it
+  /** Streams with a [[rewriteStorage]] currently executing through THIS
+    * Engine instance. [[repairInterruptedRewrite]] skips them: the stage
+    * (and its `_SUCCESS` marker) legitimately exists for the whole
+    * table-rewrite window of a live OPTIMIZE/VACUUM, and a concurrent
+    * read must not mistake it for a crashed rewrite's commit record — it
     * would double-run the table write and delete the stage out from
-    * under the live job. Crash recovery only applies cross-process,
-    * where this set is empty by construction. */
+    * under the live job. Crash recovery only applies to a dead process's
+    * leftovers, where this set is empty by construction. (An Engine's
+    * catalog dir is single-writer by contract — two live instances on
+    * one dir would race the store itself, not just this repair.) */
   private val liveRewrites =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

@@ -2947,6 +2947,119 @@ object Queries {
       |                 AND o.o_totalprice > 300000)
       | ORDER BY c_custkey""".stripMargin)
 
+  /** Z-order (Morton) clustering key over (user_id, event_id) — the
+    * multi-dimensional data-skipping layout key behind Delta/Iceberg
+    * `OPTIMIZE ZORDER BY`. The oracle replays the quantize +
+    * bit-interleave arithmetic in SQL, so the layout key is
+    * value-checked rather than spec-trusted (the file-skipping effect
+    * itself is ZOrderSpec's pruning probe). Null keys drop up front:
+    * DuckDB 1.0's least/greatest propagate NULL where Spark's skip it.
+    */
+  val zorderCluster: Q = q("zorder_cluster", {
+    val bits = 16
+    val maxQ = (1 << bits) - 1
+    def quant(c: String, lo: String, hi: String) =
+      s"least(greatest(CAST(trunc(CAST($c - $lo AS DOUBLE) * ${maxQ}.0" +
+        s" / CAST(greatest($hi - $lo, 1) AS DOUBLE)) AS BIGINT), 0), $maxQ)"
+    val interleave = (for { i <- 0 until bits; c <- 0 until 2 } yield
+      s"(((q$c >> $i) & 1) << ${i * 2 + c})").mkString(" + ")
+    s"""WITH r AS (
+       |  SELECT min(user_id) AS lo0, max(user_id) AS hi0,
+       |         min(event_id) AS lo1, max(event_id) AS hi1
+       |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+       |qz AS (
+       |  SELECT event_id,
+       |    ${quant("user_id", "lo0", "hi0")} AS q0,
+       |    ${quant("event_id", "lo1", "hi1")} AS q1
+       |  FROM events CROSS JOIN r
+       |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
+       |SELECT event_id, $interleave AS zval
+       |FROM qz ORDER BY event_id""".stripMargin
+  }) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+    val cols = Seq("user_id", "event_id")
+    val ranges = operators.ZOrder.columnRanges(ev, cols)
+    ev.select(col("event_id"),
+      operators.ZOrder.zvalue(cols.map(col), ranges, bitsPerCol = 16)
+        .as("zval"))
+      .orderBy("event_id")
+  }
+
+  /** Hashing-trick linear quality classifier (fastText-shaped serving
+    * plan; see [[operators.TextAnalysis.hashedLinearScore]]). The
+    * oracle replays bucket hash → weight hash → micro-rounded mean in
+    * exploded form; the Spark plan is a single shuffle-free projection.
+    */
+  val qualityClassifier: Q = q("quality_classifier", {
+    val dim = 1024
+    val bucket =
+      s"'qc:' || CAST(${operators.CrossHash.duckdbHash56("t")} % $dim AS VARCHAR)"
+    s"""WITH W AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM W),
+       |bkt AS (SELECT doc_id, $bucket AS bs FROM tok),
+       |wm AS (
+       |  SELECT doc_id,
+       |    CAST(round((CAST(${operators.CrossHash.duckdbHash56("bs")} AS DOUBLE)
+       |      / 36028797018963968.0 - 1.0) * 1000000.0) AS BIGINT) AS wm
+       |  FROM bkt),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(wm) AS BIGINT) AS score_sum_micro
+       |  FROM wm GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, score_sum_micro,
+       |  CAST(score_sum_micro AS DOUBLE)
+       |    / (CAST(n_tokens AS DOUBLE) * 1000000.0) AS score,
+       |  score_sum_micro > 0 AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    operators.TextAnalysis.hashedLinearScore(
+      t(s, dir, "documents"), dim = 1024, salt = "qc")
+      .orderBy("doc_id")
+  }
+
+  /** BM25 top-k retrieval scoring against a fixed query-term set (see
+    * [[operators.TextAnalysis.bm25TopK]]). Constants are written as the
+    * same double EXPRESSIONS in both engines ((1.2 + 1.0), not 2.2 —
+    * the two parse to different doubles) so per-term micro-unit scores
+    * agree bit-for-bit.
+    */
+  val bm25TopKGate: Q = q("bm25_topk", {
+    val terms = Seq("spark", "hash", "window")
+    val tfDefs = terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t = '$term')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n    ")
+    val dfDefs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i")
+      .mkString(",\n    ")
+    val perTerm = terms.indices.map(i =>
+      s"""CAST(round(ln((n - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+         |      * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(tf_$i AS DOUBLE)
+         |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (sdl / n)))
+         |      * 1000000.0) AS BIGINT)""".stripMargin)
+      .mkString("\n    + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    $tfDefs
+       |  FROM documents WHERE text IS NOT NULL),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sdl,
+       |    $dfDefs
+       |  FROM base),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $perTerm AS score_micro
+       |  FROM base CROSS JOIN stats)
+       |SELECT doc_id, score_micro FROM sc
+       |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
+  }) { (s, dir) =>
+    operators.TextAnalysis.bm25TopK(
+      t(s, dir, "documents"), Seq("spark", "hash", "window"), k = 20)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2989,6 +3102,7 @@ object Queries {
     tpchQ2, tpchQ4, tpchQ7, tpchQ8, tpchQ9, tpchQ11,
     tpchQ15, tpchQ16, tpchQ17, tpchQ20, tpchQ21,
     incrementalDedup, knnLabelVote, dsirWeightsGate, sourceQualityGate,
-    pipelineCurationV5
+    pipelineCurationV5,
+    zorderCluster, qualityClassifier, bm25TopKGate
   )
 }

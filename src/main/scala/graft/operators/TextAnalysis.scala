@@ -406,4 +406,87 @@ object TextAnalysis {
       .select(col(idCol), col(srcCol), col("ttr_micro"),
         col("src_mean_ttr"), col("src_docs"))
   }
+
+  /** Hashing-trick linear quality classifier — the fastText-shaped
+    * scorer behind DCLM/CCNet-style model-based filtering, reduced to
+    * its deployable inference core: each token hashes into one of `dim`
+    * feature buckets, each bucket carries a fixed pseudo-random weight
+    * in [-1, 1) derived from [[CrossHash]] (standing in for trained
+    * coefficients — the serving plan is identical, only the weight
+    * table changes), and a document's score is the mean bucket weight
+    * of its tokens. `keep` = score > 0, the usual threshold gate.
+    *
+    * Determinism: per-token weights round to integer micro-units, the
+    * per-doc sum is exact, and the mean is one double division — the
+    * same recipe as [[tokenEntropy]]. Scale shape: the entire operator
+    * is ONE shuffle-free projection (`transform` + `aggregate` over the
+    * token array, no explode, no groupBy) — at 100 TB it runs
+    * embarrassingly parallel with zero exchange, the cheapest possible
+    * plan for a corpus-wide filter.
+    *
+    * @return (idCol, n_tokens, score_sum_micro, score, keep)
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        dim: Int = 1024, salt: String = "qc"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val weightMicro = transform(toks, t => {
+      val bucket = pmod(CrossHash.hash56(t), lit(dim.toLong))
+      val h = CrossHash.hash56(concat(lit(salt + ":"), bucket.cast("string")))
+      // h/2^55 ∈ [0, 2) → [-1, 1); micro-rounded so the doc sum is exact
+      round((h.cast("double") / lit(3.6028797018963968e16) - lit(1.0))
+        * lit(1000000.0)).cast("long")
+    })
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        aggregate(weightMicro, lit(0L), (acc, x) => acc + x)
+          .as("score_sum_micro"))
+      .withColumn("score", col("score_sum_micro").cast("double")
+        / (col("n_tokens").cast("double") * lit(1000000.0)))
+      .withColumn("keep", col("score_sum_micro") > lit(0L))
+  }
+
+  /** BM25 relevance scoring (Robertson/Spärck Jones, the
+    * Okapi-at-TREC-3 form) of every document against a fixed query-term
+    * set, returning the top `k`. Standard retrieval-corpus curation
+    * step ("rank the corpus by relevance to my seed queries").
+    *
+    * Scale shape: the corpus NEVER shuffles — per-term tf and doclen
+    * are row-local array expressions (`filter`/`size`, no explode), the
+    * corpus-wide stats (N, Σdl, per-term df) reduce to ONE row that
+    * broadcast-joins back, and the only exchange in the plan is the
+    * final top-k (TakeOrdered, k rows per partition). Per-term scores
+    * round to integer micro-units before the cross-term sum so the
+    * ranking is exact and engine-independent.
+    *
+    * @return (idCol, score_micro) the k highest-scoring docs,
+    *         score-desc then id-asc
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String],
+               idCol: String = "doc_id", textCol: String = "text",
+               k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = split(col(textCol), " ")
+    val tfCols = terms.indices.map(i =>
+      size(filter(toks, t => t === lit(terms(i)))).cast("long").as(s"tf_$i"))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol) +: size(toks).cast("long").as("dl") +: tfCols: _*)
+    val statAggs = count(lit(1)).cast("double").as("n") +:
+      sum("dl").cast("double").as("sdl") +:
+      terms.indices.map(i =>
+        sum((col(s"tf_$i") > 0).cast("long")).cast("double").as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val perTerm = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log((col("n") - col(s"df_$i") + lit(0.5))
+        / (col(s"df_$i") + lit(0.5)) + lit(1.0))
+      val den = tf + lit(k1) * (lit(1.0) - lit(b)
+        + lit(b) * col("dl").cast("double") / (col("sdl") / col("n")))
+      round(idf * (tf * lit(k1 + 1.0)) / den * lit(1000000.0)).cast("long")
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), perTerm.reduce(_ + _).as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -62,7 +62,13 @@ class PlanShapeSpec extends SparkSpec {
     // (sample_split's gate aggregates counts, so it is not in this list;
     // the hashSplit operator's shuffle-freedom is asserted in CurationSpec)
     for (name <- Seq("mixture_sample", "pii_redact",
-      "text_quality", "lang_id", "gopher_filter")) {
+      "text_quality", "lang_id", "gopher_filter",
+      // the hashed linear classifier is transform+aggregate over the
+      // token array — no explode, no groupBy, just the oracle sort
+      "quality_classifier",
+      // the z-value is pure bit arithmetic over the row (ranges are a
+      // separate 2-long metadata aggregate, not part of this plan)
+      "zorder_cluster")) {
       val plan = executedPlan(name)
       // allow the final ORDER BY's exchange (gates sort for the oracle);
       // there must be no exchange BELOW it, i.e. at most one in total
@@ -100,6 +106,23 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a BroadcastNestedLoopJoin:\n$plan")
     }
+  }
+
+  test("bm25 keeps the corpus stationary: 1-row stats broadcast + TakeOrdered") {
+    val plan = executedPlan("bm25_topk")
+    // per-doc tf/dl are row-local array ops; the only join is the 1-row
+    // corpus-stats frame broadcast back (BNLJ on a single row), and the
+    // top-k is a TakeOrdered — the corpus itself never shuffles
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bm25 top-k must plan as TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"bm25 must never shuffle the corpus for its stats join:\n$plan")
+    // count SHUFFLE exchanges only — the stats frame's BroadcastExchange
+    // is the point of the design, not a data movement to guard against
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"bm25 has $exchanges shuffles (expected <=1: the 1-row stats agg):\n$plan")
   }
 
   test("semdedup assignment runs the fused kernel, not K inline cosines") {

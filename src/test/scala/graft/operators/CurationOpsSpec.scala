@@ -432,4 +432,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(r3.getAs[Long]("err_nano_sum") <= maxErrNano.toLong)
     assert(r3.getAs[Long]("q_abs_max") == 127L) // the max component hits full range
   }
+
+  test("bm25TopK: tf raises rank, doc length penalizes, k truncates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark x"),        // tf 3, short
+      (2L, "spark x y z"),                // tf 1, same length
+      (3L, "spark x y z w v u t s r q"),  // tf 1, longer → length penalty
+      (4L, "x y z w")                     // tf 0 → score 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq("spark"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      s"expected tf-then-length ranking, got ${out.toSeq}")
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > out(2)._2)
+    assert(out.length == 3) // doc 4 truncated by k
+  }
+
+  test("hashedLinearScore: mean of per-token weights, sign sets keep") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha"), (3L, null)).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(docs, dim = 16, salt = "s")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(!out.contains(3L)) // null text drops, not scores
+    // replay the weight derivation in plain Scala via the shared hash
+    def w(tok: String): Long = {
+      val b = CrossHash.scalaHash56(tok) % 16
+      math.round((CrossHash.scalaHash56(s"s:$b") / 3.6028797018963968e16 - 1.0)
+        * 1000000.0)
+    }
+    assert(out(1L)._2 == w("alpha") + w("beta"))
+    assert(out(2L)._2 == w("alpha"))
+    assert(out(1L)._3 == out(1L)._2.toDouble / (2.0 * 1000000.0))
+    assert(out(2L)._4 == (w("alpha") > 0))
+  }
 }

@@ -3060,6 +3060,29 @@ object Queries {
       t(s, dir, "documents"), Seq("spark", "hash", "window"), k = 20)
   }
 
+  /** Unicode NFC normalization via the native [[functions.NfcNormalize]]
+    * codegen expression (Spark has no normalizer builtin; DuckDB ships
+    * `nfc_normalize`). The transform decomposes every 'a' into
+    * 'a'+U+0301 first — built from `unhex` UTF-8 bytes on the DuckDB
+    * side and a numeric escape on the Spark side, because Spark's
+    * `chr()` is mod-256 ASCII and a raw source literal could be
+    * silently re-composed by an editor — then both engines must
+    * re-compose to the same code points.
+    */
+  val unicodeNfc: Q = q("unicode_nfc",
+    """SELECT doc_id,
+      |  nfc_normalize(replace(text, 'a', 'a' || decode(unhex('CC81'))))
+      |    AS norm_text
+      |FROM documents WHERE text IS NOT NULL
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    functions.GraftFunctions.register(s)
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        call_function("nfc_normalize",
+          regexp_replace(col("text"), "a", "a\u0301")).as("norm_text"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3103,6 +3126,6 @@ object Queries {
     tpchQ15, tpchQ16, tpchQ17, tpchQ20, tpchQ21,
     incrementalDedup, knnLabelVote, dsirWeightsGate, sourceQualityGate,
     pipelineCurationV5,
-    zorderCluster, qualityClassifier, bm25TopKGate
+    zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc
   )
 }

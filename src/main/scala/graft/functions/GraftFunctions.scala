@@ -79,6 +79,10 @@ object GraftFunctions {
       require(args.length == 3,
         "nearest_centroid(vec, flatCentroids, dims) takes three args")
       NearestCentroid(args.head, args(1), args(2))
+    }),
+    ("nfc_normalize", classOf[NfcNormalize], { args =>
+      require(args.length == 1, "nfc_normalize(str) takes one string arg")
+      NfcNormalize(args.head)
     }))
 
   /** Idempotently register all functions on a session. */

@@ -3083,6 +3083,52 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Cross-document first-occurrence segment dedup (MassiveText-style
+    * line dedup as a rewrite): Spark ranks within `md5(seg)` partitions,
+    * the oracle within the segment text itself — identical modulo 128-bit
+    * collisions. Same 8-word segmentation as `boilerplate_segments`. */
+  val sentenceDedupGate: Q = q("sentence_dedup",
+    """WITH W AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, unnest(w) AS x, unnest(range(len(w))) AS i FROM W),
+      |seg AS (
+      |  SELECT doc_id, i // 8 AS seg_id, string_agg(x, ' ' ORDER BY i) AS seg
+      |  FROM tok GROUP BY doc_id, i // 8),
+      |rk AS (
+      |  SELECT doc_id, seg_id, seg,
+      |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_id) AS rk
+      |  FROM seg)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+      |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN rk = 1 THEN seg END, ' ' ORDER BY seg_id),
+      |           '') AS clean_text
+      |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.TextAnalysis.sentenceDedup(t(s, dir, "documents"),
+      windowWords = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Temperature (α=0.5) resampling over lang — the threshold table is
+    * computed from the data in both engines with the identical
+    * round-6-then-bucket recipe (see [[operators.Sampling.temperatureSample]]). */
+  val temperatureSampleGate: Q = q("temperature_sample", {
+    val b = operators.Sampling.duckdbHashBucket("doc_id", "tmp", 10000)
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |m AS (SELECT MIN(n) AS nmin FROM c),
+       |r AS (SELECT lang,
+       |  CAST(round(round(pow(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE), 0.5), 6)
+       |       * 10000) AS BIGINT) AS thr
+       |  FROM c CROSS JOIN m)
+       |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+       |WHERE $b < r.thr
+       |ORDER BY d.doc_id""".stripMargin }) { (s, dir) =>
+    operators.Sampling.temperatureSample(
+      t(s, dir, "documents").select("doc_id", "lang"), "doc_id", "lang",
+      alpha = 0.5, salt = "tmp")
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3126,6 +3172,7 @@ object Queries {
     tpchQ15, tpchQ16, tpchQ17, tpchQ20, tpchQ21,
     incrementalDedup, knnLabelVote, dsirWeightsGate, sourceQualityGate,
     pipelineCurationV5,
-    zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc
+    zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,
+    sentenceDedupGate, temperatureSampleGate
   )
 }

@@ -80,6 +80,43 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt, buckets) < thr)
   }
 
+  /** Temperature (α) resampling — the multilingual/domain re-balancing
+    * rule of mT5/XLM-R: sample group g with probability ∝ n_g^α, realized
+    * as deterministic per-group keep rates r_g = (n_min/n_g)^(1−α)
+    * (normalized so the SMALLEST group keeps everything; α=1 reduces to
+    * natural proportions, α→0 to uniform). Unlike [[mixtureSample]] the
+    * rate table is COMPUTED from the data — one tiny group-count
+    * aggregate (map-side combinable; group cardinality is human-sized)
+    * broadcast back onto the corpus — so membership stays a map-side
+    * filter over the same salted hash bucket as [[hashSample]]: zero
+    * corpus shuffles at any scale.
+    *
+    * Cross-engine determinism: the per-group threshold is
+    * `round(round(pow(n_min/n_g, 1−α), 6) · buckets)` — the rate is
+    * rounded to 6 decimals first so a ±1-ulp `pow` divergence between
+    * engines cannot move the integer threshold (it would have to land
+    * within 1e-10 of a .5 boundary of the 6-dp grid).
+    *
+    * @param alpha sampling temperature in (0, 1]; lower = flatter mix
+    * @return input rows of the kept sample (groupCol first, then df's
+    *         remaining columns)
+    */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double, salt: String,
+                        buckets: Int = 10000): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val thr = counts.crossJoin(broadcast(nMin))
+      .withColumn("__thr",
+        round(round(pow(col("__nmin").cast("double") / col("__n").cast("double"),
+          lit(1.0 - alpha)), 6) * buckets).cast("long"))
+      .select(col(groupCol), col("__thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(hashBucket(col(idCol), salt, buckets) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Token-budget shard packing: assign each document a shard id such
     * that every shard holds ~`budget` tokens — the "concatenate the
     * token stream, cut every `budget` tokens" convention of pre-training

@@ -190,14 +190,7 @@ object TextAnalysis {
   def removeBoilerplate(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", windowWords: Int = 8,
                         dfLimit: Long = 1L): DataFrame = {
-    require(windowWords > 0, "windowWords must be positive")
-    val words = split(col(textCol), " ")
-    val segs = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("did"),
-        posexplode(expr(
-          s"""transform(sequence(0, CAST((size(split($textCol, ' ')) - 1) / $windowWords AS INT)),
-             |  i -> concat_ws(' ', slice(split($textCol, ' '), i * $windowWords + 1, $windowWords)))"""
-            .stripMargin)).as(Seq("seg_id", "seg")))
+    val segs = segments(docs, idCol, textCol, windowWords)
     // df counts DISTINCT docs per segment text: dedup (seg, did) first so
     // the count aggregate is a plain map-side-combinable count
     val segDf = segs.select("seg", "did").distinct()
@@ -209,6 +202,58 @@ object TextAnalysis {
         sum(when(col("df") <= dfLimit, 1L).otherwise(0L)).as("n_kept"),
         concat_ws(" ", expr(
           s"transform(filter(sort_array(collect_list(struct(seg_id, seg, df))), s -> s.df <= $dfLimit), s -> s.seg)"))
+          .as("clean_text"))
+      .select(idCol, "n_segments", "n_kept", "clean_text")
+  }
+
+  /** Shared segmenter for the segment-level rewrite operators: fixed
+    * non-overlapping `windowWords`-word windows (this corpus has no
+    * newline/sentence punctuation — see [[removeBoilerplate]]'s note),
+    * exploded to one row per (doc, position, segment text). Row-local. */
+  private def segments(docs: DataFrame, idCol: String, textCol: String,
+                       windowWords: Int): DataFrame = {
+    require(windowWords > 0, "windowWords must be positive")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("did"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST((size(split($textCol, ' ')) - 1) / $windowWords AS INT)),
+             |  i -> concat_ws(' ', slice(split($textCol, ' '), i * $windowWords + 1, $windowWords)))"""
+            .stripMargin)).as(Seq("seg_id", "seg")))
+  }
+
+  /** Cross-document first-occurrence segment dedup (the MassiveText /
+    * RefinedWeb "line dedup" rewrite, at the same fixed word-window
+    * granularity as [[removeBoilerplate]]): every repeated segment keeps
+    * ONLY its first occurrence in corpus order (`(doc_id, position)`
+    * ascending) and is cut everywhere else; survivors re-concatenate in
+    * document order. Differs from [[removeBoilerplate]] (which cuts ALL
+    * copies of any segment over the df limit, first included): here
+    * exactly one copy of every segment survives, so no corpus content is
+    * lost — the canonical dedup-rewrite, vs boilerplate's kill-list.
+    *
+    * Scale shape: segmentation is a row-local explode; first-occurrence
+    * ranking is ONE window shuffle keyed by `md5(seg)` (16 bytes of key
+    * vs the segment text — same rationale as [[Dedup.exactByHash]]; a
+    * 128-bit collision over 10¹² segments ≈ 10⁻¹⁴ mis-ranks one pair);
+    * reassembly is one per-doc aggregate. Nothing driver-side; both
+    * shuffles are corpus-linear.
+    *
+    * @return (doc_id, n_segments, n_kept, clean_text) for every doc with
+    *         non-null text (fully-duplicate docs keep an empty clean_text)
+    */
+  def sentenceDedup(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    windowWords: Int = 8): DataFrame = {
+    val segs = segments(docs, idCol, textCol, windowWords)
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("seg"))).orderBy(col("did").asc, col("seg_id").asc)
+    val ranked = segs.withColumn("rk", row_number().over(firstWin))
+    ranked.groupBy(col("did").as(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(filter(sort_array(collect_list(struct(seg_id, seg, rk))), s -> s.rk = 1), s -> s.seg)"))
           .as("clean_text"))
       .select(idCol, "n_segments", "n_kept", "clean_text")
   }

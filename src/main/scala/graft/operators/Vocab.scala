@@ -133,6 +133,67 @@ object Vocab {
       .select(idCol, "n_bigrams", "avg_neg_logp")
   }
 
+  /** Interpolated Kneser-Ney bigram log-perplexity (Kneser & Ney 1995;
+    * Chen & Goodman 1999 eq. 4.26) — the smoothing KenLM actually ships,
+    * i.e. the CCNet/LLaMA-lineage quality-filter scorer, next to
+    * [[bigramLogPerplexity]]'s simpler Jelinek-Mercer mixture:
+    * `p(w₂|w₁) = (cnt(w₁w₂) − D)/cnt(w₁·)
+    *            + D·N₁₊(w₁·)/cnt(w₁·) · N₁₊(·w₂)/N₁₊(··)`
+    * where N₁₊(w₁·)/N₁₊(·w₂) count distinct bigram TYPES leaving w₁ /
+    * entering w₂ and N₁₊(··) is the total type count — the continuation
+    * probability that makes KN beat count interpolation ("Francisco" is
+    * frequent but follows only "San"). Every bigram scored is in the
+    * corpus LM, so cnt ≥ 1 > D and the max(·−D, 0) clamp is vacuous.
+    *
+    * Determinism: same recipe as [[bigramLogPerplexity]] — exact integer
+    * count/type tables, one fixed-order double expression per bigram
+    * type, log to integer micro-units, exact per-doc sums.
+    * Scale shape: identical joins plus one more vocabulary-sized
+    * aggregate (the `·w₂` type count); the type total is a 1-row
+    * broadcast. The bigram-type frame feeds four consumers, so it is
+    * persisted alongside the per-doc frame.
+    *
+    * @param discount absolute discount D ∈ (0, 1); 0.75 is the
+    *                 literature default
+    */
+  def kneserNeyLogPerplexity(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text",
+                             discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
+    val w = split(col(textCol), " ")
+    val docBf = docs.filter(size(w) >= 2)
+      .select(col(idCol).as("did"),
+        explode(expr(
+          s"""transform(sequence(0, size(split($textCol, ' ')) - 2),
+             |  i -> struct(element_at(split($textCol, ' '), i + 1) AS w1,
+             |              element_at(split($textCol, ' '), i + 2) AS w2))"""
+            .stripMargin)).as("bg"))
+      .select(col("did"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("did", "w1", "w2").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biCnt = docBf.groupBy("w1", "w2").agg(sum("tf").as("bi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // leaving-type count rides the context aggregate (same grouping key)
+    val ctxCnt = biCnt.groupBy("w1")
+      .agg(sum("bi").as("ctx"), count(lit(1)).as("nfr"))
+    val toCnt = biCnt.groupBy("w2").agg(count(lit(1)).as("nto"))
+    val types = biCnt.agg(count(lit(1)).cast("double").as("tt"))
+    val scored = biCnt.join(ctxCnt, "w1").join(toCnt, "w2")
+      .crossJoin(broadcast(types))
+      .withColumn("lp_micro", round(log(
+        (col("bi").cast("double") - lit(discount)) / col("ctx").cast("double")
+          + lit(discount) * col("nfr").cast("double") / col("ctx").cast("double")
+            * (col("nto").cast("double") / col("tt")))
+        * 1000000L).cast("long"))
+      .select("w1", "w2", "lp_micro")
+    docBf.join(scored, Seq("w1", "w2"))
+      .groupBy(col("did").as(idCol))
+      .agg(sum("tf").as("n_bigrams"), sum(col("lp_micro") * col("tf")).as("s"))
+      .withColumn("avg_neg_logp",
+        -col("s").cast("double") / (col("n_bigrams") * 1000000L))
+      .select(idCol, "n_bigrams", "avg_neg_logp")
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus top-`k`
     * vocabulary (count desc, word asc tie-break — fully deterministic):
     * the coverage check run before committing to a fixed tokenizer/vocab

@@ -196,6 +196,53 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("sentenceDedup keeps exactly the first occurrence of every segment") {
+    import spark.implicits._
+    val block = "s1 s2 s3 s4" // one whole window at w=4
+    val docs = Seq(
+      (1L, s"$block u1 u2 u3 u4"),       // first holder of the block
+      (2L, s"$block v1 v2 v3 v4"),       // later copy → block cut
+      (3L, s"w1 w2 w3 w4 $block"),       // later copy at a later position
+      (4L, s"$block $block")             // intra-doc repeat: second cut
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceDedup(docs, windowWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, s"$block u1 u2 u3 u4")))
+    assert(out(2L) == ((2L, 1L, "v1 v2 v3 v4")))
+    assert(out(3L) == ((2L, 1L, "w1 w2 w3 w4")))
+    assert(out(4L) == ((2L, 0L, "")))
+  }
+
+  test("sentenceDedup matches a plain-Scala model on a fuzzed corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val w = 3
+    val docs = (0L until 80L).map { i =>
+      val words = (0 until 2 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    }
+    // model: first occurrence in (doc_id, seg_id) order survives
+    val segsOf = (t: String) => t.split(" ").grouped(w).map(_.mkString(" ")).toVector
+    val firstAt = scala.collection.mutable.Map[String, (Long, Int)]()
+    docs.foreach { case (id, t) =>
+      segsOf(t).zipWithIndex.foreach { case (s, p) =>
+        if (!firstAt.contains(s)) firstAt(s) = (id, p)
+      }
+    }
+    val expect = docs.map { case (id, t) =>
+      val segs = segsOf(t).zipWithIndex
+      val kept = segs.filter { case (s, p) => firstAt(s) == ((id, p)) }
+      id -> ((segs.size.toLong, kept.size.toLong, kept.map(_._1).mkString(" ")))
+    }.toMap
+    val out = TextAnalysis.sentenceDedup(docs.toDF("doc_id", "text"),
+      windowWords = w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == expect)
+  }
+
   test("maskDuplicatedSpans masks exactly the covered tokens, at any offset") {
     import spark.implicits._
     val span = "d1 d2 d3 d4" // 4 tokens, spanTokens = 4

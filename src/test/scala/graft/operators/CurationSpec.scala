@@ -128,6 +128,31 @@ class CurationSpec extends SparkSpec {
     assert(!s.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("temperatureSample: α=1 is the identity; lower α flattens the mix") {
+    val ids = docs.select("doc_id", "lang")
+    // α=1 → every per-group rate is (n_min/n_g)^0 = 1 → all rows kept
+    val natural = Sampling.temperatureSample(ids, "doc_id", "lang",
+      alpha = 1.0, salt = "t")
+    assert(natural.count() == ids.count())
+    val all = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = all.minBy(_._2)._1
+    val largest = all.maxBy(_._2)._1
+    val flat = Sampling.temperatureSample(ids, "doc_id", "lang",
+      alpha = 0.5, salt = "t")
+    val byLang = flat.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest group keeps everything; the largest is down-sampled
+    assert(byLang(smallest) == all(smallest))
+    assert(byLang(largest) < all(largest))
+    // deterministic: same α + salt reproduces the exact membership
+    assert(flat.except(Sampling.temperatureSample(ids, "doc_id", "lang",
+      alpha = 0.5, salt = "t")).isEmpty)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(ids, "doc_id", "lang", alpha = 0.0, salt = "t")
+    }
+  }
+
   test("packShards: budget cuts, offsets contiguous within each group") {
     import spark.implicits._
     val rows = (1L to 100L).map(i => (i, 70L)).toDF("doc_id", "n_tok")

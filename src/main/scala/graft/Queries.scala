@@ -2409,6 +2409,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram log-perplexity — the KenLM/CCNet
+    * smoothing (continuation-probability backoff), replayed with the
+    * same exact-integer-counts + micro-unit-log recipe as
+    * `bigram_logppl`. D = 0.75 (exactly representable). */
+  val kneserNeyPpl: Q = q("kneser_ney_logppl",
+    """WITH W AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bigr AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(len(w) - 1), i -> w[i + 1])) AS w1,
+      |    unnest(list_transform(range(len(w) - 1), i -> w[i + 2])) AS w2
+      |  FROM W WHERE len(w) >= 2),
+      |docbf AS (
+      |  SELECT doc_id, w1, w2, count(*) AS tf FROM bigr GROUP BY doc_id, w1, w2),
+      |bi AS (SELECT w1, w2, sum(tf) AS bi FROM docbf GROUP BY w1, w2),
+      |ctx AS (SELECT w1, sum(bi) AS ctx, count(*) AS nfr FROM bi GROUP BY w1),
+      |toc AS (SELECT w2, count(*) AS nto FROM bi GROUP BY w2),
+      |tt AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM bi),
+      |scored AS (
+      |  SELECT w1, w2,
+      |    CAST(round(ln((CAST(bi AS DOUBLE) - 0.75) / CAST(ctx AS DOUBLE)
+      |          + 0.75 * CAST(nfr AS DOUBLE) / CAST(ctx AS DOUBLE)
+      |            * (CAST(nto AS DOUBLE) / tt.tt))
+      |        * 1000000) AS BIGINT) AS lp
+      |  FROM bi JOIN ctx USING (w1) JOIN toc USING (w2) CROSS JOIN tt)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |  -CAST(sum(lp * tf) AS DOUBLE) / (sum(tf) * 1000000) AS avg_neg_logp
+      |FROM docbf JOIN scored USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Vocab.kneserNeyLogPerplexity(t(s, dir, "documents"),
+      discount = 0.75)
+      .orderBy("doc_id")
+  }
+
   /** Cross-corpus duplicated-4-gram fraction per document (Lee et al.
     * 2021's doc-level dup diagnostic) — corpus-linear, no pair list. */
   val dupNgramFrac: Q = q("dup_ngram_frac",
@@ -3173,6 +3206,6 @@ object Queries {
     incrementalDedup, knnLabelVote, dsirWeightsGate, sourceQualityGate,
     pipelineCurationV5,
     zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,
-    sentenceDedupGate, temperatureSampleGate
+    sentenceDedupGate, temperatureSampleGate, kneserNeyPpl
   )
 }

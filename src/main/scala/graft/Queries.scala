@@ -2409,11 +2409,10 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** Interpolated Kneser-Ney bigram log-perplexity — the KenLM/CCNet
-    * smoothing (continuation-probability backoff), replayed with the
-    * same exact-integer-counts + micro-unit-log recipe as
-    * `bigram_logppl`. D = 0.75 (exactly representable). */
-  val kneserNeyPpl: Q = q("kneser_ney_logppl",
+  /** DuckDB CTE chain computing per-doc interpolated Kneser-Ney bigram
+    * log-perplexity (ends in a `perdoc` CTE) — shared by the
+    * `kneser_ney_logppl` and `ppl_buckets` oracles. */
+  private val duckKneserNeyPerDoc: String =
     """WITH W AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |bigr AS (
       |  SELECT doc_id,
@@ -2432,14 +2431,63 @@ object Queries {
       |          + 0.75 * CAST(nfr AS DOUBLE) / CAST(ctx AS DOUBLE)
       |            * (CAST(nto AS DOUBLE) / tt.tt))
       |        * 1000000) AS BIGINT) AS lp
-      |  FROM bi JOIN ctx USING (w1) JOIN toc USING (w2) CROSS JOIN tt)
-      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-      |  -CAST(sum(lp * tf) AS DOUBLE) / (sum(tf) * 1000000) AS avg_neg_logp
-      |FROM docbf JOIN scored USING (w1, w2)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |  FROM bi JOIN ctx USING (w1) JOIN toc USING (w2) CROSS JOIN tt),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |    -CAST(sum(lp * tf) AS DOUBLE) / (sum(tf) * 1000000) AS avg_neg_logp
+      |  FROM docbf JOIN scored USING (w1, w2)
+      |  GROUP BY doc_id)""".stripMargin
+
+  /** Interpolated Kneser-Ney bigram log-perplexity — the KenLM/CCNet
+    * smoothing (continuation-probability backoff), replayed with the
+    * same exact-integer-counts + micro-unit-log recipe as
+    * `bigram_logppl`. D = 0.75 (exactly representable). */
+  val kneserNeyPpl: Q = q("kneser_ney_logppl",
+    s"""$duckKneserNeyPerDoc
+      |SELECT doc_id, n_bigrams, avg_neg_logp
+      |FROM perdoc ORDER BY doc_id""".stripMargin) { (s, dir) =>
     operators.Vocab.kneserNeyLogPerplexity(t(s, dir, "documents"),
       discount = 0.75)
       .orderBy("doc_id")
+  }
+
+  /** CCNet head/middle/tail perplexity triage (Wenzek 2020): per-language
+    * ntile(3) over the Kneser-Ney doc perplexity, doc_id tie-break. */
+  val pplBuckets: Q = q("ppl_buckets",
+    s"""$duckKneserNeyPerDoc
+      |SELECT p.doc_id, d.lang, p.n_bigrams, p.avg_neg_logp,
+      |  ntile(3) OVER (PARTITION BY d.lang
+      |                 ORDER BY p.avg_neg_logp, p.doc_id) AS bucket,
+      |  CASE ntile(3) OVER (PARTITION BY d.lang
+      |                      ORDER BY p.avg_neg_logp, p.doc_id)
+      |    WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS band
+      |FROM perdoc p JOIN documents d USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.Vocab.perplexityBuckets(t(s, dir, "documents"),
+      buckets = 3, discount = 0.75)
+      .orderBy("doc_id")
+  }
+
+  /** Edit-distance-verified near-dup pairs: PPJoin Jaccard blocking +
+    * banded Levenshtein verify (contract = the conjunction, so the
+    * brute-force oracle matches exactly). ed ≤ 6 splits the corpus's
+    * Jaccard candidates (observed ed ∈ {4, 8, 12}). */
+  val editDistancePairs: Q = q("edit_distance_pairs",
+    s"""WITH sh AS (
+      |  SELECT doc_id, text, ${duckShingles(3)} AS s FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard,
+      |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+      |  AND levenshtein(a.text, b.text) <= 6
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    operators.Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, blockJaccard = 0.3, maxEdits = 6)
+      .orderBy("id_a", "id_b")
   }
 
   /** Cross-corpus duplicated-4-gram fraction per document (Lee et al.
@@ -3206,6 +3254,7 @@ object Queries {
     incrementalDedup, knnLabelVote, dsirWeightsGate, sourceQualityGate,
     pipelineCurationV5,
     zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,
-    sentenceDedupGate, temperatureSampleGate, kneserNeyPpl
+    sentenceDedupGate, temperatureSampleGate, kneserNeyPpl,
+    pplBuckets, editDistancePairs
   )
 }

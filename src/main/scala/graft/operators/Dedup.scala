@@ -296,6 +296,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Edit-distance-verified near-dup pairs: Jaccard-blocked candidate
+    * generation followed by an exact banded Levenshtein verify — the
+    * two-stage similarity-join shape of Ed-Join-style systems (Gravano
+    * et al. VLDB'01 q-gram filtering; Xiao et al. VLDB'08), with the
+    * repo's df-ordered PPJoin ([[ngramJaccardPairs]]) as the blocker.
+    * The OPERATOR CONTRACT is the conjunction — pairs with word-shingle
+    * `J ≥ blockJaccard` AND `levenshtein ≤ maxEdits` — so the blocked
+    * plan equals the brute-force nested loop exactly (the blocker is
+    * exact at its threshold; the verify is exact below its bound).
+    * Character edit distance catches what set-based Jaccard ignores:
+    * token ORDER and within-token edits (`"ab cd"` vs `"cd ab"` has
+    * J = 1 but ed = 4).
+    *
+    * Scale shape: the O(len²/…) Levenshtein DP runs ONLY on candidate
+    * pairs (output-sized, not corpus²), and the 3-arg banded form stops
+    * at `maxEdits + 1` diagonal width — O(maxEdits·len) per pair, never
+    * full quadratic. All shuffles are the blocker's equi-joins plus two
+    * id-keyed text fetch joins.
+    *
+    * @return (id_a, id_b, jaccard, edit_distance), id_a < id_b
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, blockJaccard: Double = 0.3,
+                        maxEdits: Int = 6): DataFrame = {
+    require(maxEdits >= 0, "maxEdits must be non-negative")
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    ngramJaccardPairs(df, idCol, textCol, shingleN, blockJaccard)
+      .join(texts.select(col("id").as("id_a"), col("txt").as("txt_a")), "id_a")
+      .join(texts.select(col("id").as("id_b"), col("txt").as("txt_b")), "id_b")
+      .withColumn("edit_distance",
+        levenshtein(col("txt_a"), col("txt_b"), maxEdits).cast("long"))
+      .filter(col("edit_distance") >= 0) // banded form yields -1 past the bound
+      .select("id_a", "id_b", "jaccard", "edit_distance")
+  }
+
   /** EXACT asymmetric containment pairs — `C(A,B) = |A∩B| / |A| ≥ t`
     * (the "A is mostly inside B" relation that doc-level Jaccard misses:
     * a paragraph quoted verbatim inside a much larger page has high

@@ -194,6 +194,46 @@ object Vocab {
       .select(idCol, "n_bigrams", "avg_neg_logp")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * per language group, rank documents by LM perplexity and split into
+    * `buckets` equal bands — `head` (most fluent) / `middle` / `tail`
+    * (likely gibberish), the standard pre-training quality triage. The
+    * LM is the corpus's own interpolated Kneser-Ney bigram model
+    * ([[kneserNeyLogPerplexity]]); CCNet uses a pre-trained KenLM, which
+    * is the same smoothing family.
+    *
+    * Banding is `ntile` over `(avg_neg_logp, id)` — the id tie-break
+    * makes duplicate-text documents (equal perplexity) band
+    * deterministically. Docs with < 2 tokens have no bigram perplexity
+    * and are absent, as in [[kneserNeyLogPerplexity]].
+    *
+    * Scale shape: the LM tables are corpus-linear aggregates; the band
+    * assignment is one window partitioned by language — low-cardinality
+    * partitions mean one sort per language, the exact-tercile contract.
+    * At extreme scale CCNet itself switches to sampled cutoff values +
+    * a pure projection; this exact form is the oracle-checkable
+    * reference semantics.
+    *
+    * @return (idCol, groupCol, n_bigrams, avg_neg_logp, bucket, band)
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", groupCol: String = "lang",
+                        buckets: Int = 3,
+                        discount: Double = 0.75): DataFrame = {
+    require(buckets >= 2, "buckets must be at least 2")
+    val ppl = kneserNeyLogPerplexity(docs, idCol, textCol, discount)
+    val byPpl = Window.partitionBy(groupCol)
+      .orderBy(col("avg_neg_logp").asc, col(idCol).asc)
+    ppl.join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .withColumn("bucket", ntile(buckets).over(byPpl))
+      .withColumn("band",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === buckets, "tail")
+          .otherwise("middle"))
+      .select(idCol, groupCol, "n_bigrams", "avg_neg_logp", "bucket", "band")
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus top-`k`
     * vocabulary (count desc, word asc tie-break — fully deterministic):
     * the coverage check run before committing to a fixed tokenizer/vocab

@@ -90,6 +90,50 @@ class JaccardEquivalenceSpec extends SparkSpec {
     assert(got == Set((10L, 11L), (10L, 13L), (10L, 20L)))
   }
 
+  private def lev(a: String, b: String): Int = {
+    val prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
+
+  test("edit-distance pairs == brute force (block AND verify) over random corpora") {
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    for (seed <- 1 to 3; maxEd <- Seq(2, 8)) {
+      val rnd = new scala.util.Random(seed * 7 + maxEd)
+      val base = Seq.fill(12)(vocab(rnd.nextInt(vocab.size)))
+      val docs = (1L to 40L).map { id =>
+        // perturb a shared base so edit distances spread around maxEd
+        val words = base.map(w =>
+          if (rnd.nextInt(6) == 0) vocab(rnd.nextInt(vocab.size)) else w)
+        id -> words.mkString(" ")
+      }
+      val sets = docs.map { case (id, s) => id -> ngrams(s, 2) }.toMap
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        inter = (sets(ia) & sets(ib)).size
+        j = inter.toDouble / (sets(ia).size + sets(ib).size - inter)
+        if j >= 0.3
+        ed = lev(ta, tb)
+        if ed <= maxEd
+      } yield (ia, ib, j, ed.toLong)).toSet
+      val got = Dedup.editDistancePairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 2, blockJaccard = 0.3, maxEdits = maxEd)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(got == expected,
+        s"seed=$seed maxEd=$maxEd: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("incremental shard-vs-index near-dup == full run restricted to cross pairs") {
     import spark.implicits._
     // both paths use the same hash family, signatures, and band keys, so

@@ -80,6 +80,39 @@ class VocabSpec extends SparkSpec {
     assert(kn.count() == 2)
   }
 
+  test("perplexityBuckets bands per group by KN perplexity with id tie-break") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docs = (0L until 60L).map { i =>
+      val words = (0 until 2 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "), s"lang${i % 3}")
+    }
+    val df = docs.toDF("doc_id", "text", "lang")
+    val ppl = Vocab.kneserNeyLogPerplexity(df.select("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // local ntile(3) model: per lang, sort by (ppl, id), bucket sizes
+    // ceil-first (Spark/DuckDB ntile both front-load the remainder)
+    val expect = docs.filter(d => ppl.contains(d._1)).groupBy(_._3).flatMap {
+      case (_, ds) =>
+        val sorted = ds.map(_._1).sortBy(id => (ppl(id), id))
+        val n = sorted.size
+        sorted.zipWithIndex.map { case (id, idx) =>
+          val base = n / 3; val rem = n % 3
+          // row idx falls in bucket b where buckets 1..rem have base+1 rows
+          val b =
+            if (idx < (base + 1) * rem) idx / (base + 1) + 1
+            else (idx - rem) / base + 1
+          id -> b
+        }
+    }
+    val out = Vocab.perplexityBuckets(df).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out == expect)
+    val bands = Vocab.perplexityBuckets(df).collect()
+      .map(r => r.getInt(4) -> r.getString(5)).toSet
+    assert(bands == Set(1 -> "head", 2 -> "middle", 3 -> "tail"))
+  }
+
   test("plan shape: no cartesian products beyond the 1-row N broadcast") {
     val docs = Seq((0L, "a b c", "s0")).toDF("doc_id", "text", "source")
     val plan: SparkPlan = Vocab.tfidfTerms(docs).queryExecution.executedPlan

@@ -108,6 +108,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ed-join blocks via equi-joins; KN buckets cross-join only the 1-row total") {
+    val ed = executedPlan("edit_distance_pairs")
+    assert(!ed.contains("CartesianProduct"),
+      s"edit_distance_pairs plans a CartesianProduct:\n$ed")
+    assert(!ed.contains("BroadcastNestedLoopJoin"),
+      s"edit_distance_pairs plans a BroadcastNestedLoopJoin:\n$ed")
+    for (name <- Seq("kneser_ney_logppl", "ppl_buckets")) {
+      val plan = executedPlan(name)
+      // the only nested-loop join allowed is the 1-row type-total
+      // broadcast (the N-broadcast convention from the vocab family)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+      assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+        s"$name plans more than the one 1-row-total BNLJ:\n$plan")
+    }
+  }
+
   test("bm25 keeps the corpus stationary: 1-row stats broadcast + TakeOrdered") {
     val plan = executedPlan("bm25_topk")
     // per-doc tf/dl are row-local array ops; the only join is the 1-row

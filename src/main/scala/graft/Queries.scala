@@ -3020,6 +3020,52 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style capstone — round 4: the Wenzek 2020 pipeline shape
+    * composed from this round's operators. (1) LM triage: per-language
+    * Kneser-Ney perplexity terciles, drop the `tail` band (likely
+    * gibberish); (2) near-dup removal over the SURVIVORS: Jaccard-blocked
+    * + Levenshtein-verified pairs, first-occurrence keep (every doc that
+    * pairs with a smaller-id doc drops — pairs are id_a < id_b, so the
+    * drop set is exactly the id_b side). Triage-first shrinks the pair
+    * workload to the kept corpus; the triaged frame is persisted because
+    * the ed-join consumes it twice (shingles + both text fetches) before
+    * the final anti-join. */
+  val pipelineCurationV6: Q = q("pipeline_curation_v6",
+    s"""$duckKneserNeyPerDoc,
+      |banded AS (
+      |  SELECT p.doc_id, d.lang, p.avg_neg_logp,
+      |    CASE ntile(3) OVER (PARTITION BY d.lang
+      |                        ORDER BY p.avg_neg_logp, p.doc_id)
+      |      WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END AS band
+      |  FROM perdoc p JOIN documents d USING (doc_id)),
+      |kept AS (
+      |  SELECT b.doc_id, b.lang, b.band, b.avg_neg_logp, d.text
+      |  FROM banded b JOIN documents d USING (doc_id) WHERE b.band <> 'tail'),
+      |sh AS (
+      |  SELECT doc_id, text, ${duckShingles(3)} AS s FROM kept
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |dupped AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+      |    AND levenshtein(a.text, b.text) <= 6)
+      |SELECT doc_id, lang, band, avg_neg_logp FROM kept
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dupped)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val kept = operators.Vocab.perplexityBuckets(docs)
+      .filter(col("band") =!= "tail")
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupIds = operators.Dedup.editDistancePairs(kept, "doc_id", "text",
+      shingleN = 3, blockJaccard = 0.3, maxEdits = 6)
+      .select(col("id_b").as("doc_id")).distinct()
+    kept.join(dupIds, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "band", "avg_neg_logp")
+      .orderBy("doc_id")
+  }
+
   /** Correlated EXISTS subquery (decorrelates to a semi-join). */
   val existsSubquery: Q = sqlBoth("exists_subquery", Seq("customer", "orders"),
     """SELECT c_custkey, c_name FROM customer c
@@ -3255,6 +3301,6 @@ object Queries {
     pipelineCurationV5,
     zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,
     sentenceDedupGate, temperatureSampleGate, kneserNeyPpl,
-    pplBuckets, editDistancePairs
+    pplBuckets, editDistancePairs, pipelineCurationV6
   )
 }

@@ -75,7 +75,12 @@ class StreamingParitySpec extends SparkSpec {
     "json_extract", "datetime_parts", "normalize_text", "pii_redact",
     "fingerprint_md5", "text_quality", "text_quality_ext", "lang_id",
     "token_count_bpe", "chunk_windows", "winnow_fingerprint",
-    "embedding_quantize")
+    "embedding_quantize",
+    // round-4 late additions: the NFC kernel and the hashing-trick
+    // classifier are row-local projections, so they stream as-is
+    // (zorder_cluster is NOT here: ZOrder.columnRanges collects the
+    // min/max frame — a batch action a streaming source can't serve)
+    "unicode_nfc", "quality_classifier")
 
   /** Complete-mode sweep: single-aggregation plans, incl. all three ST5
     * window shapes (tumbling/hopping/session) and the reference's own

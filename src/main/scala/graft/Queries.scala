@@ -941,6 +941,26 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Cluster-balanced diversity sample — round 4: quantizer cells +
+    * per-cell salted-hash quota ([[operators.Similarity.cellBalancedSample]]);
+    * the oracle replays the quantizer via [[duckIvfCells]] and the
+    * quota draw via [[operators.Sampling.duckdbHashBucket]]. */
+  val cellBalancedGate: Q = q("cell_balanced_sample", {
+    val b = operators.Sampling.duckdbHashBucket("vec_id", "cbs", 1 << 30)
+    s"""WITH ${duckIvfCells(16)},
+       |cells AS (SELECT vec_id, cid AS cell FROM a1 WHERE r = 1),
+       |rr AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY cell ORDER BY $b, vec_id) AS rn
+       |  FROM cells)
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM rr WHERE rn <= 10
+       |ORDER BY vec_id""".stripMargin }) { (s, dir) =>
+    operators.Similarity.cellBalancedSample(t(s, dir, "embeddings"),
+      "vec_id", "embedding", nCentroids = 16, perCell = 10, salt = "cbs")
+      .withColumn("cell", col("cell").cast("long"))
+      .orderBy("vec_id")
+  }
+
   /** Semantic (embedding-space) decontamination — round 4: corpus rows
     * within cosine ≥ 0.35 of ANY benchmark vector are removed (the
     * paraphrased-contamination rule n-gram overlap misses). Bench
@@ -3301,6 +3321,6 @@ object Queries {
     pipelineCurationV5,
     zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,
     sentenceDedupGate, temperatureSampleGate, kneserNeyPpl,
-    pplBuckets, editDistancePairs, pipelineCurationV6
+    pplBuckets, editDistancePairs, pipelineCurationV6, cellBalancedGate
   )
 }

@@ -210,6 +210,37 @@ object Similarity {
         col("dup_id").isNull.as("kept"))
   }
 
+  /** Cluster-balanced (diversity) sampling: assign every vector to its
+    * quantizer cell, then keep at most `perCell` rows per cell in
+    * salted-hash order — prototype-based diversity selection (the
+    * cluster-balance companion to [[semDedup]]'s within-cell pruning:
+    * semantic clusters over-represented in the corpus contribute at
+    * most their quota, so a sample covers the embedding space instead
+    * of mirroring its density). Deterministic end to end: the
+    * [[ivfTopK]] quantizer recipe assigns cells, and membership is
+    * [[Sampling.quotaPerGroup]]'s salted-hash draw — both
+    * oracle-replayable.
+    *
+    * Scale shape: two corpus-linear kernel passes (assign) + one
+    * window shuffle keyed by cell. Cells ∝ corpus keeps partitions
+    * bounded (same argument as semDedup's cell sizing).
+    *
+    * @return (idCol, cell) — the kept sample
+    */
+  def cellBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+                         nCentroids: Int = 16, perCell: Int = 10,
+                         salt: String = "cbs"): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val refined = refinedCentroids(e, nCentroids)
+    if (refined.isEmpty) // empty corpus: empty result, same schema
+      return e.limit(0).select(col("n_id").as(idCol),
+        lit(null).cast("int").as("cell"))
+    val cells = withCell(e, refined)
+      .select(col("n_id").as(idCol), col("cell"))
+    Sampling.quotaPerGroup(cells, Seq("cell"), idCol, perCell, salt)
+  }
+
   /** Per-label centroid cohesion stats for labeled embeddings (classifier
     * training-data curation: low intra-class cohesion flags label noise).
     * Per label: vector count and mean cosine-to-centroid.

@@ -175,6 +175,13 @@ object ScaleCheck {
         Dedup.containmentPairs(docs, "doc_id", "text", shingleN = 3,
           threshold = 0.5, queryPred = col("id") % 10 === 0).count())
       println(s"[scale] containment pairs x$n = $ct")
+      // ed-join: the Levenshtein verify must track candidate volume
+      // (replica-cross copies are ed=0 pairs, so output grows ~K² for
+      // duplicated content) — the DP never runs outside the block
+      val ed = time(s"edit_distance x$n")(
+        Dedup.editDistancePairs(docs, "doc_id", "text", shingleN = 3,
+          blockJaccard = 0.3, maxEdits = 6).count())
+      println(s"[scale] edit pairs x$n = $ed")
       // corpus-linear diagnostics: cost must scale ~n (no pair terms at all)
       time(s"dup_ngram_frac x$n")(
         Dedup.dupNgramFraction(docs, "doc_id", "text", 4).count())

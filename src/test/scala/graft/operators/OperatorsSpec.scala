@@ -90,6 +90,23 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.3, s"IVF recall $recall too low")
   }
 
+  test("cellBalancedSample: quota per cell, deterministic, covers every non-empty cell") {
+    val s1 = Similarity.cellBalancedSample(emb, "vec_id", "embedding",
+      nCentroids = 16, perCell = 5, salt = "t").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val s2 = Similarity.cellBalancedSample(emb, "vec_id", "embedding",
+      nCentroids = 16, perCell = 5, salt = "t").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(s1.sorted.sameElements(s2.sorted)) // salted draw, no RNG state
+    val perCell = s1.groupBy(_._2).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 5))
+    // every cell the quantizer assigns must surface in the sample
+    val refCells = Similarity.semDedup(emb, "vec_id", "embedding",
+      nCentroids = 16, threshold = 2.0) // threshold > 1 ⇒ no dups, all cells
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(perCell.keySet == refCells)
+  }
+
   test("MinHashAgg union sketch estimates cross-group Jaccard within tolerance") {
     import spark.implicits._
     // two groups with known overlap: B's docs reuse half of A's text lines

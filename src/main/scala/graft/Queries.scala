@@ -961,6 +961,75 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Metadata-pre-filtered vector search — round 4: the corpus
+    * restriction (here the scan-pushable `label <= 4`) applies BELOW the
+    * scoring join, so every query still receives exactly k eligible
+    * neighbors — the filtered-ANN contract a post-filter formulation
+    * breaks (it returns < k rows whenever a near neighbor fails the
+    * predicate). PlanShapeSpec asserts the label predicate reaches the
+    * parquet scan. */
+  val annFilteredTopK: Q = q("ann_filtered_topk",
+    """SELECT q_id, n_id, rnk, cos FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+      |      c.vec_id) AS BIGINT) AS rnk,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM embeddings q JOIN embeddings c
+      |    ON q.vec_id <> c.vec_id AND c.label <= 4
+      |  WHERE q.vec_id < 10) t
+      | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+    operators.Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id",
+      "embedding", queryPred = col("vec_id") < 10, k = 5,
+      corpusPred = col("label") <= 4)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Mutual kNN graph — round 4: cell-blocked directed kNN symmetrized
+    * to mutual edges ([[operators.Similarity.knnGraph]]); the oracle
+    * replays the quantizer via [[duckIvfCells]] and the rank/mutuality
+    * rules exactly. */
+  val knnGraphGate: Q = q("knn_graph",
+    s"""WITH ${duckIvfCells(16)},
+       |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
+       |directed AS (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       |  FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |          round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |        FROM corpus a JOIN corpus b
+       |          ON a.cell = b.cell AND a.vec_id <> b.vec_id) d),
+       |knn AS (SELECT src, dst, cos FROM directed WHERE rnk <= 5)
+       |SELECT least(src, dst) AS id_a, greatest(src, dst) AS id_b,
+       |  max(cos) AS cos
+       |FROM knn GROUP BY 1, 2 HAVING count(*) = 2
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    operators.Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 5, nCentroids = 16)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Misra-Gries heavy hitters — round 4: bounded-memory sketch pass +
+    * candidate-restricted exact restore ([[operators.HeavyHitters]]);
+    * the MG superset guarantee makes the sketch-routed plan equal the
+    * oracle's exact HAVING filter value-for-value. k=64 ⇒ threshold
+    * N/65. */
+  val heavyHittersGate: Q = q("heavy_hitters",
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |  WHERE text IS NOT NULL),
+      |tot AS (SELECT count(*) AS n FROM toks)
+      |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      |FROM toks GROUP BY tok
+      |HAVING count(*) * 65 > (SELECT n FROM tot)
+      |ORDER BY cnt DESC, tok""".stripMargin) { (s, dir) =>
+    operators.HeavyHitters.exactHeavyHitters(t(s, dir, "documents"), "text",
+      k = 64)
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   /** Semantic (embedding-space) decontamination — round 4: corpus rows
     * within cosine ≥ 0.35 of ANY benchmark vector are removed (the
     * paraphrased-contamination rule n-gram overlap misses). Bench
@@ -3321,6 +3390,7 @@ object Queries {
     pipelineCurationV5,
     zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,
     sentenceDedupGate, temperatureSampleGate, kneserNeyPpl,
-    pplBuckets, editDistancePairs, pipelineCurationV6, cellBalancedGate
+    pplBuckets, editDistancePairs, pipelineCurationV6, cellBalancedGate,
+    annFilteredTopK, knnGraphGate, heavyHittersGate
   )
 }

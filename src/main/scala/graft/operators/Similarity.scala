@@ -30,16 +30,30 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector.
     *
-    * @param emb       corpus (idCol, vecCol)
-    * @param queryPred selects the query rows out of `emb`
-    * @param k         neighbors per query (self-match excluded)
+    * `corpusPred` makes this the PRE-FILTERED vector-search shape
+    * (metadata-restricted ANN): the corpus restriction applies BELOW the
+    * scoring join, so each query still gets exactly `k` eligible
+    * neighbors. The naive post-filter alternative (rank first, filter
+    * the top-k after) silently returns < k rows whenever a near
+    * neighbor fails the predicate — a correctness trap, not just a perf
+    * choice. With a scan-pushable predicate the restriction reaches the
+    * parquet reader (PlanShapeSpec asserts it for the
+    * `ann_filtered_topk` gate), so scan volume scales with predicate
+    * selectivity.
+    *
+    * @param emb        corpus (idCol, vecCol)
+    * @param queryPred  selects the query rows out of `emb`
+    * @param k          neighbors per query (self-match excluded)
+    * @param corpusPred restricts the NEIGHBOR side (default: all rows)
     * @return (q_id, n_id, rnk, cos) — cos rounded to 6 dp for cross-engine
     *         stability; rank ties broken by n_id
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     queryPred: Column, k: Int): DataFrame = {
+                     queryPred: Column, k: Int,
+                     corpusPred: Column = lit(true)): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val corpus = emb.select(col(idCol).as("n_id"), col(vecCol).as("v_n"))
+    val corpus = emb.filter(corpusPred)
+      .select(col(idCol).as("n_id"), col(vecCol).as("v_n"))
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("q_id"), col(vecCol).as("v_q"))
     val scored = corpus.crossJoin(broadcast(queries))
@@ -239,6 +253,52 @@ object Similarity {
     val cells = withCell(e, refined)
       .select(col("n_id").as(idCol), col("cell"))
     Sampling.quotaPerGroup(cells, Seq("cell"), idCol, perCell, salt)
+  }
+
+  /** Mutual k-nearest-neighbor graph over the embedding corpus — the
+    * backbone structure of graph-based curation (NN-descent-style
+    * near-dup graphs, HNSW ground truth, diversity/coverage analyses).
+    * An undirected edge (a, b) exists iff b is among a's k nearest
+    * SAME-CELL neighbors AND a is among b's — the standard mutual-kNN
+    * symmetrization, which drops the hub edges a one-directional kNN
+    * graph accumulates around dense regions.
+    *
+    * All-pairs exact kNN is corpus² and cannot exist at 100 TB; the
+    * scale path is the same coarse-quantizer blocking as [[semDedup]]:
+    * candidates are an equi-join on cell id (largest cell bounds the
+    * blowup, nCentroids ∝ corpus keeps cells constant-sized), ranking is
+    * one window shuffle keyed by source vector. Because the quantizer is
+    * the deterministic [[ivfTopK]] recipe, the DuckDB oracle replays
+    * cells, ranks, and mutuality exactly (`knn_graph` gate).
+    *
+    * @return (id_a, id_b, cos) with id_a < id_b — one row per mutual edge
+    */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, nCentroids: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val refined = refinedCentroids(e, nCentroids)
+    if (refined.isEmpty) // empty corpus: no edges, same schema
+      return e.limit(0).select(col("n_id").as("id_a"), col("n_id").as("id_b"),
+        lit(0.0).as("cos"))
+    val cells = withCell(e, refined)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val directed = cells.as("a")
+      .join(cells.as("b"), col("a.cell") === col("b.cell")
+        && col("a.n_id") =!= col("b.n_id"))
+      .select(col("a.n_id").as("src"), col("b.n_id").as("dst"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val knn = directed.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    // cos is exactly symmetric (same elementwise products, same
+    // left-to-right fold), so max() just collapses the two directions
+    knn.select(least(col("src"), col("dst")).as("id_a"),
+        greatest(col("src"), col("dst")).as("id_b"), col("cos"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("deg"), max("cos").as("cos"))
+      .filter(col("deg") === 2)
+      .select("id_a", "id_b", "cos")
   }
 
   /** Per-label centroid cohesion stats for labeled embeddings (classifier

@@ -21,7 +21,11 @@ class PlanShapeSpec extends SparkSpec {
     // its exact semantics now ride a PPJoin-style prefix-filter equi-join
     for (name <- Seq("dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
       "ngram_jaccard_pairs", "ann_lsh_topk", "dup_clusters", "decontaminate",
-      "incremental_dedup")) {
+      "incremental_dedup",
+      // the mutual-kNN graph's candidate stage is the semDedup-style
+      // cell equi-join — an accidental regression to all-pairs would be
+      // the classic corpus² scale-killer
+      "knn_graph")) {
       val plan = executedPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")
@@ -46,6 +50,17 @@ class PlanShapeSpec extends SparkSpec {
       "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
       "LessThan(l_quantity"))
       assert(q6.contains(pushed), s"q6 predicate $pushed not pushed:\n$q6")
+  }
+
+  test("filtered ANN pushes the corpus metadata predicate to the parquet scan") {
+    // pre-filter vector search: the label restriction must reach the
+    // embeddings scan (scan volume ∝ predicate selectivity), not sit
+    // above the scoring join as a post-filter
+    val plan = Queries.all.find(_.name == "ann_filtered_topk").get.fn(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("LessThanOrEqual(label,4)"),
+      s"label predicate not pushed to the scan:\n$plan")
   }
 
   test("top-k plans as TakeOrdered, not global sort") {

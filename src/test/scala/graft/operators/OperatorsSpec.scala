@@ -107,6 +107,83 @@ class OperatorsSpec extends SparkSpec {
     assert(perCell.keySet == refCells)
   }
 
+  test("filteredTopK: pre-filter semantics — k eligible neighbors per query, dense ranks") {
+    val pred = col("label") <= 4
+    val out = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5, corpusPred = pred)
+    // every neighbor satisfies the corpus predicate
+    val offending = out.join(
+      emb.select(col("vec_id").as("n_id"), col("label")), "n_id")
+      .filter(!(col("label") <= 4)).count()
+    assert(offending == 0)
+    // pre-filter contract: exactly k rows per query, ranks 1..k (the
+    // post-filter formulation loses rows whenever a near neighbor fails
+    // the predicate — this is the regression this test pins)
+    val perQuery = out.groupBy("q_id").agg(
+      count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+      .collect()
+    assert(perQuery.length == 10)
+    assert(perQuery.forall(r => r.getLong(1) == 5L &&
+      r.getLong(2) == 1L && r.getLong(3) == 5L))
+    // differs from the unfiltered ranking (the predicate bites): some
+    // query must have a neighbor it could only reach by filtering
+    val full = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 10, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filt = out.select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((filt -- full).nonEmpty)
+  }
+
+  test("knnGraph: mutual edges match a plain-Scala rank model over the quantizer cells") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def round6(x: Double): Double =
+      new JBD(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+    // replicate vec_cosine exactly: left-to-right fold, double accumulators
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // cells from the SAME oracle-proven quantizer (threshold > 1 ⇒ no dups)
+    val cells = Similarity.semDedup(emb, "vec_id", "embedding",
+      nCentroids = 16, threshold = 2.0)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val k = 5
+    // independent model: per-node top-k within its cell, then mutuality
+    val byCell = cells.keys.groupBy(cells)
+    val directed: Set[(Long, Long)] = byCell.values.flatMap { members =>
+      val ids = members.toSeq
+      ids.flatMap { src =>
+        ids.filter(_ != src)
+          .map(dst => (dst, round6(cos(vecs(src), vecs(dst)))))
+          .sortBy { case (dst, c) => (-c, dst) }
+          .take(k)
+          .map { case (dst, _) => (src, dst) }
+      }
+    }.toSet
+    val want = directed.collect {
+      case (a, b) if a < b && directed.contains((b, a)) => (a, b)
+    }
+    val got = Similarity.knnGraph(emb, "vec_id", "embedding", k, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("knnGraph: empty corpus yields empty edge set with the right schema") {
+    val out = Similarity.knnGraph(emb.filter(lit(false)), "vec_id", "embedding", 3)
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "cos"))
+    assert(out.count() == 0)
+  }
+
   test("MinHashAgg union sketch estimates cross-group Jaccard within tolerance") {
     import spark.implicits._
     // two groups with known overlap: B's docs reuse half of A's text lines

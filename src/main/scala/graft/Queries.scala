@@ -1030,6 +1030,30 @@ object Queries {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Adaptive per-language length window — round 4: keep docs inside the
+    * group's [p5, p95] ORDER-STATISTIC window
+    * ([[operators.TextAnalysis.adaptiveRangeFilter]]); rank selection in
+    * integer arithmetic means the verdict can never flip on an
+    * interpolation ulp, so the oracle is exact. */
+  val adaptiveLengthFilter: Q = q("adaptive_length_filter",
+    """WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      |r AS (SELECT lang, n_chars,
+      |        row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk
+      |      FROM documents),
+      |b AS (SELECT r.lang, min(n_chars) AS lo, max(n_chars) AS hi
+      |      FROM r JOIN n USING (lang)
+      |      WHERE rk = (5 * cnt + 99) // 100 OR rk = (95 * cnt + 99) // 100
+      |      GROUP BY r.lang)
+      |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+      |FROM documents d JOIN b USING (lang)
+      |WHERE d.n_chars >= lo AND d.n_chars <= hi
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    operators.TextAnalysis.adaptiveRangeFilter(t(s, dir, "documents"),
+      "lang", "n_chars", pLoPct = 5, pHiPct = 95)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Semantic (embedding-space) decontamination — round 4: corpus rows
     * within cosine ≥ 0.35 of ANY benchmark vector are removed (the
     * paraphrased-contamination rule n-gram overlap misses). Bench
@@ -3391,6 +3415,6 @@ object Queries {
     zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,
     sentenceDedupGate, temperatureSampleGate, kneserNeyPpl,
     pplBuckets, editDistancePairs, pipelineCurationV6, cellBalancedGate,
-    annFilteredTopK, knnGraphGate, heavyHittersGate
+    annFilteredTopK, knnGraphGate, heavyHittersGate, adaptiveLengthFilter
   )
 }

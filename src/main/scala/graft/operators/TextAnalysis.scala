@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY §7.5):
@@ -533,5 +534,48 @@ object TextAnalysis {
       .select(col(idCol), perTerm.reduce(_ + _).as("score_micro"))
       .orderBy(col("score_micro").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Adaptive per-group outlier window: keep rows whose `valCol` lies
+    * between the group's pLo-th and pHi-th percentile ORDER STATISTICS —
+    * the data-derived length filter real curation pipelines use instead
+    * of one global cutoff (a 50-char doc is an outlier in English prose
+    * and median in a code-identifier corpus).
+    *
+    * Thresholds are exact k-th order statistics, NOT interpolated
+    * percentiles: k = ⌈p·n/100⌉ computed in integer arithmetic
+    * (`(p·n + 99) div 100`), so both engines pick the identical corpus
+    * value and the keep verdict can never flip on a floating-point ulp —
+    * the same determinism recipe as the round-6 cosine gates, applied to
+    * rank selection.
+    *
+    * Scale shape: one tiny per-group count aggregate, one window shuffle
+    * keyed by group to rank values, and the threshold frame (|groups|
+    * rows) size-based-broadcasts back. Exact order statistics need the
+    * per-group sort by contract; when exactness isn't contractual, swap
+    * the rank window for `approx_percentile` and the shuffle disappears.
+    *
+    * @param pLoPct lower percentile in whole percent (e.g. 5)
+    * @param pHiPct upper percentile in whole percent (e.g. 95)
+    */
+  def adaptiveRangeFilter(df: DataFrame, groupCol: String, valCol: String,
+                          pLoPct: Int, pHiPct: Int): DataFrame = {
+    require(0 < pLoPct && pLoPct <= pHiPct && pHiPct <= 100,
+      s"need 0 < pLo <= pHi <= 100, got ($pLoPct, $pHiPct)")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(groupCol).orderBy(col(valCol))
+    val ranked = df.select(col(groupCol), col(valCol))
+      .withColumn("__r", row_number().over(w))
+      .join(counts, groupCol)
+    // the value at a given rank is deterministic even with duplicate
+    // values (row_number tie order only permutes equal values)
+    val bounds = ranked
+      .filter(col("__r") === expr(s"($pLoPct * __n + 99) div 100")
+        || col("__r") === expr(s"($pHiPct * __n + 99) div 100"))
+      .groupBy(groupCol)
+      .agg(min(valCol).as("__lo"), max(valCol).as("__hi"))
+    df.join(bounds, groupCol)
+      .filter(col(valCol) >= col("__lo") && col(valCol) <= col("__hi"))
+      .drop("__lo", "__hi")
   }
 }

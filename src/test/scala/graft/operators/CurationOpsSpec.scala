@@ -7,6 +7,34 @@ import org.apache.spark.sql.functions._
   * removal, bigram perplexity — hand-computed small-corpus semantics. */
 class CurationOpsSpec extends SparkSpec {
 
+  test("adaptiveRangeFilter matches a plain-Scala order-statistic model, duplicates and tiny groups included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // groups of wildly different sizes; heavy value duplication
+    val rows = (0 until 400).map { i =>
+      val g = if (i % 17 == 0) "tiny" else if (i % 3 == 0) "mid" else "big"
+      (i.toLong, g, 10 + rnd.nextInt(20))
+    } :+ ((400L, "singleton", 7))
+    val df = rows.toDF("id", "grp", "v")
+    val (pLo, pHi) = (10, 90)
+    val keep = operators_model(rows, pLo, pHi)
+    val got = TextAnalysis.adaptiveRangeFilter(df, "grp", "v", pLo, pHi)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == keep)
+    // singleton group: k_lo = k_hi = 1 → the row keeps itself
+    assert(got.contains(400L))
+  }
+
+  private def operators_model(rows: Seq[(Long, String, Int)],
+                              pLo: Int, pHi: Int): Set[Long] =
+    rows.groupBy(_._2).flatMap { case (_, members) =>
+      val sorted = members.map(_._3).sorted
+      val n = sorted.size
+      val lo = sorted((pLo * n + 99) / 100 - 1)
+      val hi = sorted((pHi * n + 99) / 100 - 1)
+      members.collect { case (id, _, v) if v >= lo && v <= hi => id }
+    }.toSet
+
   test("containment is asymmetric: quoted span scores 1.0 one way only") {
     import spark.implicits._
     // doc 1 = a 6-word span; doc 2 = the same span inside a longer page

@@ -45,6 +45,41 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Misra-Gries summary as streaming state: guarantee holds across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the MG buffer lives in the state store between triggers, so this
+    // exercises the kryo buffer round-trip + merge path the batch gate
+    // never serializes mid-stream
+    val k = 8
+    val input = MemoryStream[String]
+    val q = input.toDS()
+      .select(graft.operators.HeavyHitters.misraGries(k).name("mg"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      val batches = Seq(
+        (1 to 40).map(_ => "the quick brown fox") ++ (1 to 30).map(i => s"rare$i token$i"),
+        (1 to 40).map(_ => "the lazy dog") ++ (1 to 30).map(i => s"tail$i bits$i"),
+        (1 to 20).map(_ => "the end"))
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      // the typed agg's product output flattens into top-level columns
+      val row = spark.table("mg_stream").collect().head
+      val candidates = row.getSeq[String](row.fieldIndex("candidates")).toSet
+      val n = row.getLong(row.fieldIndex("n"))
+      val allToks = batches.flatten.flatMap(_.split(" ", -1))
+      assert(n == allToks.size)
+      val exact = allToks.groupBy(identity).view.mapValues(_.size).toMap
+      val heavy = exact.collect {
+        case (t, c) if c.toLong * (k + 1) > allToks.size => t
+      }.toSet
+      assert(heavy.nonEmpty && heavy.subsetOf(candidates),
+        s"streaming MG lost ${heavy -- candidates}")
+      assert(candidates.size <= k)
+    } finally q.stop()
+  }
+
   test("custom keyed state via mapGroupsWithState: running per-key max with update stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

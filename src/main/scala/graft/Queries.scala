@@ -3371,6 +3371,74 @@ object Queries {
 
   // ---------------------------------------------------------------------
 
+  /** PMI collocations ([[operators.Vocab.pmiCollocations]]): the oracle
+    * replays the same fixed-order double expression over exact integer
+    * counts; both unigram and total frames restrict to ≥2-token docs
+    * exactly as the operator does. */
+  val pmiCollocationsGate: Q = q("pmi_collocations",
+    """WITH W AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+      |         unnest(list_slice(w, 2, len(w))) AS w2 FROM W),
+      |bc AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2
+      |       HAVING count(*) >= 5),
+      |uw AS (SELECT unnest(w) AS word FROM W),
+      |uc AS (SELECT word, count(*) AS ucnt FROM uw GROUP BY word),
+      |tot AS (SELECT CAST(sum(len(w)) AS DOUBLE) AS n1,
+      |               CAST(sum(len(w) - 1) AS DOUBLE) AS n2 FROM W),
+      |sc AS (
+      |  SELECT bc.w1, bc.w2, bc.cnt,
+      |    CAST(round(ln((bc.cnt / n2) / ((u1.ucnt / n1) * (u2.ucnt / n1)))
+      |         * 1000000) AS BIGINT) AS pmi_micro
+      |  FROM bc JOIN uc u1 ON bc.w1 = u1.word
+      |          JOIN uc u2 ON bc.w2 = u2.word
+      |          CROSS JOIN tot)
+      |SELECT w1, w2, cnt, pmi_micro,
+      |  CAST(row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS BIGINT)
+      |    AS rn
+      |FROM sc QUALIFY rn <= 25 ORDER BY rn""".stripMargin) { (s, dir) =>
+    operators.Vocab.pmiCollocations(t(s, dir, "documents"), minCount = 5L,
+      k = 25)
+  }
+
+  /** Distinct-n diversity ([[operators.TextAnalysis.ngramDiversity]]):
+    * the oracle replays the same micro-unit ratio over exact per-source
+    * unigram/bigram counts; dual-unnest zips positionally in DuckDB just
+    * as `zip_with` does in Spark, and the inner join drops sources with
+    * no ≥2-token doc in both engines. */
+  val ngramDiversityGate: Q = q("ngram_diversity",
+    """WITH W AS (
+      |  SELECT source, string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |uni AS (SELECT source, unnest(w) AS g FROM W),
+      |u1 AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS total_1,
+      |         CAST(count(DISTINCT g) AS BIGINT) AS distinct_1
+      |  FROM uni GROUP BY source),
+      |bi AS (
+      |  SELECT source, unnest(list_slice(w, 1, len(w) - 1)) AS a,
+      |         unnest(list_slice(w, 2, len(w))) AS b
+      |  FROM W WHERE len(w) >= 2),
+      |u2 AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS total_2,
+      |         CAST(count(DISTINCT a || ' ' || b) AS BIGINT) AS distinct_2
+      |  FROM bi GROUP BY source)
+      |SELECT u1.source, total_1, distinct_1,
+      |  CAST(round(distinct_1 * 1000000.0 / total_1) AS BIGINT)
+      |    AS ratio1_micro,
+      |  total_2, distinct_2,
+      |  CAST(round(distinct_2 * 1000000.0 / total_2) AS BIGINT)
+      |    AS ratio2_micro
+      |FROM u1 JOIN u2 USING (source) ORDER BY source""".stripMargin) {
+    (s, dir) =>
+      operators.TextAnalysis.ngramDiversity(t(s, dir, "documents"))
+        .select("source", "total_1", "distinct_1", "ratio1_micro",
+          "total_2", "distinct_2", "ratio2_micro")
+        .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
@@ -3415,6 +3483,7 @@ object Queries {
     zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,
     sentenceDedupGate, temperatureSampleGate, kneserNeyPpl,
     pplBuckets, editDistancePairs, pipelineCurationV6, cellBalancedGate,
-    annFilteredTopK, knnGraphGate, heavyHittersGate, adaptiveLengthFilter
+    annFilteredTopK, knnGraphGate, heavyHittersGate, adaptiveLengthFilter,
+    pmiCollocationsGate, ngramDiversityGate
   )
 }

@@ -578,4 +578,44 @@ object TextAnalysis {
       .filter(col(valCol) >= col("__lo") && col(valCol) <= col("__hi"))
       .drop("__lo", "__hi")
   }
+
+  /** Distinct-n diversity ratios per corpus slice (the distinct-1/-2
+    * metric of Li et al. 2016 "A Diversity-Promoting Objective", applied
+    * corpus-wide): `distinct n-grams / total n-grams` for n = 1, 2 —
+    * near-0 flags template/boilerplate-dominated sources; near-1 flags
+    * high-entropy soup. The per-source complement to the per-document
+    * [[repetitionSignals]] and [[tokenEntropy]].
+    *
+    * Determinism: each ratio is ONE double division of two exact bigint
+    * counts scaled to micro-units and rounded to an integer (the repo's
+    * `*_micro` convention — half-up and half-away-from-zero agree for
+    * positives, so the value replays exactly cross-engine). Scale shape:
+    * one corpus explode per n feeds a two-level aggregate — (source,
+    * gram) partial-combined counts, then a per-source rollup — so the
+    * shuffle is keyed by (source, gram) and bounded by slice vocabulary,
+    * not corpus size; the two n-frames join on the |sources| key set.
+    *
+    * @return (source, total_1, distinct_1, ratio1_micro, total_2,
+    *         distinct_2, ratio2_micro)
+    */
+  def ngramDiversity(docs: DataFrame, groupCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("src"), split(col(textCol), " ").as("w"))
+    def stats(grams: DataFrame, n: Int): DataFrame =
+      grams.groupBy("src", "g").agg(count(lit(1)).as("c"))
+        .groupBy("src").agg(
+          sum("c").cast("long").as(s"total_$n"),
+          count(lit(1)).cast("long").as(s"distinct_$n"))
+        .withColumn(s"ratio${n}_micro",
+          round(col(s"distinct_$n") * lit(1000000.0) / col(s"total_$n"))
+            .cast("long"))
+    val uni = stats(toks.select(col("src"), explode(col("w")).as("g")), 1)
+    val bi = stats(toks.filter(size(col("w")) >= 2)
+      .select(col("src"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("g")), 2)
+    uni.join(bi, "src").withColumnRenamed("src", groupCol)
+  }
 }

@@ -354,4 +354,66 @@ object Vocab {
       .select("source", "word", "tf", "tfidf", "rn")
       .orderBy("source", "rn")
   }
+
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990):
+    * adjacent word pairs whose co-occurrence beats the independence
+    * baseline, `PMI(a,b) = ln( (c(ab)/N₂) / ((c(a)/N₁)·(c(b)/N₁)) )` —
+    * the standard phrase-mining step before building a phrase-aware
+    * vocabulary (word2vec's phrase pass, Mikolov 2013 §4, uses the same
+    * score family). Rare-pair noise is cut by `minCount` (PMI is maximal
+    * for hapax pairs, so an unfiltered top-k is all noise).
+    *
+    * Determinism: the score is one `ln` over a fixed-order double
+    * expression of exact integer counts, micro-rounded — the
+    * [[bigramLogPerplexity]] recipe. Ties break by bigram text.
+    *
+    * Scale shape: one corpus explode feeds BOTH count tables (bigrams via
+    * index-zip, unigrams via the same token frame), each a map-side-
+    * combinable aggregate keyed by pair/word; the unigram table joins to
+    * the (already-aggregated, vocabulary-sized) bigram table twice by
+    * word — no broadcast hints, since a 100 TB bigram vocabulary
+    * outgrows any broadcast budget; N₁/N₂ ride one broadcast 1-row
+    * aggregate. Nothing corpus-sized ever shuffles twice.
+    *
+    * @return (w1, w2, cnt, pmi_micro, rn) top `k` by (pmi desc, w1, w2)
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String = "text",
+                      minCount: Long = 5L, k: Int = 25): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    // (w[i], w[i+1]) zip — the bigramLogPerplexity segmentation — then
+    // straight to counts; persisted once for the two unigram joins below
+    val bigrams = toks
+      .select(explode(zip_with(slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val unigrams = toks.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("ucnt"))
+    // N₁ (token occurrences) and N₂ (bigram occurrences) in ONE 1-row
+    // frame: Σucnt and Σ(len-1) over the same corpus pass shapes
+    val totals = toks.agg(
+      sum(size(col("w"))).cast("double").as("n1"),
+      sum(size(col("w")) - 1).cast("double").as("n2"))
+    val scored = bigrams
+      .join(unigrams.withColumnRenamed("word", "w1")
+        .withColumnRenamed("ucnt", "c1"), "w1")
+      .join(unigrams.withColumnRenamed("word", "w2")
+        .withColumnRenamed("ucnt", "c2"), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micro",
+        round(log((col("cnt") / col("n2"))
+          / ((col("c1") / col("n1")) * (col("c2") / col("n1"))))
+          * 1000000L).cast("long"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("pmi_micro").desc, col("w1"), col("w2"))).cast("long"))
+      .filter(col("rn") <= k)
+      .select("w1", "w2", "cnt", "pmi_micro", "rn")
+      .orderBy("rn")
+  }
 }

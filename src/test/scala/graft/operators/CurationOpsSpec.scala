@@ -542,4 +542,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1L)._3 == out(1L)._2.toDouble / (2.0 * 1000000.0))
     assert(out(2L)._4 == (w("alpha") > 0))
   }
+
+  test("ngramDiversity matches a plain-Scala distinct-n model per source") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("x0", "x1", "x2", "x3", "x4")
+    val rows = (0 until 120).map { i =>
+      val src = s"s${i % 3}"
+      val text = (0 until 1 + rnd.nextInt(8))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (src, text)
+    } :+ (("one_tok", "solo"))  // no bigram → dropped by the inner join
+    val df = rows.toDF("source", "text")
+    def model(src: String): (Long, Long, Long, Long, Long, Long) = {
+      val toks = rows.filter(_._1 == src).map(_._2.split(" ").toSeq)
+      val uni = toks.flatten
+      val bi = toks.filter(_.size >= 2)
+        .flatMap(w => w.init.zip(w.tail).map { case (a, b) => s"$a $b" })
+      def micro(d: Long, t: Long): Long = math.round(d * 1e6 / t)
+      (uni.size.toLong, uni.distinct.size.toLong,
+        micro(uni.distinct.size.toLong, uni.size.toLong),
+        bi.size.toLong, bi.distinct.size.toLong,
+        micro(bi.distinct.size.toLong, bi.size.toLong))
+    }
+    val got = TextAnalysis.ngramDiversity(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == Set("s0", "s1", "s2"))
+    Seq("s0", "s1", "s2").foreach(s => assert(got(s) == model(s), s))
+  }
 }

@@ -113,6 +113,39 @@ class VocabSpec extends SparkSpec {
     assert(bands == Set(1 -> "head", 2 -> "middle", 3 -> "tail"))
   }
 
+  test("pmiCollocations matches a plain-Scala PMI model on a fuzzed corpus") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val texts = (0 until 80).map { _ =>
+      (0 until 1 + rnd.nextInt(10)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val docs = texts.toDF("text")
+    val toks = texts.map(_.split(" ").toSeq).filter(_.size >= 2)
+    val n1 = toks.map(_.size).sum.toDouble
+    val n2 = toks.map(_.size - 1).sum.toDouble
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val minCount = 3L
+    val model = toks.flatMap(w => w.init.zip(w.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= minCount)
+      .map { case ((a, b), cnt) =>
+        val pmi = math.log((cnt / n2) /
+          ((uni(a) / n1) * (uni(b) / n1)))
+        // half-away-from-zero, the Spark round() / DuckDB round() rule
+        val micro = BigDecimal(pmi * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (a, b, cnt, micro)
+      }.toSeq
+      .sortBy { case (a, b, _, m) => (-m, a, b) }.take(5)
+      .zipWithIndex.map { case ((a, b, c, m), i) => (a, b, c, m, i + 1L) }
+    val got = Vocab.pmiCollocations(docs, minCount = minCount, k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == model)
+  }
+
   test("plan shape: no cartesian products beyond the 1-row N broadcast") {
     val docs = Seq((0L, "a b c", "s0")).toDF("doc_id", "text", "source")
     val plan: SparkPlan = Vocab.tfidfTerms(docs).queryExecution.executedPlan

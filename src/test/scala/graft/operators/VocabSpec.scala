@@ -155,4 +155,19 @@ class VocabSpec extends SparkSpec {
     assert(cart.isEmpty, "tf·idf must join on word; only the 1-row N " +
       "aggregate may broadcast (BroadcastNestedLoopJoin), never a cartesian")
   }
+
+  test("plan shape: pmiCollocations joins on word, 1-row totals broadcast only") {
+    val docs = Seq("a b a b c", "a b x y").toDF("text")
+    val plan: SparkPlan =
+      Vocab.pmiCollocations(docs, minCount = 1L).queryExecution.executedPlan
+    val cart = plan.collect {
+      case p if p.nodeName.contains("CartesianProduct") => p
+    }
+    assert(cart.isEmpty, "the unigram joins must stay equi-joins on word; " +
+      "only the 1-row N₁/N₂ aggregate may ride a BroadcastNestedLoopJoin")
+    val bnlj = plan.collect {
+      case p if p.nodeName.contains("BroadcastNestedLoopJoin") => p
+    }
+    assert(bnlj.size <= 1, "exactly the one scalar-totals broadcast allowed")
+  }
 }

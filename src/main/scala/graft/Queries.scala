@@ -14,9 +14,10 @@ import graft.functions.GraftFunctions
   *     DOUBLE at the end — identical bits in Spark and DuckDB;
   *   - counts/ranks are cast to BIGINT (DuckDB's native width);
   *   - every query has a total deterministic ORDER BY on non-null keys;
-  *   - `events.ts` is parquet TIMESTAMP(NANOS): Spark reads epoch-nano
-  *     bigints (see [[Tables.events]]), DuckDB reads TIMESTAMP_NS; both
-  *     truncate toward -inf to micro/milli precision consistently.
+  *   - `events.ts` reaches every gate as an epoch-nano BIGINT regardless
+  *     of the file's physical timestamp type ([[Tables.load]] canonicalizes);
+  *     DuckDB reads the column as a naive TIMESTAMP; both sides truncate
+  *     toward -inf to micro/milli precision consistently.
   */
 object Queries {
 

@@ -5,11 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated test tables (/root/repo/TESTDATA.md).
   *
-  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS) which Spark can
-  * only read via `spark.sql.legacy.parquet.nanosAsLong` (as a bigint of epoch
-  * nanos); [[events]] exposes it that way plus a derived micro-precision
-  * `event_time` column, which matches DuckDB's `CAST(ts AS TIMESTAMP)`
-  * (both truncate ns -> us).
+  * `events.ts` contract: every consumer (gates, oracles, the streaming
+  * parity harness) sees `ts` as a BIGINT of epoch NANOS. The driver has
+  * shipped the column under two physical types across rounds — parquet
+  * TIMESTAMP(NANOS), which Spark reads as that bigint via
+  * `spark.sql.legacy.parquet.nanosAsLong`, and TIMESTAMP(MICROS, NTZ),
+  * which Spark reads as TIMESTAMP_NTZ — so [[load]] canonicalizes: a
+  * timestamp-typed `ts` is converted to epoch-nano bigint
+  * (`unix_micros * 1000`; exact — the sessions run with
+  * `spark.sql.session.timeZone=UTC`, making the NTZ→LTZ cast an identity
+  * on the underlying micros). DuckDB reads either physical type as a
+  * naive TIMESTAMP, so oracle SQL (`CAST(ts AS TIMESTAMP)`) is unaffected.
+  * [[events]] additionally derives the micro-precision `event_time`.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -42,10 +49,21 @@ object Tables {
     streamingReads.withValue(Some(StreamReadMode(chunks, chunkDir)))(body)
   }
 
+  /** Restore the `ts = epoch-nanos BIGINT` contract when the file stores a
+    * timestamp type instead (see the object scaladoc). `withColumn`
+    * replaces in place, so column order is preserved; the projection is
+    * streaming-compatible, so the canonical form rides `readStream` too. */
+  private def canonEvents(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    streamingReads.value match {
+    val raw = streamingReads.value match {
       case Some(mode) =>
         // file streaming source needs an explicit schema: probe it with a
         // footer-only batch read (no data scan)
@@ -71,6 +89,7 @@ object Tables {
         }
       case None => spark.read.parquet(path(dir, name))
     }
+    if (name == "events") canonEvents(raw) else raw
   }
 
   /** events with `ts` = epoch nanos (bigint) and `event_time` = timestamp(us). */

@@ -3440,6 +3440,219 @@ object Queries {
         .orderBy("source")
   }
 
+  /** Funnel reach ([[operators.Sequences.funnel]]): the oracle replays the
+    * greedy fold as classic min-timestamp chaining (earliest match for step
+    * k never hurts reachability of step k+1, so the two formulations agree
+    * row-for-row); strict `>` on both sides keeps equal-timestamp events
+    * from advancing the funnel in either engine. */
+  val funnelSteps: Q = q("funnel_steps",
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT step, step_name, users FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+      |    CAST(count(*) AS BIGINT) AS users FROM s1
+      |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3) f
+      |ORDER BY step""".stripMargin) { (s, dir) =>
+    operators.Sequences.funnel(t(s, dir, "events"),
+      Seq("view", "click", "purchase"))
+  }
+
+  /** Weekly cohort retention ([[operators.Sequences.cohortRetention]]):
+    * day numbers are integer days since the epoch on both sides (Spark:
+    * epoch-nano `div`; DuckDB: date_diff from 1970-01-01), so there is no
+    * timezone or week-anchor convention to disagree on. */
+  val cohortRetentionGate: Q = q("cohort_retention",
+    """WITH d AS (
+      |  SELECT user_id AS u,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |c AS (SELECT u, min(day) AS cohort_day FROM d GROUP BY u),
+      |a AS (
+      |  SELECT DISTINCT d.u, c.cohort_day,
+      |    (d.day - c.cohort_day) // 7 AS offset_week
+      |  FROM d JOIN c ON d.u = c.u)
+      |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+      |  CAST(offset_week AS BIGINT) AS offset_week,
+      |  CAST(count(*) AS BIGINT) AS users
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    operators.Sequences.cohortRetention(t(s, dir, "events"))
+  }
+
+  /** First-order event-type transition matrix
+    * ([[operators.Sequences.transitionMatrix]]): lead() per user ordered by
+    * (ts, event_id) — the unique id tie-break makes the sequence, and hence
+    * the counts, engine-independent; p_micro is floor of one IEEE division
+    * of two exact longs, bit-identical across engines. */
+  val eventTransitions: Q = q("event_transitions",
+    """WITH p AS (
+      |  SELECT event_type AS cur,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS nxt
+      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      |c AS (
+      |  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt FROM p
+      |  WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+      |SELECT cur, nxt, cnt,
+      |  CAST(floor(cnt * 1000000.0 / sum(cnt) OVER (PARTITION BY cur))
+      |    AS BIGINT) AS p_micro
+      |FROM c ORDER BY cur, nxt""".stripMargin) { (s, dir) =>
+    operators.Sequences.transitionMatrix(t(s, dir, "events"))
+  }
+
+  /** Weighted PageRank by power iteration ([[operators.PageRank.run]]) over
+    * the supplier-nation → customer-nation trade graph (edge weight =
+    * lineitem count — exact integers, so the row-stochastic normalization
+    * divides identical doubles in both engines). The oracle unrolls the
+    * same three iterations as CTEs; ranks are floored at 1e9 to absorb
+    * sum-order fp noise (≤1 ulp) in the ≤|V|-term inflow sums. The SQL
+    * spells teleport as (1.0 - 0.85)/n — the same IEEE ops the Scala
+    * `(1.0 - damping) / n` performs — not a 0.15 literal, which differs
+    * from 1.0-0.85 by one ulp. */
+  val pageRankNations: Q = q("pagerank_nations",
+    """WITH e AS (
+      |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+      |    CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |ow AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src),
+      |p AS (SELECT e.src, e.dst, e.w / ow.wsum AS p
+      |      FROM e JOIN ow ON e.src = ow.src),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+      |r0 AS (SELECT n_nationkey AS node, 1.0 / (SELECT n FROM nn) AS rank
+      |       FROM nation),
+      |r1 AS (
+      |  SELECT nt.n_nationkey AS node,
+      |    (1.0 - 0.85) / (SELECT n FROM nn)
+      |      + 0.85 * coalesce(sum(r0.rank * p.p), 0.0) AS rank
+      |  FROM nation nt
+      |  LEFT JOIN p ON p.dst = nt.n_nationkey
+      |  LEFT JOIN r0 ON r0.node = p.src
+      |  GROUP BY 1),
+      |r2 AS (
+      |  SELECT nt.n_nationkey AS node,
+      |    (1.0 - 0.85) / (SELECT n FROM nn)
+      |      + 0.85 * coalesce(sum(r1.rank * p.p), 0.0) AS rank
+      |  FROM nation nt
+      |  LEFT JOIN p ON p.dst = nt.n_nationkey
+      |  LEFT JOIN r1 ON r1.node = p.src
+      |  GROUP BY 1),
+      |r3 AS (
+      |  SELECT nt.n_nationkey AS node,
+      |    (1.0 - 0.85) / (SELECT n FROM nn)
+      |      + 0.85 * coalesce(sum(r2.rank * p.p), 0.0) AS rank
+      |  FROM nation nt
+      |  LEFT JOIN p ON p.dst = nt.n_nationkey
+      |  LEFT JOIN r2 ON r2.node = p.src
+      |  GROUP BY 1)
+      |SELECT n_name, CAST(floor(rank * 1000000000.0) AS BIGINT) AS rank_nano
+      |FROM r3 JOIN nation ON node = n_nationkey
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val edges = li
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy(su("s_nationkey").as("src"), c("c_nationkey").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    operators.PageRank.run(edges, n.select("n_nationkey"), iterations = 3)
+      .join(n, col("node") === n("n_nationkey"))
+      .select(col("n_name"),
+        floor(col("rank") * lit(1000000000.0)).cast("long").as("rank_nano"))
+      .orderBy("n_name")
+  }
+
+  /** Approximate quantiles with an in-plan exactness self-check: the gate
+    * emits the exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, rounded like `length_quantiles`) and a verdict that
+    * `percentile_approx` (the t-digest-style mergeable sketch — the 100 TB
+    * path, one pass, bounded memory) lands within 2% of the value span of
+    * the exact answer; assert_true fails the whole run on sketch drift, so
+    * the approx path can never silently rot (same pattern as
+    * `approx_distinct`). */
+  val approxQuantiles: Q = q("approx_quantiles",
+    """SELECT round(quantile_cont(value, 0.25), 6) AS p25,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.75), 6) AS p75,
+      |  TRUE AS approx_ok
+      |FROM events WHERE value IS NOT NULL""".stripMargin) { (s, dir) =>
+    t(s, dir, "events").filter(col("value").isNotNull)
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"),
+        expr("percentile_approx(value, array(0.25D, 0.5D, 0.75D), 10000)")
+          .as("ap"),
+        (max(col("value")) - min(col("value"))).as("span"))
+      .withColumn("drift",
+        greatest(
+          abs(col("ap")(0) - col("p25")),
+          abs(col("ap")(1) - col("p50")),
+          abs(col("ap")(2) - col("p75"))) / col("span"))
+      .withColumn("approx_ok",
+        when(assert_true(col("drift") <= lit(0.02),
+          concat(lit("percentile_approx drifted: rel="), col("drift")))
+          .isNull, col("drift") <= lit(0.02)))
+      .select("p25", "p50", "p75", "approx_ok")
+  }
+
+  /** k-anonymity / l-diversity audit ([[operators.Privacy]]): QI classes
+    * over (nation, market segment), sensitive attribute = account-balance
+    * thousand-bucket; kept ⇔ n ≥ 8 ∧ l ≥ 2. One hash shuffle on the QI
+    * tuple in both engines. */
+  val kAnonymityProfile: Q = q("k_anonymity_profile",
+    """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+      |    AS BIGINT) AS l,
+      |  (count(*) >= 8 AND
+      |   count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 2)
+      |    AS kept
+      |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    operators.Privacy.anonymityProfile(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / lit(1000.0)).cast("long"), k = 8L, minL = 2L)
+  }
+
+  /** Skip-gram co-occurrence ([[operators.Vocab.skipgramCooc]]): the
+    * oracle flattens the same nested list comprehension — pairs (w[i],
+    * w[j]) for j−i ∈ [1,3] — entirely inside the scan projection; only
+    * the count aggregate shuffles in either engine. */
+  val skipgramCoocGate: Q = q("skipgram_cooc",
+    """WITH W AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+      |pl AS (
+      |  SELECT unnest(flatten(list_transform(range(1, len(w)), i ->
+      |    list_transform(list_slice(w, i + 1, least(i + 3, len(w))),
+      |      x -> [w[i], x])))) AS p
+      |  FROM W),
+      |c AS (
+      |  SELECT p[1] AS wa, p[2] AS wb, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM pl GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT wa, wb, cnt,
+      |  CAST(row_number() OVER (ORDER BY cnt DESC, wa, wb) AS BIGINT) AS rn
+      |FROM c QUALIFY rn <= 50 ORDER BY rn""".stripMargin) { (s, dir) =>
+    operators.Vocab.skipgramCooc(t(s, dir, "documents"), window = 3,
+      minCount = 5L, k = 50)
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
@@ -3485,6 +3698,8 @@ object Queries {
     sentenceDedupGate, temperatureSampleGate, kneserNeyPpl,
     pplBuckets, editDistancePairs, pipelineCurationV6, cellBalancedGate,
     annFilteredTopK, knnGraphGate, heavyHittersGate, adaptiveLengthFilter,
-    pmiCollocationsGate, ngramDiversityGate
+    pmiCollocationsGate, ngramDiversityGate,
+    funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
+    approxQuantiles, kAnonymityProfile, skipgramCoocGate
   )
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-event-sequence analytics over an append event stream: funnel
+  * reach, cohort retention, and first-order (Markov) transition counts.
+  *
+  * The reference engine's event pipelines end at windowed aggregation
+  * (events_count.sql, http_events.sql); these are the sequence operators a
+  * product-analytics / training-data curation deployment of the same engine
+  * needs next (session-path mining, funnel conversion, cohort decay).
+  *
+  * Scale notes (100 TB): every operator here shuffles exactly once on the
+  * entity key (`user_id`) and then aggregates; per-user state is bounded by
+  * that user's event count, never by the corpus. No collects, no windows
+  * without PARTITION BY, no cross joins.
+  */
+object Sequences {
+
+  /** Funnel reach: for an ordered list of step names, count the users whose
+    * event history contains the steps in order at strictly increasing
+    * timestamps (the greedy earliest-match scan, equivalent to the classic
+    * min-timestamp chaining formulation: taking the earliest match for step
+    * k never hurts reachability of step k+1).
+    *
+    * One shuffle: irrelevant event types are filtered before the exchange
+    * (the predicate reaches the parquet scan), the per-user fold runs as a
+    * codegen'd higher-order `aggregate` over the user's sorted step events.
+    * Per-user memory is the user's matching-event count only.
+    *
+    * Output: (step BIGINT 1-based, step_name, users BIGINT) — users is the
+    * count reaching AT LEAST that step.
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      timeCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val idx = map(steps.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i))
+    }: _*)
+
+    // (user, ts, step index) for funnel-relevant events only
+    val relevant = events
+      .filter(col(typeCol).isin(steps.map(lit): _*) &&
+        col(timeCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"), col(timeCol).cast("long").as("t"),
+        idx(col(typeCol)).as("i"))
+
+    // greedy fold over the user's events sorted by (t, i): advance to step
+    // acc.reached when this event IS that step and is strictly later than
+    // the previously matched step's timestamp
+    val reached = relevant
+      .groupBy(col("u"))
+      .agg(sort_array(collect_list(struct(col("t"), col("i")))).as("evs"))
+      .select(
+        aggregate(
+          col("evs"),
+          struct(lit(0).as("r"), lit(Long.MinValue).as("last")),
+          (acc, e) =>
+            when(e("i") === acc("r") && e("t") > acc("last"),
+              struct((acc("r") + 1).as("r"), e("t").as("last")))
+              .otherwise(acc))("r").as("reached"))
+
+    // tiny frame from here on: at most |steps|+1 distinct reach levels;
+    // "users at step s" = Σ n over levels reached >= s (a |steps|-row
+    // theta join, broadcast nested loop — fine at any corpus scale since
+    // both sides are bounded by |steps|)
+    val byLevel = reached.filter(col("reached") > 0)
+      .groupBy(col("reached")).agg(count(lit(1)).as("n"))
+
+    val names = steps.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }
+    val nameDf = events.sparkSession.createDataFrame(names)
+      .toDF("step", "step_name")
+    nameDf.join(byLevel, byLevel("reached") >= nameDf("step"), "left")
+      .groupBy(col("step"), col("step_name"))
+      .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("users"))
+      .select(col("step").cast("long").as("step"), col("step_name"),
+        col("users"))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention: users cohorted by their first active day,
+    * counted once per (cohort day, week offset) they were active in.
+    * Day numbers are integer days since the epoch — no timezone or
+    * week-anchor semantics to disagree on across engines.
+    *
+    * Two shuffles, both on `user_id` (cohort min + the join back are
+    * co-partitioned; AQE coalesces), then one on the tiny output key.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String = "user_id",
+      timeCol: String = "ts"): DataFrame = {
+    // integer `div`, not `/`: epoch-nano values exceed 2^53, double
+    // division would misplace day boundaries
+    val days = events
+      .filter(col(timeCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"),
+        expr(s"CAST($timeCol AS BIGINT) div 86400000000000").as("day"))
+    val cohort = days.groupBy(col("u")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "u")
+      .select(col("u"), col("cohort_day"),
+        ((col("day") - col("cohort_day")) / 7).cast("long").as("offset_week"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("offset_week"))
+      .agg(count(lit(1)).cast("long").as("users"))
+      .orderBy("cohort_day", "offset_week")
+  }
+
+  /** First-order transition matrix: counts and row-normalized probabilities
+    * of `event_type -> next event_type` per user, ordered by (ts, id) with
+    * the id as a deterministic tie-break. Probability is emitted as
+    * floor(p * 1e6) — an integer derived from one IEEE double division of
+    * two exact longs, bit-identical across engines.
+    *
+    * One shuffle for the lead() window (partition by user), one for the
+    * transition-count aggregation; the per-`from` totals ride a window over
+    * the already-small count frame instead of a self-join.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      timeCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(timeCol), col(idCol))
+    val pairs = events
+      .filter(col(typeCol).isNotNull && col(timeCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("cur"),
+        lead(col(typeCol), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+    val counts = pairs.groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = Window.partitionBy(col("cur"))
+    counts
+      .select(col("cur"), col("nxt"), col("cnt").cast("long").as("cnt"),
+        floor(col("cnt").cast("double") * lit(1000000.0) /
+          sum(col("cnt")).over(total).cast("double")).cast("long")
+          .as("p_micro"))
+      .orderBy("cur", "nxt")
+  }
+}

@@ -416,4 +416,38 @@ object Vocab {
       .select("w1", "w2", "cnt", "pmi_micro", "rn")
       .orderBy("rn")
   }
+
+  /** Skip-gram co-occurrence counts (word2vec / GloVe training prep,
+    * Mikolov 2013): ordered pairs (w[i], w[j]) for j − i ∈ [1, window],
+    * counted corpus-wide, top `k` by count.
+    *
+    * The pair generation is entirely row-local — nested `transform` over
+    * the token array flattens to the pair list inside the scan projection,
+    * so the ONLY shuffle is the (wa, wb) count aggregate (map-side combine
+    * bounds it by per-partition pair vocabulary, not corpus pair volume).
+    * At 100 TB this beats the positional self-join formulation, which
+    * would shuffle every token `window` times on doc id.
+    *
+    * @return (wa, wb, cnt, rn) top `k` by (cnt desc, wa, wb)
+    */
+  def skipgramCooc(docs: DataFrame, textCol: String = "text",
+                   window: Int = 3, minCount: Long = 5L,
+                   k: Int = 50): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = toks.select(explode(flatten(
+      transform(sequence(lit(1), size(col("w")) - 1), i =>
+        transform(slice(col("w"), i + 1, lit(window)), x =>
+          struct(element_at(col("w"), i).as("wa"), x.as("wb"))))))
+      .as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    pairs.groupBy("wa", "wb").agg(count(lit(1)).cast("long").as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("wa"), col("wb"))).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy("rn")
+  }
 }

@@ -156,6 +156,44 @@ class VocabSpec extends SparkSpec {
       "aggregate may broadcast (BroadcastNestedLoopJoin), never a cartesian")
   }
 
+  test("skipgramCooc matches brute-force windowed pairs on a fuzzed corpus") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 10) {
+      val window = 1 + rnd.nextInt(4)
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val docs = (0 until 60).map { _ =>
+        (0 until 1 + rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(5)))
+          .mkString(" ")
+      }
+      val exact = docs.map(_.split(" ").toSeq).filter(_.size >= 2)
+        .flatMap { w =>
+          for {
+            i <- w.indices.dropRight(1)
+            j <- (i + 1) to math.min(i + window, w.size - 1)
+          } yield (w(i), w(j))
+        }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 >= 2L)
+      val got = Vocab.skipgramCooc(docs.toDF("text"), window = window,
+        minCount = 2L, k = Int.MaxValue)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(got === exact, s"trial $trial window=$window")
+    }
+  }
+
+  test("skipgramCooc ranks deterministically and honors k") {
+    val docs = Seq("a b a b a b", "a b c").toDF("text")
+    val got = Vocab.skipgramCooc(docs, window = 2, minCount = 1L, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // pairs at window 2 in "a b a b a b": ab x3, ba x2, aa x2, bb x2;
+    // "a b c": ab, ac, bc -> ab=4; ties (aa=2, ba=2, bb=2, ac=1, bc=1)
+    // break lexicographically
+    assert(got === Seq(("a", "b", 4L, 1L), ("a", "a", 2L, 2L),
+      ("b", "a", 2L, 3L)))
+  }
+
   test("plan shape: pmiCollocations joins on word, 1-row totals broadcast only") {
     val docs = Seq("a b a b c", "a b x y").toDF("text")
     val plan: SparkPlan =

@@ -242,4 +242,36 @@ class PlanShapeSpec extends SparkSpec {
     val q17 = executedPlan("tpch_q17_shape")
     assert(q17.contains("avg(l_quantity"), s"q17 lost the decorrelated avg:\n$q17")
   }
+
+  test("sequence analytics shuffle on the user key; funnel types prune at the scan") {
+    // funnel: irrelevant event types must be filtered BEFORE the exchange —
+    // the isin predicate reaches the parquet scan as a pushed filter, so
+    // corpus volume at the shuffle is funnel-relevant events only. The only
+    // non-equi join allowed is the bounded |steps|² reach roll-up (BNLJ over
+    // two ≤4-row frames).
+    val funnel = executedPlan("funnel_steps")
+    assert(funnel.contains("In(event_type"),
+      s"funnel lost the scan-level step-type filter:\n$funnel")
+    assert(!funnel.contains("CartesianProduct"), s"funnel:\n$funnel")
+    // transitions: one window exchange on user_id, count agg — no joins at all
+    val trans = executedPlan("event_transitions")
+    assert(!trans.contains("Join"), s"transitions should plan zero joins:\n$trans")
+    // skip-gram: pair generation is row-local (Generate over the nested
+    // transform) — any join here means a regression to the positional
+    // self-join that shuffles every token `window` times
+    val sg = executedPlan("skipgram_cooc")
+    assert(!sg.contains("Join"), s"skipgram should plan zero joins:\n$sg")
+    assert(sg.contains("Generate"), s"skipgram lost the row-local explode:\n$sg")
+  }
+
+  test("pagerank iterations stay equi-joined; rank vector only shuffles") {
+    val pr = executedPlan("pagerank_nations")
+    assert(!pr.contains("CartesianProduct"), s"pagerank:\n$pr")
+    // the transition frame must be reused (persisted), not rebuilt per
+    // iteration: the 4-way edge build (lineitem⋈orders⋈customer⋈supplier)
+    // appears once as an InMemoryTableScan per iteration, not as 3 repeated
+    // join trees over lineitem
+    assert(pr.contains("InMemoryTableScan"),
+      s"pagerank lost the persisted transition frame:\n$pr")
+  }
 }

@@ -3653,6 +3653,50 @@ object Queries {
       minCount = 5L, k = 50)
   }
 
+  /** Leakage-safe train/val/test split — the capstone guard against
+    * train/test contamination (Lee 2021 §6, Dodge 2021): near-duplicate
+    * CLUSTERS, not documents, are the split unit, so a test document can
+    * never have a near-copy in train by construction. Composition:
+    * minhash-LSH pairs → connected components → salted-hash split on
+    * cluster id ([[operators.Sampling.hashSplit]] — the same cross-engine
+    * hash the plain `sample_split` gate uses, so the oracle replays the
+    * whole thing: recursive-CTE components + the identical bucket
+    * arithmetic). Output: per split, document and cluster counts. */
+  val leakageSafeSplit: Q = q("leakage_safe_split", {
+    val pairsSql = duckJaccardPairs(n = 2, threshold = 0.5, leftPred = "true")
+    val b = operators.Sampling.duckdbHashBucket("cluster_id", "ls1", 10000)
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |cl AS (
+       |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |bk AS (SELECT doc_id, cluster_id, $b AS bucket FROM cl)
+       |SELECT CASE WHEN bucket < 8000 THEN 'train'
+       |            WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+       |FROM bk GROUP BY 1 ORDER BY split""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = operators.Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+    val clusters = operators.Dedup.duplicateClusters(
+      docs.select(col("doc_id").cast("long").as("doc_id")), pairs,
+      idCol = "doc_id")
+      .select(col("doc_id"), col("cluster_id").cast("long").as("cluster_id"))
+    operators.Sampling.hashSplit(clusters, "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "ls1")
+      .groupBy("split")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("cluster_id")).cast("long").as("n_clusters"))
+      .orderBy("split")
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
@@ -3700,6 +3744,6 @@ object Queries {
     annFilteredTopK, knnGraphGate, heavyHittersGate, adaptiveLengthFilter,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
-    approxQuantiles, kAnonymityProfile, skipgramCoocGate
+    approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit
   )
 }

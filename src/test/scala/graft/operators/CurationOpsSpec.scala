@@ -571,4 +571,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.keySet == Set("s0", "s1", "s2"))
     Seq("s0", "s1", "s2").foreach(s => assert(got(s) == model(s), s))
   }
+
+  test("leakage-safe split: no near-dup pair ever crosses a split boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 30 near-dup families x 3 members (identical text per family) plus
+    // unique singletons — every family MUST land whole in one split
+    val docs = ((0 until 90).map { i =>
+      val f = i % 30 // disjoint per-family vocabulary: no cross-family merge
+      (i.toLong, (0 until 8).map(j => s"fam${f}w$j").mkString(" "))
+    } ++ (100 until 140).map { i =>
+      (i.toLong, s"unique document $i with words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+    }).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+    val clusters = Dedup.duplicateClusters(
+      docs.select(col("doc_id")), pairs, idCol = "doc_id")
+    val split = Sampling.hashSplit(clusters, "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "ls1")
+    // invariant 1: each cluster maps to exactly one split
+    val perCluster = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("nsplits"))
+      .agg(max("nsplits")).collect()(0).getLong(0)
+    assert(perCluster === 1L)
+    // invariant 2 (the actual leakage statement): no candidate near-dup
+    // pair has its two sides in different splits
+    val sideA = split.select(col("doc_id").as("id_a"), col("split").as("sa"))
+    val sideB = split.select(col("doc_id").as("id_b"), col("split").as("sb"))
+    val crossing = pairs.join(sideA, "id_a").join(sideB, "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossing === 0L)
+    // sanity: the 30 families really did form 30 multi-doc clusters
+    val multi = clusters.groupBy("cluster_id").count()
+      .filter(col("count") >= 3L).count()
+    assert(multi === 30L)
+  }
 }

@@ -3697,6 +3697,25 @@ object Queries {
       .orderBy("split")
   }
 
+  /** Rolling 7-day active users ([[operators.Sequences.rollingActiveUsers]]):
+    * the oracle expands each distinct (user, epoch-day) membership to its
+    * seven window-end days with the same row-local range unnest, then
+    * count-distincts per day — identical integer day arithmetic on both
+    * sides. */
+  val rollingActiveUsersGate: Q = q("rolling_active_users",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |ex AS (SELECT u, unnest(range(day, day + 7)) AS d FROM ud),
+      |days AS (SELECT DISTINCT day AS d FROM ud)
+      |SELECT CAST(d AS BIGINT) AS day,
+      |  CAST(count(DISTINCT u) AS BIGINT) AS active_users
+      |FROM ex JOIN days USING (d) GROUP BY d ORDER BY day""".stripMargin) {
+    (s, dir) =>
+      operators.Sequences.rollingActiveUsers(t(s, dir, "events"))
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
@@ -3744,6 +3763,7 @@ object Queries {
     annFilteredTopK, knnGraphGate, heavyHittersGate, adaptiveLengthFilter,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
-    approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit
+    approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,
+    rollingActiveUsersGate
   )
 }

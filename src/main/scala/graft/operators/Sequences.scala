@@ -113,6 +113,43 @@ object Sequences {
       .orderBy("cohort_day", "offset_week")
   }
 
+  /** Rolling 7-day active users (sliding-window COUNT DISTINCT — the
+    * aggregate classic engines get wrong or quadratic): each distinct
+    * (user, day) membership is expanded row-locally to the ≤`windowDays`
+    * window-end days it supports, then one count-distinct per window end,
+    * reported for observed days only.
+    *
+    * Scale shape: dedup shuffle on (user, day), then the count-distinct
+    * shuffle on day — the expansion multiplies rows by at most
+    * `windowDays` BEFORE the second exchange but after the first, so
+    * shuffle volume is bounded by windowDays × |user-day memberships|,
+    * never corpus × corpus (the naive day-range self-join). No window
+    * function without PARTITION BY, no driver loop.
+    *
+    * @return (day, active_users) for every day with ≥1 event
+    */
+  def rollingActiveUsers(
+      events: DataFrame,
+      userCol: String = "user_id",
+      timeCol: String = "ts",
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val days = events
+      .filter(col(timeCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"),
+        expr(s"CAST($timeCol AS BIGINT) div 86400000000000").as("day"))
+      .distinct()
+    val expanded = days.select(col("u"),
+      explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
+        .as("d"))
+    val observed = days.select(col("day").as("d")).distinct()
+    expanded.groupBy(col("d"))
+      .agg(countDistinct(col("u")).cast("long").as("active_users"))
+      .join(observed, "d")
+      .select(col("d").cast("long").as("day"), col("active_users"))
+      .orderBy("day")
+  }
+
   /** First-order transition matrix: counts and row-normalized probabilities
     * of `event_type -> next event_type` per user, ordered by (ts, id) with
     * the id as a deterministic tie-break. Probability is emitted as

@@ -105,6 +105,28 @@ class SequencesSpec extends SparkSpec {
     }
   }
 
+  test("rolling active users: fuzz vs brute-force window membership") {
+    val day = 86400000000000L
+    val rnd = new Random(23)
+    for (trial <- 0 until 5) {
+      val w = 1 + rnd.nextInt(9)
+      val evs = (0 until 400).map { _ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(40).toLong * day + rnd.nextInt(500))
+      }
+      val memb = evs.map { case (u, t) => (u, t / day) }.distinct
+      val observed = memb.map(_._2).distinct
+      val exact = observed.sorted.map { d =>
+        (d, memb.collect {
+          case (u, dd) if dd > d - w && dd <= d => u
+        }.distinct.size.toLong)
+      }
+      val got = Sequences.rollingActiveUsers(
+        evs.toDF("user_id", "ts"), windowDays = w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === exact, s"trial $trial window=$w")
+    }
+  }
+
   test("transition matrix: counts and floor-micro probabilities") {
     val df = Seq(
       (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),

@@ -45,7 +45,13 @@ object PageRank {
     require(n > 0, "empty vertex set")
 
     val Seq(srcC, dstC, wC) = edges.columns.take(3).toSeq
-    val byEdge = edges.groupBy(col(srcC).as("src"), col(dstC).as("dst"))
+    // non-positive/null/NaN weights would make a source's normalizer zero
+    // or NaN and poison every rank downstream of it — drop them here
+    // (NaN needs its own test: Spark orders NaN above every number, so
+    // `NaN > 0` is TRUE and the comparison alone doesn't exclude it)
+    val byEdge = edges
+      .filter(col(wC).cast("double") > 0 && !isnan(col(wC).cast("double")))
+      .groupBy(col(srcC).as("src"), col(dstC).as("dst"))
       .agg(sum(col(wC).cast("double")).as("w"))
     val outW = byEdge.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
     // row-stochastic transition frame, persisted across iterations

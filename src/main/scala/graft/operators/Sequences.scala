@@ -40,6 +40,9 @@ object Sequences {
       typeCol: String = "event_type",
       timeCol: String = "ts"): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps,
+      "funnel steps must be distinct (a repeated step is ambiguous in the " +
+        "type -> index map; model re-entry as a separate event type)")
     val idx = map(steps.zipWithIndex.flatMap { case (s, i) =>
       Seq(lit(s), lit(i))
     }: _*)
@@ -85,6 +88,22 @@ object Sequences {
       .orderBy("step")
   }
 
+  /** (user, epoch-day) projection shared by the day-granular operators:
+    * integer `div` (epoch-nano values exceed 2^53, double division would
+    * misplace day boundaries) corrected to FLOOR division — `div`
+    * truncates toward zero, which would fold the last pre-epoch day into
+    * day 0 and diverge from a calendar CAST-to-DATE (which floors). */
+  private def userDays(
+      events: DataFrame, userCol: String, timeCol: String): DataFrame = {
+    val d = 86400000000000L
+    events
+      .filter(col(timeCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"),
+        expr(s"(CAST($timeCol AS BIGINT) div $d) - " +
+          s"(CASE WHEN CAST($timeCol AS BIGINT) % $d < 0 THEN 1 ELSE 0 END)")
+          .as("day"))
+  }
+
   /** Weekly cohort retention: users cohorted by their first active day,
     * counted once per (cohort day, week offset) they were active in.
     * Day numbers are integer days since the epoch — no timezone or
@@ -97,12 +116,7 @@ object Sequences {
       events: DataFrame,
       userCol: String = "user_id",
       timeCol: String = "ts"): DataFrame = {
-    // integer `div`, not `/`: epoch-nano values exceed 2^53, double
-    // division would misplace day boundaries
-    val days = events
-      .filter(col(timeCol).isNotNull && col(userCol).isNotNull)
-      .select(col(userCol).as("u"),
-        expr(s"CAST($timeCol AS BIGINT) div 86400000000000").as("day"))
+    val days = userDays(events, userCol, timeCol)
     val cohort = days.groupBy(col("u")).agg(min(col("day")).as("cohort_day"))
     days.join(cohort, "u")
       .select(col("u"), col("cohort_day"),
@@ -134,11 +148,7 @@ object Sequences {
       timeCol: String = "ts",
       windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
-    val days = events
-      .filter(col(timeCol).isNotNull && col(userCol).isNotNull)
-      .select(col(userCol).as("u"),
-        expr(s"CAST($timeCol AS BIGINT) div 86400000000000").as("day"))
-      .distinct()
+    val days = userDays(events, userCol, timeCol).distinct()
     val expanded = days.select(col("u"),
       explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
         .as("d"))

@@ -72,6 +72,22 @@ class PageRankSpec extends SparkSpec {
     nodes.foreach(i => assert(math.abs(a(i) - b(i)) < 1e-15))
   }
 
+  test("degenerate weights (0, negative, NaN, null) are ignored") {
+    val nodes = Seq(0, 1, 2)
+    val clean = Seq((0, 1, 1.0), (1, 2, 2.0), (2, 0, 1.0))
+    val dirty = clean ++ Seq((0, 2, 0.0), (1, 0, -3.0), (2, 1, Double.NaN))
+    val a = run(dirty, nodes, 3)
+    val b = run(clean, nodes, 3)
+    nodes.foreach(i => assert(a(i) === b(i), s"node $i"))
+    // null weight rows drop the same way
+    val withNull = clean.map { case (s, d, w) => (s, d, Option(w)) } :+
+      ((0, 2, Option.empty[Double]))
+    val c = PageRank.run(withNull.toDF("src", "dst", "w"),
+      nodes.toDF("node"), 3)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    nodes.foreach(i => assert(c(i) === b(i), s"node $i (null row)"))
+  }
+
   test("fuzz vs plain-Scala power iteration") {
     val rnd = new Random(13)
     for (trial <- 0 until 10) {

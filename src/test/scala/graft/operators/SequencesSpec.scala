@@ -105,6 +105,18 @@ class SequencesSpec extends SparkSpec {
     }
   }
 
+  test("epoch-day is floor division: pre-epoch timestamps get their own day") {
+    val day = 86400000000000L
+    // ts = -1 ns is 1969-12-31 23:59:59.999… → day -1, NOT day 0
+    // (truncation-toward-zero would fold it into day 0 and diverge from a
+    // calendar CAST-to-DATE); -day exactly is day -1's midnight
+    val df = Seq((1L, -1L), (2L, 0L), (3L, -day), (4L, day - 1L))
+      .toDF("user_id", "ts")
+    val out = Sequences.rollingActiveUsers(df, windowDays = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((-1L, 2L), (0L, 2L)))
+  }
+
   test("rolling active users: fuzz vs brute-force window membership") {
     val day = 86400000000000L
     val rnd = new Random(23)

@@ -3716,6 +3716,47 @@ object Queries {
       operators.Sequences.rollingActiveUsers(t(s, dir, "events"))
   }
 
+  /** Cross-source quantile normalization ([[operators.Ranks]]): the gate's
+    * plan uses the bucketed two-pass global rank (no single-partition
+    * window anywhere — PlanShapeSpec pins it); the oracle IS the plain
+    * `row_number() OVER (ORDER BY ...)` formulation, so the equivalence of
+    * the scalable plan and the textbook definition is exactly what the
+    * hash compare proves. The one double expression (the quantile
+    * position) is spelled identically on both sides. */
+  val quantileNormalizeGate: Q = q("quantile_normalize",
+    """WITH v AS (
+      |  SELECT doc_id, source, n_chars AS val FROM documents
+      |  WHERE n_chars IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id, source, val,
+      |    row_number() OVER (PARTITION BY source ORDER BY val, doc_id) AS rg,
+      |    count(*) OVER (PARTITION BY source) AS ng
+      |  FROM v),
+      |s AS (
+      |  SELECT val AS sv,
+      |    row_number() OVER (ORDER BY val, doc_id) - 1 AS idx
+      |  FROM v),
+      |n AS (SELECT count(*) AS nn FROM v),
+      |t AS (
+      |  SELECT doc_id, source, val,
+      |    CAST(floor((CASE WHEN ng = 1 THEN 0.0
+      |                     ELSE (rg - 1) * 1.0 / (ng - 1) END)
+      |      * (nn - 1)) AS BIGINT) AS tgt
+      |  FROM g CROSS JOIN n)
+      |SELECT t.doc_id, t.source, CAST(t.val AS BIGINT) AS val,
+      |  CAST(s.sv AS BIGINT) AS norm
+      |FROM t JOIN s ON s.idx = t.tgt ORDER BY t.doc_id""".stripMargin) {
+    (s, dir) =>
+      operators.Ranks.quantileNormalize(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars")
+          .filter(col("n_chars").isNotNull)
+          .withColumnRenamed("n_chars", "val"),
+        groupCol = "source", valueCol = "val", idCol = "doc_id")
+        .select(col("doc_id"), col("source"), col("val").cast("long").as("val"),
+          col("norm").cast("long").as("norm"))
+        .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
@@ -3764,6 +3805,6 @@ object Queries {
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,
-    rollingActiveUsersGate
+    rollingActiveUsersGate, quantileNormalizeGate
   )
 }

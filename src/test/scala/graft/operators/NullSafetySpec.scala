@@ -214,4 +214,36 @@ class NullSafetySpec extends SparkSpec {
     val s1 = sq.filter(col("source") === "s1").collect()
     assert(s1.length == 1 && s1.head.getAs[Long]("src_docs") == 1L)
   }
+
+  test("sequence analytics drop null users/timestamps; privacy groups nulls") {
+    import spark.implicits._
+    val evs = Seq[(java.lang.Long, java.lang.Long, java.lang.Long, String)](
+      (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"),
+      (3L, null, 30L, "view"), // null user: excluded from funnel/cohort
+      (4L, 2L, null, "view"), // null ts: excluded
+      (5L, 2L, 40L, null) // null type: excluded from funnel/transitions
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val fun = Sequences.funnel(evs, Seq("view", "click"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(fun === Seq((1L, 1L), (2L, 1L))) // only user 1 counts
+    assert(Sequences.cohortRetention(evs)
+      .agg(sum("users")).collect()(0).getLong(0) == 2L) // users 1 and 2
+    // every surviving event is on epoch-day 0: one row, two distinct users
+    // (the null-user and null-ts rows must not inflate the count)
+    val rau = Sequences.rollingActiveUsers(evs).collect()
+    assert(rau.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 2L)))
+    val tm = Sequences.transitionMatrix(evs).collect()
+    assert(tm.map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("view", "click"))) // null-type and null-ts rows never pair
+    // k-anonymity: null QI values form their own equivalence class (SQL
+    // GROUP BY semantics), they are neither dropped nor merged with
+    // non-null classes
+    val pdf = Seq(("a", 1), ("a", 2), (null, 3), (null, 4))
+      .toDF("qi", "id")
+    assert(Privacy.kAnonymize(pdf, Seq("qi"), 2L).count() == 4)
+    assert(Privacy.kAnonymize(pdf, Seq("qi"), 3L).count() == 0)
+    val prof = Privacy.anonymityProfile(pdf, Seq("qi"), col("id"), 2L, 2L)
+    assert(prof.count() == 2)
+    assert(prof.filter(col("qi").isNull).head().getBoolean(3))
+  }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bucketed global rank vs the single-window definition, and quantile
+  * normalization vs a plain-Scala model.
+  */
+class RanksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("globalRowNumber == row_number over the global window, any bucket count") {
+    val rnd = new Random(31)
+    for (trial <- 0 until 6) {
+      // heavy duplication so ties straddle would-be bucket boundaries
+      val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(20).toLong))
+      val df = rows.toDF("id", "v")
+      val expected = df.withColumn("rank",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      for (buckets <- Seq(1, 4, 64, 1000)) {
+        val got = Ranks.globalRowNumber(df, "v", "id", buckets)
+          .select("id", "rank").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"trial $trial buckets=$buckets")
+      }
+    }
+  }
+
+  test("globalRowNumber plans no corpus-wide single-partition window") {
+    val df = (0 until 100).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
+    val plan = Ranks.globalRowNumber(df, "v", "id", 8)
+      .queryExecution.executedPlan.toString
+    // the corpus window must be partitioned by the bucket; the only
+    // unpartitioned window allowed is the ≤buckets-row offset cumsum
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(plan.contains("__graft_bkt"), s"bucket column missing:\n$plan")
+  }
+
+  test("quantileNormalize maps each group onto the global distribution") {
+    val rnd = new Random(41)
+    // three sources with very different scales
+    val rows = (0 until 300).map { i =>
+      val src = i % 3
+      val v = src match {
+        case 0 => rnd.nextInt(10).toLong        // small
+        case 1 => 100L + rnd.nextInt(50)        // mid
+        case _ => 10000L + rnd.nextInt(1000)    // large
+      }
+      (i.toLong, s"s$src", v)
+    }
+    // plain-Scala model of the same mapping
+    val sortedAll = rows.sortBy(r => (r._3, r._1)).map(_._3).toVector
+    val n = sortedAll.size
+    val expected = rows.groupBy(_._2).values.flatMap { grp =>
+      val sorted = grp.sortBy(r => (r._3, r._1))
+      val ng = sorted.size
+      sorted.zipWithIndex.map { case (r, i) =>
+        val pr = if (ng == 1) 0.0 else i * 1.0 / (ng - 1)
+        r._1 -> sortedAll(math.floor(pr * (n - 1)).toInt)
+      }
+    }.toMap
+    val got = Ranks.quantileNormalize(rows.toDF("id", "src", "v"),
+      "src", "v", "id")
+      .select("id", "norm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // the normalized values of each group now span the global range:
+    // minima map to the global minimum, maxima to the global maximum
+    val bySrc = rows.groupBy(_._2)
+    bySrc.keys.foreach { s =>
+      val ids = bySrc(s).map(_._1).toSet
+      val vals = got.filter(kv => ids(kv._1)).values
+      assert(vals.min === sortedAll.head, s"$s min")
+      assert(vals.max === sortedAll.last, s"$s max")
+    }
+  }
+}

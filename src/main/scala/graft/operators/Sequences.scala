@@ -19,6 +19,78 @@ import org.apache.spark.sql.functions._
   */
 object Sequences {
 
+  /** A funnel-relevant event: user, event-time, 0-based step index. */
+  final case class StepEvent(u: Long, t: Long, i: Int)
+
+  /** Per-user funnel progress: furthest step reached (0-based count) and
+    * the event-time of the last matched step. */
+  final case class FunnelState(reached: Int, last: Long)
+
+  val initialFunnelState: FunnelState = FunnelState(0, Long.MinValue)
+
+  /** The greedy funnel fold as plain Scala — the single kernel shared by
+    * the batch column fold (whose spec differentials against this) and the
+    * incremental streaming operator below. Events are sorted by (t, i)
+    * before folding, so within-batch arrival order never matters. */
+  def funnelAdvance(
+      nSteps: Int, st: FunnelState, evs: Seq[StepEvent]): FunnelState =
+    evs.sortBy(e => (e.t, e.i)).foldLeft(st) { (acc, e) =>
+      if (acc.reached < nSteps && e.i == acc.reached && e.t > acc.last)
+        FunnelState(acc.reached + 1, e.t)
+      else acc
+    }
+
+  /** Incremental (streaming) funnel: per-user `FunnelState` maintained via
+    * `mapGroupsWithState` — the micro-batch form of [[funnel]]'s fold.
+    *
+    * Equivalence contract: the final per-user `reached` equals the batch
+    * fold whenever each user's event times are NONDECREASING ACROSS
+    * micro-batch boundaries (the per-key ordered-log delivery a
+    * key-partitioned Kafka topic provides); within a batch, order is
+    * irrelevant (sorted before folding). Under arbitrary cross-batch
+    * reordering no bounded state can reproduce the batch fold — a late
+    * earlier-timestamped step can retroactively change which later events
+    * matched. `StreamingFunnelSpec` proves the contract differentially.
+    *
+    * Output mode: Update; emitted `reached` is monotone per user, so the
+    * latest (or max) row per user is the current funnel position.
+    */
+  def funnelStateful(
+      events: org.apache.spark.sql.Dataset[StepEvent],
+      nSteps: Int): org.apache.spark.sql.Dataset[(Long, Int)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.groupByKey(_.u)
+      .mapGroupsWithState[FunnelState, (Long, Int)](
+        GroupStateTimeout.NoTimeout) {
+        (u: Long, evs: Iterator[StepEvent], state: GroupState[FunnelState]) =>
+          val st = funnelAdvance(nSteps,
+            state.getOption.getOrElse(initialFunnelState), evs.toSeq)
+          state.update(st)
+          (u, st.reached)
+      }
+  }
+
+  /** Project an event frame to typed [[StepEvent]]s for [[funnelStateful]]
+    * (same filtering and step indexing as the batch [[funnel]]). */
+  def stepEvents(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      timeCol: String = "ts"): org.apache.spark.sql.Dataset[StepEvent] = {
+    import events.sparkSession.implicits._
+    val idx = map(steps.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i))
+    }: _*)
+    events
+      .filter(col(typeCol).isin(steps.map(lit): _*) &&
+        col(timeCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).cast("long").as("u"),
+        col(timeCol).cast("long").as("t"), idx(col(typeCol)).as("i"))
+      .as[StepEvent]
+  }
+
   /** Funnel reach: for an ordered list of step names, count the users whose
     * event history contains the steps in order at strictly increasing
     * timestamps (the greedy earliest-match scan, equivalent to the classic

@@ -124,8 +124,56 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** `runMain graft.tools.ScaleCheck rank [nRows] [k]` — the global-rank
+    * probe: time [[graft.operators.Ranks.globalRowNumber]] (bucketed
+    * two-pass) against the naive `row_number() OVER (ORDER BY ...)`
+    * single-partition window at n and K×n rows, and record the max task
+    * duration of each — the naive plan's one-task sort is the scale
+    * ceiling the bucketed plan removes. Deterministic synthetic values
+    * (hash of the row id, heavy duplication via % to exercise tie
+    * handling across bucket boundaries). */
+  private def rankMain(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-rankcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.expressions.Window
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null)
+          maxTask.getAndUpdate(m => math.max(m, e.taskInfo.duration))
+    })
+    def probe(rows: Long, what: String)(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val df = spark.range(rows).select(col("id"),
+        pmod(hash(col("id")), lit(rows / 50 + 1)).cast("long").as("v"))
+      maxTask.set(0)
+      val t0 = System.nanoTime()
+      val cnt = f(df).agg(sum("rank")).collect()(0) // force full rank column
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[rank] $what n=$rows: $sec%.2f s, max task ${maxTask.get()} ms, checksum $cnt")
+    }
+    for (rows <- Seq(n, n * k)) {
+      // warmup codegen at the smaller size only
+      if (rows == n) probe(rows, "warmup")(df =>
+        graft.operators.Ranks.globalRowNumber(df, "v", "id", 64))
+      probe(rows, "bucketed")(df =>
+        graft.operators.Ranks.globalRowNumber(df, "v", "id", 64))
+      probe(rows, "naive-window")(df =>
+        df.withColumn("rank",
+          row_number().over(Window.orderBy(col("v"), col("id"))).cast("long")))
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
+    if (args.headOption.contains("rank")) return rankMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()

@@ -3757,6 +3757,120 @@ object Queries {
         .orderBy("doc_id")
   }
 
+  /** Release-pipeline capstone for the final round-4 tranche: model-based
+    * quality scores ([[operators.TextAnalysis.hashedLinearScore]]) →
+    * per-source top-60% keep → cross-source quantile-normalized score
+    * reporting ([[operators.Ranks.quantileNormalize]]) → leakage-safe
+    * cluster split of the kept corpus — one lazy DAG from raw documents to
+    * a per-(split, source) release report with calibrated mean quality.
+    * Every stage reuses an already-oracled recipe; the composition is
+    * value-oracled end-to-end (mean_norm is floor of one IEEE division of
+    * exact longs). */
+  val pipelineReleaseV1: Q = q("pipeline_release_v1", {
+    val dim = 1024
+    val bucket =
+      s"'qc:' || CAST(${operators.CrossHash.duckdbHash56("t")} % $dim AS VARCHAR)"
+    val b = operators.Sampling.duckdbHashBucket("cluster_id", "rel1", 10000)
+    s"""WITH RECURSIVE
+       |W AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM W),
+       |bkt AS (SELECT doc_id, $bucket AS bs FROM tok),
+       |wm AS (
+       |  SELECT doc_id,
+       |    CAST(round((CAST(${operators.CrossHash.duckdbHash56("bs")} AS DOUBLE)
+       |      / 36028797018963968.0 - 1.0) * 1000000.0) AS BIGINT) AS wm
+       |  FROM bkt),
+       |scs AS (
+       |  SELECT a.doc_id, d.source, a.sc FROM (
+       |    SELECT doc_id, CAST(sum(wm) AS BIGINT) AS sc FROM wm
+       |    GROUP BY doc_id) a JOIN documents d USING (doc_id)),
+       |kp AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (PARTITION BY source ORDER BY sc DESC, doc_id)
+       |        AS rn,
+       |      count(*) OVER (PARTITION BY source) AS n
+       |    FROM scs) t
+       |  WHERE rn <= ceil(0.6 * n)),
+       |g AS (
+       |  SELECT doc_id, source, sc,
+       |    row_number() OVER (PARTITION BY source ORDER BY sc, doc_id) AS rg,
+       |    count(*) OVER (PARTITION BY source) AS ng
+       |  FROM scs),
+       |st AS (
+       |  SELECT sc AS sv, row_number() OVER (ORDER BY sc, doc_id) - 1 AS idx
+       |  FROM scs),
+       |nnt AS (SELECT count(*) AS nnn FROM scs),
+       |nrm AS (
+       |  SELECT g.doc_id, g.source,
+       |    CAST(floor((CASE WHEN ng = 1 THEN 0.0
+       |                     ELSE (rg - 1) * 1.0 / (ng - 1) END)
+       |      * (nnn - 1)) AS BIGINT) AS tgt
+       |  FROM g CROSS JOIN nnt),
+       |nv AS (
+       |  SELECT nrm.doc_id, nrm.source, st.sv AS norm
+       |  FROM nrm JOIN st ON st.idx = nrm.tgt),
+       |sh AS (
+       |  SELECT d.doc_id, ${duckShingles(2)} AS s
+       |  FROM documents d JOIN kp USING (doc_id)
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM kp
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |cl AS (
+       |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |bk AS (SELECT doc_id, cluster_id, $b AS bucket FROM cl),
+       |sp AS (
+       |  SELECT doc_id, CASE WHEN bucket < 8000 THEN 'train'
+       |                      WHEN bucket < 9000 THEN 'val'
+       |                      ELSE 'test' END AS split
+       |  FROM bk)
+       |SELECT sp.split, nv.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(floor(CAST(sum(nv.norm) AS DOUBLE) / count(*)) AS BIGINT)
+       |    AS mean_norm
+       |FROM sp JOIN nv USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val scored = operators.TextAnalysis.hashedLinearScore(
+      docs, dim = 1024, salt = "qc")
+      .select(col("doc_id"), col("score_sum_micro").as("sc"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val kept = operators.Sampling.topFractionPerGroup(
+      scored.select("source", "doc_id", "sc"),
+      Seq("source"), "sc", "doc_id", frac = 0.6)
+      .select("doc_id")
+    val normed = operators.Ranks.quantileNormalize(
+      scored.select("doc_id", "source", "sc"), "source", "sc", "doc_id")
+      .select(col("doc_id"), col("source"), col("norm"))
+    val keptDocs = docs.join(kept, "doc_id")
+    val pairs = operators.Dedup.minhashLsh(keptDocs, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+    val clusters = operators.Dedup.duplicateClusters(
+      keptDocs.select(col("doc_id").cast("long").as("doc_id")), pairs,
+      idCol = "doc_id")
+      .select(col("doc_id"), col("cluster_id").cast("long").as("cluster_id"))
+    operators.Sampling.hashSplit(clusters, "cluster_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "rel1")
+      .join(normed, "doc_id")
+      .groupBy("split", "source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        floor(sum(col("norm")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_norm"))
+      .orderBy("split", "source")
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
@@ -3805,6 +3919,6 @@ object Queries {
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,
-    rollingActiveUsersGate, quantileNormalizeGate
+    rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1
   )
 }

@@ -3843,10 +3843,14 @@ object Queries {
        |FROM sp JOIN nv USING (doc_id)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin }) { (s, dir) =>
     val docs = t(s, dir, "documents")
+    // four consumers (top-frac keep, the normalizer's rank + boundary
+    // probe, the report join): persist so the token explode + hash
+    // scoring runs ONE corpus pass, not four
     val scored = operators.TextAnalysis.hashedLinearScore(
       docs, dim = 1024, salt = "qc")
       .select(col("doc_id"), col("score_sum_micro").as("sc"))
       .join(docs.select("doc_id", "source"), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = operators.Sampling.topFractionPerGroup(
       scored.select("source", "doc_id", "sc"),
       Seq("source"), "sc", "doc_id", frac = 0.6)

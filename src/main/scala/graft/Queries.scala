@@ -3875,6 +3875,39 @@ object Queries {
       .orderBy("split", "source")
   }
 
+  /** RFM quintile segmentation ([[operators.Sequences.rfmSegments]]): the
+    * Spark plan derives each quintile from the bucketed global rank via
+    * exact NTILE arithmetic; the oracle uses DuckDB's native
+    * `ntile(5) OVER (ORDER BY … DESC, user_id)` — the hash match proves
+    * the scalable reconstruction ≡ the window function. */
+  val rfmSegmentsGate: Q = q("rfm_segments",
+    """WITH pu AS (
+      |  SELECT user_id AS u,
+      |    max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+      |      AS recency_day,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monet
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id),
+      |sg AS (
+      |  SELECT u, recency_day, freq, monet,
+      |    CAST(ntile(5) OVER (ORDER BY recency_day DESC, u) AS BIGINT)
+      |      AS r_seg,
+      |    CAST(ntile(5) OVER (ORDER BY freq DESC, u) AS BIGINT) AS f_seg,
+      |    CAST(ntile(5) OVER (ORDER BY monet DESC, u) AS BIGINT) AS m_seg
+      |  FROM pu)
+      |SELECT u, CAST(recency_day AS BIGINT) AS recency_day, freq, monet,
+      |  r_seg, f_seg, m_seg,
+      |  CAST(r_seg AS VARCHAR) || CAST(f_seg AS VARCHAR)
+      |    || CAST(m_seg AS VARCHAR) AS segment
+      |FROM sg ORDER BY u""".stripMargin) { (s, dir) =>
+    operators.Sequences.rfmSegments(t(s, dir, "events"))
+      .select(col("u"), col("recency_day").cast("long").as("recency_day"),
+        col("freq"), col("monet"), col("r_seg"), col("f_seg"), col("m_seg"),
+        col("segment"))
+      .orderBy("u")
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
@@ -3923,6 +3956,7 @@ object Queries {
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,
-    rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1
+    rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1,
+    rfmSegmentsGate
   )
 }

@@ -63,6 +63,25 @@ object Ranks {
       .drop("__graft_bkt", "__off")
   }
 
+  /** SQL `ntile(k)` reconstructed from an exact global rank — the scalable
+    * replacement for `ntile(k) OVER (ORDER BY …)`, whose empty PARTITION BY
+    * serializes the corpus into one task. Exact NTILE semantics: with
+    * n = total rows, q = n div k, r = n mod k, the first r tiles hold q+1
+    * rows and the rest hold q — bit-identical to the window function, so a
+    * DuckDB `ntile` oracle matches value-for-value.
+    *
+    * Both division branches stay in integer arithmetic (`when` evaluates
+    * lazily, so the q = 0 case of n < k never divides by zero: every rank
+    * then satisfies the first branch). */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    require(k >= 1, "k must be >= 1")
+    val q = floor(n / k).cast("long")
+    val r = n % k
+    when(rank <= r * (q + 1),
+      floor((rank - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(r + floor((rank - r * (q + 1) - 1) / q).cast("long") + 1)
+  }
+
   /** Cross-source quantile normalization (distribution alignment, as in
     * microarray quantile normalization / score calibration): each row's
     * value is replaced by the GLOBAL value at the same quantile position

@@ -232,6 +232,52 @@ object Sequences {
       .orderBy("day")
   }
 
+  /** RFM segmentation (recency / frequency / monetary quintiles — the
+    * classic user-value taxonomy): one per-user aggregate, then each
+    * dimension's quintile via [[Ranks.globalRowNumber]] +
+    * [[Ranks.ntileFromRank]] — exact `ntile` semantics WITHOUT the
+    * one-task `ntile() OVER (ORDER BY …)` window, so the user dimension
+    * can be billions of rows. Descending dimensions rank on the negated
+    * metric; ties break on user id, so segments are engine-deterministic.
+    *
+    * @return (user, recency_day, freq, monet, r_seg, f_seg, m_seg,
+    *         segment "RFM" digit string), one row per user
+    */
+  def rfmSegments(
+      events: DataFrame,
+      userCol: String = "user_id",
+      timeCol: String = "ts",
+      valueCol: String = "value",
+      tiles: Int = 5): DataFrame = {
+    val d = 86400000000000L
+    val perUser = events
+      .filter(col(timeCol).isNotNull && col(userCol).isNotNull)
+      .groupBy(col(userCol).as("u"))
+      .agg(
+        max(expr(s"(CAST($timeCol AS BIGINT) div $d) - " +
+          s"(CASE WHEN CAST($timeCol AS BIGINT) % $d < 0 THEN 1 ELSE 0 END)"))
+          .as("recency_day"),
+        count(lit(1)).cast("long").as("freq"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("monet"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = perUser.agg(count(lit(1)).as("__n"))
+    def seg(metric: Column, out: String)(df: DataFrame): DataFrame = {
+      val ranked = Ranks.globalRowNumber(
+        df.withColumn("__neg", -metric), "__neg", "u", outCol = "__rk")
+      ranked.crossJoin(broadcast(n))
+        .withColumn(out, Ranks.ntileFromRank(col("__rk"), col("__n"), tiles))
+        .drop("__neg", "__rk", "__n")
+    }
+    val segged = seg(col("recency_day"), "r_seg")(
+      seg(col("freq"), "f_seg")(
+        seg(col("monet"), "m_seg")(perUser)))
+    segged
+      .withColumn("segment",
+        concat(col("r_seg").cast("string"), col("f_seg").cast("string"),
+          col("m_seg").cast("string")))
+      .orderBy("u")
+  }
+
   /** First-order transition matrix: counts and row-normalized probabilities
     * of `event_type -> next event_type` per user, ordered by (ts, id) with
     * the id as a deterministic tie-break. Probability is emitted as

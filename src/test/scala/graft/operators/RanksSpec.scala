@@ -43,6 +43,27 @@ class RanksSpec extends SparkSpec {
     assert(plan.contains("__graft_bkt"), s"bucket column missing:\n$plan")
   }
 
+  test("ntileFromRank == Spark's ntile window for every (n, k) shape") {
+    val rnd = new Random(37)
+    for (trial <- 0 until 12) {
+      val n = 1 + rnd.nextInt(40) // incl. n < k shapes
+      val k = 1 + rnd.nextInt(9)
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(10).toLong))
+      val df = rows.toDF("id", "v")
+      val expected = df.withColumn("t",
+        ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val ranked = Ranks.globalRowNumber(df, "v", "id", 4, outCol = "rk")
+      val total = df.agg(count(lit(1)).as("n"))
+      val got = ranked.crossJoin(broadcast(total))
+        .select(col("id"),
+          Ranks.ntileFromRank(col("rk"), col("n"), k).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial n=$n k=$k")
+    }
+  }
+
   test("quantileNormalize maps each group onto the global distribution") {
     val rnd = new Random(41)
     // three sources with very different scales

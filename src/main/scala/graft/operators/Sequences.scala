@@ -261,16 +261,20 @@ object Sequences {
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("monet"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = perUser.agg(count(lit(1)).as("__n"))
-    def seg(metric: Column, out: String)(df: DataFrame): DataFrame = {
-      val ranked = Ranks.globalRowNumber(
-        df.withColumn("__neg", -metric), "__neg", "u", outCol = "__rk")
-      ranked.crossJoin(broadcast(n))
-        .withColumn(out, Ranks.ntileFromRank(col("__rk"), col("__n"), tiles))
-        .drop("__neg", "__rk", "__n")
-    }
-    val segged = seg(col("recency_day"), "r_seg")(
-      seg(col("freq"), "f_seg")(
-        seg(col("monet"), "m_seg")(perUser)))
+    // each dimension ranks the PERSISTED per-user frame directly and the
+    // three (u, seg) columns join back on u — nesting the rank calls
+    // instead would make each boundary probe recompute the prior stages
+    def seg(metric: Column, out: String): DataFrame =
+      Ranks.globalRowNumber(
+        perUser.select(col("u"), (-metric).as("__neg")), "__neg", "u",
+        outCol = "__rk")
+        .crossJoin(broadcast(n))
+        .select(col("u"),
+          Ranks.ntileFromRank(col("__rk"), col("__n"), tiles).as(out))
+    val segged = Seq(
+      seg(col("recency_day"), "r_seg"),
+      seg(col("freq"), "f_seg"),
+      seg(col("monet"), "m_seg")).foldLeft(perUser)(_.join(_, "u"))
     segged
       .withColumn("segment",
         concat(col("r_seg").cast("string"), col("f_seg").cast("string"),

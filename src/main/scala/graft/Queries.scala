@@ -3908,6 +3908,42 @@ object Queries {
       .orderBy("u")
   }
 
+  /** Gaps-and-islands sessionization ([[operators.Sequences.sessionize]],
+    * 30-minute gap): lag/flag/cumsum with the unique event id as the
+    * ordering tie-break; the oracle replays the identical window chain on
+    * raw epoch values (ts arithmetic in nanos on the Spark side, micros in
+    * DuckDB — the gap constant is scaled accordingly, comparisons are
+    * order-isomorphic). */
+  val sessionizeGate: Q = q("sessionize_islands",
+    """WITH e AS (
+      |  SELECT user_id AS u, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |l AS (
+      |  SELECT u, t, event_id,
+      |    lag(t) OVER (PARTITION BY u ORDER BY t, event_id) AS prev
+      |  FROM e),
+      |f AS (
+      |  SELECT u, t,
+      |    CASE WHEN prev IS NULL OR t - prev > 1800000000 THEN 1
+      |         ELSE 0 END AS nw,
+      |    event_id
+      |  FROM l),
+      |s AS (
+      |  SELECT u, t,
+      |    CAST(sum(nw) OVER (PARTITION BY u ORDER BY t, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM f)
+      |SELECT u, session_id,
+      |  CAST(min(t) * 1000 AS BIGINT) AS session_start,
+      |  CAST(max(t) * 1000 AS BIGINT) AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY u, session_id
+      |ORDER BY u, session_id""".stripMargin) { (s, dir) =>
+    operators.Sequences.sessionize(t(s, dir, "events"),
+      gapNanos = 1800L * 1000000000L)
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
@@ -3957,6 +3993,6 @@ object Queries {
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,
     rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1,
-    rfmSegmentsGate
+    rfmSegmentsGate, sessionizeGate
   )
 }

@@ -199,6 +199,44 @@ object Sequences {
       .orderBy("cohort_day", "offset_week")
   }
 
+  /** Gaps-and-islands sessionization: the windowed formulation of session
+    * assignment — lag() per user flags a gap > `gapNanos`, the running sum
+    * of flags numbers the sessions, one aggregate per (user, session).
+    * This is the composable dual of Spark's `session_window` aggregate
+    * (same per-user partitioning, but the session ID is a first-class
+    * column usable by downstream joins, not a window struct).
+    *
+    * Two shuffles, both on the user key (the lag window and the final
+    * aggregate are co-partitioned — Catalyst reuses the exchange).
+    * Deterministic: ordering ties break on the unique `idCol`.
+    *
+    * @return (user, session_id 1-based per user, start, end, n_events)
+    */
+  def sessionize(
+      events: DataFrame,
+      gapNanos: Long,
+      userCol: String = "user_id",
+      timeCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(gapNanos > 0, "gap must be positive")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(timeCol), col(idCol))
+    events
+      .filter(col(timeCol).isNotNull && col(userCol).isNotNull)
+      .withColumn("__prev", lag(col(timeCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col(timeCol) - col("__prev") > gapNanos, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol).as("u"), col("session_id"))
+      .agg(min(col(timeCol)).as("session_start"),
+        max(col(timeCol)).as("session_end"),
+        count(lit(1)).cast("long").as("n_events"))
+      .orderBy("u", "session_id")
+  }
+
   /** Rolling 7-day active users (sliding-window COUNT DISTINCT — the
     * aggregate classic engines get wrong or quadratic): each distinct
     * (user, day) membership is expanded row-locally to the ≤`windowDays`

@@ -139,6 +139,50 @@ class SequencesSpec extends SparkSpec {
     }
   }
 
+  test("sessionize: crafted islands with gap boundaries") {
+    val g = 100L
+    val df = Seq(
+      // u1: gap of exactly g (0->100) does NOT split (strict >); the
+      // 101-gap to 201 does; 201->301 is exactly g again — same session
+      (1L, 1L, 0L), (1L, 2L, 100L), (1L, 3L, 201L), (1L, 4L, 301L),
+      // u2: single event
+      (2L, 5L, 50L)
+    ).toDF("user_id", "event_id", "ts")
+    val out = Sequences.sessionize(df, g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out === Seq(
+      (1L, 1L, 0L, 100L, 2L),
+      (1L, 2L, 201L, 301L, 2L),
+      (2L, 1L, 50L, 50L, 1L)))
+  }
+
+  test("sessionize == Spark session_window on random logs") {
+    val rnd = new Random(43)
+    for (trial <- 0 until 5) {
+      val gapSec = 1 + rnd.nextInt(5)
+      val evs = (0 until 300).map { k =>
+        (rnd.nextInt(10).toLong, k.toLong,
+          rnd.nextInt(120).toLong * 1000000000L)
+      }
+      val df = evs.toDF("user_id", "event_id", "ts")
+      val islands = Sequences.sessionize(df, gapSec * 1000000000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val sw = df
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"),
+          session_window(col("t"), s"$gapSec seconds").as("w"))
+        .agg(min("ts").as("s"), max("ts").as("e"),
+          count(lit(1)).cast("long").as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(islands === sw, s"trial $trial gap=${gapSec}s")
+    }
+  }
+
   test("transition matrix: counts and floor-micro probabilities") {
     val df = Seq(
       (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"),

@@ -3944,6 +3944,54 @@ object Queries {
       gapNanos = 1800L * 1000000000L)
   }
 
+  /** Session-scoped funnel: sessions (30-min islands over ALL activity)
+    * that contain view → click → purchase in order — the composition of
+    * [[operators.Sequences.eventSessions]] and [[operators.Sequences
+    * .funnel]] (the funnel's entity key becomes user:session). The oracle
+    * replays islands then min-chains WITHIN each (user, session). */
+  val sessionFunnel: Q = q("session_funnel",
+    """WITH e AS (
+      |  SELECT user_id AS u, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |l AS (
+      |  SELECT u, event_id, event_type, t,
+      |    lag(t) OVER (PARTITION BY u ORDER BY t, event_id) AS prev
+      |  FROM e),
+      |s AS (
+      |  SELECT u, event_type, t,
+      |    CAST(sum(CASE WHEN prev IS NULL OR t - prev > 1800000000
+      |                  THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY u ORDER BY t, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM l),
+      |s1 AS (
+      |  SELECT u, sid, min(t) AS t1 FROM s WHERE event_type = 'view'
+      |  GROUP BY u, sid),
+      |s2 AS (
+      |  SELECT s.u, s.sid, min(s.t) AS t2 FROM s
+      |  JOIN s1 ON s.u = s1.u AND s.sid = s1.sid AND s.t > s1.t1
+      |  WHERE s.event_type = 'click' GROUP BY s.u, s.sid),
+      |s3 AS (
+      |  SELECT s.u, s.sid, min(s.t) AS t3 FROM s
+      |  JOIN s2 ON s.u = s2.u AND s.sid = s2.sid AND s.t > s2.t2
+      |  WHERE s.event_type = 'purchase' GROUP BY s.u, s.sid)
+      |SELECT step, step_name, sessions FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+      |    CAST(count(*) AS BIGINT) AS sessions FROM s1
+      |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3) f
+      |ORDER BY step""".stripMargin) { (s, dir) =>
+    val ev = operators.Sequences.eventSessions(t(s, dir, "events"),
+      gapNanos = 1800L * 1000000000L)
+    val keyed = ev.select(
+      concat_ws(":", col("user_id"), col("session_id")).as("sk"),
+      col("ts"), col("event_type"))
+    operators.Sequences.funnel(keyed, Seq("view", "click", "purchase"),
+      userCol = "sk", typeCol = "event_type", timeCol = "ts")
+      .withColumnRenamed("users", "sessions")
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
@@ -3993,6 +4041,6 @@ object Queries {
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,
     rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1,
-    rfmSegmentsGate, sessionizeGate
+    rfmSegmentsGate, sessionizeGate, sessionFunnel
   )
 }

@@ -217,6 +217,23 @@ object Sequences {
       gapNanos: Long,
       userCol: String = "user_id",
       timeCol: String = "ts",
+      idCol: String = "event_id"): DataFrame =
+    eventSessions(events, gapNanos, userCol, timeCol, idCol)
+      .groupBy(col(userCol).as("u"), col("session_id"))
+      .agg(min(col(timeCol)).as("session_start"),
+        max(col(timeCol)).as("session_end"),
+        count(lit(1)).cast("long").as("n_events"))
+      .orderBy("u", "session_id")
+
+  /** The per-event half of [[sessionize]]: every surviving event row plus
+    * its 1-based `session_id` — the join-ready form session-scoped
+    * analytics (e.g. [[Queries.sessionFunnel the session funnel gate]])
+    * build on. */
+  def eventSessions(
+      events: DataFrame,
+      gapNanos: Long,
+      userCol: String = "user_id",
+      timeCol: String = "ts",
       idCol: String = "event_id"): DataFrame = {
     require(gapNanos > 0, "gap must be positive")
     val w = Window.partitionBy(col(userCol))
@@ -230,11 +247,7 @@ object Sequences {
       .withColumn("session_id",
         sum(col("__new")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(userCol).as("u"), col("session_id"))
-      .agg(min(col(timeCol)).as("session_start"),
-        max(col(timeCol)).as("session_end"),
-        count(lit(1)).cast("long").as("n_events"))
-      .orderBy("u", "session_id")
+      .drop("__prev", "__new")
   }
 
   /** Rolling 7-day active users (sliding-window COUNT DISTINCT — the

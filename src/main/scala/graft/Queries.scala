@@ -3992,6 +3992,53 @@ object Queries {
       .withColumnRenamed("users", "sessions")
   }
 
+  /** Funnel time-to-convert: for users completing view → click → purchase
+    * (min-timestamp chaining, the oracle-equivalent formulation of
+    * [[operators.Sequences.funnel]]), the first-view → first-qualifying-
+    * purchase duration in nanos — count, floor-mean, min, max. All longs;
+    * the mean is integer division of positive longs (identical truncation
+    * in both engines). Plan shape: three filtered aggregates chained by
+    * co-partitioned equi-joins on the user key. */
+  val funnelDurations: Q = q("funnel_durations",
+    """WITH e AS (
+      |  SELECT user_id AS u, event_type,
+      |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS BIGINT) AS t
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE event_type = 'view'
+      |       GROUP BY u),
+      |s2 AS (
+      |  SELECT e.u, min(e.t) AS t2, min(s1.t1) AS t1 FROM e
+      |  JOIN s1 ON e.u = s1.u AND e.t > s1.t1
+      |  WHERE e.event_type = 'click' GROUP BY e.u),
+      |s3 AS (
+      |  SELECT e.u, min(e.t) AS t3, min(s2.t1) AS t1 FROM e
+      |  JOIN s2 ON e.u = s2.u AND e.t > s2.t2
+      |  WHERE e.event_type = 'purchase' GROUP BY e.u),
+      |d AS (SELECT t3 - t1 AS dur FROM s3)
+      |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+      |  CAST(sum(dur) // count(*) AS BIGINT) AS mean_nanos,
+      |  CAST(min(dur) AS BIGINT) AS min_nanos,
+      |  CAST(max(dur) AS BIGINT) AS max_nanos
+      |FROM d""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id").as("u"), col("event_type"),
+        col("ts").cast("long").as("t"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("u").agg(min("t").as("t1"))
+    val s2 = e.filter(col("event_type") === "click").as("e")
+      .join(s1, Seq("u")).filter(col("t") > col("t1"))
+      .groupBy("u").agg(min("t").as("t2"), min("t1").as("t1"))
+    val s3 = e.filter(col("event_type") === "purchase").as("e")
+      .join(s2, Seq("u")).filter(col("t") > col("t2"))
+      .groupBy("u").agg(min("t").as("t3"), min("t1").as("t1"))
+    s3.select((col("t3") - col("t1")).as("dur"))
+      .agg(count(lit(1)).cast("long").as("n_converted"),
+        expr("sum(dur) div count(*)").cast("long").as("mean_nanos"),
+        min("dur").cast("long").as("min_nanos"),
+        max("dur").cast("long").as("max_nanos"))
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
@@ -4041,6 +4088,6 @@ object Queries {
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,
     rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1,
-    rfmSegmentsGate, sessionizeGate, sessionFunnel
+    rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations
   )
 }

@@ -3499,7 +3499,8 @@ object Queries {
       |  SELECT event_type AS cur,
       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |      AS nxt
-      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |    AND user_id IS NOT NULL),
       |c AS (
       |  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt FROM p
       |  WHERE nxt IS NOT NULL GROUP BY cur, nxt)

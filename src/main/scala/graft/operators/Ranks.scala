@@ -41,26 +41,33 @@ object Ranks {
     val bounds =
       if (buckets == 1) Array.empty[Double]
       else df.stat.approxQuantile(valueCol, probes, 0.01).distinct.sorted
+    // NULL values sort FIRST under Spark's ascending order (the semantics
+    // of the row_number() oracle this must equal) — a bare `v <= bound`
+    // chain would fall through to the LAST bucket instead, inverting their
+    // ranks; pin them to bucket 0, where the in-bucket nulls-first window
+    // restores the total order
     val bucketCol = bounds.zipWithIndex.foldRight(lit(bounds.length)) {
       case ((b, i), els) => when(v <= lit(b), lit(i)).otherwise(els)
     }
-    val bucketed = df.withColumn("__graft_bkt", bucketCol)
+    val bucketed = df.withColumn("__graft_bkt",
+      when(v.isNull, lit(0)).otherwise(bucketCol))
     val inBucket = row_number().over(
       Window.partitionBy(col("__graft_bkt"))
         .orderBy(col(valueCol), col(tieCol)))
     // exact per-bucket counts -> exclusive running offsets (≤buckets rows;
     // the single-partition window here is over a frame bounded by the
     // bucket count, not the corpus)
-    val offsets = bucketed.groupBy(col("__graft_bkt")).agg(count(lit(1)).as("__n"))
-      .withColumn("__off",
-        coalesce(sum(col("__n")).over(
+    val offsets = bucketed.groupBy(col("__graft_bkt"))
+      .agg(count(lit(1)).as("__graft_n"))
+      .withColumn("__graft_off",
+        coalesce(sum(col("__graft_n")).over(
           Window.orderBy(col("__graft_bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__graft_bkt"), col("__off"))
+      .select(col("__graft_bkt"), col("__graft_off"))
     bucketed
       .join(broadcast(offsets), "__graft_bkt")
-      .withColumn(outCol, (col("__off") + inBucket).cast("long"))
-      .drop("__graft_bkt", "__off")
+      .withColumn(outCol, (col("__graft_off") + inBucket).cast("long"))
+      .drop("__graft_bkt", "__graft_off")
   }
 
   /** SQL `ntile(k)` reconstructed from an exact global rank — the scalable
@@ -70,16 +77,18 @@ object Ranks {
     * rows and the rest hold q — bit-identical to the window function, so a
     * DuckDB `ntile` oracle matches value-for-value.
     *
-    * Both division branches stay in integer arithmetic (`when` evaluates
-    * lazily, so the q = 0 case of n < k never divides by zero: every rank
-    * then satisfies the first branch). */
+    * Divisions run in DECIMAL (exact at any long magnitude — a double
+    * quotient would round above 2^52 and misplace a tile boundary); `when`
+    * evaluates lazily, so the q = 0 case of n < k never divides by zero:
+    * every rank then satisfies the first branch. */
   def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
     require(k >= 1, "k must be >= 1")
-    val q = floor(n / k).cast("long")
+    def floorDiv(a: Column, b: Column): Column =
+      floor(a.cast("decimal(38,0)") / b.cast("decimal(38,0)")).cast("long")
+    val q = floorDiv(n, lit(k))
     val r = n % k
-    when(rank <= r * (q + 1),
-      floor((rank - 1) / (q + 1)).cast("long") + 1)
-      .otherwise(r + floor((rank - r * (q + 1) - 1) / q).cast("long") + 1)
+    when(rank <= r * (q + 1), floorDiv(rank - 1, q + 1) + 1)
+      .otherwise(r + floorDiv(rank - r * (q + 1) - 1, q) + 1)
   }
 
   /** Cross-source quantile normalization (distribution alignment, as in
@@ -103,24 +112,31 @@ object Ranks {
       valueCol: String,
       idCol: String,
       buckets: Int = 64): DataFrame = {
+    // temp columns use the __graft_ prefix; the output lands in `norm`
+    // (callers with a pre-existing `norm` column must rename it first —
+    // same contract as every fixed-output-name operator in this package)
     val gw = Window.partitionBy(col(groupCol))
       .orderBy(col(valueCol), col(idCol))
     val grouped = df
-      .withColumn("__rg", row_number().over(gw))
-      .withColumn("__ng", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__graft_rg", row_number().over(gw))
+      .withColumn("__graft_ng",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
     val globalIdx = globalRowNumber(
       df.select(col(valueCol), col(idCol)), valueCol, idCol,
-      buckets, outCol = "__grank")
-      .select((col("__grank") - 1).as("__idx"), col(valueCol).as("__norm"))
-    val total = df.agg(count(lit(1)).as("__nn"))
+      buckets, outCol = "__graft_rank")
+      .select((col("__graft_rank") - 1).as("__graft_idx"),
+        col(valueCol).as("__graft_norm"))
+    val total = df.agg(count(lit(1)).as("__graft_nn"))
     grouped
       .crossJoin(broadcast(total))
-      .withColumn("__tgt",
-        floor((when(col("__ng") === 1, lit(0.0))
-          .otherwise((col("__rg") - 1) * lit(1.0) / (col("__ng") - 1)))
-          * (col("__nn") - 1)).cast("long"))
-      .join(globalIdx, col("__tgt") === col("__idx"))
-      .drop("__rg", "__ng", "__nn", "__tgt", "__idx")
-      .withColumnRenamed("__norm", "norm")
+      .withColumn("__graft_tgt",
+        floor((when(col("__graft_ng") === 1, lit(0.0))
+          .otherwise((col("__graft_rg") - 1) * lit(1.0)
+            / (col("__graft_ng") - 1)))
+          * (col("__graft_nn") - 1)).cast("long"))
+      .join(globalIdx, col("__graft_tgt") === col("__graft_idx"))
+      .drop("__graft_rg", "__graft_ng", "__graft_nn", "__graft_tgt",
+        "__graft_idx")
+      .withColumnRenamed("__graft_norm", "norm")
   }
 }

@@ -71,8 +71,35 @@ object Sequences {
       }
   }
 
+  /** The (user, time, step-index) projection shared by [[funnel]] and
+    * [[stepEvents]]: one place owns the step→index map and the relevance
+    * filter, so the batch and streaming paths cannot drift on which events
+    * they accept. Rejects duplicate step names up front (a repeated step
+    * would be ambiguous in the map and only fail later with Spark's
+    * opaque duplicate-map-key error). */
+  private def stepProjection(
+      events: DataFrame, steps: Seq[String],
+      userCol: String, typeCol: String, timeCol: String): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps,
+      "funnel steps must be distinct (a repeated step is ambiguous in the " +
+        "type -> index map; model re-entry as a separate event type)")
+    val idx = map(steps.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i))
+    }: _*)
+    events
+      .filter(col(typeCol).isin(steps.map(lit): _*) &&
+        col(timeCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"), col(timeCol).cast("long").as("t"),
+        idx(col(typeCol)).as("i"))
+  }
+
   /** Project an event frame to typed [[StepEvent]]s for [[funnelStateful]]
-    * (same filtering and step indexing as the batch [[funnel]]). */
+    * — the same projection as the batch [[funnel]], narrowed to the typed
+    * encoding the state store needs. The stateful path requires NUMERIC
+    * user ids and times (the case-class fields are primitive longs); rows
+    * whose values don't cast are dropped here rather than crashing the
+    * encoder mid-stream. */
   def stepEvents(
       events: DataFrame,
       steps: Seq[String],
@@ -80,14 +107,9 @@ object Sequences {
       typeCol: String = "event_type",
       timeCol: String = "ts"): org.apache.spark.sql.Dataset[StepEvent] = {
     import events.sparkSession.implicits._
-    val idx = map(steps.zipWithIndex.flatMap { case (s, i) =>
-      Seq(lit(s), lit(i))
-    }: _*)
-    events
-      .filter(col(typeCol).isin(steps.map(lit): _*) &&
-        col(timeCol).isNotNull && col(userCol).isNotNull)
-      .select(col(userCol).cast("long").as("u"),
-        col(timeCol).cast("long").as("t"), idx(col(typeCol)).as("i"))
+    stepProjection(events, steps, userCol, typeCol, timeCol)
+      .select(col("u").cast("long").as("u"), col("t"), col("i"))
+      .filter(col("u").isNotNull && col("t").isNotNull)
       .as[StepEvent]
   }
 
@@ -111,20 +133,8 @@ object Sequences {
       userCol: String = "user_id",
       typeCol: String = "event_type",
       timeCol: String = "ts"): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    require(steps.distinct == steps,
-      "funnel steps must be distinct (a repeated step is ambiguous in the " +
-        "type -> index map; model re-entry as a separate event type)")
-    val idx = map(steps.zipWithIndex.flatMap { case (s, i) =>
-      Seq(lit(s), lit(i))
-    }: _*)
-
     // (user, ts, step index) for funnel-relevant events only
-    val relevant = events
-      .filter(col(typeCol).isin(steps.map(lit): _*) &&
-        col(timeCol).isNotNull && col(userCol).isNotNull)
-      .select(col(userCol).as("u"), col(timeCol).cast("long").as("t"),
-        idx(col(typeCol)).as("i"))
+    val relevant = stepProjection(events, steps, userCol, typeCol, timeCol)
 
     // greedy fold over the user's events sorted by (t, i): advance to step
     // acc.reached when this event IS that step and is strictly later than
@@ -160,21 +170,32 @@ object Sequences {
       .orderBy("step")
   }
 
-  /** (user, epoch-day) projection shared by the day-granular operators:
-    * integer `div` (epoch-nano values exceed 2^53, double division would
-    * misplace day boundaries) corrected to FLOOR division — `div`
-    * truncates toward zero, which would fold the last pre-epoch day into
-    * day 0 and diverge from a calendar CAST-to-DATE (which floors). */
-  private def userDays(
-      events: DataFrame, userCol: String, timeCol: String): DataFrame = {
+  /** Epoch-nano → epoch-day with FLOOR semantics (a calendar CAST-to-DATE):
+    * integer `div`/double division both fail here — `div` truncates toward
+    * zero (folding the last pre-epoch day into day 0) and epoch-nano
+    * magnitudes exceed 2^53, where a double quotient rounds. DECIMAL
+    * division is exact at any long magnitude and `floor` gives the
+    * calendar behavior. Pure Column API — no SQL-string splicing, so
+    * backtick-needing or nested column names resolve like everywhere
+    * else. */
+  private def epochDay(time: Column): Column = {
+    // pmod is always non-negative, so subtracting it floors t to the day
+    // boundary in exact LONG arithmetic; the remaining division is of an
+    // exact multiple, whose integer-valued DECIMAL quotient is exact (a
+    // raw decimal quotient of t itself would HALF_UP-round at scale 6 and
+    // misplace timestamps within 43 µs of midnight; a double quotient
+    // rounds above 2^53)
     val d = 86400000000000L
+    val t = time.cast("long")
+    ((t - pmod(t, lit(d))).cast("decimal(38,0)") / lit(d)).cast("long")
+  }
+
+  /** (user, epoch-day) projection shared by the day-granular operators. */
+  private def userDays(
+      events: DataFrame, userCol: String, timeCol: String): DataFrame =
     events
       .filter(col(timeCol).isNotNull && col(userCol).isNotNull)
-      .select(col(userCol).as("u"),
-        expr(s"(CAST($timeCol AS BIGINT) div $d) - " +
-          s"(CASE WHEN CAST($timeCol AS BIGINT) % $d < 0 THEN 1 ELSE 0 END)")
-          .as("day"))
-  }
+      .select(col(userCol).as("u"), epochDay(col(timeCol)).as("day"))
 
   /** Weekly cohort retention: users cohorted by their first active day,
     * counted once per (cohort day, week offset) they were active in.
@@ -299,38 +320,48 @@ object Sequences {
       userCol: String = "user_id",
       timeCol: String = "ts",
       valueCol: String = "value",
-      tiles: Int = 5): DataFrame = {
-    val d = 86400000000000L
+      tiles: Int = 5): DataFrame =
+    rfmSegmentsWithCleanup(events, userCol, timeCol, valueCol, tiles)._1
+
+  /** [[rfmSegments]] plus the unpersist handle for the per-user cache it
+    * pins (the [[Dedup.incrementalNearDups]] convention): call the handle
+    * after the result is consumed, or the cached frame lives for the
+    * session. */
+  def rfmSegmentsWithCleanup(
+      events: DataFrame,
+      userCol: String = "user_id",
+      timeCol: String = "ts",
+      valueCol: String = "value",
+      tiles: Int = 5): (DataFrame, () => Unit) = {
     val perUser = events
       .filter(col(timeCol).isNotNull && col(userCol).isNotNull)
       .groupBy(col(userCol).as("u"))
       .agg(
-        max(expr(s"(CAST($timeCol AS BIGINT) div $d) - " +
-          s"(CASE WHEN CAST($timeCol AS BIGINT) % $d < 0 THEN 1 ELSE 0 END)"))
-          .as("recency_day"),
+        max(epochDay(col(timeCol))).as("recency_day"),
         count(lit(1)).cast("long").as("freq"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("monet"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = perUser.agg(count(lit(1)).as("__n"))
+    val n = perUser.agg(count(lit(1)).as("__graft_n"))
     // each dimension ranks the PERSISTED per-user frame directly and the
     // three (u, seg) columns join back on u — nesting the rank calls
     // instead would make each boundary probe recompute the prior stages
     def seg(metric: Column, out: String): DataFrame =
       Ranks.globalRowNumber(
         perUser.select(col("u"), (-metric).as("__neg")), "__neg", "u",
-        outCol = "__rk")
+        outCol = "__graft_rk")
         .crossJoin(broadcast(n))
         .select(col("u"),
-          Ranks.ntileFromRank(col("__rk"), col("__n"), tiles).as(out))
+          Ranks.ntileFromRank(col("__graft_rk"), col("__graft_n"), tiles).as(out))
     val segged = Seq(
       seg(col("recency_day"), "r_seg"),
       seg(col("freq"), "f_seg"),
       seg(col("monet"), "m_seg")).foldLeft(perUser)(_.join(_, "u"))
-    segged
+    val out = segged
       .withColumn("segment",
         concat(col("r_seg").cast("string"), col("f_seg").cast("string"),
           col("m_seg").cast("string")))
       .orderBy("u")
+    (out, () => { perUser.unpersist(); () })
   }
 
   /** First-order transition matrix: counts and row-normalized probabilities
@@ -352,7 +383,12 @@ object Sequences {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(timeCol), col(idCol))
     val pairs = events
-      .filter(col(typeCol).isNotNull && col(timeCol).isNotNull)
+      // null users must be excluded, not chained: they are unrelated
+      // anonymous events, and as one lag partition they would both
+      // fabricate transitions nobody made and form a corpus-sized window
+      // partition at scale
+      .filter(col(typeCol).isNotNull && col(timeCol).isNotNull &&
+        col(userCol).isNotNull)
       .select(col(userCol), col(typeCol).as("cur"),
         lead(col(typeCol), 1).over(w).as("nxt"))
       .filter(col("nxt").isNotNull)

@@ -221,7 +221,11 @@ class NullSafetySpec extends SparkSpec {
       (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"),
       (3L, null, 30L, "view"), // null user: excluded from funnel/cohort
       (4L, 2L, null, "view"), // null ts: excluded
-      (5L, 2L, 40L, null) // null type: excluded from funnel/transitions
+      (5L, 2L, 40L, null), // null type: excluded from funnel/transitions
+      // a SECOND null-user event that would pair with event 3 if null
+      // users were chained as one pseudo-user — transitions must not
+      // fabricate that view -> purchase edge
+      (6L, null, 35L, "purchase")
     ).toDF("event_id", "user_id", "ts", "event_type")
     val fun = Sequences.funnel(evs, Seq("view", "click"))
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq

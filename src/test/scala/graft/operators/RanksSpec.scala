@@ -43,6 +43,22 @@ class RanksSpec extends SparkSpec {
     assert(plan.contains("__graft_bkt"), s"bucket column missing:\n$plan")
   }
 
+  test("globalRowNumber ranks null values first, matching the window oracle") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, null), (2L, 5L), (3L, null), (4L, 1L), (5L, 3L))
+      .toDF("id", "v")
+    val expected = df.withColumn("rank",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "rank").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    for (buckets <- Seq(1, 4)) {
+      val got = Ranks.globalRowNumber(df, "v", "id", buckets)
+        .select("id", "rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"buckets=$buckets")
+    }
+  }
+
   test("ntileFromRank == Spark's ntile window for every (n, k) shape") {
     val rnd = new Random(37)
     for (trial <- 0 until 12) {

@@ -45,10 +45,6 @@ object Queries {
       fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, Some(oracle))
 
-  private def noOracle(name: String)(
-      fn: (SparkSession, String) => DataFrame): Q =
-    Q(name, fn, None)
-
   // ---------------------------------------------------------------------
   // §2.1/§2.2 scans, projection, filters, scalar expressions
   // ---------------------------------------------------------------------
@@ -319,29 +315,30 @@ object Queries {
       |      * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total
       |  FROM lineitem, part WHERE l_partkey = p_partkey) t""".stripMargin)
 
-  /** approx_count_distinct (§2.7): sketch internals differ between engines
-    * → no SQL hash oracle BY DESIGN; instead the gate SELF-CHECKS: it
-    * computes the exact distinct count in the same frame and fails the
-    * whole run if the sketch drifts beyond 5 standard errors (Spark's
-    * default rsd = 0.05 ⇒ |approx−exact|/exact ≤ 0.25), so this row can
-    * never silently rot (round-3 verdict item #3). */
-  val approxDistinct: Q = noOracle("approx_distinct") { (s, dir) =>
+  /** approx_count_distinct (§2.7): sketch internals differ between engines,
+    * so the HLL estimate itself can never hash-match a DuckDB oracle. The
+    * gate therefore emits only DETERMINISTIC columns — the exact distinct
+    * count plus a `within_5_sigma` boolean — while the approx value stays an
+    * internal comparison input. The self-check rides INSIDE the plan:
+    * assert_true evaluates when the driver materializes the frame, so the
+    * gate throws on sketch drift beyond 5 standard errors (Spark's default
+    * rsd = 0.05 ⇒ |approx−exact|/exact ≤ 0.25) without a second aggregation
+    * pass, and the surviving output is hash-stable: (exact, true). */
+  val approxDistinct: Q = q("approx_distinct",
+    """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+      |  TRUE AS within_5_sigma FROM orders""".stripMargin) { (s, dir) =>
     t(s, dir, "orders").agg(
       approx_count_distinct("o_custkey").cast("long").as("approx_custs"),
       countDistinct("o_custkey").cast("long").as("exact_custs"))
       .withColumn("rel_err",
         round(abs(col("approx_custs") - col("exact_custs"))
           .cast("double") / col("exact_custs"), 6))
-      // the self-check rides INSIDE the plan: assert_true evaluates when
-      // the driver materializes the frame, so the gate throws on sketch
-      // drift without running the aggregation a second time at plan-
-      // build (an eager head() here doubled the gate's bench cost and
-      // made the builder non-lazy)
       .withColumn("within_5_sigma",
         when(assert_true(col("rel_err") <= lit(0.25),
           concat(lit("approx_count_distinct drifted beyond 5 sigma: rel_err="),
             col("rel_err"))).isNull,
           col("rel_err") <= lit(0.25)))
+      .select("exact_custs", "within_5_sigma")
   }
 
   /** A6/ST2: change-stream read = latest row per primary key. Batch
@@ -3912,13 +3909,14 @@ object Queries {
   /** Gaps-and-islands sessionization ([[operators.Sequences.sessionize]],
     * 30-minute gap): lag/flag/cumsum with the unique event id as the
     * ordering tie-break; the oracle replays the identical window chain on
-    * raw epoch values (ts arithmetic in nanos on the Spark side, micros in
-    * DuckDB — the gap constant is scaled accordingly, comparisons are
-    * order-isomorphic). */
+    * raw epoch NANOS on both sides — DuckDB's `epoch_ns` is nano-exact for
+    * both physical `ts` forms (TIMESTAMP → micros·1000, TIMESTAMP_NS →
+    * full nanos), so sub-microsecond values can never flip the strict `>`
+    * gap comparison or the emitted bounds (round-4 advice item #1). */
   val sessionizeGate: Q = q("sessionize_islands",
     """WITH e AS (
       |  SELECT user_id AS u, event_id,
-      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |    epoch_ns(ts) AS t
       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
       |l AS (
       |  SELECT u, t, event_id,
@@ -3926,7 +3924,7 @@ object Queries {
       |  FROM e),
       |f AS (
       |  SELECT u, t,
-      |    CASE WHEN prev IS NULL OR t - prev > 1800000000 THEN 1
+      |    CASE WHEN prev IS NULL OR t - prev > 1800000000000 THEN 1
       |         ELSE 0 END AS nw,
       |    event_id
       |  FROM l),
@@ -3936,8 +3934,8 @@ object Queries {
       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM f)
       |SELECT u, session_id,
-      |  CAST(min(t) * 1000 AS BIGINT) AS session_start,
-      |  CAST(max(t) * 1000 AS BIGINT) AS session_end,
+      |  CAST(min(t) AS BIGINT) AS session_start,
+      |  CAST(max(t) AS BIGINT) AS session_end,
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM s GROUP BY u, session_id
       |ORDER BY u, session_id""".stripMargin) { (s, dir) =>
@@ -3953,7 +3951,7 @@ object Queries {
   val sessionFunnel: Q = q("session_funnel",
     """WITH e AS (
       |  SELECT user_id AS u, event_id, event_type,
-      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |    epoch_ns(ts) AS t
       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
       |l AS (
       |  SELECT u, event_id, event_type, t,
@@ -3961,7 +3959,7 @@ object Queries {
       |  FROM e),
       |s AS (
       |  SELECT u, event_type, t,
-      |    CAST(sum(CASE WHEN prev IS NULL OR t - prev > 1800000000
+      |    CAST(sum(CASE WHEN prev IS NULL OR t - prev > 1800000000000
       |                  THEN 1 ELSE 0 END)
       |      OVER (PARTITION BY u ORDER BY t, event_id
       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
@@ -4003,7 +4001,7 @@ object Queries {
   val funnelDurations: Q = q("funnel_durations",
     """WITH e AS (
       |  SELECT user_id AS u, event_type,
-      |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS BIGINT) AS t
+      |    CAST(epoch_ns(ts) AS BIGINT) AS t
       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
       |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE event_type = 'view'
       |       GROUP BY u),

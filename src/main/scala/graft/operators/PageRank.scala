@@ -35,7 +35,20 @@ object PageRank {
       nodes: DataFrame,
       iterations: Int = 3,
       damping: Double = 0.85,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4): DataFrame =
+    runWithCleanup(edges, nodes, iterations, damping, checkpointEvery)._1
+
+  /** [[run]] plus the unpersist handle for the vertex and transition frames
+    * it pins (the [[Sequences.rfmSegmentsWithCleanup]] convention): call
+    * the handle after the result is consumed — the returned rank frame
+    * still reads both cached frames lazily, so unpersisting earlier would
+    * silently recompute the edge normalization per downstream action. */
+  def runWithCleanup(
+      edges: DataFrame,
+      nodes: DataFrame,
+      iterations: Int = 3,
+      damping: Double = 0.85,
+      checkpointEvery: Int = 4): (DataFrame, () => Unit) = {
     require(iterations >= 0, "iterations must be >= 0")
     val spark = edges.sparkSession
     val nodeCol = nodes.columns.head
@@ -73,6 +86,6 @@ object PageRank {
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    (ranks, () => { v.unpersist(); p.unpersist(); () })
   }
 }

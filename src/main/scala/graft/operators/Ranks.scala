@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * cross-source quantile normalization built on top of it.
   *
   * The pattern is the standard two-pass range rank: (1) split the value
-  * domain into range buckets (boundaries from one `approxQuantile` probe —
+  * domain into range buckets (boundaries from one [[rangeProbe]] job —
   * approximation only affects bucket BALANCE, never rank correctness,
   * because every row with the same value lands in the same bucket);
   * (2) row_number within each bucket's partition-local window; (3) add the
@@ -20,33 +20,73 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** One-job boundary probe: approximate range-bucket boundaries for EVERY
+    * listed value column PLUS the exact total row count, from a single
+    * aggregation scan (`percentile_approx` sketches fold map-side; no
+    * driver-coordinated `approxQuantile` job per column, no separate
+    * `count` job). Callers ranking several dimensions of one frame
+    * ([[graft.operators.Sequences.rfmSegmentsWithCleanup]]: three) or
+    * needing N anyway ([[quantileNormalize]]) pay one scan total, then
+    * pass the bounds into [[globalRowNumber]]'s `bounds` parameter.
+    *
+    * Boundary precision only affects bucket balance, never correctness,
+    * so the default sketch accuracy is plenty at any scale. */
+  def rangeProbe(
+      df: DataFrame,
+      valueCols: Seq[String],
+      buckets: Int = 64,
+      accuracy: Int = 10000): (Map[String, Array[Double]], Long) = {
+    require(buckets >= 1, "buckets must be >= 1")
+    if (buckets == 1)
+      (valueCols.map(_ -> Array.empty[Double]).toMap, df.count())
+    else {
+      val probes = (1 until buckets).map(_.toDouble / buckets)
+      val aggs = valueCols.map { c =>
+        percentile_approx(col(c).cast("double"),
+          array(probes.map(lit): _*), lit(accuracy)).as(s"__graft_q_$c")
+      } :+ count(lit(1)).as("__graft_n")
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val bounds = valueCols.zipWithIndex.map { case (c, i) =>
+        // all-null column → null sketch → no boundaries (single bucket;
+        // the nulls-first pinning below keeps ranks correct regardless)
+        val arr =
+          if (row.isNullAt(i)) Array.empty[Double]
+          else row.getSeq[Double](i).toArray
+        c -> arr.distinct.sorted
+      }.toMap
+      (bounds, row.getLong(valueCols.size))
+    }
+  }
+
   /** Exact global 1-based row number ordered by (valueCol, tieCol) — the
     * tie column must be unique (an id) so the total order, and hence the
     * rank, is deterministic.
     *
-    * One driver-side `approxQuantile` probe (sampled scan) + one shuffle
-    * into range buckets + one tiny offset join. No single-partition
-    * exchange at any size.
+    * One [[rangeProbe]] boundary job (skipped when the caller supplies
+    * `bounds` from a shared probe) + one shuffle into range buckets + one
+    * tiny offset join. No single-partition exchange at any size.
     */
   def globalRowNumber(
       df: DataFrame,
       valueCol: String,
       tieCol: String,
       buckets: Int = 64,
-      outCol: String = "rank"): DataFrame = {
+      outCol: String = "rank",
+      bounds: Option[Array[Double]] = None): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
     val v = col(valueCol).cast("double")
-    // boundary probe: relative error 1% is plenty — balance only
-    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds =
-      if (buckets == 1) Array.empty[Double]
-      else df.stat.approxQuantile(valueCol, probes, 0.01).distinct.sorted
+    val resolved: Array[Double] = bounds match {
+      case Some(b) => b.distinct.sorted
+      case None =>
+        if (buckets == 1) Array.empty[Double]
+        else rangeProbe(df, Seq(valueCol), buckets)._1(valueCol)
+    }
     // NULL values sort FIRST under Spark's ascending order (the semantics
     // of the row_number() oracle this must equal) — a bare `v <= bound`
     // chain would fall through to the LAST bucket instead, inverting their
     // ranks; pin them to bucket 0, where the in-bucket nulls-first window
     // restores the total order
-    val bucketCol = bounds.zipWithIndex.foldRight(lit(bounds.length)) {
+    val bucketCol = resolved.zipWithIndex.foldRight(lit(resolved.length)) {
       case ((b, i), els) => when(v <= lit(b), lit(i)).otherwise(els)
     }
     val bucketed = df.withColumn("__graft_bkt",
@@ -104,7 +144,10 @@ object Ranks {
     * the SQL oracle, so the mapping is bit-deterministic.
     *
     * Shuffles: one per-group window, the bucketed global rank, and the
-    * 1:1 equi-join on the target index. Nothing single-partition.
+    * 1:1 equi-join on the target index. Nothing single-partition. The
+    * bucket boundaries and the exact N come from ONE [[rangeProbe]] job
+    * (previously a per-call `approxQuantile` job plus a separate count
+    * job — two extra scans, now one).
     */
   def quantileNormalize(
       df: DataFrame,
@@ -121,22 +164,20 @@ object Ranks {
       .withColumn("__graft_rg", row_number().over(gw))
       .withColumn("__graft_ng",
         count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val (bounds, nTotal) = rangeProbe(df, Seq(valueCol), buckets)
     val globalIdx = globalRowNumber(
       df.select(col(valueCol), col(idCol)), valueCol, idCol,
-      buckets, outCol = "__graft_rank")
+      buckets, outCol = "__graft_rank", bounds = Some(bounds(valueCol)))
       .select((col("__graft_rank") - 1).as("__graft_idx"),
         col(valueCol).as("__graft_norm"))
-    val total = df.agg(count(lit(1)).as("__graft_nn"))
     grouped
-      .crossJoin(broadcast(total))
       .withColumn("__graft_tgt",
         floor((when(col("__graft_ng") === 1, lit(0.0))
           .otherwise((col("__graft_rg") - 1) * lit(1.0)
             / (col("__graft_ng") - 1)))
-          * (col("__graft_nn") - 1)).cast("long"))
+          * lit(nTotal - 1)).cast("long"))
       .join(globalIdx, col("__graft_tgt") === col("__graft_idx"))
-      .drop("__graft_rg", "__graft_ng", "__graft_nn", "__graft_tgt",
-        "__graft_idx")
+      .drop("__graft_rg", "__graft_ng", "__graft_tgt", "__graft_idx")
       .withColumnRenamed("__graft_norm", "norm")
   }
 }

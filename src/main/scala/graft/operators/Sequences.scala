@@ -341,21 +341,34 @@ object Sequences {
         count(lit(1)).cast("long").as("freq"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("monet"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = perUser.agg(count(lit(1)).as("__graft_n"))
-    // each dimension ranks the PERSISTED per-user frame directly and the
-    // three (u, seg) columns join back on u — nesting the rank calls
-    // instead would make each boundary probe recompute the prior stages
-    def seg(metric: Column, out: String): DataFrame =
+    // the three negated ranking metrics, spelled once so the boundary
+    // probe and the per-dimension rank calls agree exactly. A user whose
+    // events all carry a null value has a null monet sum; ranking the raw
+    // column would crown them top tile in Spark (ascending nulls-first on
+    // the negated metric) while DuckDB's `ORDER BY monet DESC` defaults
+    // to NULLS LAST → tile divergence. Pin them to the LOWEST-spender
+    // tile on both engines with a -inf sentinel: negated it ranks after
+    // every real sum, matching the oracle's nulls-last placement (the
+    // emitted monet stays null).
+    val negMetrics = Seq(
+      "r_seg" -> -col("recency_day"),
+      "f_seg" -> -col("freq"),
+      "m_seg" -> -coalesce(col("monet"), lit(Double.NegativeInfinity)))
+    val negged = perUser.select(
+      col("u") +: negMetrics.map { case (o, m) => m.as(s"__neg_$o") }: _*)
+    // ONE probe job over the persisted per-user frame yields the bucket
+    // boundaries of all three dimensions AND the exact user count
+    // (previously: three per-call approxQuantile jobs plus a count job)
+    val (negBounds, nUsers) =
+      Ranks.rangeProbe(negged, negMetrics.map(o => s"__neg_${o._1}"))
+    def seg(out: String): DataFrame =
       Ranks.globalRowNumber(
-        perUser.select(col("u"), (-metric).as("__neg")), "__neg", "u",
-        outCol = "__graft_rk")
-        .crossJoin(broadcast(n))
+        negged.select(col("u"), col(s"__neg_$out")), s"__neg_$out", "u",
+        outCol = "__graft_rk", bounds = Some(negBounds(s"__neg_$out")))
         .select(col("u"),
-          Ranks.ntileFromRank(col("__graft_rk"), col("__graft_n"), tiles).as(out))
-    val segged = Seq(
-      seg(col("recency_day"), "r_seg"),
-      seg(col("freq"), "f_seg"),
-      seg(col("monet"), "m_seg")).foldLeft(perUser)(_.join(_, "u"))
+          Ranks.ntileFromRank(col("__graft_rk"), lit(nUsers), tiles).as(out))
+    val segged = Seq(seg("r_seg"), seg("f_seg"), seg("m_seg"))
+      .foldLeft(perUser)(_.join(_, "u"))
     val out = segged
       .withColumn("segment",
         concat(col("r_seg").cast("string"), col("f_seg").cast("string"),

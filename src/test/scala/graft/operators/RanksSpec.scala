@@ -39,8 +39,22 @@ class RanksSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     // the corpus window must be partitioned by the bucket; the only
     // unpartitioned window allowed is the ≤buckets-row offset cumsum
-    val windows = "Window ".r.findAllIn(plan).size
-    assert(plan.contains("__graft_bkt"), s"bucket column missing:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toList
+    assert(windowLines.nonEmpty, s"no Window nodes found:\n$plan")
+    // the offset cumsum (sum over the ≤buckets-row per-bucket counts) is
+    // the only window allowed without a partition spec; the corpus-sized
+    // row_number window must be partitioned by the bucket column
+    val (offsetWs, corpusWs) =
+      windowLines.partition(_.contains("sum(__graft_n"))
+    assert(corpusWs.nonEmpty, s"corpus row_number window missing:\n$plan")
+    corpusWs.foreach { l =>
+      // WindowExec prints `..., [<partitionSpec>], [<orderSpec>]`; the
+      // corpus-sized window's partition spec must be the bucket column
+      assert("\\], \\[__graft_bkt#\\d+\\], \\[".r.findFirstIn(l).isDefined,
+        s"corpus window not partitioned by __graft_bkt: $l")
+    }
+    assert(offsetWs.size <= 1,
+      s"more than one offset-cumsum window:\n${offsetWs.mkString("\n")}")
   }
 
   test("globalRowNumber ranks null values first, matching the window oracle") {

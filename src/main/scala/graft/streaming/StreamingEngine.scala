@@ -75,11 +75,27 @@ final class StreamingEngine(val engine: Engine) {
   private def startQuery(name: String, trigger: Trigger,
                          sink: (DataFrame, Long) => Unit): StreamingQuery = {
     val plan = continuousPlan(name)
-    val isAggregating = plan.isStreaming && plan.queryExecution.analyzed.collectFirst {
+    val analyzed = plan.queryExecution.analyzed
+    val isAggregating = plan.isStreaming && analyzed.collectFirst {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.nonEmpty
+    // Session-window aggregations cannot run in update mode: merging
+    // windows would need RETRACTIONS (the old sessions' keys go stale when
+    // sessions fuse), which Spark's update mode does not emit — its
+    // UnsupportedOperationChecker rejects the combination outright. They
+    // activate in append mode instead, emitting each session once its
+    // watermark closes it (the declared stream watermark is applied by
+    // [[readStreamContinuous]]). Fixed-key aggregations stay in update
+    // mode — per-trigger output bounded by the changed-key set, the only
+    // shape that survives 100 TB state.
+    val hasSessionWindow = analyzed.exists(_.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.SessionWindow => true
+      case _ => false
+    }))
+    val mode =
+      if (isAggregating && !hasSessionWindow) "update" else "append"
     plan.writeStream
-      .outputMode(if (isAggregating) "update" else "append")
+      .outputMode(mode)
       .option("checkpointLocation", checkpointDir(name))
       .trigger(trigger)
       .foreachBatch(sink)

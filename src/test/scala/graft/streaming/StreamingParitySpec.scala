@@ -130,6 +130,65 @@ class StreamingParitySpec extends SparkSpec {
     }
   }
 
+  /** PRODUCTION sink-mode sweep (round-4 verdict item #2): the complete-
+    * mode runs above prove plan parity but re-emit full state per trigger,
+    * which no 100 TB deployment can afford. Here the same aggregating
+    * gates run the way [[StreamingEngine.activate]] actually ships them:
+    * `update` output mode (per-trigger deltas — only changed keys),
+    * foreachBatch upserting each micro-batch into an Engine change stream
+    * keyed by the gate's grouping columns, answer = the stream's PK
+    * compaction (latest row per key — the reference's retract folding,
+    * handler.py:87-94). Four round-robin chunks force every key to be
+    * re-emitted and re-upserted across ≥2 micro-batches, so the fold
+    * across (epoch, seq) is genuinely exercised.
+    *
+    * `session_windows` is deliberately absent: merging windows invalidate
+    * old keys, which needs retractions update mode cannot emit — Spark
+    * rejects the combination (see the dedicated test below) and the
+    * engine routes session windows through append mode. */
+  private val updateGateKeys: Seq[(String, Seq[String])] = Seq(
+    "events_count" -> Seq("event_type"),
+    "agg_sum_q1" -> Seq("l_returnflag", "l_linestatus"),
+    "subquery_coalesce" -> Seq("o_orderstatus", "prio"),
+    "neq_dialect" -> Seq("l_returnflag"),
+    "window_tumbling" -> Seq("hour_start", "event_type"),
+    "window_hopping" -> Seq("win_start", "event_type"),
+    "tpch_q1" -> Seq("l_returnflag", "l_linestatus"),
+    "tpch_q6" -> Nil) // global aggregate → synthetic constant key
+
+  updateGateKeys.foreach { case (n, keys) =>
+    test(s"batch == streaming via update-mode upsert (production sink): $n") {
+      val g = gate(n)
+      val batch = g.fn(spark, dir)
+      val bRows = batch.collect().toSeq
+      val engine = new Engine(spark, tmpDir(s"graft-upd-$n"))
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val (sSchema, sRows) = StreamingParity.runUpdateUpsert(
+        g.fn, spark, dir, engine, "sink", keys, chunks = 4,
+        batchCount = nBatches)
+      assert(names(sSchema) == names(batch.schema), s"$n: schema diverged")
+      assert(nBatches.get >= 4,
+        s"$n: expected >=4 micro-batches, got ${nBatches.get} — not incremental")
+      assert(canon(sRows) == canon(bRows), s"$n: rows diverged")
+    }
+  }
+
+  test("session windows reject update mode (merging keys need retractions)") {
+    // pins WHY session_windows is not in the update sweep: Spark's
+    // unsupported-operations checker refuses session-window aggregation
+    // in update mode — stale merged keys would need retractions. The
+    // engine's production stance (StreamingEngine.startQuery) is append
+    // mode with a watermark, emitting each session once finalized.
+    val g = gate("session_windows")
+    val engine = new Engine(spark, tmpDir("graft-upd-sw"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      StreamingParity.runUpdateUpsert(g.fn, spark, dir, engine, "sink",
+        Seq("user_id", "session_start"))
+    }
+    assert(e.getMessage.toLowerCase.contains("session window"),
+      s"unexpected analysis error: ${e.getMessage}")
+  }
+
   /** Change-stream semantics (ST2/A6): PK compaction + tombstones must
     * not care whether rows arrived in one batch write or as streamed
     * micro-batches — the same `change_stream_compact`/`tombstone_delete`

@@ -109,6 +109,63 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** ST6 under failure (round-4 verdict item #3): the change-stream ingest
+    * path (foreachBatch → Engine.appendRows, the production sink) killed
+    * by a REAL mid-stream failure — the sink throws AFTER its side effect
+    * lands but BEFORE the offset commits, the query dies, and a restart
+    * from the same checkpoint replays the failed batch (foreachBatch's
+    * documented at-least-once contract). The replayed rows land twice in
+    * raw storage with a later epoch; the PK compaction fold must absorb
+    * the duplication so the compacted stream still equals the hand-folded
+    * result — the property that makes the upsert sink restart-safe. */
+  test("change-stream ingest crash: checkpoint restart replays the failed batch; PK fold absorbs it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.engine.Engine
+    import graft.schema.StreamSchema
+    import org.apache.spark.sql.types.StructType
+
+    val engine = new Engine(spark, tmpDir("graft-crash-ingest"))
+    engine.createStream("s", StreamSchema.fromStruct(
+      new StructType().add("k", "long", nullable = false).add("v", "string"),
+      primaryKey = Seq("k")))
+    val ckpt = tmpDir("graft-crash-ckpt")
+    val src = MemoryStream[(Long, String)]
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = src.toDF().toDF("k", "v").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        engine.appendRows("s", b) // side effect lands first...
+        if (id == 1L && !crashed.getAndSet(true))
+          // ...then the "process dies" before the offset commit
+          sys.error("injected crash after side effect, before commit")
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    src.addData((1L, "v1"), (2L, "v2")) // batch 0: commits cleanly
+    q1.processAllAvailable()
+    src.addData((2L, "v2b"), (3L, "v3")) // batch 1: dies mid-sink
+    try { q1.processAllAvailable(); q1.awaitTermination(30000); () }
+    catch { case _: Exception => () }
+    assert(q1.exception.isDefined, "injected crash did not kill the query")
+
+    val q2 = start() // restart from the same checkpoint
+    src.addData((4L, "v4")) // post-recovery traffic
+    q2.processAllAvailable()
+    q2.stop()
+
+    // the failed batch REPLAYED: its rows are stored twice (two epochs)
+    val raw = engine.readStream("s", compact = false)
+    assert(raw.filter(col("k") === 3L).count() == 2,
+      "batch 1 was not replayed — the crash test lost its teeth")
+    // ...and the compacted read still equals the hand-folded answer
+    val got = engine.readStream("s").as[(Long, String)].collect().toSeq.sorted
+    assert(got == Seq((1L, "v1"), (2L, "v2b"), (3L, "v3"), (4L, "v4")))
+  }
+
   test("streaming dropDuplicates with watermark (exact streaming dedup)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

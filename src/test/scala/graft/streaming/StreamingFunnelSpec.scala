@@ -84,6 +84,61 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** ST6 under failure (round-4 verdict item #3): the mapGroupsWithState
+    * store must survive a query restart. Wave 1 commits, the query stops,
+    * wave 2 arrives while it is DOWN, and wave 3 after the restart — user
+    * 1's final reach of 3 is only possible if (a) the restarted query
+    * resumed source offsets from the checkpoint (wave 2 was never
+    * processed by the first incarnation) and (b) the per-user FunnelState
+    * from wave 1 was restored from the state store, since each later wave
+    * alone cannot advance past step 1. */
+  test("funnelStateful state + offsets survive a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = tmpDir("graft-funnel-ckpt")
+    val src = MemoryStream[StepEvent]
+    val plan = Sequences.funnelStateful(src.toDS(), steps.size)
+      .toDF("u", "reached")
+    // update-mode emissions are monotone per user: fold max driver-side
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    def start() = plan.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          got.merge(r.getLong(0), Int.box(r.getInt(1)),
+            (a: Integer, x: Integer) => Int.box(math.max(a, x)))
+        }
+        ()
+      }
+      .start()
+
+    val q1 = start()
+    src.addData(StepEvent(1L, 10L, 0), StepEvent(2L, 10L, 0)) // wave 1
+    q1.processAllAvailable()
+    q1.stop() // simulated crash
+    src.addData(StepEvent(1L, 20L, 1), StepEvent(2L, 20L, 0)) // while down
+    val q2 = start()
+    src.addData(StepEvent(1L, 30L, 2), StepEvent(2L, 30L, 1)) // wave 3
+    q2.processAllAvailable()
+    q2.stop()
+
+    // u1: 0@10, 1@20, 2@30 -> reached 3; u2: repeated step 0 never
+    // re-advances, 1@30 -> reached 2 — both require restored state
+    assert(got.get(1L) == 3, s"u1 state lost across restart: $got")
+    assert(got.get(2L) == 2, s"u2 state lost across restart: $got")
+    // differential: identical to the batch fold over the full log
+    val full = Seq(
+      StepEvent(1L, 10L, 0), StepEvent(2L, 10L, 0),
+      StepEvent(1L, 20L, 1), StepEvent(2L, 20L, 0),
+      StepEvent(1L, 30L, 2), StepEvent(2L, 30L, 1))
+    val batch = full.groupBy(_.u).map { case (u, es) =>
+      u -> Sequences.funnelAdvance(steps.size,
+        Sequences.initialFunnelState, es).reached
+    }
+    assert(batch.forall { case (u, r) => got.get(u) == r })
+  }
+
   test("cross-batch strict-> boundary: an equal-timestamp step never advances") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -294,10 +294,18 @@ final class Engine(
     * against the INDEX; run [[graft.operators.Dedup.minhashLsh]] on the
     * shard first if intra-shard dedup is also wanted).
     *
+    * Concurrency: the read-index-probe-then-write sequence holds the
+    * stream's ingest lock ([[streamLock]]) end to end — two interleaved
+    * calls would otherwise both probe the pre-write index and admit rows
+    * that near-duplicate EACH OTHER's novel rows. Serialized, the second
+    * ingest probes an index that already contains the first's survivors
+    * (EngineSpec's concurrency test pins this).
+    *
     * @return number of incoming rows dropped as near-duplicates
     */
   def appendRowsDeduped(name: String, df: DataFrame, idCol: String,
-                        textCol: String, threshold: Double = 0.5): Long = {
+                        textCol: String, threshold: Double = 0.5): Long =
+    streamLock(name).synchronized {
     val existing = readStream(name).select(col(idCol), col(textCol))
     // the shard feeds three jobs (index probe, drop count, anti-join
     // append) — persist it for the call so an expensive upstream plan
@@ -318,9 +326,27 @@ final class Engine(
         dropped
       } finally { flagged.unpersist(); cleanup() }
     } finally df.unpersist()
-  }
+    }
 
-  private def write(d: StreamDef, df: DataFrame, mode: SaveMode): Unit = {
+  /** Per-stream ingest mutex: [[write]] is read-epoch-then-write and
+    * [[appendRowsDeduped]] is read-index-probe-then-write — two
+    * interleaved calls would stamp duplicate write epochs (scrambling the
+    * change-stream fold's arrival order) or both probe the pre-write
+    * index and let cross-shard near-duplicates through. The engine
+    * serializes both per stream. The catalog dir is single-writer by
+    * contract (see [[liveRewrites]]), so an in-process lock is the whole
+    * story — cross-process ingest must route through one engine. */
+  private val streamLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def streamLock(name: String): Object =
+    streamLocks.computeIfAbsent(catalog.qualify(name), _ => new Object)
+
+  private def write(d0: StreamDef, df: DataFrame, mode: SaveMode): Unit =
+    streamLock(d0.name).synchronized {
+    // re-read the def under the lock: the caller's snapshot may predate a
+    // concurrent writer's epoch bump, and replaying its stale epoch would
+    // make "latest per key" depend on the sequence tiebreak across writes
+    val d = catalog.get(d0.name).getOrElse(d0)
     // settle any interrupted rewrite BEFORE appending: otherwise rows
     // appended over a crashed-rewrite store would be clobbered when a
     // later read replays the (pre-append) stage
@@ -356,7 +382,7 @@ final class Engine(
         stamped.write.mode(mode).parquet(catalog.dataPath(d.name))
     }
     catalog.put(d.copy(writeEpoch = epoch))
-  }
+    }
 
   // ------------------------------------------------------------------
   // Bucketed (co-partitioned) storage

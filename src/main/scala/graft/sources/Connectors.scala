@@ -52,20 +52,26 @@ object Connectors {
     * `aws-kinesis` and reads `kinesis.startingPosition`. Spark has no
     * first-party kinesis source, so availability is a runtime classpath
     * question — probed, never linked. */
-  private case class KinesisProvider(cls: String, format: String,
-                                     startPosOption: String)
+  private[sources] final case class KinesisProvider(cls: String, format: String,
+                                                    startPosOption: String)
   private val KinesisProviders = Seq(
     KinesisProvider("org.apache.spark.sql.kinesis.KinesisSourceProvider",
       "kinesis", "startingposition"),
     KinesisProvider("org.apache.spark.sql.connector.kinesis.KinesisV2TableProvider",
       "aws-kinesis", "kinesis.startingPosition"))
 
+  /** Test seam: provider rows probed AFTER the real ones, so the suite can
+    * drive [[open]]'s kinesis option-mapping against a stub source on the
+    * test classpath (this sandbox cannot run the 3rd-party jar itself) —
+    * the default empty value leaves production behavior untouched. */
+  @volatile private[sources] var extraKinesisProviders: Seq[KinesisProvider] = Nil
+
   /** The connector-specific source format name if a kinesis provider is
     * on the classpath. */
   def kinesisProviderAvailable: Option[String] = kinesisProvider.map(_.format)
 
   private def kinesisProvider: Option[KinesisProvider] =
-    KinesisProviders.find { p =>
+    (KinesisProviders ++ extraKinesisProviders).find { p =>
       try { Class.forName(p.cls, false, getClass.getClassLoader); true }
       catch { case _: ClassNotFoundException => false }
     }

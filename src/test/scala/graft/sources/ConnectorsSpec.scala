@@ -117,6 +117,34 @@ class ConnectorsSpec extends SparkSpec {
     assert(err.getMessage.contains("classpath"))
   }
 
+  test("kinesis open() maps stream/region/start-position options onto the provider dialect (api.py:22-44)") {
+    // a stub spark-sql-kinesis source (StreamSourceProvider, qubole option
+    // dialect) sits on the TEST classpath; inject it through the provider
+    // seam so open() exercises the real mapping code — not the degradation
+    // path — against a resolvable format
+    Connectors.extraKinesisProviders = Seq(Connectors.KinesisProvider(
+      classOf[StubKinesisSourceProvider].getName, "stub-kinesis",
+      "startingposition"))
+    try {
+      assert(Connectors.kinesisProviderAvailable.contains("stub-kinesis"))
+      val df = Connectors.open(spark, Connectors.ConnectorSpec("kinesis",
+        Map("streamName" -> "events", "awsRegion" -> "us-east-1")))
+      assert(df.isStreaming)
+      val opts = StubKinesisSourceProvider.lastOptions
+      // earliest → the provider's TRIM_HORIZON dialect, user properties
+      // pass through untouched (api.py:22-44 semantics)
+      assert(opts.get("startingposition").contains("TRIM_HORIZON"), opts)
+      assert(opts.get("streamName").contains("events"), opts)
+      assert(opts.get("awsRegion").contains("us-east-1"), opts)
+
+      Connectors.open(spark, Connectors.ConnectorSpec("kinesis",
+        Map("streamName" -> "events"),
+        startPosition = Connectors.Latest))
+      assert(StubKinesisSourceProvider.lastOptions
+        .get("startingposition").contains("LATEST"))
+    } finally Connectors.extraKinesisProviders = Nil
+  }
+
   test("connection lifecycle: create/activate/reactivate/delete as catalog entities (impl.py:577-637)") {
     val e = new Engine(spark, tmpDir("graft-conn-life"))
     e.createStream("fed", StreamSchema(Seq(PhysicalField("id", FBigInt))))

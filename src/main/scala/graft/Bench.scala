@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark: one JSON line on stdout (the driver contract) and
+  * the SAME json written to a file (`SPARK_GRAFT_BENCH_OUT`, default
+  * `target/bench_last.json`) — the stdout scrape historically truncated
+  * past ~64 gates (`BENCH_r04.json` carries a cut-off `tail`), so the
+  * file is the canonical full record.
+  *
+  * Two tiers (round-4 verdict #8): a FULL SWEEP (every gate, single
+  * timed run — coverage, not precision) and a HEADLINE subset (the 30
+  * heaviest gates of this sweep, re-run 3× and reported as per-gate
+  * medians) — round-over-round comparisons should read `headline`,
+  * where ×3 medians suppress the host variance that drowns 150
+  * sub-second one-shot lines.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,25 +49,56 @@ object Bench {
     // the heavy gates at the bench SF itself bought nothing further —
     // their remaining seconds are genuine computation, not compilation.
     spark.catalog.clearCache()
-    // a failed query must NOT masquerade as a fast one: its entry is
-    // negated (negative seconds = error marker) and listed in `errors`
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timeGate(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
+          System.err.println(s"BENCH ERROR: ${e.getClass.getName}: ${e.getMessage}")
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -sec)
+      if (ok) sec else -sec // negative seconds = error marker
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+
+    // ---- tier 1: full sweep, every gate once -------------------------
+    val results = SparkEntry.queries.map { case (name, fn) => name -> timeGate(fn) }
+
+    // ---- tier 2: headline = 30 heaviest, ×3, medians -----------------
+    // selected from THIS sweep (self-maintaining as the matrix grows);
+    // caches cleared per iteration so every run recomputes its data
+    val headlineNames = results.toSeq.filter(_._2 > 0).sortBy(-_._2)
+      .take(30).map(_._1)
+    val headline = headlineNames.map { name =>
+      val fn = SparkEntry.queries(name)
+      val ts = (1 to 3).map { _ => spark.catalog.clearCache(); timeGate(fn) }
+      val median =
+        if (ts.exists(_ < 0)) -ts.map(math.abs).sorted.apply(1)
+        else ts.sorted.apply(1)
+      name -> median
+    }
+
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = (results ++ headline).collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .toSeq.distinct.mkString("[", ",", "]")
     val total = results.values.map(math.abs).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val headlineTotal = headline.map { case (_, v) => math.abs(v) }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","queries":${jmap(results)}""" +
+      s""","headline":${jmap(headline)},"headline_total":$headlineTotal""" +
+      s""","errors":$errs,"sf":"$sfDir"}"""
+    // file first (canonical; survives stdout truncation), then stdout
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH WARN: could not write $out: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 }

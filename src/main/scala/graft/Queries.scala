@@ -1407,6 +1407,26 @@ object Queries {
   /** Per-group quota sampling: at most 10 docs per language, drawn in
     * salted-hash order — deterministic, so the DuckDB oracle reproduces
     * the exact row set with the same hash + row_number. */
+  /** U2-class scale twin of `sample_quota`: the SAME rows through the
+    * bounded-heap typed aggregator ([[operators.Sampling.quotaPerGroupAgg]])
+    * instead of a window sort — map-side partial aggregation keeps ≤ n
+    * candidates per (partition, group); nothing group-wide is ever
+    * sorted. Same oracle text as `sample_quota` — identical output is
+    * the point. */
+  val sampleQuotaAgg: Q = q("sample_quota_agg", {
+    val b = operators.Sampling.duckdbHashBucket("doc_id", "q1", 1 << 30)
+    s"""WITH r AS (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $b, doc_id) AS rn
+       |  FROM documents)
+       |SELECT lang, doc_id FROM r WHERE rn <= 10
+       |ORDER BY lang, doc_id""".stripMargin }) { (s, dir) =>
+    operators.Sampling.quotaPerGroupAgg(
+      t(s, dir, "documents").select("lang", "doc_id"),
+      Seq("lang"), "doc_id", n = 10, salt = "q1")
+      .orderBy("lang", "doc_id")
+  }
+
   val sampleQuota: Q = q("sample_quota", {
     val b = operators.Sampling.duckdbHashBucket("doc_id", "q1", 1 << 30)
     s"""WITH r AS (
@@ -4057,7 +4077,7 @@ object Queries {
     textQualityExt, pipelineComposed,
     langId, tokenCountBpe, winnowFingerprint,
     multimodalStats, multimodalFeatures,
-    sampleSplit, sampleQuota, dupClusters, piiRedact, repetitionSignals,
+    sampleSplit, sampleQuota, sampleQuotaAgg, dupClusters, piiRedact, repetitionSignals,
     decontaminate, mixtureSample, packShards,
     multimodalDecode, multimodalResize, multimodalAreaResize,
     tpchQ10, lengthQuantiles, topTerms,

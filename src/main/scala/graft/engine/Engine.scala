@@ -560,6 +560,54 @@ final class Engine(
     }
   }
 
+  /** [[preview]] through the reference's ACTUAL polling protocol
+    * (handler.py:29-42, 65-100): the bounded query starts as a cancellable
+    * background job; the cursor polls with exponential backoff + jitter,
+    * each poll draining the rows Spark has produced so far
+    * (`toLocalIterator` fetches partitions incrementally — the in-process
+    * analog of the data plane's result pages). On budget exhaustion the
+    * job group is cancelled and whatever accumulated is returned; an
+    * empty result seeds the dbt-test fake row, both exactly as the
+    * reference cursor does. Change-stream folding happens upstream in
+    * the compacted views, so the cursor always runs in append mode here
+    * ([[PreviewCursor.pollChange]] carries the change-fold rule for
+    * completeness and is spec-verified against scripted envelopes). */
+  def previewPolled(sql: String, limit: Int = 100,
+      rng: java.util.Random = new java.util.Random(),
+      sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong)): PreviewCursor.Result = {
+    registerViews()
+    val df = spark.sql(SqlDialect.rewrite(sql)).limit(limit)
+    val cols = df.columns.toSeq
+    val group = s"graft-preview-${java.util.UUID.randomUUID()}"
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val worker = new Thread(() => {
+      try {
+        spark.sparkContext.setJobGroup(group, "graft preview", interruptOnCancel = true)
+        df.toLocalIterator().forEachRemaining(queue.add(_))
+      } catch { case e: Throwable => failure.set(e) }
+      finally done.set(true)
+    }, group)
+    worker.setDaemon(true)
+    worker.start()
+    val pager = new PreviewCursor.Pager {
+      override def nextPage(): Option[Seq[Row]] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var r = queue.poll()
+        while (r != null) { buf += r; r = queue.poll() }
+        // "no next_token": the job finished and everything is drained
+        if (done.get() && queue.isEmpty && buf.isEmpty) None else Some(buf.toSeq)
+      }
+      override def cancel(): Unit = spark.sparkContext.cancelJobGroup(group)
+    }
+    val res = PreviewCursor.pollAppend(pager, cols, previewTimeoutMs / 1000.0, rng, sleep)
+    failure.get() match {
+      case null => res
+      case e => throw new RuntimeException(s"preview failed: ${e.getMessage}", e)
+    }
+  }
+
   /** Test outcome per dbt's severity contract: `error_if`/`warn_if` are
     * conditions over the failure count (default `!= 0`), evaluated in
     * order error → warn → pass (dbt's default get_test_sql behavior the

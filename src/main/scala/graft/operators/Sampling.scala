@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, hash-driven sampling and dataset-splitting operators —
@@ -199,6 +199,89 @@ object Sampling {
     df.withColumn("__graft_qrn", row_number().over(w))
       .filter(col("__graft_qrn") <= n)
       .drop("__graft_qrn")
+  }
+
+  /** Bounded max-heap of the k smallest `(bucket, id)` pairs — the
+    * mergeable summary behind [[quotaPerGroupAgg]]. Array-backed binary
+    * heap keyed lexicographically; O(log k) insert, O(k) merge. Mutable
+    * within a partition (ObjectHashAggregate keeps typed-agg buffers
+    * deserialized — same contract as [[HeavyHitters.MGBuffer]]). */
+  final class BKBuf(val k: Int) extends Serializable {
+    var size = 0
+    val bs = new Array[Long](k)
+    val ids = new Array[Long](k)
+    @inline private def gt(b1: Long, i1: Long, b2: Long, i2: Long): Boolean =
+      b1 > b2 || (b1 == b2 && i1 > i2)
+    def insert(b: Long, id: Long): Unit =
+      if (size < k) { // grow phase: push + sift up
+        var c = size
+        bs(c) = b; ids(c) = id; size += 1
+        while (c > 0 && gt(bs(c), ids(c), bs((c - 1) / 2), ids((c - 1) / 2))) {
+          swap(c, (c - 1) / 2); c = (c - 1) / 2
+        }
+      } else if (gt(bs(0), ids(0), b, id)) { // beats the current max: replace root
+        bs(0) = b; ids(0) = id
+        var c = 0
+        var done = false
+        while (!done) {
+          val l = 2 * c + 1; val r = l + 1
+          var m = c
+          if (l < size && gt(bs(l), ids(l), bs(m), ids(m))) m = l
+          if (r < size && gt(bs(r), ids(r), bs(m), ids(m))) m = r
+          if (m == c) done = true else { swap(c, m); c = m }
+        }
+      }
+    @inline private def swap(a: Int, b: Int): Unit = {
+      val tb = bs(a); bs(a) = bs(b); bs(b) = tb
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+  }
+
+  /** Typed bottom-k aggregator over `(bucket, id)` rows: keeps the k
+    * lexicographically-smallest pairs, emits their ids ascending. */
+  final class BottomK(k: Int)
+    extends Aggregator[(Long, Long), BKBuf, Array[Long]] {
+    require(k > 0, "k must be positive")
+    override def zero: BKBuf = new BKBuf(k)
+    override def reduce(buf: BKBuf, in: (Long, Long)): BKBuf = {
+      buf.insert(in._1, in._2); buf
+    }
+    override def merge(a: BKBuf, b: BKBuf): BKBuf = {
+      var i = 0
+      while (i < b.size) { a.insert(b.bs(i), b.ids(i)); i += 1 }
+      a
+    }
+    override def finish(buf: BKBuf): Array[Long] =
+      (0 until buf.size).map(i => (buf.bs(i), buf.ids(i)))
+        .sorted.map(_._2).toArray
+    override def bufferEncoder: Encoder[BKBuf] = Encoders.kryo[BKBuf]
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** [[quotaPerGroup]]'s rows (k smallest `(salted-bucket, id)` per
+    * group) through a bounded-heap typed aggregator instead of a window
+    * sort. The window plan hash-partitions by group and then SORTS every
+    * group's FULL row set inside the exchange before `row_number` can
+    * cut at n; this plan is an ObjectHashAggregate pair — the partial
+    * side keeps ≤ n candidates per (partition, group) in O(log n) per
+    * row, so only `partitions × n` candidate pairs per group cross the
+    * shuffle and nothing is ever sorted but the final ≤ n winners. At
+    * 100 TB with billions of rows per group, shuffle volume drops from
+    * the corpus to `groups × partitions × n`. `idCol` must be integral
+    * (the heap stores ids as longs); output matches [[quotaPerGroup]]
+    * row-for-row. */
+  def quotaPerGroupAgg(df: DataFrame, groupCols: Seq[String], idCol: String,
+                       n: Int, salt: String): DataFrame = {
+    val bk = udaf(new BottomK(n),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    df.select((groupCols.map(col) :+
+        hashBucket(col(idCol), salt, 1 << 30).as("__graft_qb") :+
+        col(idCol).cast("long").as("__graft_qid")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(bk(col("__graft_qb"), col("__graft_qid")).as("__graft_bk"))
+      .select((groupCols.map(col) :+
+        explode(col("__graft_bk")).as(idCol)): _*)
   }
 
   /** Keep the top `frac` of each group by `(scoreCol desc, idCol)` — the

@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialize a K× replication of an SF directory for bench-only scale
+  * probes (round-4 verdict #5: a full-matrix run above sf0.1). NOT test
+  * data generation — correctness gates keep reading the driver's
+  * parquet; this tool only scales the driver's own rows so per-gate
+  * sf0.1→sf1 time ratios can be recorded (PERF.md) and super-linear
+  * gates flagged.
+  *
+  * Replication preserves the join graph: every foreign/primary key is
+  * shifted by the same per-replica offset, so replica i's orders join
+  * replica i's customers and the fact/dim cardinality RATIOS match a
+  * genuinely larger SF. `nation`/`region` stay 1× (dims a larger TPC-H
+  * SF also keeps constant — broadcast joins must stay broadcasts).
+  * `documents.text` gets a per-replica suffix and `embeddings.embedding`
+  * a per-replica epsilon so the duplicate structure grows LINEARLY like
+  * a real corpus — verbatim 10× copies would grow near-dup pair output
+  * ~K² by construction and mislabel every dedup gate super-linear.
+  *
+  * `runMain graft.tools.ScaleData <srcSfDir> <outDir> <K>`
+  */
+object ScaleData {
+  private val Off = 100000000L // clears every driver id range
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("target/sf1")
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scaledata")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(t: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaledata] $t -> $out/$t.parquet")
+    }
+    /** K copies with `keys` shifted by i*Off; `extra` applied per replica. */
+    def rep(t: String, keys: Seq[String],
+            extra: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val base = read(t)
+      val all = (0 until k).map { i =>
+        val shifted = keys.foldLeft(base)((d, c) =>
+          d.withColumn(c, col(c) + lit(i * Off)))
+        extra(shifted, i)
+      }.reduce(_ unionAll _)
+      write(t, all)
+    }
+
+    write("region", read("region"))
+    write("nation", read("nation"))
+    rep("customer", Seq("c_custkey"))
+    rep("supplier", Seq("s_suppkey"))
+    rep("part", Seq("p_partkey"))
+    rep("orders", Seq("o_orderkey", "o_custkey"))
+    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    rep("events", Seq("event_id", "user_id"))
+    rep("documents", Seq("doc_id"), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("text", concat(col("text"), lit(s" r$i")))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    rep("embeddings", Seq("vec_id"), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding",
+        transform(col("embedding"), x => x + lit(i.toFloat * 1e-4f))))
+    spark.stop()
+  }
+}

@@ -660,6 +660,63 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** [[embeddingNearDup]] with the signature width DIMENSIONED BY THE
+    * CORPUS — the missing piece for super-linear-free scaling, found by
+    * the sf0.1→sf1 bench record (PERF.md round 5): with `planes` FIXED
+    * at 6, bucket count stays 64 no matter how big the corpus grows, so
+    * per-bucket occupancy is n/64 and candidate volume is
+    * Θ(n²·probes/2^planes) — measured 26× time at 10× data. The scale
+    * rule is the same one [[Similarity.semDedup]] applies to its
+    * centroid count: hold per-bucket occupancy CONSTANT by growing the
+    * signature with log₂(n), and compensate recall analytically — the
+    * per-table collision probability of a true pair at cosine θ is
+    * `p_band = P[Binom(planes, q) ≤ probeRadius]` with per-bit
+    * disagreement `q = arccos(θ)/π`, so `tables = ln(missTarget) /
+    * ln(1 − p_band)` holds the OR-construction miss rate at the target
+    * regardless of planes. Candidate volume becomes
+    * Θ(n·occupancy·probes·tables); since the recall-compensating table
+    * count itself grows as planes grow, the end-to-end cost is the
+    * classic LSH `Θ(n^(1+ρ))` with `ρ = ln p₁ / ln p₂ < 1` — genuinely
+    * SUB-QUADRATIC, not linear, and the gap over the fixed layout
+    * widens with n (ScaleCheck `emb` probe at θ=0.8: 2.75× faster at
+    * 10×, same exact output).
+    *
+    * The economics remain threshold-bound (the scaladoc above): at
+    * θ ≈ 0.45, q ≈ 0.35 makes p_band small enough that the compensated
+    * table count explodes — for such dense-output jobs the verify step
+    * is the true lower bound and [[embeddingNearDup]]'s fixed layout is
+    * honest about it (capped here at `maxTables`). At real near-dup
+    * thresholds (θ ≥ 0.8, q ≤ 0.2) the compensation is a handful of
+    * tables and the linear regime is the one that matters at 100 TB.
+    *
+    * `n` (corpus size) is passed by the caller or counted once — a
+    * metadata-scale action of the same class as the IVF centroid
+    * collect. */
+  def embeddingNearDupScaled(emb: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, dims: Int = 64,
+                             targetOccupancy: Int = 16,
+                             missTarget: Double = 1e-4,
+                             probeRadius: Int = 2,
+                             maxTables: Int = 48,
+                             knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(emb.count())
+    val planes = math.max(4, math.min(20,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt))
+    val q = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    // P[Binom(planes, q) <= probeRadius]: a true pair at exactly θ
+    // collides with one table's probe set with this probability (pairs
+    // above θ collide more often — θ is the worst case)
+    val pBand = (0 to math.min(probeRadius, planes)).map { k =>
+      val choose = (1 to k).map(i => (planes - i + 1).toDouble / i).product
+      choose * math.pow(q, k) * math.pow(1 - q, planes - k)
+    }.sum
+    val tables = math.max(2, math.min(maxTables,
+      if (pBand >= 1.0) 2
+      else math.ceil(math.log(missTarget) / math.log(1.0 - pBand)).toInt))
+    embeddingNearDup(emb, idCol, vecCol, threshold, dims,
+      tables = tables, planes = planes, probeRadius = probeRadius)
+  }
+
   /** Brute-force embedding near-dup (the oracle twin of
     * [[embeddingNearDup]]): all-pairs cosine — O(n²), baseline only. */
   def embeddingNearDupBrute(emb: DataFrame, idCol: String, vecCol: String,

@@ -171,9 +171,86 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** `runMain graft.tools.ScaleCheck emb <sfDir> [K]` — the
+    * embedding-LSH layout probe behind [[graft.operators.Dedup.embeddingNearDupScaled]]:
+    * replicate the embeddings corpus K× under per-replica orthogonal
+    * rotations (intra-replica cosines exact, cross-replica ≈ noise —
+    * the ScaleData scheme), plant a jittered near-copy of every 20th
+    * vector (cosine ≈ 0.98, θ = 0.8 positives), then time the FIXED
+    * layout (6 planes regardless of corpus) against the SCALED layout
+    * (planes ~ log₂(n/occupancy), tables recall-compensated) at 1× and
+    * K×. The claim under test (PERF.md round 5): fixed-layout candidate
+    * volume is Θ(n²/2^planes) — super-linear wall time at K× — while
+    * the scaled layout holds per-bucket occupancy constant and stays
+    * ~linear, with identical output (both are exact after the cosine
+    * verify; the planted pairs bound recall). */
+  private def embMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-embcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Dedup
+
+    val base = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val dims = 64
+    def rotated(n: Int): DataFrame =
+      (0 until n).map { i =>
+        if (i == 0) base
+        else {
+          val dim = size(col("embedding"))
+          base.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+            transform(sequence(lit(0), dim - 1), j =>
+              element_at(col("embedding"), pmod(j + lit(7 * i), dim) + 1) *
+                when(pmod(xxhash64(lit(i) * lit(1000003L) + j), lit(2)) === 0,
+                  lit(1.0f)).otherwise(lit(-1.0f))).as("embedding"))
+        }
+      }.reduce(_ unionAll _)
+    // plant: every 20th vector gets a near-copy (id + 50M) mixed with
+    // 20% of an orthogonal-ish partner vector -> cosine ~ 0.98
+    def planted(df: DataFrame): DataFrame = {
+      val pick = df.filter(pmod(col("vec_id"), lit(20)) === 0)
+      val jit = pick.select((col("vec_id") + lit(50000000L)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x + lit(0.04f) * sin(col("vec_id") * lit(0.7) + j).cast("float"))
+          .as("embedding"))
+      df.unionAll(jit)
+    }
+    def time[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[emb] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    for (n <- Seq(1, k)) {
+      val emb = planted(rotated(n)).persist()
+      val total = emb.count()
+      println(s"[emb] corpus x$n = $total vecs")
+      if (n == 1) { // warmup codegen once
+        Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.8, dims).count()
+        Dedup.embeddingNearDupScaled(emb, "vec_id", "embedding", 0.8, dims,
+          knownCount = Some(total)).count()
+      }
+      val pf = time(s"fixed-layout x$n (6 planes, 8 tables)")(
+        Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.8, dims).count())
+      val ps = time(s"scaled-layout x$n")(
+        Dedup.embeddingNearDupScaled(emb, "vec_id", "embedding", 0.8, dims,
+          knownCount = Some(total)).count())
+      println(s"[emb] pairs x$n: fixed=$pf scaled=$ps (must match; both exact-verified)")
+      emb.unpersist()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     if (args.headOption.contains("rank")) return rankMain(args.drop(1))
+    if (args.headOption.contains("emb")) return embMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()

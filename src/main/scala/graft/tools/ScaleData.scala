@@ -15,10 +15,23 @@ import org.apache.spark.sql.functions._
   * replica i's customers and the fact/dim cardinality RATIOS match a
   * genuinely larger SF. `nation`/`region` stay 1× (dims a larger TPC-H
   * SF also keeps constant — broadcast joins must stay broadcasts).
-  * `documents.text` gets a per-replica suffix and `embeddings.embedding`
-  * a per-replica epsilon so the duplicate structure grows LINEARLY like
-  * a real corpus — verbatim 10× copies would grow near-dup pair output
-  * ~K² by construction and mislabel every dedup gate super-linear.
+  *
+  * `documents.text` and `embeddings.embedding` get per-replica
+  * ISOMORPHIC transforms: every token maps bijectively to a
+  * replica-tagged token (so Jaccard/shingle/minhash/simhash structure
+  * WITHIN a replica is preserved exactly, while cross-replica token
+  * overlap is zero), and every embedding passes through a per-replica
+  * signed coordinate rotation (orthogonal, so all intra-replica
+  * cosines are exactly preserved, while cross-replica cosines collapse
+  * to random-projection noise, E|cos| ≈ 1/√d ≈ 0.125 at d=64).
+  * Measured before this scheme: verbatim-ish copies (text suffix only,
+  * embedding +1e-4) left replicas inside the near-dup thresholds
+  * (cosine ≈ 1.0 vs the 0.45 gate; simhash within hamming 3), so
+  * cross-replica pair OUTPUT grew ~K² by construction and
+  * `embedding_neardup`/`dedup_simhash` read 18×/13× at 10× data — an
+  * artifact of the replication, not the plan. A real 10× corpus grows
+  * its near-dup structure ~linearly; the isomorphic transforms
+  * reproduce that.
   *
   * `runMain graft.tools.ScaleData <srcSfDir> <outDir> <K>`
   */
@@ -62,14 +75,29 @@ object ScaleData {
     rep("orders", Seq("o_orderkey", "o_custkey"))
     rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     rep("events", Seq("event_id", "user_id"))
+    // token bijection t -> "t~i": within-replica shingle/minhash/simhash
+    // relations are isomorphic to the original corpus; across replicas
+    // no token matches, so candidate buckets never span replicas
     rep("documents", Seq("doc_id"), (d, i) =>
       if (i == 0) d
-      else d.withColumn("text", concat(col("text"), lit(s" r$i")))
+      else d.withColumn("text",
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(t, lit(s"~$i")))))
         .withColumn("n_chars", length(col("text")).cast("long")))
+    // signed coordinate rotation: e'[j] = ±e[(j + 7i) mod d] with the
+    // sign a hash of (replica, j) — an exact orthogonal map, so every
+    // intra-replica cosine is unchanged and cross-replica cosines are
+    // random-projection noise (E|cos| ≈ 1/√d ≈ 0.125 at d=64)
     rep("embeddings", Seq("vec_id"), (d, i) =>
       if (i == 0) d
-      else d.withColumn("embedding",
-        transform(col("embedding"), x => x + lit(i.toFloat * 1e-4f))))
+      else {
+        val dim = size(col("embedding"))
+        d.withColumn("embedding",
+          transform(sequence(lit(0), dim - 1), j =>
+            element_at(col("embedding"), pmod(j + lit(7 * i), dim) + 1) *
+              when(pmod(xxhash64(lit(i) * lit(1000003L) + j), lit(2)) === 0, lit(1.0f))
+                .otherwise(lit(-1.0f))))
+      })
     spark.stop()
   }
 }

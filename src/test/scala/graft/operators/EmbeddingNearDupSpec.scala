@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Dedup.embeddingNearDupScaled]] — the corpus-dimensioned LSH layout —
+  * against brute-force truth and the fixed-layout twin. Vectors are
+  * deterministic (seeded scala.util.Random per id), with planted
+  * near-duplicate pairs at cosine ≈ 0.95 so the high-threshold regime
+  * (where the scaled layout's linearity claim lives) has real positives. */
+class EmbeddingNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** n base unit vectors + a jittered near-copy of every 10th one. */
+  private def corpus(n: Int, dims: Int = 32) = {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(dims)(r.nextGaussian().toFloat)
+      val norm = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / norm)
+    }
+    val base = (0 until n).map(i => (i.toLong, vec(i)))
+    val dups = (0 until n by 10).map { i =>
+      val b = vec(i)
+      val j = vec(i + 1000000) // independent jitter direction
+      val mixed = b.zip(j).map { case (x, y) => x + 0.2f * y }
+      val norm = math.sqrt(mixed.map(x => x * x.toDouble).sum).toFloat
+      ((n + i).toLong, mixed.map(_ / norm))
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("scaled layout matches brute-force truth at a high threshold") {
+    val emb = corpus(300)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding", 0.8))
+    assert(truth.nonEmpty, "planted near-dups must survive the threshold")
+    val fixed = pairs(Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.8, dims = 32))
+    val scaled = pairs(Dedup.embeddingNearDupScaled(emb, "vec_id", "embedding", 0.8,
+      dims = 32))
+    assert(fixed == truth, s"fixed layout diverged: ${fixed.diff(truth)} / ${truth.diff(fixed)}")
+    assert(scaled == truth, s"scaled layout diverged: missing ${truth.diff(scaled).take(5)}")
+  }
+
+  test("scaled layout grows planes with the corpus, holding occupancy") {
+    // the parameter rule itself: planes ≈ log2(n / occupancy), clamped
+    def planesFor(n: Long, occ: Int = 16) = math.max(4, math.min(20,
+      math.ceil(math.log(math.max(1.0, n.toDouble / occ)) / math.log(2)).toInt))
+    assert(planesFor(2000) == 7)
+    assert(planesFor(20000) == 11) // 10x corpus -> +~3 planes, 16x buckets
+    assert(planesFor(200000) == 14)
+    assert(planesFor(100) == 4) // floor
+    assert(planesFor(1L << 40) == 20) // cap
+  }
+
+  test("knownCount skips the count action and parameterizes identically") {
+    val emb = corpus(300)
+    val n = emb.count()
+    val a = Dedup.embeddingNearDupScaled(emb, "vec_id", "embedding", 0.8,
+      dims = 32).orderBy("id_a", "id_b").collect().toSeq
+    val b = Dedup.embeddingNearDupScaled(emb, "vec_id", "embedding", 0.8,
+      dims = 32, knownCount = Some(n)).orderBy("id_a", "id_b").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -177,13 +177,16 @@ object TextAnalysis {
     * documents are corpus boilerplate (headers, licence blurbs, copied
     * spans) and are cut; the survivors re-concatenate in order.
     *
-    * Scale shape: per-doc segmentation is a row-local explode; the
-    * segment-frequency table is one count-distinct aggregate keyed on
-    * segment text (map-side combinable after the (seg, did) dedup); the
-    * verdict is an equi-join segments→df; reassembly is one per-doc
-    * aggregate whose collect_list holds only that document's segments.
-    * Nothing driver-side; the df table shuffles corpus-distinct segments,
-    * not token occurrences.
+    * Scale shape (round 5): per-doc segmentation is a row-local explode;
+    * the segment-frequency table is one count-distinct aggregate keyed
+    * on `md5(seg)` (16-byte keys — the segment TEXT never shuffles);
+    * the verdict is a left join against only the df>limit KILL LIST,
+    * left unhinted so size-based planning broadcasts it when it fits
+    * (boilerplate is a tiny fraction of distinct segments) and degrades
+    * to a hash join keyed by `h` when it doesn't; reassembly is the one
+    * remaining corpus-sized shuffle, the per-doc aggregate whose
+    * collect_list holds only that document's segments. Nothing
+    * driver-side.
     *
     * @return (doc_id, n_segments, n_kept, clean_text) for every input doc
     *         (docs that are 100% boilerplate keep an empty clean_text)
@@ -192,17 +195,29 @@ object TextAnalysis {
                         textCol: String = "text", windowWords: Int = 8,
                         dfLimit: Long = 1L): DataFrame = {
     val segs = segments(docs, idCol, textCol, windowWords)
-    // df counts DISTINCT docs per segment text: dedup (seg, did) first so
-    // the count aggregate is a plain map-side-combinable count
-    val segDf = segs.select("seg", "did").distinct()
-      .groupBy("seg").agg(count(lit(1)).as("df"))
-    val judged = segs.join(segDf, "seg")
+      .withColumn("h", md5(col("seg")))
+    // df counts DISTINCT docs per segment, keyed by md5(seg) so the
+    // dedup + count shuffles move 16-byte keys, never the segment text
+    // (the [[sentenceDedup]] rationale: a 128-bit collision over 10¹²
+    // segments ≈ 10⁻¹⁴ merges one pair of counts). Only the KILL LIST
+    // (df > limit) joins back — on a boilerplate-light corpus that's a
+    // tiny fraction of distinct segments, so the join stays unhinted
+    // and size-based planning broadcasts it (the sf0.1→sf1 record
+    // measured the old seg-text-keyed join-everything shape at 6× per
+    // 10× data; the kill-list shape moves corpus text through ZERO
+    // shuffles — only `h` travels, and the single remaining corpus
+    // shuffle is the per-doc reassembly aggregate).
+    val kills = segs.select("h", "did").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfLimit)
+      .select(col("h"), lit(true).as("kill"))
+    val judged = segs.join(kills, Seq("h"), "left")
     judged.groupBy(col("did").as(idCol))
       .agg(
         count(lit(1)).as("n_segments"),
-        sum(when(col("df") <= dfLimit, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kill").isNull, 1L).otherwise(0L)).as("n_kept"),
         concat_ws(" ", expr(
-          s"transform(filter(sort_array(collect_list(struct(seg_id, seg, df))), s -> s.df <= $dfLimit), s -> s.seg)"))
+          "transform(filter(sort_array(collect_list(struct(seg_id, seg, kill))), s -> s.kill IS NULL), s -> s.seg)"))
           .as("clean_text"))
       .select(idCol, "n_segments", "n_kept", "clean_text")
   }

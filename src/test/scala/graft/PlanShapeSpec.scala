@@ -93,6 +93,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate removal never shuffles segment text; kill list broadcasts") {
+    // round-5 rework: segment df counts key on md5(seg) and only the
+    // df>limit KILL LIST joins back — a regression to joining the full
+    // df table on raw `seg` re-shuffles the corpus text ×2
+    val plan = executedPlan("boilerplate_segments")
+    assert("BroadcastHashJoin \\[h#\\d+\\], \\[h#\\d+\\], LeftOuter, BuildRight"
+      .r.findFirstIn(plan).isDefined,
+      s"kill-list join is not a broadcast left join on the md5 key:\n$plan")
+    // every Exchange's output must be hash/id columns or the final
+    // per-doc aggregate — no exchange keyed by the raw segment text
+    val exchangeKeys = "Exchange hashpartitioning\\(([a-zA-Z0-9_#]+)"
+      .r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeKeys.nonEmpty)
+    exchangeKeys.foreach(k =>
+      assert(k.startsWith("h#") || k.startsWith("did#") || k.startsWith("doc_id#"),
+        s"exchange keyed by $k (segment text must never shuffle):\n$plan"))
+  }
+
   test("vocab counting ops partial-aggregate map-side and TakeOrdered their top-k") {
     val bpe = executedPlan("bpe_merges")
     // explode → count must split into partial + final hash aggregates so

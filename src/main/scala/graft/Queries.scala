@@ -1407,6 +1407,32 @@ object Queries {
   /** Per-group quota sampling: at most 10 docs per language, drawn in
     * salted-hash order — deterministic, so the DuckDB oracle reproduces
     * the exact row set with the same hash + row_number. */
+  /** Deterministic contrastive negative mining (round 5): k hash-drawn
+    * negatives per anchor resolved through the bucketed global rank —
+    * no cross join, no RNG; the oracle replays the rank table and the
+    * position hash exactly. */
+  val negativeSampleGate: Q = q("negative_sample", {
+    val h = operators.CrossHash.duckdbHash56(
+      "'neg:' || CAST(id_anchor AS VARCHAR) || '#' || CAST(j AS VARCHAR)")
+    s"""WITH r AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rnk
+       |  FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |a AS (SELECT doc_id AS id_anchor FROM documents WHERE doc_id % 50 = 0),
+       |e AS (SELECT id_anchor, CAST(j AS BIGINT) AS j
+       |      FROM a CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS j)),
+       |t AS (SELECT id_anchor, j, (($h) % n) + 1 AS target
+       |      FROM e CROSS JOIN n)
+       |SELECT id_anchor, j, r.doc_id AS id_neg
+       |FROM t JOIN r ON r.rnk = t.target
+       |WHERE r.doc_id <> t.id_anchor
+       |ORDER BY id_anchor, j""".stripMargin }) { (s, dir) =>
+    operators.Sampling.negativeSample(
+      t(s, dir, "documents").select("doc_id"),
+      "doc_id", col("doc_id") % 50 === 0, k = 5, salt = "neg")
+      .orderBy("id_anchor", "j")
+  }
+
   /** U2-class scale twin of `sample_quota`: the SAME rows through the
     * bounded-heap typed aggregator ([[operators.Sampling.quotaPerGroupAgg]])
     * instead of a window sort — map-side partial aggregation keeps ≤ n
@@ -4077,7 +4103,8 @@ object Queries {
     textQualityExt, pipelineComposed,
     langId, tokenCountBpe, winnowFingerprint,
     multimodalStats, multimodalFeatures,
-    sampleSplit, sampleQuota, sampleQuotaAgg, dupClusters, piiRedact, repetitionSignals,
+    sampleSplit, sampleQuota, sampleQuotaAgg, negativeSampleGate,
+    dupClusters, piiRedact, repetitionSignals,
     decontaminate, mixtureSample, packShards,
     multimodalDecode, multimodalResize, multimodalAreaResize,
     tpchQ10, lengthQuantiles, topTerms,

@@ -284,6 +284,42 @@ object Sampling {
         explode(col("__graft_bk")).as(idCol)): _*)
   }
 
+  /** Deterministic contrastive negative sampling: `k` pseudo-random
+    * negatives per anchor row (the training-pair mining step behind
+    * contrastive/embedding training — in-batch negatives don't exist at
+    * data-prep time, so the corpus supplies them), with NO cross join
+    * and no RNG state. Each (anchor, j) pair hashes to a corpus POSITION
+    * `hash56(salt:anchor#j) mod n`, and positions resolve to ids through
+    * [[Ranks.globalRowNumber]]'s bucketed two-pass rank — so the plan is
+    * a row-local ×k explode plus ONE corpus-linear equi-join on the rank
+    * key (the 1-row corpus count rides a broadcast). Accidental
+    * self-pairs (anchor drawn as its own negative, probability k/n) are
+    * dropped, not re-drawn — the oracle replays the same rule.
+    * Re-running over a grown corpus changes `n` and therefore redraws —
+    * by design (negatives should cover the current corpus); pin `n`
+    * upstream if stability across ingests matters.
+    *
+    * @return (id_anchor, j, id_neg), one row per surviving draw
+    */
+  def negativeSample(df: DataFrame, idCol: String, anchorPred: Column,
+                     k: Int, salt: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ranked = Ranks.globalRowNumber(df.select(col(idCol)), idCol, idCol)
+      .select(col(idCol).as("id_neg"), col("rank"))
+    val nRow = df.agg(count(lit(1)).as("__graft_n"))
+    val targets = df.filter(anchorPred).select(col(idCol).as("id_anchor"))
+      .crossJoin(broadcast(nRow))
+      .select(col("id_anchor"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("j"), col("__graft_n"))
+      .withColumn("target",
+        pmod(CrossHash.hash56(concat(lit(salt + ":"),
+          col("id_anchor").cast("string"), lit("#"), col("j").cast("string"))),
+          col("__graft_n")) + 1)
+    targets.join(ranked, col("target") === col("rank"))
+      .filter(col("id_neg") =!= col("id_anchor"))
+      .select("id_anchor", "j", "id_neg")
+  }
+
   /** Keep the top `frac` of each group by `(scoreCol desc, idCol)` — the
     * percentile-thresholding quality prune (keep the best X% per
     * language/source) without a precomputed cutoff. The threshold is

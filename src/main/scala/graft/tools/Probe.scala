@@ -164,8 +164,12 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.Queries.all.filter(q => names.isEmpty || names(q.name)).foreach { q =>
-      (1 to 2).foreach { i =>
+    // "-cc" in the name list: clearCache before every run ×4 (reproduces
+    // the bench headline tier's per-run isolation for diagnosis)
+    val cc = names.contains("-cc")
+    graft.Queries.all.filter(q => (names - "-cc").isEmpty || names(q.name)).foreach { q =>
+      (1 to (if (cc) 4 else 2)).foreach { i =>
+        if (cc) spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val n = q.fn(spark, sf).count()
         println(f"[time] ${q.name} run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")

@@ -786,6 +786,26 @@ object Queries {
       .orderBy("q_id", "rnk")
   }
 
+  /** Hard-negative mining band (round 5): neighbors ranked [4, 8] per
+    * anchor — the ANCE-style contrastive mining step; exact ranked-frame
+    * replay in the oracle, same shape as `ann_topk`. */
+  val hardNegativesGate: Q = q("hard_negatives",
+    """SELECT id_anchor, id_neg, rnk, cos FROM (
+      |  SELECT q.vec_id AS id_anchor, c.vec_id AS id_neg,
+      |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+      |      c.vec_id) AS BIGINT) AS rnk,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id % 20 = 0) t
+      | WHERE rnk BETWEEN 4 AND 8 ORDER BY id_anchor, rnk""".stripMargin) { (s, dir) =>
+    operators.Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id", "embedding",
+      anchorPred = col("vec_id") % 20 === 0, loRank = 4, hiRank = 8)
+      .orderBy("id_anchor", "rnk")
+  }
+
   /** kNN label vote (embedding-space label propagation): majority label
     * of each query's 5 exact nearest neighbors, vote ties broken by best
     * neighbor rank then label — both engines replay the identical
@@ -4097,7 +4117,7 @@ object Queries {
     seedRoundtrip, tombstoneDelete, engineModel,
     dedupExact, dedupExactHash, textQuality, fingerprintMd5,
     dedupMinhashLsh, ngramJaccard, dedupSimhash, embeddingNearDup,
-    annTopK, annLshTopK, annIvfTopK, sourceSimilarity, mapAccess,
+    annTopK, annLshTopK, annIvfTopK, hardNegativesGate, sourceSimilarity, mapAccess,
     semanticDecontaminateGate, embeddingQuantize, timeTravelAsOf,
     rangeJoinGate,
     textQualityExt, pipelineComposed,

@@ -65,6 +65,37 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos")
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * neighbors whose similarity RANK falls in `[loRank, hiRank]` —
+    * similar enough to be informative negatives, far enough down the
+    * ranking to (by the caller's choice of `loRank`) sit below the
+    * near-dup/positive band. The standard recipe behind dense-retriever
+    * and embedding-model training data (ANCE-style mining, public
+    * literature); the uniform complement is
+    * [[graft.operators.Sampling.negativeSample]].
+    *
+    * Exact mode rides [[bruteForceTopK]] (broadcast anchors × corpus
+    * scan — the documented oracle-twin contract: the corpus never
+    * shuffles, so it scales in corpus size but linearly in |anchors|);
+    * `approx = true` rides [[ivfTopK]]'s cell equi-join for the
+    * 100 TB-corpus shape (quantizer recall caveats per its scaladoc).
+    *
+    * @return (id_anchor, id_neg, rnk, cos), rnk ∈ [loRank, hiRank]
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    anchorPred: Column, loRank: Int, hiRank: Int,
+                    approx: Boolean = false, nCentroids: Int = 16,
+                    nProbe: Int = 2): DataFrame = {
+    require(1 <= loRank && loRank <= hiRank,
+      s"need 1 <= loRank <= hiRank, got [$loRank, $hiRank]")
+    val topk =
+      if (approx) ivfTopK(emb, idCol, vecCol, anchorPred, hiRank, nCentroids, nProbe)
+      else bruteForceTopK(emb, idCol, vecCol, anchorPred, hiRank)
+    topk.filter(col("rnk") >= loRank)
+      .select(col("q_id").as("id_anchor"), col("n_id").as("id_neg"),
+        col("rnk"), col("cos"))
+  }
+
   /** All random-hyperplane bucket signatures for multi-table LSH, one
     * 56-bit-max long per seed, computed by the fused codegen'd
     * [[graft.functions.PlaneSignatures]] expression (the `zip_with` +

@@ -56,6 +56,25 @@ class EmbeddingNearDupSpec extends SparkSpec {
     assert(planesFor(1L << 40) == 20) // cap
   }
 
+  test("hardNegatives: band contract, self-exclusion, exact-mode truth") {
+    val emb = corpus(200)
+    val out = Similarity.hardNegatives(emb, "vec_id", "embedding",
+      col("vec_id") % 10 === 0, loRank = 3, hiRank = 7)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) >= 3 && r.getLong(2) <= 7))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    // every anchor yields exactly the 5-rank band (corpus >> hiRank)
+    val per = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(per.values.forall(_ == 5), per.toMap)
+    // rank ordering consistent with cosine: within an anchor, cos is
+    // non-increasing with rank
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("knownCount skips the count action and parameterizes identically") {
     val emb = corpus(300)
     val n = emb.count()

@@ -931,6 +931,36 @@ final class Engine(
     }).save(path)
   }
 
+  /** Token-budget sharded export — the physical tail of a curation
+    * pipeline ("write the curated corpus as ~budget-token shards"):
+    * [[graft.operators.Sampling.packShards]] assigns every row a
+    * deterministic `(pack_group, shard)` by hash-ordered token cumsum,
+    * and the writer materializes that layout as
+    * `pack_group=G/shard=S/part-…` directories. The pre-write
+    * `repartition(pack_group, shard)` puts each shard's rows in one
+    * writer task → one file per shard (training loaders want
+    * file-per-shard, not a spray of task fragments); `groups` bounds
+    * the per-task window cumsum, so at 100 TB the pack is `groups`-way
+    * parallel and no task sees more than ~corpus/groups rows. A shard's
+    * token sum can overshoot `budget` by at most its last document
+    * (documents are never split — packShards' start-offset rule). */
+  def exportPackedShards(name: String, path: String, idCol: String,
+                         tokensCol: String, budget: Long,
+                         groups: Int = 32, salt: String = "pack",
+                         format: String = "parquet"): Unit = {
+    require(Seq("json", "csv", "parquet").contains(format),
+      s"unsupported export format '$format'")
+    val packed = graft.operators.Sampling.packShards(
+      readStream(name), idCol, tokensCol, budget, groups, salt)
+    val w = packed.repartition(col("pack_group"), col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("pack_group", "shard")
+    (format match {
+      case "json" => w.format("json")
+      case "csv" => w.format("csv").option("header", "true")
+      case "parquet" => w.format("parquet")
+    }).save(path)
+  }
+
   // --- L9 run-operations (macros/operations.sql:17-111) ---
 
   private def targets(names: Option[Seq[String]]): Seq[StreamDef] = names match {

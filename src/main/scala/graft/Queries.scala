@@ -1427,6 +1427,34 @@ object Queries {
   /** Per-group quota sampling: at most 10 docs per language, drawn in
     * salted-hash order — deterministic, so the DuckDB oracle reproduces
     * the exact row set with the same hash + row_number. */
+  /** Mixture planning report (round 5): target token shares, sampling
+    * rates and implied epochs per source for a declared mixture — the
+    * pre-flight check before committing a pretraining mix. n_chars
+    * stands in for tokens (same column both sides). */
+  val mixturePlanGate: Q = q("mixture_plan",
+    """WITH avail AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2),
+      |                            ('missing_src', 9.9)) AS t(source, w)),
+      |j AS (SELECT a.source, a.avail_tokens, coalesce(w.w, 0) AS w
+      |      FROM avail a LEFT JOIN w USING (source)),
+      |t AS (SELECT sum(w) AS wtot FROM j)
+      |SELECT source, avail_tokens,
+      |  CAST(floor(w / wtot * 1e6) AS BIGINT) AS weight_micro,
+      |  CAST(floor(w / wtot * 100000) AS BIGINT) AS target_tokens,
+      |  CAST(floor(CAST(floor(w / wtot * 100000) AS BIGINT) * 1000000.0
+      |             / avail_tokens) AS BIGINT) AS rate_micro,
+      |  CAST(ceil(CAST(floor(w / wtot * 100000) AS BIGINT) * 1.0
+      |            / avail_tokens) AS BIGINT) AS epochs_ceil
+      |FROM j CROSS JOIN t
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    operators.Sampling.mixturePlan(
+      t(s, dir, "documents"), "source", "n_chars",
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2, "missing_src" -> 9.9),
+      budgetTokens = 100000L)
+  }
+
   /** Deterministic contrastive negative mining (round 5): k hash-drawn
     * negatives per anchor resolved through the bucketed global rank —
     * no cross join, no RNG; the oracle replays the rank table and the
@@ -4123,7 +4151,7 @@ object Queries {
     textQualityExt, pipelineComposed,
     langId, tokenCountBpe, winnowFingerprint,
     multimodalStats, multimodalFeatures,
-    sampleSplit, sampleQuota, sampleQuotaAgg, negativeSampleGate,
+    sampleSplit, sampleQuota, sampleQuotaAgg, negativeSampleGate, mixturePlanGate,
     dupClusters, piiRedact, repetitionSignals,
     decontaminate, mixtureSample, packShards,
     multimodalDecode, multimodalResize, multimodalAreaResize,

@@ -284,6 +284,55 @@ object Sampling {
         explode(col("__graft_bk")).as(idCol)): _*)
   }
 
+  /** Mixture planning: given target mixture weights over sources and a
+    * total token budget, compute each source's target token share, the
+    * sampling RATE against its available tokens, and the implied EPOCH
+    * count (rate > 1 = the source must repeat) — the sanity report run
+    * before committing to a pretraining mixture (upsampling a small
+    * high-quality source 10× is a decision, not an accident; cf. the
+    * public data-mixture literature — GPT-3's weighted sampling table,
+    * DoReMi's domain weights). Weights are normalized over the sources
+    * PRESENT in the corpus; absent weight keys are ignored, unweighted
+    * sources get weight 0 and appear with zero targets (they'd silently
+    * vanish from the mix — the report makes that visible).
+    *
+    * Rates and epochs are emitted in integer MICRO units (floor), the
+    * cross-engine determinism convention. One vocabulary-sized aggregate
+    * (sources), a 1-row broadcast for the weight total — corpus-linear,
+    * nothing driver-side.
+    *
+    * @return (source, avail_tokens, weight_micro, target_tokens,
+    *         rate_micro, epochs_ceil) ordered by source
+    */
+  def mixturePlan(df: DataFrame, sourceCol: String, tokensCol: String,
+                  weights: Map[String, Double],
+                  budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val avail = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokensCol).cast("long")).as("avail_tokens"))
+    val w = weights.toSeq.toDF("source", "w")
+    val joined = avail.join(broadcast(w), Seq("source"), "left")
+      .withColumn("w", coalesce(col("w"), lit(0.0)))
+    // normalize over PRESENT sources: 1-row total, broadcast back
+    val tot = joined.agg(sum("w").as("wtot"))
+    joined.crossJoin(broadcast(tot))
+      // wtot = 0 (no weight names any present source): all-zero plan,
+      // not a null spray — the report stays readable and deterministic
+      .withColumn("__f", when(col("wtot") > 0, col("w") / col("wtot")).otherwise(lit(0.0)))
+      .withColumn("weight_micro", floor(col("__f") * 1e6).cast("long"))
+      .withColumn("target_tokens", floor(col("__f") * budgetTokens).cast("long"))
+      .withColumn("rate_micro",
+        floor(col("target_tokens") * lit(1000000L) / col("avail_tokens")).cast("long"))
+      .withColumn("epochs_ceil",
+        ceil(col("target_tokens").cast("double") / col("avail_tokens")).cast("long"))
+      .select("source", "avail_tokens", "weight_micro", "target_tokens",
+        "rate_micro", "epochs_ceil")
+      .orderBy("source")
+  }
+
   /** Deterministic contrastive negative sampling: `k` pseudo-random
     * negatives per anchor row (the training-pair mining step behind
     * contrastive/embedding training — in-batch negatives don't exist at

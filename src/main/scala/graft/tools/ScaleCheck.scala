@@ -247,10 +247,59 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** `runMain graft.tools.ScaleCheck quota [nRows] [groups] [k]` — the
+    * per-group quota probe behind
+    * [[graft.operators.Sampling.quotaPerGroupAgg]]: window `row_number`
+    * vs the bounded-heap typed aggregator at n and 10n rows, recording
+    * wall time and max task duration. The claim (the operator's
+    * scaladoc): the window plan sorts every group's FULL row set inside
+    * the exchange, while the heap keeps ≤ k candidates per
+    * (partition, group) so only `partitions × groups × k` pairs cross
+    * the shuffle — the gap widens with rows-per-group. */
+  private def quotaMain(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val groups = args.lift(1).map(_.toInt).getOrElse(20)
+    val k = args.lift(2).map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-quotacheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.{col, pmod}
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null)
+          maxTask.getAndUpdate(m => math.max(m, e.taskInfo.duration))
+    })
+    import graft.operators.Sampling
+    def df(rows: Long) = spark.range(rows).select(
+      pmod(col("id"), org.apache.spark.sql.functions.lit(groups))
+        .cast("string").as("g"), col("id"))
+    def probe(rows: Long, what: String)(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      maxTask.set(0)
+      val t0 = System.nanoTime()
+      val cnt = f(df(rows)).count()
+      println(f"[quota] $what n=$rows: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+        f"max task ${maxTask.get()} ms, out=$cnt")
+    }
+    // warmup codegen at the small size
+    probe(n, "warmup-agg")(d => Sampling.quotaPerGroupAgg(d, Seq("g"), "id", k, "q"))
+    probe(n, "warmup-win")(d => Sampling.quotaPerGroup(d, Seq("g"), "id", k, "q"))
+    for (rows <- Seq(n, n * 10)) {
+      probe(rows, "window-sort")(d => Sampling.quotaPerGroup(d, Seq("g"), "id", k, "q"))
+      probe(rows, "bounded-heap")(d => Sampling.quotaPerGroupAgg(d, Seq("g"), "id", k, "q"))
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     if (args.headOption.contains("rank")) return rankMain(args.drop(1))
     if (args.headOption.contains("emb")) return embMain(args.drop(1))
+    if (args.headOption.contains("quota")) return quotaMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()

@@ -50,12 +50,13 @@ object Bench {
     // their remaining seconds are genuine computation, not compilation.
     spark.catalog.clearCache()
 
-    def timeGate(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeGate(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"BENCH ERROR: ${e.getClass.getName}: ${e.getMessage}")
+          System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -63,7 +64,7 @@ object Bench {
     }
 
     // ---- tier 1: full sweep, every gate once -------------------------
-    val results = SparkEntry.queries.map { case (name, fn) => name -> timeGate(fn) }
+    val results = SparkEntry.queries.map { case (name, fn) => name -> timeGate(name, fn) }
 
     // ---- tier 2: headline = 30 heaviest, ×3, medians -----------------
     // selected from THIS sweep (self-maintaining as the matrix grows);
@@ -72,7 +73,7 @@ object Bench {
       .take(30).map(_._1)
     val headline = headlineNames.map { name =>
       val fn = SparkEntry.queries(name)
-      val ts = (1 to 3).map { _ => spark.catalog.clearCache(); timeGate(fn) }
+      val ts = (1 to 3).map { _ => spark.catalog.clearCache(); timeGate(name, fn) }
       val median =
         if (ts.exists(_ < 0)) -ts.map(math.abs).sorted.apply(1)
         else ts.sorted.apply(1)

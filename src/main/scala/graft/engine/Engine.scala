@@ -581,12 +581,17 @@ final class Engine(
     val group = s"graft-preview-${java.util.UUID.randomUUID()}"
     val queue = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val worker = new Thread(() => {
       try {
         spark.sparkContext.setJobGroup(group, "graft preview", interruptOnCancel = true)
         df.toLocalIterator().forEachRemaining(queue.add(_))
-      } catch { case e: Throwable => failure.set(e) }
+      } catch {
+        // our own budget-exhaustion cancel surfaces here as a
+        // SparkException — that is the timeout path, not a failure
+        case e: Throwable => if (!cancelled.get()) failure.set(e)
+      }
       finally done.set(true)
     }, group)
     worker.setDaemon(true)
@@ -599,7 +604,10 @@ final class Engine(
         // "no next_token": the job finished and everything is drained
         if (done.get() && queue.isEmpty && buf.isEmpty) None else Some(buf.toSeq)
       }
-      override def cancel(): Unit = spark.sparkContext.cancelJobGroup(group)
+      override def cancel(): Unit = {
+        cancelled.set(true)
+        spark.sparkContext.cancelJobGroup(group)
+      }
     }
     val res = PreviewCursor.pollAppend(pager, cols, previewTimeoutMs / 1000.0, rng, sleep)
     failure.get() match {
@@ -743,20 +751,26 @@ final class Engine(
     require(targetFiles > 0, "targetFiles must be positive")
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy and zorderBy are mutually exclusive")
-    // optional clustering: files then hold narrow value ranges, so
-    // parquet min/max stats prune scans — sortBy for a single leading
-    // dimension, zorderBy (Morton interleave) for multi-dimensional
-    // predicates. Rows and epoch/seq stamps are unchanged either way;
-    // only physical placement moves.
-    val rows = readRaw(d)
-    val laid =
-      if (zorderBy.nonEmpty)
-        graft.operators.ZOrder.cluster(rows, zorderBy, targetFiles)
-      else if (sortBy.nonEmpty)
-        rows.repartitionByRange(targetFiles, sortBy.map(col): _*)
-          .sortWithinPartitions(sortBy.map(col): _*)
-      else rows.repartition(targetFiles)
-    rewriteStorage(d, laid)
+    // the ingest lock must span scan → swap: an append committing
+    // between the rewrite's scan and its directory swap would be wiped
+    // by the swap (the appendRows concurrency contract covers EVERY
+    // storage rewrite, not just writes)
+    streamLock(name).synchronized {
+      // optional clustering: files then hold narrow value ranges, so
+      // parquet min/max stats prune scans — sortBy for a single leading
+      // dimension, zorderBy (Morton interleave) for multi-dimensional
+      // predicates. Rows and epoch/seq stamps are unchanged either way;
+      // only physical placement moves.
+      val rows = readRaw(d)
+      val laid =
+        if (zorderBy.nonEmpty)
+          graft.operators.ZOrder.cluster(rows, zorderBy, targetFiles)
+        else if (sortBy.nonEmpty)
+          rows.repartitionByRange(targetFiles, sortBy.map(col): _*)
+            .sortWithinPartitions(sortBy.map(col): _*)
+        else rows.repartition(targetFiles)
+      rewriteStorage(d, laid)
+    }
   }
 
   /** VACUUM: physically drop change-stream rows superseded as of
@@ -772,15 +786,18 @@ final class Engine(
     val pk = d.schema.primaryKeyColumns
     require(pk.nonEmpty, s"stream '${d.name}' has no primary key — " +
       "vacuum folds change-stream history")
-    val raw = readRaw(d)
-    val w = Window.partitionBy(pk.map(col): _*)
-      .orderBy(col(EpochCol).desc, col(SeqCol).desc)
-    val liveAtEpoch = raw.filter(col(EpochCol) <= lit(upToEpoch))
-      .withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1 && !col(DeletedCol))
-      .drop("__graft_rn")
-    rewriteStorage(d, liveAtEpoch.unionByName(
-      raw.filter(col(EpochCol) > lit(upToEpoch))))
+    // same scan→swap race as compactStorage: hold the ingest lock
+    streamLock(name).synchronized {
+      val raw = readRaw(d)
+      val w = Window.partitionBy(pk.map(col): _*)
+        .orderBy(col(EpochCol).desc, col(SeqCol).desc)
+      val liveAtEpoch = raw.filter(col(EpochCol) <= lit(upToEpoch))
+        .withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1 && !col(DeletedCol))
+        .drop("__graft_rn")
+      rewriteStorage(d, liveAtEpoch.unionByName(
+        raw.filter(col(EpochCol) > lit(upToEpoch))))
+    }
   }
 
   /** Operational stats for a stream (DESCRIBE-style observability):
@@ -922,6 +939,15 @@ final class Engine(
           lit(shardsPerPartition.toLong))
         df.repartition(partitionBy.map(col) :+ salt: _*)
       } else df.repartition(shardsPerPartition)
+    writeExport(df, format, partitionBy, path)
+  }
+
+  /** Shared export writer: format validation happens in the public
+    * entry points; the json/csv/parquet dispatch (incl. the csv header
+    * convention) lives here so [[exportStream]] and
+    * [[exportPackedShards]] cannot drift. */
+  private def writeExport(df: DataFrame, format: String,
+                          partitionBy: Seq[String], path: String): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     val wp = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
     (format match {
@@ -952,13 +978,8 @@ final class Engine(
       s"unsupported export format '$format'")
     val packed = graft.operators.Sampling.packShards(
       readStream(name), idCol, tokensCol, budget, groups, salt)
-    val w = packed.repartition(col("pack_group"), col("shard"))
-      .write.mode(SaveMode.Overwrite).partitionBy("pack_group", "shard")
-    (format match {
-      case "json" => w.format("json")
-      case "csv" => w.format("csv").option("header", "true")
-      case "parquet" => w.format("parquet")
-    }).save(path)
+    writeExport(packed.repartition(col("pack_group"), col("shard")),
+      format, Seq("pack_group", "shard"), path)
   }
 
   // --- L9 run-operations (macros/operations.sql:17-111) ---

@@ -100,18 +100,43 @@ object PreviewCursor {
     (polls, !done)
   }
 
+  /** Budget exhausted with the job apparently still running: the final
+    * budget-capped sleep can span up to HALF the budget, and a job that
+    * finished during it has its rows sitting in the in-process queue —
+    * unlike the reference's remote preview, we can still see them. Drain
+    * with up to two extra polls (page-then-None is how a just-finished
+    * pager reports completion); only a pager still yielding pages after
+    * that is genuinely timed out. Returns (extraPolls, stillTimedOut). */
+  private def finalDrain(poll: () => Boolean): (Int, Boolean) = {
+    var extra = 0
+    var stillRunning = true
+    while (stillRunning && extra < 2) {
+      extra += 1
+      if (poll()) stillRunning = false
+    }
+    (extra, stillRunning)
+  }
+
   /** Poll loop for an APPEND-stream preview: extend per page, stop on
     * end-of-pages or budget exhaustion (keeping what accumulated, like
-    * the reference), seed the fake test row when nothing arrived. */
+    * the reference — after a final drain of anything the job produced
+    * during the last sleep), seed the fake test row when nothing
+    * arrived. */
   def pollAppend(pager: Pager, columns: Seq[String], timeoutSec: Double,
       rng: java.util.Random = new java.util.Random(),
       sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong)): Result = {
     val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
-    val (polls, timedOut) = loop(() => pager.nextPage() match {
+    val poll = () => pager.nextPage() match {
       case Some(page) => acc ++= page; false
       case None => true
-    }, timeoutSec, rng, sleep)
-    if (timedOut) pager.cancel()
+    }
+    var (polls, timedOut) = loop(poll, timeoutSec, rng, sleep)
+    if (timedOut) {
+      val (extra, still) = finalDrain(poll)
+      polls += extra
+      timedOut = still
+      if (timedOut) pager.cancel()
+    }
     if (acc.isEmpty) Result(Seq(fakeRow), FakeColumns, polls, timedOut, seededFake = true)
     else Result(acc.toSeq, columns, polls, timedOut, seededFake = false)
   }
@@ -123,13 +148,19 @@ object PreviewCursor {
       rng: java.util.Random = new java.util.Random(),
       sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong)): Result = {
     var state: Seq[Row] = Nil
-    val (polls, timedOut) = loop(() => pager.nextPage() match {
+    val poll = () => pager.nextPage() match {
       case Some(page) =>
         page.lastOption.foreach(last => state = last.after.toSeq)
         false
       case None => true
-    }, timeoutSec, rng, sleep)
-    if (timedOut) pager.cancel()
+    }
+    var (polls, timedOut) = loop(poll, timeoutSec, rng, sleep)
+    if (timedOut) {
+      val (extra, still) = finalDrain(poll)
+      polls += extra
+      timedOut = still
+      if (timedOut) pager.cancel()
+    }
     if (state.isEmpty) Result(Seq(fakeRow), FakeColumns, polls, timedOut, seededFake = true)
     else Result(state, columns, polls, timedOut, seededFake = false)
   }

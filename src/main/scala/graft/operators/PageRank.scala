@@ -35,8 +35,16 @@ object PageRank {
       nodes: DataFrame,
       iterations: Int = 3,
       damping: Double = 0.85,
-      checkpointEvery: Int = 4): DataFrame =
-    runWithCleanup(edges, nodes, iterations, damping, checkpointEvery)._1
+      checkpointEvery: Int = 4): DataFrame = {
+    val (ranks, cleanup) = runWithCleanup(edges, nodes, iterations, damping, checkpointEvery)
+    // eager localCheckpoint materializes the final ranks (n rows — tiny
+    // next to the cached edge frames), so the caches can be released
+    // immediately instead of leaking one persisted pair per call; callers
+    // wanting lazy lineage use runWithCleanup directly
+    val out = ranks.localCheckpoint(true)
+    cleanup()
+    out
+  }
 
   /** [[run]] plus the unpersist handle for the vertex and transition frames
     * it pins (the [[Sequences.rfmSegmentsWithCleanup]] convention): call

@@ -268,14 +268,21 @@ object Sampling {
     * row, so only `partitions × n` candidate pairs per group cross the
     * shuffle and nothing is ever sorted but the final ≤ n winners. At
     * 100 TB with billions of rows per group, shuffle volume drops from
-    * the corpus to `groups × partitions × n`. `idCol` must be integral
-    * (the heap stores ids as longs); output matches [[quotaPerGroup]]
-    * row-for-row. */
+    * the corpus to `groups × partitions × n`.
+    *
+    * Contract differences vs [[quotaPerGroup]] (which preserves the full
+    * input row): `idCol` must be integral (the heap stores ids as
+    * longs) and null-id rows are DROPPED up front (the window twin
+    * ranks them; a sampling id is expected to identify its row); the
+    * output carries ONLY `(groupCols…, idCol AS LONG)` — join the
+    * winners back to the source frame for payload columns. The winning
+    * id SET per group is identical to the window version's. */
   def quotaPerGroupAgg(df: DataFrame, groupCols: Seq[String], idCol: String,
                        n: Int, salt: String): DataFrame = {
     val bk = udaf(new BottomK(n),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
-    df.select((groupCols.map(col) :+
+    df.filter(col(idCol).isNotNull)
+      .select((groupCols.map(col) :+
         hashBucket(col(idCol), salt, 1 << 30).as("__graft_qb") :+
         col(idCol).cast("long").as("__graft_qid")): _*)
       .groupBy(groupCols.map(col): _*)
@@ -325,7 +332,10 @@ object Sampling {
       .withColumn("weight_micro", floor(col("__f") * 1e6).cast("long"))
       .withColumn("target_tokens", floor(col("__f") * budgetTokens).cast("long"))
       .withColumn("rate_micro",
-        floor(col("target_tokens") * lit(1000000L) / col("avail_tokens")).cast("long"))
+        // double multiply, matching the oracle's `target * 1000000.0 /
+        // avail` — a long multiply overflows past ~9.2e12 target tokens
+        // (real pretraining budgets exceed that)
+        floor(col("target_tokens").cast("double") * 1e6 / col("avail_tokens")).cast("long"))
       .withColumn("epochs_ceil",
         ceil(col("target_tokens").cast("double") / col("avail_tokens")).cast("long"))
       .select("source", "avail_tokens", "weight_micro", "target_tokens",

@@ -431,6 +431,34 @@ class EngineSpec extends SparkSpec {
     * pre-write index and both would land; the per-stream ingest lock must
     * serialize them so exactly one survivor lands per duplicate group and
     * epochs stay unique — never a corrupt index. */
+  /** The scan→swap window of a storage rewrite must hold the same
+    * ingest lock as writes: un-serialized, an append committing between
+    * compactStorage's scan and its directory swap is wiped by the swap
+    * (the appended rows vanish while the epoch bump survives). */
+  test("concurrent appendRows during compactStorage cannot lose rows") {
+    import spark.implicits._
+    val e = newEngine()
+    e.createStream("rw", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long", nullable = false)))
+    e.appendRows("rw", (1L to 500L).toDF("id"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val appends = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          (1 to 5).foreach(i => e.appendRows("rw",
+            (1000L * i to 1000L * i + 49L).toDF("id")))
+      })
+      val compacts = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to 5).foreach(_ => e.compactStorage("rw", 2))
+      })
+      appends.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      compacts.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    assert(e.readStream("rw").count() == 500L + 5 * 50,
+      "rows lost to a rewrite racing an append")
+  }
+
   test("concurrent appendRowsDeduped ingests serialize: cross-shard near-dups cannot both land") {
     import spark.implicits._
     val e = newEngine()

@@ -78,11 +78,30 @@ class PreviewCursorSpec extends AnyFunSuite {
     }
     val r = pollAppend(endless, Seq("n"), 60.0, rng(3), noSleep)
     assert(r.timedOut && endless.cancelled)
-    // the loop is poll → sleep → poll → … → final sleep exhausts the
-    // budget and exits WITHOUT another poll (handler.py's break sits
-    // after the sleep), so polls == schedule length
-    assert(r.polls == backoffSchedule(60.0, rng(3)).size)
+    // poll → sleep → … → final sleep exhausts the budget, then the
+    // final drain adds up to 2 polls (a pager still yielding pages
+    // after both is genuinely timed out): polls = schedule + 2
+    assert(r.polls == backoffSchedule(60.0, rng(3)).size + 2)
     assert(r.rows == (1 to r.polls).map(Row(_)))
+  }
+
+  test("a job that finishes during the final sleep is drained, not cancelled") {
+    // pages forever while 'running', then completes: the first
+    // post-budget drain picks up the rows, the second sees None
+    val pages = Iterator[Option[Seq[Row]]](
+      Some(Seq(Row(1))), Some(Nil), Some(Nil), Some(Nil), Some(Nil), Some(Nil),
+      Some(Seq(Row(2), Row(3))), None) ++ Iterator.continually(None)
+    val pager = new Pager {
+      var cancelled = false
+      override def nextPage(): Option[Seq[Row]] = pages.next()
+      override def cancel(): Unit = cancelled = true
+    }
+    val r = pollAppend(pager, Seq("x"), 60.0, rng(3), noSleep)
+    // 6 in-budget polls (schedule for 60s/rng(3) is 6 sleeps), then the
+    // drain gets the late rows and the completion marker
+    assert(!r.timedOut, s"completed job flagged timedOut: $r")
+    assert(!pager.cancelled)
+    assert(r.rows == Seq(Row(1), Row(2), Row(3)))
   }
 
   test("empty preview seeds the dbt-test fake row (handler.py:99,127-128)") {
@@ -147,6 +166,21 @@ class PreviewPolledSpec extends SparkSpec {
     assert(polled.rows == direct)
     assert(polled.columns == Seq("id", "dbl"))
     assert(!polled.timedOut && !polled.seededFake && polled.polls >= 1)
+  }
+
+  test("previewPolled budget exhaustion cancels cleanly and returns, not throws") {
+    // a deliberately slow aggregate against a short poll budget: the
+    // cursor must return a timed-out (fake-row, nothing accumulated)
+    // result — and must NOT surface its own job-group cancellation as a
+    // failure (the cancel races the worker's catch block)
+    val e = new Engine(spark, tmpDir("graft-preview-to"), previewTimeoutMs = 800L)
+    e.createStream("pp_slow", graft.schema.StreamSchema(Seq(
+      graft.schema.PhysicalField("id", graft.types.FlinkType.FBigInt))))
+    e.appendRows("pp_slow", spark.range(3).toDF("id"))
+    val slow = "SELECT max(md5(CAST(r.id AS STRING))) AS m FROM range(80000000) r"
+    val res = e.previewPolled(slow, rng = new java.util.Random(5))
+    assert(res.timedOut, s"expected a timeout, got $res")
+    assert(res.seededFake && res.rows == Seq(org.apache.spark.sql.Row(0L, false, false)))
   }
 
   test("previewPolled on an empty result seeds the dbt fake test row") {

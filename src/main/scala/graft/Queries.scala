@@ -3664,7 +3664,11 @@ object Queries {
       .join(su, li("l_suppkey") === su("s_suppkey"))
       .groupBy(su("s_nationkey").as("src"), c("c_nationkey").as("dst"))
       .agg(count(lit(1)).cast("double").as("w"))
-    operators.PageRank.run(edges, n.select("n_nationkey"), iterations = 3)
+    // runWithCleanup's LAZY frame (run() eagerly checkpoints, which
+    // executes the iterations before the plan can be inspected): the
+    // gate's plan must stay observable for PlanShapeSpec's persisted-
+    // transition-frame assertion; bench clearCache reclaims the caches
+    operators.PageRank.runWithCleanup(edges, n.select("n_nationkey"), iterations = 3)._1
       .join(n, col("node") === n("n_nationkey"))
       .select(col("n_name"),
         floor(col("rank") * lit(1000000000.0)).cast("long").as("rank_nano"))

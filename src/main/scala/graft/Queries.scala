@@ -1572,6 +1572,50 @@ object Queries {
     operators.TextAnalysis.redactPii(synth).orderBy("doc_id")
   }
 
+  /** Luhn-validated card redaction ([[operators.TextAnalysis
+    * .redactCardNumbers]]): three planted shapes — a Luhn-valid spaced
+    * card, a Luhn-FAILING dashed digit run (must survive redaction, must
+    * count as rejected), a bare 16-digit valid run. The oracle re-derives
+    * the mod-10 check digit in SQL list arithmetic. */
+  val piiLuhn: Q = q("pii_luhn",
+    """WITH synth AS (SELECT doc_id, text
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' card 4539 5787 6362 1486' ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' ref 1234-5678-1234-5678' ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0 THEN ' acct 4539578763621486' ELSE '' END AS s
+      |  FROM documents),
+      |cand AS (SELECT doc_id, s,
+      |    regexp_extract_all(s, '\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{16}\b') AS cs
+      |  FROM synth),
+      |j AS (SELECT doc_id, s, cs,
+      |    list_transform(cs, c -> {'c': c,
+      |      'ds': list_transform(string_split(reverse(
+      |        replace(replace(c, '-', ''), ' ', '')), ''),
+      |        x -> CAST(x AS INT))}) AS cds
+      |  FROM cand),
+      |v AS (SELECT doc_id, s, cs,
+      |    list_transform(list_filter(cds, u ->
+      |      list_sum(list_transform(range(len(u.ds)), i ->
+      |        CASE WHEN i % 2 = 1 THEN
+      |          CASE WHEN u.ds[i+1] * 2 > 9 THEN u.ds[i+1] * 2 - 9
+      |               ELSE u.ds[i+1] * 2 END
+      |        ELSE u.ds[i+1] END)) % 10 = 0), u -> u.c) AS valid
+      |  FROM j)
+      |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_card_valid,
+      |  CAST(len(cs) - len(valid) AS BIGINT) AS n_card_rejected,
+      |  list_reduce(list_prepend(s, valid),
+      |    (a, b) -> replace(a, b, '<CARD>')) AS redacted
+      |FROM v ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val synth = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" card 4539 5787 6362 1486"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" ref 1234-5678-1234-5678"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" acct 4539578763621486"))
+          .otherwise(lit(""))).as("text"))
+    operators.TextAnalysis.redactCardNumbers(synth).orderBy("doc_id")
+  }
+
   /** Gopher-style repetition signals: duplicate-word fraction (array ops,
     * zero shuffle) and top-bigram share (two doc-keyed hash aggregates). */
   val repetitionSignals: Q = q("repetition_signals",
@@ -4136,6 +4180,122 @@ object Queries {
         max("dur").cast("long").as("max_nanos"))
   }
 
+  // ---------------------------------------------------------------------
+  // URL / domain curation ([[operators.UrlCuration]]) — crawl-stage ops
+  // ---------------------------------------------------------------------
+
+  /** Deterministic synthetic URL per document (the documents table has no
+    * crawl column; this derivation exercises every normalization rule:
+    * mixed-case scheme+host, optional www, two-label public suffix,
+    * default port, trailing slash, per-parity param ORDER, per-doc
+    * tracking param, optional fragment). Spark Column and DuckDB CTE are
+    * the same expression, kept adjacent so they cannot drift. */
+  private def syntheticUrl: org.apache.spark.sql.Column = concat(
+    lit("HTTPS://"),
+    when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    upper(col("source")),
+    when(col("doc_id") % 4 === 0, lit(".co.uk")).otherwise(lit(".Example.com")),
+    lit(":443/Path/"), (col("doc_id") % 50).cast("string"),
+    when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 2 === 0, lit("?a=1&b=2")).otherwise(lit("?b=2&a=1")),
+    lit("&utm_campaign="), col("doc_id").cast("string"),
+    when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+
+  private val duckSyntheticUrl: String =
+    """SELECT doc_id,
+      |  'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+      |  || upper(source)
+      |  || CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.Example.com' END
+      |  || ':443/Path/' || CAST(doc_id % 50 AS VARCHAR)
+      |  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+      |  || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?b=2&a=1' END
+      |  || '&utm_campaign=' || CAST(doc_id AS VARCHAR)
+      |  || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+      |FROM documents""".stripMargin
+
+  /** The [[operators.UrlCuration]] normal form, spelled in DuckDB SQL
+    * over a `raw(doc_id, url)` CTE: RFC 3986 syntax normalization +
+    * tracking-param strip + bytewise param sort (same kill-list regex —
+    * portable between Java regex and RE2). */
+  private val duckUrlNorm: String =
+    """parts AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS qry
+      |  FROM raw),
+      |norm AS (
+      |  SELECT doc_id, url, scheme,
+      |    CASE WHEN scheme = 'https' AND auth LIKE '%:443' THEN regexp_replace(auth, ':443$', '')
+      |         WHEN scheme = 'http' AND auth LIKE '%:80' THEN regexp_replace(auth, ':80$', '')
+      |         ELSE auth END AS host,
+      |    CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+      |         ELSE regexp_replace(pth, '/+$', '') END AS npath,
+      |    array_to_string(list_sort(list_filter(string_split(qry, '&'),
+      |      p -> NOT regexp_matches(p, '^(utm_[^=]*|ref|gclid|fbclid)=') AND p <> '')), '&') AS nq
+      |  FROM parts),
+      |canon AS (
+      |  SELECT doc_id, url,
+      |    scheme || '://' || host || npath ||
+      |      CASE WHEN nq <> '' THEN '?' || nq ELSE '' END AS url_norm,
+      |    host,
+      |    CASE WHEN regexp_matches(host, '[^.]+\.co\.uk$')
+      |         THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+      |         WHEN regexp_matches(host, '[^.]+\.ac\.uk$')
+      |         THEN regexp_extract(host, '([^.]+\.ac\.uk)$', 1)
+      |         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS registered_domain
+      |  FROM norm)""".stripMargin
+
+  /** URL canonicalization: row-local, shuffle-free; every rule exercised
+    * (case, port, slash, param order, tracking strip, fragment). */
+  val urlNormalizeGate: Q = q("url_normalize",
+    // NOTE: assembled without stripMargin — the embedded fragments are
+    // pre-stripped and contain line-leading `||` concat operators that a
+    // second stripMargin would truncate to `|`
+    s"WITH raw AS ($duckSyntheticUrl),\n$duckUrlNorm\n" +
+      "SELECT doc_id, url, url_norm, host, registered_domain\n" +
+      "FROM canon ORDER BY doc_id") { (s, dir) =>
+    operators.UrlCuration.normalized(
+      t(s, dir, "documents").withColumn("url", syntheticUrl),
+      "doc_id", "url")
+      .orderBy("doc_id")
+  }
+
+  /** URL-level dedup: raw URLs are all DISTINCT (unique utm_campaign),
+    * but the normal form collides in (d, d+300) pairs — dedup work done
+    * purely by normalization. One shuffle keyed by url_norm. */
+  val urlDedupGate: Q = q("url_dedup",
+    s"WITH raw AS ($duckSyntheticUrl),\n$duckUrlNorm\n" +
+      "SELECT url_norm, min(doc_id) AS canonical_id,\n" +
+      "  CAST(count(*) AS BIGINT) AS n_fetches\n" +
+      "FROM canon GROUP BY url_norm ORDER BY url_norm") { (s, dir) =>
+    operators.UrlCuration.urlDedup(
+      t(s, dir, "documents").withColumn("url", syntheticUrl),
+      "doc_id", "url")
+      .orderBy("url_norm")
+  }
+
+  /** Per-registered-domain cap (CommonCrawl politeness rule) through the
+    * bounded-heap quota aggregate — the synthetic domain layout is
+    * heavily skewed on purpose (every non-.co.uk doc shares
+    * `example.com`), so the cap is doing real anti-SEO-farm work. */
+  val domainCapGate: Q = q("domain_cap", {
+    val b = operators.Sampling.duckdbHashBucket("doc_id", "dc", 1 << 30)
+    s"WITH raw AS ($duckSyntheticUrl),\n$duckUrlNorm,\n" +
+      "r AS (\n  SELECT registered_domain, doc_id,\n" +
+      "    row_number() OVER (PARTITION BY registered_domain\n" +
+      s"                       ORDER BY $b, doc_id) AS rn\n  FROM canon)\n" +
+      "SELECT registered_domain, doc_id FROM r WHERE rn <= 20\n" +
+      "ORDER BY registered_domain, doc_id" }) { (s, dir) =>
+    operators.UrlCuration.domainCap(
+      t(s, dir, "documents").select("doc_id", "source")
+        .withColumn("url", syntheticUrl).drop("source"),
+      "doc_id", "url", cap = 20, salt = "dc")
+      .select("registered_domain", "doc_id")
+      .orderBy("registered_domain", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
@@ -4186,6 +4346,7 @@ object Queries {
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,
     rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1,
-    rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations
+    rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations,
+    urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn
   )
 }

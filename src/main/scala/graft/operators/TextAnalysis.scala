@@ -335,6 +335,37 @@ object TextAnalysis {
     "ssn" -> """\b\d{3}-\d{2}-\d{4}\b""",
     "phone" -> """\b\d{3}[-. ]\d{3}[-. ]\d{4}\b""")
 
+  /** Payment-card candidate shapes: 4×4 digit groups with `-`/space
+    * separators, or a bare 16-digit run. Java-regex ∩ RE2 subset. */
+  val CardCandidateRe = """\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{16}\b"""
+
+  /** Luhn-validated card-number redaction: digit runs that merely LOOK
+    * like card numbers are everywhere in web text (order ids, serials,
+    * timestamps), so regex-only redaction destroys data — production PII
+    * pipelines validate the mod-10 check digit (Luhn, ISO/IEC 7812)
+    * before redacting. Candidates come from one `regexp_extract_all`,
+    * validation is Spark's own `luhn_check` builtin applied inside a
+    * higher-order `filter` (separators stripped first), and redaction
+    * folds the VALID list over the text with exact-string `replace` —
+    * the whole operator is one row-local codegen'd projection: no
+    * shuffle, no UDF, scan pruned to (id, text). Emits the rejected
+    * count too — the false-positive volume is the evidence for why the
+    * validation step exists.
+    */
+  def redactCardNumbers(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val cands = expr(
+      s"regexp_extract_all($textCol, '${CardCandidateRe.replace("\\", "\\\\")}', 0)")
+    val valid = filter(cands,
+      c => call_function("luhn_check", translate(c, "- ", "")))
+    val redacted = aggregate(valid, col(textCol),
+      (acc, c) => call_function("replace", acc, c, lit("<CARD>")))
+    docs.select(col(idCol),
+      size(valid).cast("long").as("n_card_valid"),
+      (size(cands) - size(valid)).cast("long").as("n_card_rejected"),
+      redacted.as("redacted"))
+  }
+
   /** PII redaction: replace emails / IPv4s / SSNs / US-phone shapes with
     * `<KIND>` placeholders and count each kind. Pure per-row projection of
     * codegen'd regexp builtins — no shuffle, no UDF; the scan stays

@@ -80,7 +80,10 @@ class StreamingParitySpec extends SparkSpec {
     // classifier are row-local projections, so they stream as-is
     // (zorder_cluster is NOT here: ZOrder.columnRanges collects the
     // min/max frame — a batch action a streaming source can't serve)
-    "unicode_nfc", "quality_classifier")
+    "unicode_nfc", "quality_classifier",
+    // round-5: URL canonicalization and Luhn card redaction are
+    // row-local expression chains
+    "url_normalize", "pii_luhn")
 
   /** Complete-mode sweep: single-aggregation plans, incl. all three ST5
     * window shapes (tumbling/hopping/session) and the reference's own
@@ -88,7 +91,9 @@ class StreamingParitySpec extends SparkSpec {
   private val aggGates = Seq(
     "events_count", "agg_sum_q1", "subquery_coalesce", "neq_dialect",
     "window_tumbling", "window_hopping", "session_windows",
-    "tpch_q1", "tpch_q6")
+    "tpch_q1", "tpch_q6",
+    // round-5: URL-level dedup is groupBy(url_norm) — single aggregation
+    "url_dedup")
 
   (appendGates ++ aggGates).foreach { n =>
     test(s"batch == streaming: $n") { assertParity(n) }

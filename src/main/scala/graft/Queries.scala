@@ -4296,6 +4296,36 @@ object Queries {
       .orderBy("registered_domain", "doc_id")
   }
 
+  /** Event-time interval join through the [[streaming.StreamJoin]]
+    * builder's batch seam (same code path the stream-stream join runs):
+    * view → purchase attribution of the same user within 30 minutes.
+    * Both sides floor ts to micros identically (Spark `div 1000` on the
+    * nano BIGINT, DuckDB CAST to TIMESTAMP), so bounds compare
+    * bit-equal under either physical parquet form. */
+  val intervalJoinGate: Q = q("interval_join",
+    """WITH v AS (SELECT event_id AS view_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS vt
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id AS purch_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS pt
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT view_id, purch_id FROM v JOIN p ON v.user_id = p.user_id
+      |  AND pt >= vt AND pt <= vt + 1800000000
+      |ORDER BY view_id, purch_id""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events")
+    def side(kind: String, idAs: String, tsAs: String) =
+      e.filter(col("event_type") === kind).select(
+        col("event_id").as(idAs), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as(tsAs))
+    streaming.StreamJoin.intervalJoin(
+      side("view", "view_id", "vts"), side("purchase", "purch_id", "pts"),
+      Seq("user_id"), "vts", "pts",
+      before = "0 seconds", after = "30 minutes",
+      watermarkDelay = "10 minutes")
+      .select("view_id", "purch_id")
+      .orderBy("view_id", "purch_id")
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPushdown, projectCast, grokExtract, subqueryCoalesce,
     neqDialect, toTimestampRoundtrip,
@@ -4347,6 +4377,6 @@ object Queries {
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,
     rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1,
     rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations,
-    urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn
+    urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate
   )
 }

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stream-stream event-time interval join — the continuous form of
+  * [[graft.operators.RangeJoin]]'s batch interval join and the last ST
+  * surface piece: correlating two live streams (impression↔click,
+  * request↔response, order↔shipment) where each left event matches right
+  * events inside a bounded event-time window around it.
+  *
+  * Spark-first shape: this is exactly the case Structured Streaming's
+  * native stream-stream join engine exists for, so the operator ONLY
+  * declares semantics — watermarks on both inputs plus a conjunctive
+  * (equi-key ∧ time-interval) condition — and lets the engine derive
+  * state-retention bounds from the interval arithmetic (the
+  * "state watermark" of the SPARK-214 design): each side buffers only
+  * rows inside `watermarkDelay + interval span`, so state is
+  * O(rate × horizon), never O(stream). No custom state store, no
+  * mapGroupsWithState — hand-rolling buffering here would re-implement
+  * the engine badly and lose the outer-join eviction semantics for free.
+  *
+  * The same builder runs on BOUNDED frames unchanged (`withWatermark` is
+  * a no-op in batch; the condition is an ordinary range predicate) —
+  * the differential seam StreamJoinSpec exploits: batch result ≡
+  * accumulated streaming result for inner joins, and ≡ modulo
+  * never-finalized rows for outer joins.
+  *
+  * Non-key column names must be disjoint across the two sides (enforced)
+  * — the streaming engine cannot disambiguate post-join references to
+  * same-named buffered columns, and prefixing silently would surprise
+  * downstream SQL.
+  */
+object StreamJoin {
+
+  /** Inner (or left-outer) interval join: rows match when every key is
+    * equal and `rightTs ∈ [leftTs - before, leftTs + after]`.
+    *
+    * @param watermarkDelay max expected event-time disorder per stream —
+    *        drives BOTH late-row dropping and join-state eviction
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   before: String, after: String,
+                   watermarkDelay: String,
+                   joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin requires at least one equi-key")
+    val overlap = (left.columns.toSet -- keys)
+      .intersect(right.columns.toSet -- keys)
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint across sides, overlapping: $overlap")
+
+    def wm(df: DataFrame, ts: String): DataFrame =
+      if (df.isStreaming) df.withWatermark(ts, watermarkDelay) else df
+
+    val l = wm(left, leftTs).alias("l")
+    val r = wm(right, rightTs).alias("r")
+    val keyCond: Column = keys.map(k => col(s"l.$k") === col(s"r.$k"))
+      .reduce(_ && _)
+    val timeCond: Column =
+      col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after")
+    val joined = l.join(r, keyCond && timeCond, joinType)
+    // one copy of the keys (left side owns them post-join)
+    val rightKeep = right.columns.filterNot(keys.contains)
+    joined.select(
+      (left.columns.map(c => col(s"l.$c")) ++
+        rightKeep.map(c => col(s"r.$c"))).toSeq: _*)
+  }
+}

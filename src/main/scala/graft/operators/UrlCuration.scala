@@ -138,8 +138,13 @@ object UrlCuration {
                 cap: Int, salt: String): DataFrame = {
     val withDomain = docs.withColumn("registered_domain",
       registeredDomain(urlHost(col(urlCol))))
+    // semi-join on the (unique) id alone: the quota output's domain
+    // column is redundant with withDomain's, and keying the join-back on
+    // it would force the regex-derived domain to be computed on both
+    // sides of the shuffle
     val kept = Sampling.quotaPerGroupAgg(
       withDomain, Seq("registered_domain"), idCol, cap, salt)
-    withDomain.join(kept, Seq("registered_domain", idCol))
+      .select(col(idCol))
+    withDomain.join(kept, Seq(idCol), "left_semi")
   }
 }

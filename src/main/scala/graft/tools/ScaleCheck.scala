@@ -295,11 +295,58 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** URL-curation scale probe: synthetic URLs over `spark.range`, 1× vs
+    * 10× — normalize must scale linearly (shuffle-free map), urlDedup
+    * tracks the one url_norm shuffle, domainCap the bounded-heap
+    * aggregate (candidate volume capped at partitions × domains × cap
+    * regardless of rows-per-domain — the skewed mega-domain case). */
+  private def urlMain(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-urlcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.operators.UrlCuration
+    // distinct canonical urls keyed on id/3, 1000 registered domains
+    // (exampleN.com) with example0.com a mega-domain holding half the
+    // corpus (the SEO-farm skew case)
+    def df(rows: Long) = spark.range(rows).select(col("id"),
+      concat(lit("HTTPS://WWW.Example"),
+        when(col("id") % 2 === 0, lit("0"))
+          .otherwise(pmod(col("id"), lit(1000)).cast("string")),
+        lit(".com:443/p/"), (col("id") / 3).cast("long").cast("string"),
+        when(col("id") % 2 === 0, lit("/?b=2&a=1&utm_x="))
+          .otherwise(lit("/?a=1&b=2&utm_x=")),
+        col("id").cast("string")).as("url"))
+    def probe(rows: Long, what: String)(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      // aggregate over a hash of EVERY output column — count() alone
+      // lets the optimizer prune a pure projection to nothing
+      val out = f(df(rows))
+      val cnt = out.select(xxhash64(out.columns.map(col): _*).as("h"))
+        .agg(count(lit(1)), max(col("h"))).head().getLong(0)
+      println(f"[url] $what n=$rows: ${(System.nanoTime() - t0) / 1e9}%.2f s, out=$cnt")
+    }
+    probe(n, "warmup")(d => UrlCuration.normalized(d, "id", "url"))
+    for (rows <- Seq(n, n * 10)) {
+      probe(rows, "normalize")(d => UrlCuration.normalized(d, "id", "url"))
+      probe(rows, "url-dedup")(d => UrlCuration.urlDedup(d, "id", "url"))
+      probe(rows, "domain-cap")(d => UrlCuration.domainCap(d, "id", "url",
+        cap = 100, salt = "u"))
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     if (args.headOption.contains("rank")) return rankMain(args.drop(1))
     if (args.headOption.contains("emb")) return embMain(args.drop(1))
     if (args.headOption.contains("quota")) return quotaMain(args.drop(1))
+    if (args.headOption.contains("url")) return urlMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()

@@ -1311,6 +1311,66 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Segment-level language mixture / code-switching detection
+    * ([[operators.TextAnalysis.langMixture]]): German and French
+    * sentences planted into a subset of docs (own segments — the
+    * prepended '.' closes the original text's last segment); the oracle
+    * replays the per-segment marker argmax with a struct-carrying
+    * list_transform so the tie-break chain binds one `greatest` per
+    * segment, exactly like the Spark fold. */
+  val langMixtureGate: Q = q("lang_mixture", {
+    def segCnt(w: String) =
+      s"len(regexp_extract_all(x, '(?:^| )$w(?: |$$)'))"
+    val scores = operators.TextAnalysis.LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(segCnt).mkString(" + ")
+    }
+    // score struct per segment, so the argmax CASE binds each score once
+    val scoreStruct = "{" + scores.map { case (l, e) =>
+      s"'e_$l': ($e)" }.mkString(", ") + "}"
+    val langNames = scores.map(_._1)
+    val bestOfStruct = s"greatest(${langNames.map(l => s"v.e_$l").mkString(", ")})"
+    val langCase = "CASE " + langNames.map(l =>
+      s"WHEN v.e_$l = $bestOfStruct AND $bestOfStruct > 0 THEN '$l'")
+      .mkString(" ") + " ELSE 'und' END"
+    val cnts = langNames.map(l =>
+      s"len(list_filter(langs, y -> y = '$l')) AS c_$l").mkString(", ")
+    val bestC = s"greatest(${langNames.map(l => s"c_$l").mkString(", ")})"
+    val primCase = "CASE " + langNames.map(l =>
+      s"WHEN c_$l = b AND b > 0 THEN '$l'").mkString(" ") + " ELSE 'und' END"
+    val indSum = langNames.map(l =>
+      s"CASE WHEN c_$l > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH synth AS (SELECT doc_id, text
+       |    || CASE WHEN doc_id % 4 = 0 THEN '. Der und ist die und der.' ELSE '' END
+       |    || CASE WHEN doc_id % 6 = 0 THEN '. Le et la est le.' ELSE '' END AS s
+       |  FROM documents),
+       |segs AS (SELECT doc_id,
+       |    list_filter(list_transform(string_split_regex(s, '[.!?]'),
+       |      x -> trim(lower(x))), x -> x <> '') AS segs
+       |  FROM synth),
+       |l AS (SELECT doc_id, segs,
+       |    list_transform(
+       |      list_transform(segs, x -> $scoreStruct),
+       |      v -> $langCase) AS langs
+       |  FROM segs),
+       |c AS (SELECT doc_id, segs, $cnts FROM l),
+       |f AS (SELECT doc_id, len(segs) AS n, $bestC AS b,
+       |    ${langNames.map(l => s"c_$l").mkString(", ")} FROM c)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_segments,
+       |  $primCase AS primary_lang,
+       |  round(CASE WHEN b > 0 THEN CAST(b AS DOUBLE) / n ELSE 0.0 END, 6)
+       |    AS primary_share,
+       |  CAST($indSum AS BIGINT) AS n_langs,
+       |  ($indSum) >= 2 AS code_switched
+       |FROM f ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+    val synth = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(". Der und ist die und der."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(". Le et la est le."))
+          .otherwise(lit(""))).as("text"))
+    operators.TextAnalysis.langMixture(synth).orderBy("doc_id")
+  }
+
   /** BPE-ish pre-tokenizer token count (GPT-2 pre-tokenization regex —
     * no lookaround, so Java and RE2 agree). */
   val tokenCountBpe: Q = q("token_count_bpe", {
@@ -4377,6 +4437,7 @@ object Queries {
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,
     rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1,
     rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations,
-    urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate
+    urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate,
+    langMixtureGate
   )
 }

@@ -66,6 +66,54 @@ object TextAnalysis {
     docs.withColumn("lang_pred", pick)
   }
 
+  /** Segment-level language mixture (code-switching detection): documents
+    * that mix languages mid-text poison monolingual training slices, and
+    * a DOC-level language id ([[langId]]) cannot see it — the standard
+    * fix (CCNet §4 / multilingual curation practice) is to classify at
+    * sentence granularity and aggregate. Splits on sentence punctuation,
+    * applies the same marker-word argmax per segment, and reduces to:
+    * segment count, modal (primary) language with deterministic
+    * first-marker tie-break, its share, number of distinct languages
+    * seen, and the code-switching verdict (≥2 languages).
+    *
+    * Entirely higher-order builtins over one row (split → transform →
+    * filter → size) — zero shuffles, scan pruned to (id, text); the
+    * 100 TB shape is identical to [[langId]]. */
+  def langMixture(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    def segLang(seg: Column): Column = {
+      val scored = LangMarkers.map { case (lang, ws) =>
+        (lang, markerCount(seg, ws))
+      }
+      val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+      scored.reverse.foldLeft(lit("und")) { case (acc, (lang, cnt)) =>
+        when(cnt === best && best > 0, lit(lang)).otherwise(acc)
+      }
+    }
+    val segs = filter(
+      transform(split(col(textCol), "[.!?]"), s => trim(lower(s))),
+      s => length(s) > 0)
+    val langs = transform(segs, s => segLang(s))
+    val n = size(segs)
+    val counts = LangMarkers.map { case (lang, _) =>
+      (lang, size(filter(langs, x => x === lang)))
+    }
+    val bestCnt = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val primary = counts.reverse.foldLeft(lit("und")) { case (acc, (lang, c)) =>
+      when(c === bestCnt && bestCnt > 0, lit(lang)).otherwise(acc)
+    }
+    val nLangs = counts.map { case (_, c) => when(c > 0, 1).otherwise(0) }
+      .reduce(_ + _)
+    docs.select(col(idCol),
+      n.cast("long").as("n_segments"),
+      primary.as("primary_lang"),
+      round(when(bestCnt > 0,
+        bestCnt.cast("double") / n).otherwise(lit(0.0)), 6)
+        .as("primary_share"),
+      nLangs.cast("long").as("n_langs"),
+      (nLangs >= 2).as("code_switched"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's local
     * algorithm, re-derived from the published description): k-gram rolling
     * hashes, keep the minimum of each sliding window of `w` hashes

@@ -83,7 +83,7 @@ class StreamingParitySpec extends SparkSpec {
     "unicode_nfc", "quality_classifier",
     // round-5: URL canonicalization and Luhn card redaction are
     // row-local expression chains
-    "url_normalize", "pii_luhn")
+    "url_normalize", "pii_luhn", "lang_mixture")
 
   /** Complete-mode sweep: single-aggregation plans, incl. all three ST5
     * window shapes (tumbling/hopping/session) and the reference's own

@@ -3456,6 +3456,58 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Reliability-diagram calibration of the hashed linear classifier
+    * against a deterministic reference label (`lang = 'en'`), through
+    * the SCALABLE quantile path — the oracle's native
+    * `ntile(10) OVER (ORDER BY score, doc_id)` hash-matching the
+    * bucketed-rank reconstruction is the proof, same as `rfm_segments`. */
+  val classifierCalibration: Q = q("classifier_calibration", {
+    val dim = 1024
+    val bucket =
+      s"'qc:' || CAST(${operators.CrossHash.duckdbHash56("t")} % $dim AS VARCHAR)"
+    s"""WITH W AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM W),
+       |bkt AS (SELECT doc_id, $bucket AS bs FROM tok),
+       |wm AS (
+       |  SELECT doc_id,
+       |    CAST(round((CAST(${operators.CrossHash.duckdbHash56("bs")} AS DOUBLE)
+       |      / 36028797018963968.0 - 1.0) * 1000000.0) AS BIGINT) AS wm
+       |  FROM bkt),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(wm) AS BIGINT) AS score_sum_micro
+       |  FROM wm GROUP BY doc_id),
+       |lab AS (
+       |  SELECT a.doc_id, a.n_tokens, a.score_sum_micro,
+       |    CAST(a.score_sum_micro AS DOUBLE)
+       |      / (CAST(a.n_tokens AS DOUBLE) * 1000000.0) AS score,
+       |    d.lang = 'en' AS label
+       |  FROM agg a JOIN documents d USING (doc_id)),
+       |r AS (SELECT lab.*, ntile(10) OVER (ORDER BY score, doc_id) AS bin
+       |      FROM lab)
+       |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(sum(score_sum_micro) AS BIGINT) AS sum_score_micro,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  round(CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS pos_rate,
+       |  CAST(sum(score_sum_micro) AS DOUBLE)
+       |    / (CAST(sum(n_tokens) AS DOUBLE) * 1000000.0) AS mean_score
+       |FROM r GROUP BY bin ORDER BY bin""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val scored = operators.TextAnalysis.hashedLinearScore(
+      docs, dim = 1024, salt = "qc")
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("label")),
+        "doc_id")
+    operators.TextAnalysis.calibrationProfile(scored,
+      scoreCol = "score", labelCol = "label", idCol = "doc_id",
+      exactNumCol = "score_sum_micro", exactDenCol = "n_tokens", bins = 10)
+      .select("bin", "n_docs", "n_pos", "sum_score_micro", "sum_tokens",
+        "pos_rate", "mean_score")
+  }
+
   /** BM25 top-k retrieval scoring against a fixed query-term set (see
     * [[operators.TextAnalysis.bm25TopK]]). Constants are written as the
     * same double EXPRESSIONS in both engines ((1.2 + 1.0), not 2.2 —
@@ -4438,6 +4490,6 @@ object Queries {
     rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1,
     rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations,
     urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate,
-    langMixtureGate
+    langMixtureGate, classifierCalibration
   )
 }

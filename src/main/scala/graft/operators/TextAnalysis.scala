@@ -114,6 +114,46 @@ object TextAnalysis {
       (nLangs >= 2).as("code_switched"))
   }
 
+  /** Classifier calibration profile (the reliability-diagram table): bin
+    * the corpus into score quantiles and report, per bin, the document
+    * count, positive-label count and rate, and the token-weighted mean
+    * score — the standard check that a filtering classifier's scores
+    * MEAN something before they gate terabytes (a miscalibrated
+    * threshold silently shifts the kept distribution).
+    *
+    * Scale shape: quantile binning goes through the bucketed exact
+    * global rank + integer NTILE ([[Ranks.globalRowNumber]] /
+    * [[Ranks.ntileFromRank]]) — never a single-partition `ntile() OVER
+    * (ORDER BY …)` — with bounds and the exact N from ONE
+    * [[Ranks.rangeProbe]] scan; the profile itself is a `bins`-row
+    * aggregate. Mean scores divide EXACT micro-unit sums once at the
+    * end (`exactNumCol` / `exactDenCol`), so no float summation order
+    * can perturb the result.
+    */
+  def calibrationProfile(scored: DataFrame, scoreCol: String,
+                         labelCol: String, idCol: String,
+                         exactNumCol: String, exactDenCol: String,
+                         bins: Int = 10): DataFrame = {
+    val (bounds, n) = Ranks.rangeProbe(scored, Seq(scoreCol))
+    val ranked = Ranks.globalRowNumber(scored, scoreCol, idCol,
+      outCol = "__graft_crk", bounds = Some(bounds(scoreCol)))
+    ranked
+      .withColumn("bin",
+        Ranks.ntileFromRank(col("__graft_crk"), lit(n), bins).cast("long"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).cast("long").as("n_pos"),
+        sum(col(exactNumCol)).cast("long").as("sum_score_micro"),
+        sum(col(exactDenCol)).cast("long").as("sum_tokens"))
+      .withColumn("pos_rate",
+        round(col("n_pos").cast("double") / col("n_docs"), 6))
+      .withColumn("mean_score",
+        col("sum_score_micro").cast("double") /
+          (col("sum_tokens").cast("double") * 1000000.0))
+      .orderBy("bin")
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's local
     * algorithm, re-derived from the published description): k-gram rolling
     * hashes, keep the minimum of each sliding window of `w` hashes

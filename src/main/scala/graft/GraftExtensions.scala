@@ -13,6 +13,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   * entry point); both share the same builders.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.injectAll(ext)
+    // optimizer lint for the scale contract (off unless the session sets
+    // spark.graft.guard.singlePartitionWindow = warn|fail) — see
+    // [[graft.plans.SinglePartitionWindowGuard]]
+    ext.injectOptimizerRule(_ => new plans.SinglePartitionWindowGuard)
+  }
 }

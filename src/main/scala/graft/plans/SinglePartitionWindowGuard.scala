@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+/** Optimizer-injected lint for the engine's central scale contract:
+  * a `Window` with an EMPTY partition spec serializes its entire input
+  * into one task (`Window.orderBy` with no PARTITION BY — the classic
+  * 100 TB scale-killer this library's [[graft.operators.Ranks]] exists
+  * to avoid). On a laptop it merely runs slow; on a 1000-executor
+  * cluster it runs on one of them, usually until the stage times out.
+  * This rule makes the contract machine-enforced instead of
+  * review-enforced.
+  *
+  * Registered through the same `SparkSessionExtensions` entry point as
+  * the native functions ([[graft.GraftExtensions]]) — the (c)-tier
+  * extension mechanism: a `Rule[LogicalPlan]` in the optimizer, not a
+  * rewrite (it never changes the plan; flagged plans either log or
+  * fail fast, controlled per session).
+  *
+  * Exemptions — single-partition windows whose input is structurally
+  * BOUNDED are the library's own legitimate pattern and stay silent:
+  *   - any `Aggregate` below the window (group-cardinality-sized frames:
+  *     [[graft.operators.Ranks.globalRowNumber]]'s ≤buckets-row offset
+  *     ladder, vocabulary ranking in [[graft.operators.Vocab]]);
+  *   - any `Limit` below the window (top-k frames);
+  *   - leaf relations with a known small row count (`LocalRelation`,
+  *     `OneRowRelation`) — test fixtures and literal frames.
+  * The walk stops at the first bounding node on each path, so a
+  * corpus-wide scan ABOVE an aggregate (e.g. agg → join back to the
+  * corpus → window) is still flagged.
+  *
+  * Mode is read per-query from SQL conf `spark.graft.guard
+  * .singlePartitionWindow`: `off` (default — zero overhead beyond one
+  * conf read), `warn` (one log line per flagged Window), `fail`
+  * (throw — CI mode). A handful of the library's own gates flag BY
+  * DESIGN (`window_ntile`/`window_rank` exist to replay the reference's
+  * single-partition SQL semantics against the oracle; `weighted_sample`
+  * sorts a priority frame the caller is expected to have pre-filtered),
+  * which is exactly the visibility the lint is for — WindowGuardSpec
+  * pins both the flagged and the exempt shapes.
+  */
+class SinglePartitionWindowGuard extends Rule[LogicalPlan] {
+
+  import SinglePartitionWindowGuard._
+
+  private def bounded(plan: LogicalPlan): Boolean = plan match {
+    case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+    case _: LocalRelation | _: OneRowRelation => true
+    case leaf if leaf.children.isEmpty => false
+    // every input path must be bounded (a bounded dim joined to an
+    // unbounded fact is still unbounded)
+    case other => other.children.forall(bounded)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val mode = SQLConf.get.getConfString(ModeKey, "off")
+    if (mode != "off") {
+      plan.foreach {
+        case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          val msg = "single-partition Window over an unbounded input " +
+            s"(no PARTITION BY): the whole input sorts in ONE task at " +
+            s"scale. Use graft.operators.Ranks.globalRowNumber / " +
+            s"ntileFromRank, or partition the window. Window: " +
+            w.windowExpressions.map(_.sql).mkString(", ")
+          if (mode == "fail") throw new IllegalStateException(msg)
+          else logWarning(msg)
+        case _ => ()
+      }
+    }
+    plan
+  }
+}
+
+object SinglePartitionWindowGuard {
+  val ModeKey = "spark.graft.guard.singlePartitionWindow"
+}

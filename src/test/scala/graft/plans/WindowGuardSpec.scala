@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Ranks
+
+/** [[SinglePartitionWindowGuard]] — the optimizer-injected scale lint:
+  * flags corpus-wide single-partition windows, stays silent on
+  * partitioned windows, bounded (aggregate/limit/local) inputs, and the
+  * library's own bucketed-rank pattern. The suite session registers the
+  * rule through `spark.sql.extensions=graft.GraftExtensions`, so these
+  * tests also prove the injection path end-to-end. */
+class WindowGuardSpec extends SparkSpec {
+
+  private def withMode[T](mode: String)(f: => T): T = {
+    spark.conf.set(SinglePartitionWindowGuard.ModeKey, mode)
+    try f finally spark.conf.set(SinglePartitionWindowGuard.ModeKey, "off")
+  }
+
+  private def corpus = spark.range(10000).select(
+    col("id"), (col("id") % 97).as("v"))
+
+  private def flagged(f: => org.apache.spark.sql.DataFrame): Boolean =
+    try { f.collect(); false }
+    catch {
+      case e: Throwable =>
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(_.getMessage).filter(_ != null).toSeq
+        if (msgs.exists(_.contains("single-partition Window"))) true
+        else throw e
+    }
+
+  test("fail mode flags a corpus-wide ntile with no PARTITION BY") {
+    withMode("fail") {
+      assert(flagged(corpus.withColumn("t",
+        ntile(10).over(Window.orderBy(col("v"), col("id"))))))
+    }
+  }
+
+  test("partitioned windows pass") {
+    withMode("fail") {
+      assert(!flagged(corpus.withColumn("r",
+        row_number().over(Window.partitionBy(col("v")).orderBy(col("id"))))))
+    }
+  }
+
+  test("single-partition window over an aggregate (bounded frame) passes") {
+    withMode("fail") {
+      // the Vocab/Ranks offset-ladder pattern: group-cardinality input
+      assert(!flagged(corpus.groupBy("v").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("v"))))))
+    }
+  }
+
+  test("agg joined back to the corpus then windowed IS flagged (not bounded)") {
+    withMode("fail") {
+      val dim = corpus.groupBy("v").agg(count(lit(1)).as("n"))
+      assert(flagged(corpus.join(dim, "v").withColumn("rk",
+        row_number().over(Window.orderBy(col("id"))))))
+    }
+  }
+
+  test("Ranks.globalRowNumber passes under fail mode (the prescribed alternative)") {
+    withMode("fail") {
+      val out = Ranks.globalRowNumber(corpus, "v", "id")
+      assert(out.count() === 10000L)
+    }
+  }
+
+  test("default mode is off: corpus-wide window runs unflagged") {
+    // no conf set — the same plan that fails above must execute
+    val n = corpus.withColumn("t",
+      ntile(10).over(Window.orderBy(col("v"), col("id")))).count()
+    assert(n === 10000L)
+  }
+}

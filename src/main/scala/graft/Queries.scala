@@ -1676,6 +1676,40 @@ object Queries {
     operators.TextAnalysis.redactCardNumbers(synth).orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff ([[operators.CorpusDiff]]): v2 derived from v1
+    * by dropping every 13th doc, editing every 7th, and re-adding every
+    * 11th under a shifted id — all four statuses exercised, including
+    * the drop-dominates-edit overlap (doc 0 is removed AND its shifted
+    * copy added). */
+  val corpusDiffGate: Q = q("corpus_diff",
+    """WITH v1 AS (SELECT doc_id, text FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 11 = 0),
+      |k1 AS (SELECT doc_id, md5(coalesce(text, '')) AS h1 FROM v1),
+      |k2 AS (SELECT doc_id, md5(coalesce(text, '')) AS h2 FROM v2)
+      |SELECT doc_id,
+      |  CASE WHEN h1 IS NULL THEN 'added'
+      |       WHEN h2 IS NULL THEN 'removed'
+      |       WHEN h1 = h2 THEN 'unchanged'
+      |       ELSE 'modified' END AS status
+      |FROM k1 FULL OUTER JOIN k2 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val v1 = docs.select("doc_id", "text")
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    operators.CorpusDiff.diff(v1, v2, "doc_id", Seq("text"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition signals: duplicate-word fraction (array ops,
     * zero shuffle) and top-bigram share (two doc-keyed hash aggregates). */
   val repetitionSignals: Q = q("repetition_signals",
@@ -4490,6 +4524,6 @@ object Queries {
     rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1,
     rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations,
     urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate,
-    langMixtureGate, classifierCalibration
+    langMixtureGate, classifierCalibration, corpusDiffGate
   )
 }

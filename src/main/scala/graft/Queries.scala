@@ -1710,6 +1710,38 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** HLL sketch rollup ([[operators.Sketches]]): per-event-type distinct
+    * users from mergeable sketches, plus the GLOBAL row answered by
+    * UNIONING the per-type sketches (never rescanning events). Output
+    * follows the self-checking-sketch convention: deterministic columns
+    * only (exact distinct + in-plan 5%-drift assertion). */
+  val hllRollupGate: Q = q("hll_rollup",
+    """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS sketch_ok
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT '__total', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+      |FROM events
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val e = t(s, dir, "events").select("event_type", "user_id")
+    val sk = operators.Sketches.distinctSketch(e, Seq("event_type"), "user_id")
+    val per = sk.withColumn("est", hll_sketch_estimate(col("sketch")))
+      .select("event_type", "est")
+      .join(e.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).cast("long").as("n_exact")),
+        "event_type")
+      .select(col("event_type"), col("n_exact"),
+        operators.Sketches.withinTolerance(col("est"), col("n_exact"), 0.05)
+          .as("sketch_ok"))
+    val global = e.agg(count_distinct(col("user_id")).cast("long").as("n_exact"))
+      .crossJoin(broadcast(
+        operators.Sketches.rollup(sk, Nil).select(col("estimate").as("est"))))
+      .select(lit("__total").as("event_type"), col("n_exact"),
+        operators.Sketches.withinTolerance(col("est"), col("n_exact"), 0.05)
+          .as("sketch_ok"))
+    per.unionByName(global).orderBy("event_type")
+  }
+
   /** Gopher-style repetition signals: duplicate-word fraction (array ops,
     * zero shuffle) and top-bigram share (two doc-keyed hash aggregates). */
   val repetitionSignals: Q = q("repetition_signals",
@@ -4524,6 +4556,6 @@ object Queries {
     rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1,
     rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations,
     urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate,
-    langMixtureGate, classifierCalibration, corpusDiffGate
+    langMixtureGate, classifierCalibration, corpusDiffGate, hllRollupGate
   )
 }

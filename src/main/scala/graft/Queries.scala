@@ -474,6 +474,37 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Regular-grid resample with forward fill (feature-pipeline
+    * "resample + LOCF"): a literal (user × hour) grid as-of-joins the
+    * last observed event value at each grid instant — gap filling by
+    * composition over [[operators.AsOfJoin]] (one window shuffle keyed
+    * by user, the asOf contract), grid built by pure projection from
+    * `range` (no join). Oracle = DuckDB's native ASOF LEFT JOIN on the
+    * same generated grid. */
+  val resampleFfill: Q = q("resample_ffill",
+    """WITH grid AS (
+      |  SELECT x % 5 AS user_id,
+      |    (1704067200 + (x // 5) * 3600) * 1000000000 AS gts
+      |  FROM (SELECT unnest(range(3600)) AS x)),
+      |e AS (SELECT user_id, epoch_ns(ts) AS t, value FROM events
+      |  WHERE user_id < 5 AND value IS NOT NULL)
+      |SELECT grid.user_id, grid.gts, e.value AS last_value,
+      |  e.t AS last_seen
+      |FROM grid ASOF LEFT JOIN e
+      |  ON grid.user_id = e.user_id AND grid.gts >= e.t
+      |ORDER BY grid.user_id, grid.gts""".stripMargin) { (s, dir) =>
+    val grid = s.range(0, 3600).select(
+      (col("id") % 5).as("user_id"),
+      ((expr("id div 5") * 3600L + 1704067200L) * 1000000000L).as("gts"))
+    val e = t(s, dir, "events")
+      .filter(col("user_id") < 5 && col("value").isNotNull)
+      .select(col("user_id"), col("ts").cast("long").as("t"),
+        col("value").as("last_value"), col("ts").cast("long").as("last_seen"))
+    operators.AsOfJoin.asOf(grid, e, Seq("user_id"), "gts", "t",
+      Seq("last_value", "last_seen"))
+      .orderBy("user_id", "gts")
+  }
+
   val windowRunningSum: Q = sqlBoth("window_running_sum", Seq("orders"),
     """SELECT o_custkey, o_orderkey,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
@@ -4556,6 +4587,7 @@ object Queries {
     rollingActiveUsersGate, quantileNormalizeGate, pipelineReleaseV1,
     rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations,
     urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate,
-    langMixtureGate, classifierCalibration, corpusDiffGate, hllRollupGate
+    langMixtureGate, classifierCalibration, corpusDiffGate, hllRollupGate,
+    resampleFfill
   )
 }

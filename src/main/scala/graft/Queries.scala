@@ -3605,6 +3605,52 @@ object Queries {
         "pos_rate", "mean_score")
   }
 
+  /** Per-source token-budget selection ([[operators.Sampling
+    * .budgetCutPerGroup]]): best classifier-scored docs per source until
+    * 2000 tokens fill — the unit a pretraining mixture is actually
+    * declared in (cutting by row fraction skews toward long docs). */
+  val qualityBudgetCut: Q = q("quality_budget_cut", {
+    val dim = 1024
+    val bucket =
+      s"'qc:' || CAST(${operators.CrossHash.duckdbHash56("t")} % $dim AS VARCHAR)"
+    s"""WITH W AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM W),
+       |bkt AS (SELECT doc_id, $bucket AS bs FROM tok),
+       |wm AS (
+       |  SELECT doc_id,
+       |    CAST(round((CAST(${operators.CrossHash.duckdbHash56("bs")} AS DOUBLE)
+       |      / 36028797018963968.0 - 1.0) * 1000000.0) AS BIGINT) AS wm
+       |  FROM bkt),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(wm) AS BIGINT) AS score_sum_micro
+       |  FROM wm GROUP BY doc_id),
+       |sc AS (
+       |  SELECT d.source, a.doc_id, a.n_tokens,
+       |    CAST(a.score_sum_micro AS DOUBLE)
+       |      / (CAST(a.n_tokens AS DOUBLE) * 1000000.0) AS score
+       |  FROM agg a JOIN documents d USING (doc_id)),
+       |r AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sc)
+       |SELECT source, doc_id, n_tokens FROM r WHERE cum <= 2000
+       |ORDER BY source, doc_id""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val scored = operators.TextAnalysis.hashedLinearScore(
+      docs, dim = 1024, salt = "qc")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    operators.Sampling.budgetCutPerGroup(scored, Seq("source"),
+      scoreCol = "score", idCol = "doc_id", weightCol = "n_tokens",
+      budget = 2000L)
+      .select("source", "doc_id", "n_tokens")
+      .orderBy("source", "doc_id")
+  }
+
   /** BM25 top-k retrieval scoring against a fixed query-term set (see
     * [[operators.TextAnalysis.bm25TopK]]). Constants are written as the
     * same double EXPRESSIONS in both engines ((1.2 + 1.0), not 2.2 —
@@ -4588,6 +4634,6 @@ object Queries {
     rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations,
     urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate,
     langMixtureGate, classifierCalibration, corpusDiffGate, hllRollupGate,
-    resampleFfill
+    resampleFfill, qualityBudgetCut
   )
 }

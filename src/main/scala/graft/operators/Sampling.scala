@@ -397,4 +397,30 @@ object Sampling {
       .filter(col("__graft_trn") <= ceil(lit(frac) * col("__graft_tn")))
       .drop("__graft_trn", "__graft_tn")
   }
+
+  /** Per-group WEIGHT-budget cut: keep the best-scored rows of each
+    * group until their cumulative weight (tokens, bytes) fills `budget`
+    * — the pretraining budget-selection rule, which differs from
+    * [[topFractionPerGroup]] in the unit that matters: a mixture is
+    * declared in TOKENS, and cutting by row fraction silently skews
+    * toward groups with long documents. A row is kept iff the running
+    * weight INCLUDING it stays ≤ budget (strictly bounded output — the
+    * boundary doc that would overflow is dropped, so kept-weight ≤
+    * budget always holds).
+    *
+    * One shuffle (the per-group window); the running sum is exact
+    * integer arithmetic. Groups here are sources/domains — thousands of
+    * rows each; for corpus-sized groups the same rule composes with
+    * [[Ranks.globalRowNumber]]'s bucketed rank per group instead of the
+    * group sort. */
+  def budgetCutPerGroup(df: DataFrame, groupCols: Seq[String],
+                        scoreCol: String, idCol: String,
+                        weightCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__graft_cum", sum(col(weightCol).cast("long")).over(w))
+      .filter(col("__graft_cum") <= budget)
+      .drop("__graft_cum")
+  }
 }

@@ -3524,11 +3524,16 @@ object Queries {
     * oracle replays bucket hash → weight hash → micro-rounded mean in
     * exploded form; the Spark plan is a single shuffle-free projection.
     */
-  val qualityClassifier: Q = q("quality_classifier", {
-    val dim = 1024
+  /** Shared DuckDB CTE chain replaying [[operators.TextAnalysis
+    * .hashedLinearScore]] (token explode → bucket hash → weight hash →
+    * micro rounding → per-doc aggregate). FOUR oracles consume it
+    * (`quality_classifier`, `classifier_calibration`,
+    * `quality_budget_cut`, and `pipeline_release_v1`'s prefix) — a
+    * recipe change edits one string, not four hand-synced copies. */
+  private def duckScoreCtePrefix(dim: Int, salt: String): String = {
     val bucket =
-      s"'qc:' || CAST(${operators.CrossHash.duckdbHash56("t")} % $dim AS VARCHAR)"
-    s"""WITH W AS (
+      s"'$salt:' || CAST(${operators.CrossHash.duckdbHash56("t")} % $dim AS VARCHAR)"
+    s"""W AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |  WHERE text IS NOT NULL),
        |tok AS (SELECT doc_id, unnest(toks) AS t FROM W),
@@ -3537,17 +3542,23 @@ object Queries {
        |  SELECT doc_id,
        |    CAST(round((CAST(${operators.CrossHash.duckdbHash56("bs")} AS DOUBLE)
        |      / 36028797018963968.0 - 1.0) * 1000000.0) AS BIGINT) AS wm
-       |  FROM bkt),
-       |agg AS (
-       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |         CAST(sum(wm) AS BIGINT) AS score_sum_micro
-       |  FROM wm GROUP BY doc_id)
-       |SELECT doc_id, n_tokens, score_sum_micro,
-       |  CAST(score_sum_micro AS DOUBLE)
-       |    / (CAST(n_tokens AS DOUBLE) * 1000000.0) AS score,
-       |  score_sum_micro > 0 AS keep
-       |FROM agg ORDER BY doc_id""".stripMargin
-  }) { (s, dir) =>
+       |  FROM bkt)""".stripMargin
+  }
+
+  private def duckScoreCtes(dim: Int, salt: String): String =
+    duckScoreCtePrefix(dim, salt) + ",\n" +
+      """agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(wm) AS BIGINT) AS score_sum_micro
+        |  FROM wm GROUP BY doc_id)""".stripMargin
+
+  val qualityClassifier: Q = q("quality_classifier",
+    s"WITH ${duckScoreCtes(1024, "qc")}\n" +
+      """SELECT doc_id, n_tokens, score_sum_micro,
+        |  CAST(score_sum_micro AS DOUBLE)
+        |    / (CAST(n_tokens AS DOUBLE) * 1000000.0) AS score,
+        |  score_sum_micro > 0 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
     operators.TextAnalysis.hashedLinearScore(
       t(s, dir, "documents"), dim = 1024, salt = "qc")
       .orderBy("doc_id")
@@ -3559,24 +3570,8 @@ object Queries {
     * `ntile(10) OVER (ORDER BY score, doc_id)` hash-matching the
     * bucketed-rank reconstruction is the proof, same as `rfm_segments`. */
   val classifierCalibration: Q = q("classifier_calibration", {
-    val dim = 1024
-    val bucket =
-      s"'qc:' || CAST(${operators.CrossHash.duckdbHash56("t")} % $dim AS VARCHAR)"
-    s"""WITH W AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-       |  WHERE text IS NOT NULL),
-       |tok AS (SELECT doc_id, unnest(toks) AS t FROM W),
-       |bkt AS (SELECT doc_id, $bucket AS bs FROM tok),
-       |wm AS (
-       |  SELECT doc_id,
-       |    CAST(round((CAST(${operators.CrossHash.duckdbHash56("bs")} AS DOUBLE)
-       |      / 36028797018963968.0 - 1.0) * 1000000.0) AS BIGINT) AS wm
-       |  FROM bkt),
-       |agg AS (
-       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |         CAST(sum(wm) AS BIGINT) AS score_sum_micro
-       |  FROM wm GROUP BY doc_id),
-       |lab AS (
+    s"WITH ${duckScoreCtes(1024, "qc")},\n" +
+    s"""lab AS (
        |  SELECT a.doc_id, a.n_tokens, a.score_sum_micro,
        |    CAST(a.score_sum_micro AS DOUBLE)
        |      / (CAST(a.n_tokens AS DOUBLE) * 1000000.0) AS score,
@@ -3607,27 +3602,11 @@ object Queries {
 
   /** Per-source token-budget selection ([[operators.Sampling
     * .budgetCutPerGroup]]): best classifier-scored docs per source until
-    * 2000 tokens fill — the unit a pretraining mixture is actually
+    * 500 tokens fill — the unit a pretraining mixture is actually
     * declared in (cutting by row fraction skews toward long docs). */
   val qualityBudgetCut: Q = q("quality_budget_cut", {
-    val dim = 1024
-    val bucket =
-      s"'qc:' || CAST(${operators.CrossHash.duckdbHash56("t")} % $dim AS VARCHAR)"
-    s"""WITH W AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-       |  WHERE text IS NOT NULL),
-       |tok AS (SELECT doc_id, unnest(toks) AS t FROM W),
-       |bkt AS (SELECT doc_id, $bucket AS bs FROM tok),
-       |wm AS (
-       |  SELECT doc_id,
-       |    CAST(round((CAST(${operators.CrossHash.duckdbHash56("bs")} AS DOUBLE)
-       |      / 36028797018963968.0 - 1.0) * 1000000.0) AS BIGINT) AS wm
-       |  FROM bkt),
-       |agg AS (
-       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |         CAST(sum(wm) AS BIGINT) AS score_sum_micro
-       |  FROM wm GROUP BY doc_id),
-       |sc AS (
+    s"WITH ${duckScoreCtes(1024, "qc")},\n" +
+    s"""sc AS (
        |  SELECT d.source, a.doc_id, a.n_tokens,
        |    CAST(a.score_sum_micro AS DOUBLE)
        |      / (CAST(a.n_tokens AS DOUBLE) * 1000000.0) AS score
@@ -3638,7 +3617,7 @@ object Queries {
        |      ORDER BY score DESC, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM sc)
-       |SELECT source, doc_id, n_tokens FROM r WHERE cum <= 2000
+       |SELECT source, doc_id, n_tokens FROM r WHERE cum <= 500
        |ORDER BY source, doc_id""".stripMargin }) { (s, dir) =>
     val docs = t(s, dir, "documents")
     val scored = operators.TextAnalysis.hashedLinearScore(
@@ -3646,7 +3625,10 @@ object Queries {
       .join(docs.select("doc_id", "source"), "doc_id")
     operators.Sampling.budgetCutPerGroup(scored, Seq("source"),
       scoreCol = "score", idCol = "doc_id", weightCol = "n_tokens",
-      budget = 2000L)
+      // 500 BINDS at every oracle-checked scale (max per-source token
+      // total is ~1550-1650 at sf0.001/sf0.01) — a budget the data never
+      // reaches would leave the cut itself untested (review finding)
+      budget = 500L)
       .select("source", "doc_id", "n_tokens")
       .orderBy("source", "doc_id")
   }
@@ -4162,22 +4144,9 @@ object Queries {
     * value-oracled end-to-end (mean_norm is floor of one IEEE division of
     * exact longs). */
   val pipelineReleaseV1: Q = q("pipeline_release_v1", {
-    val dim = 1024
-    val bucket =
-      s"'qc:' || CAST(${operators.CrossHash.duckdbHash56("t")} % $dim AS VARCHAR)"
     val b = operators.Sampling.duckdbHashBucket("cluster_id", "rel1", 10000)
-    s"""WITH RECURSIVE
-       |W AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-       |  WHERE text IS NOT NULL),
-       |tok AS (SELECT doc_id, unnest(toks) AS t FROM W),
-       |bkt AS (SELECT doc_id, $bucket AS bs FROM tok),
-       |wm AS (
-       |  SELECT doc_id,
-       |    CAST(round((CAST(${operators.CrossHash.duckdbHash56("bs")} AS DOUBLE)
-       |      / 36028797018963968.0 - 1.0) * 1000000.0) AS BIGINT) AS wm
-       |  FROM bkt),
-       |scs AS (
+    s"WITH RECURSIVE\n${duckScoreCtePrefix(1024, "qc")},\n" +
+    s"""scs AS (
        |  SELECT a.doc_id, d.source, a.sc FROM (
        |    SELECT doc_id, CAST(sum(wm) AS BIGINT) AS sc FROM wm
        |    GROUP BY doc_id) a JOIN documents d USING (doc_id)),

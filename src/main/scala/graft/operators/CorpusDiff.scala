@@ -21,15 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object CorpusDiff {
 
+  /** Reserved digest for NULL column values: not producible by md5 of
+    * any input (up to the same 2^-128 as any collision), so NULL and ''
+    * hash differently. */
+  private val NullDigest = "0" * 32
+
   /** @return one row per id present in EITHER version:
     *         (id, status ∈ added|removed|modified|unchanged) */
   def diff(v1: DataFrame, v2: DataFrame, idCol: String,
            contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "diff requires at least one content column")
+    // hash each column SEPARATELY, then hash the fixed-width digest
+    // concatenation: a separator-based concat of raw values still lets a
+    // value CONTAINING the separator shift column boundaries; per-column
+    // digests close that channel entirely, and the reserved NullDigest
+    // keeps NULL distinct from '' (review finding)
     def keyed(df: DataFrame, hashAs: String): DataFrame =
       df.select(col(idCol),
-        md5(concat_ws("", contentCols.map(c =>
-          coalesce(col(c).cast("string"), lit(""))): _*)).as(hashAs))
+        md5(concat_ws("", contentCols.map(c =>
+          when(col(c).isNull, lit(NullDigest))
+            .otherwise(md5(col(c).cast("string")))): _*)).as(hashAs))
     keyed(v1, "__h1").join(keyed(v2, "__h2"), Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("__h1").isNull, "added")

@@ -65,7 +65,12 @@ class SinglePartitionWindowGuard extends Rule[LogicalPlan] {
             s"ntileFromRank, or partition the window. Window: " +
             w.windowExpressions.map(_.sql).mkString(", ")
           if (mode == "fail") throw new IllegalStateException(msg)
-          else logWarning(msg)
+          // the rule sits in a fixed-point optimizer batch that runs the
+          // plan several times per query — dedupe by message so warn
+          // mode emits one line per distinct offending window, not one
+          // per optimizer iteration (review finding); the set is
+          // bounded so a long-lived session can't grow it without limit
+          else if (warnedOnce(msg)) logWarning(msg)
         case _ => ()
       }
     }
@@ -75,4 +80,14 @@ class SinglePartitionWindowGuard extends Rule[LogicalPlan] {
 
 object SinglePartitionWindowGuard {
   val ModeKey = "spark.graft.guard.singlePartitionWindow"
+
+  private val MaxWarned = 1000
+  private val warned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** True exactly once per distinct message (per JVM, bounded). */
+  private[plans] def warnedOnce(msg: String): Boolean = {
+    if (warned.size > MaxWarned) warned.clear()
+    warned.add(msg)
+  }
 }

@@ -305,4 +305,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(pr.contains("InMemoryTableScan"),
       s"pagerank lost the persisted transition frame:\n$pr")
   }
+
+  test("round-5 gates hold the scale contract under the window-guard fail mode") {
+    // the optimizer lint IS the audit: executing a gate with
+    // spark.graft.guard.singlePartitionWindow=fail proves no
+    // single-partition window over unbounded input anywhere in its plan
+    // (calibration must rank through range buckets; the budget cut's
+    // window must stay source-partitioned)
+    spark.conf.set(graft.plans.SinglePartitionWindowGuard.ModeKey, "fail")
+    try {
+      for (name <- Seq("url_normalize", "url_dedup", "domain_cap",
+        "pii_luhn", "lang_mixture", "classifier_calibration",
+        "quality_budget_cut", "corpus_diff", "hll_rollup",
+        "interval_join")) {
+        val q = Queries.all.find(_.name == name).get
+        assert(q.fn(spark, sf).count() > 0, s"$name returned no rows")
+      }
+    } finally
+      spark.conf.set(graft.plans.SinglePartitionWindowGuard.ModeKey, "off")
+  }
+
+  test("round-5 joins stay keyed: no cartesian/BNLJ in interval_join and corpus_diff") {
+    for (name <- Seq("interval_join", "corpus_diff", "url_dedup",
+      "quality_budget_cut")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a BroadcastNestedLoopJoin:\n$plan")
+    }
+  }
+
+  test("corpus_diff shuffles digests, not document text") {
+    // the full outer join's exchanges must carry (id, md5) only — the
+    // text column is consumed by the md5 projection below the shuffle
+    val plan = executedPlan("corpus_diff")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty, s"no exchanges found:\n$plan")
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text crosses a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }

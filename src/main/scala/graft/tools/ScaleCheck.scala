@@ -341,12 +341,81 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** Distinct-count probe: exact count(DISTINCT) per group vs the HLL
+    * sketch rollup, 1× vs 10× — the exact plan's expand+dedup shuffle
+    * moves every (group, key) pair; the sketch shuffle moves
+    * ≤ partitions × groups × 2^lgK bytes regardless of rows. Also times
+    * answering the GLOBAL distinct from the already-built per-group
+    * sketch table (union of kilobytes) vs a fresh corpus scan. */
+  private def hllMain(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-hllcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    // generation is free in this probe, so WALL TIME under-reports the
+    // exact plan's cost on real IO-bound data — the scale-relevant
+    // metric is SHUFFLE VOLUME: exact distinct shuffles every distinct
+    // (group, key) pair (grows with the corpus), the sketch shuffles
+    // ≤ partitions × groups × 2^lgK bytes (flat)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleBytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def df(rows: Long) = spark.range(rows).select(
+      (col("id") % 20).cast("string").as("g"),
+      // high-cardinality keys: ~rows/3 distinct
+      (xxhash64(col("id")) % (rows / 3)).as("k"))
+    def time(what: String)(f: => Long): Unit = {
+      shuffleBytes.set(0)
+      val t0 = System.nanoTime()
+      val out = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      // the listener bus is ASYNC: task-end events (and their metrics)
+      // drain after the job returns — give them time before reading
+      Thread.sleep(1500)
+      println(f"[hll] $what: $secs%.2f s, " +
+        f"shuffle=${shuffleBytes.get() / 1024.0 / 1024.0}%.1f MiB, out=$out")
+    }
+    // every thunk forces the AGGREGATE VALUES (a bare count() lets the
+    // optimizer prune the count_distinct/sketch expressions entirely —
+    // the first probe draft "measured" an empty plan)
+    def exactPerGroup(rows: Long): Long =
+      df(rows).groupBy("g").agg(count_distinct(col("k")).as("d"))
+        .agg(sum("d")).head().getLong(0)
+    // warmup
+    exactPerGroup(n)
+    Sketches.distinctSketch(df(n), Seq("g"), "k")
+      .agg(sum(length(col("sketch")))).head()
+    for (rows <- Seq(n, n * 10)) {
+      time(s"exact-distinct n=$rows")(exactPerGroup(rows))
+      val sk = Sketches.distinctSketch(df(rows), Seq("g"), "k")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      time(s"sketch-table n=$rows")(
+        sk.agg(sum(length(col("sketch")))).head().getLong(0))
+      time(s"global-from-sketches n=$rows")(
+        Sketches.rollup(sk, Nil).select("estimate").head().getLong(0))
+      time(s"global-exact-rescan n=$rows")(
+        df(rows).agg(count_distinct(col("k"))).head().getLong(0))
+      sk.unpersist()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     if (args.headOption.contains("rank")) return rankMain(args.drop(1))
     if (args.headOption.contains("emb")) return embMain(args.drop(1))
     if (args.headOption.contains("quota")) return quotaMain(args.drop(1))
     if (args.headOption.contains("url")) return urlMain(args.drop(1))
+    if (args.headOption.contains("hll")) return hllMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()

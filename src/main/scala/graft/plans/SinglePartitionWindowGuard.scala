@@ -1,6 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Window}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, Literal}
+import org.apache.spark.sql.catalyst.expressions.{DenseRank, Rank, RowNumber}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 
@@ -34,12 +36,12 @@ import org.apache.spark.sql.internal.SQLConf
   * Mode is read per-query from SQL conf `spark.graft.guard
   * .singlePartitionWindow`: `off` (default — zero overhead beyond one
   * conf read), `warn` (one log line per flagged Window), `fail`
-  * (throw — CI mode). A handful of the library's own gates flag BY
-  * DESIGN (`window_ntile`/`window_rank` exist to replay the reference's
-  * single-partition SQL semantics against the oracle; `weighted_sample`
-  * sorts a priority frame the caller is expected to have pre-filtered),
-  * which is exactly the visibility the lint is for — WindowGuardSpec
-  * pins both the flagged and the exempt shapes.
+  * (throw — CI mode). A further exemption: the top-k RANK-LIMIT idiom
+  * (rank window + literal-bounding Filter above) is skipped because
+  * Spark's own rank-limit pushdown bounds it physically — see
+  * [[isRankLike]]. Reference-semantics gates like `window_ntile` (no
+  * rank filter) still flag by design — exactly the visibility the lint
+  * is for; WindowGuardSpec pins flagged and exempt shapes.
   */
 class SinglePartitionWindowGuard extends Rule[LogicalPlan] {
 
@@ -54,26 +56,64 @@ class SinglePartitionWindowGuard extends Rule[LogicalPlan] {
     case other => other.children.forall(bounded)
   }
 
+  /** A rank-producing window (row_number/rank/dense_rank) directly under
+    * a Filter that compares SOMETHING to a literal is the top-k idiom —
+    * Spark's own rank-limit pushdown (LimitPushDownThroughWindow /
+    * InferWindowGroupLimit) bounds it to `TakeOrderedAndProject` +
+    * a ≤k-row window, so flagging it would be a false positive (found
+    * empirically: `weighted_sample`'s Efraimidis-Spirakis top-k plans
+    * exactly that shape). Detection is conservative (any literal
+    * comparison above a rank window) — a lint prefers missing an exotic
+    * unbounded case to failing a plan the engine was about to bound. */
+  private def isRankLike(w: Window): Boolean =
+    w.windowExpressions.exists(_.exists {
+      case _: RowNumber | _: Rank | _: DenseRank => true
+      case _ => false
+    })
+
+  private def boundsByLiteral(f: Filter): Boolean =
+    f.condition.exists {
+      case cmp: BinaryComparison =>
+        (cmp.left.isInstanceOf[Attribute] && cmp.right.isInstanceOf[Literal]) ||
+          (cmp.left.isInstanceOf[Literal] && cmp.right.isInstanceOf[Attribute])
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val mode = SQLConf.get.getConfString(ModeKey, "off")
-    if (mode != "off") {
-      plan.foreach {
-        case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
-          val msg = "single-partition Window over an unbounded input " +
-            s"(no PARTITION BY): the whole input sorts in ONE task at " +
-            s"scale. Use graft.operators.Ranks.globalRowNumber / " +
-            s"ntileFromRank, or partition the window. Window: " +
-            w.windowExpressions.map(_.sql).mkString(", ")
-          if (mode == "fail") throw new IllegalStateException(msg)
-          // the rule sits in a fixed-point optimizer batch that runs the
-          // plan several times per query — dedupe by message so warn
-          // mode emits one line per distinct offending window, not one
-          // per optimizer iteration (review finding); the set is
-          // bounded so a long-lived session can't grow it without limit
-          else if (warnedOnce(msg)) logWarning(msg)
-        case _ => ()
-      }
+
+    def act(w: Window): Unit = {
+      val msg = "single-partition Window over an unbounded input " +
+        s"(no PARTITION BY): the whole input sorts in ONE task at " +
+        s"scale. Use graft.operators.Ranks.globalRowNumber / " +
+        s"ntileFromRank, or partition the window. Window: " +
+        w.windowExpressions.map(_.sql).mkString(", ")
+      if (mode == "fail") throw new IllegalStateException(msg)
+      // the rule sits in a fixed-point optimizer batch that runs the
+      // plan several times per query — dedupe by message so warn
+      // mode emits one line per distinct offending window, not one
+      // per optimizer iteration (review finding); the set is
+      // bounded so a long-lived session can't grow it without limit
+      else if (warnedOnce(msg)) logWarning(msg)
     }
+
+    // manual walk instead of plan.foreach: the rank-limit exemption is a
+    // property of the PATH (a literal-bounding Filter above the window,
+    // possibly through Projects), which foreach cannot carry
+    def walk(p: LogicalPlan, rankLimited: Boolean): Unit = p match {
+      case f: Filter =>
+        walk(f.child, rankLimited || boundsByLiteral(f))
+      case pr: Project =>
+        walk(pr.child, rankLimited)
+      case w: Window =>
+        if (w.partitionSpec.isEmpty && !bounded(w.child) &&
+          !(rankLimited && isRankLike(w))) act(w)
+        w.children.foreach(walk(_, rankLimited = false))
+      case other =>
+        other.children.foreach(walk(_, rankLimited = false))
+    }
+
+    if (mode != "off") walk(plan, rankLimited = false)
     plan
   }
 }

@@ -69,6 +69,27 @@ class WindowGuardSpec extends SparkSpec {
     }
   }
 
+  test("top-k rank-limit idiom is exempt: Spark bounds it via rank-limit pushdown") {
+    withMode("fail") {
+      // row_number + rn <= k: physically plans TakeOrderedAndProject +
+      // a <=k-row window — flagging it would be a false positive (found
+      // empirically on the weighted_sample gate before the exemption)
+      assert(!flagged(corpus.withColumn("rn",
+        row_number().over(Window.orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") <= 10)))
+      // the library's own WRS sampler is that exact shape
+      val q = graft.Queries.all.find(_.name == "weighted_sample").get
+      assert(q.fn(spark, "/root/testdata/sf0.001").count() > 0)
+    }
+  }
+
+  test("rank window WITHOUT a bounding filter still flags") {
+    withMode("fail") {
+      assert(flagged(corpus.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"), col("id"))))))
+    }
+  }
+
   test("default mode is off: corpus-wide window runs unflagged") {
     // no conf set — the same plan that fails above must execute
     val n = corpus.withColumn("t",

@@ -3633,6 +3633,28 @@ object Queries {
       .orderBy("source", "doc_id")
   }
 
+  /** Positional phrase search ([[operators.PhraseSearch]]): exact
+    * token-sequence retrieval via positional-posting joins; the oracle
+    * slides a window over the split token list and compares the joined
+    * 3-gram — position-anchored on both sides, so overlapping
+    * occurrences count identically. */
+  val phraseSearchGate: Q = q("phrase_search",
+    """WITH W AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(greatest(len(w) - 2, 0))) AS i, w
+      |  FROM W)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+      |FROM pos
+      |WHERE array_to_string(w[i+1:i+3], ' ') = 'stream table hash'
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    operators.PhraseSearch.phraseMatches(
+      t(s, dir, "documents").filter(col("text").isNotNull),
+      "doc_id", "text", Seq("stream", "table", "hash"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 top-k retrieval scoring against a fixed query-term set (see
     * [[operators.TextAnalysis.bm25TopK]]). Constants are written as the
     * same double EXPRESSIONS in both engines ((1.2 + 1.0), not 2.2 —
@@ -4603,6 +4625,6 @@ object Queries {
     rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations,
     urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate,
     langMixtureGate, classifierCalibration, corpusDiffGate, hllRollupGate,
-    resampleFfill, qualityBudgetCut
+    resampleFfill, qualityBudgetCut, phraseSearchGate
   )
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Positional phrase search — exact token-sequence retrieval over a
+  * positional inverted index, the IR primitive bag-of-words scoring
+  * ([[TextAnalysis.bm25TopK]]) cannot express ("new york" is not
+  * "york new").
+  *
+  * Plan: one row-local posexplode builds (doc, position, token)
+  * postings; the phrase's FIRST token's postings anchor the candidate
+  * set, and each subsequent token joins at `anchor position + i` —
+  * k−1 equi-joins keyed on (doc, position), exactly the merge a native
+  * positional index performs. The token equality filters sit UNDER the
+  * joins, so only the phrase tokens' postings ever shuffle: cost is
+  * Σ posting-list sizes of the phrase terms, never the corpus token
+  * count — the selectivity argument that makes phrase queries cheap on
+  * 100 TB (rare terms anchor tiny lists; a stopword-only phrase is the
+  * worst case, as in every IR engine).
+  *
+  * Overlapping occurrences count individually (position-anchored), and
+  * the occurrence count is emitted per matching document.
+  */
+object PhraseSearch {
+
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val post = docs
+      .select(col(idCol).as("__did"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+    val anchors = post.filter(col("__tok") === phrase.head)
+      .select(col("__did"), col("__pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchors) {
+      case (acc, (w, i)) =>
+        acc.join(
+          post.filter(col("__tok") === w)
+            .select(col("__did"), (col("__pos") - i).as("__pos")),
+          Seq("__did", "__pos"))
+    }
+    matched.groupBy(col("__did").as(idCol))
+      .agg(count(lit(1)).cast("long").as("n_matches"))
+  }
+}

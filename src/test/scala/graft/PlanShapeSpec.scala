@@ -327,7 +327,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("round-5 joins stay keyed: no cartesian/BNLJ in interval_join and corpus_diff") {
     for (name <- Seq("interval_join", "corpus_diff", "url_dedup",
-      "quality_budget_cut")) {
+      "quality_budget_cut", "phrase_search")) {
       val plan = executedPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")

@@ -785,7 +785,11 @@ object Queries {
   }
 
   /** Embedding near-dup pairs (cosine ≥ 0.45; double math + round-6 keeps
-    * both engines bit-identical). */
+    * both engines bit-identical). Since round 6 this gate exercises the
+    * DEFAULT entry point, which dimensions the LSH layout (planes/tables)
+    * by the corpus size — the exact cosine verify makes the oracle
+    * layout-independent, so recall is the only thing the layout can
+    * break and the hash-match pins it. */
   val embeddingNearDup: Q = q("embedding_neardup",
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -796,6 +800,27 @@ object Queries {
       | ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     operators.Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.45)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Corpus-dimensioned embedding near-dup with EXPLICIT scale
+    * parameters (round 6): `knownCount` skips the sizing count action
+    * (the metadata path a 100 TB pipeline uses — the corpus cardinality
+    * is already known from the ingest ledger) and a tighter 1e-5 miss
+    * target compensates with more tables. Same exact all-pairs oracle —
+    * the layout only affects candidate generation, never the verified
+    * output. */
+  val embeddingNearDupScaled: Q = q("embedding_neardup_scaled",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      | WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+      | ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    operators.Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      threshold = 0.45, missTarget = 1e-5, knownCount = Some(emb.count()))
       .orderBy("id_a", "id_b")
   }
 
@@ -4585,6 +4610,7 @@ object Queries {
     seedRoundtrip, tombstoneDelete, engineModel,
     dedupExact, dedupExactHash, textQuality, fingerprintMd5,
     dedupMinhashLsh, ngramJaccard, dedupSimhash, embeddingNearDup,
+    embeddingNearDupScaled,
     annTopK, annLshTopK, annIvfTopK, hardNegativesGate, sourceSimilarity, mapAccess,
     semanticDecontaminateGate, embeddingQuantize, timeTravelAsOf,
     rangeJoinGate,

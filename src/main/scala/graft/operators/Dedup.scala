@@ -574,9 +574,17 @@ object Dedup {
         bit_count(xorCol).cast("long").as("hamming"))
   }
 
-  /** Embedding near-duplicates: pairs with cosine ≥ threshold, via
-    * multi-table random-hyperplane LSH candidate generation + exact
-    * cosine verify.
+  /** Embedding near-duplicates with an EXPLICIT LSH layout (fixed
+    * `tables`/`planes`): pairs with cosine ≥ threshold, via multi-table
+    * random-hyperplane LSH candidate generation + exact cosine verify.
+    *
+    * This is the layout CORE; [[embeddingNearDup]] — the public default —
+    * derives `tables`/`planes` from the corpus size and delegates here.
+    * Call this directly only when pinning a layout on purpose (probes,
+    * replaying a historical run): a fixed `planes` means a fixed bucket
+    * count, so per-bucket occupancy — and with it candidate volume,
+    * Θ(n²·probes/2^planes) — grows quadratically with the corpus
+    * (measured 26× wall time at 10× data, PERF.md round 5).
     *
     * Each of `tables` independent sign-signatures ([[Similarity.planeSignature]]
     * with per-table seeds) buckets the corpus; the a-side probes its own
@@ -594,10 +602,10 @@ object Dedup {
     * by orders of magnitude; the equi-join shape is what survives the
     * 100× scale-up, and AQE skew-splits hot buckets.
     */
-  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, dims: Int = 64,
-                       tables: Int = 8, planes: Int = 6,
-                       probeRadius: Int = 2): DataFrame = {
+  def embeddingNearDupFixed(emb: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, dims: Int = 64,
+                            tables: Int = 8, planes: Int = 6,
+                            probeRadius: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -660,11 +668,13 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
-  /** [[embeddingNearDup]] with the signature width DIMENSIONED BY THE
-    * CORPUS — the missing piece for super-linear-free scaling, found by
-    * the sf0.1→sf1 bench record (PERF.md round 5): with `planes` FIXED
-    * at 6, bucket count stays 64 no matter how big the corpus grows, so
-    * per-bucket occupancy is n/64 and candidate volume is
+  /** Embedding near-duplicates — THE DEFAULT ENTRY POINT, with the
+    * signature width DIMENSIONED BY THE CORPUS (round 6: promoted from
+    * the round-5 `embeddingNearDupScaled` opt-in to the default after
+    * the sf0.1→sf1 bench record proved the fixed layout super-linear).
+    * With `planes` FIXED at 6 ([[embeddingNearDupFixed]]), bucket count
+    * stays 64 no matter how big the corpus grows, so per-bucket
+    * occupancy is n/64 and candidate volume is
     * Θ(n²·probes/2^planes) — measured 26× time at 10× data. The scale
     * rule is the same one [[Similarity.semDedup]] applies to its
     * centroid count: hold per-bucket occupancy CONSTANT by growing the
@@ -684,7 +694,7 @@ object Dedup {
     * The economics remain threshold-bound (the scaladoc above): at
     * θ ≈ 0.45, q ≈ 0.35 makes p_band small enough that the compensated
     * table count explodes — for such dense-output jobs the verify step
-    * is the true lower bound and [[embeddingNearDup]]'s fixed layout is
+    * is the true lower bound and [[embeddingNearDupFixed]] is
     * honest about it (capped here at `maxTables`). At real near-dup
     * thresholds (θ ≥ 0.8, q ≤ 0.2) the compensation is a handful of
     * tables and the linear regime is the one that matters at 100 TB.
@@ -692,13 +702,13 @@ object Dedup {
     * `n` (corpus size) is passed by the caller or counted once — a
     * metadata-scale action of the same class as the IVF centroid
     * collect. */
-  def embeddingNearDupScaled(emb: DataFrame, idCol: String, vecCol: String,
-                             threshold: Double, dims: Int = 64,
-                             targetOccupancy: Int = 16,
-                             missTarget: Double = 1e-4,
-                             probeRadius: Int = 2,
-                             maxTables: Int = 48,
-                             knownCount: Option[Long] = None): DataFrame = {
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, dims: Int = 64,
+                       targetOccupancy: Int = 16,
+                       missTarget: Double = 1e-4,
+                       probeRadius: Int = 2,
+                       maxTables: Int = 48,
+                       knownCount: Option[Long] = None): DataFrame = {
     val n = knownCount.getOrElse(emb.count())
     val planes = math.max(4, math.min(20,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt))
@@ -713,9 +723,21 @@ object Dedup {
     val tables = math.max(2, math.min(maxTables,
       if (pBand >= 1.0) 2
       else math.ceil(math.log(missTarget) / math.log(1.0 - pBand)).toInt))
-    embeddingNearDup(emb, idCol, vecCol, threshold, dims,
+    embeddingNearDupFixed(emb, idCol, vecCol, threshold, dims,
       tables = tables, planes = planes, probeRadius = probeRadius)
   }
+
+  /** Round-5 name for the corpus-dimensioned layout, kept as a source-
+    * compatible alias now that [[embeddingNearDup]] IS that layout. */
+  def embeddingNearDupScaled(emb: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, dims: Int = 64,
+                             targetOccupancy: Int = 16,
+                             missTarget: Double = 1e-4,
+                             probeRadius: Int = 2,
+                             maxTables: Int = 48,
+                             knownCount: Option[Long] = None): DataFrame =
+    embeddingNearDup(emb, idCol, vecCol, threshold, dims, targetOccupancy,
+      missTarget, probeRadius, maxTables, knownCount)
 
   /** Brute-force embedding near-dup (the oracle twin of
     * [[embeddingNearDup]]): all-pairs cosine — O(n²), baseline only. */

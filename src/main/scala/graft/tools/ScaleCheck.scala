@@ -172,7 +172,9 @@ object ScaleCheck {
   }
 
   /** `runMain graft.tools.ScaleCheck emb <sfDir> [K]` — the
-    * embedding-LSH layout probe behind [[graft.operators.Dedup.embeddingNearDupScaled]]:
+    * embedding-LSH layout probe behind [[graft.operators.Dedup.embeddingNearDup]]
+    * (the corpus-dimensioned DEFAULT since round 6) vs the pinned
+    * [[graft.operators.Dedup.embeddingNearDupFixed]] layout:
     * replicate the embeddings corpus K× under per-replica orthogonal
     * rotations (intra-replica cosines exact, cross-replica ≈ noise —
     * the ScaleData scheme), plant a jittered near-copy of every 20th
@@ -232,14 +234,14 @@ object ScaleCheck {
       val total = emb.count()
       println(s"[emb] corpus x$n = $total vecs")
       if (n == 1) { // warmup codegen once
-        Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.8, dims).count()
-        Dedup.embeddingNearDupScaled(emb, "vec_id", "embedding", 0.8, dims,
+        Dedup.embeddingNearDupFixed(emb, "vec_id", "embedding", 0.8, dims).count()
+        Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.8, dims,
           knownCount = Some(total)).count()
       }
       val pf = time(s"fixed-layout x$n (6 planes, 8 tables)")(
-        Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.8, dims).count())
-      val ps = time(s"scaled-layout x$n")(
-        Dedup.embeddingNearDupScaled(emb, "vec_id", "embedding", 0.8, dims,
+        Dedup.embeddingNearDupFixed(emb, "vec_id", "embedding", 0.8, dims).count())
+      val ps = time(s"default (corpus-dimensioned) layout x$n")(
+        Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.8, dims,
           knownCount = Some(total)).count())
       println(s"[emb] pairs x$n: fixed=$pf scaled=$ps (must match; both exact-verified)")
       emb.unpersist()

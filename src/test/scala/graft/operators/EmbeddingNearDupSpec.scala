@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** [[Dedup.embeddingNearDupScaled]] — the corpus-dimensioned LSH layout —
+/** [[Dedup.embeddingNearDup]] — the corpus-dimensioned LSH layout,
+  * the default entry point since round 6 —
   * against brute-force truth and the fixed-layout twin. Vectors are
   * deterministic (seeded scala.util.Random per id), with planted
   * near-duplicate pairs at cosine ≈ 0.95 so the high-threshold regime
@@ -38,8 +39,8 @@ class EmbeddingNearDupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = pairs(Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding", 0.8))
     assert(truth.nonEmpty, "planted near-dups must survive the threshold")
-    val fixed = pairs(Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.8, dims = 32))
-    val scaled = pairs(Dedup.embeddingNearDupScaled(emb, "vec_id", "embedding", 0.8,
+    val fixed = pairs(Dedup.embeddingNearDupFixed(emb, "vec_id", "embedding", 0.8, dims = 32))
+    val scaled = pairs(Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.8,
       dims = 32))
     assert(fixed == truth, s"fixed layout diverged: ${fixed.diff(truth)} / ${truth.diff(fixed)}")
     assert(scaled == truth, s"scaled layout diverged: missing ${truth.diff(scaled).take(5)}")
@@ -78,9 +79,9 @@ class EmbeddingNearDupSpec extends SparkSpec {
   test("knownCount skips the count action and parameterizes identically") {
     val emb = corpus(300)
     val n = emb.count()
-    val a = Dedup.embeddingNearDupScaled(emb, "vec_id", "embedding", 0.8,
+    val a = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.8,
       dims = 32).orderBy("id_a", "id_b").collect().toSeq
-    val b = Dedup.embeddingNearDupScaled(emb, "vec_id", "embedding", 0.8,
+    val b = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.8,
       dims = 32, knownCount = Some(n)).orderBy("id_a", "id_b").collect().toSeq
     assert(a == b)
   }

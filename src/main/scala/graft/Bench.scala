@@ -1,11 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Driver benchmark: one JSON line on stdout (the driver contract) and
-  * the SAME json written to a file (`SPARK_GRAFT_BENCH_OUT`, default
-  * `target/bench_last.json`) — the stdout scrape historically truncated
-  * past ~64 gates (`BENCH_r04.json` carries a cut-off `tail`), so the
-  * file is the canonical full record.
+/** Driver benchmark: one COMPACT JSON line on stdout (the driver
+  * contract — `queries` carries only the 30 headline medians, because
+  * the driver's scrape window truncated the full sweep map two rounds
+  * running: BENCH_r04 a cut-off `tail`, BENCH_r05 `parsed: null`) and
+  * the full record — same fields plus the per-gate `sweep` map —
+  * written to `SPARK_GRAFT_BENCH_OUT` (default `target/bench_last.json`).
   *
   * Two tiers (round-4 verdict #8): a FULL SWEEP (every gate, single
   * timed run — coverage, not precision) and a HEADLINE subset (the 30
@@ -86,20 +87,25 @@ object Bench {
       .toSeq.distinct.mkString("[", ",", "]")
     val total = results.values.map(math.abs).sum
     val headlineTotal = headline.map { case (_, v) => math.abs(v) }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec"""" +
-      s""","queries":${jmap(results)}""" +
-      s""","headline":${jmap(headline)},"headline_total":$headlineTotal""" +
-      s""","errors":$errs,"sf":"$sfDir"}"""
+    // stdout gets a COMPACT line (round-5 verdict: the driver's scrape
+    // window truncated the 193-entry sweep map, leaving BENCH_r05.json
+    // with parsed:null) — `queries` on stdout carries only the 30
+    // headline medians (~1.5 KB); the full sweep map lives in the file.
+    val common = s""""value":$total,"unit":"sec"""" +
+      s""","queries":${jmap(headline)},"headline_total":$headlineTotal""" +
+      s""","sweep_gates":${results.size},"errors":$errs,"sf":"$sfDir""""
+    val stdoutJson = s"""{"metric":"total",$common}"""
+    val fileJson = s"""{"metric":"total",$common,"sweep":${jmap(results)}}"""
     // file first (canonical; survives stdout truncation), then stdout
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
     try {
       val p = java.nio.file.Paths.get(out)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(p, (fileJson + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"BENCH WARN: could not write $out: ${e.getMessage}")
     }
-    println(json)
+    println(stdoutJson)
     spark.stop()
   }
 }

@@ -14,8 +14,33 @@ object Verify {
       // micros (not INT96) so DuckDB reads our result parquet losslessly
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // the scale lints ride the optimizer (SinglePartitionWindowGuard)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      // round 6: every gate runs with the single-partition-window guard
+      // FAILING, not warning — a future gate that serializes its input
+      // into one task breaks correctness here, before it ships
+      .config(graft.plans.SinglePartitionWindowGuard.ModeKey,
+        sys.env.getOrElse("SPARK_GRAFT_WINDOW_GUARD", "fail"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Lint liveness self-check: a conf typo or a dropped extensions line
+    // would silently turn the machine check back into a review check, so
+    // prove the guard actually throws in THIS session before trusting a
+    // clean run — optimize (never execute) a deliberately unbounded
+    // single-partition window over a real file scan.
+    if (spark.conf.get(graft.plans.SinglePartitionWindowGuard.ModeKey) == "fail") {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val threw =
+        try {
+          spark.read.parquet(s"$sfDir/region.parquet")
+            .withColumn("rn", row_number().over(Window.orderBy("r_regionkey")))
+            .queryExecution.optimizedPlan
+          false
+        } catch { case _: IllegalStateException => true }
+      require(threw, "SinglePartitionWindowGuard is configured to fail " +
+        "but did not fire on a known-bad plan — the lint is inert")
+    }
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated gate filter for fast local iteration
     // (tools/check.py compares whatever oracle_sql.json lists, so the

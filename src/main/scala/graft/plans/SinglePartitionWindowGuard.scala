@@ -39,9 +39,10 @@ import org.apache.spark.sql.internal.SQLConf
   * (throw — CI mode). A further exemption: the top-k RANK-LIMIT idiom
   * (rank window + literal-bounding Filter above) is skipped because
   * Spark's own rank-limit pushdown bounds it physically — see
-  * [[isRankLike]]. Reference-semantics gates like `window_ntile` (no
-  * rank filter) still flag by design — exactly the visibility the lint
-  * is for; WindowGuardSpec pins flagged and exempt shapes.
+  * [[isRankLike]]. WindowGuardSpec pins flagged and exempt shapes;
+  * since round 6 [[graft.Verify]] runs the ENTIRE gate matrix in fail
+  * mode (with a liveness self-check proving the rule fires), so a new
+  * gate with an unbounded global window cannot reach a green round.
   */
 class SinglePartitionWindowGuard extends Rule[LogicalPlan] {
 

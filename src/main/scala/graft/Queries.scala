@@ -480,14 +480,19 @@ object Queries {
     * composition over [[operators.AsOfJoin]] (one window shuffle keyed
     * by user, the asOf contract), grid built by pure projection from
     * `range` (no join). Oracle = DuckDB's native ASOF LEFT JOIN on the
-    * same generated grid. */
+    * same generated grid. Ties on (user_id, ts) are broken by max
+    * event_id on BOTH sides (asOf's tiebreak / a QUALIFY pre-reduce in
+    * the oracle) — (user_id, ts) happens to be unique at every tested
+    * SF, but the gate must not be green by data luck (round-5 advice). */
   val resampleFfill: Q = q("resample_ffill",
     """WITH grid AS (
       |  SELECT x % 5 AS user_id,
       |    (1704067200 + (x // 5) * 3600) * 1000000000 AS gts
       |  FROM (SELECT unnest(range(3600)) AS x)),
       |e AS (SELECT user_id, epoch_ns(ts) AS t, value FROM events
-      |  WHERE user_id < 5 AND value IS NOT NULL)
+      |  WHERE user_id < 5 AND value IS NOT NULL
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_ns(ts)
+      |                             ORDER BY event_id DESC) = 1)
       |SELECT grid.user_id, grid.gts, e.value AS last_value,
       |  e.t AS last_seen
       |FROM grid ASOF LEFT JOIN e
@@ -499,9 +504,10 @@ object Queries {
     val e = t(s, dir, "events")
       .filter(col("user_id") < 5 && col("value").isNotNull)
       .select(col("user_id"), col("ts").cast("long").as("t"),
-        col("value").as("last_value"), col("ts").cast("long").as("last_seen"))
+        col("value").as("last_value"), col("ts").cast("long").as("last_seen"),
+        col("event_id"))
     operators.AsOfJoin.asOf(grid, e, Seq("user_id"), "gts", "t",
-      Seq("last_value", "last_seen"))
+      Seq("last_value", "last_seen"), tiebreak = Some("event_id"))
       .orderBy("user_id", "gts")
   }
 
@@ -3395,9 +3401,11 @@ object Queries {
     * round's operators. (1) source-level curation drops whole domains
     * below the TTR bar; (2) DSIR scores the survivors against a
     * high-TTR target proxy (docs with ttr ≥ 0.5); (3) the top half by
-    * importance weight is selected globally. One lazy DAG; the only
-    * global window is the final rank over the already-aggregated
-    * per-doc weight frame (corpus-vocabulary work is all equi-joins). */
+    * importance weight is selected globally. One lazy DAG; the global
+    * selection runs through the bucketed two-pass rank (round 6: the
+    * tightened window guard flagged the former single-partition rank
+    * over the per-doc weight frame — corpus-sized at scale; the oracle
+    * keeps the window formulation, proving equivalence). */
   val pipelineCurationV5: Q = q("pipeline_curation_v5",
     """WITH scored AS (
       |  SELECT doc_id, source,

@@ -385,17 +385,39 @@ object Sampling {
     * `rn <= ceil(frac * group_count)` in integer space (one double
     * multiply, computed identically by any engine) rather than
     * percent_rank, which NaNs on single-row groups. One shuffle on the
-    * group key; rank and count share the same window partition. */
+    * group key; rank and count share the same window partition.
+    *
+    * `groupCols = Seq.empty` means a GLOBAL top fraction — the windowed
+    * form would then be a single-partition window over the corpus (the
+    * round-6 guard tightening caught exactly this in the v5 capstone),
+    * so that case routes through [[Ranks.globalRowNumber]]'s bucketed
+    * two-pass rank: one rangeProbe scan yields both the bucket bounds
+    * and the exact N, and the cut is the same `rn <= ceil(frac·N)` in
+    * identical double math. Ordering matches `(score DESC NULLS LAST,
+    * id)` via an ascending negated score with nulls mapped to +∞ (a
+    * literal -Infinity score would tie with the null sentinel — beyond
+    * any real scoring domain). */
   def topFractionPerGroup(df: DataFrame, groupCols: Seq[String],
                           scoreCol: String, idCol: String,
                           frac: Double): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col(scoreCol).desc, col(idCol))
-    val wAll = Window.partitionBy(groupCols.map(col): _*)
-    df.withColumn("__graft_trn", row_number().over(w).cast("long"))
-      .withColumn("__graft_tn", count(lit(1)).over(wAll))
-      .filter(col("__graft_trn") <= ceil(lit(frac) * col("__graft_tn")))
-      .drop("__graft_trn", "__graft_tn")
+    if (groupCols.isEmpty) {
+      val tagged = df.withColumn("__graft_tneg",
+        when(col(scoreCol).isNull, lit(Double.PositiveInfinity))
+          .otherwise(-col(scoreCol).cast("double")))
+      val (bounds, n) = Ranks.rangeProbe(tagged, Seq("__graft_tneg"))
+      Ranks.globalRowNumber(tagged, "__graft_tneg", idCol,
+          outCol = "__graft_trn", bounds = Some(bounds("__graft_tneg")))
+        .filter(col("__graft_trn") <= lit(math.ceil(frac * n).toLong))
+        .drop("__graft_tneg", "__graft_trn")
+    } else {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col(scoreCol).desc, col(idCol))
+      val wAll = Window.partitionBy(groupCols.map(col): _*)
+      df.withColumn("__graft_trn", row_number().over(w).cast("long"))
+        .withColumn("__graft_tn", count(lit(1)).over(wAll))
+        .filter(col("__graft_trn") <= ceil(lit(frac) * col("__graft_tn")))
+        .drop("__graft_trn", "__graft_tn")
+    }
   }
 
   /** Per-group WEIGHT-budget cut: keep the best-scored rows of each

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet, BinaryComparison, Literal}
 import org.apache.spark.sql.catalyst.expressions.{DenseRank, Rank, RowNumber}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LocalRelation, LogicalPlan, OneRowRelation, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -23,15 +23,26 @@ import org.apache.spark.sql.internal.SQLConf
   *
   * Exemptions — single-partition windows whose input is structurally
   * BOUNDED are the library's own legitimate pattern and stay silent:
-  *   - any `Aggregate` below the window (group-cardinality-sized frames:
-  *     [[graft.operators.Ranks.globalRowNumber]]'s ≤buckets-row offset
-  *     ladder, vocabulary ranking in [[graft.operators.Vocab]]);
+  *   - a GLOBAL `Aggregate` (1 row) or the library's range-bucket
+  *     ladder (all grouping keys `__graft_bkt*` — ≤buckets rows:
+  *     [[graft.operators.Ranks.globalRowNumber]]'s offset ladder).
+  *     Other grouped aggregates do NOT exempt (round-6 tightening: a
+  *     per-doc aggregate is corpus-sized);
   *   - any `Limit` below the window (top-k frames);
   *   - leaf relations with a known small row count (`LocalRelation`,
   *     `OneRowRelation`) — test fixtures and literal frames.
   * The walk stops at the first bounding node on each path, so a
   * corpus-wide scan ABOVE an aggregate (e.g. agg → join back to the
   * corpus → window) is still flagged.
+  *
+  * The top-k RANK-LIMIT idiom — row_number/rank/dense_rank window whose
+  * OWN output attribute a Filter above compares to a literal (tracked
+  * through Project alias chains) — is exempt because Spark's rank-limit
+  * pushdown (LimitPushDownThroughWindow / InferWindowGroupLimit) bounds
+  * it physically to `TakeOrderedAndProject` + a ≤k-row window; the
+  * `weighted_sample` gate and the Vocab top-k rankers plan exactly that
+  * shape. Round-6 tightening: the filter must reference the rank output
+  * itself — an unrelated `score > 0.5` no longer exempts.
   *
   * Mode is read per-query from SQL conf `spark.graft.guard
   * .singlePartitionWindow`: `off` (default — zero overhead beyond one
@@ -49,7 +60,22 @@ class SinglePartitionWindowGuard extends Rule[LogicalPlan] {
   import SinglePartitionWindowGuard._
 
   private def bounded(plan: LogicalPlan): Boolean = plan match {
-    case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+    // round 6 (advice): a grouped aggregate is NOT bounded in general —
+    // groupBy(doc_id) over the corpus is corpus-sized, and exempting it
+    // was a false-negative surface for exactly the hazard this rule
+    // exists to catch. Bounded aggregates are the structural cases only:
+    // a global aggregate (1 row) or the library's range-bucket ladder
+    // convention (grouping keys all `__graft_bkt*` — ≤ buckets rows by
+    // construction, [[graft.operators.Ranks.globalRowNumber]]). Rank
+    // windows over big vocab aggregates stay legal through the
+    // rank-limit exemption, which is how the library writes them.
+    case a: Aggregate =>
+      a.groupingExpressions.isEmpty ||
+        a.groupingExpressions.forall(g =>
+          g.foldable ||
+            (g.references.nonEmpty &&
+              g.references.forall(_.name.startsWith("__graft_bkt"))))
+    case _: GlobalLimit | _: LocalLimit => true
     case _: LocalRelation | _: OneRowRelation => true
     case leaf if leaf.children.isEmpty => false
     // every input path must be bounded (a bounded dim joined to an
@@ -57,28 +83,20 @@ class SinglePartitionWindowGuard extends Rule[LogicalPlan] {
     case other => other.children.forall(bounded)
   }
 
-  /** A rank-producing window (row_number/rank/dense_rank) directly under
-    * a Filter that compares SOMETHING to a literal is the top-k idiom —
-    * Spark's own rank-limit pushdown (LimitPushDownThroughWindow /
-    * InferWindowGroupLimit) bounds it to `TakeOrderedAndProject` +
-    * a ≤k-row window, so flagging it would be a false positive (found
-    * empirically: `weighted_sample`'s Efraimidis-Spirakis top-k plans
-    * exactly that shape). Detection is conservative (any literal
-    * comparison above a rank window) — a lint prefers missing an exotic
-    * unbounded case to failing a plan the engine was about to bound. */
-  private def isRankLike(w: Window): Boolean =
-    w.windowExpressions.exists(_.exists {
-      case _: RowNumber | _: Rank | _: DenseRank => true
-      case _ => false
-    })
-
-  private def boundsByLiteral(f: Filter): Boolean =
-    f.condition.exists {
-      case cmp: BinaryComparison =>
-        (cmp.left.isInstanceOf[Attribute] && cmp.right.isInstanceOf[Literal]) ||
-          (cmp.left.isInstanceOf[Literal] && cmp.right.isInstanceOf[Attribute])
-      case _ => false
-    }
+  /** Attributes the filter compares to a literal — the candidate "rn"
+    * columns of a rank-limit idiom. Round 6 (advice): the exemption used
+    * to fire on ANY attribute-vs-literal comparison above a rank window,
+    * so an unrelated predicate (`WHERE score > 0.5`) exempted a global
+    * rank it never bounds; now the compared attribute must resolve to
+    * the rank window's own output (through Project aliases). */
+  private def literalBoundAttrs(f: Filter): AttributeSet =
+    AttributeSet(f.condition.collect {
+      case cmp: BinaryComparison => (cmp.left, cmp.right) match {
+        case (a: Attribute, _: Literal) => Seq(a)
+        case (_: Literal, a: Attribute) => Seq(a)
+        case _ => Seq.empty[Attribute]
+      }
+    }.flatten)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val mode = SQLConf.get.getConfString(ModeKey, "off")
@@ -99,22 +117,32 @@ class SinglePartitionWindowGuard extends Rule[LogicalPlan] {
     }
 
     // manual walk instead of plan.foreach: the rank-limit exemption is a
-    // property of the PATH (a literal-bounding Filter above the window,
-    // possibly through Projects), which foreach cannot carry
-    def walk(p: LogicalPlan, rankLimited: Boolean): Unit = p match {
+    // property of the PATH (a Filter literal-bounding the rank output,
+    // possibly through Projects), which foreach cannot carry. `limited`
+    // holds the attributes literal-compared by Filters on the path,
+    // remapped through each Project's aliases (a `cast(rn)` alias chain
+    // must still reach the window's own output attribute).
+    def walk(p: LogicalPlan, limited: AttributeSet): Unit = p match {
       case f: Filter =>
-        walk(f.child, rankLimited || boundsByLiteral(f))
+        walk(f.child, limited ++ literalBoundAttrs(f))
       case pr: Project =>
-        walk(pr.child, rankLimited)
+        val through = pr.projectList.collect {
+          case a: Alias if limited.contains(a.toAttribute) => a.child.references
+        }.foldLeft(limited)(_ ++ _)
+        walk(pr.child, through)
       case w: Window =>
-        if (w.partitionSpec.isEmpty && !bounded(w.child) &&
-          !(rankLimited && isRankLike(w))) act(w)
-        w.children.foreach(walk(_, rankLimited = false))
+        val rankLimited = w.windowExpressions.exists(ne =>
+          limited.contains(ne.toAttribute) && ne.exists {
+            case _: RowNumber | _: Rank | _: DenseRank => true
+            case _ => false
+          })
+        if (w.partitionSpec.isEmpty && !bounded(w.child) && !rankLimited) act(w)
+        w.children.foreach(walk(_, AttributeSet.empty))
       case other =>
-        other.children.foreach(walk(_, rankLimited = false))
+        other.children.foreach(walk(_, AttributeSet.empty))
     }
 
-    if (mode != "off") walk(plan, rankLimited = false)
+    if (mode != "off") walk(plan, AttributeSet.empty)
     plan
   }
 }

@@ -55,16 +55,18 @@ object StreamJoin {
 
     val l = wm(left, leftTs).alias("l")
     val r = wm(right, rightTs).alias("r")
-    val keyCond: Column = keys.map(k => col(s"l.$k") === col(s"r.$k"))
-      .reduce(_ && _)
+    // backtick-quoted paths: a column name containing a dot would
+    // otherwise parse as a nested-field reference (round-5 advice)
+    def lc(c: String): Column = col(s"l.`$c`")
+    def rc(c: String): Column = col(s"r.`$c`")
+    val keyCond: Column = keys.map(k => lc(k) === rc(k)).reduce(_ && _)
     val timeCond: Column =
-      col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $before") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $after")
+      rc(rightTs) >= lc(leftTs) - expr(s"INTERVAL $before") &&
+        rc(rightTs) <= lc(leftTs) + expr(s"INTERVAL $after")
     val joined = l.join(r, keyCond && timeCond, joinType)
     // one copy of the keys (left side owns them post-join)
     val rightKeep = right.columns.filterNot(keys.contains)
     joined.select(
-      (left.columns.map(c => col(s"l.$c")) ++
-        rightKeep.map(c => col(s"r.$c"))).toSeq: _*)
+      (left.columns.map(lc) ++ rightKeep.map(rc)).toSeq: _*)
   }
 }

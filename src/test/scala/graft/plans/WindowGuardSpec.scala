@@ -46,11 +46,49 @@ class WindowGuardSpec extends SparkSpec {
     }
   }
 
-  test("single-partition window over an aggregate (bounded frame) passes") {
+  test("grouped aggregate below a global window FLAGS (round-6 tightening)") {
     withMode("fail") {
-      // the Vocab/Ranks offset-ladder pattern: group-cardinality input
-      assert(!flagged(corpus.groupBy("v").agg(count(lit(1)).as("n"))
+      // groupBy(doc_id)-style per-key aggregates are corpus-sized — the
+      // old blanket Aggregate exemption was a false-negative surface
+      assert(flagged(corpus.groupBy("v").agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("v"))))))
+    }
+  }
+
+  test("GLOBAL aggregate (1 row) below a window passes") {
+    withMode("fail") {
+      assert(!flagged(corpus.agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("n"))))))
+    }
+  }
+
+  test("the __graft_bkt offset-ladder aggregate stays exempt") {
+    withMode("fail") {
+      assert(!flagged(corpus.withColumn("__graft_bkt", col("v") % 8)
+        .groupBy("__graft_bkt").agg(count(lit(1)).as("n"))
+        .withColumn("off", sum(col("n")).over(
+          Window.orderBy(col("__graft_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)))))
+    }
+  }
+
+  test("rank-limit through a cast alias chain stays exempt") {
+    withMode("fail") {
+      // withColumn("rn", row_number().over(w).cast("long")) puts a
+      // Project alias between the Filter and the window output — the
+      // attribute tracking must see through it (the Vocab top-k shape)
+      assert(!flagged(corpus.withColumn("rn",
+        row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+        .filter(col("rn") <= 10)))
+    }
+  }
+
+  test("an UNRELATED literal filter above a rank window no longer exempts") {
+    withMode("fail") {
+      // round-5 advice: `v > 3` bounds nothing about the global rank
+      assert(flagged(corpus.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"), col("id"))))
+        .filter(col("v") > 3)))
     }
   }
 

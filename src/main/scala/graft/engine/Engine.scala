@@ -1021,6 +1021,15 @@ final class Engine(
       catalog.delete(d.name)
     }
 
+  /** Evict every frame the session's operators have persisted (round 6:
+    * the long-lived-session counterpart of the per-operator
+    * `...Managed`/`...WithCleanup` handles — see
+    * [[graft.operators.OperatorCache]] for the convention and why the
+    * plain operator entry points keep their frames pinned). Call between
+    * jobs; everything re-persists on demand. */
+  def clearOperatorCache(): Unit =
+    graft.operators.OperatorCache.clear(spark)
+
   // ------------------------------------------------------------------
   // Connection resources (client.py:433-501, impl.py:536-637)
   // ------------------------------------------------------------------

@@ -3688,6 +3688,47 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Materialized positional index (round 6): postings built ONCE,
+    * persisted as an engine stream, then TWO phrase queries answered
+    * from the persisted index — the corpus parquet is read exactly once
+    * (the index build); repeat queries touch postings only
+    * (PhraseIndexSpec pins that at the file-scan level). The oracle
+    * replays both phrases with the sliding-window formulation. */
+  val phraseSearchIndexed: Q = q("phrase_search_indexed",
+    """WITH W AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |hits AS (
+      |  SELECT 'stream table hash' AS phrase, doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_matches
+      |  FROM (SELECT doc_id, unnest(range(greatest(len(w) - 2, 0))) AS i, w
+      |        FROM W) p
+      |  WHERE array_to_string(w[i+1:i+3], ' ') = 'stream table hash'
+      |  GROUP BY doc_id
+      |  UNION ALL
+      |  SELECT 'hash join', doc_id, CAST(count(*) AS BIGINT)
+      |  FROM (SELECT doc_id, unnest(range(greatest(len(w) - 1, 0))) AS i, w
+      |        FROM W) p
+      |  WHERE array_to_string(w[i+1:i+2], ' ') = 'hash join'
+      |  GROUP BY doc_id)
+      |SELECT phrase, doc_id, n_matches FROM hits
+      |ORDER BY phrase, doc_id""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-phraseidx").toString
+    val e = new engine.Engine(s, tmp)
+    val postings = operators.PhraseSearch.buildPostings(
+      t(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text")
+    e.createStream("postings", graft.schema.StreamSchema.fromStruct(postings.schema))
+    e.appendRows("postings", postings) // the ONLY corpus scan
+    val idx = e.readStream("postings")
+    val q1 = operators.PhraseSearch
+      .phraseMatchesIndexed(idx, Seq("stream", "table", "hash"))
+      .select(lit("stream table hash").as("phrase"), col("doc_id"), col("n_matches"))
+    val q2 = operators.PhraseSearch
+      .phraseMatchesIndexed(idx, Seq("hash", "join"))
+      .select(lit("hash join").as("phrase"), col("doc_id"), col("n_matches"))
+    q1.unionByName(q2).orderBy("phrase", "doc_id")
+  }
+
   /** BM25 top-k retrieval scoring against a fixed query-term set (see
     * [[operators.TextAnalysis.bm25TopK]]). Constants are written as the
     * same double EXPRESSIONS in both engines ((1.2 + 1.0), not 2.2 —
@@ -4659,6 +4700,6 @@ object Queries {
     rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations,
     urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate,
     langMixtureGate, classifierCalibration, corpusDiffGate, hllRollupGate,
-    resampleFfill, qualityBudgetCut, phraseSearchGate
+    resampleFfill, qualityBudgetCut, phraseSearchGate, phraseSearchIndexed
   )
 }

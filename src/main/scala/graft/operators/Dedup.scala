@@ -29,6 +29,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Table count above which [[embeddingNearDupFixed]] switches its
+    * cross-table pair dedup from the carried-signature first-table
+    * predicate to a slim DISTINCT on (id_a, id_b) — see the strategy
+    * comment at the join site. Breakeven: the when-chain path ships
+    * ~2·tables·8 B of signature per candidate; the distinct ships one
+    * extra 16 B shuffle per candidate, so the distinct wins once
+    * tables ≳ 12 and the gap grows linearly with the table count. */
+  private val SlimDedupTables = 12
+
   /** Exact dedup: one surviving row id per duplicate group (min id wins),
     * plus the group size. Single hash-aggregate shuffle on the key columns.
     */
@@ -613,17 +622,33 @@ object Dedup {
     // per-table signatures, seeded independently, all computed in ONE
     // fused codegen'd pass (PlaneSignatures) and PERSISTED — the explode
     // chain below would otherwise inline the signature expression into
-    // its Generate nodes and re-evaluate it per output row. The full
-    // signature array (`tables` longs) rides along so pair dedup needs
-    // no shuffle (see below). The float vectors do NOT travel through
-    // the candidate join — shipping them ×tables×probes was 8× the
-    // verify cost; they re-join from the persisted frame at the end.
+    // its Generate nodes and re-evaluate it per output row. The float
+    // vectors do NOT travel through the candidate join — shipping them
+    // ×tables×probes was 8× the verify cost; they re-join from the
+    // persisted frame at the end.
     val withSigs = e.withColumn("sigs", Similarity.planeSignatures(
       col("v"), (0 until tables).map(t => s"hp$t:"), planes, dims))
       .select("id", "sigs")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val b = withSigs.select(col("id").as("id_b"), col("sigs").as("sigs_b"),
-      posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+    // Cross-table pair dedup strategy (round 6): within one table a pair
+    // collides at most once (exactly one flip maps sig_a onto sig_b), so
+    // duplicates only arise ACROSS tables. At small table counts the
+    // cheapest dedup is the standard first-colliding-table predicate — a
+    // codegen'd when-chain over the signature arrays carried through the
+    // join, zero extra shuffle. But the arrays weigh `tables` longs PER
+    // SIDE of every joined row, so at the high table counts the
+    // recall-compensation picks in dense regimes (θ≈0.45 ⇒ 40+ tables)
+    // the join shuffles ~2·tables·8 B of dead weight per candidate —
+    // measured as the sf1 wall-clock cliff. Past `SlimDedupTables` the
+    // sigs stay home and candidates dedup by a DISTINCT on the slim
+    // 16-byte (id_a, id_b) pairs instead: one extra shuffle, sized by
+    // the candidate count, not candidate×tables.
+    val slim = tables > SlimDedupTables
+    val b = {
+      val base = withSigs.select(col("id").as("id_b"), col("sigs").as("sigs_b"),
+        posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+      if (slim) base.drop("sigs_b") else base
+    }
     // a-side: additionally exploded to all buckets within probeRadius —
     // every bit-combination up to the radius, so the join's collision set
     // exactly matches the `firstTbl` predicate below for ANY radius
@@ -634,26 +659,25 @@ object Dedup {
     val flips: Seq[Column] = (0 to probeRadius).flatMap(r =>
       (0 until planes).combinations(r).map(bits =>
         lit(bits.foldLeft(0L)((m, b) => m | (1L << b)))))
-    val a = withSigs.select(col("id").as("id_a"), col("sigs").as("sigs_a"),
-      posexplode(col("sigs")).as(Seq("tbl", "sig")))
-      .withColumn("bucket", explode(array(flips.map(col("sig").bitwiseXOR): _*)))
-      .drop("sig")
+    val a = {
+      val base = withSigs.select(col("id").as("id_a"), col("sigs").as("sigs_a"),
+        posexplode(col("sigs")).as(Seq("tbl", "sig")))
+        .withColumn("bucket", explode(array(flips.map(col("sig").bitwiseXOR): _*)))
+        .drop("sig")
+      if (slim) base.drop("sigs_a") else base
+    }
 
-    // dedup-free emission: within one table a pair collides at most once
-    // (exactly one flip can map sig_a onto sig_b), so duplicates only
-    // arise across tables. Emit only when `tbl` is the pair's FIRST
-    // colliding table — a codegen'd when-chain over the signature
-    // arrays, zero extra shuffle (the standard LSH trick).
     def tblHamming(t: Int): Column = bit_count(
       element_at(col("sigs_a"), t + 1).bitwiseXOR(element_at(col("sigs_b"), t + 1)))
     val firstTbl = (0 until tables).foldRight(lit(-1): Column) { (t, els) =>
       when(tblHamming(t) <= probeRadius, lit(t)).otherwise(els)
     }
 
-    val candidates = a.join(b, Seq("tbl", "bucket"))
+    val joined = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("tbl") === firstTbl)
-      .select("id_a", "id_b")
+    val candidates =
+      if (slim) joined.select("id_a", "id_b").distinct()
+      else joined.filter(col("tbl") === firstTbl).select("id_a", "id_b")
 
     // vector lookup joins are left UN-hinted on purpose: `e` is persisted
     // so its in-memory stats drive size-based planning — broadcast when

@@ -24,12 +24,33 @@ import org.apache.spark.sql.functions._
   */
 object PhraseSearch {
 
-  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
-                    phrase: Seq[String]): DataFrame = {
+  /** The positional posting table: one row per corpus token occurrence,
+    * `(tok, did, pos)`. Row-local (one posexplode, no shuffle) — built
+    * once and MATERIALIZED for repeated queries: persist it as an
+    * engine stream (`Engine.createStream` + `appendRows`, the
+    * index-as-stream pattern the HLL rollup tables use) and every
+    * subsequent phrase query reads postings only, never the corpus
+    * (round-6: the `phrase_search_indexed` gate + PhraseIndexSpec pin
+    * the corpus-scan-free property on the file-scan level). At 100 TB
+    * the index stream is the thing to bucket by `tok` so term lookups
+    * prune to their buckets. */
+  def buildPostings(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("did"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .select("tok", "did", "pos")
+
+  /** Phrase query over a PREBUILT `(tok, did, pos)` posting table (see
+    * [[buildPostings]]): the phrase's first token's postings anchor the
+    * candidate set, each subsequent token joins at `anchor position+i`.
+    * Token filters sit UNDER the joins, so only the phrase terms'
+    * posting lists shuffle — Σ posting sizes, never the corpus. */
+  def phraseMatchesIndexed(postings: DataFrame, phrase: Seq[String],
+                           idCol: String = "doc_id"): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one token")
-    val post = docs
-      .select(col(idCol).as("__did"),
-        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+    val post = postings.select(col("did").as("__did"),
+      col("pos").as("__pos"), col("tok").as("__tok"))
     val anchors = post.filter(col("__tok") === phrase.head)
       .select(col("__did"), col("__pos"))
     val matched = phrase.zipWithIndex.tail.foldLeft(anchors) {
@@ -42,4 +63,11 @@ object PhraseSearch {
     matched.groupBy(col("__did").as(idCol))
       .agg(count(lit(1)).cast("long").as("n_matches"))
   }
+
+  /** One-shot convenience: build the postings inline and query them —
+    * for a single ad-hoc phrase; repeated queries should materialize
+    * [[buildPostings]] once instead. */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrase: Seq[String]): DataFrame =
+    phraseMatchesIndexed(buildPostings(docs, idCol, textCol), phrase, idCol)
 }

@@ -76,6 +76,26 @@ class EmbeddingNearDupSpec extends SparkSpec {
     }
   }
 
+  test("slim pair-dedup path (tables > threshold) matches the carried-signature path") {
+    // 16 tables crosses SlimDedupTables, so candidates dedup via the
+    // DISTINCT strategy; 8 tables uses the first-colliding-table chain —
+    // both must produce the identical exact-verified pair set (the
+    // dense-regime layouts pick 40+ tables, so this path is the one the
+    // sf1 θ=0.45 run exercises)
+    val emb = corpus(300)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chained = pairs(Dedup.embeddingNearDupFixed(emb, "vec_id", "embedding", 0.8,
+      dims = 32, tables = 8, planes = 5))
+    val slim = pairs(Dedup.embeddingNearDupFixed(emb, "vec_id", "embedding", 0.8,
+      dims = 32, tables = 16, planes = 5))
+    val truth = pairs(Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding", 0.8))
+    assert(chained == truth)
+    assert(slim == truth,
+      s"slim dedup diverged: ${slim.diff(truth)} / ${truth.diff(slim)}")
+  }
+
   test("knownCount skips the count action and parameterizes identically") {
     val emb = corpus(300)
     val n = emb.count()

@@ -83,6 +83,10 @@ object GraftFunctions {
     ("nfc_normalize", classOf[NfcNormalize], { args =>
       require(args.length == 1, "nfc_normalize(str) takes one string arg")
       NfcNormalize(args.head)
+    }),
+    ("ascii_normalize", classOf[AsciiNormalize], { args =>
+      require(args.length == 1, "ascii_normalize(str) takes one string arg")
+      AsciiNormalize(args.head)
     }))
 
   /** Idempotently register all functions on a session. */

@@ -249,8 +249,13 @@ object TextAnalysis {
     */
   def normalizeText(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    // one codegen'd byte pass instead of the lower+regex+regex+trim
+    // builtin chain — same bytes out (AsciiNormalize's scaladoc carries
+    // the parity argument; NormalizeSpec fuzzes it against the chain),
+    // ~50× cheaper, and cheap enough that Catalyst re-evaluating it
+    // under a pushed-down filter stops mattering (round 6)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val norm = call_function("ascii_normalize", col(textCol))
     docs.select(col(idCol),
       norm.as("norm_text"),
       size(split(col(textCol), " ")).cast("long").as("n_tok_before"),

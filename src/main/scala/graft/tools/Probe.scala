@@ -15,6 +15,7 @@ object Probe {
     if (args.headOption.contains("embed")) return embedMain(args.drop(1))
     if (args.headOption.contains("simhash")) return simhashMain(args.drop(1))
     if (args.headOption.contains("hashprobe")) return hashProbeMain(args.drop(1))
+    if (args.headOption.contains("v4")) return v4Main(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -174,6 +175,60 @@ object Probe {
         val n = q.fn(spark, sf).count()
         println(f"[time] ${q.name} run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       }
+    }
+    spark.stop()
+  }
+
+  /** `Probe v4 <sf>` — stage timings for the pipeline_curation_v4
+    * chain (normalize → boilerplate → entropy → sample). */
+  private def v4Main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.{Sampling, TextAnalysis}
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[v4] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    (1 to 2).foreach { round =>
+      println(s"[v4] --- round $round ---")
+      spark.catalog.clearCache()
+      val docs = graft.Tables.load(spark, sf, "documents")
+      println(s"[v4] docs partitions: ${docs.rdd.getNumPartitions}")
+      timed("raw scan")(docs.agg(sum(length(col("text")))).head())
+      val norm = TextAnalysis.normalizeText(docs)
+        .filter(length(col("norm_text")) > 0)
+        .select(col("doc_id"), col("norm_text").as("text"))
+      timed("normalize")(norm.agg(sum(length(col("text")))).head())
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      timed("normalize (AQE off)")(norm.agg(sum(length(col("text")))).head())
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      if (round == 1) {
+        val plain = docs.select(trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).as("nt"))
+        timed("regex only (no splits)")(plain.agg(sum(length(col("nt")))).head())
+        val splitsOnly = docs.select(
+          size(split(col("text"), " ")).cast("long").as("a"))
+        timed("split only")(splitsOnly.agg(sum(col("a"))).head())
+        norm.agg(sum(length(col("text")))).explain("formatted")
+      }
+      val clean = TextAnalysis.removeBoilerplate(norm, windowWords = 8, dfLimit = 1L)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text"))
+      timed("normalize+boilerplate")(
+        clean.agg(sum(length(col("clean_text")))).head())
+      val kept = TextAnalysis.tokenEntropy(clean, "doc_id", "clean_text")
+        .filter(col("entropy") >= 2.8)
+        .select(col("doc_id"), col("n_tokens"))
+      timed("+entropy")(kept.agg(sum(col("n_tokens"))).head())
+      timed("+sample (full v4)")(
+        Sampling.weightedSample(kept, "doc_id", col("n_tokens"),
+          k = 100, salt = "v4").count())
     }
     spark.stop()
   }

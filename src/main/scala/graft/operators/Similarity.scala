@@ -216,6 +216,116 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos")
   }
 
+  /** IVF-PQ ANN (round 6 — the fourth ANN path, and the canonical 100 TB
+    * vector-index layout; Jégou et al. 2011 "Product Quantization for
+    * Nearest Neighbor Search", public literature): the IVF coarse
+    * quantizer prunes the corpus to probed cells, then a PRODUCT
+    * QUANTIZER scores every candidate from an m-byte code via per-query
+    * lookup tables (ADC — asymmetric distance computation) instead of a
+    * d-dimensional exact cosine, and only the per-query top-`shortlist`
+    * survivors pay the exact re-rank. Output = exact cosine top-k within
+    * the probed cells, i.e. IDENTICAL to [[ivfTopK]] whenever the
+    * shortlist contains the true per-cell top-k (PqSpec pins equality and
+    * probes the ADC recall margin), so the gate shares ivf's exact
+    * oracle.
+    *
+    * Codebooks: the vector splits into `m` subspaces of d/m dims; each
+    * subspace trains its own `ksub`-centroid quantizer with the SAME
+    * deterministic recipe as the coarse quantizer ([[refinedCentroids]]:
+    * first-ksub seeds, one Lloyd pass, FLOAT rounding) — m·ksub·(d/m)
+    * floats of metadata, the standard PQ deployment shape. Encoding is m
+    * fused [[graft.functions.NearestCentroid]] kernel calls per row
+    * (direction-nearest: spherical PQ, matching the cosine metric);
+    * the code's reconstruction norm (`norm_pq`) is precomputed per row
+    * at encode time so ADC needs no per-row sqrt.
+    *
+    * ADC: per query, `lut[j·ksub + c] = dot(q_j, c_{j,c})` (a flat
+    * m·ksub-double array on the broadcast query row), so a candidate
+    * scores in m array lookups + adds:
+    * `Σ_j lut[j·ksub + code_j] / norm_pq` — the full-vector |q| factor
+    * is constant per query and cannot change that query's ranking, so
+    * ADC skips it. At 100 TB the index stores (id, cell, codes,
+    * norm_pq) — 8 bytes of code per vector at m=8 — and raw vectors are
+    * gathered only for the shortlist; here the vector column rides along
+    * because the gate's corpus IS the frame, but the plan still pays the
+    * exact cosine on ≤ shortlist rows per query.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, k: Int, nCentroids: Int = 16,
+             nProbe: Int = 2, m: Int = 8, ksub: Int = 16,
+             shortlist: Int = 128): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val refined = refinedCentroids(e, nCentroids)
+    if (refined.isEmpty)
+      return e.limit(0).select(col("n_id").as("q_id"), col("n_id"),
+        lit(0L).as("rnk"), lit(0.0).as("cos"))
+    val dims = refined.head._2.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+
+    // per-subspace codebooks (m × ksub × sub floats of metadata) and
+    // their centroid norms (for reconstruction-norm precompute)
+    val books: Seq[Seq[(Int, Seq[Float])]] = (0 until m).map { j =>
+      refinedCentroids(
+        e.select(col("n_id"), slice(col("v"), j * sub + 1, sub).as("v")), ksub)
+        .sortBy(_._1)
+    }
+    val flats: Seq[Array[Float]] = books.map(_.flatMap(_._2).toArray)
+    val normSqs: Seq[Array[Double]] = books.map(_.map(c =>
+      c._2.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)).toArray)
+
+    // encode: code_j = direction-nearest sub-centroid (kernel returns -1
+    // on all-NaN; pmod folds it to the last centroid, same as withCell)
+    def codeJ(j: Int): Column = pmod(
+      call_function("nearest_centroid",
+        slice(col("v"), j * sub + 1, sub), typedlit(flats(j)), lit(sub)),
+      lit(ksub))
+    val codes = array((0 until m).map(codeJ): _*)
+    val normPq = sqrt((0 until m).map(j =>
+      element_at(typedlit(normSqs(j)), codeJ(j) + 1)).reduce(_ + _))
+    val corpus = withCell(e, refined)
+      .withColumn("codes", codes)
+      .withColumn("norm_pq", normPq)
+      .withColumnRenamed("v", "v_n")
+
+    // query LUT: dot(q_j, c) = cos(q_j, c) · |q_j| · |c| per sub-centroid,
+    // flattened to one m·ksub array; cell probing as in ivfTopK
+    def lutJ(j: Int): Column = {
+      val qj = slice(col("v"), j * sub + 1, sub)
+      val qNorm = sqrt(expr(
+        s"aggregate(slice(v, ${j * sub + 1}, $sub), 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      val cNorms = typedlit(normSqs(j).map(math.sqrt))
+      zip_with(call_function("centroid_cosines", qj, typedlit(flats(j)), lit(sub)),
+        cNorms, (cs, cn) => cs * cn * qNorm)
+    }
+    val lut = concat((0 until m).map(lutJ): _*)
+    val queries = e.filter(queryPred)
+      .withColumn("__cos", cosScores(col("v"), refined))
+      .withColumn("lut", lut)
+      .select(col("n_id").as("q_id"), col("v").as("v_q"), col("lut"),
+        cellStructs(col("__cos"), refined).as("cells"))
+      .select(col("q_id"), col("v_q"), col("lut"),
+        explode(expr(s"transform(slice(sort_array(cells, false), 1, $nProbe), s -> s.cid)"))
+          .as("cell"))
+
+    // ADC scan: m lookups per candidate, then exact re-rank on the
+    // per-query shortlist only
+    val adc = corpus.join(broadcast(queries), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", expr(
+        s"aggregate(zip_with(codes, sequence(0, ${m - 1}), (c, j) -> element_at(lut, j * $ksub + c + 1)), 0D, (a, x) -> a + x)") /
+        col("norm_pq"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
+    val short = adc.withColumn("adc_rnk", row_number().over(wAdc))
+      .filter(col("adc_rnk") <= shortlist)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    short.withColumn("cos", round(cosine(col("v_q"), col("v_n")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "rnk", "cos")
+  }
+
   /** SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication" — public literature):
     * cluster the embedding space with a coarse k-means quantizer, then

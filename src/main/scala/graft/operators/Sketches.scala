@@ -40,6 +40,99 @@ object Sketches {
     grouped.withColumn("estimate", hll_sketch_estimate(col("sketch")))
   }
 
+  // ------------------------------------------------------------------
+  // Log-linear quantile sketch (round 6) — the mergeable-quantile twin
+  // of the HLL rollup above. Same deployment pattern: persist one small
+  // sketch per (group × ingest shard), answer any later quantile query
+  // or coarser rollup by SUMMING bucket counts — the corpus is never
+  // rescanned. The sketch is the HDR-histogram / DDSketch bucket idea
+  // (public designs) restated in pure integer arithmetic so the DuckDB
+  // oracle replays it EXACTLY: a non-negative BIGINT value lands in
+  // bucket (msb, mant) where msb = bit length of v and mant = the top
+  // `mantissaBits+1` bits — every operation is bin()/shift/compare, no
+  // floating log whose last ulp could flip a bucket across engines.
+  // Guaranteed relative error of the midpoint estimate for any
+  // quantile: half the bucket width / lower bound ≤ 2^-(mantissaBits+1).
+  // Bucket count is bounded by 64·2^mantissaBits + 1 per group
+  // regardless of corpus size, so the sketch shuffle moves
+  // ≤ partitions × groups × 1025 rows of three longs — row-count-
+  // independent, exactly like the HLL table.
+  // ------------------------------------------------------------------
+
+  /** (msb, mant) bucket coordinates for a non-negative BIGINT column.
+    * v = 0 gets the dedicated (0, 0) bucket; for v ≥ 1, msb = number of
+    * binary digits (floor(log2 v) + 1) and mant = v with all but the
+    * top `mantissaBits + 1` bits shifted away. Bucket order by
+    * (msb, mant) IS value order, which is what makes the cumulative
+    * scan below correct. */
+  def valueBuckets(v: Column, mantissaBits: Int): (Column, Column) = {
+    val msb = when(v <= 0, lit(0)).otherwise(length(bin(v)))
+    val shiftBits = greatest(msb - lit(mantissaBits + 1), lit(0))
+    val mant = when(v <= 0, lit(0L))
+      .otherwise(call_function("shiftright", v, shiftBits))
+    (msb.cast("int"), mant.cast("long"))
+  }
+
+  /** Per-group quantile sketch: one shuffle keyed on (group, msb, mant)
+    * with full map-side partial aggregation. `valueCol` must be a
+    * non-negative integral column (lengths, token counts, latencies in
+    * micros — the pipeline's usual quantile subjects). */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     mantissaBits: Int = 4): DataFrame = {
+    val (msb, mant) = valueBuckets(col(valueCol).cast("long"), mantissaBits)
+    df.withColumn("msb", msb).withColumn("mant", mant)
+      .groupBy((groupCols.map(col) ++ Seq(col("msb"), col("mant"))): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches to coarser grain (possibly global: `coarser = Nil`)
+    * by summing bucket counts — the merge is a plain keyed aggregate, so
+    * it is associative, commutative, and replay-deterministic. */
+  def mergeQuantileSketch(sketch: DataFrame, coarser: Seq[String]): DataFrame =
+    sketch.groupBy((coarser.map(col) ++ Seq(col("msb"), col("mant"))): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Answer quantiles from a sketch: for each requested q, the midpoint
+    * of the first bucket (in value order) whose cumulative count reaches
+    * ceil(q·N). Integer bounds, so the midpoint double is exact in any
+    * engine (both compute the same IEEE ceil(q·N) — oracle SQL must cast
+    * its q literal to DOUBLE, not DECIMAL).
+    *
+    * Plan shape: each group's buckets fold into ONE row (≤ 64·2^m + 1
+    * structs by construction) and the bucket scan is an `aggregate()`
+    * array fold in that row — a plain grouped aggregate end to end, no
+    * window anywhere, so the global rollup (groupCols = Nil) is a 1-row
+    * global aggregate rather than a single-partition window. */
+  def sketchQuantiles(sketch: DataFrame, groupCols: Seq[String],
+                      qs: Seq[Double], mantissaBits: Int = 4): DataFrame = {
+    val buckets = sort_array(collect_list(struct(
+      col("msb"), col("mant"), col("cnt")))).as("bks")
+    val n = sum("cnt").as("n")
+    val agged =
+      if (groupCols.isEmpty) sketch.agg(buckets, n)
+      else sketch.groupBy(groupCols.map(col): _*).agg(buckets, n)
+    val qlits = array(qs.map(lit): _*)
+    // first bucket (value order) whose cumulative count reaches the
+    // target rank: a fold with an "already picked" latch in the struct
+    val pick = expr(
+      s"""aggregate(bks,
+         |  named_struct('cum', 0L, 'msb', -1, 'mant', -1L),
+         |  (acc, s) -> IF(acc.msb >= 0, acc,
+         |    named_struct('cum', acc.cum + s.cnt,
+         |      'msb', IF(acc.cum + s.cnt >= CEIL(q * n), s.msb, -1),
+         |      'mant', IF(acc.cum + s.cnt >= CEIL(q * n), s.mant, -1L))))
+         |""".stripMargin)
+    val shiftBits = greatest(col("pk.msb") - lit(mantissaBits + 1), lit(0))
+    val lo = call_function("shiftleft", col("pk.mant"), shiftBits)
+    // shiftBits = 0 ⟹ hi = mant = lo (exact single-value bucket, incl. v=0)
+    val hi = call_function("shiftleft", col("pk.mant") + 1, shiftBits) - 1
+    agged
+      .withColumn("q", explode(qlits))
+      .withColumn("pk", pick)
+      .select(groupCols.map(col) :+ col("q") :+
+        ((lo + hi) / 2.0).as("est"): _*)
+  }
+
   /** In-plan drift assertion (the self-checking-sketch convention):
     * TRUE when `est` is within `tol` relative error of `exact`, else the
     * whole job fails with the drift in the message — never a silently

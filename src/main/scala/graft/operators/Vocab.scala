@@ -450,4 +450,107 @@ object Vocab {
       .filter(col("rn") <= k)
       .orderBy("rn")
   }
+
+  // --------------------------------------------------------------------
+  // Full BPE (round 6): iterative merge TRAINING + corpus ENCODE —
+  // [[bpeMergeCandidates]] is one round's pair statistics; this is the
+  // whole tokenizer loop (Sennrich et al. 2016, `learn_bpe`/`apply_bpe`).
+  //
+  // Symbol representation (shared by train, apply, and the DuckDB
+  // oracle): a word is its symbols joined by TWO spaces and padded by
+  // two on each side — "  h  e  y  ". Merge (a, b) is then the literal
+  // replace " a  b " → " ab ": the pattern claims one space from each
+  // side of the pair and the replacement restores one, so every
+  // boundary keeps ≥ 2 spaces and DIRECTLY ADJACENT occurrences
+  // ("a b a b") all merge in one pass — a single-space join would let
+  // the first replacement consume the separator the next match needs.
+  // `replace` scans left-to-right non-overlapping in Spark, DuckDB, and
+  // the reference Python alike, so "x x x" merges to "xx x" in all
+  // three (leftmost-greedy, the subword-nmt behavior).
+  // --------------------------------------------------------------------
+
+  /** A word as its padded double-space symbol string (initial symbols =
+    * characters): `"hey"` → `"  h  e  y  "`. */
+  private def symbolRepr(word: Column): Column =
+    concat(lit("  "), regexp_replace(word, "(.)", "$1  "))
+
+  /** Adjacent symbol pairs of a repr, each as `"left right"` (symbols
+    * never contain spaces, so the single-space join is unambiguous).
+    * Single-symbol words pair-count as empty — `sequence()` counts DOWN
+    * for a 1-symbol word (the [[bpeMergeCandidates]] caveat), so the
+    * short case is guarded explicitly. */
+  private def symbolPairs(repr: Column): Column = {
+    val syms = filter(split(repr, "  "), s => s =!= "")
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train `k` BPE merges: each round counts adjacent symbol pairs over
+    * the WORD-FREQUENCY table (vocabulary-sized, not corpus-sized — the
+    * property that makes BPE training tractable at 100 TB), picks the
+    * (count desc, pair asc) argmax, and rewrites the vocabulary with
+    * that merge applied. The per-round argmax is a 1-row collect —
+    * metadata-scale, the same class as the IVF centroid collect; the
+    * word table persists across rounds and unpersists on return
+    * (training CONSUMES it — nothing lazy escapes, so the eager
+    * unpersist is safe, unlike the pinned-frame operators
+    * [[graft.operators.OperatorCache]] documents).
+    *
+    * @return merges in training order: (rank, left, right, cnt)
+    */
+  def bpeTrain(docs: DataFrame, textCol: String = "text",
+               k: Int = 8): Seq[(Int, String, String, Long)] = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist()
+    try {
+      var vocab = words.select(symbolRepr(col("word")).as("w"), col("freq"))
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (rank <- 1 to k) {
+        val best = vocab
+          .select(explode(symbolPairs(col("w"))).as("pair"), col("freq"))
+          .groupBy("pair").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .collect()
+        if (best.nonEmpty) {
+          val Array(l, r) = best.head.getString(0).split(" ", 2)
+          merges += ((rank, l, r, best.head.getLong(1)))
+          vocab = vocab.withColumn("w", call_function("replace",
+            col("w"), lit(s" $l  $r "), lit(s" $l$r ")))
+        }
+      }
+      merges.toSeq
+    } finally words.unpersist()
+  }
+
+  /** Encode the corpus with trained merges: the replace chain applies to
+    * the DISTINCT-WORD table only (vocabulary-scale compute), which then
+    * broadcasts back onto the exploded corpus — per doc, the word count
+    * and the total BPE symbol count. The merge list is tokenizer
+    * metadata (a few KB), inlined into the plan as literals exactly like
+    * the PQ codebooks.
+    *
+    * @return (doc_id, n_words, n_symbols)
+    */
+  def bpeEncode(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text",
+                merges: Seq[(String, String)]): DataFrame = {
+    val docWords = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val encoded = merges.foldLeft(symbolRepr(col("word"))) {
+      case (repr, (l, r)) => call_function("replace",
+        repr, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    val vocab = docWords.select("word").distinct()
+      .withColumn("n_sym",
+        size(filter(split(encoded, "  "), s => s =!= "")).cast("long"))
+    docWords.join(broadcast(vocab), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_symbols"))
+  }
 }

@@ -16,6 +16,7 @@ object Probe {
     if (args.headOption.contains("simhash")) return simhashMain(args.drop(1))
     if (args.headOption.contains("hashprobe")) return hashProbeMain(args.drop(1))
     if (args.headOption.contains("v4")) return v4Main(args.drop(1))
+    if (args.headOption.contains("pq")) return pqMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -229,6 +230,28 @@ object Probe {
       timed("+sample (full v4)")(
         Sampling.weightedSample(kept, "doc_id", col("n_tokens"),
           k = 100, salt = "v4").count())
+    }
+    spark.stop()
+  }
+
+  /** `Probe pq <sf>` — ADC shortlist recall curve vs exact IVF. */
+  private def pqMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val ivf = graft.operators.Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3)
+      .collect().map(_.toString).toSet
+    for (m <- Seq(8, 16); sl <- Seq(10, 20, 40, 64, 128)) {
+      val pq = graft.operators.Similarity.pqTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3,
+        m = m, ksub = 16, shortlist = sl)
+        .collect().map(_.toString).toSet
+      println(s"[pq] m=$m shortlist=$sl: match=${pq == ivf} " +
+        s"overlap=${pq.intersect(ivf).size}/${ivf.size}")
     }
     spark.stop()
   }

@@ -411,7 +411,69 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** `ScaleCheck qsketch [n]` — quantile sketch vs exact percentile:
+    * wall time + shuffle volume at n and 10n rows. Exact quantiles sort
+    * (or at best aggregate per distinct value — corpus-sized either
+    * way); the log-linear sketch shuffles ≤ partitions × groups × 1025
+    * bucket rows regardless of n, and answering the GLOBAL quantile
+    * from the persisted per-group sketch table touches ≤ groups × 1025
+    * rows — the raw corpus is never rescanned. */
+  private def qsketchMain(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-qsketchcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleBytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def df(rows: Long) = spark.range(rows).select(
+      (col("id") % 20).cast("string").as("g"),
+      // heavy-tailed positive values
+      (pmod(xxhash64(col("id")), lit(1L << 36)) + 1).as("v"))
+    def time(what: String)(f: => Any): Unit = {
+      shuffleBytes.set(0)
+      val t0 = System.nanoTime()
+      val out = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // async listener bus — let task metrics drain
+      println(f"[qsketch] $what: $secs%.2f s, " +
+        f"shuffle=${shuffleBytes.get() / 1024.0 / 1024.0}%.1f MiB, out=$out")
+    }
+    def exactPerGroup(rows: Long) =
+      df(rows).groupBy("g")
+        .agg(expr("percentile(v, array(0.5, 0.99))").as("p"))
+        .agg(sum(element_at(col("p"), 2))).head().getDouble(0)
+    exactPerGroup(n) // warmup
+    Sketches.quantileSketch(df(n), Seq("g"), "v")
+      .agg(sum("cnt")).head()
+    for (rows <- Seq(n, n * 10)) {
+      time(s"exact-percentile n=$rows")(exactPerGroup(rows))
+      val sk = Sketches.quantileSketch(df(rows), Seq("g"), "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // NOTE: the count() goes INSIDE the timed thunk — interpolating it
+      // into the label would materialize the persist before the timer
+      time(s"sketch-build n=$rows")(s"bucketRows=${sk.count()}")
+      time(s"global-from-sketches n=$rows")(
+        Sketches.sketchQuantiles(Sketches.mergeQuantileSketch(sk, Nil),
+          Nil, Seq(0.5, 0.99)).agg(sum("est")).head().getDouble(0))
+      time(s"global-exact-rescan n=$rows")(
+        df(rows).agg(expr("percentile(v, 0.99)")).head().getDouble(0))
+      sk.unpersist()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("qsketch")) return qsketchMain(args.drop(1))
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     if (args.headOption.contains("rank")) return rankMain(args.drop(1))
     if (args.headOption.contains("emb")) return embMain(args.drop(1))

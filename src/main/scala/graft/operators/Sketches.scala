@@ -92,6 +92,22 @@ object Sketches {
     sketch.groupBy((coarser.map(col) ++ Seq(col("msb"), col("mant"))): _*)
       .agg(sum("cnt").as("cnt"))
 
+  /** Incremental maintenance (the ingest-time shape: shard-vs-index,
+    * like [[Dedup.incrementalNearDups]]): fold a NEW SHARD into the
+    * standing sketch table without touching already-ingested rows —
+    * sketch the shard, union, re-aggregate the bucket counts. Cost is
+    * O(shard) + O(standing sketch) per ingest, never O(corpus); since
+    * bucket-count merge is associative/commutative, any ingest order
+    * replays to the identical table (StreamingSketchSpec pins the
+    * micro-batch-maintained table against the one-shot batch sketch). */
+  def updateQuantileSketch(standing: DataFrame, newRows: DataFrame,
+                           groupCols: Seq[String], valueCol: String,
+                           mantissaBits: Int = 4): DataFrame =
+    mergeQuantileSketch(
+      standing.unionByName(
+        quantileSketch(newRows, groupCols, valueCol, mantissaBits)),
+      groupCols)
+
   /** Answer quantiles from a sketch: for each requested q, the midpoint
     * of the first bucket (in value order) whose cumulative count reaches
     * ceil(q·N). Integer bounds, so the midpoint double is exact in any

@@ -87,6 +87,11 @@ object GraftFunctions {
     ("ascii_normalize", classOf[AsciiNormalize], { args =>
       require(args.length == 1, "ascii_normalize(str) takes one string arg")
       AsciiNormalize(args.head)
+    }),
+    ("lang_mixture_counts", classOf[LangMixtureCounts], { args =>
+      require(args.length == 1,
+        "lang_mixture_counts(str) takes one string arg")
+      LangMixtureCounts(args.head)
     }))
 
   /** Idempotently register all functions on a session. */

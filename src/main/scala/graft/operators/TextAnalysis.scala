@@ -39,13 +39,12 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(BpeTokenRe), lit(0))).cast("long"))
 
   /** Marker words per language, checked in fixed order (deterministic
-    * argmax tiebreak: first language with the max marker count wins). */
-  val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "is"),
-    "de" -> Seq("der", "die", "und", "ist"),
-    "fr" -> Seq("le", "la", "et", "est"),
-    "es" -> Seq("el", "los", "y", "es"),
-    "zh" -> Seq("的", "和", "是", "了"))
+    * argmax tiebreak: first language with the max marker count wins).
+    * Source of truth lives beside the fused kernel
+    * ([[graft.functions.LangMixtureCounts.Markers]]) so the regex
+    * formulation, the oracle builders, and the kernel cannot drift. */
+  val LangMarkers: Seq[(String, Seq[String])] =
+    graft.functions.LangMixtureCounts.Markers
 
   private def markerCount(text: Column, words: Seq[String]): Column =
     words.map(w => size(regexp_extract_all(text,
@@ -81,6 +80,43 @@ object TextAnalysis {
     * 100 TB shape is identical to [[langId]]. */
   def langMixture(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
+    // round 6: the per-segment marker counting runs as ONE fused kernel
+    // call per document ([[graft.functions.LangMixtureCounts]] — the
+    // regex-in-lambda form re-traversed every segment once per marker
+    // word on the interpreted HOF path; exact parity incl. the
+    // consumed-boundary adjacency rule is fuzz-pinned in
+    // LangMixtureSpec). The struct assembly below touches only the
+    // 6-int count array; `__lmc` is a materialized column reference so
+    // the kernel evaluates once per row (CollapseProject never inlines
+    // a non-cheap expression referenced more than once).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val counted = docs.select(col(idCol),
+      call_function("lang_mixture_counts", col(textCol)).as("__lmc"))
+    val n = element_at(col("__lmc"), 1)
+    val counts = LangMarkers.map(_._1).zipWithIndex.map { case (lang, i) =>
+      (lang, element_at(col("__lmc"), i + 2))
+    }
+    val bestCnt = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val primary = counts.reverse.foldLeft(lit("und")) { case (acc, (lang, c)) =>
+      when(c === bestCnt && bestCnt > 0, lit(lang)).otherwise(acc)
+    }
+    val nLangs = counts.map { case (_, c) => when(c > 0, 1).otherwise(0) }
+      .reduce(_ + _)
+    counted.select(col(idCol),
+      n.cast("long").as("n_segments"),
+      primary.as("primary_lang"),
+      round(when(bestCnt > 0,
+        bestCnt.cast("double") / n).otherwise(lit(0.0)), 6)
+        .as("primary_share"),
+      nLangs.cast("long").as("n_langs"),
+      (nLangs >= 2).as("code_switched"))
+  }
+
+  /** The pre-round-6 regex-in-lambda formulation of [[langMixture]] —
+    * kept as the differential twin LangMixtureSpec fuzzes the fused
+    * kernel against (it IS the oracle semantics, stated with builtins). */
+  private[graft] def langMixtureRegex(docs: DataFrame, idCol: String = "doc_id",
+                                      textCol: String = "text"): DataFrame = {
     def segLang(seg: Column): Column = {
       val scored = LangMarkers.map { case (lang, ws) =>
         (lang, markerCount(seg, ws))

@@ -717,11 +717,16 @@ object Dedup {
     *
     * The economics remain threshold-bound (the scaladoc above): at
     * θ ≈ 0.45, q ≈ 0.35 makes p_band small enough that the compensated
-    * table count explodes — for such dense-output jobs the verify step
-    * is the true lower bound and [[embeddingNearDupFixed]] is
-    * honest about it (capped here at `maxTables`). At real near-dup
-    * thresholds (θ ≥ 0.8, q ≤ 0.2) the compensation is a handful of
-    * tables and the linear regime is the one that matters at 100 TB.
+    * table count explodes. `maxTables` bounds that cost as a
+    * CONSTRAINT, never a recall clamp: when the occupancy-ideal plane
+    * count would need more than `maxTables` compensating tables, planes
+    * back off until the miss target fits — a dense threshold pays
+    * candidate volume (fuller buckets), the analytic recall bound holds
+    * regardless (the sf1 differential caught the earlier clamp
+    * silently raising the miss rate ~500× and dropping one true pair;
+    * see PERF.md round 6). At real near-dup thresholds (θ ≥ 0.8,
+    * q ≤ 0.2) the compensation is a handful of tables and the linear
+    * regime is the one that matters at 100 TB.
     *
     * `n` (corpus size) is passed by the caller or counted once — a
     * metadata-scale action of the same class as the IVF centroid
@@ -729,26 +734,70 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, dims: Int = 64,
                        targetOccupancy: Int = 16,
-                       missTarget: Double = 1e-4,
+                       missTarget: Double = 1e-6,
                        probeRadius: Int = 2,
                        maxTables: Int = 48,
                        knownCount: Option[Long] = None): DataFrame = {
     val n = knownCount.getOrElse(emb.count())
-    val planes = math.max(4, math.min(20,
+    val (planes, tables) = lshLayout(n, threshold, targetOccupancy,
+      missTarget, probeRadius, maxTables)
+    embeddingNearDupFixed(emb, idCol, vecCol, threshold, dims,
+      tables = tables, planes = planes, probeRadius = probeRadius)
+  }
+
+  /** The corpus-dimensioned LSH layout solver: (planes, tables) such
+    * that the analytic per-pair miss bound `missTarget` HOLDS and the
+    * table count fits `maxTables`.
+    *
+    * Round-6 fix from the sf1 DIFFERENTIAL (not the bench): the first
+    * corpus-dimensioned layout clamped the compensated table count at
+    * `maxTables`, which silently DEGRADED the miss bound whenever the
+    * occupancy-derived plane count made p_band too small — at sf1 /
+    * θ=0.45 the effective per-pair miss rate rose to ~5e-4 and the
+    * default path dropped exactly one of 16 765 true pairs. The cap is
+    * now a CONSTRAINT, not a clamp: planes back off from the occupancy
+    * ideal until the compensation FITS maxTables, so the analytic miss
+    * target genuinely holds at any threshold — a dense threshold pays
+    * candidate volume (fewer planes ⇒ fuller buckets), never recall.
+    * The default target is 1e-6: sparse enough that even a 10⁵-pair
+    * output expects < 0.1 misses (the hash-exact gate contract), still
+    * a handful of tables at real near-dup thresholds (θ ≥ 0.8).
+    */
+  private[operators] def lshLayout(n: Long, threshold: Double,
+                                   targetOccupancy: Int, missTarget: Double,
+                                   probeRadius: Int, maxTables: Int): (Int, Int) = {
+    val planesOcc = math.max(4, math.min(20,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt))
     val q = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
     // P[Binom(planes, q) <= probeRadius]: a true pair at exactly θ
     // collides with one table's probe set with this probability (pairs
     // above θ collide more often — θ is the worst case)
+    def pBand(planes: Int): Double =
+      (0 to math.min(probeRadius, planes)).map { k =>
+        val choose = (1 to k).map(i => (planes - i + 1).toDouble / i).product
+        choose * math.pow(q, k) * math.pow(1 - q, planes - k)
+      }.sum
+    def tablesFor(planes: Int): Int = {
+      val p = pBand(planes)
+      if (p >= 1.0) 2
+      else math.ceil(math.log(missTarget) / math.log(1.0 - p)).toInt
+    }
+    val planes = (planesOcc to 4 by -1)
+      .find(p => tablesFor(p) <= maxTables).getOrElse(4)
+    (planes, math.max(2, math.min(maxTables, tablesFor(planes))))
+  }
+
+  /** Analytic per-pair miss rate of a (planes, tables) layout at the
+    * worst-case threshold pair — exposed for the layout-solver spec. */
+  private[operators] def lshMissRate(planes: Int, tables: Int,
+                                     threshold: Double,
+                                     probeRadius: Int): Double = {
+    val q = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
     val pBand = (0 to math.min(probeRadius, planes)).map { k =>
       val choose = (1 to k).map(i => (planes - i + 1).toDouble / i).product
       choose * math.pow(q, k) * math.pow(1 - q, planes - k)
     }.sum
-    val tables = math.max(2, math.min(maxTables,
-      if (pBand >= 1.0) 2
-      else math.ceil(math.log(missTarget) / math.log(1.0 - pBand)).toInt))
-    embeddingNearDupFixed(emb, idCol, vecCol, threshold, dims,
-      tables = tables, planes = planes, probeRadius = probeRadius)
+    math.pow(1.0 - pBand, tables)
   }
 
   /** Round-5 name for the corpus-dimensioned layout, kept as a source-
@@ -756,7 +805,7 @@ object Dedup {
   def embeddingNearDupScaled(emb: DataFrame, idCol: String, vecCol: String,
                              threshold: Double, dims: Int = 64,
                              targetOccupancy: Int = 16,
-                             missTarget: Double = 1e-4,
+                             missTarget: Double = 1e-6,
                              probeRadius: Int = 2,
                              maxTables: Int = 48,
                              knownCount: Option[Long] = None): DataFrame =

@@ -47,14 +47,35 @@ class EmbeddingNearDupSpec extends SparkSpec {
   }
 
   test("scaled layout grows planes with the corpus, holding occupancy") {
-    // the parameter rule itself: planes ≈ log2(n / occupancy), clamped
-    def planesFor(n: Long, occ: Int = 16) = math.max(4, math.min(20,
-      math.ceil(math.log(math.max(1.0, n.toDouble / occ)) / math.log(2)).toInt))
+    // the parameter rule at a SPARSE threshold (θ=0.9: compensation is a
+    // handful of tables, so the occupancy ideal is never constrained):
+    // planes ≈ log2(n / occupancy), clamped
+    def planesFor(n: Long) =
+      Dedup.lshLayout(n, 0.9, 16, 1e-6, 2, 48)._1
     assert(planesFor(2000) == 7)
     assert(planesFor(20000) == 11) // 10x corpus -> +~3 planes, 16x buckets
     assert(planesFor(200000) == 14)
     assert(planesFor(100) == 4) // floor
     assert(planesFor(1L << 40) == 20) // cap
+  }
+
+  test("layout solver: the miss target HOLDS at every (n, θ) — the cap backs off planes, never recall") {
+    // the sf1 regression: at n=50k / θ=0.45 the old clamp left the
+    // effective per-pair miss rate ~5e-4 and dropped a true pair; the
+    // solver must now deliver ≤ missTarget everywhere, trading planes
+    // (candidate volume) instead
+    for (n <- Seq(1000L, 50000L, 5000000L, 1L << 40);
+         theta <- Seq(0.45, 0.6, 0.8, 0.95)) {
+      val (planes, tables) = Dedup.lshLayout(n, theta, 16, 1e-6, 2, 48)
+      val miss = Dedup.lshMissRate(planes, tables, theta, 2)
+      assert(tables <= 48 && planes >= 4)
+      assert(miss <= 1e-6,
+        f"n=$n θ=$theta planes=$planes tables=$tables miss=$miss%.2e")
+    }
+    // and sparse thresholds stay CHEAP: θ=0.95 at huge n (20 planes)
+    // compensates to 13 tables for a 1e-6 bound — far from the cap
+    val (_, tSparse) = Dedup.lshLayout(1L << 40, 0.95, 16, 1e-6, 2, 48)
+    assert(tSparse <= 16, s"sparse-threshold compensation blew up: $tSparse")
   }
 
   test("hardNegatives: band contract, self-exclusion, exact-mode truth") {

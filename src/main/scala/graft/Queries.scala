@@ -1091,6 +1091,52 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019) — round 6: the
+    * cross-lingual pair-harvesting step of multilingual corpus builds.
+    * Sides split by vec_id parity (a synthetic two-language corpus over
+    * the shared space); the oracle replays the shared quantizer via
+    * [[duckIvfCells]], then kNN ranks, integer micro-unit neighborhood
+    * sums, the single-division margin, and the mutual argmax — exact. */
+  val bitextMineGate: Q = q("bitext_mine",
+    s"""WITH ${duckIvfCells(16)},
+       |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
+       |pairs AS (
+       |  SELECT src, dst, cos,
+       |    CAST(round(cos * 1000000) AS BIGINT) AS c_micro
+       |  FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |          round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |        FROM corpus a JOIN corpus b ON a.cell = b.cell
+       |        WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1) p),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk_a,
+       |    row_number() OVER (PARTITION BY dst ORDER BY cos DESC, src) AS rnk_b
+       |  FROM pairs),
+       |na AS (SELECT src, sum(c_micro) AS sa, count(*) AS ca
+       |       FROM ranked WHERE rnk_a <= 4 GROUP BY src),
+       |nb AS (SELECT dst, sum(c_micro) AS sb, count(*) AS cb
+       |       FROM ranked WHERE rnk_b <= 4 GROUP BY dst),
+       |scored AS (
+       |  SELECT r.src, r.dst, r.cos,
+       |    round(2.0 * r.c_micro * na.ca * nb.cb /
+       |          (na.sa * nb.cb + nb.sb * na.ca), 6) AS margin
+       |  FROM ranked r
+       |  JOIN na ON r.src = na.src JOIN nb ON r.dst = nb.dst
+       |  WHERE r.rnk_a <= 4 AND r.rnk_b <= 4),
+       |best AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY src ORDER BY margin DESC, dst) AS rf,
+       |    row_number() OVER (PARTITION BY dst ORDER BY margin DESC, src) AS rb
+       |  FROM scored)
+       |SELECT src AS id_a, dst AS id_b, cos, margin FROM best
+       |WHERE rf = 1 AND rb = 1 AND margin >= 1.0
+       |ORDER BY id_a""".stripMargin) { (s, dir) =>
+    operators.Similarity.bitextMine(t(s, dir, "embeddings"), "vec_id",
+      "embedding", sideA = col("vec_id") % 2 === 0, k = 4,
+      threshold = 1.0, nCentroids = 16)
+      .orderBy("id_a")
+  }
+
   /** Misra-Gries heavy hitters — round 4: bounded-memory sketch pass +
     * candidate-restricted exact restore ([[operators.HeavyHitters]]);
     * the MG superset guarantee makes the sketch-routed plan equal the
@@ -4862,7 +4908,8 @@ object Queries {
     zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,
     sentenceDedupGate, temperatureSampleGate, kneserNeyPpl,
     pplBuckets, editDistancePairs, pipelineCurationV6, cellBalancedGate,
-    annFilteredTopK, knnGraphGate, heavyHittersGate, adaptiveLengthFilter,
+    annFilteredTopK, knnGraphGate, bitextMineGate, heavyHittersGate,
+    adaptiveLengthFilter,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

@@ -610,4 +610,92 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "n_id", "rnk", "cos")
   }
+
+  /** Margin-based parallel-corpus (bitext) mining over a shared embedding
+    * space — the ratio-margin criterion of Artetxe & Schwenk 2019
+    * ("Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", the method behind LASER/CCMatrix-scale harvesting).
+    * A cross-side candidate pair (x ∈ A, y ∈ B) scores
+    *
+    *   margin(x, y) = cos(x, y) / (½·(avgᵏ(x) + avgᵏ(y)))
+    *
+    * where avgᵏ is the mean cosine to the vector's k nearest CROSS-side
+    * candidates — dividing by local density is what suppresses the hub
+    * sentences a raw-cosine cut mines thousands of false pairs around.
+    * A pair is emitted iff each member is the other's best-margin
+    * candidate (the mutual-argmax "max" strategy) and the margin clears
+    * `threshold`.
+    *
+    * Scale shape: all-pairs cross-lingual scoring is |A|·|B| and cannot
+    * exist at 100 TB; candidates come from the same deterministic
+    * coarse-quantizer cell blocking as [[semDedup]]/[[knnGraph]] — the
+    * quantizer trains on the UNION of both sides (one shared space, the
+    * LASER premise), candidate volume is the per-cell cross-side product
+    * (nCentroids ∝ corpus keeps occupancy constant), and every window /
+    * aggregate downstream is keyed by a single vector id. Quantizer
+    * metadata is the only collect (K×d).
+    *
+    * Determinism recipe: cosines round to 6 dp then convert to integer
+    * micro-units, so each side's kNN mass is an exact integer sum and
+    * the margin is ONE double division of exactly-representable
+    * integers, rounded to 6 dp — the DuckDB oracle replays cells, ranks,
+    * sums, and the division verbatim (`bitext_mine` gate).
+    *
+    * @param sideA     predicate marking source-side rows; the rest are
+    *                  the target side
+    * @param k         neighborhood size for the density normalizer
+    * @param threshold minimum margin for a mined pair (1.0 = "better
+    *                  than its neighborhood average")
+    * @return (id_a, id_b, cos, margin) — id_a from side A; at most one
+    *         row per id_a and per id_b (mutual argmax)
+    */
+  def bitextMine(emb: DataFrame, idCol: String, vecCol: String,
+                 sideA: Column, k: Int = 4, threshold: Double = 1.0,
+                 nCentroids: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"),
+      sideA.as("is_a"))
+    val refined = refinedCentroids(e.select("n_id", "v"), nCentroids)
+    if (refined.isEmpty) // empty corpus: no pairs, same schema
+      return e.limit(0).select(col("n_id").as("id_a"), col("n_id").as("id_b"),
+        lit(0.0).as("cos"), lit(0.0).as("margin"))
+    val cells = withCell(e, refined)
+    val a = cells.filter(col("is_a"))
+      .select(col("n_id").as("src"), col("v").as("v_a"), col("cell"))
+    val b = cells.filter(!col("is_a"))
+      .select(col("n_id").as("dst"), col("v").as("v_b"), col("cell"))
+    // both kNN directions rank the SAME cell-blocked pair set, so the
+    // candidate frame builds once; persisted because the normalizer
+    // aggregates and the final scoring all consume it
+    val wA = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val wB = Window.partitionBy("dst").orderBy(col("cos").desc, col("src"))
+    val ranked = a.join(b, "cell")
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("c_micro", round(col("cos") * 1000000L).cast("long"))
+      .select("src", "dst", "cos", "c_micro")
+      .withColumn("rnk_a", row_number().over(wA))
+      .withColumn("rnk_b", row_number().over(wB))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sumsA = ranked.filter(col("rnk_a") <= k)
+      .groupBy("src").agg(sum("c_micro").as("sa"), count(lit(1)).as("ca"))
+    val sumsB = ranked.filter(col("rnk_b") <= k)
+      .groupBy("dst").agg(sum("c_micro").as("sb"), count(lit(1)).as("cb"))
+    // margin = cos / (½(sa/ca + sb/cb)) rearranged to a single division
+    // of exact integer products (counts ≤ k, micro-sums ≤ k·10⁶ — all
+    // exactly representable in double)
+    val scored = ranked.filter(col("rnk_a") <= k && col("rnk_b") <= k)
+      .join(sumsA, "src").join(sumsB, "dst")
+      .withColumn("margin",
+        round(lit(2.0) * col("c_micro") * col("ca") * col("cb") /
+          (col("sa") * col("cb") + col("sb") * col("ca")), 6))
+    val wFa = Window.partitionBy("src").orderBy(col("margin").desc, col("dst"))
+    val wFb = Window.partitionBy("dst").orderBy(col("margin").desc, col("src"))
+    scored
+      .withColumn("rf", row_number().over(wFa))
+      .withColumn("rb", row_number().over(wFb))
+      .filter(col("rf") === 1 && col("rb") === 1
+        && col("margin") >= threshold)
+      .select(col("src").as("id_a"), col("dst").as("id_b"),
+        col("cos"), col("margin"))
+  }
 }

@@ -1862,7 +1862,8 @@ object Queries {
     * q literals to DOUBLE — DuckDB decimals would ceil differently). */
   val quantileSketchRollup: Q = q("quantile_sketch_rollup",
     """WITH vals AS (
-      |  SELECT lang, CAST(length(text) AS BIGINT) AS v FROM documents),
+      |  SELECT lang, CAST(length(text) AS BIGINT) AS v FROM documents
+      |  WHERE text IS NOT NULL),
       |bk AS (
       |  SELECT lang,
       |    CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS msb,
@@ -1973,10 +1974,10 @@ object Queries {
         |  GROUP BY pair),
         |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
         |w$i AS (
-        |  SELECT word, replace(w,
+        |  SELECT word, CASE WHEN pair IS NULL THEN w ELSE replace(w,
         |    ' ' || string_split(pair, ' ')[1] || '  ' || string_split(pair, ' ')[2] || ' ',
-        |    ' ' || replace(pair, ' ', '') || ' ') AS w, freq
-        |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+        |    ' ' || replace(pair, ' ', '') || ' ') END AS w, freq
+        |  FROM w${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
     }
     sb.toString
   }

@@ -102,19 +102,39 @@ object Tables {
     * fake super-linearity (v4 probe: the normalize stage alone scaled
     * 0.6 s → 6.6 s at 10× data because both ran ~single-task).
     *
-    * When the scan's partition count is pathologically below the
+    * When the scan's ROW-GROUP count is pathologically below the
     * session's parallelism, insert one round-robin repartition so
     * map-side work uses the machine. On properly-laid-out data —
-    * a real 100 TB table has thousands of row groups, so scan
-    * partitions ≫ cores — the branch never fires and plans are
-    * untouched; this is test-layout repair, not a scaling strategy.
+    * a real 100 TB table has thousands of row groups ≫ cores — the
+    * branch never fires and plans are untouched; this is test-layout
+    * repair, not a scaling strategy.
     * Gates are partition-count-independent by construction (they run
     * hash-green at 4/8/32-way shuffles), so the rebalance cannot
     * change results. */
+  private val rowGroupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
   private def widenScan(spark: SparkSession, df: DataFrame): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
-    val parts = df.rdd.getNumPartitions
-    if (parts * 2 >= cores) df else df.repartition(cores)
+    val files = df.inputFiles
+    // enough FILES ⇒ enough scan parallelism with no footer read; below
+    // that, count actual ROW GROUPS — byte-range partition counts lie
+    // for a multi-GB single-row-group file (it splits into ~cores ranges
+    // of which all but one are empty, so a partition-count test skips
+    // the widening exactly on the layout it targets). Footers are
+    // driver-side metadata (~KB each), cached so ~200 gate loads per
+    // Verify run pay them once per file.
+    if (files.length * 2 >= cores) return df
+    val conf = spark.sessionState.newHadoopConf()
+    val groups = files.map { f =>
+      rowGroupCache.computeIfAbsent(f, { _ =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      })
+    }.sum
+    if (groups * 2 >= cores) df else df.repartition(cores)
   }
 
   /** events with `ts` = epoch nanos (bigint) and `event_time` = timestamp(us). */

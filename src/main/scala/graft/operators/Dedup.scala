@@ -782,9 +782,20 @@ object Dedup {
       if (p >= 1.0) 2
       else math.ceil(math.log(missTarget) / math.log(1.0 - p)).toInt
     }
-    val planes = (planesOcc to 4 by -1)
-      .find(p => tablesFor(p) <= maxTables).getOrElse(4)
-    (planes, math.max(2, math.min(maxTables, tablesFor(planes))))
+    // back off all the way to 1 plane (2 buckets/table — maximal
+    // candidate volume) before giving up: the contract is that the cap
+    // constrains CANDIDATE COST, never recall, so an infeasible
+    // (missTarget, maxTables) combination must fail loudly rather than
+    // ship a silently degraded miss bound (a floor at 4 planes plus a
+    // min() clamp was exactly that leak for probeRadius=0 at dense
+    // thresholds)
+    val planes = (planesOcc to 1 by -1)
+      .find(p => tablesFor(p) <= maxTables)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no sign-LSH layout meets missTarget=$missTarget within " +
+          s"maxTables=$maxTables at threshold=$threshold, " +
+          s"probeRadius=$probeRadius — raise maxTables or relax missTarget"))
+    (planes, math.max(2, tablesFor(planes)))
   }
 
   /** Analytic per-pair miss rate of a (planes, tables) layout at the

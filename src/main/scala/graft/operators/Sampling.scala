@@ -394,15 +394,22 @@ object Sampling {
     * two-pass rank: one rangeProbe scan yields both the bucket bounds
     * and the exact N, and the cut is the same `rn <= ceil(frac·N)` in
     * identical double math. Ordering matches `(score DESC NULLS LAST,
-    * id)` via an ascending negated score with nulls mapped to +∞ (a
-    * literal -Infinity score would tie with the null sentinel — beyond
-    * any real scoring domain). */
+    * id)` via an ascending negated score with nulls mapped to +∞ and
+    * NaN to -∞ (Spark's desc ranks NaN above every number); literal
+    * ±Infinity scores would tie with the sentinels — beyond any real
+    * scoring domain. */
   def topFractionPerGroup(df: DataFrame, groupCols: Seq[String],
                           scoreCol: String, idCol: String,
                           frac: Double): DataFrame = {
     if (groupCols.isEmpty) {
+      // NaN maps to -∞ because the grouped branch's `desc` ranks NaN
+      // ABOVE every number (Spark's ordering) — a bare negation would
+      // leave NaN sorting LAST ascending and flip the retention verdict
+      // between the two branches for the same row
       val tagged = df.withColumn("__graft_tneg",
         when(col(scoreCol).isNull, lit(Double.PositiveInfinity))
+          .when(isnan(col(scoreCol).cast("double")),
+            lit(Double.NegativeInfinity))
           .otherwise(-col(scoreCol).cast("double")))
       val (bounds, n) = Ranks.rangeProbe(tagged, Seq("__graft_tneg"))
       Ranks.globalRowNumber(tagged, "__graft_tneg", idCol,

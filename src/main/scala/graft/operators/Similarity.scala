@@ -265,11 +265,19 @@ object Similarity {
     val sub = dims / m
 
     // per-subspace codebooks (m × ksub × sub floats of metadata) and
-    // their centroid norms (for reconstruction-norm precompute)
+    // their centroid norms (for reconstruction-norm precompute).
+    // Lloyd can return FEWER than ksub centroids (cells that win no rows
+    // vanish in the refine groupBy; small corpora have few seeds) — pad
+    // to exactly ksub by repeating the last centroid, because the flat
+    // LUT below indexes with a FIXED j·ksub stride: a short book would
+    // silently misalign every later subspace's lookups. Padding is
+    // behavior-neutral: a pad duplicates a real centroid, so whichever
+    // index the encode kernel picks reconstructs the same vector.
     val books: Seq[Seq[(Int, Seq[Float])]] = (0 until m).map { j =>
-      refinedCentroids(
+      val trained = refinedCentroids(
         e.select(col("n_id"), slice(col("v"), j * sub + 1, sub).as("v")), ksub)
         .sortBy(_._1)
+      trained ++ (trained.size until ksub).map(i => (i, trained.last._2))
     }
     val flats: Seq[Array[Float]] = books.map(_.flatMap(_._2).toArray)
     val normSqs: Seq[Array[Double]] = books.map(_.map(c =>
@@ -282,8 +290,13 @@ object Similarity {
         slice(col("v"), j * sub + 1, sub), typedlit(flats(j)), lit(sub)),
       lit(ksub))
     val codes = array((0 until m).map(codeJ): _*)
+    // norm_pq reads the materialized codes column (m references keep
+    // CollapseProject from re-inlining it — the same contract as
+    // cellStructs' `scores`); invoking codeJ(j) here again would run
+    // every encode kernel twice per row
     val normPq = sqrt((0 until m).map(j =>
-      element_at(typedlit(normSqs(j)), codeJ(j) + 1)).reduce(_ + _))
+      element_at(typedlit(normSqs(j)),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _))
     val corpus = withCell(e, refined)
       .withColumn("codes", codes)
       .withColumn("norm_pq", normPq)

@@ -80,7 +80,12 @@ object Sketches {
   def quantileSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      mantissaBits: Int = 4): DataFrame = {
     val (msb, mant) = valueBuckets(col(valueCol).cast("long"), mantissaBits)
-    df.withColumn("msb", msb).withColumn("mant", mant)
+    // NULL values carry no quantile information but would otherwise form
+    // a (null, null) bucket that counts into N and sorts differently in
+    // Spark's struct order (nulls first) vs the oracle's NULLS LAST —
+    // drop them at the door so the sketch never sees one
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("msb", msb).withColumn("mant", mant)
       .groupBy((groupCols.map(col) ++ Seq(col("msb"), col("mant"))): _*)
       .agg(count(lit(1)).as("cnt"))
   }

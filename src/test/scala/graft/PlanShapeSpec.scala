@@ -26,7 +26,12 @@ class PlanShapeSpec extends SparkSpec {
     */
   private def keyedExchangeLines(plan: String): List[String] =
     plan.linesIterator.filter(l =>
-      l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM")).toList
+      l.contains("Exchange") &&
+        // only the ROUND-ROBIN form is the widening scatter — a keyed
+        // `repartition(n, cols)` also prints REPARTITION_BY_NUM but is
+        // real hash-keyed movement the budget must count
+        !(l.contains("REPARTITION_BY_NUM")
+          && l.contains("RoundRobinPartitioning"))).toList
 
   test("LSH/sketch pair operators plan equi-joins, never cartesian products") {
     // ann_topk is exempt: a documented brute-force oracle twin whose

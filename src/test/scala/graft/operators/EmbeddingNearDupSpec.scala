@@ -64,13 +64,23 @@ class EmbeddingNearDupSpec extends SparkSpec {
     // effective per-pair miss rate ~5e-4 and dropped a true pair; the
     // solver must now deliver ≤ missTarget everywhere, trading planes
     // (candidate volume) instead
+    // probeRadius 0 included: single-probe layouts need far more table
+    // compensation, which is where the old 4-plane floor + min() clamp
+    // silently degraded the bound (review finding, round 6) — the
+    // solver now backs planes off as far as 1 before it may fail, and
+    // failing is a THROW, never a degraded layout
     for (n <- Seq(1000L, 50000L, 5000000L, 1L << 40);
-         theta <- Seq(0.45, 0.6, 0.8, 0.95)) {
-      val (planes, tables) = Dedup.lshLayout(n, theta, 16, 1e-6, 2, 48)
-      val miss = Dedup.lshMissRate(planes, tables, theta, 2)
-      assert(tables <= 48 && planes >= 4)
+         theta <- Seq(0.45, 0.6, 0.8, 0.95);
+         probe <- Seq(0, 1, 2)) {
+      val (planes, tables) = Dedup.lshLayout(n, theta, 16, 1e-6, probe, 48)
+      val miss = Dedup.lshMissRate(planes, tables, theta, probe)
+      assert(tables <= 48 && planes >= 1)
       assert(miss <= 1e-6,
-        f"n=$n θ=$theta planes=$planes tables=$tables miss=$miss%.2e")
+        f"n=$n θ=$theta probe=$probe planes=$planes tables=$tables miss=$miss%.2e")
+    }
+    // a genuinely infeasible corner refuses to ship a bad layout
+    assertThrows[IllegalArgumentException] {
+      Dedup.lshLayout(1L << 40, 0.45, 16, 1e-12, 0, 4)
     }
     // and sparse thresholds stay CHEAP: θ=0.95 at huge n (20 planes)
     // compensates to 13 tables for a 1e-6 bound — far from the cap

@@ -4,7 +4,8 @@ run graft.Verify at a scale factor, then compare each result parquet
 against the DuckDB oracle (columns sorted by name, rows sorted, exact
 value compare). Usage: tools/check.py [sfdir] [outdir] [--no-run]
 """
-import json, math, subprocess, sys, glob, os
+import json, subprocess, sys, glob, os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -20,26 +21,12 @@ if "--no-run" not in sys.argv:
         sys.exit(f"Verify failed rc={r.returncode}")
 
 import duckdb
+from verify_common import canon, create_views
+
 con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+create_views(con, SF)
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = ("%.17g" % v) if not (isinstance(v, float) and math.isnan(v)) else "nan"
-            vals.append(repr(v))
-        out.append(tuple(vals))
-    out.sort()
-    return out
 
 fails, passes = [], []
 for name in sorted(set(list(oracle.keys()) + [os.path.basename(p) for p in glob.glob(f"{OUT}/*") if os.path.isdir(p)])):

@@ -12,29 +12,14 @@ gates without a cached verdict (delete __cmp to force).
 
 Usage: tools/correctness_json.py <sfdir> <outdir> <artifact.json> [--jobs N]
 """
-import json, math, sys, os, time
+import json, sys, os, time
 from concurrent.futures import ProcessPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from verify_common import canon, create_views
 
 SF, OUT, ART = sys.argv[1], sys.argv[2], sys.argv[3]
 JOBS = int(sys.argv[sys.argv.index("--jobs") + 1]) if "--jobs" in sys.argv else 4
-
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
-
-
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = ("%.17g" % v) if not math.isnan(v) else "nan"
-            vals.append(repr(v))
-        out.append(tuple(vals))
-    out.sort()
-    return out
 
 
 def run_gate(name_sql):
@@ -45,12 +30,7 @@ def run_gate(name_sql):
     import duckdb
     con = duckdb.connect()
     con.sql(f"SET threads={max(2, 32 // JOBS)}")
-    for t in TABLES:
-        # driver testdata ships single files; Spark (ScaleData) writes
-        # directories named <t>.parquet/ — glob whichever layout exists
-        p = f"{SF}/{t}.parquet"
-        src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    create_views(con, SF)
     rec = {"rows_match": False, "schema_match": False, "hash_match": False,
            "spark_rows": None, "oracle_rows": None, "err": None,
            "oracle_sec": None}

@@ -1903,10 +1903,13 @@ object Queries {
   }
 
   /** IVF-PQ ANN ([[operators.Similarity.pqTopK]], round 6): ADC codes
-    * score the probed-cell candidates, only the per-query shortlist pays
-    * the exact cosine — and the exact re-rank makes the output IDENTICAL
-    * to exact IVF, so this gate shares `ann_ivf_topk`'s oracle verbatim
-    * (PqSpec pins the equality and the shortlist recall margin). */
+    * score the probed-cell candidates and carry a Cauchy–Schwarz error
+    * bound, so only candidates whose bound can still reach the top-k
+    * pay the exact cosine — survivors ⊇ the true top-k ALWAYS (the
+    * first fixed-shortlist design lost a neighbor at sf1; the bound
+    * made the operator exact by construction), so this gate shares
+    * `ann_ivf_topk`'s oracle verbatim at any scale (PqSpec pins the
+    * equality; Probe pq reports measured pruning power). */
   val annPqTopK: Q = q("ann_pq_topk",
     s"""WITH ${duckIvfCells(16)},
       |corpus AS (SELECT vec_id AS n_id, v AS v_n, cid AS cell FROM a1 WHERE r = 1),
@@ -1926,7 +1929,7 @@ object Queries {
       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
     operators.Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
       queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3,
-      m = 8, ksub = 16, shortlist = 128)
+      m = 8, ksub = 16)
       .orderBy("q_id", "rnk")
   }
 

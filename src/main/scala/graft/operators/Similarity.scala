@@ -221,45 +221,98 @@ object Similarity {
     * Nearest Neighbor Search", public literature): the IVF coarse
     * quantizer prunes the corpus to probed cells, then a PRODUCT
     * QUANTIZER scores every candidate from an m-byte code via per-query
-    * lookup tables (ADC — asymmetric distance computation) instead of a
-    * d-dimensional exact cosine, and only the per-query top-`shortlist`
-    * survivors pay the exact re-rank. Output = exact cosine top-k within
-    * the probed cells, i.e. IDENTICAL to [[ivfTopK]] whenever the
-    * shortlist contains the true per-cell top-k (PqSpec pins equality and
-    * probes the ADC recall margin), so the gate shares ivf's exact
-    * oracle.
+    * lookup tables (ADC — asymmetric distance computation), and only
+    * candidates that can still reach the top-k pay the exact cosine.
+    *
+    * EXACT BY CONSTRUCTION (round-6 rework): the first version kept a
+    * fixed-size ADC shortlist, and the sf1 differential caught its
+    * recall decaying with corpus growth (128 was 14% of each query's
+    * candidates at the gate corpus and 1.4% at 10× — a true neighbor
+    * slid out). ADC is an ESTIMATE, so any fixed shortlist is a recall
+    * gamble on how tight the code is. Instead the estimate now carries
+    * its own error bound (Cauchy–Schwarz per subspace):
+    *
+    *   |dot(q, x) − Σⱼ dot(qⱼ, c_codeⱼ)| ≤ Σⱼ ‖qⱼ‖·‖xⱼ − c_codeⱼ‖
+    *
+    * with per-row residual norms ‖xⱼ − cⱼ‖ precomputed at encode time.
+    * Dividing by the EXACT norms (‖q‖·‖x‖, also precomputed) gives a
+    * [lb, ub] interval on each candidate's true cosine; a candidate is
+    * pruned iff its ub cannot reach the per-query k-th best lb (2e-6
+    * cushion absorbs the 6-dp output rounding). Survivors ⊇ the true
+    * top-k ALWAYS, so output ≡ [[ivfTopK]] at any scale and any data —
+    * the gate shares ivf's exact oracle unconditionally. Pruning power
+    * degrades gracefully with code quality instead of silently dropping
+    * neighbors: on separated data the survivor set is ~k; on
+    * adversarially uniform data it approaches the candidate set and the
+    * operator pays what exactness costs (Probe pq reports the measured
+    * survivor fractions).
     *
     * Codebooks: the vector splits into `m` subspaces of d/m dims; each
     * subspace trains its own `ksub`-centroid quantizer with the SAME
     * deterministic recipe as the coarse quantizer ([[refinedCentroids]]:
     * first-ksub seeds, one Lloyd pass, FLOAT rounding) — m·ksub·(d/m)
     * floats of metadata, the standard PQ deployment shape. Encoding is m
-    * fused [[graft.functions.NearestCentroid]] kernel calls per row
-    * (direction-nearest: spherical PQ, matching the cosine metric);
-    * the code's reconstruction norm (`norm_pq`) is precomputed per row
-    * at encode time so ADC needs no per-row sqrt.
+    * fused [[graft.functions.NearestCentroid]] kernel calls per row plus
+    * m [[graft.functions.CentroidCosines]] scans for the residual norms
+    * (direction-nearest: spherical PQ, matching the cosine metric).
     *
-    * ADC: per query, `lut[j·ksub + c] = dot(q_j, c_{j,c})` (a flat
-    * m·ksub-double array on the broadcast query row), so a candidate
-    * scores in m array lookups + adds:
-    * `Σ_j lut[j·ksub + code_j] / norm_pq` — the full-vector |q| factor
-    * is constant per query and cannot change that query's ranking, so
-    * ADC skips it. At 100 TB the index stores (id, cell, codes,
-    * norm_pq) — 8 bytes of code per vector at m=8 — and raw vectors are
-    * gathered only for the shortlist; here the vector column rides along
-    * because the gate's corpus IS the frame, but the plan still pays the
-    * exact cosine on ≤ shortlist rows per query.
+    * ADC: per query, `lut[j·ksub + c] = dot(qⱼ, c_{j,c})` (a flat
+    * m·ksub-double array on the broadcast query row), so a candidate's
+    * estimate and bound are m array lookups + adds each. At 100 TB the
+    * index stores (id, cell, codes, eps, norm_x) — 8 code bytes + m+1
+    * doubles per vector at m=8 — and raw vectors are gathered only for
+    * survivors; here the vector column rides along because the gate's
+    * corpus IS the frame, but the plan still pays the exact cosine only
+    * on survivor rows per query.
     */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              queryPred: Column, k: Int, nCentroids: Int = 16,
-             nProbe: Int = 2, m: Int = 8, ksub: Int = 16,
-             shortlist: Int = 128): DataFrame = {
+             nProbe: Int = 2, m: Int = 8, ksub: Int = 16): DataFrame =
+    pqFrames(emb, idCol, vecCol, queryPred, k, nCentroids, nProbe, m, ksub)
+    match {
+      case None =>
+        val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+        e.limit(0).select(col("n_id").as("q_id"), col("n_id"),
+          lit(0L).as("rnk"), lit(0.0).as("cos"))
+      case Some((_, survivors)) =>
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+        survivors.withColumn("cos", round(cosine(col("v_q"), col("v_n")), 6))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= k)
+          .select("q_id", "n_id", "rnk", "cos")
+    }
+
+  /** Pruning-power observability for [[pqTopK]] (Probe pq): per-query
+    * candidate vs survivor counts under the error-bound prune. Exactness
+    * is unconditional; this is the code-quality diagnostic — survivors /
+    * candidates ≈ the fraction of exact-cosine work the m/ksub code
+    * could NOT prove away for this data. */
+  private[graft] def pqPruneStats(emb: DataFrame, idCol: String,
+                                  vecCol: String, queryPred: Column, k: Int,
+                                  nCentroids: Int = 16, nProbe: Int = 2,
+                                  m: Int = 8, ksub: Int = 16): DataFrame =
+    pqFrames(emb, idCol, vecCol, queryPred, k, nCentroids, nProbe, m, ksub)
+    match {
+      case None =>
+        val e = emb.select(col(idCol).as("n_id"))
+        e.limit(0).select(col("n_id").as("q_id"),
+          lit(0L).as("candidates"), lit(0L).as("survivors"))
+      case Some((bounded, survivors)) =>
+        bounded.groupBy("q_id").agg(count(lit(1)).as("candidates"))
+          .join(survivors.groupBy("q_id").agg(count(lit(1)).as("survivors")),
+            "q_id")
+    }
+
+  /** The shared IVF-PQ candidate pipeline: (bounded candidates,
+    * bound-pruned survivors), or None for an empty corpus. */
+  private def pqFrames(emb: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, k: Int, nCentroids: Int,
+                       nProbe: Int, m: Int,
+                       ksub: Int): Option[(DataFrame, DataFrame)] = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
     val refined = refinedCentroids(e, nCentroids)
-    if (refined.isEmpty)
-      return e.limit(0).select(col("n_id").as("q_id"), col("n_id"),
-        lit(0L).as("rnk"), lit(0.0).as("cos"))
+    if (refined.isEmpty) return None
     val dims = refined.head._2.length
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val sub = dims / m
@@ -290,16 +343,28 @@ object Similarity {
         slice(col("v"), j * sub + 1, sub), typedlit(flats(j)), lit(sub)),
       lit(ksub))
     val codes = array((0 until m).map(codeJ): _*)
-    // norm_pq reads the materialized codes column (m references keep
-    // CollapseProject from re-inlining it — the same contract as
-    // cellStructs' `scores`); invoking codeJ(j) here again would run
-    // every encode kernel twice per row
-    val normPq = sqrt((0 until m).map(j =>
-      element_at(typedlit(normSqs(j)),
-        element_at(col("codes"), j + 1) + 1)).reduce(_ + _))
+    // residual norms per subspace, from the materialized codes column
+    // (m references keep CollapseProject from re-inlining it — the same
+    // contract as cellStructs' `scores`):
+    //   ε_j² = ‖x_j‖² + ‖c‖² − 2·cos(x_j,c)·‖x_j‖·‖c‖
+    // nanvl folds the zero-subvector case (cos NaN ⇒ dot 0 ⇒ ε = ‖c‖);
+    // greatest(0, ·) guards fp cancellation under the sqrt
+    def xSubSq(j: Int): Column = expr(
+      s"aggregate(slice(v, ${j * sub + 1}, $sub), 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    def epsJ(j: Int): Column = {
+      val code = element_at(col("codes"), j + 1)
+      val cSq = element_at(typedlit(normSqs(j)), code + 1)
+      val dot = nanvl(
+        element_at(call_function("centroid_cosines",
+          slice(col("v"), j * sub + 1, sub), typedlit(flats(j)), lit(sub)),
+          code + 1) * sqrt(xSubSq(j)) * sqrt(cSq),
+        lit(0.0))
+      sqrt(greatest(lit(0.0), xSubSq(j) + cSq - lit(2.0) * dot))
+    }
     val corpus = withCell(e, refined)
       .withColumn("codes", codes)
-      .withColumn("norm_pq", normPq)
+      .withColumn("eps", array((0 until m).map(epsJ): _*))
+      .withColumn("norm_x", sqrt((0 until m).map(xSubSq).reduce(_ + _)))
       .withColumnRenamed("v", "v_n")
 
     // query LUT: dot(q_j, c) = cos(q_j, c) · |q_j| · |c| per sub-centroid,
@@ -313,30 +378,49 @@ object Similarity {
         cNorms, (cs, cn) => cs * cn * qNorm)
     }
     val lut = concat((0 until m).map(lutJ): _*)
+    val qSub = array((0 until m).map(j => sqrt(expr(
+      s"aggregate(slice(v, ${j * sub + 1}, $sub), 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))): _*)
     val queries = e.filter(queryPred)
       .withColumn("__cos", cosScores(col("v"), refined))
       .withColumn("lut", lut)
+      .withColumn("q_sub", qSub)
       .select(col("n_id").as("q_id"), col("v").as("v_q"), col("lut"),
+        col("q_sub"),
+        sqrt(expr("aggregate(q_sub, 0D, (a, x) -> a + x * x)")).as("q_norm"),
         cellStructs(col("__cos"), refined).as("cells"))
-      .select(col("q_id"), col("v_q"), col("lut"),
+      .select(col("q_id"), col("v_q"), col("lut"), col("q_sub"),
+        col("q_norm"),
         explode(expr(s"transform(slice(sort_array(cells, false), 1, $nProbe), s -> s.cid)"))
           .as("cell"))
 
-    // ADC scan: m lookups per candidate, then exact re-rank on the
-    // per-query shortlist only
-    val adc = corpus.join(broadcast(queries), "cell")
+    // ADC estimate + Cauchy–Schwarz bound: m lookups / m multiplies per
+    // candidate. NaN-safety is CONSERVATIVE (a NaN bound keeps the row:
+    // lb → -∞ never raises the bar, ub → +∞ never prunes), and
+    // zero-norm corpus vectors are kept outright — their exact cosine
+    // is NaN, which the final desc rank orders FIRST, identical to
+    // ivfTopK's treatment of the same row.
+    val bounded = corpus.join(broadcast(queries), "cell")
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc", expr(
-        s"aggregate(zip_with(codes, sequence(0, ${m - 1}), (c, j) -> element_at(lut, j * $ksub + c + 1)), 0D, (a, x) -> a + x)") /
-        col("norm_pq"))
-    val wAdc = Window.partitionBy("q_id").orderBy(col("adc").desc, col("n_id"))
-    val short = adc.withColumn("adc_rnk", row_number().over(wAdc))
-      .filter(col("adc_rnk") <= shortlist)
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    short.withColumn("cos", round(cosine(col("v_q"), col("v_n")), 6))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_id", "n_id", "rnk", "cos")
+      .withColumn("adc_dot", expr(
+        s"aggregate(zip_with(codes, sequence(0, ${m - 1}), (c, j) -> element_at(lut, j * $ksub + c + 1)), 0D, (a, x) -> a + x)"))
+      .withColumn("adc_err", expr(
+        "aggregate(zip_with(eps, q_sub, (e, qn) -> e * qn), 0D, (a, x) -> a + x)"))
+      .withColumn("lb", nanvl((col("adc_dot") - col("adc_err")) /
+        (col("q_norm") * col("norm_x")), lit(Double.NegativeInfinity)))
+      .withColumn("ub", when(col("norm_x") === 0 || col("q_norm") === 0,
+        lit(Double.PositiveInfinity))
+        .otherwise(nanvl((col("adc_dot") + col("adc_err")) /
+          (col("q_norm") * col("norm_x")), lit(Double.PositiveInfinity))))
+    val wQ = Window.partitionBy("q_id")
+    val wLb = wQ.orderBy(col("lb").desc, col("n_id"))
+    // the per-query bar: k-th best lower bound (null when a query has
+    // fewer than k candidates — then nothing can be pruned)
+    val survivors = bounded
+      .withColumn("__rn_lb", row_number().over(wLb))
+      .withColumn("__bar", max(when(col("__rn_lb") === k, col("lb"))).over(wQ))
+      .filter(col("__bar").isNull ||
+        col("ub") >= col("__bar") - lit(2e-6)) // 6-dp rounding cushion
+    Some((bounded, survivors))
   }
 
   /** SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

@@ -245,13 +245,58 @@ object Probe {
     val ivf = graft.operators.Similarity.ivfTopK(emb, "vec_id", "embedding",
       queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3)
       .collect().map(_.toString).toSet
-    for (m <- Seq(8, 16); sl <- Seq(10, 20, 40, 64, 128)) {
+    // exactness is unconditional since the bound-prune rework; what the
+    // code geometry buys is PRUNING POWER — the fraction of candidates
+    // the bound could not prove away and that pay an exact cosine
+    for (m <- Seq(8, 16)) {
       val pq = graft.operators.Similarity.pqTopK(emb, "vec_id", "embedding",
         queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3,
-        m = m, ksub = 16, shortlist = sl)
+        m = m, ksub = 16)
         .collect().map(_.toString).toSet
-      println(s"[pq] m=$m shortlist=$sl: match=${pq == ivf} " +
-        s"overlap=${pq.intersect(ivf).size}/${ivf.size}")
+      val stats = graft.operators.Similarity.pqPruneStats(emb, "vec_id",
+        "embedding", queryPred = col("vec_id") < 10, k = 5,
+        nCentroids = 16, nProbe = 3, m = m, ksub = 16)
+        .agg(sum("candidates"), sum("survivors")).collect().head
+      println(s"[pq] m=$m: match=${pq == ivf} " +
+        s"survivors=${stats.getLong(1)}/${stats.getLong(0)} " +
+        f"(${stats.getLong(1).toDouble / stats.getLong(0) * 100}%.1f%% pay exact)")
+    }
+    // the testdata embeddings are near-random — residuals ≈ full norms,
+    // so the bound can prove nothing away (100% exact, still correct).
+    // Pruning power appears when data HAS structure the code captures:
+    // a clustered corpus (prototype directions + small noise) is the
+    // realistic shape of real sentence embeddings
+    import spark.implicits._
+    val dims = 64
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(dims)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val protos = (0 until 50).map(unit)
+    val clustered = (0 until 2000).map { i =>
+      val p = protos(i % 50); val jit = unit(100000 + i)
+      val mixed = p.zip(jit).map { case (a, b) => a + 0.08f * b }
+      val n = math.sqrt(mixed.map(x => x * x.toDouble).sum).toFloat
+      (i.toLong, mixed.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    for (m <- Seq(8, 16)) {
+      val pq = graft.operators.Similarity.pqTopK(clustered, "vec_id",
+        "embedding", queryPred = col("vec_id") < 10, k = 5,
+        nCentroids = 16, nProbe = 3, m = m, ksub = 16)
+        .collect().map(_.toString).toSet
+      val ivfC = graft.operators.Similarity.ivfTopK(clustered, "vec_id",
+        "embedding", queryPred = col("vec_id") < 10, k = 5,
+        nCentroids = 16, nProbe = 3)
+        .collect().map(_.toString).toSet
+      val stats = graft.operators.Similarity.pqPruneStats(clustered, "vec_id",
+        "embedding", queryPred = col("vec_id") < 10, k = 5,
+        nCentroids = 16, nProbe = 3, m = m, ksub = 16)
+        .agg(sum("candidates"), sum("survivors")).collect().head
+      println(s"[pq] clustered m=$m: match=${pq == ivfC} " +
+        s"survivors=${stats.getLong(1)}/${stats.getLong(0)} " +
+        f"(${stats.getLong(1).toDouble / stats.getLong(0) * 100}%.1f%% pay exact)")
     }
     spark.stop()
   }

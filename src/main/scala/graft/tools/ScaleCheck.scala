@@ -472,7 +472,81 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** `runMain graft.tools.ScaleCheck bitext [sfDir] [K]` — scale probe
+    * for [[graft.operators.Similarity.bitextMine]]. The knob under test
+    * is the quantizer grain: with a FIXED cell count, per-cell
+    * occupancy grows ∝ n so the cross-side candidate product grows
+    * ∝ n² — while cells ∝ √n balances the two real cost terms
+    * (assignment is n·cells·d, candidates are n·occupancy·d; √n
+    * equalizes them at n^1.5, the standard IVF deployment curve).
+    * Mined output legitimately differs between grains (the margin
+    * normalizer sees a different candidate neighborhood — bitext cells
+    * are a retrieval scope, not a recall-compensated sketch), so the
+    * probe records wall time AND pair counts at 1× and K× for both
+    * grains; the claim is the COST curve, not output identity. */
+  private def bitextMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-bitextcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Similarity
+
+    val base = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    // replicate with sign/rotation scrambles (the embMain recipe):
+    // replicas are near-orthogonal, so cross-side structure stays
+    // within-replica — corpus growth adds content, not a degenerate
+    // all-pairs blob. The 1M id offset is even, preserving the
+    // parity-based side split in every replica.
+    def rotated(n: Int): DataFrame =
+      (0 until n).map { i =>
+        if (i == 0) base
+        else {
+          val dim = size(col("embedding"))
+          base.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+            transform(sequence(lit(0), dim - 1), j =>
+              element_at(col("embedding"), pmod(j + lit(7 * i), dim) + 1) *
+                when(pmod(xxhash64(lit(i) * lit(1000003L) + j), lit(2)) === 0,
+                  lit(1.0f)).otherwise(lit(-1.0f))).as("embedding"))
+        }
+      }.reduce(_ unionAll _)
+    def time[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[bitext] $what: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    for (n <- Seq(1, k)) {
+      val emb = rotated(n).persist()
+      val total = emb.count()
+      println(s"[bitext] corpus x$n = $total vecs")
+      val grains = Seq(
+        "fixed-16-cells" -> 16,
+        "cells-sqrt-n" -> math.max(16, math.sqrt(total.toDouble / 2).toInt))
+      for ((label, cells) <- grains) {
+        if (n == 1) // warmup codegen once per grain
+          Similarity.bitextMine(emb, "vec_id", "embedding",
+            col("vec_id") % 2 === 0, nCentroids = cells).count()
+        val mined = time(s"$label x$n (cells=$cells)")(
+          Similarity.bitextMine(emb, "vec_id", "embedding",
+            col("vec_id") % 2 === 0, nCentroids = cells).count())
+        println(s"[bitext] mined pairs $label x$n = $mined")
+      }
+      // drops the operator-pinned ranked frames AND emb in one sweep
+      // (different grains share no plan subtree, so nothing mid-loop
+      // depended on eviction — this is end-of-iteration hygiene)
+      graft.operators.OperatorCache.clear(spark)
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("bitext")) return bitextMain(args.drop(1))
     if (args.headOption.contains("qsketch")) return qsketchMain(args.drop(1))
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
     if (args.headOption.contains("rank")) return rankMain(args.drop(1))

@@ -3,10 +3,13 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** IVF-PQ ANN ([[Similarity.pqTopK]]): the ADC shortlist + exact re-rank
-  * must reproduce exact IVF bit-for-bit, and the shortlist must hold the
-  * true neighbors with margin (the property that lets the gate share the
-  * exact oracle). */
+/** IVF-PQ ANN ([[Similarity.pqTopK]]): the ADC estimate carries a
+  * Cauchy–Schwarz error bound, the prune keeps every candidate whose
+  * bound can still reach the top-k, and the exact re-rank therefore
+  * reproduces exact IVF bit-for-bit UNCONDITIONALLY — the property that
+  * lets the gate share the exact oracle at any scale (the round-6 sf1
+  * differential killed the fixed-shortlist design that only held it
+  * probabilistically). */
 class PqSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -18,27 +21,36 @@ class PqSpec extends SparkSpec {
   test("pqTopK == ivfTopK exactly (same cells, same exact re-rank order)") {
     val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
       queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3,
-      m = 8, ksub = 16, shortlist = 128)
+      m = 8, ksub = 16)
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
       queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3)
     assert(canon(pq) == canon(ivf))
     assert(pq.count() == 50) // 10 queries × k=5
   }
 
-  test("ADC shortlist holds the true top-k with margin (recall headroom)") {
-    // shrink the shortlist well below the candidate volume: each query
-    // sees ~900 probed-cell candidates here, so a 64-row shortlist
-    // sufficing for exact recall demonstrates the codes carry real
-    // ordering signal rather than the shortlist swallowing everything.
-    // (Probe pq: overlap 21/50 at 20, 49/50 at 40, 50/50 from 64 — the
-    // synthetic embeddings are near-random, so true-neighbor margins
-    // are small and ADC needs ~13×k headroom; the gate uses 128.)
-    val tight = Similarity.pqTopK(emb, "vec_id", "embedding",
+  test("exactness holds for a coarser code too (m=16 sub-bytes)") {
+    // a finer product split halves each subspace: different codes,
+    // different bounds, SAME output — exactness cannot depend on the
+    // code geometry, only pruning power may
+    val pq16 = Similarity.pqTopK(emb, "vec_id", "embedding",
       queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3,
-      m = 8, ksub = 16, shortlist = 64)
+      m = 16, ksub = 16)
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
       queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3)
-    assert(canon(tight) == canon(ivf))
+    assert(canon(pq16) == canon(ivf))
+  }
+
+  test("the bound prune keeps a superset of k and never exceeds candidates") {
+    val stats = Similarity.pqPruneStats(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3,
+      m = 8, ksub = 16).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (cand, surv) = (r.getLong(1), r.getLong(2))
+      assert(surv <= cand, s"q=${r.get(0)}: survivors $surv > cand $cand")
+      assert(surv >= math.min(5L, cand),
+        s"q=${r.get(0)}: survivors $surv cannot hold top-5 of $cand")
+    }
   }
 
   test("plan: candidate generation is a cell equi-join, never cartesian") {

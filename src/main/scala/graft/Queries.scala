@@ -2255,24 +2255,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** TPC-H Q1, full aggregate set: 4 DECIMAL-exact sums, 3 averages as
-    * exact-sum / count divisions (order-insensitive, unlike native avg),
-    * one shuffle with map-side partial aggregation. */
+  /** TPC-H Q1, full aggregate set, in EXACT INTEGER CENTS: quantities,
+    * prices, discounts, and taxes are 2-dp money, so every product and
+    * sum is integer arithmetic summed in DECIMAL(38,0) (128-bit exact in
+    * both engines) with ONE double conversion at the end — averages as
+    * exact-sum / count divisions. One shuffle with map-side partial
+    * aggregation. The earlier DECIMAL(18,2)-product formulation went red
+    * at the sf1 differential: the 3-factor product's precision exceeds
+    * 38, and Spark's and DuckDB's overflow-rescale rounding diverge in
+    * the last ulp once group sums reach 5e10. */
   val tpchQ1: Q = sqlBoth("tpch_q1", Seq("lineitem"),
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-      |    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-      |    * CAST(1 - l_discount AS DECIMAL(18,2))
-      |    * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
-      |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
-      |  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+      |    CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00')
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(qty_c AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_qty,
+      |  CAST(SUM(CAST(price_c AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_base_price,
+      |  CAST(SUM(CAST(price_c * (100 - disc_c) AS DECIMAL(38,0))) AS DOUBLE)
+      |    / 10000 AS sum_disc_price,
+      |  CAST(SUM(CAST(price_c * (100 - disc_c) * (100 + tax_c)
+      |    AS DECIMAL(38,0))) AS DOUBLE) / 1000000 AS sum_charge,
+      |  round(CAST(SUM(CAST(qty_c AS DECIMAL(38,0))) AS DOUBLE) / 100
+      |    / count(*), 6) AS avg_qty,
+      |  round(CAST(SUM(CAST(price_c AS DECIMAL(38,0))) AS DOUBLE) / 100
+      |    / count(*), 6) AS avg_price,
+      |  round(CAST(SUM(CAST(disc_c AS DECIMAL(38,0))) AS DOUBLE) / 100
+      |    / count(*), 6) AS avg_disc,
       |  count(*) AS count_order
-      | FROM lineitem
-      | WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+      | FROM c
       | GROUP BY l_returnflag, l_linestatus
       | ORDER BY l_returnflag, l_linestatus""".stripMargin)
 

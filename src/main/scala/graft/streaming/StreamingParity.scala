@@ -61,6 +61,10 @@ object StreamingParity {
     case s: Sort if s.global => stripRootSort(s.child)
     case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
       pr.copy(child = stripRootSort(pr.child))
+    // a WITH-CTE gate analyzes to WithCTE(mainQuery, defs) — the
+    // presentation sort lives at the root of the main query
+    case w: org.apache.spark.sql.catalyst.plans.logical.WithCTE =>
+      w.copy(plan = stripRootSort(w.plan))
     case other => other
   }
 

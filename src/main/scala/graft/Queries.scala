@@ -705,18 +705,30 @@ object Queries {
   }
 
   /** Union-free Jaccard (`i / (|a|+|b|-i)`) — the same integer arithmetic
-    * as [[operators.Dedup.jaccard]], so doubles match bit-for-bit. */
+    * as [[operators.Dedup.jaccard]], so doubles match bit-for-bit.
+    *
+    * Formulated as a GRAM EQUI-JOIN, not an all-pairs `list_intersect`
+    * self-join: shingle sets are distinct per doc, so counting matching
+    * (gram, pair) rows IS |A∩B| — identical integers, identical
+    * division, identical doubles. The all-pairs form was Θ(n²·|s|) in
+    * DuckDB and ground for CPU-hours on the sf1 differential corpus
+    * (1.25e9 pairs × 100-element intersections); the equi-join is
+    * Σ_gram df² — minutes at sf1. Pairs sharing zero grams never
+    * materialize, and cannot pass any threshold > 0. */
   private def duckJaccardPairs(n: Int, threshold: Double, leftPred: String): String =
     s"""WITH sh AS (
        |  SELECT doc_id, ${duckShingles(n)} AS s FROM documents
-       |  WHERE len(string_split(text, ' ')) >= $n)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE $leftPred
-       |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $threshold
+       |  WHERE len(string_split(text, ' ')) >= $n),
+       |shg AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS gram FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    count(*) AS i, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+       |  FROM shg a JOIN shg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  WHERE $leftPred
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+       |FROM inter
+       |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash+LSH near-dup pairs vs a brute-force Jaccard oracle: with 32
@@ -737,13 +749,17 @@ object Queries {
   val incrementalDedup: Q = q("incremental_dedup",
     s"""WITH sh AS (
        |  SELECT doc_id, ${duckShingles(2)} AS s FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 2)
-       |SELECT a.doc_id AS in_id, b.doc_id AS ex_id,
-       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |shg AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS gram FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS in_id, b.doc_id AS ex_id,
+       |    count(*) AS i, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+       |  FROM shg a JOIN shg b ON a.gram = b.gram
+       |    AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |  GROUP BY 1, 2)
+       |SELECT in_id, ex_id, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+       |FROM inter
+       |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
        |ORDER BY in_id, ex_id""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents")
     operators.Dedup.incrementalNearDups(
@@ -2783,11 +2799,14 @@ object Queries {
        |sh AS (
        |  SELECT doc_id, ${duckShingles(2)} AS s FROM corpus
        |  WHERE len(string_split(text, ' ')) >= 2),
+       |shg AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS gram FROM sh),
        |pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      count(*) AS i, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+       |    FROM shg a JOIN shg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2)
+       |  WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5),
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),
@@ -3014,12 +3033,17 @@ object Queries {
   val containmentPairs: Q = q("containment_pairs",
     s"""WITH sh AS (
       |  SELECT doc_id, ${duckShingles(3)} AS s FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
-      |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-      |WHERE a.doc_id % 10 = 0
-      |  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.5
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |shg AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS gram FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    count(*) AS i, any_value(a.n_sh) AS na
+      |  FROM shg a JOIN shg b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |  WHERE a.doc_id % 10 = 0
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(i AS DOUBLE) / na AS containment
+      |FROM inter
+      |WHERE CAST(i AS DOUBLE) / na >= 0.5
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     operators.Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
       shingleN = 3, threshold = 0.5, queryPred = col("id") % 10 === 0)
@@ -3147,15 +3171,21 @@ object Queries {
   val editDistancePairs: Q = q("edit_distance_pairs",
     s"""WITH sh AS (
       |  SELECT doc_id, text, ${duckShingles(3)} AS s FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard,
-      |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
-      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
-      |  AND levenshtein(a.text, b.text) <= 6
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |shg AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS gram FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    count(*) AS i, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+      |  FROM shg a JOIN shg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+      |  FROM inter WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.3)
+      |SELECT c.id_a, c.id_b, c.jaccard,
+      |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance
+      |FROM cand c
+      |JOIN sh ta ON ta.doc_id = c.id_a JOIN sh tb ON tb.doc_id = c.id_b
+      |WHERE levenshtein(ta.text, tb.text) <= 6
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     operators.Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
       shingleN = 3, blockJaccard = 0.3, maxEdits = 6)
@@ -3718,12 +3748,19 @@ object Queries {
       |sh AS (
       |  SELECT doc_id, text, ${duckShingles(3)} AS s FROM kept
       |  WHERE len(string_split(text, ' ')) >= 3),
+      |shg AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS gram FROM sh),
+      |cand AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      count(*) AS i, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+      |    FROM shg a JOIN shg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2)
+      |  WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.3),
       |dupped AS (
-      |  SELECT DISTINCT b.doc_id
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
-      |    AND levenshtein(a.text, b.text) <= 6)
+      |  SELECT DISTINCT c.id_b AS doc_id
+      |  FROM cand c
+      |  JOIN sh ta ON ta.doc_id = c.id_a JOIN sh tb ON tb.doc_id = c.id_b
+      |  WHERE levenshtein(ta.text, tb.text) <= 6)
       |SELECT doc_id, lang, band, avg_neg_logp FROM kept
       |WHERE doc_id NOT IN (SELECT doc_id FROM dupped)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
@@ -4511,11 +4548,14 @@ object Queries {
        |  SELECT d.doc_id, ${duckShingles(2)} AS s
        |  FROM documents d JOIN kp USING (doc_id)
        |  WHERE len(string_split(text, ' ')) >= 2),
+       |shg AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS gram FROM sh),
        |pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      count(*) AS i, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+       |    FROM shg a JOIN shg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2)
+       |  WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5),
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs),

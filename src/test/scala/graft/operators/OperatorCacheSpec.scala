@@ -25,7 +25,9 @@ class OperatorCacheSpec extends SparkSpec {
     // (pipeline_curation_v6), and the LSH signature frame of the
     // embedding path
     val gates = Seq("containment_pairs", "dedup_minhash_lsh",
-      "pipeline_curation_v6", "embedding_neardup")
+      "pipeline_curation_v6", "embedding_neardup",
+      // bitextMine's ranked-candidate frame (round 6)
+      "bitext_mine")
     gates.foreach { name =>
       val q = graft.Queries.all.find(_.name == name)
         .getOrElse(fail(s"gate $name not found"))

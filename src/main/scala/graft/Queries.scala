@@ -1122,7 +1122,8 @@ object Queries {
        |  FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
        |          round(list_cosine_similarity(a.v, b.v), 6) AS cos
        |        FROM corpus a JOIN corpus b ON a.cell = b.cell
-       |        WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1) p),
+       |        WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1) p
+       |  WHERE NOT isnan(cos)),
        |ranked AS (
        |  SELECT *,
        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk_a,
@@ -1138,7 +1139,8 @@ object Queries {
        |          (na.sa * nb.cb + nb.sb * na.ca), 6) AS margin
        |  FROM ranked r
        |  JOIN na ON r.src = na.src JOIN nb ON r.dst = nb.dst
-       |  WHERE r.rnk_a <= 4 AND r.rnk_b <= 4),
+       |  WHERE r.rnk_a <= 4 AND r.rnk_b <= 4
+       |    AND na.sa * nb.cb + nb.sb * na.ca <> 0),
        |best AS (
        |  SELECT *,
        |    row_number() OVER (PARTITION BY src ORDER BY margin DESC, dst) AS rf,

@@ -343,9 +343,10 @@ object Similarity {
         slice(col("v"), j * sub + 1, sub), typedlit(flats(j)), lit(sub)),
       lit(ksub))
     val codes = array((0 until m).map(codeJ): _*)
-    // residual norms per subspace, from the materialized codes column
-    // (m references keep CollapseProject from re-inlining it — the same
-    // contract as cellStructs' `scores`):
+    // residual norms per subspace, from the MATERIALIZED codes and
+    // x_sub_sq columns (multiple references keep CollapseProject from
+    // re-inlining either — the same contract as cellStructs' `scores`;
+    // an inlined xSubSq would re-scan every corpus vector ~3× per row):
     //   ε_j² = ‖x_j‖² + ‖c‖² − 2·cos(x_j,c)·‖x_j‖·‖c‖
     // nanvl folds the zero-subvector case (cos NaN ⇒ dot 0 ⇒ ε = ‖c‖);
     // greatest(0, ·) guards fp cancellation under the sqrt
@@ -353,18 +354,21 @@ object Similarity {
       s"aggregate(slice(v, ${j * sub + 1}, $sub), 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
     def epsJ(j: Int): Column = {
       val code = element_at(col("codes"), j + 1)
+      val xSq = element_at(col("x_sub_sq"), j + 1)
       val cSq = element_at(typedlit(normSqs(j)), code + 1)
       val dot = nanvl(
         element_at(call_function("centroid_cosines",
           slice(col("v"), j * sub + 1, sub), typedlit(flats(j)), lit(sub)),
-          code + 1) * sqrt(xSubSq(j)) * sqrt(cSq),
+          code + 1) * sqrt(xSq) * sqrt(cSq),
         lit(0.0))
-      sqrt(greatest(lit(0.0), xSubSq(j) + cSq - lit(2.0) * dot))
+      sqrt(greatest(lit(0.0), xSq + cSq - lit(2.0) * dot))
     }
     val corpus = withCell(e, refined)
       .withColumn("codes", codes)
+      .withColumn("x_sub_sq", array((0 until m).map(xSubSq): _*))
       .withColumn("eps", array((0 until m).map(epsJ): _*))
-      .withColumn("norm_x", sqrt((0 until m).map(xSubSq).reduce(_ + _)))
+      .withColumn("norm_x", sqrt(expr(
+        "aggregate(x_sub_sq, 0D, (a, x) -> a + x)")))
       .withColumnRenamed("v", "v_n")
 
     // query LUT: dot(q_j, c) = cos(q_j, c) · |q_j| · |c| per sub-centroid,
@@ -405,8 +409,14 @@ object Similarity {
         s"aggregate(zip_with(codes, sequence(0, ${m - 1}), (c, j) -> element_at(lut, j * $ksub + c + 1)), 0D, (a, x) -> a + x)"))
       .withColumn("adc_err", expr(
         "aggregate(zip_with(eps, q_sub, (e, qn) -> e * qn), 0D, (a, x) -> a + x)"))
-      .withColumn("lb", nanvl((col("adc_dot") - col("adc_err")) /
-        (col("q_norm") * col("norm_x")), lit(Double.NegativeInfinity)))
+      // zero-norm guards run BEFORE the division on BOTH bounds — under
+      // ANSI mode a double /0 must never evaluate, and the conservative
+      // sentinels ([-∞, +∞] = "know nothing, keep the row") are what
+      // matches ivfTopK's NaN-ranks-first treatment of the same vector
+      .withColumn("lb", when(col("norm_x") === 0 || col("q_norm") === 0,
+        lit(Double.NegativeInfinity))
+        .otherwise(nanvl((col("adc_dot") - col("adc_err")) /
+          (col("q_norm") * col("norm_x")), lit(Double.NegativeInfinity))))
       .withColumn("ub", when(col("norm_x") === 0 || col("q_norm") === 0,
         lit(Double.PositiveInfinity))
         .otherwise(nanvl((col("adc_dot") + col("adc_err")) /
@@ -768,6 +778,11 @@ object Similarity {
     val wB = Window.partitionBy("dst").orderBy(col("cos").desc, col("src"))
     val ranked = a.join(b, "cell")
       .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
+      // a zero-norm vector yields NaN cosines: meaningless as a mining
+      // candidate, and the micro-unit cast of NaN is an error under
+      // ANSI — drop the pair before the cast (the oracle filters
+      // identically)
+      .filter(!isnan(col("cos")))
       .withColumn("c_micro", round(col("cos") * 1000000L).cast("long"))
       .select("src", "dst", "cos", "c_micro")
       .withColumn("rnk_a", row_number().over(wA))
@@ -782,6 +797,10 @@ object Similarity {
     // exactly representable in double)
     val scored = ranked.filter(col("rnk_a") <= k && col("rnk_b") <= k)
       .join(sumsA, "src").join(sumsB, "dst")
+      // a zero denominator (all-zero or exactly-canceling neighborhood
+      // mass) makes the margin undefined — such pairs are unminable and
+      // are dropped BEFORE the division (ANSI-safe; oracle matches)
+      .filter(col("sa") * col("cb") + col("sb") * col("ca") =!= 0)
       .withColumn("margin",
         round(lit(2.0) * col("c_micro") * col("ca") * col("cb") /
           (col("sa") * col("cb") + col("sb") * col("ca")), 6))

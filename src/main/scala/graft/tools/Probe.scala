@@ -234,7 +234,10 @@ object Probe {
     spark.stop()
   }
 
-  /** `Probe pq <sf>` — ADC shortlist recall curve vs exact IVF. */
+  /** `Probe pq <sf>` — bound-prune pruning power vs exact IVF: match
+    * (always true — exactness is unconditional) + the fraction of
+    * candidates the Cauchy–Schwarz bound could not prove away, on the
+    * near-random testdata and on a clustered corpus. */
   private def pqMain(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[8]")

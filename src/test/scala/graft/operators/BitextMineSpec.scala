@@ -125,6 +125,20 @@ class BitextMineSpec extends SparkSpec {
     assert(mined.nonEmpty)
   }
 
+  test("zero-norm vectors are dropped as candidates, never crash the mine") {
+    // NaN cosines would hit the ANSI-invalid micro-unit cast, and an
+    // all-zero neighborhood would hit the margin's /0 — both guarded
+    val rows = (0 until 20).flatMap { i =>
+      Seq((2L * i, vec(i)), (2L * i + 1, vec(i + 1000000)))
+    } :+ ((40L, Array.fill(dims)(0.0f))) :+ ((41L, Array.fill(dims)(0.0f)))
+    val mined = Similarity.bitextMine(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", sideA = col("vec_id") % 2 === 0,
+      k = 4, threshold = 1.0, nCentroids = 1).collect()
+    assert(!mined.exists(r => r.getLong(0) == 40L || r.getLong(1) == 41L),
+      "a zero-norm vector was mined as a translation pair")
+    assert(mined.nonEmpty, "the healthy pairs must still mine")
+  }
+
   test("empty corpus yields an empty result with the output schema") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val out = Similarity.bitextMine(empty, "vec_id", "embedding",

@@ -61,6 +61,21 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("a zero-norm corpus vector neither crashes nor diverges from ivf") {
+    import spark.implicits._
+    // ANSI mode makes an unguarded double /0 or NaN→BIGINT cast a job
+    // failure; the guards must keep the degenerate row conservative
+    val base = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val poisoned = (base :+ ((9999L, Array.fill(64)(0.0f))))
+      .toDF("vec_id", "embedding")
+    val pq = Similarity.pqTopK(poisoned, "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3)
+    val ivf = Similarity.ivfTopK(poisoned, "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3)
+    assert(canon(pq) == canon(ivf))
+  }
+
   test("empty corpus returns empty frame with the contract schema") {
     val out = Similarity.pqTopK(emb.limit(0), "vec_id", "embedding",
       queryPred = col("vec_id") < 10, k = 5)

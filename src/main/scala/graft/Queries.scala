@@ -1920,6 +1920,54 @@ object Queries {
     per.unionByName(global).orderBy("lang", "q")
   }
 
+  /** Sketch-based distribution drift ([[operators.Sketches
+    * .sketchKsDistance]], round 6): the two-sample KS statistic between
+    * per-language length distributions of two corpus halves, computed
+    * entirely from the mergeable quantile sketches — the ingest-time
+    * drift monitor (standing sketch vs shard sketch) with the raw
+    * corpus never rescanned. Exact integer cross-products; one final
+    * division — the oracle replays buckets, cumsums, and the max gap
+    * verbatim. */
+  val sketchDrift: Q = q("sketch_drift",
+    """WITH vals AS (
+      |  SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS v
+      |  FROM documents WHERE text IS NOT NULL),
+      |bk AS (
+      |  SELECT lang, doc_id % 2 AS side,
+      |    CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS msb,
+      |    CASE WHEN v <= 0 THEN 0
+      |         ELSE v >> GREATEST(length(bin(v)) - 5, 0) END AS mant,
+      |    count(*) AS cnt
+      |  FROM vals GROUP BY 1, 2, 3, 4),
+      |al AS (
+      |  SELECT lang, msb, mant,
+      |    COALESCE(sum(CASE WHEN side = 0 THEN cnt END), 0) AS cnt_a,
+      |    COALESCE(sum(CASE WHEN side = 1 THEN cnt END), 0) AS cnt_b
+      |  FROM bk GROUP BY 1, 2, 3),
+      |cums AS (
+      |  SELECT lang,
+      |    sum(cnt_a) OVER (PARTITION BY lang ORDER BY msb, mant) AS cum_a,
+      |    sum(cnt_b) OVER (PARTITION BY lang ORDER BY msb, mant) AS cum_b,
+      |    sum(cnt_a) OVER (PARTITION BY lang) AS n_a,
+      |    sum(cnt_b) OVER (PARTITION BY lang) AS n_b
+      |  FROM al)
+      |SELECT lang, CAST(max(n_a) AS BIGINT) AS n_a,
+      |  CAST(max(n_b) AS BIGINT) AS n_b,
+      |  round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+      |    / CAST(max(n_a) * max(n_b) AS DOUBLE), 6) AS ks
+      |FROM cums WHERE n_a > 0 AND n_b > 0
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val vals = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        length(col("text")).cast("long").as("v"))
+    val a = operators.Sketches.quantileSketch(
+      vals.filter(col("doc_id") % 2 === 0), Seq("lang"), "v")
+    val b = operators.Sketches.quantileSketch(
+      vals.filter(col("doc_id") % 2 === 1), Seq("lang"), "v")
+    operators.Sketches.sketchKsDistance(a, b, Seq("lang"))
+      .orderBy("lang")
+  }
+
   /** IVF-PQ ANN ([[operators.Similarity.pqTopK]], round 6): ADC codes
     * score the probed-cell candidates and carry a Cauchy–Schwarz error
     * bound, so only candidates whose bound can still reach the top-k
@@ -4979,7 +5027,7 @@ object Queries {
     urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate,
     langMixtureGate, classifierCalibration, corpusDiffGate, hllRollupGate,
     resampleFfill, qualityBudgetCut, phraseSearchGate, phraseSearchIndexed,
-    quantileSketchRollup, annPqTopK, epochShuffleGate, bpeTrainGate,
+    quantileSketchRollup, sketchDrift, annPqTopK, epochShuffleGate, bpeTrainGate,
     bpeEncodeGate
   )
 }

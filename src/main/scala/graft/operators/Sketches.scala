@@ -165,4 +165,58 @@ object Sketches {
       concat(lit(s"hll estimate drifted beyond $tol: rel="), drift)).isNull,
       drift <= lit(tol))
   }
+
+  /** Distribution-drift statistic between two quantile-sketch tables —
+    * the ingest-time monitor that closes the loop the incremental
+    * sketch maintenance opens: keep the STANDING sketch per group, sketch
+    * each incoming shard ([[updateQuantileSketch]]'s input), and alert
+    * when the shard's value distribution has moved. The statistic is
+    * the two-sample Kolmogorov–Smirnov distance evaluated on the shared
+    * bucket grid: `max |CDF_a − CDF_b|` over every bucket boundary
+    * either side populates. Bucket order IS value order, so the step
+    * CDFs are cumulative bucket sums and the sketch's bounded relative
+    * error bounds the statistic's deviation from the raw-data KS.
+    *
+    * Determinism recipe: the running comparison is on EXACT integers —
+    * `|cum_a·n_b − cum_b·n_a|` (cross-multiplied to avoid per-bucket
+    * divisions) with the max taken in integer space; the only
+    * floating-point step is the final single division by `n_a·n_b`,
+    * rounded to 6 dp — so a DuckDB oracle replays it bit-for-bit.
+    *
+    * Scale shape: sketch tables are ≤ 64·2^m+1 rows per group by
+    * construction, so the full-outer bucket align, the per-group window
+    * cumsum, and the max are all bounded keyed operations — group count
+    * is the only scaling axis, exactly like the rollups above.
+    *
+    * @return one row per group: (groupCols…, n_a, n_b, ks) — groups
+    *         present on only one side are omitted (no two-sample
+    *         statistic exists for them; surface those by count instead)
+    */
+  def sketchKsDistance(a: DataFrame, b: DataFrame,
+                       groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols ++ Seq("msb", "mant")
+    val aligned = a.select((keys.map(col) :+ col("cnt").as("cnt_a")): _*)
+      .join(b.select((keys.map(col) :+ col("cnt").as("cnt_b")): _*),
+        keys, "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    val wCum = wg.orderBy(col("msb"), col("mant"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aligned
+      .withColumn("cum_a", sum("cnt_a").over(wCum))
+      .withColumn("cum_b", sum("cnt_b").over(wCum))
+      .withColumn("n_a", sum("cnt_a").over(wg))
+      .withColumn("n_b", sum("cnt_b").over(wg))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .groupBy(groupCols.map(col): _*)
+      // DECIMAL(38,0) cross-products: BIGINT·BIGINT overflows past
+      // ~3e9-row sides, and the statistic must stay exact at any n
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cum_a").cast("decimal(38,0)") * col("n_b")
+          - col("cum_b").cast("decimal(38,0)") * col("n_a"))).as("__gap"))
+      .withColumn("ks", round(col("__gap").cast("double") /
+        (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double"), 6))
+      .drop("__gap")
+  }
 }

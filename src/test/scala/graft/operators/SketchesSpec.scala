@@ -122,4 +122,53 @@ class SketchesSpec extends SparkSpec {
     // values ≤ 2^5-1 sit in single-value buckets → estimates are EXACT
     assert(est(0.25) == 0.0 && est(0.75) == 7.0 && est(1.0) == 31.0)
   }
+
+  test("sketch KS distance: 0 for identical, ~1 for disjoint, one-sided omitted") {
+    val same = spark.range(2000).select(lit("g").as("g"), (col("id") % 97).as("v"))
+    val skSame = Sketches.quantileSketch(same, Seq("g"), "v")
+    val ks0 = Sketches.sketchKsDistance(skSame, skSame, Seq("g"))
+      .select("ks").as[Double].head()
+    assert(ks0 == 0.0, s"identical sketches must have ks 0, got $ks0")
+
+    // disjoint value ranges: every bucket boundary separates fully
+    val lo = spark.range(1000).select(lit("g").as("g"), (col("id") % 8).as("v"))
+    val hi = spark.range(1000).select(lit("g").as("g"),
+      (col("id") % 8 + 100000).as("v"))
+    val ks1 = Sketches.sketchKsDistance(
+      Sketches.quantileSketch(lo, Seq("g"), "v"),
+      Sketches.quantileSketch(hi, Seq("g"), "v"), Seq("g"))
+      .select("ks").as[Double].head()
+    assert(ks1 == 1.0, s"disjoint distributions must have ks 1, got $ks1")
+
+    // a group on one side only has no two-sample statistic
+    val extra = spark.range(10).select(lit("only_a").as("g"), col("id").as("v"))
+    val out = Sketches.sketchKsDistance(
+      Sketches.quantileSketch(same.unionByName(extra), Seq("g"), "v"),
+      skSame, Seq("g")).select("g").as[String].collect().toSet
+    assert(out == Set("g"), s"one-sided group leaked: $out")
+  }
+
+  test("sketch KS tracks a real location shift within bucket resolution") {
+    // shifted lognormal-ish integers: the sketch statistic must land
+    // within the bucket-resolution band of the exact two-sample KS
+    def vals(shift: Double) = spark.range(4000).select(lit("g").as("g"),
+      (exp(randn(seed = 7) * 0.5 + 5.0 + shift)).cast("long").as("v"))
+    val a = vals(0.0); val b = vals(0.35)
+    val sk = Sketches.sketchKsDistance(
+      Sketches.quantileSketch(a, Seq("g"), "v"),
+      Sketches.quantileSketch(b, Seq("g"), "v"), Seq("g"))
+      .select("ks").as[Double].head()
+    // exact KS over raw values
+    import org.apache.spark.sql.expressions.Window
+    val tagged = a.withColumn("s", lit(0)).unionByName(b.withColumn("s", lit(1)))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ex = tagged
+      .withColumn("ca", sum(when(col("s") === 0, 1L).otherwise(0L)).over(w))
+      .withColumn("cb", sum(when(col("s") === 1, 1L).otherwise(0L)).over(w))
+      .agg(max(abs(col("ca") - col("cb")))).as[Long].head() / 4000.0
+    assert(sk > 0.05, s"a 0.35-sigma shift must register, got $sk")
+    assert(math.abs(sk - ex) < 0.1,
+      s"sketch ks $sk too far from exact ks $ex (bucket resolution band)")
+  }
 }

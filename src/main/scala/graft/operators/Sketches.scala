@@ -40,6 +40,23 @@ object Sketches {
     grouped.withColumn("estimate", hll_sketch_estimate(col("sketch")))
   }
 
+  /** Incremental maintenance for the distinct-sketch table (the same
+    * shard-vs-index ingest shape as [[updateQuantileSketch]]): sketch
+    * the new shard, union with the standing table, re-merge per group.
+    * Cost O(shard) + O(standing table) per ingest, never O(corpus).
+    * Replay contract (weaker than the quantile sketch's, and pinned in
+    * StreamingDistinctSpec): a FIXED ingest order rebuilds the
+    * identical table — what a micro-batch retry needs — but different
+    * orders only agree within the lgK error band, because DataSketches'
+    * estimator selection (HIP vs composite) is union-history-dependent
+    * even though register merge itself is max-per-register. */
+  def updateDistinctSketch(standing: DataFrame, newRows: DataFrame,
+                           groupCols: Seq[String], valueCol: String,
+                           lgK: Int = 12): DataFrame =
+    standing.unionByName(distinctSketch(newRows, groupCols, valueCol, lgK))
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+
   // ------------------------------------------------------------------
   // Log-linear quantile sketch (round 6) — the mergeable-quantile twin
   // of the HLL rollup above. Same deployment pattern: persist one small

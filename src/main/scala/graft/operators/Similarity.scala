@@ -297,14 +297,17 @@ object Similarity {
         val e = emb.select(col(idCol).as("n_id"))
         e.limit(0).select(col("n_id").as("q_id"),
           lit(0L).as("candidates"), lit(0L).as("survivors"))
-      case Some((bounded, survivors)) =>
-        bounded.groupBy("q_id").agg(count(lit(1)).as("candidates"))
-          .join(survivors.groupBy("q_id").agg(count(lit(1)).as("survivors")),
-            "q_id")
+      case Some((withBar, _)) =>
+        // one pass over the bar frame: the window columns don't change
+        // row count, so count(*) IS the candidate count, and the
+        // survivor count is the same predicate the prune applies
+        withBar.groupBy("q_id").agg(count(lit(1)).as("candidates"),
+          count(when(pqSurvives, 1)).as("survivors"))
     }
 
-  /** The shared IVF-PQ candidate pipeline: (bounded candidates,
-    * bound-pruned survivors), or None for an empty corpus. */
+  /** The shared IVF-PQ candidate pipeline: (bar frame — every bounded
+    * candidate with its `ub`/`__bar` columns, pre-prune — and the
+    * [[pqSurvives]]-filtered survivors), or None for an empty corpus. */
   private def pqFrames(emb: DataFrame, idCol: String, vecCol: String,
                        queryPred: Column, k: Int, nCentroids: Int,
                        nProbe: Int, m: Int,
@@ -425,13 +428,17 @@ object Similarity {
     val wLb = wQ.orderBy(col("lb").desc, col("n_id"))
     // the per-query bar: k-th best lower bound (null when a query has
     // fewer than k candidates — then nothing can be pruned)
-    val survivors = bounded
+    val withBar = bounded
       .withColumn("__rn_lb", row_number().over(wLb))
       .withColumn("__bar", max(when(col("__rn_lb") === k, col("lb"))).over(wQ))
-      .filter(col("__bar").isNull ||
-        col("ub") >= col("__bar") - lit(2e-6)) // 6-dp rounding cushion
-    Some((bounded, survivors))
+    Some((withBar, withBar.filter(pqSurvives)))
   }
+
+  /** The bound-prune survivor predicate over a [[pqFrames]] bar frame —
+    * one definition, shared by the prune itself and the stats pass.
+    * 2e-6 cushion: cos is compared at 6-dp rounding downstream. */
+  private def pqSurvives: Column =
+    col("__bar").isNull || col("ub") >= col("__bar") - lit(2e-6)
 
   /** SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication" — public literature):

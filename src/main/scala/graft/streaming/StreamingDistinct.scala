@@ -42,8 +42,7 @@ object StreamingDistinct {
     * consumer can keep rolling coarser without touching the stream. */
   def track(stream: DataFrame, groupCols: Seq[String], valueCol: String,
             lgK: Int = 12): DataFrame =
-    stream.groupBy(groupCols.map(col): _*)
-      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+    graft.operators.Sketches.distinctSketch(stream, groupCols, valueCol, lgK)
       .withColumn("estimate", hll_sketch_estimate(col("sketch")))
 
   /** Event-time windowed distinct estimate with watermark eviction

@@ -89,19 +89,24 @@ class StreamingDistinctSpec extends SparkSpec {
 
     val got = spark.table("sd_win")
       .select("win_start", "source", "estimate")
-      .collect().map(_.toString).sorted.toSeq
-    val want = (early ++ late).toDF("ts", "source", "url")
-      .groupBy(window(col("ts"), "10 minutes"), col("source"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("url"), lit(12)))
-        .as("estimate"))
-      .select(col("window.start").as("win_start"), col("source"),
-        col("estimate"))
-      .collect().map(_.toString).sorted.toSeq
-    // every batch window except the still-open tail must have emitted
-    assert(want.size >= 2 && got.size >= want.size - 2,
-      s"closed windows missing: got=$got want=$want")
-    got.foreach(r => assert(want.contains(r),
-      s"streamed window row $r not in batch result $want"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // exact distinct per (10-min window, source) — the HLL contract is
+    // the error band, NOT bit-equality with a one-shot batch sketch
+    // (estimator selection is union-history-dependent; see track test)
+    val exact = (early ++ late)
+      .groupBy(h => (Timestamp.valueOf(
+        f"2026-01-01 10:${h.ts.toLocalDateTime.getMinute / 10 * 10}%02d:00"),
+        h.source))
+      .view.mapValues(_.map(_.url).distinct.size).toMap
+    // every window except the still-open tail must have emitted finals
+    assert(exact.size >= 2 && got.size >= exact.size - 2,
+      s"closed windows missing: got=${got.keySet} want=${exact.keySet}")
+    got.foreach { case (key, est) =>
+      val ex = exact(key)
+      assert(math.abs(est - ex).toDouble / ex < 0.05,
+        s"window $key estimate $est too far from exact $ex")
+    }
   }
 
   test("shard-folded distinct-sketch table: replay-identical, in band for any order") {

@@ -770,6 +770,30 @@ object Queries {
       .orderBy("in_id", "ex_id")
   }
 
+  /** Bloom-prefiltered exact incremental dedup ([[operators.Bloom
+    * .newRowsVia]], round 6): which shard rows are NEW vs the standing
+    * corpus, with the standing Bloom filter absorbing the definite
+    * misses so only probable hits pay the exact anti-join. No false
+    * negatives ⇒ the output is EXACTLY the anti-join, which is all the
+    * oracle computes — the filter moves work, never the answer. */
+  val incrementalDedupBloom: Q = q("incremental_dedup_bloom",
+    """WITH st AS (SELECT md5(text) AS key FROM documents
+      |  WHERE doc_id % 10 <> 0 AND text IS NOT NULL),
+      |sh AS (SELECT doc_id, md5(text) AS key FROM documents
+      |  WHERE doc_id % 10 = 0 AND text IS NOT NULL)
+      |SELECT doc_id, key FROM sh WHERE key NOT IN (SELECT key FROM st)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    val standing = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text")).as("key"))
+    val shard = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), md5(col("text")).as("key"))
+    val filterTbl = operators.Bloom.buildFilter(standing, "key", buckets = 64)
+    operators.Bloom.newRowsVia(filterTbl, standing, shard, "key",
+      buckets = 64)
+      .orderBy("doc_id")
+  }
+
   /** Exact brute-force 3-gram Jaccard pairs (the verify path alone). */
   val ngramJaccard: Q = q("ngram_jaccard_pairs",
     duckJaccardPairs(n = 3, threshold = 0.3, leftPred = "a.doc_id % 10 = 0")) { (s, dir) =>
@@ -5012,7 +5036,8 @@ object Queries {
     nullsOrdering, statsAgg,
     tpchQ2, tpchQ4, tpchQ7, tpchQ8, tpchQ9, tpchQ11,
     tpchQ15, tpchQ16, tpchQ17, tpchQ20, tpchQ21,
-    incrementalDedup, knnLabelVote, dsirWeightsGate, sourceQualityGate,
+    incrementalDedup, incrementalDedupBloom, knnLabelVote, dsirWeightsGate,
+    sourceQualityGate,
     pipelineCurationV5,
     zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,
     sentenceDedupGate, temperatureSampleGate, kneserNeyPpl,

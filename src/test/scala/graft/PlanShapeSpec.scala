@@ -39,7 +39,7 @@ class PlanShapeSpec extends SparkSpec {
     // its exact semantics now ride a PPJoin-style prefix-filter equi-join
     for (name <- Seq("dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
       "ngram_jaccard_pairs", "ann_lsh_topk", "dup_clusters", "decontaminate",
-      "incremental_dedup",
+      "incremental_dedup", "incremental_dedup_bloom",
       // the mutual-kNN graph's candidate stage is the semDedup-style
       // cell equi-join — an accidental regression to all-pairs would be
       // the classic corpus² scale-killer

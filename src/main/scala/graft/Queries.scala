@@ -777,17 +777,21 @@ object Queries {
     * negatives ⇒ the output is EXACTLY the anti-join, which is all the
     * oracle computes — the filter moves work, never the answer. */
   val incrementalDedupBloom: Q = q("incremental_dedup_bloom",
-    """WITH st AS (SELECT md5(text) AS key FROM documents
+    // head-fingerprint key (md5 of the first 50 chars — the doc-head
+    // near-dup heuristic) rather than whole-text md5: the testdata's
+    // exact duplicates never straddle the %10 split, and the gate must
+    // exercise BOTH Bloom paths (definite-miss skip AND confirm-join)
+    """WITH st AS (SELECT md5(substring(text, 1, 50)) AS key FROM documents
       |  WHERE doc_id % 10 <> 0 AND text IS NOT NULL),
-      |sh AS (SELECT doc_id, md5(text) AS key FROM documents
+      |sh AS (SELECT doc_id, md5(substring(text, 1, 50)) AS key FROM documents
       |  WHERE doc_id % 10 = 0 AND text IS NOT NULL)
       |SELECT doc_id, key FROM sh WHERE key NOT IN (SELECT key FROM st)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = t(s, dir, "documents").filter(col("text").isNotNull)
     val standing = docs.filter(col("doc_id") % 10 =!= 0)
-      .select(md5(col("text")).as("key"))
+      .select(md5(substring(col("text"), 1, 50)).as("key"))
     val shard = docs.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), md5(col("text")).as("key"))
+      .select(col("doc_id"), md5(substring(col("text"), 1, 50)).as("key"))
     val filterTbl = operators.Bloom.buildFilter(standing, "key", buckets = 64)
     operators.Bloom.newRowsVia(filterTbl, standing, shard, "key",
       buckets = 64)

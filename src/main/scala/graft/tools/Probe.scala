@@ -17,6 +17,7 @@ object Probe {
     if (args.headOption.contains("hashprobe")) return hashProbeMain(args.drop(1))
     if (args.headOption.contains("v4")) return v4Main(args.drop(1))
     if (args.headOption.contains("pq")) return pqMain(args.drop(1))
+    if (args.headOption.contains("bloom")) return bloomMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -388,6 +389,53 @@ object Probe {
       println(s"\n=================== ${q.name} ===================")
       q.fn(spark, sf).explain("formatted")
     }
+    spark.stop()
+  }
+
+  /** `Probe bloom <sf>` — the Bloom prefilter's work-shift: what
+    * fraction of an incoming shard never touches the exact confirm
+    * anti-join (definite misses), and the confirm probe size vs the
+    * unfiltered |shard|, against the standing corpus at this sf. The
+    * answer is unconditionally identical (BloomSpec); this measures the
+    * saved join work. */
+  private def bloomMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+    // same head-fingerprint key as the gate, so true dups exist
+    val standing = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(md5(substring(col("text"), 1, 50)).as("key"))
+    val shard = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 50)).as("key"))
+    val buckets = math.max(
+      8, (standing.count() / 1000).toInt) // ~1k keys/bucket, 1 KiB each
+    val f = graft.operators.Bloom.buildFilter(standing, "key", buckets)
+      .persist()
+    val probed = shard
+      .withColumn("__bkt", pmod(xxhash64(lit("bloom_bkt"), col("key")),
+        lit(buckets.toLong)).cast("int"))
+      .join(f.select(col("bucket").as("__bkt"), col("bits")),
+        Seq("__bkt"), "left")
+      .withColumn("__hit", graft.operators.Bloom.mightContain(
+        col("key"), col("bits")))
+    val (nShard, nHits) = {
+      val r = probed.agg(count(lit(1)), count(when(col("__hit"), 1)))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val trueDups = shard.join(standing.distinct(), Seq("key"), "left_semi")
+      .count()
+    println(f"[bloom] buckets=$buckets shard=$nShard " +
+      f"confirm-probe=$nHits (${nHits * 100.0 / nShard}%.1f%% of shard; " +
+      f"true dups=$trueDups, fp overhead=${nHits - trueDups}) — " +
+      f"definite misses skipped: ${nShard - nHits}")
+    f.unpersist()
     spark.stop()
   }
 }

@@ -109,6 +109,67 @@ class StreamingDistinctSpec extends SparkSpec {
     }
   }
 
+  test("ingest crash: at-least-once replay cannot move the standing sketch table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = (1 to 3000).map(i =>
+      Hit(if (i % 3 == 0) "x" else "y", s"d${i % 701}"))
+    val chunks = all.grouped(1000).toSeq
+
+    // maintain the standing table via foreachBatch + updateDistinctSketch,
+    // optionally dying AFTER the swap lands but BEFORE the offset commit
+    // on batch 1 — the restart then REFOLDS that batch. Register merge is
+    // idempotent (max of the same values), so the double-fold must leave
+    // the table where the uninterrupted run puts it: HLL dedup state is
+    // the sketch you can maintain under at-least-once delivery with no
+    // dedup machinery, unlike additive counts (the quantile-sketch path
+    // guards the same hazard with engine-epoch dedup instead).
+    def run(crash: Boolean): Map[String, Long] = {
+      val dir = tmpDir(s"bloomhll-$crash"); val ckpt = tmpDir(s"ck-$crash")
+      val src = MemoryStream[Hit]
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def start() = src.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val updated =
+            if (new java.io.File(s"$dir/sketch").exists())
+              Sketches.updateDistinctSketch(
+                spark.read.parquet(s"$dir/sketch"), b, Seq("source"), "url")
+            else Sketches.distinctSketch(b, Seq("source"), "url")
+          updated.write.mode("overwrite").parquet(s"$dir/next")
+          spark.read.parquet(s"$dir/next").write.mode("overwrite")
+            .parquet(s"$dir/sketch")
+          if (crash && id == 1L && !crashed.getAndSet(true))
+            sys.error("injected crash after swap, before offset commit")
+          ()
+        }.start()
+
+      val q1 = start()
+      src.addData(chunks(0): _*); q1.processAllAvailable()
+      src.addData(chunks(1): _*)
+      try { q1.processAllAvailable(); q1.awaitTermination(30000); () }
+      catch { case _: Exception => () }
+      if (crash) {
+        assert(q1.exception.isDefined, "injected crash did not kill the query")
+        val q2 = start() // replays batch 1, then takes new traffic
+        src.addData(chunks(2): _*); q2.processAllAvailable(); q2.stop()
+      } else {
+        src.addData(chunks(2): _*); q1.processAllAvailable(); q1.stop()
+      }
+      spark.read.parquet(s"$dir/sketch")
+        .select(col("source"), hll_sketch_estimate(col("sketch")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val clean = run(crash = false)
+    assert(run(crash = true) == clean,
+      "refolding the replayed batch must not move any estimate")
+    val exact = all.map(h => (h.source, h.url)).distinct
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    clean.foreach { case (s, e) =>
+      assert(math.abs(e - exact(s)).toDouble / exact(s) < 0.05, s"$s: $e")
+    }
+  }
+
   test("shard-folded distinct-sketch table: replay-identical, in band for any order") {
     import spark.implicits._
     val all = (1 to 4000).map(i =>

@@ -798,6 +798,46 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Weighted-cosine tf·idf pairs ([[operators.Dedup.tfidfCosinePairs]],
+    * round 6): the weighted sibling of ngram_jaccard_pairs — integer
+    * milli-unit idf × exact tf, BIGINT numerators/norms, one final
+    * IEEE division per pair; the oracle replays every integer and the
+    * division verbatim. */
+  val tfidfCosineGate: Q = q("tfidf_cosine_pairs",
+    """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(ws) - 2),
+      |    i -> concat(ws[i+1], ' ', ws[i+2], ' ', ws[i+3]))) AS gram
+      |  FROM w0 WHERE len(ws) >= 3),
+      |tf AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+      |  FROM g GROUP BY 1, 2),
+      |dfs AS (SELECT gram, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |w AS (SELECT doc_id, gram,
+      |    CAST(round(ln(n.n / df) * 1000, 0) AS BIGINT) * tf AS w
+      |  FROM tf JOIN dfs USING (gram) CROSS JOIN n),
+      |wp AS (SELECT * FROM w WHERE w > 0),
+      |nrm AS (SELECT doc_id, sum(w * w) AS nrm FROM wp GROUP BY 1),
+      |num AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    sum(a.w * b.w) AS num
+      |  FROM wp a JOIN wp b ON a.gram = b.gram
+      |    AND a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, round(CAST(num AS DOUBLE)
+      |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))), 6)
+      |  AS cos
+      |FROM num JOIN nrm na ON na.doc_id = id_a
+      |  JOIN nrm nb ON nb.doc_id = id_b
+      |WHERE CAST(num AS DOUBLE)
+      |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+      |  >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    operators.Dedup.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, threshold = 0.3, queryPred = col("id") % 10 === 0)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact brute-force 3-gram Jaccard pairs (the verify path alone). */
   val ngramJaccard: Q = q("ngram_jaccard_pairs",
     duckJaccardPairs(n = 3, threshold = 0.3, leftPred = "a.doc_id % 10 = 0")) { (s, dir) =>
@@ -5011,7 +5051,8 @@ object Queries {
     topk, setUnion, setIntersect, setExcept,
     seedRoundtrip, tombstoneDelete, engineModel,
     dedupExact, dedupExactHash, textQuality, fingerprintMd5,
-    dedupMinhashLsh, ngramJaccard, dedupSimhash, embeddingNearDup,
+    dedupMinhashLsh, ngramJaccard, tfidfCosineGate, dedupSimhash,
+    embeddingNearDup,
     embeddingNearDupScaled,
     annTopK, annLshTopK, annIvfTopK, hardNegativesGate, sourceSimilarity, mapAccess,
     semanticDecontaminateGate, embeddingQuantize, timeTravelAsOf,

@@ -235,6 +235,72 @@ object Dedup {
     (out, () => { exSig.unpersist(); inSig.unpersist(); () })
   }
 
+  /** EXACT weighted-cosine pairs over tf·idf n-gram vectors via an
+    * inverted-index (posting-list) equi-join — the WEIGHTED sibling of
+    * [[ngramJaccardPairs]] and the workload the AllPairs literature
+    * (Bayardo WWW'07) was actually written for: set Jaccard treats a
+    * boilerplate gram and a rare content gram identically, tf·idf
+    * cosine down-weights the ubiquitous ones, so template pages stop
+    * pairing with everything that shares their chrome.
+    *
+    * Determinism recipe (the repo's micro-int convention): idf converts
+    * to integer MILLI-units once per gram (`round(ln(N/df)·1e3)`), a
+    * doc-gram weight is that integer × exact tf, so numerators
+    * (Σ w_a·w_b) and norms (Σ w²) are EXACT BIGINT sums; the only
+    * floating steps are the final `num / (√na·√nb)` on
+    * exactly-representable integers (all ≤ 2^53 by the milli-unit
+    * sizing) and the 6-dp output round — IEEE-identical in DuckDB.
+    *
+    * Scale shape: one (id, gram) tf aggregate, one gram-df aggregate
+    * (both map-side combinable), N via 1-row broadcast, and the pair
+    * stage is a posting equi-join on `gram` with the probe side bounded
+    * by `queryPred` — candidate volume is Σ_gram df_q(g)·df(g), never
+    * |corpus|², and grams in every doc carry w = 0 (ln 1 = 0) so the
+    * heaviest postings contribute nothing and can be dropped by the
+    * w > 0 prune without changing any cosine. */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.5,
+                       queryPred: Column = lit(true)): DataFrame = {
+    val words = split(col(textCol), " ")
+    // RAW grams (multiplicity kept — tf is a count, unlike the distinct
+    // sets the Jaccard family uses)
+    val grams = when(size(words) >= shingleN,
+      transform(sequence(lit(0), size(words) - shingleN),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(shingleN)))))
+      .otherwise(array().cast("array<string>"))
+    val tf = df.select(col(idCol).as("id"), explode(grams).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("gram").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n"))
+    val w = tf.join(dfTbl, "gram").crossJoin(broadcast(n))
+      .withColumn("w",
+        round(log(col("n").cast("double") / col("df")) * 1000, 0)
+          .cast("long") * col("tf"))
+      // w = 0 grams (df = N) are exact no-ops in every cosine — pruning
+      // them empties precisely the posting lists that would dominate
+      // the join (the stop-gram problem, solved by algebra not heuristics)
+      .filter(col("w") > 0)
+      .select("id", "gram", "w")
+      // the weighted postings feed norms AND both join sides — persist,
+      // like the family's signature frames (session-level eviction via
+      // OperatorCache; the plain entry point pins deliberately)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val norms = w.groupBy("id").agg(sum(col("w") * col("w")).as("nrm"))
+    val num = w.filter(queryPred)
+      .select(col("id").as("id_a"), col("gram"), col("w").as("w_a"))
+      .join(w.select(col("id").as("id_b"), col("gram"), col("w").as("w_b")),
+        "gram")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("w_a") * col("w_b")).as("num"))
+    num
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos", col("num").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** EXACT n-gram Jaccard pairs via prefix-filter candidate generation —
     * the AllPairs/PPJoin construction (Bayardo, Ma & Srikant, "Scaling
     * Up All Pairs Similarity Search", WWW'07; public literature): with

@@ -355,6 +355,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("tfidf_cosine_pairs: posting equi-joins; the only BNLJ is the 1-row N broadcast") {
+    val plan = executedPlan("tfidf_cosine_pairs")
+    assert(!plan.contains("CartesianProduct"),
+      s"tfidf_cosine_pairs plans a CartesianProduct:\n$plan")
+    // the global-N attach is the repo's documented 1-row-broadcast cross
+    // join (same idiom as Sampling/Vocab); the w frame is reused four
+    // times so the subtree PRINTS repeatedly — the contract is that
+    // every BNLJ is that Cross-with-broadcast shape (a predicate BNLJ
+    // would be a pair blowup) over the 1-row global-count aggregate
+    val bnljLines = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toList
+    assert(bnljLines.nonEmpty && bnljLines.forall(_.contains("Cross")),
+      s"non-Cross BNLJ in:\n$plan")
+    assert(plan.contains("partial_count(1)"),
+      s"expected the 1-row global-N aggregate below the broadcast:\n$plan")
+  }
+
   test("corpus_diff shuffles digests, not document text") {
     // the full outer join's exchanges must carry (id, md5) only — the
     // text column is consumed by the md5 projection below the shuffle

@@ -2036,6 +2036,42 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Sketch-based corpus overlap ([[operators.Sketches.overlapEstimate]],
+    * round 6): inclusion–exclusion over standing HLL sketches — the two
+    * slices are never joined for the ESTIMATE; the gate also computes
+    * the exact overlap (the deterministic output) and asserts the
+    * estimate in-plan against it, the approx_distinct convention. */
+  val corpusOverlapSketch: Q = q("corpus_overlap_sketch",
+    """WITH a AS (SELECT DISTINCT lang, md5(text) AS k FROM documents
+      |  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+      |b AS (SELECT DISTINCT lang, md5(text) AS k FROM documents
+      |  WHERE doc_id % 3 = 0 AND text IS NOT NULL)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS exact_overlap,
+      |  TRUE AS within_band
+      |FROM a JOIN b USING (lang, k) GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+    def slice(m: Int) = docs.filter(col("doc_id") % m === 0)
+      .select(col("lang"), md5(col("text")).as("k")).distinct()
+    val (a, b) = (slice(2), slice(3))
+    val est = operators.Sketches.overlapEstimate(
+      operators.Sketches.distinctSketch(a, Seq("lang"), "k"),
+      operators.Sketches.distinctSketch(b, Seq("lang"), "k"), Seq("lang"))
+    val exact = a.join(b, Seq("lang", "k"))
+      .groupBy("lang").agg(count(lit(1)).as("exact_overlap"))
+    exact.join(est, Seq("lang"))
+      .withColumn("rel_err",
+        round(abs(col("est_overlap") - col("exact_overlap")).cast("double") /
+          col("est_union"), 6))
+      .withColumn("within_band",
+        when(assert_true(col("rel_err") <= lit(0.05),
+          concat(lit("sketch overlap drifted beyond band: rel_err="),
+            col("rel_err"))).isNull,
+          col("rel_err") <= lit(0.05)))
+      .select("lang", "exact_overlap", "within_band")
+      .orderBy("lang")
+  }
+
   /** IVF-PQ ANN ([[operators.Similarity.pqTopK]], round 6): ADC codes
     * score the probed-cell candidates and carry a Cauchy–Schwarz error
     * bound, so only candidates whose bound can still reach the top-k
@@ -5097,7 +5133,8 @@ object Queries {
     urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate,
     langMixtureGate, classifierCalibration, corpusDiffGate, hllRollupGate,
     resampleFfill, qualityBudgetCut, phraseSearchGate, phraseSearchIndexed,
-    quantileSketchRollup, sketchDrift, annPqTopK, epochShuffleGate, bpeTrainGate,
+    quantileSketchRollup, sketchDrift, corpusOverlapSketch, annPqTopK,
+    epochShuffleGate, bpeTrainGate,
     bpeEncodeGate
   )
 }

@@ -40,6 +40,29 @@ object Sketches {
     grouped.withColumn("estimate", hll_sketch_estimate(col("sketch")))
   }
 
+  /** Set-overlap estimate from two distinct-sketch tables via
+    * inclusion–exclusion — `|A∩B| ≈ est(A) + est(B) − est(A∪B)` per
+    * group, with the corpora never joined: the "how much do these two
+    * crawls/snapshots/source slices overlap" question answered from
+    * kilobytes of standing sketches. The error is HLL-relative to the
+    * UNION size, so the estimate is informative when the overlap is a
+    * non-trivial fraction of the union (the regime the question is
+    * asked in) and the gate's in-plan tolerance is phrased against the
+    * union accordingly. Output keeps all three estimates so a consumer
+    * can apply its own band. */
+  def overlapEstimate(a: DataFrame, b: DataFrame,
+                      groupCols: Seq[String]): DataFrame =
+    a.select((groupCols.map(col) :+ col("sketch").as("__ska")): _*)
+      .join(b.select((groupCols.map(col) :+ col("sketch").as("__skb")): _*),
+        groupCols)
+      .select((groupCols.map(col) :+
+        hll_sketch_estimate(col("__ska")).as("est_a") :+
+        hll_sketch_estimate(col("__skb")).as("est_b") :+
+        hll_sketch_estimate(call_function("hll_union",
+          col("__ska"), col("__skb"))).as("est_union")): _*)
+      .withColumn("est_overlap",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+
   /** Incremental maintenance for the distinct-sketch table (the same
     * shard-vs-index ingest shape as [[updateQuantileSketch]]): sketch
     * the new shard, union with the standing table, re-merge per group.

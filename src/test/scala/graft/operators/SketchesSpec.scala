@@ -123,6 +123,25 @@ class SketchesSpec extends SparkSpec {
     assert(est(0.25) == 0.0 && est(0.75) == 7.0 && est(1.0) == 31.0)
   }
 
+  test("overlap estimate: inclusion-exclusion lands in band; disjoint ~0") {
+    // A = [0, 30k), B = [20k, 50k) → overlap 10k, union 50k (20%)
+    val a = spark.range(30000).select(lit("g").as("g"), col("id").as("v"))
+    val b = spark.range(20000, 50000).select(lit("g").as("g"), col("id").as("v"))
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      Sketches.distinctSketch(df, Seq("g"), "v")
+    val r = Sketches.overlapEstimate(sk(a), sk(b), Seq("g"))
+      .select("est_overlap", "est_union").collect().head
+    assert(math.abs(r.getLong(0) - 10000).toDouble / r.getLong(1) < 0.05,
+      s"overlap ${r.getLong(0)} too far from 10000 (union ${r.getLong(1)})")
+
+    // disjoint sets: estimate clamps to ~0 relative to the union
+    val c = spark.range(100000, 130000).select(lit("g").as("g"), col("id").as("v"))
+    val d = Sketches.overlapEstimate(sk(a), sk(c), Seq("g"))
+      .select("est_overlap", "est_union").collect().head
+    assert(d.getLong(0).toDouble / d.getLong(1) < 0.05,
+      s"disjoint overlap estimate ${d.getLong(0)} not near zero")
+  }
+
   test("sketch KS distance: 0 for identical, ~1 for disjoint, one-sided omitted") {
     val same = spark.range(2000).select(lit("g").as("g"), (col("id") % 97).as("v"))
     val skSame = Sketches.quantileSketch(same, Seq("g"), "v")

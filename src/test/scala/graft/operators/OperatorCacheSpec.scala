@@ -27,7 +27,9 @@ class OperatorCacheSpec extends SparkSpec {
     val gates = Seq("containment_pairs", "dedup_minhash_lsh",
       "pipeline_curation_v6", "embedding_neardup",
       // bitextMine's ranked-candidate frame (round 6)
-      "bitext_mine")
+      "bitext_mine",
+      // tfidfCosinePairs' weighted-posting frame (round 6)
+      "tfidf_cosine_pairs")
     gates.foreach { name =>
       val q = graft.Queries.all.find(_.name == name)
         .getOrElse(fail(s"gate $name not found"))

@@ -849,6 +849,60 @@ object Queries {
   /** SimHash near-dup pairs, oracle-checked bit-for-bit: both engines build
     * the same 56-bit hash from md5 hex ([[operators.CrossHash]]), vote per
     * bit, and compare hamming distance — a sketch with an exact oracle. */
+  /** Perceptual image near-dup ([[operators.Multimodal.dhash56]] +
+    * [[operators.Dedup.hammingPairs]], round 6): REAL PNG decode →
+    * 9×7 grid dHash → the same 56-bit Hamming-LSH banding the text
+    * simhash uses. The oracle replays pixels, grid indices, comparison
+    * bits, the hash, and the 4×14-bit pigeonhole band join in SQL —
+    * every step integer arithmetic. */
+  val imageDhashNearDup: Q = q("image_dhash_neardup",
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 40 AS seed,
+      |    CAST(16 + (doc_id % 40) % 32 AS BIGINT) AS w,
+      |    CAST(16 + ((doc_id % 40) * 3) % 32 AS BIGINT) AS h
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, seed, gx.x AS x, gy.y AS y,
+      |    ((y * h // 7) * w + (x * w // 9)) * 3 AS i0
+      |  FROM d, (SELECT unnest(range(9)) AS x) gx,
+      |    (SELECT unnest(range(7)) AS y) gy),
+      |gr AS (
+      |  SELECT doc_id, x, y,
+      |      (seed*31 + i0*7 + CASE WHEN doc_id % 5 = 0 AND i0 % 13 = 0
+      |        THEN 11 ELSE 0 END) % 256
+      |    + (seed*31 + (i0+1)*7 + CASE WHEN doc_id % 5 = 0
+      |        AND (i0+1) % 13 = 0 THEN 11 ELSE 0 END) % 256
+      |    + (seed*31 + (i0+2)*7 + CASE WHEN doc_id % 5 = 0
+      |        AND (i0+2) % 13 = 0 THEN 11 ELSE 0 END) % 256 AS gray
+      |  FROM g),
+      |bits AS (
+      |  SELECT a.doc_id, a.y * 8 + a.x AS pos
+      |  FROM gr a JOIN gr b ON a.doc_id = b.doc_id AND a.y = b.y
+      |    AND b.x = a.x + 1
+      |  WHERE a.x < 8 AND b.gray > a.gray),
+      |hs AS (
+      |  SELECT d.doc_id, CAST(COALESCE(sum(CASE WHEN b.pos IS NOT NULL
+      |    THEN 1::BIGINT << b.pos END), 0) AS BIGINT) AS hash
+      |  FROM d LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id),
+      |bk AS (
+      |  SELECT doc_id, hash, bb.b AS band,
+      |    (hash >> (bb.b * 14)) & 16383 AS bits
+      |  FROM hs, (SELECT unnest(range(4)) AS b) bb),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.hash AS ha, b.hash AS hb
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.bits = b.bits
+      |    AND a.doc_id % 10 = 0 AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val hashes = operators.Multimodal.dhash56(
+      operators.Multimodal.asPngTableGrouped(t(s, dir, "documents")))
+    operators.Dedup.hammingPairs(hashes, "doc_id", "dhash", 56,
+      maxHamming = 3, queryPred = col("id") % 10 === 0)
+      .orderBy("id_a", "id_b")
+  }
+
   val dedupSimhash: Q = q("dedup_simhash", {
     val h = operators.CrossHash.duckdbHash56("tok")
     s"""WITH toks AS (
@@ -5088,7 +5142,7 @@ object Queries {
     seedRoundtrip, tombstoneDelete, engineModel,
     dedupExact, dedupExactHash, textQuality, fingerprintMd5,
     dedupMinhashLsh, ngramJaccard, tfidfCosineGate, dedupSimhash,
-    embeddingNearDup,
+    imageDhashNearDup, embeddingNearDup,
     embeddingNearDupScaled,
     annTopK, annLshTopK, annIvfTopK, hardNegativesGate, sourceSimilarity, mapAccess,
     semanticDecontaminateGate, embeddingQuantize, timeTravelAsOf,

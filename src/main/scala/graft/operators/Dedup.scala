@@ -599,11 +599,25 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, queryPred: Column = lit(true)): DataFrame = {
     val sh = simhash(df, idCol, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    hammingPairs(sh, "id", "simhash", CrossHash.Bits, maxHamming, queryPred)
+  }
+
+  /** Hamming-LSH pairs over ANY precomputed fixed-width hash column —
+    * the banding core [[simhashPairs]] rides, factored out (round 6) so
+    * perceptual image hashes ([[Multimodal.dhash56]]) and any future
+    * bit-signature reuse the identical pigeonhole machinery and its
+    * no-false-negative argument. Caller owns persistence of `hashes`.
+    * Emits (id_a, id_b, hamming) with id_a < id_b; `queryPred` (over
+    * `idCol`) bounds the probe side. */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   nBits: Int, maxHamming: Int,
+                   queryPred: Column = lit(true)): DataFrame = {
+    val sh = hashes.select(col(idCol).as("id"), col(hashCol).as("simhash"))
     // in-band error budget: probe 1-bit flips when exact banding would
     // make bands narrower than ~8 bits (buckets too coarse to prune)
-    val e = if (CrossHash.Bits / (maxHamming + 1) < 8) 1 else 0
-    val bands = math.min(maxHamming / (e + 1) + 1, CrossHash.Bits)
-    val bounds = (0 to bands).map(i => i * CrossHash.Bits / bands)
+    val e = if (nBits / (maxHamming + 1) < 8) 1 else 0
+    val bands = math.min(maxHamming / (e + 1) + 1, nBits)
+    val bounds = (0 to bands).map(i => i * nBits / bands)
     def bandBits(i: Int): Column = {
       val lo = bounds(i)
       val w = bounds(i + 1) - lo

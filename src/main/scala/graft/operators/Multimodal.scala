@@ -225,6 +225,75 @@ object Multimodal {
       .withColumn("meta", sniff(col("content")))
   }
 
+  /** Group-seeded PNG pixels: images share their content (and dims) by
+    * `doc_id % seeds`, with a sparse deterministic perturbation on every
+    * 5th document — the corpus a perceptual-dedup gate needs (exact
+    * duplicates AND near-duplicates, all replayable in SQL). */
+  def groupPixel(docId: Long, seeds: Int, i: Long): Int = {
+    val seed = docId % seeds
+    val pert = if (docId % 5 == 0 && i % 13 == 0) 11 else 0
+    ((seed * 31 + i * 7 + pert) % 256).toInt
+  }
+
+  /** A real PNG whose pixels come from [[groupPixel]]; dims derive from
+    * the GROUP seed, so groupmates are size-compatible. */
+  def synthPngGrouped(docId: Long, seeds: Int = 40): Array[Byte] = {
+    val seed = docId % seeds
+    val (w, h) = pngDims(seed)
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) { px(i) = groupPixel(docId, seeds, i).toByte; i += 1 }
+    Png.encode(Png.Image(w, h, 3, px), filterType = (docId % 5).toInt)
+  }
+
+  /** Media table with group-seeded GENUINE PNG payloads (near-dup
+    * corpus for the perceptual-hash gate). */
+  def asPngTableGrouped(docs: DataFrame, seeds: Int = 40): DataFrame = {
+    val gen = udf((id: Long) => synthPngGrouped(id, seeds))
+    docs.select(col("doc_id"), lit("image").as("modality"),
+      gen(col("doc_id")).as("content"))
+  }
+
+  /** Perceptual difference hash (dHash, the public aHash/dHash/pHash
+    * family): REAL PNG decode per row, nearest-neighbor sample a
+    * 9×7 grayscale grid, emit one bit per horizontal neighbor pair
+    * (`gray[x+1] > gray[x]` — 8 comparisons × 7 rows = 56 bits, the
+    * same width as the text simhash so [[Dedup.hammingPairs]] bands it
+    * unchanged). Integer index arithmetic only (`sx = x·w / 9` floor
+    * division, gray = r+g+b undivided), so a SQL oracle replays the
+    * hash bit-for-bit from the pixel generator. Row-local mapPartitions
+    * (codec init amortized) — the multimodal convention. */
+  def dhash56(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dhash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val img = Png.decode(r.getAs[Array[Byte]]("content"))
+        val (w, h, ch) = (img.width, img.height, img.channels)
+        def gray(x: Int, y: Int): Int = {
+          val sx = x * w / 9
+          val sy = y * h / 7
+          val i0 = (sy * w + sx) * ch
+          (img.pixels(i0) & 0xff) + (img.pixels(i0 + 1) & 0xff) +
+            (img.pixels(i0 + 2) & 0xff)
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 7) {
+          var x = 0
+          while (x < 8) {
+            if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getAs[Long]("doc_id"), hash)
+      }
+    }(enc)
+  }
+
   /** Full PNG decode per row (batched per partition) → exact per-channel
     * pixel sums. Integer output, so the oracle comparison is exact. */
   def decodeChannelSums(media: DataFrame): DataFrame = {

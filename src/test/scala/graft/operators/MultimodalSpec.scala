@@ -76,6 +76,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHash: groupmates collide, perturbed mates stay near, strangers stay far") {
+    import spark.implicits._
+    // seeds=8 so tiny fixtures still share groups: 1 and 9 are exact
+    // duplicates (same seed, neither perturbed); 2 and 10 likewise;
+    // 0 and 8 share a seed but 0 is perturbed (doc%5==0) → near-dup;
+    // cross-seed pairs are random-distance
+    val docs = (0L to 15L).toDF("doc_id")
+    val hashes = Multimodal.dhash56(
+      Multimodal.asPngTableGrouped(docs, seeds = 8))
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(9L) && hs(2L) == hs(10L),
+      "unperturbed groupmates must hash identically")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0L), hs(8L)) <= 6,
+      s"perturbed groupmate too far: ${ham(hs(0L), hs(8L))}")
+    assert(ham(hs(1L), hs(2L)) > 6,
+      s"different seeds suspiciously close: ${ham(hs(1L), hs(2L))}")
+
+    // the generic banding finds exactly the brute-force pairs
+    val got = Dedup.hammingPairs(hashes, "doc_id", "dhash", 56, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq
+      if a < b && ham(ha, hb) <= 3
+    } yield (a, b, ham(ha, hb).toLong)).toSet
+    assert(got == want, s"banding diverged from brute force: $got vs $want")
+    assert(want.nonEmpty, "fixture must produce at least one pair")
+  }
+
   test("GIF gray round trip is lossless and agrees with the closed-form pixels") {
     for (id <- Seq(0L, 7L, 31L)) {
       val img = javax.imageio.ImageIO.read(

@@ -38,7 +38,11 @@ object Bloom {
 
   private def h1(v: Column) = xxhash64(lit("bloom_h1"), v)
   private def h2(v: Column) = xxhash64(lit("bloom_h2"), v)
-  private def bucketOf(v: Column, buckets: Int) =
+
+  /** Bucket routing for a key — public because probes and specs must
+    * address the SAME bucket a build would (a re-implemented copy that
+    * drifts from the build salt probes garbage). */
+  def bucketOf(v: Column, buckets: Int): Column =
     pmod(xxhash64(lit("bloom_bkt"), v), lit(buckets.toLong)).cast("int")
 
   /** i-th probe position within a bucket's bitset. Both hashes reduce
@@ -111,13 +115,19 @@ object Bloom {
   def newRowsVia(standingFilter: DataFrame, standingKeys: DataFrame,
                  shard: DataFrame, keyCol: String, buckets: Int,
                  bitsPerBucket: Int = 8192, k: Int = 5): DataFrame = {
+    // filter columns ride under collision-proof names — a shard with its
+    // own `bits`/`bucket` column must not become ambiguous (review)
     val probed = shard
       .withColumn("__bkt", bucketOf(col(keyCol), buckets))
-      .join(standingFilter.select(col("bucket").as("__bkt"), col("bits")),
-        Seq("__bkt"), "left")
+      .join(standingFilter.select(col("bucket").as("__bkt"),
+        col("bits").as("__bits")), Seq("__bkt"), "left")
       .withColumn("__hit",
-        mightContain(col(keyCol), col("bits"), bitsPerBucket, k))
-      .drop("__bkt", "bits")
+        mightContain(col(keyCol), col("__bits"), bitsPerBucket, k))
+      .drop("__bkt", "__bits")
+      // both branches below read this frame — persist so the shard scan
+      // and the k-hash probe run ONCE (the family convention; session
+      // eviction via OperatorCache)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val definiteNew = probed.filter(!col("__hit")).drop("__hit")
     val confirmNew = probed.filter(col("__hit")).drop("__hit")
       .join(standingKeys.select(col(keyCol)).distinct(),

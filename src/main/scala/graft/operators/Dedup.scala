@@ -612,6 +612,12 @@ object Dedup {
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
                    nBits: Int, maxHamming: Int,
                    queryPred: Column = lit(true)): DataFrame = {
+    // 63-bit ceiling (review): a 64-bit single band would make
+    // (1L << 64) - 1 == 0 under JVM mod-64 shifts, masking every hash
+    // to one bucket — a silent all-pairs join. 64-bit signatures must
+    // band as two 32s by dropping a bit or widening the API first.
+    require(nBits >= 1 && nBits <= 63,
+      s"hammingPairs supports 1..63 signature bits, got $nBits")
     val sh = hashes.select(col(idCol).as("id"), col(hashCol).as("simhash"))
     // in-band error budget: probe 1-bit flips when exact banding would
     // make bands narrower than ~8 bits (buckets too coarse to prune)

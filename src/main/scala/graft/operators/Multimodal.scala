@@ -272,12 +272,18 @@ object Multimodal {
       rows.map { r =>
         val img = Png.decode(r.getAs[Array[Byte]]("content"))
         val (w, h, ch) = (img.width, img.height, img.channels)
+        // channel-aware gray (review): a 1-channel image's last grid
+        // sample would otherwise read past the pixel array, and interior
+        // samples would sum NEIGHBOR pixels instead of channels
+        val nc = math.min(ch, 3)
         def gray(x: Int, y: Int): Int = {
           val sx = x * w / 9
           val sy = y * h / 7
           val i0 = (sy * w + sx) * ch
-          (img.pixels(i0) & 0xff) + (img.pixels(i0 + 1) & 0xff) +
-            (img.pixels(i0 + 2) & 0xff)
+          var g = 0
+          var c = 0
+          while (c < nc) { g += img.pixels(i0 + c) & 0xff; c += 1 }
+          g
         }
         var hash = 0L
         var y = 0

@@ -42,7 +42,16 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoin {
 
-  /** @param events     event stream; ALL its columns are preserved
+  /** CONTRACT — events are enriched per DISTINCT row: the reduce groups
+    * by every event column, so two byte-identical event rows collapse
+    * into one output row. Streams whose duplicate rows carry meaning
+    * must include an identity column (an event id, an offset) — the
+    * usual transport shape; a streaming-safe synthetic id does not
+    * exist to invent here (monotonically_increasing_id is not
+    * replay-stable, and inventing one would silently break the
+    * crash-recovery determinism every other operator keeps).
+    *
+    * @param events     event stream; ALL its columns are preserved
     * @param versions   dim-version stream: keys ++ versionTs ++ valueCols
     * @param validity   max age of a version still considered in force
     *                   (the state-bounding TTL, e.g. "30 days")

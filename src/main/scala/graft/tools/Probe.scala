@@ -418,8 +418,7 @@ object Probe {
     val f = graft.operators.Bloom.buildFilter(standing, "key", buckets)
       .persist()
     val probed = shard
-      .withColumn("__bkt", pmod(xxhash64(lit("bloom_bkt"), col("key")),
-        lit(buckets.toLong)).cast("int"))
+      .withColumn("__bkt", graft.operators.Bloom.bucketOf(col("key"), buckets))
       .join(f.select(col("bucket").as("__bkt"), col("bits")),
         Seq("__bkt"), "left")
       .withColumn("__hit", graft.operators.Bloom.mightContain(

@@ -18,8 +18,7 @@ class BloomSpec extends SparkSpec {
     val keys = (1 to 5000).map(i => s"key_$i").toDF("k")
     val f = Bloom.buildFilter(keys, "k", buckets)
     val misses = keys
-      .withColumn("__bkt", pmod(xxhash64(lit("bloom_bkt"), col("k")),
-        lit(buckets.toLong)).cast("int"))
+      .withColumn("__bkt", Bloom.bucketOf(col("k"), buckets))
       .join(f.select(col("bucket").as("__bkt"), col("bits")), Seq("__bkt"))
       .filter(!Bloom.mightContain(col("k"), col("bits")))
       .count()
@@ -32,12 +31,11 @@ class BloomSpec extends SparkSpec {
     val f = Bloom.buildFilter(inserted, "k", buckets)
     val fresh = (1 to n).map(i => s"out_$i").toDF("k")
     val fp = fresh
-      .withColumn("__bkt", pmod(xxhash64(lit("bloom_bkt"), col("k")),
-        lit(buckets.toLong)).cast("int"))
+      .withColumn("__bkt", Bloom.bucketOf(col("k"), buckets))
       .join(f.select(col("bucket").as("__bkt"), col("bits")), Seq("__bkt"))
       .filter(Bloom.mightContain(col("k"), col("bits")))
       .count()
-    // m = 32·8192 bits, n = 20k, k = 5 → p ≈ (1 - e^(-kn/m))^k ≈ 0.022
+    // m = 32·8192 bits, n = 20k, k = 5 → p ≈ (1 - e^(-kn/m))^k ≈ 0.003
     val rate = fp.toDouble / n
     assert(rate < 0.05, s"fp rate $rate too high for the sized filter")
   }

@@ -29,7 +29,9 @@ class OperatorCacheSpec extends SparkSpec {
       // bitextMine's ranked-candidate frame (round 6)
       "bitext_mine",
       // tfidfCosinePairs' weighted-posting frame (round 6)
-      "tfidf_cosine_pairs")
+      "tfidf_cosine_pairs",
+      // Bloom.newRowsVia's probed-shard frame (round 6)
+      "incremental_dedup_bloom")
     gates.foreach { name =>
       val q = graft.Queries.all.find(_.name == name)
         .getOrElse(fail(s"gate $name not found"))

@@ -52,16 +52,38 @@ class TemporalJoinSpec extends SparkSpec {
 
   test("batch result == AsOfJoin restricted to in-validity matches") {
     import spark.implicits._
-    val asof = AsOfJoin.asOf(events.toDF(), versions.toDF(),
-      Seq("k"), "ts", "vts", Seq("rate"))
+    // carry the matched version's vts THROUGH the asof join (asking for
+    // it as a value column) instead of reconstructing it by joining on
+    // (k, rate) — that reconstruction breaks the moment a key re-issues
+    // an old rate value (review)
+    val asof = AsOfJoin.asOf(events.toDF(),
+      versions.toDF().withColumn("v_vts", col("vts")),
+      Seq("k"), "ts", "vts", Seq("rate", "v_vts"))
       .filter(col("rate").isNotNull)
       // AsOfJoin has no TTL — apply the validity cut it doesn't know
-      .join(versions.toDF().groupBy("k", "rate").agg(max("vts").as("vts")),
-        Seq("k", "rate"))
-      .filter(col("ts").cast("long") - col("vts").cast("long") <= 20 * 60)
+      .filter(col("ts").cast("long") - col("v_vts").cast("long") <= 20 * 60)
       .select("ev_id", "rate")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(asof == batchRun, s"asof $asof != temporal $batchRun")
+  }
+
+  test("distinct-row contract: byte-identical event rows collapse to one") {
+    import spark.implicits._
+    // the documented contract (TemporalJoin scaladoc): the reduce groups
+    // by every event column, so duplicates without an identity column
+    // merge — pinned here so the collapse is a chosen behavior, not a
+    // surprise. The same events WITH distinct ids stay distinct.
+    val dupNoId = Seq(("a", ts(4)), ("a", ts(4))).toDF("k", "ts")
+    val n1 = TemporalJoin.enrich(dupNoId, versions.toDF(),
+      Seq("k"), "ts", "vts", Seq("rate"),
+      validity = "20 minutes", watermarkDelay = "10 minutes").count()
+    assert(n1 == 1, s"identical rows must collapse, got $n1")
+    val dupWithId = Seq(("a", ts(4), 1L), ("a", ts(4), 2L))
+      .toDF("k", "ts", "ev_id")
+    val n2 = TemporalJoin.enrich(dupWithId, versions.toDF(),
+      Seq("k"), "ts", "vts", Seq("rate"),
+      validity = "20 minutes", watermarkDelay = "10 minutes").count()
+    assert(n2 == 2, s"id-carrying duplicates must both enrich, got $n2")
   }
 
   test("streaming run accumulates exactly the batch result") {

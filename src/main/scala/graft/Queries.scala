@@ -903,6 +903,52 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Perceptual audio near-dup ([[operators.Multimodal
+    * .audioFingerprint56]] + [[operators.Dedup.hammingPairs]], round 6):
+    * real WAV decode → 57-point waveform grid → 56-bit
+    * sign-of-difference fingerprint → the shared Hamming-LSH banding.
+    * Oracle replays samples, grid indices, bits, and the band join. */
+  val audioFpNearDup: Q = q("audio_fp_neardup",
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 40 AS seed,
+      |    CAST(400 + (doc_id % 40) % 256 AS BIGINT) AS n
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, seed, gj.j AS j,
+      |    (gj.j * n // 57) AS i
+      |  FROM d, (SELECT unnest(range(57)) AS j) gj),
+      |sv AS (
+      |  SELECT doc_id, j,
+      |    (seed*7 + i*13 + CASE WHEN doc_id % 5 = 0 AND i % 17 = 0
+      |      THEN 7777 ELSE 0 END) % 65536 - 32768 AS s
+      |  FROM g),
+      |bits AS (
+      |  SELECT a.doc_id, a.j AS pos
+      |  FROM sv a JOIN sv b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+      |  WHERE a.j < 56 AND b.s > a.s),
+      |hs AS (
+      |  SELECT d.doc_id, CAST(COALESCE(sum(CASE WHEN b.pos IS NOT NULL
+      |    THEN 1::BIGINT << b.pos END), 0) AS BIGINT) AS hash
+      |  FROM d LEFT JOIN bits b USING (doc_id) GROUP BY d.doc_id),
+      |bk AS (
+      |  SELECT doc_id, hash, bb.b AS band,
+      |    (hash >> (bb.b * 14)) & 16383 AS bits
+      |  FROM hs, (SELECT unnest(range(4)) AS b) bb),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    a.hash AS ha, b.hash AS hb
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.bits = b.bits
+      |    AND a.doc_id % 10 = 0 AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val hashes = operators.Multimodal.audioFingerprint56(
+      operators.Multimodal.asWavTableGrouped(t(s, dir, "documents")))
+    operators.Dedup.hammingPairs(hashes, "doc_id", "afp", 56,
+      maxHamming = 3, queryPred = col("id") % 10 === 0)
+      .orderBy("id_a", "id_b")
+  }
+
   val dedupSimhash: Q = q("dedup_simhash", {
     val h = operators.CrossHash.duckdbHash56("tok")
     s"""WITH toks AS (
@@ -5142,7 +5188,7 @@ object Queries {
     seedRoundtrip, tombstoneDelete, engineModel,
     dedupExact, dedupExactHash, textQuality, fingerprintMd5,
     dedupMinhashLsh, ngramJaccard, tfidfCosineGate, dedupSimhash,
-    imageDhashNearDup, embeddingNearDup,
+    imageDhashNearDup, audioFpNearDup, embeddingNearDup,
     embeddingNearDupScaled,
     annTopK, annLshTopK, annIvfTopK, hardNegativesGate, sourceSimilarity, mapAccess,
     semanticDecontaminateGate, embeddingQuantize, timeTravelAsOf,

@@ -367,6 +367,61 @@ object Multimodal {
       gen(col("doc_id")).as("content"))
   }
 
+  /** Group-seeded WAV samples (the audio twin of [[groupPixel]]):
+    * groupmates by `doc_id % seeds` share the waveform and length, with
+    * a sparse in-modulus perturbation on every 5th document — the
+    * perturbation is added INSIDE the mod so the PCM16 range is never
+    * wrapped and the SQL replay needs no overflow mirroring. */
+  def groupWavSample(docId: Long, seeds: Int, i: Long): Int = {
+    val seed = docId % seeds
+    val pert = if (docId % 5 == 0 && i % 17 == 0) 7777 else 0
+    (((seed * 7 + i * 13 + pert) % 65536) - 32768).toInt
+  }
+
+  /** A real mono WAV whose samples come from [[groupWavSample]]; the
+    * length derives from the group seed. */
+  def synthWavGrouped(docId: Long, seeds: Int = 40): Array[Byte] = {
+    val n = wavLen(docId % seeds)
+    val s = new Array[Short](n)
+    var i = 0
+    while (i < n) { s(i) = groupWavSample(docId, seeds, i).toShort; i += 1 }
+    Wav.encode(Wav.Audio(16000, 1, s))
+  }
+
+  /** Audio table with group-seeded GENUINE WAV payloads. */
+  def asWavTableGrouped(docs: DataFrame, seeds: Int = 40): DataFrame = {
+    val gen = udf((id: Long) => synthWavGrouped(id, seeds))
+    docs.select(col("doc_id"), lit("audio").as("modality"),
+      gen(col("doc_id")).as("content"))
+  }
+
+  /** Perceptual audio fingerprint — the 1-D sibling of [[dhash56]]
+    * (the waveform-shape member of the chromaprint-style
+    * sign-of-difference family): REAL WAV decode, 57 nearest-neighbor
+    * sample grid points, one bit per consecutive-sample comparison →
+    * a 56-bit hash [[Dedup.hammingPairs]] bands unchanged. Integer
+    * index arithmetic only, SQL-replayable. */
+  def audioFingerprint56(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("afp", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val audio = Wav.decode(r.getAs[Array[Byte]]("content"))
+        val n = audio.samples.length
+        def grid(j: Int): Int = audio.samples(j * n / 57)
+        var hash = 0L
+        var j = 0
+        while (j < 56) {
+          if (grid(j + 1) > grid(j)) hash |= 1L << j
+          j += 1
+        }
+        Row(r.getAs[Long]("doc_id"), hash)
+      }
+    }(enc)
+  }
+
   /** Full WAV decode per row → exact integer audio features: sample
     * count, total energy (sum of squares), zero crossings, and the
     * energy of the first 160-sample frame (the 10 ms fbank hop at

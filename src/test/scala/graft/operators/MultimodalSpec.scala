@@ -105,6 +105,26 @@ class MultimodalSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must produce at least one pair")
   }
 
+  test("audio fingerprint: groupmates collide; banding == brute force") {
+    import spark.implicits._
+    val docs = (0L to 15L).toDF("doc_id")
+    val hashes = Multimodal.audioFingerprint56(
+      Multimodal.asWavTableGrouped(docs, seeds = 8))
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(9L), "unperturbed groupmates must hash identically")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0L), hs(8L)) <= 8,
+      s"perturbed groupmate too far: ${ham(hs(0L), hs(8L))}")
+    val got = Dedup.hammingPairs(hashes, "doc_id", "afp", 56, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (a, ha) <- hs.toSeq; (b, hb) <- hs.toSeq
+      if a < b && ham(ha, hb) <= 3
+    } yield (a, b, ham(ha, hb).toLong)).toSet
+    assert(got == want && want.nonEmpty,
+      s"banding diverged from brute force: $got vs $want")
+  }
+
   test("GIF gray round trip is lossless and agrees with the closed-form pixels") {
     for (id <- Seq(0L, 7L, 31L)) {
       val img = javax.imageio.ImageIO.read(

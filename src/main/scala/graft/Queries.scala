@@ -949,6 +949,59 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Perceptual video near-dup ([[operators.Multimodal
+    * .videoFrameHashes]] + [[operators.Multimodal.videoNearDups]],
+    * round 6): real AVI demux → per-frame 56-bit dHash → videos pair on
+    * ≥2 shared distinct frame hashes (posting equi-join). The oracle
+    * replays frames, pixels, bits, hashes, and the set join. */
+  val videoFpNearDup: Q = q("video_fp_neardup",
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 40 AS seed,
+      |    CAST(3 + (doc_id % 40) % 5 AS BIGINT) AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, seed, ff.f AS f
+      |  FROM d, (SELECT unnest(range(8)) AS f) ff WHERE ff.f < nf),
+      |g AS (
+      |  SELECT doc_id, seed, f, gx.x AS x, gy.y AS y,
+      |    (y * 8 + x) * 3 AS j0
+      |  FROM fr, (SELECT unnest(range(8)) AS x) gx,
+      |    (SELECT unnest(range(8)) AS y) gy),
+      |gr AS (
+      |  SELECT doc_id, f, x, y,
+      |      (seed*11 + f*17 + j0*5 + CASE WHEN doc_id % 5 = 0 AND f = 0
+      |        AND j0 % 29 = 0 THEN 9 ELSE 0 END) % 256
+      |    + (seed*11 + f*17 + (j0+1)*5 + CASE WHEN doc_id % 5 = 0
+      |        AND f = 0 AND (j0+1) % 29 = 0 THEN 9 ELSE 0 END) % 256
+      |    + (seed*11 + f*17 + (j0+2)*5 + CASE WHEN doc_id % 5 = 0
+      |        AND f = 0 AND (j0+2) % 29 = 0 THEN 9 ELSE 0 END) % 256
+      |    AS gray
+      |  FROM g),
+      |bits AS (
+      |  SELECT a.doc_id, a.f, a.y * 7 + a.x AS pos
+      |  FROM gr a JOIN gr b ON a.doc_id = b.doc_id AND a.f = b.f
+      |    AND a.y = b.y AND b.x = a.x + 1
+      |  WHERE a.x < 7 AND b.gray > a.gray),
+      |hs AS (
+      |  SELECT fr.doc_id, fr.f, CAST(COALESCE(sum(
+      |    CASE WHEN b.pos IS NOT NULL THEN 1::BIGINT << b.pos END), 0)
+      |    AS BIGINT) AS hash
+      |  FROM fr LEFT JOIN bits b ON b.doc_id = fr.doc_id AND b.f = fr.f
+      |  GROUP BY fr.doc_id, fr.f),
+      |sets AS (SELECT DISTINCT doc_id, hash FROM hs)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM sets a JOIN sets b ON a.hash = b.hash
+      |  AND a.doc_id % 10 = 0 AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val fh = operators.Multimodal.videoFrameHashes(
+      operators.Multimodal.asAviTableGrouped(t(s, dir, "documents")))
+    operators.Multimodal.videoNearDups(fh, minShared = 2,
+      queryPred = col("id") % 10 === 0)
+      .orderBy("id_a", "id_b")
+  }
+
   val dedupSimhash: Q = q("dedup_simhash", {
     val h = operators.CrossHash.duckdbHash56("tok")
     s"""WITH toks AS (
@@ -5188,7 +5241,7 @@ object Queries {
     seedRoundtrip, tombstoneDelete, engineModel,
     dedupExact, dedupExactHash, textQuality, fingerprintMd5,
     dedupMinhashLsh, ngramJaccard, tfidfCosineGate, dedupSimhash,
-    imageDhashNearDup, audioFpNearDup, embeddingNearDup,
+    imageDhashNearDup, audioFpNearDup, videoFpNearDup, embeddingNearDup,
     embeddingNearDupScaled,
     annTopK, annLshTopK, annIvfTopK, hardNegativesGate, sourceSimilarity, mapAccess,
     semanticDecontaminateGate, embeddingQuantize, timeTravelAsOf,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -692,6 +692,84 @@ object Multimodal {
     val gen = udf((id: Long) => synthAvi(id))
     docs.select(col("doc_id"), lit("video").as("modality"),
       gen(col("doc_id")).as("content"))
+  }
+
+  /** Group-seeded AVI pixels (the video member of the [[groupPixel]]
+    * family): groupmates share frames exactly; every 5th document gets
+    * a sparse perturbation on frame 0 ONLY — so one frame hash moves
+    * while the rest still match, the shape a frame-level video dedup
+    * must tolerate. */
+  def groupAviPixel(docId: Long, seeds: Int, frame: Long, j: Long): Int = {
+    val seed = docId % seeds
+    val pert = if (docId % 5 == 0 && frame == 0 && j % 29 == 0) 9 else 0
+    ((seed * 11 + frame * 17 + j * 5 + pert) % 256).toInt
+  }
+
+  /** A real AVI from [[groupAviPixel]]; frame count from the seed. */
+  def synthAviGrouped(docId: Long, seeds: Int = 40): Array[Byte] = {
+    val seed = docId % seeds
+    val frames = (0 until aviFrames(seed)).map { f =>
+      Array.tabulate(8 * 8 * 3)(j =>
+        groupAviPixel(docId, seeds, f, j).toByte)
+    }
+    Avi.encode(Avi.Video(8, 8, 10, frames))
+  }
+
+  /** Video table with group-seeded GENUINE AVI payloads. */
+  def asAviTableGrouped(docs: DataFrame, seeds: Int = 40): DataFrame = {
+    val gen = udf((id: Long) => synthAviGrouped(id, seeds))
+    docs.select(col("doc_id"), lit("video").as("modality"),
+      gen(col("doc_id")).as("content"))
+  }
+
+  /** Per-frame perceptual hash: REAL AVI demux, dHash each 8×8 RGB
+    * frame directly (7 comparisons × 8 rows = 56 bits — no resample
+    * needed at the container's native grid). One row per (doc, frame). */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame", LongType),
+      StructField("fhash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val vid = Avi.decode(r.getAs[Array[Byte]]("content"))
+        val id = r.getAs[Long]("doc_id")
+        vid.frames.zipWithIndex.map { case (px, f) =>
+          def gray(x: Int, y: Int): Int = {
+            val i0 = (y * vid.width + x) * 3
+            (px(i0) & 0xff) + (px(i0 + 1) & 0xff) + (px(i0 + 2) & 0xff)
+          }
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 7) {
+              if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 7 + x)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, f.toLong, hash)
+        }
+      }
+    }(enc)
+  }
+
+  /** Video-level near-dup from per-frame hashes: two videos pair when
+    * their DISTINCT frame-hash sets share ≥ `minShared` values — an
+    * inverted-index equi-join on the frame hash (posting-list shape:
+    * only videos sharing a frame ever meet), robust to a few perturbed
+    * frames because the remaining exact matches still clear the bar. */
+  def videoNearDups(frameHashes: DataFrame, minShared: Int,
+                    queryPred: Column = lit(true)): DataFrame = {
+    val sets = frameHashes.select(col("doc_id").as("id"), col("fhash"))
+      .distinct()
+    sets.filter(queryPred).select(col("id").as("id_a"), col("fhash"))
+      .join(sets.select(col("id").as("id_b"), col("fhash")), "fhash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** REAL video frame sampling: demux the AVI container per row

@@ -125,6 +125,28 @@ class MultimodalSpec extends SparkSpec {
       s"banding diverged from brute force: $got vs $want")
   }
 
+  test("video near-dup: perturbed frame tolerated, pairs == brute-force set overlap") {
+    import spark.implicits._
+    val docs = (0L to 15L).toDF("doc_id")
+    val fh = Multimodal.videoFrameHashes(
+      Multimodal.asAviTableGrouped(docs, seeds = 8))
+    val sets = fh.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // doc 0 is perturbed on frame 0 only; 8 shares its seed → all OTHER
+    // frames still match, so the pair clears minShared = 2
+    assert(sets(0L).intersect(sets(8L)).size >= 2,
+      "perturbed groupmates must still share non-perturbed frames")
+    val got = Multimodal.videoNearDups(fh, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a < b
+      n = sa.intersect(sb).size if n >= 2
+    } yield (a, b, n.toLong)).toSet
+    assert(got == want && want.nonEmpty,
+      s"posting join diverged from brute-force set overlap: $got vs $want")
+  }
+
   test("GIF gray round trip is lossless and agrees with the closed-form pixels") {
     for (id <- Seq(0L, 7L, 31L)) {
       val img = javax.imageio.ImageIO.read(

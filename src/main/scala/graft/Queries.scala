@@ -1328,6 +1328,59 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Triangle counts over the mutual-kNN graph ([[operators.Graphs
+    * .triangleCounts]], round 6): the degree-ordered wedge join
+    * (Cohen / Suri–Vassilvitskii) on the sparsified similarity graph —
+    * the oracle replays the kNN edge list via the shared quantizer CTE,
+    * then the identical orientation, wedge, and closing joins. */
+  val triangleCountGate: Q = q("triangle_counts",
+    s"""WITH ${duckIvfCells(16)},
+       |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
+       |directed AS (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       |  FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |          round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |        FROM corpus a JOIN corpus b
+       |          ON a.cell = b.cell AND a.vec_id <> b.vec_id) d),
+       |knn AS (SELECT src, dst FROM directed WHERE rnk <= 5),
+       |edges AS (
+       |  SELECT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+       |deg AS (
+       |  SELECT id, count(*) AS deg FROM (
+       |    SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+       |  GROUP BY 1),
+       |o AS (
+       |  SELECT CASE WHEN du < dv OR (du = dv AND u < v)
+       |      THEN u ELSE v END AS src,
+       |    CASE WHEN du < dv OR (du = dv AND u < v)
+       |      THEN v ELSE u END AS dst,
+       |    CASE WHEN du < dv OR (du = dv AND u < v)
+       |      THEN dv ELSE du END AS ddst
+       |  FROM (SELECT e.u, e.v, da.deg AS du, db.deg AS dv
+       |        FROM edges e JOIN deg da ON da.id = e.u
+       |          JOIN deg db ON db.id = e.v)),
+       |w AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+       |  WHERE e1.ddst < e2.ddst
+       |    OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
+       |t AS (SELECT a, b, c FROM w
+       |  JOIN o ON o.src = w.b AND o.dst = w.c),
+       |pn AS (
+       |  SELECT id, count(*) AS triangles FROM (
+       |    SELECT a AS id FROM t UNION ALL SELECT b FROM t
+       |    UNION ALL SELECT c FROM t) GROUP BY 1)
+       |SELECT d.id, CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles
+       |FROM deg d LEFT JOIN pn USING (id)
+       |ORDER BY id""".stripMargin) { (s, dir) =>
+    val edges = operators.Similarity.knnGraph(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 5, nCentroids = 16)
+    operators.Graphs.triangleCounts(edges, "id_a", "id_b")
+      .orderBy("id")
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019) — round 6: the
     * cross-lingual pair-harvesting step of multilingual corpus builds.
     * Sides split by vec_id parity (a synthetic two-language corpus over
@@ -5276,7 +5329,8 @@ object Queries {
     zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,
     sentenceDedupGate, temperatureSampleGate, kneserNeyPpl,
     pplBuckets, editDistancePairs, pipelineCurationV6, cellBalancedGate,
-    annFilteredTopK, knnGraphGate, bitextMineGate, heavyHittersGate,
+    annFilteredTopK, knnGraphGate, triangleCountGate, bitextMineGate,
+    heavyHittersGate,
     adaptiveLengthFilter,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge-list DataFrames — the
+  * similarity-graph post-processing a curation pipeline runs on the
+  * pair outputs ([[Similarity.knnGraph]], the near-dup pair families):
+  * triangle structure distinguishes genuinely clustered content
+  * (communities, template families) from incidental pairwise hits.
+  */
+object Graphs {
+
+  /** Per-node triangle counts via the degree-ordered wedge join
+    * (Cohen 2009 "Graph twiddling in a MapReduce world" /
+    * Suri & Vassilvitskii WWW'11 — public literature): orient every
+    * undirected edge toward the higher (degree, id) endpoint; each
+    * triangle then has exactly one node with BOTH oriented edges
+    * outgoing, so joining wedges (a→b, a→c with b before c in the same
+    * order) against the oriented edge b→c counts each triangle exactly
+    * once. The orientation is the skew-killer: oriented out-degree is
+    * O(√m) regardless of raw degree, so wedge volume — the only
+    * super-linear term — is Σ d_out² = O(m^1.5) worst-case instead of
+    * the hub-dominated Σ d² a naive formulation pays. All joins are
+    * equi-joins on node ids.
+    *
+    * Input edges are UNDIRECTED and may contain duplicates, self-loops,
+    * or both orientations — canonicalization (least/greatest, distinct,
+    * loop-drop) happens here. Output: one row per node that appears in
+    * ≥1 canonical edge, `(id, triangles)` with 0 for triangle-free
+    * nodes. Scale note: triangle counting presumes a SPARSIFIED graph
+    * (a kNN graph, a thresholded pair list) — on a clique-heavy raw
+    * dup graph the OUTPUT itself is cubic in clique size and the right
+    * tool is [[Dedup]]'s cluster/canonical path, not enumeration. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+
+    // attach degrees, orient toward the higher (deg, id)
+    val withDeg = canon
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    def ordLt(d1: Column, i1: Column, d2: Column, i2: Column): Column =
+      d1 < d2 || (d1 === d2 && i1 < i2)
+    val oriented = withDeg.select(
+      when(ordLt(col("du"), col("u"), col("dv"), col("v")), col("u"))
+        .otherwise(col("v")).as("src"),
+      when(ordLt(col("du"), col("u"), col("dv"), col("v")), col("v"))
+        .otherwise(col("u")).as("dst"),
+      when(ordLt(col("du"), col("u"), col("dv"), col("v")), col("dv"))
+        .otherwise(col("du")).as("ddst"))
+
+    // wedges from a common apex, inner pair ordered the same way the
+    // orientation orders edges — so the closing edge, if present, is
+    // oriented exactly (b → c) and each triangle matches once
+    val wedges = oriented.as("e1").join(oriented.as("e2"), "src")
+      .filter(ordLt(col("e1.ddst"), col("e1.dst"),
+        col("e2.ddst"), col("e2.dst")))
+      .select(col("src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val triangles = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.select("id").join(perNode, Seq("id"), "left")
+      .na.fill(0L, Seq("triangles"))
+  }
+}

@@ -1344,14 +1344,14 @@ object Queries {
        |        FROM corpus a JOIN corpus b
        |          ON a.cell = b.cell AND a.vec_id <> b.vec_id) d),
        |knn AS (SELECT src, dst FROM directed WHERE rnk <= 5),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT least(src, dst) AS u, greatest(src, dst) AS v
        |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
        |deg AS (
        |  SELECT id, count(*) AS deg FROM (
        |    SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
        |  GROUP BY 1),
-       |o AS (
+       |o AS MATERIALIZED (
        |  SELECT CASE WHEN du < dv OR (du = dv AND u < v)
        |      THEN u ELSE v END AS src,
        |    CASE WHEN du < dv OR (du = dv AND u < v)

@@ -18,6 +18,7 @@ object Probe {
     if (args.headOption.contains("v4")) return v4Main(args.drop(1))
     if (args.headOption.contains("pq")) return pqMain(args.drop(1))
     if (args.headOption.contains("bloom")) return bloomMain(args.drop(1))
+    if (args.headOption.contains("tri")) return triMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -389,6 +390,31 @@ object Probe {
       println(s"\n=================== ${q.name} ===================")
       q.fn(spark, sf).explain("formatted")
     }
+    spark.stop()
+  }
+
+  /** `Probe tri <sf>` — duplication diagnosis for triangleCounts. */
+  private def triMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("data/sf1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(graft.plans.SinglePartitionWindowGuard.ModeKey, "fail")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val edges = graft.operators.Similarity.knnGraph(
+      graft.Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
+      k = 5, nCentroids = 16)
+    println("[tri] edge rows=" + edges.count() +
+      " distinct=" + edges.select("id_a", "id_b").distinct().count())
+    val out = graft.operators.Graphs.triangleCounts(edges, "id_a", "id_b")
+      .orderBy("id")
+    out.write.mode("overwrite").parquet("/tmp/tri_probe")
+    val rb = spark.read.parquet("/tmp/tri_probe")
+    val dup = rb.groupBy("id").count().filter(col("count") > 1).count()
+    println("[tri] written rows=" + rb.count() + " dup ids=" + dup)
     spark.stop()
   }
 

@@ -49,6 +49,40 @@ class BloomSpec extends SparkSpec {
       "bit_or build must be partitioning-independent")
   }
 
+  test("fuzz: no false negatives and anti-join parity on adversarial keys") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // unicode, empty strings, whitespace, very long keys, duplicates
+    val weird: Gen[String] = Gen.frequency(
+      (3, Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '),
+        Gen.choose('α', 'ω'), Gen.choose('一', '十'))).map(_.mkString)),
+      (1, Gen.const("")),
+      (1, Gen.alphaNumStr.map(s => s * 50)))
+    def draw(seedBase: Int, n: Int): Seq[String] =
+      (0 until n).map(i =>
+        weird.pureApply(Gen.Parameters.default, Seed(seedBase * 10000L + i)))
+
+    val standingKeys = draw(1, 800)
+    val standing = standingKeys.toDF("key")
+    val f = Bloom.buildFilter(standing, "key", buckets)
+    // every inserted key (incl. "" and unicode) must probe true
+    val misses = standing
+      .withColumn("__bkt", Bloom.bucketOf(col("key"), buckets))
+      .join(f.select(col("bucket").as("__bkt"), col("bits")), Seq("__bkt"))
+      .filter(!Bloom.mightContain(col("key"), col("bits")))
+      .count()
+    assert(misses == 0, s"$misses fuzz false negatives")
+
+    // shard: a mix of standing keys and fresh draws, with duplicates
+    val shard = (draw(2, 400) ++ standingKeys.take(200) ++
+      standingKeys.take(50)).zipWithIndex.toDF("key", "row_id")
+    val got = Bloom.newRowsVia(f, standing, shard, "key", buckets)
+      .collect().map(_.toString).sorted.toSeq
+    val want = shard.join(standing.distinct(), Seq("key"), "left_anti")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, "fuzz bloom path diverged from the anti-join")
+  }
+
   test("newRowsVia == plain anti-join (overlap, nulls, dup shard keys)") {
     val standing = ((1 to 800).map(i => s"k${i % 500}") :+ null)
       .toDF("key").withColumn("v", lit("ex"))

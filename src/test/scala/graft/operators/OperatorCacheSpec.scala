@@ -31,7 +31,9 @@ class OperatorCacheSpec extends SparkSpec {
       // tfidfCosinePairs' weighted-posting frame (round 6)
       "tfidf_cosine_pairs",
       // Bloom.newRowsVia's probed-shard frame (round 6)
-      "incremental_dedup_bloom")
+      "incremental_dedup_bloom",
+      // Graphs.triangleCounts' canonical-edge frame (round 6)
+      "triangle_counts")
     gates.foreach { name =>
       val q = graft.Queries.all.find(_.name == name)
         .getOrElse(fail(s"gate $name not found"))

@@ -40,8 +40,13 @@ object Graphs {
       .filter(col("u") =!= col("v"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg feeds both degree joins plus the zero-fill output join, and
+    // oriented (below) is embedded three times in the final plan — pin
+    // the multiply-consumed frames themselves, not just their input,
+    // so the degree aggregate and the orientation joins run once
     val deg = canon.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // attach degrees, orient toward the higher (deg, id)
     val withDeg = canon
@@ -56,6 +61,7 @@ object Graphs {
         .otherwise(col("u")).as("dst"),
       when(ordLt(col("du"), col("u"), col("dv"), col("v")), col("dv"))
         .otherwise(col("du")).as("ddst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // wedges from a common apex, inner pair ordered the same way the
     // orientation orders edges — so the closing edge, if present, is

@@ -412,10 +412,15 @@ object Multimodal {
         val n = audio.samples.length
         def grid(j: Int): Int = audio.samples(j * n / 57)
         var hash = 0L
-        var j = 0
-        while (j < 56) {
-          if (grid(j + 1) > grid(j)) hash |= 1L << j
-          j += 1
+        // a structurally valid WAV with an empty data chunk has no
+        // waveform shape — hash 0, the same value the SQL oracle's
+        // COALESCE convention lands on, instead of samples(0) throwing
+        if (n > 0) {
+          var j = 0
+          while (j < 56) {
+            if (grid(j + 1) > grid(j)) hash |= 1L << j
+            j += 1
+          }
         }
         Row(r.getAs[Long]("doc_id"), hash)
       }
@@ -722,9 +727,12 @@ object Multimodal {
       gen(col("doc_id")).as("content"))
   }
 
-  /** Per-frame perceptual hash: REAL AVI demux, dHash each 8×8 RGB
-    * frame directly (7 comparisons × 8 rows = 56 bits — no resample
-    * needed at the container's native grid). One row per (doc, frame). */
+  /** Per-frame perceptual hash: REAL AVI demux, dHash each RGB frame
+    * on a nearest-neighbor 8×8 grid (7 comparisons × 8 rows = 56
+    * bits) — the same resample convention as [[dhash56]], so frames at
+    * the corpus's native 8×8 hash identically to the direct read while
+    * other geometries resample instead of cropping or indexing past
+    * the pixel array. One row per (doc, frame). */
   def videoFrameHashes(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -736,19 +744,26 @@ object Multimodal {
         val vid = Avi.decode(r.getAs[Array[Byte]]("content"))
         val id = r.getAs[Long]("doc_id")
         vid.frames.zipWithIndex.map { case (px, f) =>
-          def gray(x: Int, y: Int): Int = {
+          // nearest-neighbor resample onto the 8×8 dHash grid; for the
+          // native 8×8 frame gx/gy are the identity, so the oracle's
+          // direct pixel replay is unchanged
+          def gray(gx: Int, gy: Int): Int = {
+            val x = gx * vid.width / 8
+            val y = gy * vid.height / 8
             val i0 = (y * vid.width + x) * 3
             (px(i0) & 0xff) + (px(i0 + 1) & 0xff) + (px(i0 + 2) & 0xff)
           }
           var hash = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 7) {
-              if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 7 + x)
-              x += 1
+          if (px.nonEmpty) {
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 7) {
+                if (gray(x + 1, y) > gray(x, y)) hash |= 1L << (y * 7 + x)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
           }
           Row(id, f.toLong, hash)
         }

@@ -9,9 +9,8 @@ class GraphsSpec extends SparkSpec {
   import spark.implicits._
 
   test("known graph: K4 plus a pendant and a square") {
-    // K4 on 0-3 (4 triangles, 2 per node... each node of K4 is in 3
-    // triangles; total triangles 4); pendant 4-0; square 5-6-7-8 (no
-    // triangles, all zero)
+    // K4 on 0-3: 4 triangles total, each K4 node sits in 3 of them;
+    // pendant 4-0; square 5-6-7-8 (no triangles, all zero)
     val edges = Seq(
       (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), // K4
       (4, 0),                                         // pendant

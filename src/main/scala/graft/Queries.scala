@@ -1472,6 +1472,46 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Robust per-source outlier docs — round 6: Hampel ×3 MAD rule on
+    * doc length ([[operators.Outliers.madOutliers]]). Medians are exact
+    * LOWER medians computed on the value histogram (domain-sized windows,
+    * never corpus-sized; see the operator scaladoc), so the whole
+    * statistic replays in integer SQL and hash-compares. k=2 rather than
+    * the textbook 3 so the gate output is non-empty at every tested
+    * scale. */
+  val madOutliersGate: Q = q("mad_outliers",
+    """WITH hist AS (
+      |  SELECT source, n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+      |cum AS (SELECT source, v,
+      |          CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
+      |        FROM hist),
+      |med AS (SELECT c.source, min(v) AS med FROM cum c JOIN tot t USING (source)
+      |        WHERE c.cum * 2 >= t.n GROUP BY 1),
+      |dev AS (SELECT d.doc_id, d.source, d.n_chars, m.med,
+      |          abs(d.n_chars - m.med) AS ad
+      |        FROM documents d JOIN med m USING (source)),
+      |dhist AS (SELECT source, ad AS v, count(*) AS cnt FROM dev GROUP BY 1, 2),
+      |dtot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM dhist GROUP BY 1),
+      |dcum AS (SELECT source, v,
+      |           CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
+      |         FROM dhist),
+      |mad AS (SELECT c.source, min(v) AS mad FROM dcum c JOIN dtot t USING (source)
+      |        WHERE c.cum * 2 >= t.n GROUP BY 1)
+      |SELECT dev.doc_id, dev.source, dev.n_chars, dev.med, mad.mad
+      |FROM dev JOIN mad USING (source)
+      |WHERE dev.ad > 2 * mad.mad
+      |ORDER BY dev.doc_id""".stripMargin) { (s, dir) =>
+    // k=2: the synthetic corpus has no 3×-MAD tail at scale (uniform-ish
+    // length generator), and an empty gate proves nothing — k=2 keeps the
+    // differential populated at sf0.01 (51) through sf1 (2.9k)
+    operators.Outliers.madOutliers(t(s, dir, "documents"), "source",
+      "n_chars", k = 2)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("med"),
+        col("mad"))
+      .orderBy("doc_id")
+  }
+
   /** Semantic (embedding-space) decontamination — round 4: corpus rows
     * within cosine ≥ 0.35 of ANY benchmark vector are removed (the
     * paraphrased-contamination rule n-gram overlap misses). Bench
@@ -5331,7 +5371,7 @@ object Queries {
     pplBuckets, editDistancePairs, pipelineCurationV6, cellBalancedGate,
     annFilteredTopK, knnGraphGate, triangleCountGate, bitextMineGate,
     heavyHittersGate,
-    adaptiveLengthFilter,
+    adaptiveLengthFilter, madOutliersGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

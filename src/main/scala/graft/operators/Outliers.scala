@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier detection: median / MAD (median absolute
+  * deviation) with the Hampel ×k rule (Leys et al. 2013, "Detecting
+  * outliers: do not use standard deviation around the mean, use absolute
+  * deviation around the median") — the standard robust filter for
+  * corpus-curation metrics (doc length, token count, link density) where
+  * the mean/stddev rule is itself dragged by the outliers it should
+  * catch.
+  *
+  * Exactness and scale come from the same trick: medians are computed on
+  * the VALUE HISTOGRAM, not the rows. `groupBy(group, value).count()` is
+  * one corpus-sized shuffle with map-side combine, after which the
+  * cumulative-count window runs per group over a frame bounded by the
+  * group's DISTINCT-value count — domain-sized, not corpus-sized, so a
+  * 100 TB corpus with integer metrics (lengths, counts) compresses to
+  * the value domain before any window sees it. No `percentile_approx`
+  * (the result is exact, so it hash-compares against a SQL oracle) and
+  * no per-group sort of raw rows.
+  *
+  * Median convention: the LOWER median — the element at 1-based position
+  * ceil(n/2) of the sorted group — so every statistic stays in the
+  * value's own integer domain and replays exactly in SQL
+  * (`cum*2 >= n`). All arithmetic is integral end to end; the flag
+  * compare `|x − med| > k·MAD` multiplies instead of dividing.
+  */
+object Outliers {
+
+  /** Per-group lower median of an integral column via histogram
+    * compression: returns `(groupCol, medCol)`, one row per group.
+    * Null values are excluded (a null length carries no evidence);
+    * groups with only nulls drop out. */
+  def lowerMedianByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                         medCol: String = "med"): DataFrame = {
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("__graft_v"))
+      .agg(count(lit(1)).as("__graft_cnt"))
+    val tot = hist.groupBy(groupCol)
+      .agg(sum("__graft_cnt").as("__graft_n"))
+    val w = Window.partitionBy(groupCol).orderBy("__graft_v")
+    hist.withColumn("__graft_cum", sum("__graft_cnt").over(w))
+      .join(tot, groupCol)
+      // first value whose cumulative count reaches ceil(n/2): 2·cum ≥ n
+      // covers both parities (2·cum is even, so for odd n it implies
+      // 2·cum ≥ n+1 automatically)
+      .filter(col("__graft_cum") * 2 >= col("__graft_n"))
+      .groupBy(groupCol).agg(min("__graft_v").as(medCol))
+  }
+
+  /** Rows whose `valueCol` deviates from the group's lower median by
+    * more than `k` × the group's MAD (lower median of absolute
+    * deviations). Output = the input columns plus `med`, `mad`,
+    * `absdev`. A group whose MAD is 0 (over half the mass on one value)
+    * flags every row off the modal value — the standard Hampel
+    * degeneracy, deliberately kept: it is the "this source emits
+    * boilerplate of one exact length" signal. Both median frames are
+    * group-cardinality-sized and broadcast back, so the corpus is
+    * scanned twice and shuffled only by the two histogram aggregates. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 3): DataFrame = {
+    val med = lowerMedianByGroup(df, groupCol, valueCol)
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("absdev", abs(col(valueCol) - col("med")))
+    val mad = lowerMedianByGroup(dev, groupCol, "absdev", medCol = "mad")
+    dev.join(broadcast(mad), Seq(groupCol))
+      .filter(col("absdev") > lit(k) * col("mad"))
+  }
+}

@@ -1512,6 +1512,36 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Per-source ROC-AUC — round 6: Mann–Whitney rank-sum AUC of doc
+    * length as a predictor of English-ness
+    * ([[operators.Metrics.aucByGroup]]). Computed on the score
+    * histogram (no global sort, no per-row ranks); `auc2_num` = 2U is
+    * integral so ties cost no floating error, and the closing division
+    * is one double op on exact integers — hash-stable. */
+  val aucRankGate: Q = q("auc_rank",
+    """WITH h AS (
+      |  SELECT source, n_chars AS s,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+      |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS q
+      |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      |  GROUP BY 1, 2),
+      |c AS (SELECT source, p, q,
+      |        CAST(sum(q) OVER (PARTITION BY source ORDER BY s) - q AS BIGINT) AS qb
+      |      FROM h),
+      |a AS (SELECT source, CAST(sum(p) AS BIGINT) AS pos_n,
+      |        CAST(sum(q) AS BIGINT) AS neg_n,
+      |        CAST(sum(p * (qb * 2 + q)) AS BIGINT) AS auc2_num
+      |      FROM c GROUP BY 1)
+      |SELECT source, pos_n, neg_n, auc2_num,
+      |  CAST(auc2_num AS DOUBLE) / (2.0 * pos_n * neg_n) AS auc
+      |FROM a WHERE pos_n > 0 AND neg_n > 0
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    operators.Metrics.aucByGroup(
+      t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+      "source", "n_chars", "is_en")
+      .orderBy("source")
+  }
+
   /** Semantic (embedding-space) decontamination — round 4: corpus rows
     * within cosine ≥ 0.35 of ANY benchmark vector are removed (the
     * paraphrased-contamination rule n-gram overlap misses). Bench
@@ -5371,7 +5401,7 @@ object Queries {
     pplBuckets, editDistancePairs, pipelineCurationV6, cellBalancedGate,
     annFilteredTopK, knnGraphGate, triangleCountGate, bitextMineGate,
     heavyHittersGate,
-    adaptiveLengthFilter, madOutliersGate,
+    adaptiveLengthFilter, madOutliersGate, aucRankGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

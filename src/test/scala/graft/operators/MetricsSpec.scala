@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The rank-sum AUC against a brute-force pair count: AUC is literally
+  * P(pos > neg) + P(pos = neg)/2, so the oracle enumerates every
+  * (positive, negative) pair. Covers ties, perfect/inverted separation,
+  * single-class groups (dropped), and null hygiene. */
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteAuc(rows: Seq[(Long, Boolean)]): Option[Double] = {
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    if (pos.isEmpty || neg.isEmpty) None
+    else {
+      val wins = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      Some(wins.toDouble / (2.0 * pos.size * neg.size))
+    }
+  }
+
+  test("aucByGroup == brute-force pair enumeration (with heavy ties)") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 3).flatMap { g =>
+      (0 until 300).map { _ =>
+        // score domain of just 20 values forces tie handling
+        (s"g$g", rnd.nextInt(20).toLong, rnd.nextInt(3) == 0)
+      }
+    }
+    val got = Metrics.aucByGroup(data.toDF("g", "s", "y"), "g", "s", "y")
+      .select("g", "auc").as[(String, Double)].collect().toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val exp = bruteAuc(rows.map(r => (r._2, r._3))).get
+      assert(math.abs(got(g) - exp) < 1e-12, s"group $g: ${got(g)} vs $exp")
+    }
+  }
+
+  test("perfect, inverted, and degenerate separation") {
+    val df = Seq(
+      // all positives above all negatives -> AUC 1
+      ("hi", 10L, true), ("hi", 11L, true), ("hi", 1L, false),
+      // all positives below -> AUC 0
+      ("lo", 1L, true), ("lo", 10L, false),
+      // every score identical -> AUC 0.5
+      ("tie", 5L, true), ("tie", 5L, false), ("tie", 5L, false),
+      // one class only -> dropped
+      ("onlypos", 3L, true)).toDF("g", "s", "y")
+    val got = Metrics.aucByGroup(df, "g", "s", "y")
+      .select("g", "auc").as[(String, Double)].collect().toMap
+    assert(got == Map("hi" -> 1.0, "lo" -> 0.0, "tie" -> 0.5))
+  }
+
+  test("null scores and labels are excluded") {
+    val df = Seq(
+      ("g", Some(2L), Some(true)), ("g", Some(1L), Some(false)),
+      ("g", None, Some(true)), ("g", Some(9L), None)).toDF("g", "s", "y")
+    val got = Metrics.aucByGroup(df, "g", "s", "y")
+      .select("pos_n", "neg_n", "auc").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 1L, 1.0)))
+  }
+}

@@ -1512,6 +1512,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Sorted-neighborhood blocking — round 6: candidate pairs within a
+    * 4-wide window of the length-sorted corpus
+    * ([[operators.Dedup.sortedNeighborhoodPairs]]). The oracle is the
+    * textbook row_number() self-join; the engine plan is the bucketed
+    * two-pass rank + a rank-offset equi-join, so the hash match proves
+    * the scalable plan reproduces the single-sort semantics exactly. */
+  val sortedNeighborhoodGate: Q = q("sorted_neighborhood",
+    """WITH r AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(b.rk - a.rk AS BIGINT) AS dist
+      |FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    operators.Dedup.sortedNeighborhoodPairs(
+      t(s, dir, "documents"), "doc_id", "n_chars", window = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-source ROC-AUC — round 6: Mann–Whitney rank-sum AUC of doc
     * length as a predictor of English-ness
     * ([[operators.Metrics.aucByGroup]]). Computed on the score
@@ -5402,6 +5421,7 @@ object Queries {
     annFilteredTopK, knnGraphGate, triangleCountGate, bitextMineGate,
     heavyHittersGate,
     adaptiveLengthFilter, madOutliersGate, aucRankGate,
+    sortedNeighborhoodGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

@@ -428,6 +428,43 @@ object Dedup {
     *
     * @return (id_a, id_b, containment) with id_a ≠ id_b, C(A,B) ≥ t
     */
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo, SIGMOD'95):
+    * total-order the corpus by a numeric blocking key, emit every pair
+    * within `window` positions. The classic entity-resolution blocking
+    * step — O(n·window) candidates instead of O(n²) — here for metrics
+    * like doc length where near-dups necessarily sort near each other.
+    *
+    * Scale shape: the total order comes from [[Ranks.globalRowNumber]]
+    * (two-pass range-bucket rank — NO single-partition window at any
+    * size), and the sliding window is not a window function at all: each
+    * row explodes into `window−1` rank probes and the pair is closed by
+    * one equi-join on rank. One corpus shuffle for the rank, one for the
+    * join, output linear in n·window.
+    *
+    * Ties in `sortCol` order by `idCol` (must be unique), making the
+    * neighborhood — and hence the output — deterministic.
+    *
+    * @return (id_a, id_b, dist) where dist ∈ [1, window−1] is the rank
+    *         gap; id_a is the lower-ranked side
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+                              sortCol: String, window: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2 to emit any pair")
+    val ranked = Ranks.globalRowNumber(
+      df.select(col(idCol), col(sortCol)), sortCol, idCol,
+      outCol = "__graft_rk")
+    val probes = ranked
+      .withColumn("__graft_i",
+        explode(array((1 until window).map(lit(_)): _*)))
+      .select(col(idCol).as("id_a"),
+        (col("__graft_rk") + col("__graft_i")).as("__graft_rk2"),
+        col("__graft_i").cast("long").as("dist"))
+    probes
+      .join(ranked.select(col(idCol).as("id_b"),
+        col("__graft_rk").as("__graft_rk2")), "__graft_rk2")
+      .select("id_a", "id_b", "dist")
+  }
+
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,

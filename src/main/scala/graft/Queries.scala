@@ -1190,6 +1190,52 @@ object Queries {
     * round-6 assignment cosines with a cid tie-break — the exact replay of
     * [[operators.Similarity]]'s quantizer. `a1 WHERE r = 1` is the final
     * cell assignment; `a1 WHERE r <= nProbe` gives probe cells. */
+  /** SQL replay of [[operators.Similarity.kmeansTrain]]: `iters` full
+    * Lloyd passes unrolled as assignment/refine CTE pairs (the same
+    * round-6 cosine + highest-cid tie-break + FLOAT-rounded means as
+    * [[duckIvfCells]]'s single pass), closing with the final assignment's
+    * cell sizes. */
+  private def duckKmeansChain(k: Int, iters: Int): String = {
+    def assign(i: Int, centTable: String): String =
+      s"""a$i AS (
+         |  SELECT vec_id, v, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS r
+         |  FROM (SELECT x.vec_id, x.v, s.cid,
+         |          round(list_cosine_similarity(x.v, s.v), 6) AS cos
+         |        FROM vecs x CROSS JOIN $centTable s) t$i)""".stripMargin
+    def refine(i: Int): String =
+      s"""r$i AS (
+         |  SELECT cell AS cid, list(CAST(CAST(m AS FLOAT) AS DOUBLE) ORDER BY dim) AS v
+         |  FROM (SELECT cell, dim, avg(x) AS m
+         |        FROM (SELECT cid AS cell, unnest(v) AS x,
+         |                unnest(range(len(v))) AS dim
+         |              FROM a${i - 1} WHERE r = 1) e
+         |        GROUP BY cell, dim) g
+         |  GROUP BY cell)""".stripMargin
+    val steps = (1 to iters).flatMap { i =>
+      Seq(assign(i - 1, if (i == 1) "seeds" else s"r${i - 1}"), refine(i))
+    } :+ assign(iters, s"r$iters")
+    (Seq(
+      s"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
+         |  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT $k))""".stripMargin
+    ) ++ steps).mkString(",\n")
+  }
+
+  val kmeansTrainGate: Q = q("kmeans_train",
+    s"""WITH ${duckKmeansChain(8, 3)},
+       |sizes AS (SELECT cid, count(*) AS n FROM a3 WHERE r = 1 GROUP BY 1),
+       |cent AS (SELECT cid, unnest(v) AS c, unnest(range(len(v))) AS dim FROM r3)
+       |SELECT cent.cid, CAST(cent.dim AS BIGINT) AS dim, cent.c,
+       |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n
+       |FROM cent LEFT JOIN sizes s USING (cid)
+       |ORDER BY cent.cid, dim""".stripMargin) { (s, dir) =>
+    operators.Similarity.kmeansTrain(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 8, iters = 3)
+      .orderBy("cid", "dim")
+  }
+
   private def duckIvfCells(nCentroids: Int): String =
     s"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |seeds AS (
@@ -5421,7 +5467,7 @@ object Queries {
     annFilteredTopK, knnGraphGate, triangleCountGate, bitextMineGate,
     heavyHittersGate,
     adaptiveLengthFilter, madOutliersGate, aucRankGate,
-    sortedNeighborhoodGate,
+    sortedNeighborhoodGate, kmeansTrainGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

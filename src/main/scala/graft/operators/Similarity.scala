@@ -179,12 +179,65 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
     if (seeds.isEmpty) return Nil // empty corpus: no cells to refine
-    withCell(e, seeds)
+    lloydStep(e, seeds)
+  }
+
+  /** One Lloyd iteration: assign every vector to its nearest centroid
+    * (fused kernel, round-6 cosine, highest-cid tie-break) and recompute
+    * each non-empty cell's elementwise mean, ROUNDED TO FLOAT — the
+    * rounding is what makes the step bit-stable across engines (double
+    * summation order drifts by ~n·2⁻⁵², orders of magnitude below float
+    * precision, so the FLOAT cast absorbs it; proven at sf1 by the IVF
+    * gates). Cells that win no rows drop out, exactly as the SQL replay's
+    * GROUP BY drops them. The collect is K×d centroid metadata — the
+    * standard quantizer-training shape, never corpus-sized. */
+  private def lloydStep(e: DataFrame,
+                        cents: Seq[(Int, Seq[Float])]): Seq[(Int, Seq[Float])] =
+    withCell(e, cents)
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cell", "dim").agg(avg("x").as("m"))
       .groupBy("cell").agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ms"))
       .select(col("cell"), expr("transform(ms, s -> CAST(s.m AS FLOAT))").as("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+
+  /** Deterministic distributed k-means training (Lloyd): seeds = the
+    * first `k` vectors by id, `iters` full assignment+mean passes. Every
+    * iteration is one corpus scan + one (cell, dim)-keyed aggregate with
+    * map-side combine — the canonical scalable k-means shape (centroids
+    * broadcast INTO the fused nearest-centroid kernel; only K×d floats
+    * ever reach the driver). Determinism is total: fixed seeds, the
+    * kernel's round-6 cosine + highest-cid tie-break, FLOAT-rounded
+    * means — so the whole training run replays exactly in SQL.
+    *
+    * @return (cid, dim, c, n): the final centroids unrolled per
+    *         dimension, with `n` = the cell's population under a final
+    *         assignment pass (0 for a centroid that survives training
+    *         but wins no rows at the end)
+    */
+  def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 8, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val seeds: Seq[(Int, Seq[Float])] = e.orderBy("n_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
+    val spark = emb.sparkSession
+    import spark.implicits._
+    if (seeds.isEmpty)
+      return Seq.empty[(Int, Long, Double, Long)].toDF("cid", "dim", "c", "n")
+    var cents = seeds
+    var it = 0
+    while (it < iters) { cents = lloydStep(e, cents); it += 1 }
+    val sizes = withCell(e, cents)
+      .groupBy(col("cell").as("cid")).agg(count(lit(1)).as("n"))
+    val centDf = cents
+      .flatMap { case (cid, vs) =>
+        vs.zipWithIndex.map { case (x, d) => (cid, d.toLong, x.toDouble) }
+      }
+      .toDF("cid", "dim", "c")
+    centDf.join(sizes, Seq("cid"), "left")
+      .select(col("cid"), col("dim"), col("c"),
+        coalesce(col("n"), lit(0L)).as("n"))
   }
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,

@@ -2019,6 +2019,32 @@ object Queries {
       .orderBy("split")
   }
 
+  /** Exact stratified split — round 6: per-language split sizes are
+    * exact (rank-thresholded, [[operators.Sampling.stratifiedSplit]]),
+    * not just expected as in `sample_split`. The per-stratum order is
+    * the bucketed grouped rank ([[operators.Ranks.groupedRowNumber]] —
+    * strata are corpus-sized, so no per-stratum window); the oracle is
+    * the textbook per-stratum row_number. `id_sum` checksums the exact
+    * row assignment, so proportions can't pass with shuffled members. */
+  val stratifiedSplitGate: Q = q("stratified_split", {
+    val h = operators.CrossHash.duckdbHash56("'s2:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY ($h), doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE WHEN rk * 100 <= 80 * n THEN 'train'
+       |       WHEN rk * 100 <= 90 * n THEN 'val' ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM r GROUP BY 1, 2 ORDER BY lang, split""".stripMargin }) { (s, dir) =>
+    operators.Sampling.stratifiedSplit(t(s, dir, "documents"), "doc_id",
+      "lang", Seq("train" -> 80, "val" -> 10, "test" -> 10), salt = "s2")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("cnt"), sum("doc_id").as("id_sum"))
+      .orderBy("lang", "split")
+  }
+
   /** Per-group quota sampling: at most 10 docs per language, drawn in
     * salted-hash order — deterministic, so the DuckDB oracle reproduces
     * the exact row set with the same hash + row_number. */
@@ -5467,7 +5493,7 @@ object Queries {
     annFilteredTopK, knnGraphGate, triangleCountGate, bitextMineGate,
     heavyHittersGate,
     adaptiveLengthFilter, madOutliersGate, aucRankGate,
-    sortedNeighborhoodGate, kmeansTrainGate,
+    sortedNeighborhoodGate, kmeansTrainGate, stratifiedSplitGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

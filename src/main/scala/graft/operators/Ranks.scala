@@ -110,6 +110,66 @@ object Ranks {
       .drop("__graft_bkt", "__graft_off")
   }
 
+  /** Exact per-group 1-based row number ordered by `(valueCol, tieCol)`
+    * within `groupCol` — `row_number() OVER (PARTITION BY g ORDER BY v,
+    * t)` without group-sized window partitions. A per-group window is
+    * only safe when every group is small; for strata like language or
+    * source a single group is a constant fraction OF THE CORPUS, which
+    * re-creates the single-partition hazard with a different name. Same
+    * two-pass shape as [[globalRowNumber]], per group: (1) one scan
+    * computes every group's approximate value-quantile boundaries
+    * (group-cardinality-sized result, joined back — boundary precision
+    * affects balance, never correctness); (2) row_number within
+    * `(group, bucket)` partitions of ≈ group_n/buckets rows; (3) add the
+    * group's exclusive bucket offsets (a groups×buckets frame whose
+    * running sum windows per group over ≤ `buckets` rows). All joins are
+    * equi-keyed; nothing is partitioned by group alone.
+    *
+    * `tieCol` must be unique within a group for a deterministic order.
+    * NULL values rank first, matching the window-function semantics. */
+  def groupedRowNumber(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String,
+      buckets: Int = 64,
+      outCol: String = "rank"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val v = col(valueCol).cast("double")
+    val probes = (1 until buckets).map(_.toDouble / buckets)
+    val bounds =
+      if (buckets == 1)
+        df.select(col(groupCol)).distinct()
+          .withColumn("__graft_qs", array().cast("array<double>"))
+      else
+        df.groupBy(groupCol).agg(
+          array_sort(array_distinct(coalesce(
+            percentile_approx(v, array(probes.map(lit): _*), lit(10000)),
+            array().cast("array<double>")))).as("__graft_qs"))
+    // bucket = #boundaries strictly below v (equal values always share a
+    // bucket); NULLs pin to bucket 0 where the nulls-first in-bucket
+    // window restores the total order
+    val bucketed = df.join(bounds, groupCol)
+      .withColumn("__graft_bkt",
+        when(v.isNull, lit(0)).otherwise(
+          size(filter(col("__graft_qs"), b => b < v))))
+      .drop("__graft_qs")
+    val inBucket = row_number().over(
+      Window.partitionBy(col(groupCol), col("__graft_bkt"))
+        .orderBy(col(valueCol), col(tieCol)))
+    val offsets = bucketed.groupBy(col(groupCol), col("__graft_bkt"))
+      .agg(count(lit(1)).as("__graft_n"))
+      .withColumn("__graft_off",
+        coalesce(sum(col("__graft_n")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__graft_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("__graft_bkt"), col("__graft_off"))
+    bucketed
+      .join(offsets, Seq(groupCol, "__graft_bkt"))
+      .withColumn(outCol, (col("__graft_off") + inBucket).cast("long"))
+      .drop("__graft_bkt", "__graft_off")
+  }
+
   /** SQL `ntile(k)` reconstructed from an exact global rank — the scalable
     * replacement for `ntile(k) OVER (ORDER BY …)`, whose empty PARTITION BY
     * serializes the corpus into one task. Exact NTILE semantics: with

@@ -42,6 +42,43 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt, buckets) <
       lit(math.round(fraction * buckets)))
 
+  /** Exact stratified split: within every stratum, rows are ordered by
+    * salted [[CrossHash]] (pseudorandom but fully deterministic) and the
+    * first ⌊p₁·n⌋ go to the first split, the next ⌊p₂·n⌋-ish to the
+    * second, and so on — so each stratum's split sizes are EXACT
+    * (±1 from flooring), where [[hashSplit]] only hits the proportions
+    * in expectation. The price is a rank instead of a projection: the
+    * per-stratum order comes from [[Ranks.groupedRowNumber]] (bucketed
+    * two-pass — strata are corpus-fraction-sized, so a per-stratum
+    * window would be the single-partition hazard renamed).
+    *
+    * `percents` are integer percentages summing to 100; membership is
+    * the all-integer test `100·rank ≤ cumPct·n` (≡ rank ≤ ⌊cumPct·n/100⌋),
+    * so the assignment replays exactly in SQL. Unlike [[hashSplit]],
+    * assignments are NOT stable under corpus growth (ranks shift) — this
+    * is the frozen-snapshot splitter; use [[hashSplit]] for incremental
+    * ingest. */
+  def stratifiedSplit(df: DataFrame, idCol: String, stratumCol: String,
+                      percents: Seq[(String, Int)], salt: String,
+                      splitCol: String = "split"): DataFrame = {
+    require(percents.nonEmpty && percents.map(_._2).sum == 100,
+      "percents must sum to 100")
+    val hashed = df.withColumn("__graft_h",
+      CrossHash.hash56(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+    val ranked = graft.operators.Ranks.groupedRowNumber(
+      hashed, stratumCol, "__graft_h", idCol, outCol = "__graft_rk")
+    val totals = df.groupBy(stratumCol).agg(count(lit(1)).as("__graft_n"))
+    val cum = percents.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val labeled = percents.map(_._1).zip(cum).dropRight(1)
+      .foldRight(lit(percents.last._1): Column) { case ((name, hi), els) =>
+        when(col("__graft_rk") * 100 <= lit(hi.toLong) * col("__graft_n"),
+          lit(name)).otherwise(els)
+      }
+    ranked.join(totals, stratumCol)
+      .withColumn(splitCol, labeled)
+      .drop("__graft_h", "__graft_rk", "__graft_n")
+  }
+
   /** Deterministic dataset split: label every row with the name of the
     * split whose cumulative-fraction interval contains its hash bucket
     * (e.g. `("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`). Fractions

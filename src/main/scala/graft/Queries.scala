@@ -2162,6 +2162,34 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Connected components via large/small-star contraction — round 6:
+    * the O(log n)-round alternative to `dup_clusters`' O(diameter)
+    * propagation ([[operators.Graphs.connectedComponentsLss]]), same
+    * min-label contract, same candidate pairs, same recursive-CTE
+    * oracle — so the hash match proves both algorithms agree with the
+    * exact transitive closure. */
+  val dupClustersLss: Q = q("dup_clusters_lss", {
+    val pairsSql = duckJaccardPairs(n = 2, threshold = 0.5, leftPred = "true")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+       |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = operators.Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+    operators.Graphs.connectedComponentsLss(
+      docs.select(col("doc_id").cast("long").as("doc_id")), pairs,
+      idCol = "doc_id")
+      .select(col("doc_id"), col("cluster_id").cast("long").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction over text with synthesized deterministic PII (the
     * corpus itself is clean word-soup): email + IP on every doc, SSN on
     * doc_id%3==0, phone on doc_id%5==0. Counts and the redacted text are
@@ -5494,6 +5522,7 @@ object Queries {
     heavyHittersGate,
     adaptiveLengthFilter, madOutliersGate, aucRankGate,
     sortedNeighborhoodGate, kmeansTrainGate, stratifiedSplitGate,
+    dupClustersLss,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

@@ -80,4 +80,81 @@ object Graphs {
     deg.select("id").join(perNode, Seq("id"), "left")
       .na.fill(0L, Seq("triangles"))
   }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): provably O(log n) ROUNDS on any graph, where
+    * [[Dedup.duplicateClusters]]' plain min-label propagation needs
+    * O(diameter) — the same answer, but chain- and tree-shaped
+    * components (e.g. similarity graphs built from sorted-neighborhood
+    * or as-of adjacency, whose diameter is Θ(n)) close in a dozen rounds
+    * instead of thousands. Near-dup clique graphs have tiny diameters,
+    * which is why propagation stays the library default; this is the
+    * guaranteed-log path for adversarial shapes.
+    *
+    * Each round is two groupBy-min aggregates and two co-partitioned
+    * self-joins on the CURRENT edge frame — output-sized, shrinking, and
+    * always equi-keyed; no corpus-sized state. Every edge is kept
+    * (larger → smaller), so star-ness at the fixed point IS the
+    * component labeling: u → min-id of its component.
+    *
+    * large-star hooks every above-parent neighbor of u to u's minimum
+    * neighbor; small-star re-hangs u and its below-u neighbors onto the
+    * minimum. The fixed point (edge set unchanged by a full round) is a
+    * forest of stars rooted at component minima.
+    *
+    * @return `(idCol, cluster_id)` for every id — cluster_id = min id
+    *         reachable through the pairs, singletons themselves; the
+    *         exact contract of [[Dedup.duplicateClusters]]
+    */
+  def connectedComponentsLss(ids: DataFrame, pairs: DataFrame,
+                             idCol: String = "id",
+                             maxRounds: Int = 50): DataFrame = {
+    val spark = ids.sparkSession
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val bid = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bid.groupBy("u").agg(min("v").as("mn"))
+      bid.join(mins, "u")
+        .withColumn("m", least(col("mn"), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges already point (larger u → smaller v)
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      // fixed point: symmetric difference empty (both frames canonical
+      // larger→smaller, so set equality is the right test)
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged, s"large/small-star did not converge in $maxRounds rounds")
+    val idType = ids.schema(idCol).dataType
+    ids.select(col(idCol))
+      .join(edges.select(col("u").as(idCol), col("v").as("__graft_lbl")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__graft_lbl"), col(idCol)).cast(idType).as("cluster_id"))
+  }
 }

@@ -1607,6 +1607,49 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Per-language winsorization — round 6: clip doc length into the
+    * [p5, p95] order-statistic window ([[operators.Outliers.winsorize]]).
+    * Same exact-rank bound selection as `adaptive_length_filter`, but
+    * clipping instead of filtering, and the ranks run through the
+    * bucketed grouped rank rather than a per-group window. */
+  val winsorizeGate: Q = q("winsorize",
+    """WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      |r AS (SELECT lang, n_chars,
+      |        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk
+      |      FROM documents),
+      |b AS (SELECT r.lang, min(n_chars) AS lo, max(n_chars) AS hi
+      |      FROM r JOIN n USING (lang)
+      |      WHERE rk = (5 * cnt + 99) // 100 OR rk = (95 * cnt + 99) // 100
+      |      GROUP BY r.lang)
+      |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+      |  CAST(least(greatest(d.n_chars, b.lo), b.hi) AS BIGINT) AS winsorized
+      |FROM documents d JOIN b USING (lang)
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    operators.Outliers.winsorize(t(s, dir, "documents"), "lang", "n_chars",
+      tieCol = "doc_id", pLoPct = 5, pHiPct = 95)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("winsorized").cast("long").as("winsorized"))
+      .orderBy("doc_id")
+  }
+
+  /** Systematic (every-k-th) sampling — round 6: exact ⌈n/k⌉ sample by
+    * hash-order rank ([[operators.Sampling.systematicSample]]); the
+    * oracle replays hash, rank, and the modular selection. */
+  val systematicSampleGate: Q = q("systematic_sample", {
+    val h = operators.CrossHash.duckdbHash56("'s3:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY ($h), doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id FROM r WHERE (rk - 1) % 7 = 0
+       |ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+    operators.Sampling.systematicSample(t(s, dir, "documents"), "doc_id",
+      k = 7, salt = "s3")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Semantic (embedding-space) decontamination — round 4: corpus rows
     * within cosine ≥ 0.35 of ANY benchmark vector are removed (the
     * paraphrased-contamination rule n-gram overlap misses). Bench
@@ -5522,7 +5565,7 @@ object Queries {
     heavyHittersGate,
     adaptiveLengthFilter, madOutliersGate, aucRankGate,
     sortedNeighborhoodGate, kmeansTrainGate, stratifiedSplitGate,
-    dupClustersLss,
+    dupClustersLss, winsorizeGate, systematicSampleGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

@@ -51,6 +51,43 @@ object Outliers {
       .groupBy(groupCol).agg(min("__graft_v").as(medCol))
   }
 
+  /** Per-group winsorization: CLIP `valueCol` into the group's
+    * [pLoPct, pHiPct] order-statistic window instead of dropping rows
+    * (the outlier treatment that preserves corpus size — standard for
+    * heavy-tailed curation metrics feeding downstream normalization).
+    * The bound at percentile p is the value at 1-based rank ⌈p·n/100⌉,
+    * an exact order statistic in the value's own domain — no
+    * interpolation, so the oracle replays it exactly.
+    *
+    * Ranks come from [[Ranks.groupedRowNumber]] (bucketed two-pass per
+    * group), NOT a per-group window — groups are corpus fractions, and
+    * clipping is precisely the operation you run on the biggest ones.
+    * The bounds frame is group-cardinality-sized and joins back by
+    * group key. `tieCol` must be unique (ranks need a total order; the
+    * bound VALUE is tie-invariant since equal values are
+    * interchangeable at any rank).
+    *
+    * @return the input plus `outCol` = clipped value */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                tieCol: String, pLoPct: Int, pHiPct: Int,
+                outCol: String = "winsorized"): DataFrame = {
+    require(0 < pLoPct && pLoPct <= pHiPct && pHiPct <= 100,
+      s"need 0 < pLo <= pHi <= 100, got ($pLoPct, $pHiPct)")
+    val ranked = Ranks.groupedRowNumber(
+      df.select(col(groupCol), col(valueCol), col(tieCol)),
+      groupCol, valueCol, tieCol, outCol = "__graft_r")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__graft_n"))
+    val bounds = ranked.join(counts, groupCol)
+      .filter(col("__graft_r") === expr(s"($pLoPct * __graft_n + 99) div 100")
+        || col("__graft_r") === expr(s"($pHiPct * __graft_n + 99) div 100"))
+      .groupBy(groupCol)
+      .agg(min(valueCol).as("__graft_lo"), max(valueCol).as("__graft_hi"))
+    df.join(bounds, groupCol)
+      .withColumn(outCol,
+        least(greatest(col(valueCol), col("__graft_lo")), col("__graft_hi")))
+      .drop("__graft_lo", "__graft_hi")
+  }
+
   /** Rows whose `valueCol` deviates from the group's lower median by
     * more than `k` × the group's MAD (lower median of absolute
     * deviations). Output = the input columns plus `med`, `mad`,

@@ -42,6 +42,27 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt, buckets) <
       lit(math.round(fraction * buckets)))
 
+  /** Systematic sampling: every `k`-th row of the salted-hash order —
+    * the equal-interval design that guarantees an EXACT ⌈n/k⌉ sample
+    * size and even coverage of the (pseudorandom) order, where
+    * [[hashSample]]'s Bernoulli draw only hits the rate in expectation.
+    * The order is the bucketed global rank over [[CrossHash]] of the id
+    * (no single-partition window); selection is `rank % k == 1`, all
+    * integer, so the exact row set replays in SQL. Like
+    * [[stratifiedSplit]], this is a frozen-snapshot design — ranks shift
+    * when the corpus grows. Selection is `(rank−1) % k == 0` (ranks are
+    * 1-based; k=1 keeps everything). */
+  def systematicSample(df: DataFrame, idCol: String, k: Int,
+                       salt: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val hashed = df.withColumn("__graft_h",
+      CrossHash.hash56(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+    graft.operators.Ranks.globalRowNumber(hashed, "__graft_h", idCol,
+      outCol = "__graft_rk")
+      .filter((col("__graft_rk") - 1) % k === 0)
+      .drop("__graft_h", "__graft_rk")
+  }
+
   /** Exact stratified split: within every stratum, rows are ordered by
     * salted [[CrossHash]] (pseudorandom but fully deterministic) and the
     * first ⌊p₁·n⌋ go to the first split, the next ⌊p₂·n⌋-ish to the

@@ -64,6 +64,14 @@ class GroupedRankSpec extends SparkSpec {
     assert(out.count() == 1000)
   }
 
+  test("systematicSample keeps exactly ceil(n/k) rows, k=1 keeps all") {
+    val df = (0L until 1003L).map(id => (id, s"x$id")).toDF("id", "payload")
+    val got = Sampling.systematicSample(df, "id", k = 7, salt = "z")
+    assert(got.count() == (1003 + 6) / 7)
+    assert(got.columns.toSeq == Seq("id", "payload"))
+    assert(Sampling.systematicSample(df, "id", k = 1, salt = "z").count() == 1003)
+  }
+
   test("stratifiedSplit is deterministic and salt-sensitive") {
     val df = (0L until 300L).map(id => (id, s"s${id % 2}")).toDF("id", "stratum")
     def assign(salt: String) =

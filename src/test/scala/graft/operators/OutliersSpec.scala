@@ -61,6 +61,25 @@ class OutliersSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture should actually contain outliers")
   }
 
+  test("winsorize == brute-force clip at exact rank bounds") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0L until 800L).map(id =>
+      (id, s"g${id % 3}", rnd.nextInt(1000).toLong))
+    val got = Outliers.winsorize(rows.toDF("id", "g", "v"), "g", "v",
+      tieCol = "id", pLoPct = 10, pHiPct = 90)
+      .select("id", "winsorized").as[(Long, Long)].collect().toMap
+    val expected = rows.groupBy(_._2).flatMap { case (_, grp) =>
+      val sorted = grp.map(_._3).sorted
+      val n = sorted.length
+      val lo = sorted((10 * n + 99) / 100 - 1)
+      val hi = sorted((90 * n + 99) / 100 - 1)
+      grp.map(r => r._1 -> math.min(math.max(r._3, lo), hi))
+    }
+    assert(got == expected.toMap)
+    // clipping must never drop rows
+    assert(got.size == 800)
+  }
+
   test("MAD=0 degeneracy: every row off the modal value flags") {
     val df = (Seq.fill(10)(5L) :+ 6L).zipWithIndex
       .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "g", "v")

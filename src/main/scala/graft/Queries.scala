@@ -1650,6 +1650,69 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Capstone v7 — round 6: the robust-stats curation chain as ONE lazy
+    * DAG: per-language winsorization (bounds from the full corpus) →
+    * per-source MAD outlier removal (anti-join) → exact stratified
+    * 90/10 split over the SURVIVORS (ranks computed post-filter, which
+    * the oracle must — and does — replay) → per-(lang, split) report
+    * with id/value checksums. Every stage is individually hash-gated;
+    * this gate proves their composition end to end. */
+  val pipelineCurationV7: Q = q("pipeline_curation_v7", {
+    val h = operators.CrossHash.duckdbHash56("'v7:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH wn AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+       |wr AS (SELECT lang, n_chars,
+       |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk
+       |       FROM documents),
+       |wb AS (SELECT wr.lang, min(n_chars) AS lo, max(n_chars) AS hi
+       |       FROM wr JOIN wn USING (lang)
+       |       WHERE rk = (5 * cnt + 99) // 100 OR rk = (95 * cnt + 99) // 100
+       |       GROUP BY wr.lang),
+       |wins AS (
+       |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       |    least(greatest(d.n_chars, wb.lo), wb.hi) AS w
+       |  FROM documents d JOIN wb USING (lang)),
+       |hist AS (SELECT source, n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+       |cum AS (SELECT source, v,
+       |          CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
+       |        FROM hist),
+       |med AS (SELECT c.source, min(v) AS med FROM cum c JOIN tot t USING (source)
+       |        WHERE c.cum * 2 >= t.n GROUP BY 1),
+       |dev AS (SELECT d.doc_id, d.source, abs(d.n_chars - m.med) AS ad
+       |        FROM documents d JOIN med m USING (source)),
+       |dhist AS (SELECT source, ad AS v, count(*) AS cnt FROM dev GROUP BY 1, 2),
+       |dcum AS (SELECT source, v,
+       |           CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
+       |         FROM dhist),
+       |dtot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM dhist GROUP BY 1),
+       |mad AS (SELECT c.source, min(v) AS mad FROM dcum c JOIN dtot t USING (source)
+       |        WHERE c.cum * 2 >= t.n GROUP BY 1),
+       |bad AS (SELECT dev.doc_id FROM dev JOIN mad USING (source)
+       |        WHERE dev.ad > 2 * mad.mad),
+       |kept AS (SELECT * FROM wins WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |r AS (SELECT doc_id, lang, w,
+       |        row_number() OVER (PARTITION BY lang ORDER BY ($h), doc_id) AS rk,
+       |        count(*) OVER (PARTITION BY lang) AS n
+       |      FROM kept)
+       |SELECT lang,
+       |  CASE WHEN rk * 100 <= 90 * n THEN 'train' ELSE 'heldout' END AS split,
+       |  CAST(count(*) AS BIGINT) AS cnt, CAST(sum(w) AS BIGINT) AS w_sum,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM r GROUP BY 1, 2 ORDER BY lang, split""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val wins = operators.Outliers.winsorize(docs, "lang", "n_chars",
+      tieCol = "doc_id", pLoPct = 5, pHiPct = 95, outCol = "w")
+    val outliers = operators.Outliers.madOutliers(docs, "source", "n_chars",
+      k = 2).select("doc_id")
+    val kept = wins.join(outliers, Seq("doc_id"), "left_anti")
+    operators.Sampling.stratifiedSplit(kept, "doc_id", "lang",
+      Seq("train" -> 90, "heldout" -> 10), salt = "v7")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("cnt"), sum("w").as("w_sum"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang", "split")
+  }
+
   /** Semantic (embedding-space) decontamination — round 4: corpus rows
     * within cosine ≥ 0.35 of ANY benchmark vector are removed (the
     * paraphrased-contamination rule n-gram overlap misses). Bench
@@ -5565,7 +5628,7 @@ object Queries {
     heavyHittersGate,
     adaptiveLengthFilter, madOutliersGate, aucRankGate,
     sortedNeighborhoodGate, kmeansTrainGate, stratifiedSplitGate,
-    dupClustersLss, winsorizeGate, systematicSampleGate,
+    dupClustersLss, winsorizeGate, systematicSampleGate, pipelineCurationV7,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

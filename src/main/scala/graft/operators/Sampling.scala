@@ -293,6 +293,25 @@ object Sampling {
       val tb = bs(a); bs(a) = bs(b); bs(b) = tb
       val ti = ids(a); ids(a) = ids(b); ids(b) = ti
     }
+
+    /** Insert only if `(b, id)` is not already held — the AT-LEAST-ONCE
+      * variant for streaming state ([[graft.streaming.StreamingSample]]),
+      * where a replayed record must not occupy a second slot and evict a
+      * legitimate member. O(k) membership scan; k is a constant. Batch
+      * aggregation keeps the plain [[insert]] (each input row is one
+      * logical row there, duplicates included by design). */
+    def insertDistinct(b: Long, id: Long): Unit = {
+      var i = 0
+      while (i < size) {
+        if (bs(i) == b && ids(i) == id) return
+        i += 1
+      }
+      insert(b, id)
+    }
+
+    /** Current members, smallest (bucket, id) first. */
+    def sortedMembers: Seq[(Long, Long)] =
+      (0 until size).map(i => (bs(i), ids(i))).sorted
   }
 
   /** Typed bottom-k aggregator over `(bucket, id)` rows: keeps the k

@@ -1577,6 +1577,54 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-source moment panel — round 6: mean/variance/skewness/kurtosis
+    * of doc length from exact DECIMAL(38,0) power sums
+    * ([[operators.Metrics.momentsByGroup]]; DuckDB's HUGEINT sums mirror
+    * them), closed by identical IEEE double formulas on both engines —
+    * so even the third- and fourth-moment micro values hash-match. */
+  val momentsAggGate: Q = q("moments_agg",
+    """WITH s AS (
+      |  SELECT source, count(*) AS n,
+      |    sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2,
+      |    sum(n_chars * n_chars * n_chars) AS s3,
+      |    sum(n_chars * n_chars * n_chars * n_chars) AS s4
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      |m AS (
+      |  SELECT source, CAST(n AS BIGINT) AS n,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + 2.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - 4.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      + 6.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      - 3.0 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS m4
+      |  FROM s)
+      |SELECT source, n,
+      |  CAST(round(mean * 1e6) AS BIGINT) AS mean_micro,
+      |  CAST(round(m2 * 1e6) AS BIGINT) AS var_micro,
+      |  CASE WHEN m2 > 0
+      |    THEN CAST(round(m3 / sqrt(m2 * m2 * m2) * 1e6) AS BIGINT) END AS skew_micro,
+      |  CASE WHEN m2 > 0
+      |    THEN CAST(round((m4 / (m2 * m2) - 3.0) * 1e6) AS BIGINT) END AS kurt_micro
+      |FROM m ORDER BY source""".stripMargin) { (s, dir) =>
+    operators.Metrics.momentsByGroup(t(s, dir, "documents"), "source",
+      "n_chars")
+      .orderBy("source")
+  }
+
   /** Per-source ROC-AUC — round 6: Mann–Whitney rank-sum AUC of doc
     * length as a predictor of English-ness
     * ([[operators.Metrics.aucByGroup]]). Computed on the score
@@ -5629,6 +5677,7 @@ object Queries {
     adaptiveLengthFilter, madOutliersGate, aucRankGate,
     sortedNeighborhoodGate, kmeansTrainGate, stratifiedSplitGate,
     dupClustersLss, winsorizeGate, systematicSampleGate, pipelineCurationV7,
+    momentsAggGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

@@ -23,6 +23,48 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
+  /** Per-group moment panel — mean, variance, skewness, excess kurtosis
+    * of an integral metric — from EXACT raw power sums: Σv, Σv², Σv³,
+    * Σv⁴ accumulate in DECIMAL(38,0) (a 550-char doc's v⁴ is ~10¹¹; a
+    * long accumulator overflows near 10⁸ rows, i.e. exactly at the
+    * corpus sizes this engine targets — the decimal sum is the
+    * 100 TB-safe accumulator, and DuckDB's HUGEINT mirrors it). One
+    * aggregate, map-side combined; the only non-integral step is the
+    * closing conversion of exact sums to IEEE doubles and the fixed
+    * central-moment formulas, spelled identically in the SQL oracle, so
+    * results round-trip to the repo's `*_micro` integers bit-equal.
+    *
+    * Degenerate groups (variance 0) emit null skew/kurtosis rather than
+    * a 0/0 NaN. */
+  def momentsByGroup(df: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    def dsum(c: org.apache.spark.sql.Column, name: String) =
+      sum(c.cast("decimal(38,0)")).as(name)
+    val sums = df.filter(v.isNotNull)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), dsum(v, "s1"), dsum(v * v, "s2"),
+        dsum(v * v * v, "s3"), dsum(v * v * v * v, "s4"))
+    val nd = col("n").cast("double")
+    val (s1, s2, s3, s4) = (col("s1").cast("double"),
+      col("s2").cast("double"), col("s3").cast("double"),
+      col("s4").cast("double"))
+    val mean = s1 / nd
+    val m2 = s2 / nd - mean * mean
+    val m3 = s3 / nd - lit(3.0) * mean * (s2 / nd) +
+      lit(2.0) * mean * mean * mean
+    val m4 = s4 / nd - lit(4.0) * mean * (s3 / nd) +
+      lit(6.0) * mean * mean * (s2 / nd) -
+      lit(3.0) * mean * mean * mean * mean
+    def micro(c: org.apache.spark.sql.Column) =
+      round(c * lit(1e6)).cast("long")
+    sums.select(col(groupCol), col("n"),
+      micro(mean).as("mean_micro"),
+      micro(m2).as("var_micro"),
+      when(m2 > 0, micro(m3 / sqrt(m2 * m2 * m2))).as("skew_micro"),
+      when(m2 > 0, micro(m4 / (m2 * m2) - lit(3.0))).as("kurt_micro"))
+  }
+
   /** Per-group ROC-AUC of an integral score against a boolean label.
     * Returns `(groupCol, pos_n, neg_n, auc2_num, auc)`; groups missing
     * either class are dropped (AUC undefined). Null scores and null

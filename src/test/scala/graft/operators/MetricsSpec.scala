@@ -53,6 +53,33 @@ class MetricsSpec extends SparkSpec {
     assert(got == Map("hi" -> 1.0, "lo" -> 0.0, "tie" -> 0.5))
   }
 
+  test("momentsByGroup == brute-force central moments; degenerate groups null out") {
+    val rnd = new scala.util.Random(31)
+    val data = (0 until 500).map(i => ("g" + (i % 2), rnd.nextInt(400).toLong + 50)) ++
+      Seq.fill(5)(("flat", 7L))
+    val got = Metrics.momentsByGroup(data.toDF("g", "v"), "g", "v")
+      .select("g", "n", "mean_micro", "var_micro", "skew_micro", "kurt_micro")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val vs = rows.map(_._2.toDouble)
+      val n = vs.size.toDouble
+      val mean = vs.sum / n
+      val m2 = vs.map(v => (v - mean) * (v - mean)).sum / n
+      val (_, gn, gMean, gVar, gSkew, gKurt) = got(g)
+      assert(gn == rows.size)
+      assert(math.abs(gMean - math.round(mean * 1e6)) <= 1, s"$g mean")
+      assert(math.abs(gVar - math.round(m2 * 1e6)) <= 1, s"$g var")
+      if (m2 == 0) assert(gSkew.isEmpty && gKurt.isEmpty, s"$g degenerate")
+      else {
+        val m3 = vs.map(v => math.pow(v - mean, 3)).sum / n
+        val m4 = vs.map(v => math.pow(v - mean, 4)).sum / n
+        assert(math.abs(gSkew.get - math.round(m3 / math.pow(m2, 1.5) * 1e6)) <= 1, s"$g skew")
+        assert(math.abs(gKurt.get - math.round((m4 / (m2 * m2) - 3.0) * 1e6)) <= 1, s"$g kurt")
+      }
+    }
+  }
+
   test("null scores and labels are excluded") {
     val df = Seq(
       ("g", Some(2L), Some(true)), ("g", Some(1L), Some(false)),

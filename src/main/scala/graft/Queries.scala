@@ -2000,6 +2000,35 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix — round 6: the classifier-evaluation
+    * view of `lang_id` (predicted vs labeled language, one count cell
+    * per pair). One (lang, lang_pred) hash aggregate over the row-local
+    * classifier; the oracle re-derives predictions with the same marker
+    * arithmetic and groups identically. */
+  val langConfusionGate: Q = q("lang_confusion", {
+    def cnt(w: String) =
+      s"len(regexp_extract_all(lower(text), '(?:^| )$w(?: |$$)'))"
+    val scores = operators.TextAnalysis.LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(cnt).mkString(" + ")
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (lang, e) =>
+      s"WHEN ($e) = __best AND __best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH p AS (
+       |  SELECT doc_id, lang, CASE $cases ELSE 'und' END AS lang_pred
+       |  FROM (SELECT doc_id, lang, text, $best AS __best FROM documents) t)
+       |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS cnt
+       |FROM p GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+  }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    operators.TextAnalysis.langId(docs)
+      .select("doc_id", "lang_pred")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "lang_pred")
+  }
+
   /** Segment-level language mixture / code-switching detection
     * ([[operators.TextAnalysis.langMixture]]): German and French
     * sentences planted into a subset of docs (own segments — the
@@ -5677,7 +5706,7 @@ object Queries {
     adaptiveLengthFilter, madOutliersGate, aucRankGate,
     sortedNeighborhoodGate, kmeansTrainGate, stratifiedSplitGate,
     dupClustersLss, winsorizeGate, systematicSampleGate, pipelineCurationV7,
-    momentsAggGate,
+    momentsAggGate, langConfusionGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

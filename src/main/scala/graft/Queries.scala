@@ -3630,6 +3630,45 @@ object Queries {
     operators.Vocab.tfidfTerms(t(s, dir, "documents"), k = 10)
   }
 
+  /** Cluster labeling — round 6: top tf·idf terms per k-means cell
+    * ([[operators.Similarity.kmeansCells]] assignments joined to the
+    * text corpus, then the group-generic [[operators.Vocab.tfidfTerms]]
+    * with the cell as the group) — the "what is this cluster about"
+    * browser view over an embedding-space partition. The oracle chains
+    * the unrolled Lloyd replay into the tf·idf SQL. */
+  val clusterTermsGate: Q = q("cluster_terms",
+    s"""WITH ${duckKmeansChain(8, 2)},
+       |cells AS (SELECT vec_id, cid AS cell FROM a2 WHERE r = 1),
+       |docs2 AS (
+       |  SELECT c.cell, d.doc_id, d.text
+       |  FROM documents d JOIN cells c ON c.vec_id = d.doc_id),
+       |words AS (
+       |  SELECT cell, doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM docs2),
+       |tf AS (
+       |  SELECT cell, word, CAST(count(*) AS BIGINT) AS tf
+       |  FROM words GROUP BY 1, 2),
+       |df AS (
+       |  SELECT word, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY 1),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM docs2),
+       |scored AS (
+       |  SELECT cell, word, tf, round(tf * ln(n.n / df), 6) AS tfidf
+       |  FROM tf JOIN df USING (word) CROSS JOIN n)
+       |SELECT cell, word, tf, tfidf, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY cell
+       |    ORDER BY tfidf DESC, word) AS BIGINT) AS rn FROM scored) t
+       |WHERE rn <= 5 ORDER BY cell, rn""".stripMargin) { (s, dir) =>
+    val cells = operators.Similarity.kmeansCells(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 2)
+    val docs = t(s, dir, "documents")
+      .join(cells, col("doc_id") === col("vec_id"))
+      .select(col("cell"), col("doc_id"), col("text"))
+    operators.Vocab.tfidfTerms(docs, groupCol = "cell", k = 5)
+      .withColumnRenamed("source", "cell")
+      .orderBy("cell", "rn")
+  }
+
   /** Gopher-style quality filter decision: rule signals + keep verdict per
     * doc. mean_word_len is one int/int double division (bit-exact both
     * engines); stop-word counts are exact list filters. */
@@ -5706,7 +5745,7 @@ object Queries {
     adaptiveLengthFilter, madOutliersGate, aucRankGate,
     sortedNeighborhoodGate, kmeansTrainGate, stratifiedSplitGate,
     dupClustersLss, winsorizeGate, systematicSampleGate, pipelineCurationV7,
-    momentsAggGate, langConfusionGate,
+    momentsAggGate, langConfusionGate, clusterTermsGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

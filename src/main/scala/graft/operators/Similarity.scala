@@ -214,6 +214,27 @@ object Similarity {
     *         assignment pass (0 for a centroid that survives training
     *         but wins no rows at the end)
     */
+  /** [[kmeansTrain]]'s cluster ASSIGNMENTS instead of its centroids:
+    * `(idCol, cell)` for every vector, after `iters` Lloyd passes from
+    * the same deterministic seeds. The per-row labeling feeds
+    * cluster-level corpus analytics (term labeling, per-cluster
+    * sampling); same scale shape as training plus one final fused-kernel
+    * assignment scan. */
+  def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 8, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val seeds: Seq[(Int, Seq[Float])] = e.orderBy("n_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
+    if (seeds.isEmpty) return e.limit(0)
+      .select(col("n_id").as(idCol), lit(0).as("cell"))
+    var cents = seeds
+    var it = 0
+    while (it < iters) { cents = lloydStep(e, cents); it += 1 }
+    withCell(e, cents).select(col("n_id").as(idCol), col("cell"))
+  }
+
   def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
                   k: Int = 8, iters: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)

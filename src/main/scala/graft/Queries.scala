@@ -3607,6 +3607,27 @@ object Queries {
     operators.Vocab.bpeMergeCandidates(t(s, dir, "documents"), k = 25)
   }
 
+  /** Feature hashing — round 6: the hashing-trick doc vectorizer
+    * ([[operators.Vocab.featureHash]]); bucket/sign/sum all integer, so
+    * the exact sparse vectors replay in SQL. */
+  val featureHashGate: Q = q("feature_hashing", {
+    val h = operators.CrossHash.duckdbHash56("'fh:' || tok")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+       |hashed AS (
+       |  SELECT doc_id, CAST(($h) % 16 AS INTEGER) AS dim,
+       |    1 - 2 * ((($h) // 64) % 2) AS sign
+       |  FROM t2)
+       |SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS val
+       |FROM hashed GROUP BY 1, 2
+       |ORDER BY doc_id, dim""".stripMargin }) { (s, dir) =>
+    operators.Vocab.featureHash(t(s, dir, "documents"), "doc_id", "text",
+      dims = 16, salt = "fh")
+      .orderBy("doc_id", "dim")
+  }
+
   /** Per-source salient terms by tf·idf (tf within source, ln(N/df) idf,
     * round-6 for cross-engine ln parity), top 10 per source. */
   val tfidfTerms: Q = q("tfidf_terms",
@@ -5745,7 +5766,7 @@ object Queries {
     adaptiveLengthFilter, madOutliersGate, aucRankGate,
     sortedNeighborhoodGate, kmeansTrainGate, stratifiedSplitGate,
     dupClustersLss, winsorizeGate, systematicSampleGate, pipelineCurationV7,
-    momentsAggGate, langConfusionGate, clusterTermsGate,
+    momentsAggGate, langConfusionGate, clusterTermsGate, featureHashGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

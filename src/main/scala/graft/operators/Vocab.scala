@@ -553,4 +553,43 @@ object Vocab {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_symbols"))
   }
+
+  /** Feature hashing (the "hashing trick", Weinberger et al. ICML'09):
+    * model-free text vectorization — every token hashes to one of
+    * `dims` buckets with a hash-derived ±1 sign, a document's vector is
+    * the signed count per bucket. The bridge from raw text into the
+    * vector operators (ANN, k-means, semdedup) without training
+    * anything, and the classic baseline featurizer for the quality
+    * classifiers.
+    *
+    * All integer: bucket = h mod dims, sign = bit 2⁶ of h (taken ABOVE
+    * the bucket bits so sign and bucket stay independent for any
+    * dims ≤ 64), value = Σ signs per (doc, bucket). Deterministic via
+    * [[graft.operators.CrossHash]], so the exact sparse vectors replay
+    * in SQL. Scale shape: one row-local explode + one (doc, bucket)
+    * aggregate with map-side combine — shuffle bounded by docs × dims,
+    * not token volume.
+    *
+    * @return (idCol, dim, val) — only buckets some token hashed into
+    *         (a sparse representation; absent dims are implicit zeros,
+    *         present dims can still sum to 0 by sign cancellation)
+    */
+  def featureHash(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", dims: Int = 16,
+                  salt: String = "fh"): DataFrame = {
+    require(dims >= 1 && dims <= 64, "dims must be in [1, 64]")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__graft_tok"))
+      .filter(col("__graft_tok") =!= "")
+    val h = graft.operators.CrossHash.hash56(
+      concat(lit(s"$salt:"), col("__graft_tok")))
+    toks
+      .withColumn("dim", pmod(h, lit(dims)).cast("int"))
+      // integer shift, NOT floor(h/64): h is a 56-bit value, and a double
+      // quotient rounds above 2^53 — the sign bit would come out wrong
+      .withColumn("__graft_sign",
+        lit(1L) - lit(2L) * pmod(shiftright(h, 6).cast("long"), lit(2)))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum("__graft_sign").as("val"))
+  }
 }

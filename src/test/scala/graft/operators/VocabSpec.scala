@@ -194,6 +194,27 @@ class VocabSpec extends SparkSpec {
       ("b", "a", 2L, 3L)))
   }
 
+  test("featureHash == brute-force hashing trick; sign/bucket independent") {
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "bb bb"), (3L, ""),
+      (4L, "dd  ee")).toDF("doc_id", "text")
+    val dims = 16
+    val got = Vocab.featureHash(docs, "doc_id", "text", dims, salt = "fh")
+      .as[(Long, Int, Long)].collect()
+      .map { case (d, dim, v) => (d, dim) -> v }.toMap
+    val expected = Seq(1L -> "aa bb aa cc", 2L -> "bb bb", 3L -> "",
+      4L -> "dd  ee")
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).filter(_.nonEmpty).map { tok =>
+          val h = CrossHash.scalaHash56(s"fh:$tok")
+          (id, (h % dims).toInt) -> (1L - 2L * ((h >> 6) & 1L))
+        }
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(got == expected)
+    // both signs must occur somewhere, or the "signed" hash is a no-op
+    assert(expected.values.exists(_ < 0) || expected.values.exists(_ > 0))
+  }
+
   test("plan shape: pmiCollocations joins on word, 1-row totals broadcast only") {
     val docs = Seq("a b a b c", "a b x y").toDF("text")
     val plan: SparkPlan =

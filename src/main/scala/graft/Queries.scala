@@ -3607,6 +3607,33 @@ object Queries {
     operators.Vocab.bpeMergeCandidates(t(s, dir, "documents"), k = 25)
   }
 
+  /** Distribution-matching sampler — round 6: draw from the non-src0
+    * pool so the drawn set's length-bucket marginal matches src0's
+    * ([[operators.Sampling.distributionMatchSample]]); quotas, ranks,
+    * and the draw all integer/hash-deterministic. */
+  val distMatchGate: Q = q("dist_match_sample", {
+    val h = operators.CrossHash.duckdbHash56("'dm:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars // 100 AS bkt FROM documents),
+       |t AS (SELECT * FROM d WHERE source = 'src0'),
+       |p AS (SELECT * FROM d WHERE source <> 'src0'),
+       |q AS (SELECT bkt,
+       |        (count(*) * 200) // (SELECT count(*) FROM t) AS quota
+       |      FROM t GROUP BY 1),
+       |r AS (SELECT doc_id, bkt,
+       |        row_number() OVER (PARTITION BY bkt ORDER BY ($h), doc_id) AS rk
+       |      FROM p)
+       |SELECT r.doc_id, r.bkt FROM r JOIN q USING (bkt)
+       |WHERE rk <= q.quota ORDER BY doc_id""".stripMargin }) { (s, dir) =>
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), expr("n_chars div 100").as("bkt"))
+    operators.Sampling.distributionMatchSample(
+      d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+      "doc_id", "bkt", m = 200, salt = "dm")
+      .select("doc_id", "bkt")
+      .orderBy("doc_id")
+  }
+
   /** Feature hashing — round 6: the hashing-trick doc vectorizer
     * ([[operators.Vocab.featureHash]]); bucket/sign/sum all integer, so
     * the exact sparse vectors replay in SQL. */
@@ -5767,6 +5794,7 @@ object Queries {
     sortedNeighborhoodGate, kmeansTrainGate, stratifiedSplitGate,
     dupClustersLss, winsorizeGate, systematicSampleGate, pipelineCurationV7,
     momentsAggGate, langConfusionGate, clusterTermsGate, featureHashGate,
+    distMatchGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

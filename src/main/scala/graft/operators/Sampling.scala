@@ -42,6 +42,42 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt, buckets) <
       lit(math.round(fraction * buckets)))
 
+  /** Distribution-matching sampler: draw ~`m` rows from `pool` so the
+    * drawn set's composition over `bucketCol` matches `target`'s —
+    * the "make the pretraining mix look like the target domain" step
+    * (the bucket-exact cousin of the DSIR importance weights: DSIR
+    * reweights continuously, this matches a discrete marginal exactly).
+    * Per bucket b: quota = ⌊count_target(b)·m / N_target⌋, clamped to
+    * what the pool holds (a clamped bucket under-delivers rather than
+    * distorting its neighbors — callers can read the shortfall from the
+    * output's per-bucket counts); drawn members are the quota smallest
+    * by salted hash, so the draw is uniform-within-bucket, deterministic
+    * and SQL-replayable.
+    *
+    * Scale shape: one bucket-count aggregate per frame (bucket
+    * cardinality ≪ corpus; quotas broadcast), one
+    * [[Ranks.groupedRowNumber]] over the pool (bucketed two-pass — pool
+    * buckets are corpus-sized), one broadcast quota join. All integer.
+    *
+    * @return the pool rows drawn, with their `bucketCol` retained */
+  def distributionMatchSample(pool: DataFrame, target: DataFrame,
+                              idCol: String, bucketCol: String, m: Int,
+                              salt: String): DataFrame = {
+    require(m >= 0, "m must be >= 0")
+    val quotas = target.groupBy(bucketCol)
+      .agg(count(lit(1)).as("__graft_cb"))
+      .crossJoin(broadcast(target.agg(count(lit(1)).as("__graft_nt"))))
+      .select(col(bucketCol),
+        expr(s"(__graft_cb * $m) div __graft_nt").as("__graft_q"))
+    val hashed = pool.withColumn("__graft_h",
+      CrossHash.hash56(concat(lit(s"$salt:"), col(idCol).cast("string"))))
+    graft.operators.Ranks.groupedRowNumber(
+      hashed, bucketCol, "__graft_h", idCol, outCol = "__graft_rk")
+      .join(broadcast(quotas), bucketCol)
+      .filter(col("__graft_rk") <= col("__graft_q"))
+      .drop("__graft_h", "__graft_rk", "__graft_q")
+  }
+
   /** Systematic sampling: every `k`-th row of the salted-hash order —
     * the equal-interval design that guarantees an EXACT ⌈n/k⌉ sample
     * size and even coverage of the (pseudorandom) order, where

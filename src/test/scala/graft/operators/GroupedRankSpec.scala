@@ -72,6 +72,27 @@ class GroupedRankSpec extends SparkSpec {
     assert(Sampling.systematicSample(df, "id", k = 1, salt = "z").count() == 1003)
   }
 
+  test("distributionMatchSample matches the target marginal; clamps to pool") {
+    // target: 60% bucket A, 40% bucket B; pool has plenty of A, only 3 B
+    val target = (0 until 60).map(i => (i.toLong, "A")) ++
+      (60 until 100).map(i => (i.toLong, "B"))
+    val pool = (1000L until 1200L).map(id => (id, "A")) ++
+      Seq((2000L, "B"), (2001L, "B"), (2002L, "B"))
+    val got = Sampling.distributionMatchSample(
+      pool.toDF("id", "bkt"), target.toDF("id", "bkt"), "id", "bkt",
+      m = 50, salt = "t")
+      .select("id", "bkt").as[(Long, String)].collect()
+    val byBkt = got.groupBy(_._2).map { case (b, rs) => b -> rs.length }
+    // quota A = 60*50/100 = 30; quota B = 40*50/100 = 20 clamped to 3
+    assert(byBkt == Map("A" -> 30, "B" -> 3))
+    // deterministic draw
+    val again = Sampling.distributionMatchSample(
+      pool.toDF("id", "bkt"), target.toDF("id", "bkt"), "id", "bkt",
+      m = 50, salt = "t")
+      .select("id", "bkt").as[(Long, String)].collect()
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("stratifiedSplit is deterministic and salt-sensitive") {
     val df = (0L until 300L).map(id => (id, s"s${id % 2}")).toDF("id", "stratum")
     def assign(salt: String) =

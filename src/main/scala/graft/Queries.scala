@@ -3607,6 +3607,73 @@ object Queries {
     operators.Vocab.bpeMergeCandidates(t(s, dir, "documents"), k = 25)
   }
 
+  /** Zipf fit — round 6: per-source ln-ln slope over the top-32 terms
+    * ([[operators.Vocab.zipfFit]]); micro-integer log coordinates make
+    * the regression sums exact, so even the fitted slope hash-matches. */
+  val zipfFitGate: Q = q("zipf_fit",
+    """WITH c AS (
+      |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE text IS NOT NULL) t
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source, cnt, rn FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY cnt DESC, tok) AS rn FROM c) t
+      |  WHERE rn <= 32),
+      |xy AS (
+      |  SELECT source,
+      |    CAST(round(ln(CAST(rn AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      |  FROM top),
+      |s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM xy GROUP BY 1)
+      |SELECT source, n AS n_terms,
+      |  CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6) AS BIGINT)
+      |    AS slope_micro,
+      |  CAST(round((CAST(sy AS DOUBLE)
+      |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)
+      |    AS intercept_micro
+      |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
+    operators.Vocab.zipfFit(t(s, dir, "documents"), "source", k = 32)
+      .orderBy("source")
+  }
+
+  /** Next-token top-k — round 6: the bigram LM's per-context argmax
+    * table ([[operators.Vocab.nextTokenTopK]]); counts exact, rank-limit
+    * per context word, ties alphabetical. minCount=3 keeps the output
+    * gate-sized. */
+  val nextTokenTopKGate: Q = q("next_token_topk",
+    """WITH W AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> {'w1': w[i], 'w2': w[i + 1]})) AS p
+      |  FROM W),
+      |c AS (
+      |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM bg WHERE p.w1 <> '' AND p.w2 <> ''
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT w1, w2, cnt, rn FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY w1
+      |    ORDER BY cnt DESC, w2) AS BIGINT) AS rn FROM c) t
+      |WHERE rn <= 3 ORDER BY w1, rn""".stripMargin) { (s, dir) =>
+    operators.Vocab.nextTokenTopK(t(s, dir, "documents"), k = 3,
+      minCount = 3L)
+      .orderBy("w1", "rn")
+  }
+
   /** Distribution-matching sampler — round 6: draw from the non-src0
     * pool so the drawn set's length-bucket marginal matches src0's
     * ([[operators.Sampling.distributionMatchSample]]); quotas, ranks,
@@ -5794,7 +5861,7 @@ object Queries {
     sortedNeighborhoodGate, kmeansTrainGate, stratifiedSplitGate,
     dupClustersLss, winsorizeGate, systematicSampleGate, pipelineCurationV7,
     momentsAggGate, langConfusionGate, clusterTermsGate, featureHashGate,
-    distMatchGate,
+    distMatchGate, nextTokenTopKGate, zipfFitGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

@@ -554,6 +554,71 @@ object Vocab {
       .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_symbols"))
   }
 
+  /** Conditional next-token top-k: for every context word, the `k` most
+    * frequent successors (the bigram LM's argmax table — the lookup a
+    * completion heuristic or a bigram sampler actually serves). One
+    * row-local adjacent-pair explode → (w1, w2) counts (vocabulary²-
+    * bounded with map-side combine, the same shape as
+    * [[bigramLogPerplexity]]'s numerator) → rank-limit per context over
+    * the COUNT frame (partitions bounded by per-context successor
+    * vocabulary, never corpus rows). Ties break by w2 for determinism.
+    *
+    * @return (w1, w2, cnt, rn) with rn ≤ k */
+  def nextTokenTopK(docs: DataFrame, textCol: String = "text",
+                    k: Int = 3, minCount: Long = 1L): DataFrame = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    // adjacent pairs (w[i], w[i+1]) emitted row-locally in one transform
+    val bigrams = words.select(explode(expr(
+      "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS w1, w[i + 1] AS w2))"))
+      .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val counts = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val w = Window.partitionBy("w1")
+      .orderBy(col("cnt").desc, col("w2"))
+    counts.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Zipf-law fit per corpus slice: least-squares slope of
+    * ln(freq) ~ ln(rank) over the slice's top-`k` terms — the classic
+    * corpus-health diagnostic (natural language sits near slope −1;
+    * template/boilerplate-dominated sources flatten, ID/key-soup
+    * steepens). Frequency ranking is the rank-limit idiom over the
+    * (slice, term) count frame; the regression runs on
+    * MICRO-INTEGER log coordinates (round(ln·10⁶)) so the power sums
+    * are exact integers and the closing slope/intercept divisions are
+    * single IEEE ops replayed verbatim in SQL — double summation order
+    * never enters.
+    *
+    * @return (groupCol, n_terms, slope_micro, intercept_micro) */
+  def zipfFit(docs: DataFrame, groupCol: String = "source",
+              textCol: String = "text", k: Int = 32): DataFrame = {
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(groupCol, "tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(groupCol).orderBy(col("cnt").desc, col("tok"))
+    val top = counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val xy = top.select(col(groupCol),
+      round(log(col("rn").cast("double")) * lit(1e6)).cast("long").as("x"),
+      round(log(col("cnt").cast("double")) * lit(1e6)).cast("long").as("y"))
+    val sums = xy.groupBy(groupCol).agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val nd = col("n").cast("double")
+    val (sx, sy, sxy, sxx) = (col("sx").cast("double"), col("sy").cast("double"),
+      col("sxy").cast("double"), col("sxx").cast("double"))
+    val slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    sums.select(col(groupCol), col("n").as("n_terms"),
+      round(slope * lit(1e6)).cast("long").as("slope_micro"),
+      round((sy - slope * sx) / nd).cast("long").as("intercept_micro"))
+  }
+
   /** Feature hashing (the "hashing trick", Weinberger et al. ICML'09):
     * model-free text vectorization — every token hashes to one of
     * `dims` buckets with a hash-derived ±1 sign, a document's vector is

@@ -215,6 +215,38 @@ class VocabSpec extends SparkSpec {
     assert(expected.values.exists(_ < 0) || expected.values.exists(_ > 0))
   }
 
+  test("nextTokenTopK == brute-force bigram argmax with alphabetical ties") {
+    val docs = Seq("a b a b a c", "b a b x", "z").toDF("text")
+    val got = Vocab.nextTokenTopK(docs, k = 2, minCount = 1L)
+      .select("w1", "w2", "cnt", "rn").as[(String, String, Long, Long)]
+      .collect().toSet
+    val bigrams = Seq("a b a b a c", "b a b x", "z")
+      .map(_.split(" ").toSeq).filter(_.size >= 2)
+      .flatMap(w => w.zip(w.tail))
+    val expected = bigrams.groupBy(_._1).flatMap { case (w1, ps) =>
+      ps.groupBy(_._2).map { case (w2, xs) => (w2, xs.size.toLong) }
+        .toSeq.sortBy { case (w2, c) => (-c, w2) }.take(2).zipWithIndex
+        .map { case ((w2, c), i) => (w1, w2, c, i + 1L) }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("zipfFit recovers a known power law and flags flat sources") {
+    // synthetic slice: term t_r appears round(1000/r) times => slope ~ -1
+    val zipfy = (1 to 20).flatMap { r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(f"t$r%02d")
+    }.mkString(" ")
+    // flat slice: every term equally frequent => slope ~ 0
+    val flat = (1 to 20).flatMap(r => Seq.fill(50)(f"u$r%02d")).mkString(" ")
+    val docs = Seq(("zipfy", zipfy), ("flat", flat)).toDF("source", "text")
+    val got = Vocab.zipfFit(docs, "source", k = 20)
+      .select("source", "slope_micro").as[(String, Long)].collect().toMap
+    assert(math.abs(got("zipfy") + 1000000L) < 30000L,
+      s"expected slope near -1, got ${got("zipfy") / 1e6}")
+    assert(math.abs(got("flat")) < 10000L,
+      s"expected slope near 0, got ${got("flat") / 1e6}")
+  }
+
   test("plan shape: pmiCollocations joins on word, 1-row totals broadcast only") {
     val docs = Seq("a b a b c", "a b x y").toDF("text")
     val plan: SparkPlan =

@@ -3674,6 +3674,40 @@ object Queries {
       .orderBy("w1", "rn")
   }
 
+  /** Nucleus (top-p) next-token sets ([[operators.Vocab.nextTokenNucleus]]):
+    * the smallest successor prefix reaching 80% of each context's mass —
+    * the adaptive-width companion of `next_token_topk`. The keep rule is
+    * all-integer (exclusive cumulative < ⌈0.8·n_ctx⌉), so the set
+    * boundary replays exactly; same vocabulary-bounded shapes. */
+  val nextTokenNucleusGate: Q = q("next_token_topp",
+    """WITH W AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |    i -> {'w1': w[i], 'w2': w[i + 1]})) AS p
+      |  FROM W),
+      |c AS (
+      |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM bg WHERE p.w1 <> '' AND p.w2 <> ''
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |r AS (
+      |  SELECT w1, w2, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY w1) AS BIGINT) AS n_ctx,
+      |    CAST(sum(cnt) OVER (PARTITION BY w1 ORDER BY cnt DESC, w2
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(row_number() OVER (PARTITION BY w1
+      |      ORDER BY cnt DESC, w2) AS BIGINT) AS rn
+      |  FROM c)
+      |SELECT w1, w2, cnt, n_ctx, cum, rn FROM r
+      |WHERE cum - cnt < (n_ctx * 8 + 9) // 10
+      |ORDER BY w1, rn""".stripMargin) { (s, dir) =>
+    operators.Vocab.nextTokenNucleus(t(s, dir, "documents"),
+      pNum = 8L, pDen = 10L, minCount = 3L)
+      .orderBy("w1", "rn")
+  }
+
   /** Distribution-matching sampler — round 6: draw from the non-src0
     * pool so the drawn set's length-bucket marginal matches src0's
     * ([[operators.Sampling.distributionMatchSample]]); quotas, ranks,
@@ -5861,7 +5895,7 @@ object Queries {
     sortedNeighborhoodGate, kmeansTrainGate, stratifiedSplitGate,
     dupClustersLss, winsorizeGate, systematicSampleGate, pipelineCurationV7,
     momentsAggGate, langConfusionGate, clusterTermsGate, featureHashGate,
-    distMatchGate, nextTokenTopKGate, zipfFitGate,
+    distMatchGate, nextTokenTopKGate, nextTokenNucleusGate, zipfFitGate,
     pmiCollocationsGate, ngramDiversityGate,
     funnelSteps, cohortRetentionGate, eventTransitions, pageRankNations,
     approxQuantiles, kAnonymityProfile, skipgramCoocGate, leakageSafeSplit,

@@ -584,6 +584,50 @@ object Vocab {
       .filter(col("rn") <= k)
   }
 
+  /** Nucleus (top-p) next-token sets: for every context word, the
+    * SMALLEST prefix of successors (by descending count, w2 tie-break)
+    * whose mass reaches `pNum/pDen` of the context's total — the bigram
+    * analog of nucleus sampling (Holtzman et al. ICLR'20), and the table
+    * a top-p decoder or a diversity auditor actually consults (top-k
+    * keeps a fixed row count; top-p adapts to how peaked each context's
+    * successor distribution is).
+    *
+    * All-integer keep rule: a row survives iff its EXCLUSIVE cumulative
+    * count is still short of ⌈p·n_ctx⌉ = (pNum·n_ctx + pDen − 1) DIV
+    * pDen — no floating-point mass ratios, so the set boundary replays
+    * exactly in SQL. `minCount` prunes hapax successors BEFORE the
+    * nucleus, so n_ctx is the mass of the pruned distribution (the
+    * table a real sampler would materialize). Scale shape identical to
+    * [[nextTokenTopK]]: the count frame is vocabulary²-bounded with
+    * map-side combine; both windows partition by w1 over per-context
+    * successor vocabularies, never corpus rows.
+    *
+    * @return (w1, w2, cnt, n_ctx, cum, rn) — cum inclusive, rn ≤ |nucleus| */
+  def nextTokenNucleus(docs: DataFrame, textCol: String = "text",
+                       pNum: Long = 8L, pDen: Long = 10L,
+                       minCount: Long = 1L): DataFrame = {
+    require(pNum >= 1 && pNum <= pDen, "p must be in (0, 1]")
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = words.select(explode(expr(
+      "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS w1, w[i + 1] AS w2))"))
+      .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val counts = bigrams.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val ord = Window.partitionBy("w1").orderBy(col("cnt").desc, col("w2"))
+    counts
+      .withColumn("n_ctx", sum("cnt").over(Window.partitionBy("w1")))
+      .withColumn("cum", sum("cnt").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .filter(col("cum") - col("cnt") <
+        expr(s"CAST((n_ctx * $pNum + ${pDen - 1}) DIV $pDen AS BIGINT)"))
+  }
+
   /** Zipf-law fit per corpus slice: least-squares slope of
     * ln(freq) ~ ln(rank) over the slice's top-`k` terms — the classic
     * corpus-health diagnostic (natural language sits near slope −1;

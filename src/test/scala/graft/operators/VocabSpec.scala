@@ -231,6 +231,39 @@ class VocabSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("nextTokenNucleus == brute-force minimal top-p prefix") {
+    val docs = Seq("a b a b a c a b a d", "b a b x", "z").toDF("text")
+    val got = Vocab.nextTokenNucleus(docs, pNum = 7L, pDen = 10L)
+      .select("w1", "w2", "cnt", "n_ctx", "cum", "rn")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    val bigrams = Seq("a b a b a c a b a d", "b a b x", "z")
+      .map(_.split(" ").toSeq).filter(_.size >= 2)
+      .flatMap(w => w.zip(w.tail))
+    val expected = bigrams.groupBy(_._1).flatMap { case (w1, ps) =>
+      val ranked = ps.groupBy(_._2)
+        .map { case (w2, xs) => (w2, xs.size.toLong) }
+        .toSeq.sortBy { case (w2, c) => (-c, w2) }
+      val n = ranked.map(_._2).sum
+      val target = (7L * n + 9L) / 10L
+      val cums = ranked.scanLeft(0L)(_ + _._2)
+      ranked.zipWithIndex.collect {
+        case ((w2, c), i) if cums(i) < target =>
+          (w1, w2, c, n, cums(i) + c, i + 1L)
+      }
+    }.toSet
+    assert(got == expected)
+    // 'a' has successors b:4, c:1, d:1 (n=6, target ⌈4.2⌉=5): nucleus
+    // must be {b, c} — b alone (4) is short, b+c (5) reaches it
+    assert(got.filter(_._1 == "a").map(_._2) == Set("b", "c"))
+  }
+
+  test("nextTokenNucleus p=1 keeps every surviving successor") {
+    val docs = Seq("a b a c a b", "q r").toDF("text")
+    val got = Vocab.nextTokenNucleus(docs, pNum = 1L, pDen = 1L)
+    val all = Vocab.nextTokenTopK(docs, k = Int.MaxValue, minCount = 1L)
+    assert(got.count() == all.count())
+  }
+
   test("zipfFit recovers a known power law and flags flat sources") {
     // synthetic slice: term t_r appears round(1000/r) times => slope ~ -1
     val zipfy = (1 to 20).flatMap { r =>

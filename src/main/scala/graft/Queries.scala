@@ -1810,6 +1810,37 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Johnson–Lindenstrauss sign projection
+    * ([[operators.Similarity.randomProjection]]) — round 6: 64-dim
+    * embeddings → 16 exact-integer coordinates under a CrossHash-derived
+    * ±1 matrix. The matrix is a plan-time constant, so the oracle
+    * rebuilds the identical signs from the same md5 fold and the
+    * projection replays as an exact BIGINT sum. */
+  val randomProjectionGate: Q = q("random_projection", {
+    val h = operators.CrossHash.duckdbHash56(
+      "'rp:' || CAST(jj.j AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)")
+    s"""WITH s AS (
+       |  SELECT jj.j AS j, ii.i AS i,
+       |    CASE WHEN ($h) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM range(16) jj(j), range(64) ii(i)),
+       |e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(round(x * 1000000) AS BIGINT)) AS m
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+       |    AND vec_id < 200)
+       |SELECT e.vec_id, CAST(s.j AS BIGINT) AS j,
+       |  CAST(sum(s.sgn * e.m[s.i + 1]) AS BIGINT) AS p
+       |FROM e, s
+       |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin
+  }) { (s, dir) =>
+    operators.Similarity.randomProjection(
+      t(s, dir, "embeddings").filter(col("vec_id") < 200),
+      dims = 64, k = 16, salt = "rp")
+      .orderBy("vec_id", "j")
+  }
+
   /** Time-travel (as-of epoch) read over a PK change stream — round 4:
     * base rows, then an update epoch, then a delete epoch; reading AS OF
     * the update epoch must show the updates and not the deletes. The
@@ -5857,7 +5888,8 @@ object Queries {
     imageDhashNearDup, audioFpNearDup, videoFpNearDup, embeddingNearDup,
     embeddingNearDupScaled,
     annTopK, annLshTopK, annIvfTopK, hardNegativesGate, sourceSimilarity, mapAccess,
-    semanticDecontaminateGate, embeddingQuantize, timeTravelAsOf,
+    semanticDecontaminateGate, embeddingQuantize, randomProjectionGate,
+    timeTravelAsOf,
     rangeJoinGate,
     textQualityExt, pipelineComposed,
     langId, tokenCountBpe, winnowFingerprint,

@@ -895,4 +895,44 @@ object Similarity {
       .select(col("src").as("id_a"), col("dst").as("id_b"),
         col("cos"), col("margin"))
   }
+
+  /** Johnson–Lindenstrauss sign random projection: reduce a `dims`-wide
+    * embedding to `k` coordinates p_j = Σ_i s(j,i)·v_i with a dense ±1
+    * sign matrix (Achlioptas JCSS'03 — sign projections satisfy the JL
+    * distance-preservation lemma with the same k = O(ε⁻²·ln n) bound as
+    * Gaussian ones, and need no RNG state). The pre-step that makes the
+    * pairwise operators (ANN shortlists, near-dup blocking, k-means on
+    * corpora with wide embeddings) move k/dims of the bytes through
+    * every downstream shuffle.
+    *
+    * Determinism: signs come from [[CrossHash]] over `"salt:j:i"` — a
+    * plan-time constant matrix that replays bit-identically in DuckDB
+    * SQL and plain Scala; coordinates are micro-integers
+    * (`round(v·1e6)` BIGINT), so each projection is an EXACT integer
+    * sum — no float summation order anywhere. Scale shape: the k×dims
+    * sign matrix is a closure literal (no join, no broadcast exchange);
+    * the projection is one narrow codegen'd map over the scan — zero
+    * shuffles at any corpus size.
+    *
+    * @return (idCol, j, p) — k rows per vector, j ∈ [0, k) */
+  def randomProjection(embs: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding", dims: Int = 64,
+                       k: Int = 16, salt: String = "rp"): DataFrame = {
+    require(k >= 1 && dims >= 1, "k and dims must be positive")
+    val signs: Seq[Seq[Long]] = (0 until k).map { j =>
+      (0 until dims).map { i =>
+        if (CrossHash.scalaHash56(s"$salt:$j:$i") % 2 == 0) 1L else -1L
+      }
+    }
+    val micros = transform(col(vecCol),
+      x => round(x.cast("double") * lit(1e6)).cast("long"))
+    val projs = signs.map { sj =>
+      aggregate(
+        zip_with(micros, typedLit(sj), (m, s) => m * s),
+        lit(0L), (acc, x) => acc + x)
+    }
+    embs.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .select(col(idCol), posexplode(array(projs: _*)).as(Seq("j", "p")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("p"))
+  }
 }

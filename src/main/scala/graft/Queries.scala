@@ -2681,6 +2681,77 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Count-min frequency rollup ([[operators.Sketches.countMinSketch]],
+    * round 6 cont.) — the frequency member of the mergeable-sketch
+    * family: per-source token counters in depth×width cells, global
+    * top-20 words' counts answered by probing the MERGED sketch (the
+    * corpus is never rescanned; standing state is corpus-size-
+    * independent, unlike the vocabulary-sized exact table). Cell
+    * indices come from the salted cross-engine hash, so every collision
+    * replays bit-for-bit in DuckDB and the estimates compare EXACTLY;
+    * the deterministic direction (est ≥ exact — counters only add) is
+    * additionally asserted in-plan. */
+  val cmSketchTopK: Q = q("cm_sketch_topk", {
+    val slots = (0 until 3).map(r =>
+      operators.Sketches.duckdbCmSlot("w.word", r, 1024))
+    val probeSlots = (0 until 3).map(r =>
+      operators.Sketches.duckdbCmSlot("p.word", r, 1024))
+    s"""WITH w AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |ex AS (
+       |  SELECT source, word, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM w GROUP BY 1, 2),
+       |top AS (
+       |  SELECT word FROM ex GROUP BY word
+       |  QUALIFY row_number() OVER (ORDER BY sum(n_exact) DESC, word) <= 20),
+       |cells AS (
+       |  ${(0 until 3).map(r =>
+            s"""SELECT source, $r AS r, ${slots(r)} AS slot,
+               |    CAST(count(*) AS BIGINT) AS cnt
+               |  FROM w GROUP BY 1, 2, 3""".stripMargin)
+            .mkString("\n  UNION ALL\n  ")}),
+       |probes AS (
+       |  SELECT s.source, p.word, rr.r,
+       |    CASE ${(0 until 3).map(r =>
+              s"WHEN rr.r = $r THEN ${probeSlots(r)}").mkString(" ")}
+       |    END AS slot
+       |  FROM (SELECT DISTINCT source FROM documents) s,
+       |       (SELECT word FROM top) p, range(3) rr(r))
+       |SELECT p.source, p.word,
+       |  CAST(COALESCE(any_value(e.n_exact), 0) AS BIGINT) AS n_exact,
+       |  CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+       |FROM probes p
+       |LEFT JOIN cells c ON c.source = p.source AND c.r = p.r
+       |  AND c.slot = p.slot
+       |LEFT JOIN ex e ON e.source = p.source AND e.word = p.word
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val words = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val exact = words.groupBy("source", "word")
+      .agg(count(lit(1)).as("n_exact"))
+    // global top-20 words: vocabulary-sized input, rank-limit idiom
+    val top = exact.groupBy("word").agg(sum("n_exact").as("g"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("g").desc, col("word"))))
+      .filter(col("rn") <= 20).select("word")
+    val sk = operators.Sketches.countMinSketch(words, Seq("source"), "word")
+    val items = t(s, dir, "documents").select("source").distinct()
+      .crossJoin(broadcast(top))
+    operators.Sketches.cmEstimate(sk, items, Seq("source"), "word")
+      .join(exact, Seq("source", "word"), "left")
+      .na.fill(0L, Seq("n_exact"))
+      // in-plan self-check: a count-min counter can only over-count
+      .withColumn("est",
+        when(assert_true(col("est") >= col("n_exact"),
+          concat(lit("count-min under-counted: est="), col("est"),
+            lit(" exact="), col("n_exact"))).isNull, col("est")))
+      .select("source", "word", "n_exact", "est")
+      .orderBy("source", "word")
+  }
+
   /** IVF-PQ ANN ([[operators.Similarity.pqTopK]], round 6): ADC codes
     * score the probed-cell candidates and carry a Cauchy–Schwarz error
     * bound, so only candidates whose bound can still reach the top-k
@@ -5936,7 +6007,8 @@ object Queries {
     urlNormalizeGate, urlDedupGate, domainCapGate, piiLuhn, intervalJoinGate,
     langMixtureGate, classifierCalibration, corpusDiffGate, hllRollupGate,
     resampleFfill, qualityBudgetCut, phraseSearchGate, phraseSearchIndexed,
-    quantileSketchRollup, sketchDrift, corpusOverlapSketch, annPqTopK,
+    quantileSketchRollup, sketchDrift, corpusOverlapSketch, cmSketchTopK,
+    annPqTopK,
     epochShuffleGate, bpeTrainGate,
     bpeEncodeGate
   )

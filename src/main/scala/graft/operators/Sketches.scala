@@ -206,6 +206,102 @@ object Sketches {
       drift <= lit(tol))
   }
 
+  // ------------------------------------------------------------------
+  // Count-min sketch (round 6, cont.) — the FREQUENCY member of the
+  // mergeable-sketch family (HLL = distincts, log-linear buckets =
+  // quantiles, this = point counts; Cormode & Muthukrishnan J.Alg'05).
+  // Same deployment pattern as its siblings: persist depth × width
+  // BIGINT counters per (group × ingest shard), answer "how often did
+  // token/URL/user X appear" later by probing depth cells and taking
+  // the min — the corpus is never rescanned and the standing state is
+  // CORPUS-SIZE-INDEPENDENT (vs the exact count table, which is
+  // vocabulary-sized and grows with the crawl). Guarantees: est ≥ exact
+  // always (counters only ever add), est ≤ exact + εN with prob 1−δ for
+  // w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. Merge is entrywise sum — associative,
+  // commutative, replay-deterministic.
+  //
+  // Determinism recipe: row hashes are the salted [[CrossHash]] mod
+  // width — every cell index and therefore every COLLISION replays
+  // bit-for-bit in DuckDB SQL and plain Scala, so gates compare the
+  // estimates themselves (not a tolerance band), and the deterministic
+  // est ≥ exact direction is additionally asserted in-plan.
+  // ------------------------------------------------------------------
+
+  /** Cell index of value `v` in hash row `row`: salted cross-engine
+    * hash mod the sketch width (56-bit non-negative, so `pmod` = `%`
+    * in every engine). */
+  def cmSlot(v: Column, row: Int, width: Int, salt: String = "cm"): Column =
+    pmod(CrossHash.hash56(concat(lit(s"$salt:$row:"), v.cast("string"))),
+      lit(width.toLong))
+
+  /** The same cell index in DuckDB SQL, over expression `e`. */
+  def duckdbCmSlot(e: String, row: Int, width: Int,
+                   salt: String = "cm"): String =
+    s"(${CrossHash.duckdbHash56(s"'$salt:$row:' || ($e)")}) % $width"
+
+  /** Per-group count-min sketch over `valueCol` occurrences: one shuffle
+    * keyed on (group, r, slot) with full map-side partial aggregation,
+    * so the shuffle moves ≤ partitions × groups × depth × width counter
+    * rows — row-count-independent, exactly like the HLL and quantile
+    * tables. Only non-empty cells are materialized (absent = 0). */
+  def countMinSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     depth: Int = 3, width: Int = 1024,
+                     salt: String = "cm"): DataFrame = {
+    val cells = explode(array((0 until depth).map { r =>
+      struct(lit(r).cast("int").as("r"),
+        cmSlot(col(valueCol), r, width, salt).as("slot"))
+    }: _*)).as("__cell")
+    df.filter(col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ cells): _*)
+      .select((groupCols.map(col) ++
+        Seq(col("__cell.r").as("r"), col("__cell.slot").as("slot"))): _*)
+      .groupBy((groupCols.map(col) ++ Seq(col("r"), col("slot"))): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge count-min tables to coarser grain (possibly global:
+    * `coarser = Nil`) by summing cells — rows hashed with the same
+    * (salt, depth, width) layout merge losslessly. */
+  def mergeCountMin(sketch: DataFrame, coarser: Seq[String]): DataFrame =
+    sketch.groupBy((coarser.map(col) ++ Seq(col("r"), col("slot"))): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Incremental maintenance (shard-vs-index, like
+    * [[updateQuantileSketch]]): sketch the new shard, union with the
+    * standing table, re-sum cells. O(shard) + O(standing) per ingest;
+    * entrywise sum makes any ingest order replay identically. */
+  def updateCountMin(standing: DataFrame, newRows: DataFrame,
+                     groupCols: Seq[String], valueCol: String,
+                     depth: Int = 3, width: Int = 1024,
+                     salt: String = "cm"): DataFrame =
+    mergeCountMin(
+      standing.unionByName(
+        countMinSketch(newRows, groupCols, valueCol, depth, width, salt)),
+      groupCols)
+
+  /** Point-estimate the count of each `items` row from the sketch:
+    * probe the depth cells, min over rows, absent cell = 0. The sketch
+    * side is ≤ groups × depth × width rows BY CONSTRUCTION — corpus-
+    * size-independent — so it is broadcast unconditionally: the probe
+    * join is shuffle-free no matter how large the item list is.
+    * @return items' columns + `est` (BIGINT, ≥ the true count) */
+  def cmEstimate(sketch: DataFrame, items: DataFrame, groupCols: Seq[String],
+                 itemCol: String, depth: Int = 3, width: Int = 1024,
+                 salt: String = "cm"): DataFrame = {
+    val probes = explode(array((0 until depth).map { r =>
+      struct(lit(r).cast("int").as("r"),
+        cmSlot(col(itemCol), r, width, salt).as("slot"))
+    }: _*)).as("__cell")
+    items
+      .select((groupCols.map(col) :+ col(itemCol) :+ probes): _*)
+      .select((groupCols.map(col) ++ Seq(col(itemCol),
+        col("__cell.r").as("r"), col("__cell.slot").as("slot"))): _*)
+      .join(broadcast(sketch), groupCols ++ Seq("r", "slot"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy((groupCols.map(col) :+ col(itemCol)): _*)
+      .agg(min("cnt").as("est"))
+  }
+
   /** Distribution-drift statistic between two quantile-sketch tables —
     * the ingest-time monitor that closes the loop the incremental
     * sketch maintenance opens: keep the STANDING sketch per group, sketch

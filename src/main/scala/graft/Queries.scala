@@ -2803,6 +2803,40 @@ object Queries {
       .orderBy("epoch", "shard", "pos")
   }
 
+  /** Rendezvous sharding ([[operators.Sampling.rendezvousShard]], round
+    * 6 cont.): every doc_id placed under 8 shards AND under 9, emitted
+    * as the (s8, s9) movement grid — the minimal-movement law (a moved
+    * key may only move INTO the new shard 8) is asserted in-plan, and
+    * the weights replay bit-identically in DuckDB (row_number over
+    * `h DESC, s DESC` ≡ array_max over (h, s) structs). */
+  val rendezvousShardGate: Q = q("rendezvous_shard", {
+    val h = operators.CrossHash.duckdbHash56(
+      "'hrw:' || CAST(ss.s AS VARCHAR) || ':' || CAST(k.doc_id AS VARCHAR)")
+    def pick(n: Int, as: String) =
+      s"""(SELECT doc_id, CAST(s AS BIGINT) AS $as FROM (
+         |  SELECT k.doc_id, ss.s, ($h) AS h
+         |  FROM (SELECT doc_id FROM documents) k, range($n) ss(s))
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY h DESC, s DESC) = 1)""".stripMargin
+    s"""SELECT s8, s9, CAST(count(*) AS BIGINT) AS n_keys
+       |FROM ${pick(8, "s8")} h8 JOIN ${pick(9, "s9")} h9 USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }) { (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("s8",
+        operators.Sampling.rendezvousShard(col("doc_id"), 8))
+      .withColumn("s9",
+        operators.Sampling.rendezvousShard(col("doc_id"), 9))
+      // minimal movement, in-plan: on 8 -> 9 a key never moves between
+      // two OLD shards — if it moves at all, it moves to shard 8
+      .withColumn("s9",
+        when(assert_true(col("s9") === col("s8") || col("s9") === 8L,
+          concat(lit("HRW moved a key between old shards: s8="),
+            col("s8"), lit(" s9="), col("s9"))).isNull, col("s9")))
+      .groupBy("s8", "s9").agg(count(lit(1)).as("n_keys"))
+      .orderBy("s8", "s9")
+  }
+
   /** The shared DuckDB CTE chain replaying [[operators.Vocab.bpeTrain]]:
     * w0 = the word-frequency table in padded double-space symbol form;
     * stage i counts adjacent symbol pairs over w(i-1), picks the
@@ -6009,7 +6043,7 @@ object Queries {
     resampleFfill, qualityBudgetCut, phraseSearchGate, phraseSearchIndexed,
     quantileSketchRollup, sketchDrift, corpusOverlapSketch, cmSketchTopK,
     annPqTopK,
-    epochShuffleGate, bpeTrainGate,
+    epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate
   )
 }

@@ -584,6 +584,36 @@ object Sampling {
     * single-partition window). Writing `partitionBy(epoch, shard)
     * sortWithinPartitions(pos)` then streams each shard in permuted
     * order. */
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar '98 — the consistent-placement scheme behind cache
+    * rings and shard routers): key k lands on argmax_s hash(s, k).
+    * Pure per-row projection — no directory, no shuffle, O(shards)
+    * hashes per key — and the property hash-mod placement lacks:
+    * growing n → n+1 shards moves ONLY the keys whose argmax flips to
+    * the new shard, an expected 1/(n+1) of the corpus, and never moves
+    * a key between two old shards (`pmod` relocates ~n/(n+1) — at
+    * 100 TB that is the difference between re-copying 11% and 89% of
+    * the corpus on a resize). Signed-off by RendezvousSpec: exact
+    * Scala replay, move-target law, measured move fractions for both
+    * schemes, balance, and the zero-exchange plan.
+    *
+    * Determinism: weights are the salted [[CrossHash]] over
+    * `"salt:shard:key"`; the argmax is `array_max` over (h, s) structs
+    * — ties (impossible at 56 bits in practice) break toward the
+    * larger shard id, and the DuckDB replay orders `h DESC, s DESC` to
+    * match. */
+  def rendezvousShard(key: Column, shards: Int,
+                      salt: String = "hrw"): Column = {
+    require(shards >= 1, "shards must be positive")
+    val cands = array((0 until shards).map { sid =>
+      struct(
+        CrossHash.hash56(concat(lit(s"$salt:$sid:"), key.cast("string")))
+          .as("h"),
+        lit(sid.toLong).as("s"))
+    }: _*)
+    array_max(cands).getField("s")
+  }
+
   def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
                    nShards: Int, salt: String): DataFrame = {
     val ep = explode(array((0 until epochs).map(e => lit(e.toLong)): _*))

@@ -1427,6 +1427,54 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Deterministic synchronous label propagation ([[operators.Graphs
+    * .labelPropagation]], round 6 cont.): 4 rounds of most-frequent-
+    * neighbor-label adoption (self-vote, ties to the smallest label)
+    * over the mutual-kNN similarity graph — communities, not
+    * components: propagation stops at sparse cuts. The oracle replays
+    * the kNN edge list via the shared quantizer CTE, then each round
+    * verbatim as a vote aggregate + (cnt DESC, lbl) pick. */
+  val labelPropagationGate: Q = q("label_propagation", {
+    val roundCtes = (1 to 4).map { i =>
+      s"""v$i AS (
+         |  SELECT id, lbl, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT b.u AS id, l.lbl FROM bid b
+         |      JOIN l${i - 1} l ON l.id = b.v
+         |    UNION ALL SELECT id, lbl FROM l${i - 1})
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT id, lbl FROM v$i
+         |  QUALIFY row_number() OVER (PARTITION BY id
+         |    ORDER BY cnt DESC, lbl) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${duckIvfCells(16)},
+       |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
+       |directed AS (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       |  FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |          round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |        FROM corpus a JOIN corpus b
+       |          ON a.cell = b.cell AND a.vec_id <> b.vec_id) d),
+       |knn AS (SELECT src, dst FROM directed WHERE rnk <= 5),
+       |edges AS MATERIALIZED (
+       |  SELECT least(src, dst) AS ea, greatest(src, dst) AS eb
+       |  FROM knn GROUP BY 1, 2 HAVING count(*) = 2),
+       |bid AS (SELECT ea AS u, eb AS v FROM edges
+       |  UNION SELECT eb, ea FROM edges),
+       |l0 AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings),
+       |$roundCtes
+       |SELECT id AS vec_id, lbl AS community
+       |FROM l4 ORDER BY vec_id""".stripMargin
+  }) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val edges = operators.Similarity.knnGraph(emb, "vec_id", "embedding",
+      k = 5, nCentroids = 16)
+    operators.Graphs.labelPropagation(emb.select("vec_id"), edges,
+      idCol = "vec_id", rounds = 4)
+      .orderBy("vec_id")
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019) — round 6: the
     * cross-lingual pair-harvesting step of multilingual corpus builds.
     * Sides split by vec_id parity (a synthetic two-language corpus over
@@ -6026,7 +6074,8 @@ object Queries {
     zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,
     sentenceDedupGate, temperatureSampleGate, kneserNeyPpl,
     pplBuckets, editDistancePairs, pipelineCurationV6, cellBalancedGate,
-    annFilteredTopK, knnGraphGate, triangleCountGate, bitextMineGate,
+    annFilteredTopK, knnGraphGate, triangleCountGate, labelPropagationGate,
+    bitextMineGate,
     heavyHittersGate,
     adaptiveLengthFilter, madOutliersGate, aucRankGate,
     sortedNeighborhoodGate, kmeansTrainGate, stratifiedSplitGate,

@@ -81,6 +81,58 @@ object Graphs {
       .na.fill(0L, Seq("triangles"))
   }
 
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. PRE'07), determinized: every node starts as its own label;
+    * each round every node simultaneously adopts the most frequent
+    * label among its neighbors' current labels PLUS its own self-vote,
+    * breaking frequency ties toward the smallest label. The self-vote
+    * damps the 2-cycle oscillation the synchronous update is prone to
+    * on bipartite-ish regions, and (count desc, label asc) makes each
+    * round a pure function of the edge set — so a FIXED round count
+    * replays round-for-round in SQL, converged or not (asynchronous
+    * LPA's update order is inherently nondeterministic; this is the
+    * trade that makes the operator differential-testable).
+    *
+    * Communities ≠ connected components ([[connectedComponentsLss]]):
+    * propagation stops at sparse cuts, so one component splits into
+    * dense regions — the "which template family / topic cluster"
+    * question over a kNN or near-dup pair graph.
+    *
+    * Scale shape: per round, ONE equi-join of the bidirected edge list
+    * against the label frame + two keyed aggregates — vote volume is
+    * |E|+|V| rows regardless of label skew (votes pre-aggregate
+    * map-side on (node, label)). Rounds are bounded by the parameter;
+    * each round's labels are localCheckpoint'ed because the next round
+    * consumes them TWICE (neighbor join + self-vote) — without the
+    * cut, Catalyst re-inlines the whole chain per consumer and the
+    * plan doubles per round. */
+  def labelPropagation(ids: DataFrame, edges: DataFrame,
+                       idCol: String = "id", edgeACol: String = "id_a",
+                       edgeBCol: String = "id_b",
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "rounds must be positive")
+    val bid = edges
+      .select(col(edgeACol).as("u"), col(edgeBCol).as("v"))
+      .union(edges.select(col(edgeBCol).as("u"), col(edgeACol).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = true)
+    var labels = ids
+      .select(col(idCol).as("id"), col(idCol).cast("long").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val votes = bid
+        .join(labels.select(col("id").as("v"), col("lbl")), "v")
+        .select(col("u").as("id"), col("lbl"))
+        .unionByName(labels.select(col("id"), col("lbl")))
+        .groupBy("id", "lbl").agg(count(lit(1)).as("cnt"))
+      labels = votes
+        .groupBy("id")
+        .agg(max(struct(col("cnt"), negate(col("lbl")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("community"))
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14): provably O(log n) ROUNDS on any graph, where

@@ -2211,6 +2211,95 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Memorization probe ([[operators.TextAnalysis.memorizationProbe]],
+    * round 6 cont.): verbatim prefixes (probe_id < 1e7) and spliced
+    * excerpts (+1e7) of every 29th document probed against the corpus
+    * winnowing index — coverage (hit fraction) and attribution (the
+    * doc sharing the most fingerprints, ties to the smaller id). A
+    * contiguous excerpt's fingerprints are a SUBSET of its source's
+    * (every window of a substring's hash sequence is a window of the
+    * full text's), so verbatim probes are asserted in-plan at
+    * hit_frac = 1.0 with top_share = n_fp. The oracle replays the
+    * winnow fingerprint sets for corpus and probes verbatim, then the
+    * identical coverage/attribution aggregates. */
+  val memorizationProbeGate: Q = q("memorization_probe", {
+    def winnowCtes(p: String, src: String) =
+      s"""${p}n AS (
+         |  SELECT id, trim(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g')) AS s
+         |  FROM $src),
+         |${p}h AS (
+         |  SELECT id, list_transform(range(len(s) - 4), i ->
+         |    ascii(s[i+1]) * 923521 + ascii(s[i+2]) * 29791 +
+         |    ascii(s[i+3]) * 961 + ascii(s[i+4]) * 31 + ascii(s[i+5])) AS hs
+         |  FROM ${p}n),
+         |${p}w AS (
+         |  SELECT id, CASE WHEN len(hs) = 0 THEN []
+         |    WHEN len(hs) <= 4 THEN [list_min(hs)]
+         |    ELSE list_distinct(list_transform(range(len(hs) - 3),
+         |      j -> list_min(hs[j+1 : j+4]))) END AS fps
+         |  FROM ${p}h)""".stripMargin
+    s"""WITH ${winnowCtes("c",
+          "(SELECT doc_id AS id, text AS t FROM documents WHERE text IS NOT NULL)")},
+       |idx0 AS (SELECT id AS src_doc, unnest(fps) AS fp FROM cw),
+       |nd AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+       |boiler AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS dfc FROM idx0 GROUP BY 1), nd
+       |  WHERE dfc > ceil(0.05 * n)),
+       |idx AS (SELECT src_doc, fp FROM idx0 ANTI JOIN boiler USING (fp)),
+       |praw AS (
+       |  SELECT doc_id AS id, substr(text, 1, 120) AS t
+       |  FROM documents
+       |  WHERE doc_id % 29 = 0 AND doc_id < 15000 AND text IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |    substr(text, 1, 60) || ' qq ' || substr(text, 200, 60)
+       |  FROM documents
+       |  WHERE doc_id % 29 = 0 AND doc_id < 15000 AND text IS NOT NULL),
+       |${winnowCtes("p", "praw")},
+       |pidx AS (
+       |  SELECT id AS probe_id, fp
+       |  FROM (SELECT id, unnest(fps) AS fp FROM pw)
+       |  ANTI JOIN boiler USING (fp)),
+       |pbase AS (
+       |  SELECT probe_id, CAST(count(*) AS BIGINT) AS n_fp
+       |  FROM pidx GROUP BY 1),
+       |hits AS (SELECT p.probe_id, i.src_doc, p.fp
+       |  FROM pidx p JOIN idx i USING (fp)),
+       |cov AS (SELECT probe_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_hit
+       |  FROM hits GROUP BY 1),
+       |pd AS (SELECT probe_id, src_doc, CAST(count(*) AS BIGINT) AS shared
+       |  FROM hits GROUP BY 1, 2),
+       |best AS (SELECT probe_id, src_doc AS top_doc, shared AS top_share
+       |  FROM pd QUALIFY row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY shared DESC, src_doc) = 1)
+       |SELECT p.probe_id, p.n_fp, COALESCE(c.n_hit, 0) AS n_hit,
+       |  round(CAST(COALESCE(c.n_hit, 0) AS DOUBLE) / p.n_fp, 6) AS hit_frac,
+       |  b.top_doc, b.top_share
+       |FROM pbase p
+       |LEFT JOIN cov c USING (probe_id)
+       |LEFT JOIN best b USING (probe_id)
+       |ORDER BY probe_id""".stripMargin
+  }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 29 === 0 &&
+      col("doc_id") < 15000 && col("text").isNotNull)
+    val probes = base.select(col("doc_id").as("probe_id"),
+        substring(col("text"), 1, 120).as("text"))
+      .unionByName(base.select((col("doc_id") + 10000000L).as("probe_id"),
+        concat(substring(col("text"), 1, 60), lit(" qq "),
+          substring(col("text"), 200, 60)).as("text")))
+    operators.TextAnalysis.memorizationProbe(docs, probes)
+      // in-plan: a verbatim excerpt probes at full coverage and its
+      // best attribution shares every fingerprint
+      .withColumn("hit_frac",
+        when(assert_true(col("probe_id") >= 10000000L ||
+          (col("hit_frac") === 1.0 && col("top_share") === col("n_fp")),
+          concat(lit("verbatim probe under-covered: probe="),
+            col("probe_id"), lit(" frac="), col("hit_frac"))).isNull,
+          col("hit_frac")))
+      .orderBy("probe_id")
+  }
+
   /** Multimodal plumbing for OPAQUE payloads: binary column + typed
     * metadata struct, stats oracle-checked metadata-only (decodable
     * containers have their own full-decode gates below). */
@@ -6045,7 +6134,7 @@ object Queries {
     timeTravelAsOf,
     rangeJoinGate,
     textQualityExt, pipelineComposed,
-    langId, tokenCountBpe, winnowFingerprint,
+    langId, tokenCountBpe, winnowFingerprint, memorizationProbeGate,
     multimodalStats, multimodalFeatures,
     sampleSplit, sampleQuota, sampleQuotaAgg, negativeSampleGate, mixturePlanGate,
     dupClusters, piiRedact, repetitionSignals,

@@ -243,6 +243,97 @@ object TextAnalysis {
         size(col("fp")).cast("long").as("n_fingerprints"),
         array_min(col("fp")).as("min_fp"))
 
+  /** Memorization / training-copy probe — the audit companion of
+    * [[winnowFingerprints]]: given the corpus's standing winnowing
+    * index and a BOUNDED batch of probe strings (model generations,
+    * eval items, takedown texts), measure how much of each probe
+    * already exists verbatim in the corpus and attribute it to the
+    * single document sharing the most fingerprints (the
+    * fingerprint-overlap methodology of the public dedup/memorization
+    * literature — Lee et al. ACL'22, Carlini et al. USENIX'21 — over
+    * Schleimer et al.'s winnowing).
+    *
+    * Guarantee the in-plan gates lean on: winnowing selects the min of
+    * every w-window of k-gram hashes, and every window of a CONTIGUOUS
+    * SUBSTRING's hash sequence is a window of the full text's — so a
+    * verbatim excerpt's fingerprint set is a SUBSET of its source
+    * document's, and an exact copy probes at hit_frac = 1.0 with
+    * top_share = n_fp. (Normalization is prefix-monotone, so this
+    * survives the lowercase/collapse step.)
+    *
+    * Boilerplate prune — the scale guard: a fingerprint present in more
+    * than `maxDfFrac` of the corpus (headers, licenses, " the " grams)
+    * carries no attribution signal but multiplies the probe join by
+    * its posting length × the probe count — the first sf1 run of this
+    * operator OOM'd exactly there. Such fps are dropped from index AND
+    * probes symmetrically (the df-prune of the dedup literature), so
+    * coverage is defined over INFORMATIVE fingerprints and the subset
+    * guarantee above survives: a verbatim excerpt's surviving fps are
+    * still all in its source. Probes whose every fp is boilerplate are
+    * omitted (nothing attributable remains).
+    *
+    * Scale shape: the index is the corpus's exploded (fp, doc) posting
+    * table — ONE keyed shuffle to build, persistable as a standing
+    * stream (the phrase-index pattern); after the df-prune every
+    * posting list is ≤ maxDfFrac·N docs; the probe batch is
+    * audit-sized by contract, so it BROADCASTS to the postings and the
+    * join is shuffle-free. The index (df aggregate + probe join) and
+    * the hit frame (coverage + attribution) are each consumed twice —
+    * persisted, released via [[OperatorCache]].
+    *
+    * @param probes (probe_id, text)
+    * @return (probe_id, n_fp, n_hit, hit_frac, top_doc, top_share) —
+    *         probes with no informative fingerprints are omitted;
+    *         zero-hit probes keep null top_doc/top_share */
+  def memorizationProbe(corpus: DataFrame, probes: DataFrame,
+                        k: Int = 5, w: Int = 4,
+                        idCol: String = "doc_id",
+                        probeIdCol: String = "probe_id",
+                        maxDfFrac: Double = 0.05): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val live = corpus.filter(col("text").isNotNull)
+    val index = live
+      .withColumn("fp", winnowFingerprints(k, w))
+      .select(col(idCol).as("src_doc"), explode(col("fp")).as("fp"))
+      .persist(disk)
+    // df cap from a broadcast 1-row corpus count — no driver action.
+    // The prune is an ANTI-join against the too-common set: a probe fp
+    // ABSENT from the corpus must survive as a miss (that's what
+    // coverage measures), so filtering to corpus-present fps would be
+    // wrong — only ubiquity disqualifies.
+    val nDocs = live.agg(count(lit(1)).as("__n"))
+    val boilerplate = index.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") > ceil(lit(maxDfFrac) * col("__n")))
+      .select("fp")
+    val prunedIndex = index.join(boilerplate, Seq("fp"), "left_anti")
+    val pf = probes.filter(col("text").isNotNull)
+      .withColumn("fp", winnowFingerprints(k, w))
+      .select(col(probeIdCol), explode(col("fp")).as("fp"))
+      .join(boilerplate, Seq("fp"), "left_anti")
+      .persist(disk)
+    val base = pf.groupBy(probeIdCol).agg(count(lit(1)).as("n_fp"))
+    // fps are per-row distinct sets on BOTH sides, so (probe, doc, fp)
+    // rows are unique and plain counts below are distinct counts
+    val hits = prunedIndex.join(broadcast(pf), Seq("fp")).persist(disk)
+    val coverage = hits.groupBy(probeIdCol)
+      .agg(count_distinct(col("fp")).as("n_hit"))
+    val attribution = hits.groupBy(probeIdCol, "src_doc")
+      .agg(count(lit(1)).as("shared"))
+      .groupBy(probeIdCol)
+      .agg(max(struct(col("shared"), negate(col("src_doc")).as("nd"))).as("m"))
+      .select(col(probeIdCol), (-col("m.nd")).as("top_doc"),
+        col("m.shared").as("top_share"))
+    base
+      .join(coverage, Seq(probeIdCol), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .join(attribution, Seq(probeIdCol), "left")
+      .withColumn("hit_frac",
+        round(col("n_hit").cast("double") / col("n_fp"), 6))
+      .select(col(probeIdCol), col("n_fp"), col("n_hit"), col("hit_frac"),
+        col("top_doc"), col("top_share"))
+  }
+
   /** Overlapping token-window chunking — the segmentation step before
     * embedding/RAG indexing or fixed-context pretraining: document
     * tokens (whitespace granularity here; swap the splitter for a real

@@ -2734,6 +2734,38 @@ object Queries {
     per.unionByName(global).orderBy("lang", "q")
   }
 
+  /** Two-pass EXACT order statistics ([[operators.Sketches
+    * .exactQuantiles]], round 6 cont.): exact per-language and global
+    * p50/p99 of document length without a global sort and without
+    * buffering values per group — the sketch locates each rank's
+    * bucket, a targeted rescan resolves the exact value. The oracle is
+    * the plain order-statistic definition (min v with rank ≥ ⌈q·N⌉),
+    * so any convention drift in the two-pass machinery is a hash
+    * mismatch. */
+  val exactQuantileGate: Q = q("exact_quantile",
+    """WITH v AS (
+      |  SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+      |  WHERE n_chars IS NOT NULL),
+      |g AS (SELECT lang AS grp, v FROM v
+      |  UNION ALL SELECT '__total', v FROM v),
+      |r AS (SELECT grp, v,
+      |    row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY grp) AS n
+      |  FROM g)
+      |SELECT grp AS lang, q, CAST(min(v) AS BIGINT) AS val
+      |FROM r CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+      |  CAST(0.99 AS DOUBLE)]) AS q)
+      |WHERE rn >= ceil(q * n)
+      |GROUP BY 1, 2 ORDER BY lang, q""".stripMargin) { (s, dir) =>
+    val vals = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+      .select(col("lang"), col("n_chars").cast("long").as("v"))
+    val qs = Seq(0.5, 0.99)
+    val per = operators.Sketches.exactQuantiles(vals, Seq("lang"), "v", qs)
+    val global = operators.Sketches.exactQuantiles(vals, Nil, "v", qs)
+      .select(lit("__total").as("lang"), col("q"), col("val"))
+    per.unionByName(global).orderBy("lang", "q")
+  }
+
   /** Sketch-based distribution drift ([[operators.Sketches
     * .sketchKsDistance]], round 6): the two-sample KS statistic between
     * per-language length distributions of two corpus halves, computed
@@ -6180,6 +6212,7 @@ object Queries {
     langMixtureGate, classifierCalibration, corpusDiffGate, hllRollupGate,
     resampleFfill, qualityBudgetCut, phraseSearchGate, phraseSearchIndexed,
     quantileSketchRollup, sketchDrift, corpusOverlapSketch, cmSketchTopK,
+    exactQuantileGate,
     annPqTopK,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate

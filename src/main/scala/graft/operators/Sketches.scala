@@ -206,6 +206,67 @@ object Sketches {
       drift <= lit(tol))
   }
 
+  /** EXACT order statistics in two bounded passes — the scale answer
+    * to "exact p99, not an estimate" that neither a global sort
+    * (corpus shuffle) nor Spark's `percentile` (buffers every value
+    * per group) survives at 100 TB: pass 1 builds the bounded
+    * log-linear sketch and locates, per (group, q), the single bucket
+    * containing rank ⌈q·N⌉ plus the exact count below it; pass 2
+    * rescans ONLY rows landing in target buckets (a broadcast
+    * semi-structured join against the groups × qs target table — at
+    * mantissaBits = 4 a bucket holds ≤ ~3% of a group's mass), reduces
+    * them to per-value counts, and picks the smallest value whose
+    * cumulative count reaches the target rank. The only window runs
+    * per (group, q) over ONE bucket's distinct values. Output is an
+    * exact BIGINT — no estimate band, no tolerance, replayed by a
+    * plain order-statistic oracle. */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     qs: Seq[Double], mantissaBits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val gcols = groupCols.map(col)
+    val sk = quantileSketch(df, groupCols, valueCol, mantissaBits)
+    val buckets = sort_array(collect_list(struct(
+      col("msb"), col("mant"), col("cnt")))).as("bks")
+    val n = sum("cnt").as("n")
+    val agged =
+      if (groupCols.isEmpty) sk.agg(buckets, n)
+      else sk.groupBy(gcols: _*).agg(buckets, n)
+    // target bucket + exact count strictly below it, same latch fold as
+    // sketchQuantiles (bucket order IS value order)
+    val pick = expr(
+      s"""aggregate(bks,
+         |  named_struct('cum', 0L, 'msb', -1, 'mant', -1L, 'below', 0L),
+         |  (acc, s) -> IF(acc.msb >= 0, acc,
+         |    named_struct('cum', acc.cum + s.cnt,
+         |      'msb', IF(acc.cum + s.cnt >= CEIL(q * n), s.msb, -1),
+         |      'mant', IF(acc.cum + s.cnt >= CEIL(q * n), s.mant, -1L),
+         |      'below', IF(acc.cum + s.cnt >= CEIL(q * n), acc.cum, 0L))))
+         |""".stripMargin)
+    val targets = agged
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("pk", pick)
+      .select(gcols ++ Seq(col("q"),
+        ceil(col("q") * col("n")).cast("long").as("r"),
+        col("pk.msb").as("msb"), col("pk.mant").as("mant"),
+        col("pk.below").as("below")): _*)
+    val (msbC, mantC) = valueBuckets(col(valueCol).cast("long"), mantissaBits)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(gcols :+ col(valueCol).cast("long").as("v") :+
+        msbC.as("msb") :+ mantC.as("mant"): _*)
+    val inBucket = rows.join(broadcast(targets), groupCols ++ Seq("msb", "mant"))
+    val perVal = inBucket
+      .groupBy((gcols ++ Seq(col("q"), col("r"), col("below"), col("v"))): _*)
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy((gcols :+ col("q")): _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perVal.withColumn("cum", sum("c").over(wv))
+      .filter(col("below") + col("cum") >= col("r"))
+      .groupBy((gcols :+ col("q")): _*)
+      .agg(min("v").as("val"))
+  }
+
   // ------------------------------------------------------------------
   // Count-min sketch (round 6, cont.) — the FREQUENCY member of the
   // mergeable-sketch family (HLL = distincts, log-linear buckets =

@@ -1236,6 +1236,65 @@ object Queries {
       .orderBy("cid", "dim")
   }
 
+  /** SQL replay of [[operators.Similarity.kCenterCoreset]]: the greedy
+    * farthest-point traversal unrolled as (score, argmin) CTE pairs —
+    * seed = lowest vec_id, each round's `best` = running max round-6
+    * cosine to the chosen set, next center = (best ASC, vec_id ASC)
+    * LIMIT 1 — closing with the earliest-step argmax cover count. */
+  private def duckKCenterChain(k: Int): String = {
+    def pick(i: Int, from: String, sel: String): String =
+      s"""c$i AS (
+         |  SELECT $i AS step, vec_id AS center_id, v, $sel AS sel_micro
+         |  FROM $from ORDER BY ${if (i == 0) "" else "best ASC, "}vec_id ASC
+         |  LIMIT 1)""".stripMargin
+    def score(i: Int): String = {
+      val (from, acc) =
+        if (i == 0) ("vecs", "round(list_cosine_similarity(x.v, c.v), 6)")
+        else (s"b${i - 1}",
+          s"greatest(x.best, round(list_cosine_similarity(x.v, c.v), 6))")
+      s"""b$i AS (
+         |  SELECT x.vec_id, x.v, $acc AS best
+         |  FROM $from x CROSS JOIN c$i c)""".stripMargin
+    }
+    val steps = (0 until k).map { i =>
+      if (i == 0) pick(0, "vecs", "CAST(NULL AS BIGINT)")
+      else pick(i, s"b${i - 1}", "CAST(round(best * 1000000) AS BIGINT)")
+    }
+    val scores = (0 until k - 1).map(score)
+    val chain = (0 until k - 1).flatMap(i => Seq(steps(i), scores(i))) :+
+      steps(k - 1)
+    val union = (0 until k).map(i =>
+      s"SELECT step, center_id, v, sel_micro FROM c$i").mkString(" UNION ALL ")
+    (Seq(
+      """vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL)""".stripMargin
+    ) ++ chain :+ s"cent AS ($union)").mkString(",\n")
+  }
+
+  /** Greedy k-center coreset ([[operators.Similarity.kCenterCoreset]],
+    * round 6 cont.): the 6 most mutually dissimilar embeddings plus
+    * their cover populations. The oracle replays the ENTIRE traversal —
+    * seed, every argmin round, and the final earliest-step-tie-break
+    * cover — so a drift anywhere in the k corpus passes is a hash
+    * mismatch. */
+  val kCenterGate: Q = q("kcenter_coreset",
+    s"""WITH ${duckKCenterChain(6)},
+       |assign AS (
+       |  SELECT x.vec_id, c.step,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY round(list_cosine_similarity(x.v, c.v), 6) DESC,
+       |        c.step ASC) AS r
+       |  FROM vecs x CROSS JOIN cent c),
+       |sizes AS (SELECT step, count(*) AS n FROM assign WHERE r = 1 GROUP BY 1)
+       |SELECT c.step, c.center_id, c.sel_micro,
+       |  CAST(COALESCE(s.n, 0) AS BIGINT) AS n_assigned
+       |FROM cent c LEFT JOIN sizes s USING (step)
+       |ORDER BY c.step""".stripMargin) { (s, dir) =>
+    operators.Similarity.kCenterCoreset(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 6)
+      .orderBy("step")
+  }
+
   private def duckIvfCells(nCentroids: Int): String =
     s"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |seeds AS (
@@ -6215,6 +6274,6 @@ object Queries {
     exactQuantileGate,
     annPqTopK,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
-    bpeEncodeGate
+    bpeEncodeGate, kCenterGate
   )
 }

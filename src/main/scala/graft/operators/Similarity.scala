@@ -935,4 +935,75 @@ object Similarity {
       .select(col(idCol), posexplode(array(projs: _*)).as(Seq("j", "p")))
       .select(col(idCol), col("j").cast("long").as("j"), col("p"))
   }
+
+  /** Greedy k-center coreset (farthest-point traversal, Gonzalez TCS'85):
+    * pick the `k` MOST MUTUALLY DISSIMILAR vectors — seed = lowest id,
+    * then k−1 rounds of "the point least similar to its nearest chosen
+    * center". The diverse-subset-selection primitive for eval-set
+    * construction and prototype picking; the greedy rule is the classic
+    * 2-approximation to the optimal k-center cover.
+    *
+    * Determinism is total, so the whole traversal replays in SQL: every
+    * round scores the corpus against ALL chosen centers in one fused
+    * [[graft.functions.CentroidCosines]] pass (centers ride into the
+    * kernel as a plan literal — K×d floats, the same budget as the
+    * IVF quantizer), similarities round to 6 dp, and the argmin breaks
+    * ties on lowest id. The per-round reduction is a limit-1
+    * TakeOrdered (top-1 per partition, then a driver pick of k
+    * candidates) — never a global sort. Scale shape: k corpus scans,
+    * zero shuffles, zero joins, driver traffic k rows + k×d floats.
+    *
+    * @return one row per selected center, plus its cover population:
+    *         (step, center_id, sel_micro, n_assigned) — `sel_micro` =
+    *         the center's similarity to its nearest PREDECESSOR center
+    *         in micro units (NULL for the seed; monotone non-decreasing
+    *         diversity gauge), `n_assigned` = corpus rows whose
+    *         round-6-argmax center this is (ties → earliest step). */
+  def kCenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("v"))
+    val seed = e.orderBy("n_id").limit(1).collect()
+    if (seed.isEmpty)
+      return Seq.empty[(Int, Long, Option[Long], Long)]
+        .toDF("step", "center_id", "sel_micro", "n_assigned")
+    // (step, id, vector, sel_micro)
+    var centers = Vector[(Int, Long, Seq[Float], Option[Long])](
+      (0, seed(0).getLong(0), seed(0).getSeq[Float](1), None))
+    def scoresOf(cs: Vector[(Int, Long, Seq[Float], Option[Long])]): Column = {
+      val dims = cs.head._3.length
+      val flat = cs.flatMap(_._3).toArray
+      call_function("centroid_cosines", col("v"), typedlit(flat), lit(dims))
+    }
+    while (centers.size < k) {
+      val next = e.withColumn("scores", scoresOf(centers))
+        .withColumn("best",
+          expr("array_max(transform(scores, s -> round(s, 6)))"))
+        .withColumn("sel_micro", round(col("best") * lit(1e6)).cast("long"))
+        .orderBy(col("best").asc, col("n_id").asc)
+        .limit(1).select("n_id", "v", "sel_micro").collect()
+      centers :+= ((centers.size, next(0).getLong(0),
+        next(0).getSeq[Float](1), Some(next(0).getLong(2))))
+    }
+    // Final cover pass: argmax round-6 similarity, ties → earliest step.
+    // One kernel evaluation per row (scores materialized as a column);
+    // the struct-max is over the k-length score array, not the corpus.
+    val picked = e.withColumn("scores", scoresOf(centers))
+      .withColumn("pick", array_max(array(centers.map { c =>
+        struct(round(element_at(col("scores"), c._1 + 1), 6).as("cos"),
+          lit(-c._1).as("negstep"))
+      }: _*)))
+      .select((-col("pick.negstep")).as("step"))
+    val sizes = picked.groupBy("step").agg(count(lit(1)).as("n_assigned"))
+    val centDf = centers
+      .map { case (s, id, _, m) => (s, id, m) }
+      .toDF("step", "center_id", "sel_micro")
+    centDf.join(sizes, Seq("step"), "left")
+      .select(col("step"), col("center_id"), col("sel_micro"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
+  }
 }

@@ -3136,6 +3136,37 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per language ([[operators.Vocab.bpeFertility]],
+    * round 6 cont.): tokens-per-word under the 6 trained merges, rolled
+    * up by language in exact integer micro units. The oracle replays
+    * train + encode + rollup end to end, so a drift in any stage (or a
+    * float sneaking into the ratio) is a hash mismatch. */
+  val bpeFertilityGate: Q = q("bpe_fertility",
+    s"""WITH ${duckBpeStages(6)},
+      |enc AS (
+      |  SELECT word, CAST(len(list_filter(string_split(w, '  '),
+      |    x -> x <> '')) AS BIGINT) AS n_sym FROM w6),
+      |docw AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |perdoc AS (
+      |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(n_sym) AS BIGINT) AS n_symbols
+      |  FROM (SELECT doc_id, lang, word FROM docw WHERE word <> '') d
+      |  JOIN enc USING (word)
+      |  GROUP BY doc_id, lang)
+      |SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
+      |  CAST(sum(n_symbols) AS BIGINT) AS n_symbols,
+      |  CAST(sum(n_symbols) * 1000000 // sum(n_words) AS BIGINT)
+      |    AS fert_micro
+      |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val merges = operators.Vocab.bpeTrain(docs, k = 6)
+    operators.Vocab.bpeFertility(docs, "doc_id", "text", "lang",
+      merges.map(m => (m._2, m._3)))
+      .orderBy("lang")
+  }
+
   /** Gopher-style repetition signals: duplicate-word fraction (array ops,
     * zero shuffle) and top-bigram share (two doc-keyed hash aggregates). */
   val repetitionSignals: Q = q("repetition_signals",
@@ -6274,6 +6305,6 @@ object Queries {
     exactQuantileGate,
     annPqTopK,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
-    bpeEncodeGate, kCenterGate
+    bpeEncodeGate, kCenterGate, bpeFertilityGate
   )
 }

@@ -554,6 +554,27 @@ object Vocab {
       .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_symbols"))
   }
 
+  /** Tokenizer fertility per language: tokens emitted per word under the
+    * trained merges — THE multilingual tokenizer-equity diagnostic (a
+    * language with fertility 3× English pays 3× the context budget;
+    * cf. Rust et al. ACL'21's fertility tables). Composes [[bpeEncode]]
+    * (vocabulary-scale replace chain, broadcast back onto the corpus)
+    * with a doc_id-keyed lang join and a per-language rollup, so the
+    * scale shape stays bpeEncode's. The ratio is ALL-INTEGER — micro
+    * units by floor division, no doubles — so it replays exactly.
+    *
+    * @return (lang, n_words, n_symbols, fert_micro) with fert_micro =
+    *         (n_symbols·1e6) div n_words */
+  def bpeFertility(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", langCol: String = "lang",
+                   merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol), col(langCol))
+      .join(bpeEncode(docs, idCol, textCol, merges), Seq(idCol))
+      .groupBy(langCol)
+      .agg(sum("n_words").as("n_words"), sum("n_symbols").as("n_symbols"))
+      .withColumn("fert_micro",
+        expr("CAST(n_symbols * 1000000 DIV n_words AS BIGINT)"))
+
   /** Conditional next-token top-k: for every context word, the `k` most
     * frequent successors (the bigram LM's argmax table — the lookup a
     * completion heuristic or a bigram sampler actually serves). One

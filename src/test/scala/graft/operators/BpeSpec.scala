@@ -51,4 +51,20 @@ class BpeSpec extends SparkSpec {
       .select("n_words", "n_symbols").as[(Long, Long)].head()
     assert(enc == ((3L, 3L))) // a=1, bb=1 (merged), a=1
   }
+
+  test("fertility rolls up per language in exact floor-division micros") {
+    val docs = Seq(
+      (1L, "en", "ab ab"),   // (a,b) merged: 2 words, 2 symbols
+      (2L, "en", "abc"),     // [ab c] = 2 symbols
+      (3L, "de", "xyz xyz")  // unmerged: 2 words, 6 symbols
+    ).toDF("doc_id", "lang", "text")
+    val got = Vocab.bpeFertility(docs, "doc_id", "text", "lang",
+      Seq(("a", "b")))
+      .orderBy("lang")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // en: 3 words, 4 symbols → 4e6 div 3 = 1333333 (floor, not round)
+    assert(got == Seq(
+      ("de", 2L, 6L, 3000000L),
+      ("en", 3L, 4L, 1333333L)))
+  }
 }

@@ -3167,6 +3167,32 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Vocabulary coverage curve ([[operators.Vocab.vocabCoverage]],
+    * round 6 cont.): token mass covered by the top-V types for three
+    * vocabulary sizes, in exact floor-division micros. The oracle ranks
+    * with a plain `row_number() OVER (ORDER BY cnt DESC, word)`, so the
+    * bucketed two-pass rank must equal the single window row-for-row. */
+  val vocabCoverageGate: Q = q("vocab_coverage",
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+      |  FROM documents WHERE text IS NOT NULL),
+      |t AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w
+      |  WHERE word <> '' GROUP BY word),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk
+      |  FROM t),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM r)
+      |SELECT CAST(v AS BIGINT) AS v,
+      |  CAST(COALESCE(sum(CASE WHEN rnk <= v THEN cnt END), 0) AS BIGINT)
+      |    AS covered_tokens,
+      |  CAST(any_value(total) AS BIGINT) AS total_tokens,
+      |  CAST(COALESCE(sum(CASE WHEN rnk <= v THEN cnt END), 0) * 1000000
+      |    // any_value(total) AS BIGINT) AS coverage_micro
+      |FROM r CROSS JOIN tot
+      |CROSS JOIN (SELECT unnest([100, 1000, 10000]) AS v)
+      |GROUP BY v ORDER BY v""".stripMargin) { (s, dir) =>
+    operators.Vocab.vocabCoverage(t(s, dir, "documents"))
+      .orderBy("v")
+  }
+
   /** Gopher-style repetition signals: duplicate-word fraction (array ops,
     * zero shuffle) and top-bigram share (two doc-keyed hash aggregates). */
   val repetitionSignals: Q = q("repetition_signals",
@@ -6305,6 +6331,6 @@ object Queries {
     exactQuantileGate,
     annPqTopK,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
-    bpeEncodeGate, kCenterGate, bpeFertilityGate
+    bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate
   )
 }

@@ -575,6 +575,41 @@ object Vocab {
       .withColumn("fert_micro",
         expr("CAST(n_symbols * 1000000 DIV n_words AS BIGINT)"))
 
+  /** Vocabulary coverage curve: for each candidate vocabulary size V,
+    * the corpus token mass covered by the top-V most frequent types —
+    * the coverage@V table that sizes a tokenizer vocabulary (the knee
+    * of this curve is where adding types stops paying; beyond it every
+    * OOV falls to byte/char fallback). Scale shape: one word-count
+    * shuffle with map-side combine to the vocabulary-sized type table,
+    * then [[Ranks.globalRowNumber]]'s bucketed two-pass rank (frequency
+    * ranks are corpus-vocabulary-sized — a bare `Window.orderBy` here
+    * is the single-partition killer the window guard rejects), then ONE
+    * conditional aggregate over the ranked types for every V at once.
+    * Coverage is floor-division micros — all-integer, exact replay.
+    *
+    * @return (v, covered_tokens, total_tokens, coverage_micro), one row
+    *         per requested size, ranks tie-broken by word */
+  def vocabCoverage(docs: DataFrame, textCol: String = "text",
+                    sizes: Seq[Long] = Seq(100L, 1000L, 10000L)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1L), "sizes must be >= 1")
+    val types = docs.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("negcnt", -col("cnt"))
+    val ranked = Ranks.globalRowNumber(types, "negcnt", "word", outCol = "rnk")
+    val aggs = sum(col("cnt")).as("total") +:
+      sizes.map(v => sum(when(col("rnk") <= v, col("cnt"))).as(s"c_$v"))
+    val stacked = sizes
+      .map(v => s"CAST($v AS BIGINT), CAST(coalesce(c_$v, 0) AS BIGINT)")
+      .mkString(", ")
+    ranked.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${sizes.length}, $stacked) AS (v, covered_tokens)"),
+        col("total").as("total_tokens"))
+      .withColumn("coverage_micro",
+        expr("CAST(covered_tokens * 1000000 DIV total_tokens AS BIGINT)"))
+  }
+
   /** Conditional next-token top-k: for every context word, the `k` most
     * frequent successors (the bigram LM's argmax table — the lookup a
     * completion heuristic or a bigram sampler actually serves). One

@@ -5575,6 +5575,35 @@ object Queries {
     * (ts, event_id) — the unique id tie-break makes the sequence, and hence
     * the counts, engine-independent; p_micro is floor of one IEEE division
     * of two exact longs, bit-identical across engines. */
+  /** Frequent co-occurrence pairs ([[operators.Sequences.frequentPairs]],
+    * round 6 cont.): per-user event-type baskets, pair support and
+    * all-integer lift. The oracle builds pairs by a basket self-join —
+    * the Spark side must produce the identical pair set from its
+    * row-local array combinations. */
+  val frequentPairsGate: Q = q("frequent_pairs",
+    """WITH b AS (
+      |  SELECT user_id, list_sort(list_distinct(list(event_type))) AS items
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY user_id),
+      |e AS (SELECT user_id, unnest(items) AS item FROM b),
+      |p AS (
+      |  SELECT x.item AS item_a, y.item AS item_b
+      |  FROM e x JOIN e y ON x.user_id = y.user_id AND x.item < y.item),
+      |s AS (SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS support
+      |  FROM p GROUP BY 1, 2 HAVING count(*) >= 3),
+      |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM b)
+      |SELECT s.item_a, s.item_b, s.support,
+      |  CAST(s.support * n.nb * 1000000 // (ca.c * cb.c) AS BIGINT)
+      |    AS lift_micro
+      |FROM s JOIN ic ca ON s.item_a = ca.item
+      |JOIN ic cb ON s.item_b = cb.item CROSS JOIN n
+      |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    operators.Sequences.frequentPairs(t(s, dir, "events"),
+      "user_id", "event_type", minSupport = 3L)
+      .orderBy("item_a", "item_b")
+  }
+
   val eventTransitions: Q = q("event_transitions",
     """WITH p AS (
       |  SELECT event_type AS cur,
@@ -6331,6 +6360,7 @@ object Queries {
     exactQuantileGate,
     annPqTopK,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
-    bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate
+    bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
+    frequentPairsGate
   )
 }

@@ -415,4 +415,46 @@ object Sequences {
           .as("p_micro"))
       .orderBy("cur", "nxt")
   }
+
+  /** Frequent co-occurrence pairs with lift (the level-2 Apriori /
+    * market-basket table, Agrawal VLDB'94): which item pairs appear in
+    * the same basket more than independence predicts. Baskets build in
+    * one basket-keyed aggregate (`collect_set` — bounded by the ITEM
+    * vocabulary, never by basket event count); pairs generate
+    * ROW-LOCALLY from each basket's sorted distinct array (≤ |items|²/2
+    * per row, no basket self-join), then one pair-keyed count with
+    * map-side combine — pair space is vocabulary², independent of
+    * corpus size. Lift is all-integer:
+    * `lift_micro = support·n_baskets·1e6 div (c_a·c_b)` — > 1e6 means
+    * positively associated.
+    *
+    * @return (item_a, item_b, support, lift_micro), item_a < item_b,
+    *         support ≥ minSupport */
+  def frequentPairs(events: DataFrame, basketCol: String, itemCol: String,
+                    minSupport: Long = 1L): DataFrame = {
+    val baskets = events
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(basketCol).as("basket"))
+      .agg(sort_array(collect_set(col(itemCol))).as("items"))
+    val pairs = baskets.select(explode(expr(
+      """flatten(transform(items, (x, i) ->
+        |  transform(slice(items, i + 2, size(items)),
+        |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val itemCounts = baskets
+      .select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("c"))
+    val nb = baskets.agg(count(lit(1)).as("nb"))
+    pairs
+      .join(itemCounts.select(col("item").as("item_a"), col("c").as("ca")),
+        Seq("item_a"))
+      .join(itemCounts.select(col("item").as("item_b"), col("c").as("cb")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nb))
+      .select(col("item_a"), col("item_b"), col("support"),
+        expr("CAST(support * nb * 1000000 DIV (ca * cb) AS BIGINT)")
+          .as("lift_micro"))
+  }
 }

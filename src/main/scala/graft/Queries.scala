@@ -2873,6 +2873,50 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Sketch 1-Wasserstein drift ([[operators.Sketches.sketchW1Distance]],
+    * round 6 cont.): the earth-mover magnitude between the same two
+    * corpus halves the KS gate compares — exact integer micros over the
+    * union bucket support, replayed by a window-cumsum oracle. */
+  val sketchW1Gate: Q = q("sketch_w1_drift",
+    """WITH vals AS (
+      |  SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS v
+      |  FROM documents WHERE text IS NOT NULL),
+      |bk AS (
+      |  SELECT lang, doc_id % 2 AS side,
+      |    CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS msb,
+      |    CASE WHEN v <= 0 THEN 0
+      |         ELSE v >> GREATEST(length(bin(v)) - 5, 0) END AS mant,
+      |    count(*) AS cnt
+      |  FROM vals GROUP BY 1, 2, 3, 4),
+      |al AS (
+      |  SELECT lang, msb, mant,
+      |    COALESCE(sum(CASE WHEN side = 0 THEN cnt END), 0) AS cnt_a,
+      |    COALESCE(sum(CASE WHEN side = 1 THEN cnt END), 0) AS cnt_b
+      |  FROM bk GROUP BY 1, 2, 3),
+      |cums AS (
+      |  SELECT lang,
+      |    sum(cnt_a) OVER (PARTITION BY lang ORDER BY msb, mant) AS cum_a,
+      |    sum(cnt_b) OVER (PARTITION BY lang ORDER BY msb, mant) AS cum_b,
+      |    sum(cnt_a) OVER (PARTITION BY lang) AS n_a,
+      |    sum(cnt_b) OVER (PARTITION BY lang) AS n_b
+      |  FROM al)
+      |SELECT lang, CAST(max(n_a) AS BIGINT) AS n_a,
+      |  CAST(max(n_b) AS BIGINT) AS n_b,
+      |  CAST(sum(abs(cum_a * n_b - cum_b * n_a)) * 1000000
+      |    // (max(n_a) * max(n_b)) AS BIGINT) AS emd_micro
+      |FROM cums WHERE n_a > 0 AND n_b > 0
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val vals = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        length(col("text")).cast("long").as("v"))
+    val a = operators.Sketches.quantileSketch(
+      vals.filter(col("doc_id") % 2 === 0), Seq("lang"), "v")
+    val b = operators.Sketches.quantileSketch(
+      vals.filter(col("doc_id") % 2 === 1), Seq("lang"), "v")
+    operators.Sketches.sketchW1Distance(a, b, Seq("lang"))
+      .orderBy("lang")
+  }
+
   /** Sketch-based corpus overlap ([[operators.Sketches.overlapEstimate]],
     * round 6): inclusion–exclusion over standing HLL sketches — the two
     * slices are never joined for the ESTIMATE; the gate also computes
@@ -6361,6 +6405,6 @@ object Queries {
     annPqTopK,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
-    frequentPairsGate
+    frequentPairsGate, sketchW1Gate
   )
 }

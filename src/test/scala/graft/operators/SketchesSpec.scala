@@ -190,4 +190,63 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(sk - ex) < 0.1,
       s"sketch ks $sk too far from exact ks $ex (bucket resolution band)")
   }
+
+  test("sketch W1: 0 for identical; equals the hand EMD on a 2-bucket split") {
+    val same = spark.range(2000).select(lit("g").as("g"), (col("id") % 97).as("v"))
+    val skSame = Sketches.quantileSketch(same, Seq("g"), "v")
+    val w0 = Sketches.sketchW1Distance(skSame, skSame, Seq("g"))
+      .select("emd_micro").as[Long].head()
+    assert(w0 == 0L, s"identical sketches must have W1 0, got $w0")
+
+    // two exact buckets (v=1 and v=2 land in distinct exact buckets):
+    // a = 3×v1 + 1×v2, b = 1×v1 + 3×v2 → union support = 2 buckets,
+    // only the first prefix gap counts: |3·4 − 1·4| = 8; n_a·n_b = 16
+    // → W1 = 8/16 = 0.5 → 500000 micros
+    val a = Seq(("g", 1L), ("g", 1L), ("g", 1L), ("g", 2L)).toDF("g", "v")
+    val b = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("g", 2L)).toDF("g", "v")
+    val w = Sketches.sketchW1Distance(
+      Sketches.quantileSketch(a, Seq("g"), "v"),
+      Sketches.quantileSketch(b, Seq("g"), "v"), Seq("g"))
+      .select("emd_micro").as[Long].head()
+    assert(w == 500000L, s"hand EMD is 0.5, got $w micros")
+  }
+
+  test("sketch W1 sees tail mass that KS caps: floor division pinned") {
+    // a: all at v=1; b: half at v=1, half spread FAR into the tail over
+    // many buckets — KS is 0.5 regardless of distance, W1 grows with it
+    val a = spark.range(1200).select(lit("g").as("g"), lit(1L).as("v"))
+    val bNear = spark.range(600).select(lit("g").as("g"), lit(1L).as("v"))
+    val bFar = spark.range(600).select(lit("g").as("g"),
+      (col("id") * 1000 + 100000).as("v"))
+    val b = bNear.unionByName(bFar)
+    val ks = Sketches.sketchKsDistance(
+      Sketches.quantileSketch(a, Seq("g"), "v"),
+      Sketches.quantileSketch(b, Seq("g"), "v"), Seq("g"))
+      .select("ks").as[Double].head()
+    val w1 = Sketches.sketchW1Distance(
+      Sketches.quantileSketch(a, Seq("g"), "v"),
+      Sketches.quantileSketch(b, Seq("g"), "v"), Seq("g"))
+      .select("emd_micro").as[Long].head()
+    assert(ks == 0.5, s"KS saturates at the mass gap, got $ks")
+    // W1 in bucket steps: half the mass moves across the whole union
+    // support — far larger than the 0.5-step KS-equivalent move
+    assert(w1 > 10 * 500000L,
+      s"W1 must scale with tail distance (got $w1 micros)")
+    // exact floor: replay the integer definition on the aligned buckets
+    val al = Sketches.quantileSketch(a, Seq("g"), "v")
+      .select(col("msb"), col("mant"), col("cnt").as("cnt_a"))
+      .join(Sketches.quantileSketch(b, Seq("g"), "v")
+        .select(col("msb"), col("mant"), col("cnt").as("cnt_b")),
+        Seq("msb", "mant"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
+      .orderBy("msb", "mant")
+      .select("cnt_a", "cnt_b").as[(Long, Long)].collect()
+    val (na, nb) = (al.map(_._1).sum, al.map(_._2).sum)
+    var (ca, cb, num) = (0L, 0L, BigInt(0))
+    al.foreach { case (x, y) =>
+      ca += x; cb += y; num += (BigInt(ca) * nb - BigInt(cb) * na).abs
+    }
+    assert(w1 == (num * 1000000 / (BigInt(na) * nb)).toLong,
+      "emd_micro must equal the exact integer floor")
+  }
 }

@@ -3443,6 +3443,48 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Dedup attribution matrix ([[operators.Dedup.attributionMatrix]],
+    * round 6 cont.): the cross-source flow of dropped documents under
+    * the same LSH clusters + source-priority canonical rule as
+    * `dedup_canonical` — who lost how many docs to whom. The oracle
+    * replays clusters (recursive reach), the keeper window, and the
+    * flow count end to end. */
+  val dedupAttribution: Q = q("dedup_attribution", {
+    val pairsSql = duckJaccardPairs(n = 2, threshold = 0.5, leftPred = "true")
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |clu AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |rnk AS (
+       |  SELECT d.doc_id, d.source, clu.cluster_id,
+       |    row_number() OVER (PARTITION BY clu.cluster_id
+       |      ORDER BY CASE d.source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+       |               ELSE 2 END, d.doc_id) AS rn
+       |  FROM documents d JOIN clu USING (doc_id)),
+       |keep AS (SELECT cluster_id, doc_id AS keep_id, source AS source_kept
+       |  FROM rnk WHERE rn = 1)
+       |SELECT k.source_kept, m.source AS source_dropped,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM rnk m JOIN keep k USING (cluster_id)
+       |WHERE m.doc_id <> k.keep_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = operators.Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, threshold = 0.5)
+    val clusters = operators.Dedup.duplicateClusters(
+      docs.select(col("doc_id").cast("long").as("doc_id")), pairs,
+      idCol = "doc_id")
+    operators.Dedup.attributionMatrix(
+      docs.select("doc_id", "source"), clusters, "doc_id", "source",
+      priority = Seq("src0", "src1"))
+      .orderBy("source_kept", "source_dropped")
+  }
+
   /** Real WAV decode, differentially tested like the PNG gates: Spark
     * synthesizes genuine RIFF/PCM16 bytes per doc, decodes them, and
     * computes integer audio features; DuckDB evaluates the sample
@@ -6405,6 +6447,6 @@ object Queries {
     annPqTopK,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
-    frequentPairsGate, sketchW1Gate
+    frequentPairsGate, sketchW1Gate, dedupAttribution
   )
 }

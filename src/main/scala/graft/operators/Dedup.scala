@@ -1012,6 +1012,31 @@ object Dedup {
       .drop("__graft_crn")
   }
 
+  /** Dedup attribution matrix: for every document DROPPED by
+    * [[canonicalBySource]], which source's canonical displaced it —
+    * `(source_kept, source_dropped, n_docs)`. The operational report
+    * behind a dedup run ("src1 lost 40k docs, 90% of them to src0"):
+    * it turns a keep/drop bit into an accountable flow between sources,
+    * which is what data-licensing and mixture-rebalance decisions
+    * actually consume. Scale shape: the same one cluster-keyed window
+    * as canonical selection, then a cluster-keyed equi-join of members
+    * against the (cluster-count-sized) keeper frame and a
+    * sources²-bounded aggregate — nothing new beyond the dedup pass
+    * itself. Singleton clusters self-filter (the keeper is the only
+    * member). */
+  def attributionMatrix(docs: DataFrame, clusters: DataFrame,
+                        idCol: String, sourceCol: String,
+                        priority: Seq[String]): DataFrame = {
+    val keepers = canonicalBySource(docs, clusters, idCol, sourceCol, priority)
+      .select(col("cluster_id"), col(sourceCol).as("source_kept"),
+        col(idCol).as("__graft_keep_id"))
+    docs.join(clusters, idCol)
+      .join(keepers, Seq("cluster_id"))
+      .filter(col(idCol) =!= col("__graft_keep_id"))
+      .groupBy(col("source_kept"), col(sourceCol).as("source_dropped"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   def duplicateClusters(ids: DataFrame, pairs: DataFrame,
                         idCol: String = "id", maxIters: Int = 20,
                         driverUnionFindLimit: Long = 2000000L): DataFrame = {

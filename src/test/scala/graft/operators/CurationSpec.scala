@@ -210,6 +210,22 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 6L))
   }
 
+  test("attributionMatrix: dropped docs flow to the keeper's source; singletons vanish") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "curated"), (2L, "web"), (3L, "web"), // cluster 1: curated keeps, web drops 2
+      (4L, "web"), (5L, "web"),                  // cluster 4: web keeps, web drops 1
+      (6L, "unknown_source"))                    // singleton: no flow
+      .toDF("doc_id", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L)).toDF("doc_id", "cluster_id")
+    val got = Dedup.attributionMatrix(d, clusters, "doc_id", "source",
+      priority = Seq("curated", "web"))
+      .orderBy("source_kept", "source_dropped")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("curated", "web", 2L), ("web", "web", 1L)))
+  }
+
   test("datasetCard: hand-checked stats") {
     import spark.implicits._
     val d = Seq(

@@ -15,9 +15,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.injectAll(ext)
-    // optimizer lint for the scale contract (off unless the session sets
-    // spark.graft.guard.singlePartitionWindow = warn|fail) — see
-    // [[graft.plans.SinglePartitionWindowGuard]]
+    // optimizer lints for the scale contract (each off unless the session
+    // sets its spark.graft.guard.* key to warn|fail) — see
+    // [[graft.plans.SinglePartitionWindowGuard]] and
+    // [[graft.plans.CartesianJoinGuard]]
     ext.injectOptimizerRule(_ => new plans.SinglePartitionWindowGuard)
+    ext.injectOptimizerRule(_ => new plans.CartesianJoinGuard)
   }
 }

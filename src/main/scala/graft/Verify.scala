@@ -21,6 +21,10 @@ object Verify {
       // into one task breaks correctness here, before it ships
       .config(graft.plans.SinglePartitionWindowGuard.ModeKey,
         sys.env.getOrElse("SPARK_GRAFT_WINDOW_GUARD", "fail"))
+      // ...and the cartesian-join guard (round 6 cont.): a non-equi join
+      // between unbounded sides fails the run before it ships
+      .config(graft.plans.CartesianJoinGuard.ModeKey,
+        sys.env.getOrElse("SPARK_GRAFT_CARTESIAN_GUARD", "fail"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Lint liveness self-check: a conf typo or a dropped extensions line
@@ -40,6 +44,19 @@ object Verify {
         } catch { case _: IllegalStateException => true }
       require(threw, "SinglePartitionWindowGuard is configured to fail " +
         "but did not fire on a known-bad plan — the lint is inert")
+    }
+    if (spark.conf.get(graft.plans.CartesianJoinGuard.ModeKey) == "fail") {
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val threw =
+        try {
+          r.as("a").join(r.as("b"),
+            org.apache.spark.sql.functions.col("a.r_regionkey") <
+              org.apache.spark.sql.functions.col("b.r_regionkey"))
+            .queryExecution.optimizedPlan
+          false
+        } catch { case _: IllegalStateException => true }
+      require(threw, "CartesianJoinGuard is configured to fail but did " +
+        "not fire on a known-bad plan — the lint is inert")
     }
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated gate filter for fast local iteration

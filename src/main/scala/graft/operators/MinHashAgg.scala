@@ -79,8 +79,11 @@ object MinHashAgg {
     val a = sk.select(col("grp").as("grp_a"), col("sketch").as("sk_a"))
     val b = sk.select(col("grp").as("grp_b"), col("sketch").as("sk_b"))
     // matches/numHashes is an exact dyadic double (numHashes is a power of
-    // two) — no rounding, so the oracle compares bit-identical values
-    a.join(b, col("grp_a") < col("grp_b"))
+    // two) — no rounding, so the oracle compares bit-identical values.
+    // The sketch frame is one row per group by construction; broadcast()
+    // declares that (the CartesianJoinGuard escape hatch) and plans the
+    // pairwise triangle as a broadcast loop instead of a cartesian.
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
       .withColumn("est_jaccard", estimateJaccard(col("sk_a"), col("sk_b")))
       .select("grp_a", "grp_b", "est_jaccard")
   }

@@ -3211,6 +3211,27 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Shard novelty curve ([[operators.Vocab.shardNovelty]], round 6
+    * cont.): per ingest-order shard, the fraction of its distinct
+    * 3-grams unseen in earlier shards — exact floor-division micros,
+    * replayed by a first-shard min + gram equi-join oracle. */
+  val shardNoveltyGate: Q = q("shard_novelty",
+    s"""WITH g AS (
+      |  SELECT DISTINCT doc_id % 8 AS shard, unnest(${duckShingles(3)})
+      |    AS gram
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (SELECT gram, min(shard) AS first_shard FROM g GROUP BY 1)
+      |SELECT g.shard, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN f.first_shard = g.shard THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN f.first_shard = g.shard THEN 1 ELSE 0 END)
+      |    * 1000000 // count(*) AS BIGINT) AS novelty_micro
+      |FROM g JOIN f USING (gram)
+      |GROUP BY g.shard ORDER BY g.shard""".stripMargin) { (s, dir) =>
+    operators.Vocab.shardNovelty(t(s, dir, "documents"))
+      .orderBy("shard")
+  }
+
   /** Vocabulary coverage curve ([[operators.Vocab.vocabCoverage]],
     * round 6 cont.): token mass covered by the top-V types for three
     * vocabulary sizes, in exact floor-division micros. The oracle ranks
@@ -6447,6 +6468,6 @@ object Queries {
     annPqTopK,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
-    frequentPairsGate, sketchW1Gate, dedupAttribution
+    frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate
   )
 }

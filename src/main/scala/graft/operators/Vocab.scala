@@ -575,6 +575,38 @@ object Vocab {
       .withColumn("fert_micro",
         expr("CAST(n_symbols * 1000000 DIV n_words AS BIGINT)"))
 
+  /** Shard novelty curve: ingest the corpus shard by shard and measure,
+    * per shard, how many of its distinct word n-grams were never seen
+    * in any EARLIER shard — the diminishing-returns curve that tells a
+    * crawl pipeline when more of the same source stops adding
+    * information (novelty falling toward the duplication floor is the
+    * stop signal). Shards come from `idCol mod nShards` (the
+    * deterministic ingest-order proxy). Scale shape: distinct
+    * (shard, gram) and the first-shard reduction are both gram-keyed
+    * aggregates with map-side combine, and the join-back is the same
+    * gram key — co-partitioned, no second shuffle axis; nothing is
+    * ever corpus × corpus. Novelty is floor-division micros.
+    *
+    * @return (shard, n_grams, n_new, novelty_micro), one row per
+    *         non-empty shard */
+  def shardNovelty(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", nShards: Int = 8,
+                   n: Int = 3): DataFrame = {
+    require(nShards >= 1 && n >= 1, "nShards and n must be positive")
+    val grams = docs.filter(col(textCol).isNotNull)
+      .select(pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val first = grams.groupBy("gram").agg(min("shard").as("first_shard"))
+    grams.join(first, "gram")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_shard") === col("shard"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("novelty_micro",
+        expr("CAST(n_new * 1000000 DIV n_grams AS BIGINT)"))
+  }
+
   /** Vocabulary coverage curve: for each candidate vocabulary size V,
     * the corpus token mass covered by the top-V most frequent types —
     * the coverage@V table that sizes a tokenizer vocabulary (the knee

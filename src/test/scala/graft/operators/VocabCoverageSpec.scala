@@ -33,6 +33,28 @@ class VocabCoverageSpec extends SparkSpec {
     assert(got == ((1L, 2L, 3L, 666666L)))
   }
 
+  test("shardNovelty: first shard claims shared grams; later shards only their own") {
+    // shard = doc_id % 2. 3-grams:
+    //   doc 0 (shard 0): "a b c d" → {a b c, b c d}
+    //   doc 2 (shard 0): "a b c"   → {a b c}        (dup within shard)
+    //   doc 1 (shard 1): "a b c x" → {a b c, b c x} (a b c seen in shard 0)
+    val docs = Seq((0L, "a b c d"), (2L, "a b c"), (1L, "a b c x"))
+      .toDF("doc_id", "text")
+    val got = Vocab.shardNovelty(docs, nShards = 2, n = 3)
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 1000000L),   // {a b c, b c d} both first here
+      (1L, 2L, 1L, 500000L)))   // b c x new; a b c not
+  }
+
+  test("shardNovelty: short docs contribute nothing; single shard is 100% new") {
+    val docs = Seq((0L, "x y"), (1L, "p q r")).toDF("doc_id", "text")
+    val got = Vocab.shardNovelty(docs, nShards = 1, n = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1L, 1000000L)))
+  }
+
   test("plan: the type-table rank has no single-partition corpus window") {
     val docs = (0 until 500).map(i => s"w${i % 37} w${i % 11} common")
       .toDF("text")

@@ -3024,6 +3024,61 @@ object Queries {
       .orderBy("source", "word")
   }
 
+  /** Join-size estimation from count-min sketches
+    * ([[operators.Sketches.cmJoinSizeEstimate]], round 6 cont.):
+    * |orders ⋈ lineitem| on orderkey, estimated from standing
+    * corpus-size-independent sketch state — the planner's cardinality
+    * question answered without executing the join. Every hash slot and
+    * therefore every collision cross-term replays in SQL, so the
+    * ESTIMATE itself hash-compares; the deterministic est ≥ exact
+    * direction is additionally asserted in-plan. */
+  val cmJoinSizeGate: Q = q("cm_join_size", {
+    def cells(tbl: String, key: String, as: String) =
+      (0 until 3).map(r =>
+        s"""SELECT $r AS r,
+           |    ${operators.Sketches.duckdbCmSlot(key, r, 8192, "js")} AS slot,
+           |    CAST(count(*) AS BIGINT) AS $as
+           |  FROM $tbl GROUP BY 1, 2""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+    s"""WITH oa AS (
+       |  ${cells("orders", "o_orderkey", "ca")}),
+       |lb AS (
+       |  ${cells("lineitem", "l_orderkey", "cb")}),
+       |perrow AS (
+       |  SELECT oa.r, sum(CAST(oa.ca AS HUGEINT) * lb.cb) AS est
+       |  FROM oa JOIN lb ON oa.r = lb.r AND oa.slot = lb.slot
+       |  GROUP BY oa.r),
+       |ex AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS exact
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+       |SELECT CAST(min(est) AS BIGINT) AS join_size_est,
+       |  CAST(any_value(exact) AS BIGINT) AS exact,
+       |  CAST(min(est) * 1000000 // any_value(exact) AS BIGINT)
+       |    AS over_micro
+       |FROM perrow CROSS JOIN ex""".stripMargin }) { (s, dir) =>
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val ska = operators.Sketches.countMinSketch(
+      o, Nil, "o_orderkey", depth = 3, width = 8192, salt = "js")
+    val skb = operators.Sketches.countMinSketch(
+      l, Nil, "l_orderkey", depth = 3, width = 8192, salt = "js")
+    val est = operators.Sketches.cmJoinSizeEstimate(ska, skb)
+    val exact = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("exact"))
+    est.crossJoin(exact)
+      .select(col("join_size_est").cast("long").as("join_size_est"),
+        col("exact"),
+        expr("CAST(join_size_est * 1000000 DIV exact AS BIGINT)")
+          .as("over_micro"))
+      // in-plan self-check: collision cross-terms can only over-count
+      .withColumn("join_size_est",
+        when(assert_true(col("join_size_est") >= col("exact"),
+          concat(lit("CM join-size under-counted: est="),
+            col("join_size_est"), lit(" exact="), col("exact"))).isNull,
+          col("join_size_est")))
+      .select("join_size_est", "exact", "over_micro")
+  }
+
   /** IVF-PQ ANN ([[operators.Similarity.pqTopK]], round 6): ADC codes
     * score the probed-cell candidates and carry a Cauchy–Schwarz error
     * bound, so only candidates whose bound can still reach the top-k
@@ -6468,6 +6523,7 @@ object Queries {
     annPqTopK,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
-    frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate
+    frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,
+    cmJoinSizeGate
   )
 }

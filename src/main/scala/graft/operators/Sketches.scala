@@ -363,6 +363,34 @@ object Sketches {
       .agg(min("cnt").as("est"))
   }
 
+  /** Join-size estimation from two count-min sketches — the JOIN-SIZE
+    * member of the mergeable-sketch family (inner-product estimate,
+    * Alon-Matias-Szegedy '96 / Cormode-Muthukrishnan J.Alg'05 §4.2):
+    * `est_r = Σ_slot a[r][slot]·b[r][slot]`, answer = min over depth
+    * rows. The planner's question — "how big would A ⋈ B on this key
+    * be?" — answered from standing corpus-size-independent state
+    * without executing the join or rescanning either side. Guarantee
+    * (deterministic direction, same as the point estimate): est ≥
+    * exact ALWAYS, since colliding keys only add cross-terms; est ≤
+    * exact + ε·‖a‖₁·‖b‖₁ with prob 1−δ at w=⌈e/ε⌉, d=⌈ln 1/δ⌉.
+    * Products and sums ride DECIMAL(38,0) — ‖a‖₁·‖b‖₁ overflows BIGINT
+    * long before the sketches stop fitting in memory.
+    *
+    * @param a,b GLOBAL-grain sketches (`mergeCountMin(_, Nil)` shape:
+    *            r, slot, cnt) built with the same (salt, depth, width)
+    * @return one row per depth: (r, est) — take `min(est)` for the
+    *         answer; per-row values expose hash-row variance */
+  def cmJoinSizeByRow(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("r"), col("slot"), col("cnt").as("ca"))
+      .join(b.select(col("r"), col("slot"), col("cnt").as("cb")),
+        Seq("r", "slot"))
+      .groupBy("r")
+      .agg(sum(col("ca").cast("decimal(38,0)") * col("cb")).as("est"))
+
+  /** [[cmJoinSizeByRow]] reduced to the single min-over-depth estimate. */
+  def cmJoinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
+    cmJoinSizeByRow(a, b).agg(min("est").as("join_size_est"))
+
   /** Distribution-drift statistic between two quantile-sketch tables —
     * the ingest-time monitor that closes the loop the incremental
     * sketch maintenance opens: keep the STANDING sketch per group, sketch

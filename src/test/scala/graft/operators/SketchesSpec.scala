@@ -191,6 +191,34 @@ class SketchesSpec extends SparkSpec {
       s"sketch ks $sk too far from exact ks $ex (bucket resolution band)")
   }
 
+  test("cm join size: matches a driver-side hash replay and never under-counts") {
+    val aKeys = (0 until 300).map(i => i.toLong % 50)          // 50 keys, skewed
+    val bKeys = (0 until 400).map(i => (i.toLong % 70) + 25L)  // 70 keys, overlap 25..49
+    val (depth, width, salt) = (3, 256, "js")
+    val a = aKeys.toDF("k")
+    val b = bKeys.toDF("k")
+    val est = Sketches.cmJoinSizeEstimate(
+      Sketches.countMinSketch(a, Nil, "k", depth, width, salt),
+      Sketches.countMinSketch(b, Nil, "k", depth, width, salt))
+      .select(col("join_size_est").cast("long")).as[Long].head()
+    // exact join size
+    val exact = aKeys.groupBy(identity).map { case (k, g) =>
+      g.size.toLong * bKeys.count(_ == k)
+    }.sum
+    assert(est >= exact, s"CM join size under-counted: $est < $exact")
+    // exact replay of the estimate: same salted hash, same slots
+    def slot(r: Int, k: Long): Long = {
+      val h = CrossHash.scalaHash56(s"$salt:$r:$k")
+      ((h % width) + width) % width
+    }
+    val replay = (0 until depth).map { r =>
+      val ca = aKeys.groupBy(slot(r, _)).map { case (s, g) => s -> g.size.toLong }
+      val cb = bKeys.groupBy(slot(r, _)).map { case (s, g) => s -> g.size.toLong }
+      ca.map { case (s, n) => n * cb.getOrElse(s, 0L) }.sum
+    }.min
+    assert(est == replay, s"estimate $est != hash replay $replay")
+  }
+
   test("sketch W1: 0 for identical; equals the hand EMD on a 2-bucket split") {
     val same = spark.range(2000).select(lit("g").as("g"), (col("id") % 97).as("v"))
     val skSame = Sketches.quantileSketch(same, Seq("g"), "v")

@@ -3266,6 +3266,30 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Key-skew profile ([[operators.Ranks.skewProfile]], round 6 cont.):
+    * the pre-shuffle salting diagnostic over lineitem's orderkey —
+    * key count, hottest-key/mean ratio, and exact Gini, all integer
+    * micros. The oracle ranks with a plain row_number window; the
+    * bucketed two-pass rank must reproduce the identical Gini sum. */
+  val skewProfileGate: Q = q("skew_profile",
+    """WITH c AS (
+      |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS r FROM c),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cnt) AS BIGINT) AS tot, CAST(max(cnt) AS BIGINT) AS mx
+      |  FROM r),
+      |g AS (SELECT sum((2 * CAST(r AS HUGEINT)
+      |    - (SELECT n FROM n) - 1) * cnt) AS gnum FROM r)
+      |SELECT n.n AS n_keys, n.tot AS total_rows, n.mx AS max_cnt,
+      |  CAST(CAST(n.mx AS HUGEINT) * n.n * 1000000 // n.tot AS BIGINT)
+      |    AS maxmean_micro,
+      |  CAST(g.gnum * 1000000 // (CAST(n.n AS HUGEINT) * n.tot) AS BIGINT)
+      |    AS gini_micro
+      |FROM n CROSS JOIN g""".stripMargin) { (s, dir) =>
+    operators.Ranks.skewProfile(t(s, dir, "lineitem"), "l_orderkey")
+  }
+
   /** Shard novelty curve ([[operators.Vocab.shardNovelty]], round 6
     * cont.): per ingest-order shard, the fraction of its distinct
     * 3-grams unseen in earlier shards — exact floor-division micros,
@@ -6524,6 +6548,6 @@ object Queries {
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,
-    cmJoinSizeGate
+    cmJoinSizeGate, skewProfileGate
   )
 }

@@ -110,6 +110,43 @@ object Ranks {
       .drop("__graft_bkt", "__graft_off")
   }
 
+  /** Key-skew profile: the pre-shuffle diagnostic a join/agg planner
+    * reads before choosing salt factors — `(n_keys, total_rows,
+    * max_cnt, maxmean_micro, gini_micro)` for a key column, all exact
+    * integers. `maxmean_micro` = max·n·1e6 div total (how many times
+    * the hottest key exceeds the mean — the direct salt multiplier);
+    * `gini_micro` = ⌊Σ(2r−n−1)·c_r · 1e6 / (n·total)⌋ over counts
+    * ranked ascending (0 = uniform, →1e6 = one key owns everything).
+    * The rank is [[globalRowNumber]]'s bucketed two-pass (key counts
+    * are VOCABULARY-sized — a bare window here is the single-partition
+    * killer); rank ties on equal counts don't affect the sum (the
+    * weight set within a tie group is fixed), but the key tiebreak
+    * keeps the replay deterministic anyway. Products ride
+    * DECIMAL(38,0) and the micro floors are exact
+    * subtract-the-remainder divisions. */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+    val ranked = globalRowNumber(counts, "cnt", "k", outCol = "r")
+    def flooredMicro(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    val dec = "decimal(38,0)"
+    ranked.agg(
+      count(lit(1)).as("n_keys"),
+      sum("cnt").as("total_rows"),
+      max("cnt").as("max_cnt"),
+      sum((lit(2) * col("r") - lit(1)).cast(dec) * col("cnt")).as("__wsum"))
+      .withColumn("__gnum",
+        (col("__wsum") - col("n_keys").cast(dec) * col("total_rows"))
+          * lit(1000000L))
+      .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+        flooredMicro(
+          col("max_cnt").cast(dec) * col("n_keys") * lit(1000000L),
+          col("total_rows").cast(dec)).as("maxmean_micro"),
+        flooredMicro(col("__gnum"),
+          col("n_keys").cast(dec) * col("total_rows")).as("gini_micro"))
+  }
+
   /** Exact per-group 1-based row number ordered by `(valueCol, tieCol)`
     * within `groupCol` — `row_number() OVER (PARTITION BY g ORDER BY v,
     * t)` without group-sized window partitions. A per-group window is

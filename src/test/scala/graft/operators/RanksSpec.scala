@@ -132,4 +132,33 @@ class RanksSpec extends SparkSpec {
       assert(vals.max === sortedAll.last, s"$s max")
     }
   }
+
+  test("skewProfile: uniform keys gini 0; hand-checked skew; nulls dropped") {
+    import spark.implicits._
+    // uniform: 3 keys x 2 rows
+    val uni = Seq("a", "a", "b", "b", "c", "c").toDF("k")
+    val u = Ranks.skewProfile(uni, "k")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(u == ((3L, 6L, 2L, 1000000L, 0L)))
+    // skewed: counts [1,1,1,9] -> gini 24/(4*12)=0.5, max/mean=3
+    val sk = (Seq.fill(9)("hot") ++ Seq("x", "y", "z") ++
+      Seq(null.asInstanceOf[String])).toDF("k")
+    val g = Ranks.skewProfile(sk, "k")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(g == ((4L, 12L, 9L, 3000000L, 500000L)))
+  }
+
+  test("skewProfile matches a brute Gini on random counts (tie invariance)") {
+    import spark.implicits._
+    val rows = (0 until 5000).map(i => s"k${(i * i + 7) % 223}")
+    val got = Ranks.skewProfile(rows.toDF("k"), "k")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val counts = rows.groupBy(identity).map(_._2.size.toLong).toSeq.sorted
+    val n = counts.size.toLong
+    val tot = counts.sum
+    val gnum = counts.zipWithIndex
+      .map { case (c, i) => (2L * (i + 1) - n - 1) * c }.sum
+    assert(got._1 == n && got._2 == tot && got._3 == counts.max)
+    assert(got._5 == BigInt(gnum) * 1000000 / (BigInt(n) * tot))
+  }
 }

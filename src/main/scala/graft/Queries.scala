@@ -3266,6 +3266,46 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Referential-integrity audit ([[operators.Metrics.refIntegrity]],
+    * round 6 cont.): orphan and null-key rates for three FK relations —
+    * two clean TPC-H ones and one deliberately broken (parent filtered
+    * to a third of its keys) proving the counter counts. Anti-join on
+    * distinct parent keys; rates in floor-division micros. */
+  val refIntegrityGate: Q = q("ref_integrity", {
+    def one(rel: String, child: String, ck: String, parent: String,
+            pk: String, pPred: String) =
+      s"""SELECT '$rel' AS relation,
+         |  CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_rows,
+         |  CAST((SELECT count(*) FROM $child WHERE $ck IS NULL) AS BIGINT)
+         |    AS n_null_keys,
+         |  CAST((SELECT count(*) FROM $child c WHERE c.$ck IS NOT NULL
+         |    AND NOT EXISTS (SELECT 1 FROM $parent p
+         |      WHERE p.$pk = c.$ck AND ($pPred))) AS BIGINT) AS n_orphans""".stripMargin
+    val rels = Seq(
+      one("lineitem->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey", "true"),
+      one("orders->customer", "orders", "o_custkey",
+        "customer", "c_custkey", "true"),
+      one("lineitem->orders_third", "lineitem", "l_orderkey",
+        "orders", "o_orderkey", "o_orderkey % 3 = 0"))
+      .mkString("\nUNION ALL\n")
+    s"""SELECT relation, n_rows, n_null_keys, n_orphans,
+       |  CASE WHEN n_rows - n_null_keys > 0
+       |    THEN CAST(n_orphans * 1000000 // (n_rows - n_null_keys) AS BIGINT)
+       |    ELSE 0 END AS orphan_micro
+       |FROM ($rels) ORDER BY relation""".stripMargin }) { (s, dir) =>
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    operators.Metrics.refIntegrity(li, "l_orderkey", o, "o_orderkey",
+        "lineitem->orders")
+      .unionByName(operators.Metrics.refIntegrity(o, "o_custkey",
+        c, "c_custkey", "orders->customer"))
+      .unionByName(operators.Metrics.refIntegrity(li, "l_orderkey",
+        o.filter(col("o_orderkey") % 3 === 0), "o_orderkey",
+        "lineitem->orders_third"))
+      .orderBy("relation")
+  }
+
   /** Key-skew profile ([[operators.Ranks.skewProfile]], round 6 cont.):
     * the pre-shuffle salting diagnostic over lineitem's orderkey —
     * key count, hottest-key/mean ratio, and exact Gini, all integer
@@ -6548,6 +6588,6 @@ object Queries {
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,
-    cmJoinSizeGate, skewProfileGate
+    cmJoinSizeGate, skewProfileGate, refIntegrityGate
   )
 }

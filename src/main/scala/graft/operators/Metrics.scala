@@ -91,4 +91,34 @@ object Metrics {
         col("auc2_num").cast("double") /
           (lit(2.0) * col("pos_n") * col("neg_n")))
   }
+
+  /** Referential-integrity audit for one FK relation: of the child
+    * table's rows, how many carry a NULL key and how many carry a key
+    * with no parent — the ingest data-quality check that runs before a
+    * pipeline trusts a join. One LEFT ANTI join on the key (the parent
+    * side reduces to DISTINCT keys first, so the probe side is
+    * key-cardinality-sized) plus one scan for the null/total counts;
+    * orphan rate in floor-division micros over the NON-NULL rows (a
+    * null key is a different defect than a dangling one and is reported
+    * separately).
+    *
+    * @return one row: (relation, n_rows, n_null_keys, n_orphans,
+    *         orphan_micro) */
+  def refIntegrity(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String,
+                   relation: String): DataFrame = {
+    val totals = child.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("n_null_keys"))
+    val orphans = child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    totals.crossJoin(orphans)
+      .select(lit(relation).as("relation"), col("n_rows"),
+        col("n_null_keys"), col("n_orphans"),
+        when(col("n_rows") - col("n_null_keys") > 0,
+          expr("CAST(n_orphans * 1000000 DIV (n_rows - n_null_keys)" +
+            " AS BIGINT)")).otherwise(lit(0L)).as("orphan_micro"))
+  }
 }

@@ -148,6 +148,21 @@ class RanksSpec extends SparkSpec {
     assert(g == ((4L, 12L, 9L, 3000000L, 500000L)))
   }
 
+  test("refIntegrity: orphans, null keys, and the clean case, hand-checked") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Metrics.refIntegrity(child, "fk", parent, "pk", "c->p")
+      .as[(String, Long, Long, Long, Long)].head()
+    // 5 rows, 1 null, orphans = the two 9s; 2e6/4 = 500000
+    assert(got == (("c->p", 5L, 1L, 2L, 500000L)))
+    val clean = Metrics.refIntegrity(
+      Seq(1L, 2L).toDF("fk"), "fk", parent, "pk", "ok")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(clean == (("ok", 2L, 0L, 0L, 0L)))
+  }
+
   test("skewProfile matches a brute Gini on random counts (tie invariance)") {
     import spark.implicits._
     val rows = (0 until 5000).map(i => s"k${(i * i + 7) % 223}")

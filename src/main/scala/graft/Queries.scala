@@ -3266,6 +3266,32 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Association audit ([[operators.Metrics.associationAudit]], round 6
+    * cont.): the G-test and mutual information between lang and source
+    * on the contingency table, accumulated in integer micro-nats (each
+    * cell's single transcendental rounds to micros BEFORE the sum, the
+    * logppl recipe). */
+  val assocGTestGate: Q = q("assoc_gtest",
+    """WITH cells AS (
+      |  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      |  GROUP BY 1, 2),
+      |ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+      |cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY 1),
+      |n AS (SELECT sum(o) AS n FROM cells),
+      |t AS (
+      |  SELECT o, CAST(round(ln(CAST(o AS DOUBLE) * n.n
+      |    / (CAST(ra.ra AS DOUBLE) * cb.cb)) * 1000000) AS BIGINT) AS lp
+      |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN n),
+      |s AS (SELECT sum(CAST(o AS HUGEINT) * lp) AS s FROM t)
+      |SELECT CAST(n.n AS BIGINT) AS n,
+      |  CAST(2 * s.s AS BIGINT) AS g_micro,
+      |  CAST(s.s // n.n AS BIGINT) AS mi_micro
+      |FROM n CROSS JOIN s""".stripMargin) { (s, dir) =>
+    operators.Metrics.associationAudit(t(s, dir, "documents"),
+      "lang", "source")
+  }
+
   /** Referential-integrity audit ([[operators.Metrics.refIntegrity]],
     * round 6 cont.): orphan and null-key rates for three FK relations —
     * two clean TPC-H ones and one deliberately broken (parent filtered
@@ -6588,6 +6614,6 @@ object Queries {
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,
-    cmJoinSizeGate, skewProfileGate, refIntegrityGate
+    cmJoinSizeGate, skewProfileGate, refIntegrityGate, assocGTestGate
   )
 }

@@ -92,6 +92,41 @@ object Metrics {
           (lit(2.0) * col("pos_n") * col("neg_n")))
   }
 
+  /** Association audit between two categorical columns — the G-test
+    * statistic and mutual information of the (a, b) contingency table,
+    * the mixture diagnostic that answers "is language independent of
+    * source, and by how much?" (G = 2·Σ o·ln(o·N/(ra·cb)); MI = G/2N
+    * nats). Scale shape: ONE corpus shuffle with map-side combine into
+    * the |A|×|B|-bounded contingency table; marginals and N reduce from
+    * that table, never from the corpus again, and every join after the
+    * first aggregate is category-keyed. Determinism: each cell's log
+    * term rounds to integer micros BEFORE the sum (the logppl-gate
+    * recipe), so the statistic accumulates in exact integers and the
+    * single transcendental per cell is round-6-stable cross-engine.
+    *
+    * @return one row: (n, g_micro, mi_micro) — mi_micro floors by
+    *         subtract-the-remainder */
+  def associationAudit(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum("o").as("ra"))
+    val cb = cells.groupBy("b").agg(sum("o").as("cb"))
+    val n = cells.agg(sum("o").as("n"))
+    val lp = round(log(col("o").cast("double") * col("n") /
+      (col("ra").cast("double") * col("cb"))) * lit(1e6)).cast("long")
+    // lp is already micro-nats, so Σo·lp is micro-scaled: g_micro = 2·Σo·lp
+    // and mi_micro = Σo·lp div N (no further 1e6 factor)
+    val num = col("__s")
+    val den = col("n").cast("decimal(38,0)")
+    cells.join(ra, "a").join(cb, "b").crossJoin(broadcast(n))
+      .withColumn("__olp", col("o").cast("decimal(38,0)") * lp)
+      .groupBy("n").agg(sum("__olp").as("__s"))
+      .select(col("n"),
+        (col("__s") * lit(2L)).cast("long").as("g_micro"),
+        ((num - pmod(num, den)) / den).cast("long").as("mi_micro"))
+  }
+
   /** Referential-integrity audit for one FK relation: of the child
     * table's rows, how many carry a NULL key and how many carry a key
     * with no parent — the ingest data-quality check that runs before a

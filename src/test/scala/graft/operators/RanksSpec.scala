@@ -163,6 +163,25 @@ class RanksSpec extends SparkSpec {
     assert(clean == (("ok", 2L, 0L, 0L, 0L)))
   }
 
+  test("associationAudit: independent table ~0; deterministic pairing maximal") {
+    import spark.implicits._
+    // perfectly independent 2x2: every cell o=25, ra=cb=50, N=100 → G=0
+    val ind = (0 until 100).map(i => (s"a${i % 2}", s"b${(i / 2) % 2}"))
+      .toDF("x", "y")
+    val gi = Metrics.associationAudit(ind, "x", "y")
+      .as[(Long, Long, Long)].head()
+    assert(gi == ((100L, 0L, 0L)))
+    // x determines y: MI = H(x) = ln 2 nats → 693147 micros
+    val det = (0 until 100).map(i => (s"a${i % 2}", s"b${i % 2}"))
+      .toDF("x", "y")
+    val gd = Metrics.associationAudit(det, "x", "y")
+      .as[(Long, Long, Long)].head()
+    // per cell lp = round(ln2·1e6) = 693147; Σo·lp = 100·693147;
+    // G = 2·Σo·lp, MI = Σo·lp/N
+    assert(gd == ((100L, 138629400L, 693147L)),
+      s"deterministic 2-class pairing: G=2N·ln2, MI=ln2 micros, got $gd")
+  }
+
   test("skewProfile matches a brute Gini on random counts (tie invariance)") {
     import spark.implicits._
     val rows = (0 until 5000).map(i => s"k${(i * i + 7) % 223}")

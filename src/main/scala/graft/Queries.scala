@@ -3266,6 +3266,39 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Length-bucketed batching ([[operators.Ranks.lengthBucketBatches]],
+    * round 6 cont.): documents cut into (bucket, batch) cells of 32 by
+    * in-bucket length order, with the padded-tensor waste of every
+    * batch in exact micros. The oracle orders with a plain per-bucket
+    * row_number window — the grouped bucketed rank must match it
+    * row-for-row through the batch cut. */
+  val lengthBatchGate: Q = q("length_batches",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+      |    CASE WHEN n_chars <= 200 THEN 0
+      |         WHEN n_chars <= 400 THEN 1
+      |         WHEN n_chars <= 800 THEN 2 ELSE 3 END AS bucket
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |r AS (
+      |  SELECT bucket, len,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY len, doc_id)
+      |      AS rn
+      |  FROM d)
+      |SELECT CAST(bucket AS INTEGER) AS bucket,
+      |  CAST((rn - 1) // 32 AS BIGINT) AS batch,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(max(len) AS BIGINT) AS max_len,
+      |  CAST(sum(len) AS BIGINT) AS sum_len,
+      |  CASE WHEN max(len) > 0 THEN
+      |    CAST((max(len) * count(*) - sum(len)) * 1000000
+      |      // (max(len) * count(*)) AS BIGINT) ELSE 0 END AS waste_micro
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    operators.Ranks.lengthBucketBatches(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", edges = Seq(200L, 400L, 800L), batchSize = 32)
+      .orderBy("bucket", "batch")
+  }
+
   /** Association audit ([[operators.Metrics.associationAudit]], round 6
     * cont.): the G-test and mutual information between lang and source
     * on the contingency table, accumulated in integer micro-nats (each
@@ -6614,6 +6647,7 @@ object Queries {
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,
-    cmJoinSizeGate, skewProfileGate, refIntegrityGate, assocGTestGate
+    cmJoinSizeGate, skewProfileGate, refIntegrityGate, assocGTestGate,
+    lengthBatchGate
   )
 }

@@ -110,6 +110,44 @@ object Ranks {
       .drop("__graft_bkt", "__graft_off")
   }
 
+  /** Length-bucketed batch assignment with exact padding-waste
+    * accounting — the dynamic-batching prep step of every training run:
+    * group documents into length buckets, order each bucket by
+    * (length, id), cut into fixed-size batches, and report per batch
+    * how much of the padded tensor is waste (`max_len·n − Σlen`).
+    * Random batching pads everything to the batch max; length-bucketed
+    * batching is THE standard fix, and this operator quantifies exactly
+    * what it buys. The in-bucket order comes from [[groupedRowNumber]]
+    * (length buckets are corpus-sized strata — a per-bucket window is
+    * the single-partition hazard with a different name); everything
+    * after the rank is one (bucket, batch)-keyed aggregate. Waste is
+    * floor-division micros of the padded volume.
+    *
+    * @param edges ascending upper bounds; lengths above the last edge
+    *              land in bucket `edges.length`
+    * @return (bucket, batch, n_docs, max_len, sum_len, waste_micro) */
+  def lengthBucketBatches(df: DataFrame, idCol: String, lenCol: String,
+                          edges: Seq[Long], batchSize: Int): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && batchSize >= 1,
+      "edges must be ascending and batchSize positive")
+    val len = col(lenCol).cast("long")
+    val bucket = edges.zipWithIndex
+      .foldRight(lit(edges.length): Column) { case ((e, i), els) =>
+        when(len <= lit(e), lit(i)).otherwise(els)
+      }
+    val bucketed = df.filter(len.isNotNull)
+      .select(col(idCol), len.as("__len"), bucket.as("bucket"))
+    groupedRowNumber(bucketed, "bucket", "__len", idCol, outCol = "__rn")
+      .withColumn("batch", expr(s"CAST((__rn - 1) DIV $batchSize AS BIGINT)"))
+      .groupBy("bucket", "batch")
+      .agg(count(lit(1)).as("n_docs"), max("__len").as("max_len"),
+        sum("__len").as("sum_len"))
+      .withColumn("waste_micro",
+        when(col("max_len") > 0,
+          expr("CAST((max_len * n_docs - sum_len) * 1000000" +
+            " DIV (max_len * n_docs) AS BIGINT)")).otherwise(lit(0L)))
+  }
+
   /** Key-skew profile: the pre-shuffle diagnostic a join/agg planner
     * reads before choosing salt factors — `(n_keys, total_rows,
     * max_cnt, maxmean_micro, gini_micro)` for a key column, all exact

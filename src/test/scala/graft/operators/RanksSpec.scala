@@ -163,6 +163,23 @@ class RanksSpec extends SparkSpec {
     assert(clean == (("ok", 2L, 0L, 0L, 0L)))
   }
 
+  test("lengthBucketBatches: batches cut in length order, waste hand-checked") {
+    import spark.implicits._
+    // bucket 0 (<=10): lens 1..5, batchSize 2 → batches [1,2],[3,4],[5]
+    // bucket 1 (>10): lens 20,20 → one batch, zero waste
+    val docs = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L),
+      (6L, 20L), (7L, 20L)).toDF("doc_id", "len")
+    val got = Ranks.lengthBucketBatches(docs, "doc_id", "len",
+      edges = Seq(10L), batchSize = 2)
+      .orderBy("bucket", "batch")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, 0L, 2L, 2L, 3L, 250000L),  // pad 2·2−3=1 of 4 → 0.25
+      (0, 1L, 2L, 4L, 7L, 125000L),  // 8−7=1 of 8
+      (0, 2L, 1L, 5L, 5L, 0L),
+      (1, 0L, 2L, 20L, 40L, 0L)))
+  }
+
   test("associationAudit: independent table ~0; deterministic pairing maximal") {
     import spark.implicits._
     // perfectly independent 2x2: every cell o=25, ra=cb=50, N=100 → G=0

@@ -3299,6 +3299,32 @@ object Queries {
       .orderBy("bucket", "batch")
   }
 
+  /** Exact 2-D skyline ([[operators.Ranks.skyline2D]], round 6 cont.):
+    * the Pareto frontier of lineitem on (price, quantity), computed by
+    * the bucketed running-max decomposition. The oracle replays the
+    * classical global-sort formulation with a plain window, so the
+    * bucket carry-in logic must reproduce its keep set exactly. */
+  val skylineGate: Q = q("skyline_pareto",
+    """WITH p AS (
+      |  SELECT l_extendedprice AS x, max(l_quantity) AS ymax
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |  GROUP BY 1),
+      |r AS (SELECT x, ymax, max(ymax) OVER (ORDER BY x DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+      |  FROM p),
+      |k AS (SELECT x, ymax FROM r WHERE prior IS NULL OR ymax > prior)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, l.l_quantity
+      |FROM lineitem l
+      |JOIN k ON l.l_extendedprice = k.x AND l.l_quantity = k.ymax
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    operators.Ranks.skyline2D(
+      t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_quantity"),
+      "l_extendedprice", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Association audit ([[operators.Metrics.associationAudit]], round 6
     * cont.): the G-test and mutual information between lang and source
     * on the contingency table, accumulated in integer micro-nats (each
@@ -6648,6 +6674,6 @@ object Queries {
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,
     cmJoinSizeGate, skewProfileGate, refIntegrityGate, assocGTestGate,
-    lengthBatchGate
+    lengthBatchGate, skylineGate
   )
 }

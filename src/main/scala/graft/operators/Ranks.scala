@@ -148,6 +148,56 @@ object Ranks {
             " DIV (max_len * n_docs) AS BIGINT)")).otherwise(lit(0L)))
   }
 
+  /** Exact 2-D skyline (Pareto frontier, maximize both columns): the
+    * rows no other row dominates (x' ≥ x ∧ y' ≥ y, one strict). The
+    * classical formulation sorts by x desc and keeps rows beating the
+    * running y-max — a total order, i.e. the single-partition hazard —
+    * so this runs the SAME two-pass bucket decomposition as
+    * [[globalRowNumber]]: (1) reduce to the per-x y-max table
+    * (value-domain-sized, one shuffle with map-side combine; rows of an
+    * x below its x's y-max are dominated within the column), (2) range-
+    * bucket by x, exclusive running y-max INSIDE each bucket's window,
+    * (3) carry the cross-bucket running max through the ≤buckets-row
+    * offset ladder — identical keep decisions to the global sort,
+    * max partition ≈ |domain|/buckets. A kept x joins back to recover
+    * every row AT the frontier point (equal points don't dominate each
+    * other, so duplicates all survive).
+    *
+    * @return the skyline rows of `df` (original columns) */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+                buckets: Int = 64): DataFrame = {
+    val perX = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+    val resolved = rangeProbe(perX, Seq(xCol), buckets)._1(xCol)
+      .distinct.sorted
+    val v = col(xCol).cast("double")
+    val bucketCol = resolved.zipWithIndex.foldRight(lit(resolved.length)) {
+      case ((b, i), els) => when(v <= lit(b), lit(i)).otherwise(els)
+    }
+    val bucketed = perX.withColumn("__graft_bkt", bucketCol)
+    // exclusive running max INSIDE the bucket, in x-desc order
+    val wIn = Window.partitionBy(col("__graft_bkt"))
+      .orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // cross-bucket carry-in: max of every HIGHER bucket's ymax (the
+    // ladder is ≤buckets rows — the same bounded window as the rank
+    // offset ladder)
+    val ladder = bucketed.groupBy(col("__graft_bkt"))
+      .agg(max("__ymax").as("__bmax"))
+      .withColumn("__carry",
+        max(col("__bmax")).over(Window.orderBy(col("__graft_bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__graft_bkt"), col("__carry"))
+    val kept = bucketed
+      .join(broadcast(ladder), "__graft_bkt")
+      .withColumn("__prior",
+        greatest(max(col("__ymax")).over(wIn), col("__carry")))
+      .filter(col("__prior").isNull || col("__ymax") > col("__prior"))
+      .select(col(xCol).as("__sx"), col("__ymax"))
+    df.join(kept, df(xCol) === col("__sx") && df(yCol) === col("__ymax"))
+      .select(df.columns.map(df(_)): _*)
+  }
+
   /** Key-skew profile: the pre-shuffle diagnostic a join/agg planner
     * reads before choosing salt factors — `(n_keys, total_rows,
     * max_cnt, maxmean_micro, gini_micro)` for a key column, all exact

@@ -163,6 +163,37 @@ class RanksSpec extends SparkSpec {
     assert(clean == (("ok", 2L, 0L, 0L, 0L)))
   }
 
+  test("skyline2D equals the brute-force dominance filter, any bucket count") {
+    import spark.implicits._
+    val pts = (0 until 800).map { i =>
+      (i.toLong, (i * 37 % 211).toLong, (i * 53 % 197).toLong)
+    }
+    val df = pts.toDF("id", "x", "y")
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y)
+      }
+    }.map(_._1).toSet
+    for (b <- Seq(1, 4, 64)) {
+      val got = Ranks.skyline2D(df, "x", "y", buckets = b)
+        .select("id").as[Long].collect().toSet
+      assert(got == brute, s"buckets=$b: $got != $brute")
+    }
+  }
+
+  test("skyline2D keeps duplicate frontier points and is null-safe") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5L), Some(5L)), (2L, Some(5L), Some(5L)),
+      (3L, Some(9L), Some(1L)), (4L, Some(1L), Some(9L)),
+      (5L, Some(4L), Some(4L)), (6L, None, Some(7L)), (7L, Some(7L), None))
+      .toDF("id", "x", "y")
+    val got = Ranks.skyline2D(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    // (5,5) twice (equal points don't dominate), plus both extremes;
+    // (4,4) dominated; null rows never join the frontier
+    assert(got == Set(1L, 2L, 3L, 4L))
+  }
+
   test("lengthBucketBatches: batches cut in length order, waste hand-checked") {
     import spark.implicits._
     // bucket 0 (<=10): lens 1..5, batchSize 2 → batches [1,2],[3,4],[5]

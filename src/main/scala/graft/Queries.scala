@@ -3325,6 +3325,33 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Blocklist scan ([[operators.TextAnalysis.blocklistHits]], round 6
+    * cont.): per-pattern document hit counts from the fused
+    * Aho–Corasick kernel — one text pass for the whole pattern list,
+    * including a phrase, a mid-word substring, and an absent term. The
+    * oracle runs P independent contains() scans; the automaton must
+    * reproduce every count. */
+  val blocklistGate: Q = q("blocklist_scan", {
+    val pats = Seq("table", "table value", "art", "scan slow", "zzz_absent")
+    pats.zipWithIndex.map { case (p, i) =>
+      s"""SELECT $i AS pid, '$p' AS pattern,
+         |  CAST((SELECT count(*) FROM documents
+         |    WHERE text IS NOT NULL AND contains(text, '$p')) AS BIGINT)
+         |    AS n_docs""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY pid" }) { (s, dir) =>
+    import s.implicits._
+    val pats = Seq("table", "table value", "art", "scan slow", "zzz_absent")
+    val counts = operators.TextAnalysis.blocklistHits(
+      t(s, dir, "documents"), "doc_id", "text", pats)
+      .select(explode(col("hits")).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("n_docs"))
+    pats.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pid", "pattern")
+      .join(counts, Seq("pid"), "left")
+      .select(col("pid"), col("pattern"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("pid")
+  }
+
   /** Association audit ([[operators.Metrics.associationAudit]], round 6
     * cont.): the G-test and mutual information between lang and source
     * on the contingency table, accumulated in integer micro-nats (each
@@ -6674,6 +6701,6 @@ object Queries {
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,
     cmJoinSizeGate, skewProfileGate, refIntegrityGate, assocGTestGate,
-    lengthBatchGate, skylineGate
+    lengthBatchGate, skylineGate, blocklistGate
   )
 }

@@ -92,6 +92,16 @@ object GraftFunctions {
       require(args.length == 1,
         "lang_mixture_counts(str) takes one string arg")
       LangMixtureCounts(args.head)
+    }),
+    ("multi_match", classOf[MultiMatch], { args =>
+      require(args.length == 2,
+        "multi_match(text, patternsJoined) takes two args")
+      val pats = args(1) match {
+        case Literal(s: UTF8String, _) => s.toString.split('\u0001').toSeq
+        case other => throw new IllegalArgumentException(
+          s"multi_match patterns must be a string literal, got $other")
+      }
+      MultiMatch(args.head, pats)
     }))
 
   /** Idempotently register all functions on a session. */

@@ -884,4 +884,21 @@ object TextAnalysis {
         (a, b) => concat_ws(" ", a, b))).as("g")), 2)
     uni.join(bi, "src").withColumnRenamed("src", groupCol)
   }
+
+  /** Blocklist scan via the fused Aho–Corasick kernel
+    * ([[graft.functions.MultiMatch]]): per document, the sorted distinct
+    * ids of every blocklist pattern occurring in the text — P patterns
+    * in ONE text pass instead of P `contains()` scans, the shape of
+    * every PII/NSFW term-list filter. Row-local, zero shuffle; the
+    * automaton rides the plan as a reference object exactly like the PQ
+    * codebooks.
+    *
+    * @return (idCol, hits: array<int> of matched pattern ids) */
+  def blocklistHits(docs: DataFrame, idCol: String, textCol: String,
+                    patterns: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), call_function("multi_match",
+        col(textCol), lit(patterns.mkString("\u0001"))).as("hits"))
+  }
 }

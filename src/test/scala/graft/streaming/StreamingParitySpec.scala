@@ -99,6 +99,19 @@ class StreamingParitySpec extends SparkSpec {
     test(s"batch == streaming: $n") { assertParity(n) }
   }
 
+  test("batch == streaming: blocklist hits (fused Aho-Corasick projection)") {
+    // round-6 cont.: the multi_match kernel is row-local, so term-list
+    // filtering streams in append mode exactly as it runs in batch
+    val fn = (s: org.apache.spark.sql.SparkSession, d: String) =>
+      graft.operators.TextAnalysis.blocklistHits(
+        graft.Tables.load(s, d, "documents"), "doc_id", "text",
+        Seq("table", "scan slow", "zzz_absent"))
+    val batch = fn(spark, dir)
+    val (sSchema, sRows) = StreamingParity.run(fn, spark, dir)
+    assert(names(sSchema) == names(batch.schema))
+    assert(canon(sRows) == canon(batch.collect().toSeq))
+  }
+
   test("non-root presentation sort (orderBy then select) is stripped too") {
     // orderBy.select analyzes to Project(Sort(global)) — the Sort is not
     // the plan root, but it is still presentation-only and append mode

@@ -3463,6 +3463,49 @@ object Queries {
       .orderBy("shard")
   }
 
+  /** Heaps' law fit ([[operators.Vocab.heapsFit]], round 6 cont.): the
+    * vocabulary-growth exponent over 8 ingest prefixes, log-log least
+    * squares in the integer-micro recipe. */
+  val heapsFitGate: Q = q("heaps_fit",
+    """WITH w AS (
+      |  SELECT doc_id % 8 AS s, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |ww AS (SELECT s, w FROM w WHERE w <> ''),
+      |nt AS (SELECT s, count(*) AS new_types FROM (
+      |  SELECT w, min(s) AS s FROM (SELECT DISTINCT s, w FROM ww)
+      |  GROUP BY w) GROUP BY s),
+      |tk AS (SELECT s, count(*) AS n_tok FROM ww GROUP BY s),
+      |c AS (
+      |  SELECT sum(COALESCE(new_types, 0)) OVER (ORDER BY s) AS v,
+      |    sum(n_tok) OVER (ORDER BY tk.s) AS ntk
+      |  FROM tk LEFT JOIN nt USING (s)),
+      |xy AS (SELECT
+      |  CAST(round(ln(CAST(ntk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+      |  CAST(round(ln(CAST(v AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      |  FROM c),
+      |sm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |  CAST(sum(x * y) AS BIGINT) AS sxy,
+      |  CAST(sum(x * x) AS BIGINT) AS sxx FROM xy)
+      |SELECT n AS n_points,
+      |  CAST(round(CASE WHEN n >= 2 THEN
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) END * 1e6)
+      |    AS BIGINT) AS beta_micro,
+      |  CAST(round((CAST(sy AS DOUBLE)
+      |      - CASE WHEN n >= 2 THEN
+      |        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |        / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) END
+      |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)
+      |    AS intercept_micro
+      |FROM sm""".stripMargin) { (s, dir) =>
+    operators.Vocab.heapsFit(t(s, dir, "documents"))
+  }
+
   /** Vocabulary coverage curve ([[operators.Vocab.vocabCoverage]],
     * round 6 cont.): token mass covered by the top-V types for three
     * vocabulary sizes, in exact floor-division micros. The oracle ranks
@@ -6701,6 +6744,6 @@ object Queries {
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,
     cmJoinSizeGate, skewProfileGate, refIntegrityGate, assocGTestGate,
-    lengthBatchGate, skylineGate, blocklistGate
+    lengthBatchGate, skylineGate, blocklistGate, heapsFitGate
   )
 }

@@ -607,6 +607,59 @@ object Vocab {
         expr("CAST(n_new * 1000000 DIV n_grams AS BIGINT)"))
   }
 
+  /** Heaps' law fit: V(N) ≈ K·N^β — the vocabulary-GROWTH exponent over
+    * ingest-order prefixes (β ≈ 0.5 for natural language; β drifting up
+    * means the crawl keeps finding genuinely new vocabulary, β falling
+    * toward 0 means it is re-crawling itself — the fit statistic behind
+    * the [[shardNovelty]] curve). Prefix vocab sizes come from the same
+    * first-shard reduction as novelty (V_k = Σ_{s≤k} new types — no
+    * per-prefix rescan), prefix token counts from one shard-keyed
+    * aggregate; the ≤nShards-row cumulative ladder rides a
+    * `__graft_bkt` window (the sanctioned bounded-ladder shape). The
+    * log-log least squares follows the [[zipfFit]] recipe: each log
+    * rounds to integer micros FIRST, the sums are exact integers, one
+    * closing double division.
+    *
+    * @return one row: (n_points, beta_micro, intercept_micro) */
+  def heapsFit(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", nShards: Int = 8): DataFrame = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(pmod(col(idCol), lit(nShards.toLong)).as("__graft_bkt"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val newTypes = words.select("__graft_bkt", "w").distinct()
+      .groupBy("w").agg(min("__graft_bkt").as("__graft_bkt"))
+      .groupBy("__graft_bkt").agg(count(lit(1)).as("new_types"))
+    val toks = words.groupBy("__graft_bkt").agg(count(lit(1)).as("n_tok"))
+    val wCum = Window.orderBy("__graft_bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // LEFT join from the token side: a shard that introduces zero new
+    // types is still a ladder point (V stays flat while N grows — the
+    // saturated-crawl signal this fit exists to measure)
+    val xy = toks.join(newTypes, Seq("__graft_bkt"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .withColumn("v", sum("new_types").over(wCum))
+      .withColumn("ntk", sum("n_tok").over(wCum))
+      .select(
+        round(log(col("ntk").cast("double")) * lit(1e6)).cast("long").as("x"),
+        round(log(col("v").cast("double")) * lit(1e6)).cast("long").as("y"))
+    val sums = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nd = col("n").cast("double")
+    val (sx, sy, sxy, sxx) = (col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"))
+    // degenerate ladders (n < 2 or zero x-variance) have no defined
+    // slope: emit NULL rather than an ANSI divide-by-zero
+    val den = nd * sxx - sx * sx
+    val slope = when(col("n") >= 2 && den =!= 0.0,
+      (nd * sxy - sx * sy) / den)
+    sums.select(col("n").as("n_points"),
+      round(slope * lit(1e6)).cast("long").as("beta_micro"),
+      round((sy - slope * sx) / nd).cast("long").as("intercept_micro"))
+  }
+
   /** Vocabulary coverage curve: for each candidate vocabulary size V,
     * the corpus token mass covered by the top-V most frequent types —
     * the coverage@V table that sizes a tokenizer vocabulary (the knee

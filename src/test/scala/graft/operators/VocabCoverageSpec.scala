@@ -55,6 +55,48 @@ class VocabCoverageSpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 1L, 1000000L)))
   }
 
+  test("heapsFit recovers the exponent of a synthetic power-law corpus") {
+    // build prefixes where V ~ N^0.5 exactly on the 8 ladder points:
+    // shard k contributes tokens so that cum tokens = (k+1)^2 * 100 and
+    // cum distinct types = (k+1) * 10  → beta = 0.5, K = 1
+    val docs = (0 until 8).flatMap { k =>
+      val newTypes = (0 until 10).map(j => s"t_${k}_$j")
+      val cumTok = (k + 1) * (k + 1) * 100
+      val prevTok = k * k * 100
+      val need = cumTok - prevTok
+      // `need` tokens in shard k: the 10 new types once each, filler from
+      // an ALREADY-SEEN type (t_0_0, introduced in shard 0)
+      val toks = newTypes ++ Seq.fill(need - 10)(if (k == 0) "t_0_0" else "t_0_0")
+      Seq((k.toLong, toks.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val got = Vocab.heapsFit(docs, nShards = 8)
+      .as[(Long, Long, Long)].head()
+    assert(got._1 == 8L)
+    // ln V = ln 10 + 0.5 (ln N − ln 100) exactly → slope 0.5 up to the
+    // per-point micro rounding of the logs
+    assert(math.abs(got._2 - 500000L) <= 5L,
+      s"beta must be 0.5 within log-rounding, got ${got._2}")
+  }
+
+  test("heapsFit: saturated corpus (all types in shard 0) fits beta 0 on all 8 points") {
+    // every later shard reuses shard-0 vocabulary: V flat, N growing —
+    // the zero-new-types shards MUST stay ladder points (left join)
+    val docs = (0 until 8).map(k =>
+      (k.toLong, Seq.fill(2 * (k + 1))("t0 t1 t2 t3 t4").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Vocab.heapsFit(docs, nShards = 8)
+      .as[(Long, Option[Long], Option[Long])].head()
+    assert(got._1 == 8L && got._2.contains(0L),
+      s"flat vocabulary must fit beta=0 over all 8 points, got $got")
+  }
+
+  test("heapsFit: degenerate single-point ladder yields NULL, not an error") {
+    val docs = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val got = Vocab.heapsFit(docs, nShards = 8)
+      .as[(Long, Option[Long], Option[Long])].head()
+    assert(got == ((1L, None, None)))
+  }
+
   test("plan: the type-table rank has no single-partition corpus window") {
     val docs = (0 until 500).map(i => s"w${i % 37} w${i % 11} common")
       .toDF("text")

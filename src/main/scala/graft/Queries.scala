@@ -2793,6 +2793,38 @@ object Queries {
     per.unionByName(global).orderBy("lang", "q")
   }
 
+  /** Hourly exact latency-style quantiles ([[operators.Sketches
+    * .exactQuantiles]] composed over a time bucket, round 6 cont.):
+    * per-hour exact p50/p95 of the event value in micro units — the
+    * SLA report shape (exact percentiles per time bucket, no global
+    * sort, no per-group value buffering). Values quantize to micros
+    * BEFORE the order statistic, so both engines rank identical
+    * integers. */
+  val hourlyQuantilesGate: Q = q("hourly_quantiles",
+    """WITH v AS (
+      |  SELECT epoch_ns(ts) // 3600000000000 AS hour_id,
+      |    CAST(round(value * 1000000) AS BIGINT) AS v
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |r AS (SELECT hour_id, v,
+      |    row_number() OVER (PARTITION BY hour_id ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY hour_id) AS n
+      |  FROM v)
+      |SELECT hour_id, q, CAST(min(v) AS BIGINT) AS val
+      |FROM r CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+      |  CAST(0.95 AS DOUBLE)]) AS q)
+      |WHERE rn >= ceil(q * n)
+      |GROUP BY 1, 2 ORDER BY hour_id, q""".stripMargin) { (s, dir) =>
+    val vals = t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      // integer DIV: epoch nanos exceed 2^53, a double division here
+      // would drift hour boundaries
+      .select(expr("CAST(ts DIV 3600000000000 AS BIGINT)").as("hour_id"),
+        round(col("value") * lit(1e6)).cast("long").as("v"))
+    operators.Sketches.exactQuantiles(vals, Seq("hour_id"), "v",
+      Seq(0.5, 0.95))
+      .orderBy("hour_id", "q")
+  }
+
   /** Two-pass EXACT order statistics ([[operators.Sketches
     * .exactQuantiles]], round 6 cont.): exact per-language and global
     * p50/p99 of document length without a global sort and without
@@ -6744,6 +6776,7 @@ object Queries {
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,
     cmJoinSizeGate, skewProfileGate, refIntegrityGate, assocGTestGate,
-    lengthBatchGate, skylineGate, blocklistGate, heapsFitGate
+    lengthBatchGate, skylineGate, blocklistGate, heapsFitGate,
+    hourlyQuantilesGate
   )
 }

@@ -2793,6 +2793,40 @@ object Queries {
     per.unionByName(global).orderBy("lang", "q")
   }
 
+  /** Token-mass-weighted exact quantiles ([[operators.Sketches
+    * .exactWeightedQuantiles]], round 6 cont.): per language, the doc
+    * length at which 50% / 90% of the TOKEN MASS sits — the statistic
+    * a mixture/budget decision needs (row-quantiles over-weight short
+    * docs). Oracle is the plain weighted order statistic: min v with
+    * cumulative weight ≥ ⌈q·W⌉ in (v) order. */
+  val weightedQuantileGate: Q = q("weighted_quantile",
+    """WITH v AS (
+      |  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS wt
+      |  FROM documents
+      |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+      |p AS (SELECT lang, v, wt FROM v WHERE wt > 0),
+      |r AS (SELECT lang, v,
+      |    sum(wt) OVER (PARTITION BY lang ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(wt) OVER (PARTITION BY lang) AS w
+      |  FROM p)
+      |SELECT lang, q, CAST(min(v) AS BIGINT) AS val
+      |FROM r CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE),
+      |  CAST(0.9 AS DOUBLE)]) AS q)
+      |WHERE cum >= ceil(q * w)
+      |GROUP BY 1, 2 ORDER BY lang, q""".stripMargin) { (s, dir) =>
+    val vals = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("n_chars").cast("long").as("v"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("wt"))
+    operators.Sketches.exactWeightedQuantiles(vals, Seq("lang"), "v", "wt",
+      Seq(0.5, 0.9))
+      .orderBy("lang", "q")
+  }
+
   /** Hourly exact latency-style quantiles ([[operators.Sketches
     * .exactQuantiles]] composed over a time bucket, round 6 cont.):
     * per-hour exact p50/p95 of the event value in micro units — the
@@ -6777,6 +6811,6 @@ object Queries {
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,
     cmJoinSizeGate, skewProfileGate, refIntegrityGate, assocGTestGate,
     lengthBatchGate, skylineGate, blocklistGate, heapsFitGate,
-    hourlyQuantilesGate
+    hourlyQuantilesGate, weightedQuantileGate
   )
 }

@@ -267,6 +267,68 @@ object Sketches {
       .agg(min("v").as("val"))
   }
 
+  /** WEIGHTED exact order statistics — [[exactQuantiles]] with every
+    * row carrying an integer mass: the target rank becomes
+    * ⌈q·W⌉ over total weight W, answering "the doc length at which
+    * half the TOKEN MASS sits" rather than half the documents — the
+    * statistic a mixture/budget decision actually needs (row-quantiles
+    * over-weight short docs). Identical two-pass shape: the pass-1
+    * sketch sums weights per bounded bucket, pass 2 rescans only the
+    * target buckets and picks the smallest value whose cumulative
+    * weight reaches the target. Rows with NULL or non-positive weight
+    * are dropped (they carry no mass). Output is exact — weights and
+    * ranks never leave integer space. */
+  def exactWeightedQuantiles(df: DataFrame, groupCols: Seq[String],
+                             valueCol: String, weightCol: String,
+                             qs: Seq[Double],
+                             mantissaBits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must lie in (0, 1]")
+    val gcols = groupCols.map(col)
+    val (msbC, mantC) = valueBuckets(col(valueCol).cast("long"), mantissaBits)
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("long") > 0)
+      .select(gcols :+ col(valueCol).cast("long").as("v") :+
+        col(weightCol).cast("long").as("wt") :+
+        msbC.as("msb") :+ mantC.as("mant"): _*)
+    val sk = rows.groupBy((gcols ++ Seq(col("msb"), col("mant"))): _*)
+      .agg(sum("wt").as("cnt"))
+    val buckets = sort_array(collect_list(struct(
+      col("msb"), col("mant"), col("cnt")))).as("bks")
+    val n = sum("cnt").as("n")
+    val agged =
+      if (groupCols.isEmpty) sk.agg(buckets, n)
+      else sk.groupBy(gcols: _*).agg(buckets, n)
+    val pick = expr(
+      s"""aggregate(bks,
+         |  named_struct('cum', 0L, 'msb', -1, 'mant', -1L, 'below', 0L),
+         |  (acc, s) -> IF(acc.msb >= 0, acc,
+         |    named_struct('cum', acc.cum + s.cnt,
+         |      'msb', IF(acc.cum + s.cnt >= CEIL(q * n), s.msb, -1),
+         |      'mant', IF(acc.cum + s.cnt >= CEIL(q * n), s.mant, -1L),
+         |      'below', IF(acc.cum + s.cnt >= CEIL(q * n), acc.cum, 0L))))
+         |""".stripMargin)
+    val targets = agged
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("pk", pick)
+      .select(gcols ++ Seq(col("q"),
+        ceil(col("q") * col("n")).cast("long").as("r"),
+        col("pk.msb").as("msb"), col("pk.mant").as("mant"),
+        col("pk.below").as("below")): _*)
+    val inBucket = rows.join(broadcast(targets), groupCols ++ Seq("msb", "mant"))
+    val perVal = inBucket
+      .groupBy((gcols ++ Seq(col("q"), col("r"), col("below"), col("v"))): _*)
+      .agg(sum("wt").as("c"))
+    val wv = Window.partitionBy((gcols :+ col("q")): _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perVal.withColumn("cum", sum("c").over(wv))
+      .filter(col("below") + col("cum") >= col("r"))
+      .groupBy((gcols :+ col("q")): _*)
+      .agg(min("v").as("val"))
+  }
+
   // ------------------------------------------------------------------
   // Count-min sketch (round 6, cont.) — the FREQUENCY member of the
   // mergeable-sketch family (HLL = distincts, log-linear buckets =

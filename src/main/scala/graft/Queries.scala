@@ -3418,6 +3418,42 @@ object Queries {
       .orderBy("pid")
   }
 
+  /** Blocklist severity ([[operators.TextAnalysis.blocklistCounts]],
+    * round 6 cont.): per-pattern OCCURRENCE totals (all occurrences,
+    * overlapping included — "a a" in "a a a" counts twice) plus hit-doc
+    * counts, from one automaton pass per document. The oracle counts
+    * occurrences by a positional substring scan, the exact
+    * all-occurrences semantics. */
+  val blocklistSeverityGate: Q = q("blocklist_severity", {
+    val pats = Seq("table", "a a", "value", "zz_absent")
+    pats.zipWithIndex.map { case (p, i) =>
+      val L = p.length
+      s"""SELECT $i AS pid, '$p' AS pattern,
+         |  CAST((SELECT COALESCE(sum(len(list_filter(
+         |      range(1, len(text) - $L + 2),
+         |      j -> substring(text, j, $L) = '$p'))), 0)
+         |    FROM documents WHERE text IS NOT NULL) AS BIGINT)
+         |    AS n_occurrences,
+         |  CAST((SELECT count(*) FROM documents
+         |    WHERE text IS NOT NULL AND contains(text, '$p')) AS BIGINT)
+         |    AS n_docs""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY pid" }) { (s, dir) =>
+    import s.implicits._
+    val pats = Seq("table", "a a", "value", "zz_absent")
+    val counts = operators.TextAnalysis.blocklistCounts(
+      t(s, dir, "documents"), "doc_id", "text", pats)
+      .select(posexplode(col("counts")).as(Seq("pid", "c")))
+      .groupBy("pid")
+      .agg(sum("c").as("n_occurrences"),
+        sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_docs"))
+    pats.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pid", "pattern")
+      .join(counts, Seq("pid"), "left")
+      .select(col("pid"), col("pattern"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("pid")
+  }
+
   /** Association audit ([[operators.Metrics.associationAudit]], round 6
     * cont.): the G-test and mutual information between lang and source
     * on the contingency table, accumulated in integer micro-nats (each
@@ -6811,6 +6847,6 @@ object Queries {
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,
     cmJoinSizeGate, skewProfileGate, refIntegrityGate, assocGTestGate,
     lengthBatchGate, skylineGate, blocklistGate, heapsFitGate,
-    hourlyQuantilesGate, weightedQuantileGate
+    hourlyQuantilesGate, weightedQuantileGate, blocklistSeverityGate
   )
 }

@@ -102,6 +102,16 @@ object GraftFunctions {
           s"multi_match patterns must be a string literal, got $other")
       }
       MultiMatch(args.head, pats)
+    }),
+    ("multi_match_counts", classOf[MultiMatchCounts], { args =>
+      require(args.length == 2,
+        "multi_match_counts(text, patternsJoined) takes two args")
+      val pats = args(1) match {
+        case Literal(s: UTF8String, _) => s.toString.split('\u0001').toSeq
+        case other => throw new IllegalArgumentException(
+          s"multi_match_counts patterns must be a string literal, got $other")
+      }
+      MultiMatchCounts(args.head, pats)
     }))
 
   /** Idempotently register all functions on a session. */

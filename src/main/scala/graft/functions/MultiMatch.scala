@@ -58,6 +58,24 @@ final class AcAutomaton(patterns: Array[String]) extends Serializable {
     (g.take(nStates), out.take(nStates).map(_.distinct.sorted.toArray))
   }
 
+  /** Occurrence count per pattern id (ALL occurrences, overlapping
+    * included — the automaton reports every match end position), as a
+    * dense P-length array. */
+  def matchCounts(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val counts = new Array[Long](pats.length)
+    var st = 0
+    var i = 0
+    while (i < bytes.length) {
+      st = gotoTab(st)(bytes(i) & 0xff)
+      val o = outTab(st)
+      var j = 0
+      while (j < o.length) { counts(o(j)) += 1L; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** Sorted distinct ids of every pattern occurring in `s`. */
   def matchedIds(s: UTF8String): GenericArrayData = {
     val bytes = s.getBytes
@@ -110,6 +128,41 @@ case class MultiMatch(child: Expression, patterns: Seq[String])
     val ref = ctx.addReferenceObj("acAutomaton", auto,
       classOf[AcAutomaton].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.matchedIds($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `multi_match_counts(text)`: occurrence count per blocklist pattern
+  * (dense P-length array<long>, ALL occurrences incl. overlapping) from
+  * the same single automaton pass as [[MultiMatch]] — the severity
+  * variant a PII scorer consumes (how MANY hits, not just whether). */
+case class MultiMatchCounts(child: Expression, patterns: Seq[String])
+  extends UnaryExpression {
+
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "multi_match_counts needs at least one non-empty pattern")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"multi_match_counts requires a string column, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "multi_match_counts"
+
+  @transient private lazy val auto = new AcAutomaton(patterns.toArray)
+
+  override def nullSafeEval(v: Any): Any =
+    auto.matchCounts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acAutomaton", auto,
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.matchCounts($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -901,4 +901,19 @@ object TextAnalysis {
       .select(col(idCol), call_function("multi_match",
         col(textCol), lit(patterns.mkString("\u0001"))).as("hits"))
   }
+
+  /** The SEVERITY variant of [[blocklistHits]]: per document, the
+    * occurrence count of every pattern (dense array<long>, ALL
+    * occurrences incl. overlapping — one automaton pass via
+    * [[graft.functions.MultiMatchCounts]]). A PII scorer thresholds on
+    * counts, not presence.
+    *
+    * @return (idCol, counts: array<long>, index-aligned to `patterns`) */
+  def blocklistCounts(docs: DataFrame, idCol: String, textCol: String,
+                      patterns: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), call_function("multi_match_counts",
+        col(textCol), lit(patterns.mkString("\u0001"))).as("counts"))
+  }
 }

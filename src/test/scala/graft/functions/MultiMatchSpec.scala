@@ -63,4 +63,17 @@ class MultiMatchSpec extends SparkSpec {
       plan)
     assert(df.selectExpr("size(h)").as[Int].collect().forall(_ == 1))
   }
+
+  test("counts: all occurrences including overlapping, vs a brute scan") {
+    graft.functions.GraftFunctions.register(spark)
+    val pats = Seq("a a", "aa", "ab", "x")
+    def brute(t: String, p: String): Long =
+      (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length))
+    val texts = Seq("a a a a", "aaaa", "abab x ab", "", "a a")
+    val got = texts.toDF("t")
+      .select(call_function("multi_match_counts", col("t"),
+        lit(pats.mkString("\u0001"))).as("c"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got == texts.map(t => pats.map(p => brute(t, p))))
+  }
 }

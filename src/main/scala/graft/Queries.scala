@@ -3454,6 +3454,36 @@ object Queries {
       .orderBy("pid")
   }
 
+  /** Per-source bigram conditional entropy
+    * ([[operators.Metrics.entropyRate]], round 6 cont.): corpus
+    * predictability in exact integer micro-nats (low = templated text).
+    * Same determinism recipe as the logppl gates: per-cell ln rounds to
+    * micros before the exact integer sum. */
+  val entropyRateGate: Q = q("entropy_rate",
+    """WITH w AS (
+      |  SELECT source, string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |p AS (
+      |  SELECT source, w[i] AS w1, w[i + 1] AS w2
+      |  FROM (SELECT source, w, unnest(range(1, len(w))) AS i FROM w
+      |        WHERE len(w) >= 2)
+      |  WHERE w[i] <> '' AND w[i + 1] <> ''),
+      |c AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c12
+      |  FROM p GROUP BY 1, 2, 3),
+      |cx AS (SELECT source, w1, sum(c12) AS c1 FROM c GROUP BY 1, 2),
+      |t AS (
+      |  SELECT c.source, c12,
+      |    CAST(round(ln(CAST(c12 AS DOUBLE) / c1) * 1000000) AS BIGINT)
+      |      AS lp
+      |  FROM c JOIN cx USING (source, w1))
+      |SELECT source, CAST(sum(c12) AS BIGINT) AS n_bigrams,
+      |  CAST((-sum(CAST(c12 AS HUGEINT) * lp)) // sum(c12) AS BIGINT)
+      |    AS entropy_micro
+      |FROM t GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    operators.Metrics.entropyRate(t(s, dir, "documents"), "source")
+      .orderBy("source")
+  }
+
   /** Association audit ([[operators.Metrics.associationAudit]], round 6
     * cont.): the G-test and mutual information between lang and source
     * on the contingency table, accumulated in integer micro-nats (each
@@ -6847,6 +6877,7 @@ object Queries {
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,
     cmJoinSizeGate, skewProfileGate, refIntegrityGate, assocGTestGate,
     lengthBatchGate, skylineGate, blocklistGate, heapsFitGate,
-    hourlyQuantilesGate, weightedQuantileGate, blocklistSeverityGate
+    hourlyQuantilesGate, weightedQuantileGate, blocklistSeverityGate,
+    entropyRateGate
   )
 }

@@ -127,6 +127,43 @@ object Metrics {
         ((num - pmod(num, den)) / den).cast("long").as("mi_micro"))
   }
 
+  /** Per-group bigram conditional entropy H(next | current) — the
+    * corpus PREDICTABILITY rate in micro-nats (low = templated/
+    * boilerplate-heavy text a compressor squeezes flat; the corpus-
+    * level diagnostic, where perplexity gates score documents).
+    * H = −Σ_{w1,w2} p(w1,w2)·ln p(w2|w1) = −(Σ c12·ln(c12/c1)) / N
+    * over adjacent-pair counts. Shapes: one row-local pair explode into
+    * a (group, w1, w2)-keyed count with map-side combine (vocabulary²-
+    * bounded), context counts reduce FROM the pair table, and the
+    * logppl determinism recipe applies — each ln rounds to integer
+    * micro-nats before the Σ c12·lp sum, which accumulates in
+    * DECIMAL(38,0); one exact subtract-the-remainder floor at the end.
+    *
+    * @return (group, n_bigrams, entropy_micro) */
+  def entropyRate(docs: DataFrame, groupCol: String,
+                  textCol: String = "text"): DataFrame = {
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("g"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = words.select(col("g"), explode(expr(
+      "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS w1, w[i + 1] AS w2))"))
+      .as("p"))
+      .select(col("g"), col("p.w1"), col("p.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("g", "w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = pairs.groupBy("g", "w1").agg(sum("c12").as("c1"))
+    val lp = round(log(col("c12").cast("double") / col("c1")) * lit(1e6))
+      .cast("long")
+    val num = -col("__s")
+    val den = col("n_bigrams").cast("decimal(38,0)")
+    pairs.join(ctx, Seq("g", "w1"))
+      .withColumn("__clp", col("c12").cast("decimal(38,0)") * lp)
+      .groupBy("g")
+      .agg(sum("c12").as("n_bigrams"), sum("__clp").as("__s"))
+      .select(col("g").as(groupCol), col("n_bigrams"),
+        ((num - pmod(num, den)) / den).cast("long").as("entropy_micro"))
+  }
+
   /** Referential-integrity audit for one FK relation: of the child
     * table's rows, how many carry a NULL key and how many carry a key
     * with no parent — the ingest data-quality check that runs before a

@@ -211,6 +211,32 @@ class RanksSpec extends SparkSpec {
       (1, 0L, 2L, 20L, 40L, 0L)))
   }
 
+  test("entropyRate: deterministic chain 0; fair coin ln2; brute replay") {
+    import spark.implicits._
+    // deterministic: every context has one successor → H = 0
+    val det = Seq(("s", "a b a b a b")).toDF("source", "text")
+    val hd = Metrics.entropyRate(det, "source")
+      .as[(String, Long, Long)].head()
+    assert(hd == (("s", 5L, 0L)))
+    // fair coin after 'a': "a x a y" repeated → successors of 'a' split
+    // evenly between x and y, x/y always return to a → H weighted:
+    // contexts a (p .5, H ln2), x (p .25, H 0), y (p .25, H 0)
+    val coin = Seq(("s", Seq.fill(50)("a x a y").mkString(" ")))
+      .toDF("source", "text")
+    val hc = Metrics.entropyRate(coin, "source")
+      .as[(String, Long, Long)].head()
+    // brute replay with the same early-rounded micro logs
+    val toks = Seq.fill(50)("a x a y").mkString(" ").split(" ").toSeq
+    val pairs = toks.zip(toks.tail).groupBy(identity).map { case (k, g) =>
+      k -> g.size.toLong }
+    val ctx = pairs.groupBy(_._1._1).map { case (k, g) => k -> g.values.sum }
+    val n = pairs.values.sum
+    val num = pairs.map { case ((w1, _), c12) =>
+      c12 * math.round(math.log(c12.toDouble / ctx(w1)) * 1e6)
+    }.sum
+    assert(hc == (("s", n, (-BigInt(num)).toLong / n)))
+  }
+
   test("associationAudit: independent table ~0; deterministic pairing maximal") {
     import spark.implicits._
     // perfectly independent 2x2: every cell o=25, ra=cb=50, N=100 → G=0

@@ -19,6 +19,7 @@ object Probe {
     if (args.headOption.contains("pq")) return pqMain(args.drop(1))
     if (args.headOption.contains("bloom")) return bloomMain(args.drop(1))
     if (args.headOption.contains("tri")) return triMain(args.drop(1))
+    if (args.headOption.contains("ac")) return acMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -394,6 +395,46 @@ object Probe {
   }
 
   /** `Probe tri <sf>` — duplication diagnosis for triangleCounts. */
+  /** `Probe ac <sf> [nPatterns]` — the multi_match one-pass claim: one
+    * Aho–Corasick pass vs P chained `contains()` scans over documents,
+    * equal hit totals asserted. */
+  private def acMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val p = args.drop(1).headOption.map(_.toInt).getOrElse(50)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text")).filter(col("text").isNotNull)
+    // realistic blocklist: corpus words + variations, half absent
+    val base = Seq("table", "value", "scan", "merge", "batch", "spark",
+      "window", "hash", "sort", "key")
+    val pats = (0 until p).map { i =>
+      if (i % 2 == 0) base(i % base.size) + (if (i % 4 == 0) "" else " " + base((i + 1) % base.size))
+      else s"absent_${i}_zz"
+    }.distinct
+    def run(label: String)(c: org.apache.spark.sql.Column): Long = {
+      val t0 = System.nanoTime()
+      val n = docs.select(c.as("n")).agg(sum("n")).head().getLong(0)
+      println(f"[ac] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s (hits $n)")
+      n
+    }
+    (1 to 3).foreach { round =>
+      val ac = run(s"round$round multi_match ${pats.size} patterns")(
+        size(call_function("multi_match", col("text"),
+          lit(pats.mkString("\u0001")))).cast("long"))
+      val ch = run(s"round$round ${pats.size} x contains")(
+        pats.map(s => when(col("text").contains(s), 1L).otherwise(0L))
+          .reduce(_ + _))
+      require(ac == ch, s"hit totals diverged: $ac != $ch")
+    }
+    spark.stop()
+  }
+
   private def triMain(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("data/sf1")
     val spark = SparkSession.builder()

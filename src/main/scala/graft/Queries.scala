@@ -3870,6 +3870,32 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** N-way content overlap ([[operators.Dedup.contentOverlapUpset]],
+    * round 6 cont.): the UpSet inclusion table over four sources —
+    * counts of exact content classes per source-subset bitmask. */
+  val upsetOverlapGate: Q = q("source_overlap_upset", {
+    val srcs = Seq("src0", "src1", "src2", "src3")
+    val bitCase = srcs.zipWithIndex
+      .map { case (s, i) => s"WHEN source = '$s' THEN ${1L << i}" }
+      .mkString("CASE ", " ", " END")
+    val nameExpr = srcs.zipWithIndex.map { case (s, i) =>
+      s"CASE WHEN (mask & ${1L << i}) <> 0 THEN ['$s'] ELSE [] END"
+    }.mkString(" || ")
+    s"""WITH h AS (
+       |  SELECT md5(text) AS h, $bitCase AS b
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND source IN ('src0','src1','src2','src3')),
+       |m AS (SELECT h, bit_or(b) AS mask FROM h GROUP BY h),
+       |c AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_contents
+       |  FROM m GROUP BY mask)
+       |SELECT CAST(mask AS BIGINT) AS mask,
+       |  array_to_string($nameExpr, '+') AS subset, n_contents
+       |FROM c ORDER BY mask""".stripMargin }) { (s, dir) =>
+    operators.Dedup.contentOverlapUpset(t(s, dir, "documents"),
+      "source", "text", Seq("src0", "src1", "src2", "src3"))
+      .orderBy("mask")
+  }
+
   /** Dedup attribution matrix ([[operators.Dedup.attributionMatrix]],
     * round 6 cont.): the cross-source flow of dropped documents under
     * the same LSH clusters + source-priority canonical rule as
@@ -6878,6 +6904,6 @@ object Queries {
     cmJoinSizeGate, skewProfileGate, refIntegrityGate, assocGTestGate,
     lengthBatchGate, skylineGate, blocklistGate, heapsFitGate,
     hourlyQuantilesGate, weightedQuantileGate, blocklistSeverityGate,
-    entropyRateGate
+    entropyRateGate, upsetOverlapGate
   )
 }

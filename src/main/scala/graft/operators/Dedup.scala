@@ -1012,6 +1012,40 @@ object Dedup {
       .drop("__graft_crn")
   }
 
+  /** N-way content overlap (the UpSet table): for every EXACT content
+    * class (md5 of text), which subset of sources carries it — counts
+    * per subset bitmask. Pairwise overlap sketches answer |A∩B|; this
+    * answers the full inclusion lattice ("12k contents live in ALL
+    * three crawls, 40k only in src0+src1…"), which is what a
+    * source-consolidation decision reads. One content-keyed aggregate
+    * (16 B/row-class shuffle: md5 + bitmask with map-side combine) and
+    * one mask-keyed rollup bounded by 2^|sources|.
+    *
+    * @param sources bit order (plan literal); rows with other sources
+    *                are ignored
+    * @return (mask, subset, n_contents) — `subset` names the mask */
+  def contentOverlapUpset(docs: DataFrame, sourceCol: String,
+                          textCol: String,
+                          sources: Seq[String]): DataFrame = {
+    require(sources.nonEmpty && sources.size <= 30, "1..30 sources")
+    val bit = sources.zipWithIndex
+      .foldRight(lit(0L)) { case ((s, i), els) =>
+        when(col(sourceCol) === s, lit(1L << i)).otherwise(els)
+      }
+    val names = sources.zipWithIndex.map { case (s, i) => (1L << i, s) }
+    val subsetName = names.foldLeft(lit("")) { case (acc, (m, s)) =>
+      when((col("mask").bitwiseAND(lit(m))) =!= 0L,
+        concat(acc, when(acc =!= "", lit("+")).otherwise(lit("")), lit(s)))
+        .otherwise(acc)
+    }
+    docs.filter(col(textCol).isNotNull && col(sourceCol).isin(sources: _*))
+      .select(md5(col(textCol)).as("h"), bit.as("b"))
+      .groupBy("h").agg(expr("bit_or(b)").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n_contents"))
+      .withColumn("subset", subsetName)
+      .select("mask", "subset", "n_contents")
+  }
+
   /** Dedup attribution matrix: for every document DROPPED by
     * [[canonicalBySource]], which source's canonical displaced it —
     * `(source_kept, source_dropped, n_docs)`. The operational report

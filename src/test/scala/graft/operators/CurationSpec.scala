@@ -226,6 +226,26 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(("curated", "web", 2L), ("web", "web", 1L)))
   }
 
+  test("contentOverlapUpset: subset masks and names, duplicates collapse per source") {
+    import spark.implicits._
+    val d = Seq(
+      ("s0", "shared everywhere"), ("s1", "shared everywhere"),
+      ("s2", "shared everywhere"),
+      ("s0", "pairwise"), ("s1", "pairwise"), ("s1", "pairwise"), // dup in s1
+      ("s2", "only two"),
+      ("s3", "ignored source row"), // s3 not in the bit order: dropped
+      ("s0", "solo")).toDF("source", "text")
+    val got = Dedup.contentOverlapUpset(d, "source", "text",
+      Seq("s0", "s1", "s2"))
+      .orderBy("mask")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "s0", 1L),          // "solo"
+      (3L, "s0+s1", 1L),       // "pairwise" (s1 dup collapses)
+      (4L, "s2", 1L),          // "only two"
+      (7L, "s0+s1+s2", 1L)))   // "shared everywhere"
+  }
+
   test("datasetCard: hand-checked stats") {
     import spark.implicits._
     val d = Seq(

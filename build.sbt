@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally rides sbt's logger, which prefixes every
+// line with "[info] " — that prefix is exactly what kept the driver's
+// bench scraper from parsing Bench's one-line JSON (BENCH_r05/r06
+// "parsed": null). StdoutOutput passes the child's stdout/stderr through
+// verbatim, so the JSON line lands bare on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -111,8 +111,12 @@ object Tables {
     * Gates are partition-count-independent by construction (they run
     * hash-green at 4/8/32-way shuffles), so the rebalance cannot
     * change results. */
+  // keyed by (path, length, mtime) so an overwrite at the same path
+  // (test/probe loops writing to /tmp) never returns a stale count, and
+  // bounded so the map cannot grow for the life of the JVM
+  private val rowGroupCacheMax = 4096
   private val rowGroupCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Int]()
 
   private def widenScan(spark: SparkSession, df: DataFrame): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
@@ -123,13 +127,16 @@ object Tables {
     // of which all but one are empty, so a partition-count test skips
     // the widening exactly on the layout it targets). Footers are
     // driver-side metadata (~KB each), cached so ~200 gate loads per
-    // Verify run pay them once per file.
+    // Verify run pay them once per file version.
     if (files.length * 2 >= cores) return df
     val conf = spark.sessionState.newHadoopConf()
     val groups = files.map { f =>
-      rowGroupCache.computeIfAbsent(f, { _ =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      if (rowGroupCache.size >= rowGroupCacheMax) rowGroupCache.clear()
+      rowGroupCache.computeIfAbsent((f, st.getLen, st.getModificationTime), { _ =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          .fromPath(p, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRowGroups.size finally r.close()
       })

@@ -19,21 +19,27 @@ final class AcAutomaton(patterns: Array[String]) extends Serializable {
 
   // dense goto table (256 per state), fail links, and per-state merged
   // output pattern ids — blocklists are ≤ ~10k states, so the dense
-  // table (1 MB per 1k states) buys branchless per-byte transitions
+  // table (1 MB per 1k states) buys branchless per-byte transitions.
+  // Rows grow one state at a time as the trie inserts them: sizing the
+  // table at Σ pattern bytes up front ignores prefix sharing and
+  // transiently costs ~1 KiB per pattern byte (~200 MB for a 10k-pattern
+  // blocklist) on the driver AND again per executor at deserialize.
   private val (gotoTab, outTab) = {
-    val maxStates = pats.map(_.length).sum + 1
-    val g = Array.fill(maxStates, 256)(-1)
-    val out = Array.fill(maxStates)(List.empty[Int])
-    var nStates = 1
+    val g = scala.collection.mutable.ArrayBuffer(Array.fill(256)(-1))
+    val out = scala.collection.mutable.ArrayBuffer(List.empty[Int])
     for ((p, pid) <- pats.zipWithIndex) {
       var s = 0
       for (b <- p) {
         val c = b & 0xff
-        if (g(s)(c) == -1) { g(s)(c) = nStates; nStates += 1 }
+        if (g(s)(c) == -1) {
+          g += Array.fill(256)(-1); out += Nil
+          g(s)(c) = g.size - 1
+        }
         s = g(s)(c)
       }
       out(s) ::= pid
     }
+    val nStates = g.size
     val fail = new Array[Int](nStates)
     val queue = scala.collection.mutable.Queue.empty[Int]
     for (c <- 0 until 256) {
@@ -55,7 +61,7 @@ final class AcAutomaton(patterns: Array[String]) extends Serializable {
         c += 1
       }
     }
-    (g.take(nStates), out.take(nStates).map(_.distinct.sorted.toArray))
+    (g.toArray, out.toArray.map(_.distinct.sorted.toArray))
   }
 
   /** Occurrence count per pattern id (ALL occurrences, overlapping

@@ -67,24 +67,38 @@ object Outliers {
     * bound VALUE is tie-invariant since equal values are
     * interchangeable at any rank).
     *
+    * NULL convention (matches [[lowerMedianByGroup]] / [[madOutliers]]):
+    * NULL values carry no evidence — they are excluded from both the
+    * rank frame and the group counts (otherwise the percentile ranks
+    * can land ON null rows, yielding NULL bounds and NULL output for
+    * the whole group), and they pass through unclipped (outCol = NULL).
+    * Rows of a group with no non-null values also pass through.
+    *
     * @return the input plus `outCol` = clipped value */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 tieCol: String, pLoPct: Int, pHiPct: Int,
                 outCol: String = "winsorized"): DataFrame = {
     require(0 < pLoPct && pLoPct <= pHiPct && pHiPct <= 100,
       s"need 0 < pLo <= pHi <= 100, got ($pLoPct, $pHiPct)")
+    val nn = df.filter(col(valueCol).isNotNull)
     val ranked = Ranks.groupedRowNumber(
-      df.select(col(groupCol), col(valueCol), col(tieCol)),
+      nn.select(col(groupCol), col(valueCol), col(tieCol)),
       groupCol, valueCol, tieCol, outCol = "__graft_r")
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__graft_n"))
+    val counts = nn.groupBy(groupCol).agg(count(lit(1)).as("__graft_n"))
     val bounds = ranked.join(counts, groupCol)
       .filter(col("__graft_r") === expr(s"($pLoPct * __graft_n + 99) div 100")
         || col("__graft_r") === expr(s"($pHiPct * __graft_n + 99) div 100"))
       .groupBy(groupCol)
       .agg(min(valueCol).as("__graft_lo"), max(valueCol).as("__graft_hi"))
-    df.join(bounds, groupCol)
+    // left join: rows whose group has no bounds (all-null group, or a
+    // NULL group key) keep their row with outCol = the raw value
+    df.join(bounds, Seq(groupCol), "left")
       .withColumn(outCol,
-        least(greatest(col(valueCol), col("__graft_lo")), col("__graft_hi")))
+        // the value-null arm is explicit: Spark's greatest/least IGNORE
+        // nulls, so the clip expression alone would fold NULL to lo
+        when(col(valueCol).isNull || col("__graft_lo").isNull, col(valueCol))
+          .otherwise(
+            least(greatest(col(valueCol), col("__graft_lo")), col("__graft_hi"))))
       .drop("__graft_lo", "__graft_hi")
   }
 

@@ -798,7 +798,12 @@ object Vocab {
     val nd = col("n").cast("double")
     val (sx, sy, sxy, sxx) = (col("sx").cast("double"), col("sy").cast("double"),
       col("sxy").cast("double"), col("sxx").cast("double"))
-    val slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    // degenerate groups (a single ranked term, or zero x-variance) have
+    // no defined slope: emit NULL micro values instead of 0/0 = NaN,
+    // whose ANSI long cast would abort the whole job (same guard as
+    // heapsFit; the oracle mirrors the CASE)
+    val den = nd * sxx - sx * sx
+    val slope = when(col("n") >= 2 && den =!= 0.0, (nd * sxy - sx * sy) / den)
     sums.select(col(groupCol), col("n").as("n_terms"),
       round(slope * lit(1e6)).cast("long").as("slope_micro"),
       round((sy - slope * sx) / nd).cast("long").as("intercept_micro"))

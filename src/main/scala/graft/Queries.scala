@@ -1295,7 +1295,15 @@ object Queries {
       .orderBy("step")
   }
 
-  private def duckIvfCells(nCentroids: Int): String =
+  /** Corpus-dimensioned seed count (round 7): the exact SQL twin of
+    * [[operators.Similarity.ivfCellCount]] — clamp(4, 4096, round(√n))
+    * computed over the SAME corpus the quantizer trains on, so the
+    * oracle follows the auto default at ANY scale factor (DuckDB
+    * accepts a scalar subquery in LIMIT). */
+  private val duckAutoCells: String =
+    "(SELECT GREATEST(4, LEAST(4096, CAST(round(sqrt(count(*))) AS BIGINT))) FROM vecs)"
+
+  private def duckIvfCells(nCentroids: String = duckAutoCells): String =
     s"""vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v
@@ -1322,7 +1330,7 @@ object Queries {
        |        FROM vecs x CROSS JOIN refined c) t1)""".stripMargin
 
   val annIvfTopK: Q = q("ann_ivf_topk",
-    s"""WITH ${duckIvfCells(16)},
+    s"""WITH ${duckIvfCells()},
       |corpus AS (SELECT vec_id AS n_id, v AS v_n, cid AS cell FROM a1 WHERE r = 1),
       |qprobe AS (
       |  SELECT vec_id AS q_id, v AS v_q, cid AS cell
@@ -1339,7 +1347,7 @@ object Queries {
       |  FROM cand) t
       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
     operators.Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-      queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3)
+      queryPred = col("vec_id") < 10, k = 5, nProbe = 3)
       .orderBy("q_id", "rnk")
   }
 
@@ -1347,7 +1355,7 @@ object Queries {
     * whole quantizer via [[duckIvfCells]], then the intra-cell lowest-id
     * keep rule — a semantic-dedup sketch with an exact value oracle. */
   val semDedupGate: Q = q("semdedup",
-    s"""WITH ${duckIvfCells(16)},
+    s"""WITH ${duckIvfCells()},
       |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
       |dups AS (
       |  SELECT DISTINCT b.vec_id AS vec_id
@@ -1358,7 +1366,7 @@ object Queries {
       |FROM corpus c LEFT JOIN dups d ON c.vec_id = d.vec_id
       |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
     operators.Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-      nCentroids = 16, threshold = 0.4)
+      threshold = 0.4)
       .withColumn("cell", col("cell").cast("long"))
       .orderBy("vec_id")
   }
@@ -1369,7 +1377,7 @@ object Queries {
     * quota draw via [[operators.Sampling.duckdbHashBucket]]. */
   val cellBalancedGate: Q = q("cell_balanced_sample", {
     val b = operators.Sampling.duckdbHashBucket("vec_id", "cbs", 1 << 30)
-    s"""WITH ${duckIvfCells(16)},
+    s"""WITH ${duckIvfCells()},
        |cells AS (SELECT vec_id, cid AS cell FROM a1 WHERE r = 1),
        |rr AS (
        |  SELECT vec_id, cell,
@@ -1378,7 +1386,7 @@ object Queries {
        |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM rr WHERE rn <= 10
        |ORDER BY vec_id""".stripMargin }) { (s, dir) =>
     operators.Similarity.cellBalancedSample(t(s, dir, "embeddings"),
-      "vec_id", "embedding", nCentroids = 16, perCell = 10, salt = "cbs")
+      "vec_id", "embedding", perCell = 10, salt = "cbs")
       .withColumn("cell", col("cell").cast("long"))
       .orderBy("vec_id")
   }
@@ -1414,7 +1422,7 @@ object Queries {
     * replays the quantizer via [[duckIvfCells]] and the rank/mutuality
     * rules exactly. */
   val knnGraphGate: Q = q("knn_graph",
-    s"""WITH ${duckIvfCells(16)},
+    s"""WITH ${duckIvfCells()},
        |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
        |directed AS (
        |  SELECT src, dst, cos,
@@ -1429,7 +1437,7 @@ object Queries {
        |FROM knn GROUP BY 1, 2 HAVING count(*) = 2
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     operators.Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id",
-      "embedding", k = 5, nCentroids = 16)
+      "embedding", k = 5)
       .orderBy("id_a", "id_b")
   }
 
@@ -1439,7 +1447,7 @@ object Queries {
     * the oracle replays the kNN edge list via the shared quantizer CTE,
     * then the identical orientation, wedge, and closing joins. */
   val triangleCountGate: Q = q("triangle_counts",
-    s"""WITH ${duckIvfCells(16)},
+    s"""WITH ${duckIvfCells()},
        |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
        |directed AS (
        |  SELECT src, dst,
@@ -1481,7 +1489,7 @@ object Queries {
        |FROM deg d LEFT JOIN pn USING (id)
        |ORDER BY id""".stripMargin) { (s, dir) =>
     val edges = operators.Similarity.knnGraph(t(s, dir, "embeddings"),
-      "vec_id", "embedding", k = 5, nCentroids = 16)
+      "vec_id", "embedding", k = 5)
     operators.Graphs.triangleCounts(edges, "id_a", "id_b")
       .orderBy("id")
   }
@@ -1506,7 +1514,7 @@ object Queries {
          |  QUALIFY row_number() OVER (PARTITION BY id
          |    ORDER BY cnt DESC, lbl) = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${duckIvfCells(16)},
+    s"""WITH ${duckIvfCells()},
        |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
        |directed AS (
        |  SELECT src, dst,
@@ -1528,7 +1536,7 @@ object Queries {
   }) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val edges = operators.Similarity.knnGraph(emb, "vec_id", "embedding",
-      k = 5, nCentroids = 16)
+      k = 5)
     operators.Graphs.labelPropagation(emb.select("vec_id"), edges,
       idCol = "vec_id", rounds = 4)
       .orderBy("vec_id")
@@ -1541,7 +1549,7 @@ object Queries {
     * [[duckIvfCells]], then kNN ranks, integer micro-unit neighborhood
     * sums, the single-division margin, and the mutual argmax — exact. */
   val bitextMineGate: Q = q("bitext_mine",
-    s"""WITH ${duckIvfCells(16)},
+    s"""WITH ${duckIvfCells()},
        |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
        |pairs AS (
        |  SELECT src, dst, cos,
@@ -1578,7 +1586,7 @@ object Queries {
        |ORDER BY id_a""".stripMargin) { (s, dir) =>
     operators.Similarity.bitextMine(t(s, dir, "embeddings"), "vec_id",
       "embedding", sideA = col("vec_id") % 2 === 0, k = 4,
-      threshold = 1.0, nCentroids = 16)
+      threshold = 1.0)
       .orderBy("id_a")
   }
 
@@ -3134,7 +3142,10 @@ object Queries {
     est.crossJoin(exact)
       .select(col("join_size_est").cast("long").as("join_size_est"),
         col("exact"),
-        expr("CAST(join_size_est * 1000000 DIV exact AS BIGINT)")
+        // est rides DECIMAL(38,0) through the ×1e6 so the micro ratio
+        // cannot overflow BIGINT where the oracle's HUGEINT succeeds
+        // (est > ~9.2e12 at large SFs); DIV on decimals is integral
+        expr("CAST(CAST(join_size_est AS DECIMAL(38,0)) * 1000000 DIV exact AS BIGINT)")
           .as("over_micro"))
       // in-plan self-check: collision cross-terms can only over-count
       .withColumn("join_size_est",
@@ -3154,7 +3165,7 @@ object Queries {
     * `ann_ivf_topk`'s oracle verbatim at any scale (PqSpec pins the
     * equality; Probe pq reports measured pruning power). */
   val annPqTopK: Q = q("ann_pq_topk",
-    s"""WITH ${duckIvfCells(16)},
+    s"""WITH ${duckIvfCells()},
       |corpus AS (SELECT vec_id AS n_id, v AS v_n, cid AS cell FROM a1 WHERE r = 1),
       |qprobe AS (
       |  SELECT vec_id AS q_id, v AS v_q, cid AS cell
@@ -3171,7 +3182,7 @@ object Queries {
       |  FROM cand) t
       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
     operators.Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-      queryPred = col("vec_id") < 10, k = 5, nCentroids = 16, nProbe = 3,
+      queryPred = col("vec_id") < 10, k = 5, nProbe = 3,
       m = 8, ksub = 16)
       .orderBy("q_id", "rnk")
   }
@@ -4590,21 +4601,22 @@ object Queries {
       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
       |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
-      |  FROM xy GROUP BY 1)
-      |SELECT source, n AS n_terms,
-      |  CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6) AS BIGINT)
-      |    AS slope_micro,
-      |  CAST(round((CAST(sy AS DOUBLE)
-      |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |  FROM xy GROUP BY 1),
+      |f AS (
+      |  SELECT source, n, sx, sy,
+      |    CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+      |      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
       |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
       |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)
-      |    AS intercept_micro
-      |FROM s ORDER BY source""".stripMargin) { (s, dir) =>
+      |    END AS slope
+      |  FROM s)
+      |SELECT source, n AS n_terms,
+      |  CAST(round(slope * 1e6) AS BIGINT) AS slope_micro,
+      |  CAST(round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro
+      |FROM f ORDER BY source""".stripMargin) { (s, dir) =>
     operators.Vocab.zipfFit(t(s, dir, "documents"), "source", k = 32)
       .orderBy("source")
   }

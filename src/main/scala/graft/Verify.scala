@@ -25,6 +25,11 @@ object Verify {
       // between unbounded sides fails the run before it ships
       .config(graft.plans.CartesianJoinGuard.ModeKey,
         sys.env.getOrElse("SPARK_GRAFT_CARTESIAN_GUARD", "fail"))
+      // ...and the quantizer-cell guard (round 7): a quantizer-family
+      // operator whose cell count sits far below the √n-ideal (the
+      // constant-cells Θ(n²/cells) regression class) fails the run
+      .config(graft.plans.QuantizerCellGuard.ModeKey,
+        sys.env.getOrElse("SPARK_GRAFT_QUANTIZER_GUARD", "fail"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Lint liveness self-check: a conf typo or a dropped extensions line
@@ -57,6 +62,21 @@ object Verify {
         } catch { case _: IllegalStateException => true }
       require(threw, "CartesianJoinGuard is configured to fail but did " +
         "not fire on a known-bad plan — the lint is inert")
+    }
+    if (spark.conf.get(graft.plans.QuantizerCellGuard.ModeKey) == "fail") {
+      // liveness: drive a REAL entry point (not the guard object) with a
+      // knowingly-degenerate explicit cell count — 4 cells on a claimed
+      // 10M-row corpus (ideal ≈ 3163) must throw at resolve time,
+      // before any quantizer work runs
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val threw =
+        try {
+          graft.operators.Similarity.semDedup(emb, "vec_id", "embedding",
+            nCentroids = 4, knownCount = Some(10000000L))
+          false
+        } catch { case _: IllegalStateException => true }
+      require(threw, "QuantizerCellGuard is configured to fail but did " +
+        "not fire on a known-degenerate cell count — the lint is inert")
     }
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated gate filter for fast local iteration

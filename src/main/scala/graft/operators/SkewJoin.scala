@@ -43,6 +43,79 @@ object SkewJoin {
     saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Exact two-sided ("grid") salted equi-join for PAIR GENERATION over
+    * a blocking key with possible hot keys — the skew hardening for the
+    * quantizer-cell candidate joins (round 7; VERDICT r6 item 2). A hot
+    * cell (hub cluster, boilerplate) otherwise pays its entire
+    * within/cross-cell product in ONE reducer: the join key is the cell
+    * id, so no amount of shuffle partitions splits it, and AQE's skew
+    * splitter only helps sort-merge plans it can rewrite.
+    *
+    * Mechanism: per hot key k with occupancy occ(k), pick a grid factor
+    * S = ⌈max(occ_left, occ_right)/bound⌉ and join on (key, i, j) where
+    * the left row's i = xxhash64(spread)%S is FIXED and j EXPLODES over
+    * [0,S), and the right row's j is fixed / i explodes. Each same-key
+    * pair (x,y) meets in exactly one bucket — (i,j) = (h(x)%S, h(y)%S) —
+    * so the output is EXACTLY the plain equi-join's (spec-pinned), while
+    * per-bucket work is ≤ bound² pairs: max task time is CONSTANT in the
+    * hot key's occupancy (one-sided salting only drops it from occ² to
+    * bound·occ). Shuffle cost: hot-key rows replicate S× per side —
+    * ∝ occ²/bound, i.e. proportional to the candidate volume the bucket
+    * genuinely owns, amortized bound-fold.
+    *
+    * Keys with occupancy ≤ bound get S = 1: i = j = 0 on both sides and
+    * `sequence(0,0)` explodes to the single row it already was — the
+    * non-hot path is the plain join with a 2-int wider shuffle key. When
+    * NO key is hot the grid columns are omitted entirely and the plan is
+    * bit-identical to `left.join(right, key)` (zero overhead at
+    * test/gate scale; plan-shape budgets unaffected).
+    *
+    * The occupancy scan is a per-key count — for quantizer cells that is
+    * ≤ 4096 rows of metadata (the cell-count cap), collected driver-side
+    * like the centroids themselves, and the factor map rides the plan as
+    * a map literal (no extra join). Deterministic end to end (xxhash64
+    * salts, no rand()), so outputs replay and oracles are untouched.
+    *
+    * Requirements: sides share ONLY `key` as a column name (rename
+    * before calling); `key` is INT-typed (cell ids); inner join.
+    *
+    * @param leftSpread  deterministic per-row left column (an id) that
+    *                    spreads same-key rows across the grid
+    * @param boundFloor  per-bucket pair budget ≈ boundFloor²; keys at or
+    *                    under this occupancy never salt
+    */
+  def gridSalted(left: DataFrame, right: DataFrame, key: String,
+                 leftSpread: Column, rightSpread: Column,
+                 boundFloor: Long = 1024L): DataFrame = {
+    def occ(df: DataFrame): Map[Int, Long] =
+      df.groupBy(col(key)).agg(count(lit(1)).as("__occ"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val (lo, ro) = (occ(left), occ(right))
+    val all = (lo.keySet ++ ro.keySet).toSeq
+    val mean =
+      if (all.isEmpty) 0L
+      else (lo.valuesIterator.sum + ro.valuesIterator.sum) / (2 * all.size)
+    // auto bound: 4× the mean occupancy, floored — only genuine outlier
+    // cells salt, and small corpora (gate scale) never do
+    val bound = math.max(boundFloor, 4L * mean)
+    val hot: Map[Int, Int] = all.iterator.map { k =>
+      val m = math.max(lo.getOrElse(k, 0L), ro.getOrElse(k, 0L))
+      (k, math.ceil(m.toDouble / bound).toInt)
+    }.filter(_._2 > 1).toMap
+    if (sys.env.contains("SPARK_GRAFT_GRID_DEBUG"))
+      System.err.println(s"[gridSalted] keys=${all.size} mean=$mean " +
+        s"bound=$bound hot=${hot.toSeq.sortBy(-_._2).take(5)}")
+    if (hot.isEmpty) return left.join(right, key)
+    val sf = coalesce(element_at(typedlit(hot), col(key)), lit(1))
+    val l2 = left
+      .withColumn("__gi", pmod(xxhash64(leftSpread), sf).cast("int"))
+      .withColumn("__gj", explode(sequence(lit(0), sf - 1)))
+    val r2 = right
+      .withColumn("__gj", pmod(xxhash64(rightSpread), sf).cast("int"))
+      .withColumn("__gi", explode(sequence(lit(0), sf - 1)))
+    l2.join(r2, Seq(key, "__gi", "__gj")).drop("__gi", "__gj")
+  }
+
   /** Two-phase skew-safe aggregation: partial aggregate on (key, salt),
     * then final combine on key — the manual form of map-side combine for
     * aggregates Spark can't partially compute automatically. Here for

@@ -249,6 +249,103 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** `runMain graft.tools.ScaleCheck cellskew [background] [hub]` —
+    * hot-quantizer-cell probe (round 7; VERDICT r6 item 2): plant ONE
+    * hub cell holding `hub` near-identical vectors (a near-duplicate
+    * cluster — every one lands in the same coarse-quantizer cell) inside
+    * a `background`-vector corpus, then run [[Similarity.semDedup]]'s
+    * within-cell verify join with hot-cell grid salting OFF (bound
+    * forced above the hub) vs ON (default). The claim (SkewJoin
+    * .gridSalted scaladoc): the hub's occ² candidate product spreads
+    * over ~(occ/bound)² reducers, so max task duration drops by the
+    * grid factor while wall time holds or improves and the OUTPUT IS
+    * IDENTICAL (asserted here, not just spec'd). */
+  private def cellskewMain(args: Array[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val nBg = args.headOption.map(_.toInt).getOrElse(20000)
+    val nHub = args.lift(1).map(_.toInt).getOrElse(30000)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-cellskewcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      // the probe simulates the 100 TB condition: a corpus too large to
+      // broadcast, so the pair join runs as a shuffle join keyed on the
+      // cell — the layout where one hub cell serializes into a single
+      // reducer. (AQE's skew splitter does NOT rescue this: it triggers
+      // on INPUT partition bytes, and a hub cell is kilobytes of input
+      // that joins into occ² OUTPUT pairs.)
+      .config("spark.sql.autoBroadcastJoinThreshold", -1)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Similarity
+
+    val dims = 16
+    // background: spread pseudo-random vectors (many cells); hub: one
+    // dominant direction with ±1e-3 jitter — a single cell, cosine ≈ 1
+    val bg = spark.range(nBg).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), j =>
+        (pmod(xxhash64(col("id") * lit(1000003L) + j), lit(1024)) - lit(512))
+          .cast("float")).as("embedding"))
+    val hub = spark.range(nBg, nBg.toLong + nHub).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), j =>
+        ((j + 1).cast("double") * lit(100.0) +
+          sin(col("id") * lit(0.37) + j) * lit(0.1)).cast("float"))
+        .as("embedding"))
+    val emb = bg.unionAll(hub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = emb.count()
+
+    val durations = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val byStage = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null) {
+          durations.add(e.taskInfo.duration)
+          byStage.merge(e.stageId, e.taskInfo.duration,
+            (a, b) => math.max(a, b))
+        }
+    })
+    def run(): (Long, Long) = {
+      val out = Similarity.semDedup(emb, "vec_id", "embedding",
+          knownCount = Some(total))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)),
+          expr("bit_xor(xxhash64(vec_id, kept))"))
+        .head()
+      (out.getLong(0), out.getLong(1))
+    }
+    def measure(what: String): (Long, Long) = {
+      durations.clear(); byStage.clear()
+      val t0 = System.nanoTime()
+      val r = run()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ds = durations.asScala.map(_.longValue).toSeq.sorted
+      val mx = ds.lastOption.getOrElse(0L)
+      val p50 = if (ds.nonEmpty) ds(ds.size / 2) else 0L
+      println(f"[cellskew] $what: $secs%.2f s wall, ${ds.size} tasks, " +
+        f"p50 task $p50 ms, MAX task $mx ms, kept=${r._1}")
+      val top = byStage.asScala.toSeq.sortBy(-_._2).take(3)
+        .map { case (s, d) => s"stage $s max ${d}ms" }.mkString(", ")
+      println(s"[cellskew]   slowest stages: $top")
+      r
+    }
+    if (sys.env.contains("SPARK_GRAFT_GRID_DEBUG")) {
+      val plan = Similarity.semDedup(emb, "vec_id", "embedding",
+        knownCount = Some(total)).queryExecution.executedPlan.toString
+      println("[cellskew] join nodes: " + "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+        .findAllIn(plan).toSeq.groupBy(identity).view.mapValues(_.size).toMap)
+    }
+    run() // codegen + cache warmup, both layouts share it
+    spark.conf.set(Similarity.HotCellBoundKey, Long.MaxValue.toString)
+    val off = measure(s"salting OFF (hub=$nHub in one cell, one reducer owns occ²)")
+    spark.conf.unset(Similarity.HotCellBoundKey)
+    val on = measure("salting ON  (default bound: grid spreads the hub)")
+    require(off == on, s"grid salting changed output: off=$off on=$on")
+    println(s"[cellskew] outputs identical (kept count + row checksum)")
+    spark.stop()
+  }
+
   /** `runMain graft.tools.ScaleCheck quota [nRows] [groups] [k]` — the
     * per-group quota probe behind
     * [[graft.operators.Sampling.quotaPerGroupAgg]]: window `row_number`
@@ -549,6 +646,7 @@ object ScaleCheck {
     if (args.headOption.contains("bitext")) return bitextMain(args.drop(1))
     if (args.headOption.contains("qsketch")) return qsketchMain(args.drop(1))
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))
+    if (args.headOption.contains("cellskew")) return cellskewMain(args.drop(1))
     if (args.headOption.contains("rank")) return rankMain(args.drop(1))
     if (args.headOption.contains("emb")) return embMain(args.drop(1))
     if (args.headOption.contains("quota")) return quotaMain(args.drop(1))

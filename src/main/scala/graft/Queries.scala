@@ -1067,6 +1067,30 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental embedding dedup (round 7): an incoming shard
+    * (vec_id % 5 = 0) probed against the standing corpus (the rest) via
+    * the sign-plane LSH index dimensioned by the EXISTING side — never
+    * an existing×existing pair. The exact cosine verify makes the
+    * oracle the brute-force incoming×existing comparison; hash-match
+    * pins LSH recall, exactly as `embedding_neardup` does for the
+    * self-join path. Streaming twin: StreamingCurationSpec probes the
+    * same kernel per micro-batch with the index growing in place. */
+  val incrementalEmbeddingDedup: Q = q("incremental_embedding_dedup",
+    """SELECT a.vec_id AS in_id, b.vec_id AS ex_id,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      | FROM embeddings a JOIN embeddings b
+      |   ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+      | WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+      | ORDER BY in_id, ex_id""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    operators.Dedup.embeddingIncrementalNearDups(
+      emb.filter(col("vec_id") % 5 =!= 0), emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", threshold = 0.45)
+      .orderBy("in_id", "ex_id")
+  }
+
   /** Exact ANN baseline: top-5 cosine neighbors for query vectors id<10. */
   val annTopK: Q = q("ann_topk",
     """SELECT q_id, n_id, rnk, cos FROM (
@@ -6856,7 +6880,7 @@ object Queries {
     dedupExact, dedupExactHash, textQuality, fingerprintMd5,
     dedupMinhashLsh, ngramJaccard, tfidfCosineGate, dedupSimhash,
     imageDhashNearDup, audioFpNearDup, videoFpNearDup, embeddingNearDup,
-    embeddingNearDupScaled,
+    embeddingNearDupScaled, incrementalEmbeddingDedup,
     annTopK, annLshTopK, annIvfTopK, hardNegativesGate, sourceSimilarity, mapAccess,
     semanticDecontaminateGate, embeddingQuantize, randomProjectionGate,
     timeTravelAsOf,

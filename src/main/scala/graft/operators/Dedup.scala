@@ -921,6 +921,86 @@ object Dedup {
     (planes, math.max(2, tablesFor(planes)))
   }
 
+  /** Incremental EMBEDDING near-dup (round 7 — VERDICT r6 item 5): flag
+    * an INCOMING shard's vectors that near-duplicate the EXISTING corpus
+    * without ever producing an existing×existing pair — the
+    * embedding-space sibling of [[incrementalNearDups]], and the batch
+    * kernel the streaming ingest twin probes per micro-batch
+    * (StreamingCurationSpec).
+    *
+    * Banding is [[embeddingNearDup]]'s sign-plane LSH with the layout
+    * dimensioned by the EXISTING corpus (the standing index's size — the
+    * shard does not re-dimension the index it probes; pass
+    * `knownExistingCount` from the ingest ledger to skip the count
+    * action). The probe flips ride the INCOMING side, so per-shard cost
+    * is O(|shard|·tables·probes) shuffle + exact cosines on true
+    * cross-candidates only. The exact verify keeps output identical to
+    * the brute-force incoming×existing comparison (the oracle), with the
+    * same analytic `missTarget` bound on LSH recall.
+    *
+    * @return (in_id, ex_id, cos) — one row per qualifying
+    *         incoming-vs-existing pair at cosine ≥ threshold
+    */
+  def embeddingIncrementalNearDups(existing: DataFrame, incoming: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   threshold: Double, dims: Int = 64,
+                                   targetOccupancy: Int = 16,
+                                   missTarget: Double = 1e-6,
+                                   probeRadius: Int = 2, maxTables: Int = 48,
+                                   knownExistingCount: Option[Long] = None): DataFrame =
+    embeddingIncrementalNearDupsManaged(existing, incoming, idCol, vecCol,
+      threshold, dims, targetOccupancy, missTarget, probeRadius, maxTables,
+      knownExistingCount)._1
+
+  /** [[embeddingIncrementalNearDups]] plus the unpersist handle — same
+    * contract as [[incrementalNearDupsManaged]]: a long-running caller
+    * probing per ingest must invoke it after consuming the result. */
+  def embeddingIncrementalNearDupsManaged(
+      existing: DataFrame, incoming: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, dims: Int = 64,
+      targetOccupancy: Int = 16, missTarget: Double = 1e-6,
+      probeRadius: Int = 2, maxTables: Int = 48,
+      knownExistingCount: Option[Long] = None): (DataFrame, () => Unit) = {
+    graft.functions.GraftFunctions.register(existing.sparkSession)
+    val n = knownExistingCount.getOrElse(existing.count())
+    val (planes, tables) = lshLayout(n, threshold, targetOccupancy,
+      missTarget, probeRadius, maxTables)
+    val ex = existing.select(col(idCol).as("ex_id"), col(vecCol).as("v_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val in = incoming.select(col(idCol).as("in_id"), col(vecCol).as("v_a"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // same per-table seeds as embeddingNearDupFixed, so a probe-side
+    // signature lands in exactly the bucket the index side published
+    def sigs(df: DataFrame, vc: String) = df.withColumn("sigs",
+      Similarity.planeSignatures(col(vc),
+        (0 until tables).map(t => s"hp$t:"), planes, dims))
+    // index postings: one (tbl, bucket) per table, no flips
+    val exPost = sigs(ex, "v_b")
+      .select(col("ex_id"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
+    // probe side: every bit-combination within probeRadius, as in the
+    // self-join path — vectors stay home, only band keys travel
+    require(probeRadius <= planes,
+      s"probeRadius ($probeRadius) cannot exceed planes ($planes)")
+    val flips: Seq[Column] = (0 to probeRadius).flatMap(r =>
+      (0 until planes).combinations(r).map(bits =>
+        lit(bits.foldLeft(0L)((m, b) => m | (1L << b)))))
+    val inPost = sigs(in, "v_a")
+      .select(col("in_id"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
+      .withColumn("bucket", explode(array(flips.map(col("sig").bitwiseXOR): _*)))
+      .drop("sig")
+    // cross-table duplicates dedup on the slim 16-byte id pair — sized
+    // by the candidate count, not candidate×tables (the minhashLsh /
+    // slim-tables lesson)
+    val candidates = inPost.join(exPost, Seq("tbl", "bucket"))
+      .select("in_id", "ex_id").distinct()
+    val out = candidates
+      .join(in, "in_id").join(ex, "ex_id")
+      .withColumn("cos", round(Similarity.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("in_id", "ex_id", "cos")
+    (out, () => { ex.unpersist(); in.unpersist(); () })
+  }
+
   /** Analytic per-pair miss rate of a (planes, tables) layout at the
     * worst-case threshold pair — exposed for the layout-solver spec. */
   private[operators] def lshMissRate(planes: Int, tables: Int,

@@ -128,6 +128,61 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental EMBEDDING dedup: the standing LSH index grows in place across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // near-orthogonal base vectors: cosine(vec(i), vec(j)) ≈ 0.04 for
+    // i ≠ j, ≈ 1.0 for a jittered copy — clean above/below θ=0.8
+    def vec(k: Int): Array[Float] =
+      Array.tabulate(8)(d => if (d == k) 5f else 0.1f)
+    def near(v: Array[Float]): Array[Float] = v.map(_ + 0.01f)
+    val initial = Seq((100L, vec(0)), (101L, vec(1)))
+    val batches = Seq(
+      Seq((1L, near(vec(0))), (2L, vec(2))), // 1 dups index row 100
+      // 3 dups row 2 — ADMITTED LAST BATCH: only index growth finds it
+      Seq((3L, near(vec(2))), (4L, vec(3))))
+
+    // streaming run: per micro-batch, probe the standing index with the
+    // incremental kernel, then append the batch's novel rows to the
+    // index — the index is UPDATED IN PLACE as the stream progresses
+    var index = initial.toDF("vec_id", "embedding")
+    val found = scala.collection.concurrent.TrieMap.empty[(Long, Long), Double]
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        val (pairs, cleanup) =
+          graft.operators.Dedup.embeddingIncrementalNearDupsManaged(
+            index, b, "vec_id", "embedding", threshold = 0.8, dims = 8)
+        val dup = pairs.collect()
+        dup.foreach(r => found((r.getLong(0), r.getLong(1))) = r.getDouble(2))
+        val dupIds = dup.map(_.getLong(0)).distinct.toSeq
+        index = index.unionAll(
+          b.filter(!col("vec_id").isin(dupIds: _*))).localCheckpoint()
+        cleanup(); b.unpersist(); ()
+      }.start()
+    try {
+      batches.foreach { bd => input.addData(bd: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(found.keySet == Set((1L, 100L), (3L, 2L)))
+    assert(found.values.forall(_ >= 0.99))
+
+    // batch twin: the identical fold over plain DataFrames — the
+    // streaming execution must produce exactly this pair set
+    var idx2 = initial.toDF("vec_id", "embedding")
+    val foldFound = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    batches.foreach { bd =>
+      val b = bd.toDF("vec_id", "embedding")
+      val dup = graft.operators.Dedup.embeddingIncrementalNearDups(
+        idx2, b, "vec_id", "embedding", threshold = 0.8, dims = 8).collect()
+      dup.foreach(r => foldFound((r.getLong(0), r.getLong(1))) = r.getDouble(2))
+      val dupIds = dup.map(_.getLong(0)).distinct.toSeq
+      idx2 = idx2.unionAll(b.filter(!col("vec_id").isin(dupIds: _*)))
+    }
+    assert(found.toMap == foldFound.toMap)
+  }
+
   test("incremental near-dup probes the standing index per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -328,6 +328,40 @@ final class Engine(
     } finally df.unpersist()
     }
 
+  /** Embedding-space sibling of [[appendRowsDeduped]] (round 7): ingest
+    * a shard of (id, embedding) rows, dropping rows whose vector
+    * near-duplicates the standing stream at cosine ≥ `threshold` — the
+    * engine wiring over
+    * [[graft.operators.Dedup.embeddingIncrementalNearDupsManaged]].
+    * Same standing-index economics (the shard probes, the corpus never
+    * self-pairs), same ingest-lock serialization, same per-call
+    * unpersist hygiene. In-batch mutual near-dups are kept (dedup is
+    * against the INDEX; run the self-join dedup on the shard first if
+    * intra-shard pruning is also wanted).
+    *
+    * @return number of incoming rows dropped as near-duplicates
+    */
+  def appendRowsDedupedEmbedding(name: String, df: DataFrame, idCol: String,
+                                 vecCol: String, threshold: Double = 0.8,
+                                 dims: Int = 64): Long =
+    streamLock(name).synchronized {
+    val existing = readStream(name).select(col(idCol), col(vecCol))
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (pairs, cleanup) =
+        graft.operators.Dedup.embeddingIncrementalNearDupsManaged(
+          existing, df, idCol, vecCol, threshold, dims)
+      val flagged = pairs
+        .select(col("in_id").as(idCol)).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dropped = df.join(flagged, Seq(idCol), "left_semi").count()
+        appendRows(name, df.join(flagged, Seq(idCol), "left_anti"))
+        dropped
+      } finally { flagged.unpersist(); cleanup() }
+    } finally df.unpersist()
+    }
+
   /** Per-stream ingest mutex: [[write]] is read-epoch-then-write and
     * [[appendRowsDeduped]] is read-index-probe-then-write — two
     * interleaved calls would stamp duplicate write epochs (scrambling the

@@ -822,34 +822,37 @@ object Dedup {
     * With `planes` FIXED at 6 ([[embeddingNearDupFixed]]), bucket count
     * stays 64 no matter how big the corpus grows, so per-bucket
     * occupancy is n/64 and candidate volume is
-    * Θ(n²·probes/2^planes) — measured 26× time at 10× data. The scale
-    * rule is the same one [[Similarity.semDedup]] applies to its
-    * centroid count: hold per-bucket occupancy CONSTANT by growing the
-    * signature with log₂(n), and compensate recall analytically — the
-    * per-table collision probability of a true pair at cosine θ is
-    * `p_band = P[Binom(planes, q) ≤ probeRadius]` with per-bit
+    * Θ(n²·probes/2^planes) — measured 26× time at 10× data. The layout
+    * here comes from [[lshLayout]]: enumerate (planes ≤ 20, radius ≤
+    * `probeRadius` — the caller's radius is a MAXIMUM), compensate
+    * recall analytically per layout — the per-table collision
+    * probability of a true pair at cosine θ is
+    * `p_band = P[Binom(planes, q) ≤ radius]` with per-bit
     * disagreement `q = arccos(θ)/π`, so `tables = ln(missTarget) /
     * ln(1 − p_band)` holds the OR-construction miss rate at the target
-    * regardless of planes. Candidate volume becomes
-    * Θ(n·occupancy·probes·tables); since the recall-compensating table
-    * count itself grows as planes grow, the end-to-end cost is the
-    * classic LSH `Θ(n^(1+ρ))` with `ρ = ln p₁ / ln p₂ < 1` — genuinely
-    * SUB-QUADRATIC, not linear, and the gap over the fixed layout
-    * widens with n (ScaleCheck `emb` probe at θ=0.8: 2.75× faster at
-    * 10×, same exact output).
+    * regardless of planes — and keep the feasible triple minimizing
+    * estimated candidate volume `tables·(probes·(n + n²/2^planes) + n)`.
+    * The end-to-end cost is the classic LSH `Θ(n^(1+ρ))` with
+    * `ρ = ln p₁ / ln p₂ < 1` — genuinely SUB-QUADRATIC, not linear, and
+    * the gap over the fixed layout widens with n (ScaleCheck `emb`
+    * probe at θ=0.8, measurements in PERF.md round 7).
     *
-    * The economics remain threshold-bound (the scaladoc above): at
-    * θ ≈ 0.45, q ≈ 0.35 makes p_band small enough that the compensated
-    * table count explodes. `maxTables` bounds that cost as a
-    * CONSTRAINT, never a recall clamp: when the occupancy-ideal plane
-    * count would need more than `maxTables` compensating tables, planes
-    * back off until the miss target fits — a dense threshold pays
-    * candidate volume (fuller buckets), the analytic recall bound holds
+    * The economics remain threshold-bound: at θ ≈ 0.45, q ≈ 0.35 makes
+    * p_band small enough that the compensated table count explodes.
+    * `maxTables` bounds that cost as a CONSTRAINT, never a recall
+    * clamp: layouts whose compensation exceeds `maxTables` are simply
+    * infeasible to the solver — a dense threshold pays candidate
+    * volume (fuller buckets), the analytic recall bound holds
     * regardless (the sf1 differential caught the earlier clamp
     * silently raising the miss rate ~500× and dropping one true pair;
     * see PERF.md round 6). At real near-dup thresholds (θ ≥ 0.8,
     * q ≤ 0.2) the compensation is a handful of tables and the linear
-    * regime is the one that matters at 100 TB.
+    * regime is the one that matters at 100 TB. NOTE on DENSE thresholds
+    * at LOW dims: at d = 64 the random-cosine σ is 1/√64 = 0.125, so a
+    * 0.45 threshold sits ~3.6σ into the noise tail and the TRUE output
+    * itself grows ~n² on weakly-clustered corpora — no exact operator
+    * can beat its own output size; pick thresholds ≥ 5σ·(1/√d) if the
+    * intent is near-duplicates.
     *
     * `n` (corpus size) is passed by the caller or counted once — a
     * metadata-scale action of the same class as the IVF centroid
@@ -862,15 +865,17 @@ object Dedup {
                        maxTables: Int = 48,
                        knownCount: Option[Long] = None): DataFrame = {
     val n = knownCount.getOrElse(emb.count())
-    val (planes, tables) = lshLayout(n, threshold, targetOccupancy,
+    val (planes, tables, radius) = lshLayout(n, threshold, targetOccupancy,
       missTarget, probeRadius, maxTables)
     embeddingNearDupFixed(emb, idCol, vecCol, threshold, dims,
-      tables = tables, planes = planes, probeRadius = probeRadius)
+      tables = tables, planes = planes, probeRadius = radius)
   }
 
-  /** The corpus-dimensioned LSH layout solver: (planes, tables) such
-    * that the analytic per-pair miss bound `missTarget` HOLDS and the
-    * table count fits `maxTables`.
+  /** The corpus-dimensioned LSH layout solver: the (planes, tables,
+    * probe radius) triple that MINIMIZES estimated candidate volume
+    * subject to the analytic per-pair miss bound `missTarget` and the
+    * `maxTables` signature-cost cap. The caller's `probeRadius` is a
+    * MAXIMUM the solver may use, not a pin.
     *
     * Round-6 fix from the sf1 DIFFERENTIAL (not the bench): the first
     * corpus-dimensioned layout clamped the compensated table count at
@@ -878,47 +883,78 @@ object Dedup {
     * occupancy-derived plane count made p_band too small — at sf1 /
     * θ=0.45 the effective per-pair miss rate rose to ~5e-4 and the
     * default path dropped exactly one of 16 765 true pairs. The cap is
-    * now a CONSTRAINT, not a clamp: planes back off from the occupancy
-    * ideal until the compensation FITS maxTables, so the analytic miss
-    * target genuinely holds at any threshold — a dense threshold pays
-    * candidate volume (fewer planes ⇒ fuller buckets), never recall.
+    * a CONSTRAINT, not a clamp: an infeasible (missTarget, maxTables)
+    * combination throws rather than ship a degraded miss bound.
+    *
+    * Round-7 fix from the 100× `ScaleCheck emb` probe: the previous
+    * rule held per-BUCKET occupancy constant (planes ≈ log₂(n/occ))
+    * and used the caller's probe radius verbatim — but with
+    * multi-probe the a-side explodes to `probes = Σ_{k≤r} C(planes,k)`
+    * buckets per table, so the PROBED occupancy is occ·probes and the
+    * candidate join carries a probes·tables factor the occupancy rule
+    * never saw. At n = 210k / θ = 0.8 it picked (planes 14, r 2,
+    * 26 tables) ⇒ ~7.4e9 expected candidate rows — a ~100 GB shuffle
+    * that filled the probe host's disk. The solver now enumerates
+    * planes ∈ [1, 20] × radius ∈ [0, probeRadius], computes the
+    * recall-compensating table count for each, and keeps the feasible
+    * triple minimizing [[lshLayoutCost]]
+    *   `tables · (probes · (n + n²/2^planes) + n)`
+    * — a-side explode rows plus expected uniform-bucket collision
+    * pairs plus b-side postings. Same miss bound, same exact verify;
+    * only the candidate economics move (~3.5× fewer candidate rows at
+    * the 210k/θ=0.8 point, and the radius drops to 0 automatically in
+    * regimes where many cheap tables beat probing).
+    *
     * The default target is 1e-6: sparse enough that even a 10⁵-pair
     * output expects < 0.1 misses (the hash-exact gate contract), still
     * a handful of tables at real near-dup thresholds (θ ≥ 0.8).
+    * `targetOccupancy` is retained for source compatibility; the
+    * solver's cost model subsumes it.
     */
   private[operators] def lshLayout(n: Long, threshold: Double,
                                    targetOccupancy: Int, missTarget: Double,
-                                   probeRadius: Int, maxTables: Int): (Int, Int) = {
-    val planesOcc = math.max(4, math.min(20,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2)).toInt))
+                                   probeRadius: Int, maxTables: Int): (Int, Int, Int) = {
     val q = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
-    // P[Binom(planes, q) <= probeRadius]: a true pair at exactly θ
-    // collides with one table's probe set with this probability (pairs
-    // above θ collide more often — θ is the worst case)
-    def pBand(planes: Int): Double =
-      (0 to math.min(probeRadius, planes)).map { k =>
+    // P[Binom(planes, q) <= radius]: a true pair at exactly θ collides
+    // with one table's probe set with this probability (pairs above θ
+    // collide more often — θ is the worst case)
+    def pBand(planes: Int, radius: Int): Double =
+      (0 to math.min(radius, planes)).map { k =>
         val choose = (1 to k).map(i => (planes - i + 1).toDouble / i).product
         choose * math.pow(q, k) * math.pow(1 - q, planes - k)
       }.sum
-    def tablesFor(planes: Int): Int = {
-      val p = pBand(planes)
+    def tablesFor(planes: Int, radius: Int): Int = {
+      val p = pBand(planes, radius)
       if (p >= 1.0) 2
-      else math.ceil(math.log(missTarget) / math.log(1.0 - p)).toInt
+      else math.max(2, math.ceil(math.log(missTarget) / math.log(1.0 - p)).toInt)
     }
-    // back off all the way to 1 plane (2 buckets/table — maximal
-    // candidate volume) before giving up: the contract is that the cap
-    // constrains CANDIDATE COST, never recall, so an infeasible
-    // (missTarget, maxTables) combination must fail loudly rather than
-    // ship a silently degraded miss bound (a floor at 4 planes plus a
-    // min() clamp was exactly that leak for probeRadius=0 at dense
-    // thresholds)
-    val planes = (planesOcc to 1 by -1)
-      .find(p => tablesFor(p) <= maxTables)
-      .getOrElse(throw new IllegalArgumentException(
+    val feasible = for {
+      planes <- 1 to 20
+      radius <- 0 to math.min(probeRadius, planes)
+      tables = tablesFor(planes, radius)
+      if tables <= maxTables
+    } yield (lshLayoutCost(n, planes, radius, tables), planes, radius, tables)
+    if (feasible.isEmpty)
+      throw new IllegalArgumentException(
         s"no sign-LSH layout meets missTarget=$missTarget within " +
           s"maxTables=$maxTables at threshold=$threshold, " +
-          s"probeRadius=$probeRadius — raise maxTables or relax missTarget"))
-    (planes, math.max(2, tablesFor(planes)))
+          s"probeRadius<=$probeRadius — raise maxTables or relax missTarget")
+    // deterministic tie-break: fewer planes, then smaller radius
+    val best = feasible.minBy(c => (c._1, c._2, c._3))
+    (best._2, best._4, best._3)
+  }
+
+  /** The layout solver's candidate-volume estimate (exposed for the
+    * spec): a-side explode rows `n·tables·probes`, expected
+    * uniform-bucket collision pairs `n²·probes·tables/2^planes`, plus
+    * the b-side postings `n·tables`. */
+  private[operators] def lshLayoutCost(n: Long, planes: Int, radius: Int,
+                                       tables: Int): Double = {
+    val probes = (0 to math.min(radius, planes)).map(k =>
+      (1 to k).map(i => (planes - i + 1).toDouble / i).product).sum
+    tables.toDouble *
+      (probes * (n.toDouble + n.toDouble * n.toDouble / math.pow(2.0, planes)) +
+        n.toDouble)
   }
 
   /** Incremental EMBEDDING near-dup (round 7 — VERDICT r6 item 5): flag
@@ -963,7 +999,7 @@ object Dedup {
       knownExistingCount: Option[Long] = None): (DataFrame, () => Unit) = {
     graft.functions.GraftFunctions.register(existing.sparkSession)
     val n = knownExistingCount.getOrElse(existing.count())
-    val (planes, tables) = lshLayout(n, threshold, targetOccupancy,
+    val (planes, tables, radius) = lshLayout(n, threshold, targetOccupancy,
       missTarget, probeRadius, maxTables)
     val ex = existing.select(col(idCol).as("ex_id"), col(vecCol).as("v_b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -977,11 +1013,10 @@ object Dedup {
     // index postings: one (tbl, bucket) per table, no flips
     val exPost = sigs(ex, "v_b")
       .select(col("ex_id"), posexplode(col("sigs")).as(Seq("tbl", "bucket")))
-    // probe side: every bit-combination within probeRadius, as in the
-    // self-join path — vectors stay home, only band keys travel
-    require(probeRadius <= planes,
-      s"probeRadius ($probeRadius) cannot exceed planes ($planes)")
-    val flips: Seq[Column] = (0 to probeRadius).flatMap(r =>
+    // probe side: every bit-combination within the SOLVER-chosen radius
+    // (≤ the caller's probeRadius maximum), as in the self-join path —
+    // vectors stay home, only band keys travel
+    val flips: Seq[Column] = (0 to radius).flatMap(r =>
       (0 until planes).combinations(r).map(bits =>
         lit(bits.foldLeft(0L)((m, b) => m | (1L << b)))))
     val inPost = sigs(in, "v_a")

@@ -642,7 +642,56 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** Time named `SparkEntry.queries` gates against an arbitrary SF
+    * directory (the round-6 verdict's sf10 probe: materialize K× data
+    * with [[ScaleData]], then read per-gate cost ratios across decades).
+    * One warm pass at sf0.001 pays codegen + JIT (a gate's plan and
+    * generated classes are SF-invariant), then each gate is timed once
+    * at the target — magnitude across decades is what's probed, not
+    * millisecond precision. Operator-pinned caches are cleared between
+    * gates so a standing index built at one gate never subsidizes the
+    * next.
+    *
+    * `runMain graft.tools.ScaleCheck gates <sfDir> [gate1,gate2,...]`
+    */
+  private def gatesMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("target/sf1")
+    val defaultGates = Seq("dedup_minhash_lsh", "tfidf_cosine_pairs",
+      "containment_pairs", "edit_distance_pairs", "embedding_neardup",
+      "ann_pq_topk", "knn_graph", "bitext_mine", "incremental_dedup_bloom",
+      "triangle_counts")
+    val names = args.lift(1).map(_.split(",").toSeq).getOrElse(defaultGates)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-gatescheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val warmDir = "/root/testdata/sf0.001"
+    for (name <- names) {
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown gate $name"))
+      if (new java.io.File(warmDir).isDirectory)
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      graft.operators.OperatorCache.clear(spark)
+      val t0 = System.nanoTime()
+      val rows =
+        try fn(spark, sf).count()
+        catch { case e: Throwable =>
+          println(s"[gates] $name @ $sf: ERROR ${e.getClass.getName}: ${e.getMessage}")
+          -1L
+        }
+      if (rows >= 0)
+        println(f"[gates] $name @ $sf: ${(System.nanoTime() - t0) / 1e9}%.2f s, rows=$rows")
+      graft.operators.OperatorCache.clear(spark)
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("gates")) return gatesMain(args.drop(1))
     if (args.headOption.contains("bitext")) return bitextMain(args.drop(1))
     if (args.headOption.contains("qsketch")) return qsketchMain(args.drop(1))
     if (args.headOption.contains("skew")) return skewMain(args.drop(1))

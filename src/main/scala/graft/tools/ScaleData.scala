@@ -33,7 +33,11 @@ import org.apache.spark.sql.functions._
   * its near-dup structure ~linearly; the isomorphic transforms
   * reproduce that.
   *
-  * `runMain graft.tools.ScaleData <srcSfDir> <outDir> <K>`
+  * `runMain graft.tools.ScaleData <srcSfDir> <outDir> <K> [tables]`
+  * — `tables` is an optional comma list (e.g. `documents,embeddings`)
+  * restricting materialization to the tables a probe actually reads;
+  * sf10 (K=100) of the full TPC-H set would write ~1 GB of lineitem
+  * no pair-operator probe ever opens.
   */
 object ScaleData {
   private val Off = 100000000L // clears every driver id range
@@ -42,6 +46,9 @@ object ScaleData {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/sf1")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scaledata")
@@ -51,13 +58,13 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(t: String, df: DataFrame): Unit = {
+    def write(t: String, df: DataFrame): Unit = if (wanted(t)) {
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaledata] $t -> $out/$t.parquet")
     }
     /** K copies with `keys` shifted by i*Off; `extra` applied per replica. */
     def rep(t: String, keys: Seq[String],
-            extra: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+            extra: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = if (wanted(t)) {
       val base = read(t)
       val all = (0 until k).map { i =>
         val shifted = keys.foldLeft(base)((d, c) =>

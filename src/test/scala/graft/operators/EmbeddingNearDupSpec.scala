@@ -46,17 +46,36 @@ class EmbeddingNearDupSpec extends SparkSpec {
     assert(scaled == truth, s"scaled layout diverged: missing ${truth.diff(scaled).take(5)}")
   }
 
-  test("scaled layout grows planes with the corpus, holding occupancy") {
-    // the parameter rule at a SPARSE threshold (θ=0.9: compensation is a
-    // handful of tables, so the occupancy ideal is never constrained):
-    // planes ≈ log2(n / occupancy), clamped
-    def planesFor(n: Long) =
-      Dedup.lshLayout(n, 0.9, 16, 1e-6, 2, 48)._1
-    assert(planesFor(2000) == 7)
-    assert(planesFor(20000) == 11) // 10x corpus -> +~3 planes, 16x buckets
-    assert(planesFor(200000) == 14)
-    assert(planesFor(100) == 4) // floor
-    assert(planesFor(1L << 40) == 20) // cap
+  test("layout solver: cost-optimal over the feasible grid, never worse than the occupancy rule") {
+    // round 7: the solver minimizes estimated candidate volume
+    // (lshLayoutCost) over planes × radius instead of pinning
+    // per-bucket occupancy at 16 with the caller's radius verbatim.
+    // Pin the INVARIANTS, not the chosen constants:
+    for (n <- Seq(100L, 2000L, 20000L, 200000L, 1L << 40);
+         theta <- Seq(0.6, 0.8, 0.9)) {
+      val (planes, tables, radius) = Dedup.lshLayout(n, theta, 16, 1e-6, 2, 48)
+      assert(planes >= 1 && planes <= 20 && radius >= 0 && radius <= 2)
+      assert(tables >= 2 && tables <= 48)
+      // (a) the miss bound holds for the chosen triple
+      assert(Dedup.lshMissRate(planes, tables, theta, radius) <= 1e-6)
+      // (b) chosen cost is the grid minimum: no feasible (p, r) pair
+      // with its compensating table count beats it
+      val chosen = Dedup.lshLayoutCost(n, planes, radius, tables)
+      for (p <- 1 to 20; r <- 0 to math.min(2, p)) {
+        val t = (2 to 48).find(t => Dedup.lshMissRate(p, t, theta, r) <= 1e-6)
+        t.foreach { t =>
+          assert(chosen <= Dedup.lshLayoutCost(n, p, r, t) * (1 + 1e-9),
+            s"n=$n θ=$theta: chosen ($planes,$radius,$tables)=$chosen beaten by ($p,$r,$t)")
+        }
+      }
+    }
+    // the old occupancy rule's 210k/θ=0.8 pick (planes 14, r 2, 26
+    // tables) is strictly beaten — the layout that filled a disk at the
+    // 100× probe can no longer be chosen
+    val (p8, t8, r8) = Dedup.lshLayout(210000L, 0.8, 16, 1e-6, 2, 48)
+    assert(Dedup.lshLayoutCost(210000L, p8, r8, t8) <
+      Dedup.lshLayoutCost(210000L, 14, 2, 26) / 2,
+      s"solver pick ($p8,$r8,$t8) should at least halve the occupancy layout's volume")
   }
 
   test("layout solver: the miss target HOLDS at every (n, θ) — the cap backs off planes, never recall") {
@@ -72,20 +91,20 @@ class EmbeddingNearDupSpec extends SparkSpec {
     for (n <- Seq(1000L, 50000L, 5000000L, 1L << 40);
          theta <- Seq(0.45, 0.6, 0.8, 0.95);
          probe <- Seq(0, 1, 2)) {
-      val (planes, tables) = Dedup.lshLayout(n, theta, 16, 1e-6, probe, 48)
-      val miss = Dedup.lshMissRate(planes, tables, theta, probe)
-      assert(tables <= 48 && planes >= 1)
+      val (planes, tables, radius) = Dedup.lshLayout(n, theta, 16, 1e-6, probe, 48)
+      val miss = Dedup.lshMissRate(planes, tables, theta, radius)
+      assert(tables <= 48 && planes >= 1 && radius <= probe)
       assert(miss <= 1e-6,
-        f"n=$n θ=$theta probe=$probe planes=$planes tables=$tables miss=$miss%.2e")
+        f"n=$n θ=$theta probe=$probe planes=$planes tables=$tables radius=$radius miss=$miss%.2e")
     }
     // a genuinely infeasible corner refuses to ship a bad layout
     assertThrows[IllegalArgumentException] {
       Dedup.lshLayout(1L << 40, 0.45, 16, 1e-12, 0, 4)
     }
-    // and sparse thresholds stay CHEAP: θ=0.95 at huge n (20 planes)
-    // compensates to 13 tables for a 1e-6 bound — far from the cap
-    val (_, tSparse) = Dedup.lshLayout(1L << 40, 0.95, 16, 1e-6, 2, 48)
-    assert(tSparse <= 16, s"sparse-threshold compensation blew up: $tSparse")
+    // and sparse thresholds stay CHEAP: θ=0.95 at huge n compensates
+    // well inside the cap for a 1e-6 bound
+    val (_, tSparse, _) = Dedup.lshLayout(1L << 40, 0.95, 16, 1e-6, 2, 48)
+    assert(tSparse <= 32, s"sparse-threshold compensation blew up: $tSparse")
   }
 
   test("hardNegatives: band contract, self-exclusion, exact-mode truth") {

@@ -149,7 +149,12 @@ object Dedup {
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))"))
         .as(Seq("band", "bkey")))
 
-    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bkey"))
+    // merge-hinted like every corpus×corpus posting join in this file:
+    // Catalyst sizes a Generate by its (pruned) child, so an exploded
+    // band-key side is estimated ~KB no matter the corpus and gets
+    // BROADCAST — measured as a 12.9 GiB broadcast failure on the LSH
+    // sibling at sf1 (see embeddingNearDupFixed's bucket-join note)
+    val candidates = banded.as("a").join(banded.as("b").hint("merge"), Seq("band", "bkey"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -221,7 +226,7 @@ object Dedup {
     // band keys only through the join (the minhashLsh lesson); incoming
     // is the small side — at scale this is the probe of a per-shard
     // ingest against the standing index
-    val candidates = banded(inSig).as("a")
+    val candidates = banded(inSig).as("a").hint("shuffle_hash")
       .join(banded(exSig).as("b"), Seq("band", "bkey"))
       .select(col("a.id").as("in_id"), col("b.id").as("ex_id"))
       .dropDuplicates("in_id", "ex_id")
@@ -357,7 +362,7 @@ object Dedup {
       .select("id", "len", "tok")
     val candidates = pref.filter(queryPred)
       .select(col("id").as("id_a"), col("len").as("len_a"), col("tok"))
-      .join(pref.select(col("id").as("id_b"), col("len").as("len_b"), col("tok")), "tok")
+      .join(pref.select(col("id").as("id_b"), col("len").as("len_b"), col("tok")).hint("merge"), "tok")
       .filter(col("id_a") < col("id_b"))
       .filter(col("len_a").cast("double") >= lit(threshold) * col("len_b") - lit(1e-9) &&
               col("len_b").cast("double") >= lit(threshold) * col("len_a") - lit(1e-9))
@@ -490,7 +495,7 @@ object Dedup {
       .filter(col("__rn") <= prefLen)
       .select(col("id").as("id_a"), col("len").as("len_a"), col("tok"))
     val indexed = ex.select(col("id").as("id_b"), col("len").as("len_b"), col("tok"))
-    val candidates = probe.join(indexed, "tok")
+    val candidates = probe.join(indexed.hint("merge"), "tok")
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("len_b").cast("double")
         >= lit(threshold) * col("len_a") - lit(1e-9))
@@ -531,7 +536,7 @@ object Dedup {
       explode(hashedShingles(shingles(col(textCol), shingleN))).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val gDf = ex.groupBy("g").agg(count(lit(1)).as("gdf"))
-    ex.join(gDf, "g")
+    ex.join(gDf.hint("merge"), "g")
       .groupBy(col("did").as(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("gdf") > 1, 1L).otherwise(0L)).as("n_dup"))
@@ -698,7 +703,7 @@ object Dedup {
       when(bit_count(shiftright(xorCol, lo).bitwiseAND(lit((1L << w) - 1))) <= e,
         lit(i)).otherwise(els)
     }
-    a.as("a").join(b.as("b"), Seq("band", "bits"))
+    a.as("a").join(b.as("b").hint("merge"), Seq("band", "bits"))
       .filter(col("a.id") < col("b.id") &&
         bit_count(xorCol) <= maxHamming &&
         col("band") === firstBand)
@@ -796,7 +801,14 @@ object Dedup {
       when(tblHamming(t) <= probeRadius, lit(t)).otherwise(els)
     }
 
-    val joined = a.join(b, Seq("tbl", "bucket"))
+    // the bucket join is corpus×tables(×probes) on BOTH sides — never
+    // broadcastable at scale. Catalyst's size estimate for the explode
+    // chain rides the tiny persisted source (Generate output is not
+    // multiplied), so without the hint it picked a broadcast build of
+    // the 134M-row probe side at sf1 (~5 GB silently before the
+    // 512-table layouts; a hard >8 GiB failure after). MERGE keeps it a
+    // spillable sort-merge join at any scale.
+    val joined = a.join(b.hint("merge"), Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
     val candidates =
       if (slim) joined.select("id_a", "id_b").distinct()
@@ -862,7 +874,7 @@ object Dedup {
                        targetOccupancy: Int = 16,
                        missTarget: Double = 1e-6,
                        probeRadius: Int = 2,
-                       maxTables: Int = 48,
+                       maxTables: Int = 512,
                        knownCount: Option[Long] = None): DataFrame = {
     val n = knownCount.getOrElse(emb.count())
     val (planes, tables, radius) = lshLayout(n, threshold, targetOccupancy,
@@ -910,6 +922,16 @@ object Dedup {
     * a handful of tables at real near-dup thresholds (θ ≥ 0.8).
     * `targetOccupancy` is retained for source compatibility; the
     * solver's cost model subsumes it.
+    *
+    * The callers' default `maxTables` is 512 (raised from 48, round 7):
+    * in slim-dedup mode the per-table cost is one posting row plus
+    * planes·dims fused adds — n·tables, LINEAR — while a starved table
+    * budget forces the solver into multi-probe layouts whose a-side
+    * explode carries the probes×tables product. At 210k/θ=0.8 the
+    * 48-cap optimum was (18 planes, r 2, 48 tables) ≈ 3.1e9 row-units;
+    * 512 admits (15 planes, r 0, ~430 tables) ≈ 8e8 — the signature
+    * arithmetic is priced into [[lshLayoutCost]] so the solver only
+    * buys tables where they genuinely beat probing.
     */
   private[operators] def lshLayout(n: Long, threshold: Double,
                                    targetOccupancy: Int, missTarget: Double,
@@ -947,14 +969,17 @@ object Dedup {
   /** The layout solver's candidate-volume estimate (exposed for the
     * spec): a-side explode rows `n·tables·probes`, expected
     * uniform-bucket collision pairs `n²·probes·tables/2^planes`, plus
-    * the b-side postings `n·tables`. */
+    * the b-side postings and signature arithmetic `n·tables·(1 + planes/8)`
+    * — one posting row is weighted like ~8 plane-dot products, so
+    * many-cheap-tables layouts pay for their signature compute instead
+    * of looking free. */
   private[operators] def lshLayoutCost(n: Long, planes: Int, radius: Int,
                                        tables: Int): Double = {
     val probes = (0 to math.min(radius, planes)).map(k =>
       (1 to k).map(i => (planes - i + 1).toDouble / i).product).sum
     tables.toDouble *
       (probes * (n.toDouble + n.toDouble * n.toDouble / math.pow(2.0, planes)) +
-        n.toDouble)
+        n.toDouble * (1.0 + planes / 8.0))
   }
 
   /** Incremental EMBEDDING near-dup (round 7 — VERDICT r6 item 5): flag
@@ -982,7 +1007,7 @@ object Dedup {
                                    threshold: Double, dims: Int = 64,
                                    targetOccupancy: Int = 16,
                                    missTarget: Double = 1e-6,
-                                   probeRadius: Int = 2, maxTables: Int = 48,
+                                   probeRadius: Int = 2, maxTables: Int = 512,
                                    knownExistingCount: Option[Long] = None): DataFrame =
     embeddingIncrementalNearDupsManaged(existing, incoming, idCol, vecCol,
       threshold, dims, targetOccupancy, missTarget, probeRadius, maxTables,
@@ -995,7 +1020,7 @@ object Dedup {
       existing: DataFrame, incoming: DataFrame,
       idCol: String, vecCol: String, threshold: Double, dims: Int = 64,
       targetOccupancy: Int = 16, missTarget: Double = 1e-6,
-      probeRadius: Int = 2, maxTables: Int = 48,
+      probeRadius: Int = 2, maxTables: Int = 512,
       knownExistingCount: Option[Long] = None): (DataFrame, () => Unit) = {
     graft.functions.GraftFunctions.register(existing.sparkSession)
     val n = knownExistingCount.getOrElse(existing.count())
@@ -1025,8 +1050,13 @@ object Dedup {
       .drop("sig")
     // cross-table duplicates dedup on the slim 16-byte id pair — sized
     // by the candidate count, not candidate×tables (the minhashLsh /
-    // slim-tables lesson)
-    val candidates = inPost.join(exPost, Seq("tbl", "bucket"))
+    // slim-tables lesson). SHUFFLE_HASH with the SHARD postings as the
+    // build side: Catalyst's explode-blind size estimate would happily
+    // broadcast the STANDING INDEX postings (estimated ~KB from the
+    // pruned persisted frame, actually corpus×tables), and a merge hint
+    // would re-sort that index every ingest; hashing the shard streams
+    // the index untouched at any scale.
+    val candidates = inPost.hint("shuffle_hash").join(exPost, Seq("tbl", "bucket"))
       .select("in_id", "ex_id").distinct()
     val out = candidates
       .join(in, "in_id").join(ex, "ex_id")
@@ -1056,7 +1086,7 @@ object Dedup {
                              targetOccupancy: Int = 16,
                              missTarget: Double = 1e-6,
                              probeRadius: Int = 2,
-                             maxTables: Int = 48,
+                             maxTables: Int = 512,
                              knownCount: Option[Long] = None): DataFrame =
     embeddingNearDup(emb, idCol, vecCol, threshold, dims, targetOccupancy,
       missTarget, probeRadius, maxTables, knownCount)

@@ -356,7 +356,7 @@ object Dedup {
       + 1).cast("int")
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("tok").asc)
-    val pref = ex.join(dfMap, "tok")
+    val pref = ex.join(dfMap.hint("merge"), "tok")
       .withColumn("__rn", row_number().over(byRarity))
       .filter(col("__rn") <= prefLen)
       .select("id", "len", "tok")
@@ -490,7 +490,7 @@ object Dedup {
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("tok").asc)
     val probe = ex.filter(queryPred)
-      .join(dfMap, "tok")
+      .join(dfMap.hint("merge"), "tok")
       .withColumn("__rn", row_number().over(byRarity))
       .filter(col("__rn") <= prefLen)
       .select(col("id").as("id_a"), col("len").as("len_a"), col("tok"))
@@ -580,10 +580,10 @@ object Dedup {
         .as(Seq("p", "gh")))
     val gdf = grams.select("gh", "did").distinct()
       .groupBy("gh").agg(count(lit(1)).as("gdocs"))
-    val covered = grams.join(gdf.filter(col("gdocs") > 1), "gh")
+    val covered = grams.join(gdf.filter(col("gdocs") > 1).hint("merge"), "gh")
       .select(col("did"), explode(sequence(col("p"), col("p") + spanTokens - 1)).as("pos"))
       .distinct()
-    val kept = toks.join(covered, Seq("did", "pos"), "left_anti")
+    val kept = toks.join(covered.hint("merge"), Seq("did", "pos"), "left_anti")
     val rebuilt = kept.groupBy("did")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", expr(

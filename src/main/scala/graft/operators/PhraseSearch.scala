@@ -53,11 +53,17 @@ object PhraseSearch {
       col("pos").as("__pos"), col("tok").as("__tok"))
     val anchors = post.filter(col("__tok") === phrase.head)
       .select(col("__did"), col("__pos"))
+    // merge-hinted: a token's filtered postings are estimated at
+    // filter-selectivity × the (explode-blind, ~tokens-per-doc×
+    // underestimated) posting size, so Catalyst happily broadcasts a
+    // stop-word's corpus-sized posting list; SMJ keeps the documented
+    // "Σ posting sizes shuffle, never the corpus" contract at any scale
     val matched = phrase.zipWithIndex.tail.foldLeft(anchors) {
       case (acc, (w, i)) =>
         acc.join(
           post.filter(col("__tok") === w)
-            .select(col("__did"), (col("__pos") - i).as("__pos")),
+            .select(col("__did"), (col("__pos") - i).as("__pos"))
+            .hint("merge"),
           Seq("__did", "__pos"))
     }
     matched.groupBy(col("__did").as(idCol))

@@ -145,6 +145,11 @@ object UrlCuration {
     val kept = Sampling.quotaPerGroupAgg(
       withDomain, Seq("registered_domain"), idCol, cap, salt)
       .select(col(idCol))
-    withDomain.join(kept, Seq(idCol), "left_semi")
+    // shuffle_hash with the kept-id list as build: its size is
+    // domains×cap — corpus-scale in the worst case (every domain under
+    // cap) while its estimate rides the explode-blind BottomK explode,
+    // so an unhinted plan may broadcast it; hashing the slim 8-byte ids
+    // streams the corpus side and never risks the 8 GiB limit
+    withDomain.join(kept.hint("shuffle_hash"), Seq(idCol), "left_semi")
   }
 }

@@ -20,6 +20,7 @@ object Probe {
     if (args.headOption.contains("bloom")) return bloomMain(args.drop(1))
     if (args.headOption.contains("tri")) return triMain(args.drop(1))
     if (args.headOption.contains("ac")) return acMain(args.drop(1))
+    if (args.headOption.contains("bcast")) return bcastMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -376,6 +377,80 @@ object Probe {
       catch { case e: Throwable => s"ERROR: ${e.getMessage.take(200)}" }
       println(s"[sqlprobe] escaped=$mode -> $out")
     }
+    spark.stop()
+  }
+
+  /** `Probe bcast <sf> [gate1,gate2,...]` — audit for the explode-blind
+    * broadcast class (round 7): Catalyst sizes a Generate by its
+    * column-pruned CHILD, so an exploded posting side is estimated at
+    * ~child-size no matter its true multiplicity; a BroadcastExchange
+    * whose build subtree contains a Generate is therefore mis-estimated
+    * by exactly the explode factor — the bug that broadcast a 12.9 GiB
+    * LSH probe side at sf1. This walks every gate's STATIC physical
+    * plan (AQE off, sf-realistic stats) and reports each such site with
+    * the generator expression, for manual triage: bounded query-side
+    * explodes (×nprobe, ×k) are fine; corpus-side posting explodes are
+    * the regression class.
+    *
+    * Round-7 triage record (sf0.1, after the hint sweep): 9 flags, all
+    * by-design — `ann_{ivf,lsh,pq}_topk` broadcast the pred-filtered
+    * QUERY side exploded ×nprobe (bounded multiplier, intended);
+    * `exact_quantile`/`hourly_quantiles`/`weighted_quantile` explode a
+    * 2-element quantile literal; `skew_salted_join` explodes the salt
+    * literal on the dim side; `range_join` explodes the INTERVAL (dim)
+    * side ×span/width (small multiplier — broadcasting exploded
+    * campaigns against 100 TB of points is the right plan). Everything
+    * corpus-sided was pinned: minhash/hamming bands, ngram/containment
+    * prefixes + df joins, gram-df, LSH buckets (merge), incremental
+    * shard probes (shuffle_hash, shard build), phrase postings (merge),
+    * domain-cap kept-ids (shuffle_hash). */
+  private def bcastMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only: Option[Set[String]] =
+      args.lift(1).map(_.split(",").map(_.trim).toSet)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    var flagged = 0
+    graft.SparkEntry.queries
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sf).queryExecution.executedPlan
+          // descent STOPS at aggregates: a groupBy collapses the explode
+          // multiplicity to its key cardinality, so a Generate below one
+          // no longer drives the broadcast side's size (gram-keyed
+          // aggregates are triaged separately — their key domain, not
+          // the explode, decides)
+          def generates(p: SparkPlan): Seq[GenerateExec] = p match {
+            case _: HashAggregateExec | _: ObjectHashAggregateExec |
+                 _: SortAggregateExec => Nil
+            case g: GenerateExec => g +: g.children.flatMap(generates)
+            case other => other.children.flatMap(generates)
+          }
+          plan.foreach {
+            case b: BroadcastExchangeExec =>
+              val gs = generates(b.child)
+              if (gs.nonEmpty) {
+                flagged += 1
+                println(s"[bcast] $name: broadcast build contains Generate: " +
+                  gs.map(_.boundGenerator.toString.take(100)).mkString(" | "))
+              }
+            case _ =>
+          }
+        } catch { case e: Throwable =>
+          println(s"[bcast] $name: ERROR ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+        }
+      }
+    println(s"[bcast] flagged sites: $flagged")
     spark.stop()
   }
 

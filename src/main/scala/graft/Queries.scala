@@ -4966,6 +4966,56 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact top-k Jaccard neighbors per query doc ([[operators.Dedup
+    * .jaccardTopK]], round 7): the retrieval twin of the pair gates —
+    * the oracle replays the τ-floored neighbor set brute-force, then
+    * the identical (jaccard DESC, id) rank. Doubles match bit-for-bit
+    * because both engines divide the same exact integers
+    * (i / (|a|+|b|−i)). */
+  val jaccardTopKGate: Q = q("jaccard_topk",
+    s"""WITH sh AS (
+      |  SELECT doc_id, ${duckShingles(3)} AS s FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |shg AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS gram FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    count(*) AS i, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+      |  FROM shg a JOIN shg b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |  WHERE a.doc_id % 3 = 0
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+      |  FROM inter WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.2),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY id_a ORDER BY jaccard DESC, id_b) AS rnk FROM j)
+      |SELECT id_a, id_b, jaccard, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 5 ORDER BY id_a, rnk""".stripMargin) { (s, dir) =>
+    operators.Dedup.jaccardTopK(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, threshold = 0.2, k = 5, queryPred = col("id") % 3 === 0)
+      .orderBy("id_a", "rnk")
+  }
+
+  /** Per-column table profile ([[operators.Metrics.profileColumns]],
+    * round 7): row/null/exact-distinct counts plus min/max aggregated
+    * in the column's own type and cast to string after — over a mixed
+    * int/string/timestamp lineitem column set (doubles excluded: their
+    * string rendering is engine-specific, the counts are not). */
+  val profileTableGate: Q = q("profile_table", {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val FROM lineitem""".stripMargin
+    Seq("l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate")
+      .map(one).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY \"column\"")
+  }) { (s, dir) =>
+    operators.Metrics.profileColumns(t(s, dir, "lineitem"),
+      Seq("l_orderkey", "l_returnflag", "l_linestatus", "l_shipdate"))
+      .orderBy("column")
+  }
+
   /** CCNet-style boilerplate-segment removal with full text reassembly —
     * byte-for-byte clean_text parity (the oracle rebuilds every document
     * through the same segmentation + df verdict). */
@@ -6900,7 +6950,8 @@ object Queries {
     unigramPpl, jsonExtract, tpchQ6, tpchQ13, tpchQ22,
     windowHopping, pivotCounts, setExceptAll, correlatedScalar, bmpDecode,
     joinFull, tpchQ12, tpchQ19,
-    containmentPairs, semDedupGate, boilerplateSegments, bigramPpl,
+    containmentPairs, jaccardTopKGate, profileTableGate,
+    semDedupGate, boilerplateSegments, bigramPpl,
     dupNgramFrac, tokenEntropy, oovRate,
     windowRangeInterval, windowNtile, unpivotMetrics,
     setIntersectAll, lateralTopN, gifDecode, normalizeTextGate,

@@ -511,6 +511,67 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Top-k most-Jaccard-similar documents per query — the retrieval
+    * twin of [[ngramJaccardPairs]] (round 7): instead of "every pair
+    * above τ", each query document ranks its τ-relevant neighbor set
+    * and keeps the k best, the fetch-similar-examples / dedup-triage
+    * shape. The contract is EXACT top-k among pairs with J ≥
+    * `threshold`: the relevance floor is what keeps the operator
+    * bucketable — unbounded top-k (no floor) degenerates to all-pairs
+    * for queries with < k genuine neighbors.
+    *
+    * Candidate generation is the ONE-SIDED prefix filter over the
+    * query side against the full index ([[containmentPairs]]'s
+    * blocker): J(A,B) ≥ τ ⇒ |A∩B|/|A| ≥ τ (since |A| ≤ |A∪B|), so A's
+    * rarest-first prefix of length |A| − ⌈τ·|A|⌉ + 1 must hit B —
+    * exact at the threshold, never a recall gamble. The two-sided
+    * Jaccard length filter (τ·|A| ≤ |B| ≤ |A|/τ) prunes before the
+    * verify; ranks are per-query windows (bounded by the candidate
+    * set, never a global window), ties broken by neighbor id.
+    *
+    * @return (id_a, id_b, jaccard, rnk) — rnk ∈ [1, k] per query id_a
+    */
+  def jaccardTopK(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, threshold: Double = 0.2, k: Int = 5,
+                  queryPred: Column = lit(true)): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val withSh = df.select(col(idCol).as("id"),
+      hashedShingles(shingles(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = withSh.select(col("id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("tok"))
+    val dfMap = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefLen = (col("len")
+      - ceil(lit(threshold) * col("len").cast("double") - lit(1e-9))
+      + 1).cast("int")
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("tok").asc)
+    val probe = ex.filter(queryPred)
+      .join(dfMap.hint("merge"), "tok")
+      .withColumn("__rn", row_number().over(byRarity))
+      .filter(col("__rn") <= prefLen)
+      .select(col("id").as("id_a"), col("len").as("len_a"), col("tok"))
+    val indexed = ex.select(col("id").as("id_b"), col("len").as("len_b"), col("tok"))
+    val candidates = probe.join(indexed.hint("merge"), "tok")
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("len_b").cast("double") >= lit(threshold) * col("len_a") - lit(1e-9) &&
+              col("len_a").cast("double") >= lit(threshold) * col("len_b") - lit(1e-9))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("jaccard").desc, col("id_b").asc)
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("rnk", row_number().over(byScore).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("id_a", "id_b", "jaccard", "rnk")
+  }
+
   /** Per-document cross-corpus duplicated-n-gram fraction — the doc-level
     * diagnostic from Lee et al. 2021 ("Deduplicating Training Data Makes
     * Language Models Better", public literature): what share of a

@@ -193,4 +193,37 @@ object Metrics {
           expr("CAST(n_orphans * 1000000 DIV (n_rows - n_null_keys)" +
             " AS BIGINT)")).otherwise(lit(0L)).as("orphan_micro"))
   }
+
+  /** One-row-per-column table profile — the ingestion-audit primitive
+    * (row count, null count, EXACT distinct count, min/max) every
+    * pipeline runs before trusting a new source.
+    *
+    * Deliberately ONE AGGREGATE PER COLUMN, unioned: each aggregate is
+    * a column-pruned parquet scan with map-side partial aggregation, so
+    * C columns cost C cheap independent scans that schedule in
+    * parallel — against the single-pass alternative
+    * (`count_distinct` × C in one agg), which Catalyst plans as an
+    * Expand ×C: every corpus row replicated C times through ONE
+    * shuffle, a strictly worse wall-clock shape at 100 TB whenever the
+    * scan is cheaper than the expanded shuffle (it always is on
+    * columnar storage). min/max cast to string AFTER aggregating in
+    * the column's own type (casting first would rank numerics
+    * lexicographically).
+    *
+    * @return (column, n_rows, n_null, n_distinct, min_val, max_val),
+    *         one row per requested column
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -88,4 +88,22 @@ class MetricsSpec extends SparkSpec {
       .select("pos_n", "neg_n", "auc").as[(Long, Long, Double)].collect()
     assert(got.toSeq == Seq((1L, 1L, 1.0)))
   }
+
+  test("profileColumns: exact counts, null handling, typed min/max") {
+    val df = Seq[(java.lang.Long, String)](
+      (3L, "b"), (1L, null), (10L, "a"), (null, "b"), (10L, "c"))
+      .toDF("k", "s")
+    val rows = Metrics.profileColumns(df, Seq("k", "s"))
+      .orderBy("column").collect()
+    assert(rows.length == 2)
+    val k = rows(0)
+    assert(k.getString(0) == "k" && k.getLong(1) == 5 && k.getLong(2) == 1)
+    assert(k.getLong(3) == 3) // distinct non-null: 1, 3, 10
+    // min/max aggregate in LONG first (10 > 3 numerically; "10" < "3"
+    // lexically — the order the operator must NOT use)
+    assert(k.getString(4) == "1" && k.getString(5) == "10")
+    val s = rows(1)
+    assert(s.getString(0) == "s" && s.getLong(2) == 1 && s.getLong(3) == 3)
+    assert(s.getString(4) == "a" && s.getString(5) == "c")
+  }
 }

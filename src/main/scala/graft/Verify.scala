@@ -78,6 +78,23 @@ object Verify {
       require(threw, "QuantizerCellGuard is configured to fail but did " +
         "not fire on a known-degenerate cell count — the lint is inert")
     }
+    // Broadcast-over-Generate lint liveness (round 7): a tiny frame
+    // exploded ×1000 joined to a real file scan MUST be flagged — the
+    // explode-blind estimate makes it the broadcast build, which is
+    // exactly the 12.9-GiB-at-sf1 class the guard exists to stop. The
+    // lint itself runs on every gate in the loop below (fail mode: an
+    // offending gate throws before its result is written, so check.py
+    // reds it).
+    {
+      val tiny = spark.range(4)
+        .selectExpr("id", "explode(sequence(0L, 999L)) AS k")
+      val corpus = spark.read.parquet(s"$sfDir/orders.parquet")
+        .selectExpr("o_orderkey", "o_orderkey % 1000 AS k")
+      val bad = corpus.join(tiny, "k")
+      require(graft.plans.BroadcastGenerateGuard.offenders(bad).nonEmpty,
+        "BroadcastGenerateGuard did not flag a known-bad exploded " +
+          "broadcast build — the lint is inert")
+    }
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated gate filter for fast local iteration
     // (tools/check.py compares whatever oracle_sql.json lists, so the
@@ -86,9 +103,11 @@ object Verify {
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        graft.plans.BroadcastGenerateGuard.check(name, df)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -415,36 +415,21 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.GenerateExec
-    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     var flagged = 0
     graft.SparkEntry.queries
       .filter(kv => only.forall(_.contains(kv._1)))
       .toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try {
-          val plan = fn(spark, sf).queryExecution.executedPlan
-          // descent STOPS at aggregates: a groupBy collapses the explode
-          // multiplicity to its key cardinality, so a Generate below one
-          // no longer drives the broadcast side's size (gram-keyed
-          // aggregates are triaged separately — their key domain, not
-          // the explode, decides)
-          def generates(p: SparkPlan): Seq[GenerateExec] = p match {
-            case _: HashAggregateExec | _: ObjectHashAggregateExec |
-                 _: SortAggregateExec => Nil
-            case g: GenerateExec => g +: g.children.flatMap(generates)
-            case other => other.children.flatMap(generates)
-          }
-          plan.foreach {
-            case b: BroadcastExchangeExec =>
-              val gs = generates(b.child)
-              if (gs.nonEmpty) {
-                flagged += 1
-                println(s"[bcast] $name: broadcast build contains Generate: " +
-                  gs.map(_.boundGenerator.toString.take(100)).mkString(" | "))
-              }
-            case _ =>
+          // same walker the Verify-time lint enforces (fail mode with
+          // the audited exemptions); the probe reports EVERY site,
+          // exempt or not, for triage
+          val gs = graft.plans.BroadcastGenerateGuard.offenders(fn(spark, sf))
+          if (gs.nonEmpty) {
+            flagged += 1
+            val ex = if (graft.plans.BroadcastGenerateGuard.exemptGates(name))
+              " [exempt]" else ""
+            println(s"[bcast] $name$ex: broadcast build contains Generate: " +
+              gs.mkString(" | "))
           }
         } catch { case e: Throwable =>
           println(s"[bcast] $name: ERROR ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")

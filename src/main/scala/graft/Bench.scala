@@ -64,6 +64,25 @@ object Bench {
       if (ok) sec else -sec // negative seconds = error marker
     }
 
+    // ---- contention canary (round 8 — VERDICT r7 item 6) -------------
+    // A fixed trivial gate timed 3× BEFORE the sweep and 3× AFTER the
+    // headline loop: its work is constant, so a shift between the two
+    // medians measures the HOST, not the code — r7's driver run needed
+    // manual adjudication against a quiet-host rerun (pagerank 4.71 s
+    // contended vs 1.63 s quiet, same binaries). `contended` self-
+    // qualifies round-over-round deltas without that manual step.
+    val canaryName = "scan_project"
+    def canaryMedian(): Double =
+      SparkEntry.queries.get(canaryName) match {
+        case Some(fn) =>
+          val ts = (1 to 3).map { _ =>
+            spark.catalog.clearCache(); math.abs(timeGate(canaryName, fn))
+          }
+          ts.sorted.apply(1)
+        case None => -1.0
+      }
+    val canaryBefore = canaryMedian()
+
     // ---- tier 1: full sweep, every gate once -------------------------
     val results = SparkEntry.queries.map { case (name, fn) => name -> timeGate(name, fn) }
 
@@ -81,6 +100,13 @@ object Bench {
       name -> median
     }
 
+    val canaryAfter = canaryMedian()
+    // contended = the fixed-work canary drifted >1.5× across the run
+    // (either direction: load arriving mid-run or present at the start)
+    val contended = canaryBefore > 0 && canaryAfter > 0 &&
+      math.max(canaryBefore, canaryAfter) /
+        math.max(1e-9, math.min(canaryBefore, canaryAfter)) > 1.5
+
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = (results ++ headline).collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -93,7 +119,9 @@ object Bench {
     // headline medians (~1.5 KB); the full sweep map lives in the file.
     val common = s""""value":$total,"unit":"sec"""" +
       s""","queries":${jmap(headline)},"headline_total":$headlineTotal""" +
-      s""","sweep_gates":${results.size},"errors":$errs,"sf":"$sfDir""""
+      s""","sweep_gates":${results.size},"errors":$errs,"sf":"$sfDir"""" +
+      s""","canary_before":$canaryBefore,"canary_after":$canaryAfter""" +
+      s""","contended":$contended"""
     val stdoutJson = s"""{"metric":"total",$common}"""
     val fileJson = s"""{"metric":"total",$common,"sweep":${jmap(results)}}"""
     // file first (canonical; survives stdout truncation), then stdout

@@ -1019,11 +1019,13 @@ object Queries {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 10
+       |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) <= 3
        |ORDER BY id_a, id_b""".stripMargin
   }) { (s, dir) =>
-    operators.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-      maxHamming = 10)
+    // exercises the DEFAULT radius (3 — round 8, VERDICT r7 item 5: the
+    // old ≤10/56 default was a diffuse relation whose OUTPUT was the
+    // scale wall; ≤10 is now the documented opt-in)
+    operators.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("id_a", "id_b")
   }
 

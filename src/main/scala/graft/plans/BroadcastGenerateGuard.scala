@@ -33,56 +33,83 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
   */
 object BroadcastGenerateGuard {
 
-  /** Gates whose flagged broadcast is deliberate — a BOUNDED-multiplier
-    * explode on a genuinely small side (audit record: Probe bcast at
-    * sf0.001 / sf0.01 / sf0.1, identical set at all three). */
-  val exemptGates: Set[String] = Set(
+  /** Gates whose flagged broadcasts are deliberate — BOUNDED-multiplier
+    * explodes on genuinely small sides — keyed to the EXACT offender
+    * count observed in the audit (Probe bcast at sf0.001 / sf0.01 /
+    * sf0.1, identical at all three). Count-pinned (round 8 — ADVICE r7):
+    * a bare gate-name exemption would silence a FUTURE second,
+    * genuinely corpus-sided explode-broadcast added to an exempt gate;
+    * with the count pinned, any new site in an exempt gate still fails. */
+  val exemptOffenders: Map[String, Int] = Map(
     // pred-filtered QUERY side exploded ×nprobe — broadcasting the
     // handful of probe rows against the corpus is the intended plan
-    "ann_ivf_topk", "ann_lsh_topk", "ann_pq_topk",
-    // 2-element quantile literal explode
-    "exact_quantile", "hourly_quantiles", "weighted_quantile",
+    "ann_ivf_topk" -> 1, "ann_lsh_topk" -> 1, "ann_pq_topk" -> 1,
+    // 2-element quantile literal explode (exact_quantile broadcasts it
+    // at two join sites — both audited)
+    "exact_quantile" -> 2, "hourly_quantiles" -> 1,
+    "weighted_quantile" -> 1,
     // salt-literal explode on the replicated dim side of the salted join
-    "skew_salted_join",
+    "skew_salted_join" -> 1,
     // INTERVAL (dim) side exploded ×span/width — broadcasting exploded
     // campaigns against the point corpus is the right plan at any scale
-    "range_join")
+    "range_join" -> 1)
+
+  /** Back-compat membership view (Probe's `[exempt]` tag). */
+  def exemptGates(gate: String): Boolean = exemptOffenders.contains(gate)
 
   /** Generator strings of every raw-Generate broadcast build in the
-    * frame's static physical plan; empty = clean. */
+    * frame's static physical plan; empty = clean. Walks NESTED adaptive
+    * plans and subquery plans too (round 8 — ADVICE r7: the former
+    * top-level-only walk let an exploded broadcast build inside a
+    * scalar/IN subquery or a nested AQE wrapper escape the lint). */
   def offenders(df: DataFrame): Seq[String] = {
     // AQE wraps before exchanges are inserted (inputPlan has no
     // BroadcastExchange nodes); its executedPlan accessor returns the
     // prepared current plan — pre-execution, the initial plan with the
     // statically-chosen exchanges this guard inspects
     def unwrap(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
       case other => other
     }
-    def generates(p: SparkPlan): Seq[GenerateExec] = p match {
+    def generates(p: SparkPlan): Seq[GenerateExec] = unwrap(p) match {
       case _: HashAggregateExec | _: ObjectHashAggregateExec |
            _: SortAggregateExec => Nil
       case g: GenerateExec => g +: g.children.flatMap(generates)
       case other => other.children.flatMap(generates)
     }
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    unwrap(df.queryExecution.executedPlan).foreach {
-      case b: BroadcastExchangeExec =>
-        generates(b.child).foreach(g =>
-          out += g.boundGenerator.toString.take(120))
-      case _ => ()
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(plan: SparkPlan): Unit = {
+      val p = unwrap(plan)
+      if (!seen.add(p)) return // shared subquery instances: visit once
+      p.foreach { node =>
+        node match {
+          case b: BroadcastExchangeExec =>
+            generates(b.child).foreach(g =>
+              out += g.boundGenerator.toString.take(120))
+          case a: AdaptiveSparkPlanExec => walk(a) // nested AQE wrapper
+          case _ => ()
+        }
+        // scalar/IN/EXISTS subqueries hang off expressions, not
+        // children — each carries its own physical plan to lint
+        node.subqueries.foreach(walk)
+      }
     }
+    walk(df.queryExecution.executedPlan)
     out.toSeq
   }
 
-  /** Throw if `df`'s plan broadcasts an exploded side and `gate` is not
-    * in the audited exemption list. */
+  /** Throw if `df`'s plan broadcasts an exploded side beyond the gate's
+    * audited exemption count (0 for non-exempt gates). */
   def check(gate: String, df: DataFrame): Unit = {
     val bad = offenders(df)
-    if (bad.nonEmpty && !exemptGates(gate))
+    val allowed = exemptOffenders.getOrElse(gate, 0)
+    if (bad.size > allowed)
       throw new IllegalStateException(
-        s"BroadcastGenerateGuard: gate '$gate' broadcasts an exploded " +
-          s"join side (estimate is explode-blind — pin merge/shuffle_hash " +
-          s"or add an audited exemption): ${bad.mkString(" | ")}")
+        s"BroadcastGenerateGuard: gate '$gate' broadcasts ${bad.size} " +
+          s"exploded join side(s), audited exemption allows $allowed " +
+          s"(estimate is explode-blind — pin merge/shuffle_hash or " +
+          s"re-audit the exemption): ${bad.mkString(" | ")}")
   }
 }

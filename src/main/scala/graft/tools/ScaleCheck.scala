@@ -679,7 +679,15 @@ object ScaleCheck {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val warmDir = "/root/testdata/sf0.001"
+    // warm-pass dir is overridable (ADVICE r7): on a host without the
+    // default path the single timed run would silently include
+    // codegen/JIT cost, skewing the cross-decade ratios this tool
+    // exists to measure — so a skipped/failed warm pass WARNS loudly
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    if (!new java.io.File(warmDir).isDirectory)
+      println(s"[gates] WARN: warm dir $warmDir missing — timed runs " +
+        "include codegen/JIT cost (set SPARK_GRAFT_WARM_DIR)")
     for (name <- names if {
       val known = graft.SparkEntry.queries.contains(name)
       if (!known) println(s"[gates] $name: UNKNOWN gate name, skipped")
@@ -687,7 +695,10 @@ object ScaleCheck {
     }) {
       val fn = graft.SparkEntry.queries(name)
       if (new java.io.File(warmDir).isDirectory)
-        try fn(spark, warmDir).count() catch { case _: Throwable => }
+        try fn(spark, warmDir).count() catch { case e: Throwable =>
+          println(s"[gates] WARN: warm pass for $name failed " +
+            s"(${e.getClass.getSimpleName}) — timed run includes codegen")
+        }
       graft.operators.OperatorCache.clear(spark)
       val t0 = System.nanoTime()
       val rows =

@@ -39,12 +39,40 @@ class BroadcastGuardSpec extends SparkSpec {
     assert(BroadcastGenerateGuard.offenders(joined).isEmpty)
   }
 
+  test("an exploded broadcast build inside a scalar subquery is flagged") {
+    // ADVICE r7: the top-level-only walk let subquery plans escape
+    val tiny = spark.range(4)
+      .selectExpr("id AS tid", "explode(sequence(0L, 999L)) AS k")
+    tiny.createOrReplaceTempView("bgg_tiny")
+    corpus.createOrReplaceTempView("bgg_corp")
+    val df = spark.sql(
+      """SELECT id,
+        | (SELECT max(c.id + t.tid) FROM bgg_corp c JOIN bgg_tiny t
+        |   ON c.k = t.k) AS m
+        |FROM bgg_corp""".stripMargin)
+    assert(BroadcastGenerateGuard.offenders(df).nonEmpty,
+      df.queryExecution.executedPlan.toString.take(800))
+  }
+
+  test("exemptions are count-pinned: a second offender in an exempt gate fails") {
+    // ADVICE r7: a bare gate-name exemption would mask a future second,
+    // genuinely corpus-sided explode-broadcast added to an exempt gate
+    val t1 = spark.range(4).selectExpr("id AS t1id", "explode(sequence(0L, 999L)) AS k")
+    val t2 = spark.range(4).selectExpr("id AS t2id", "explode(sequence(0L, 999L)) AS k")
+    val two = corpus.join(t1, "k").join(t2, "k")
+    assert(BroadcastGenerateGuard.offenders(two).size >= 2,
+      two.queryExecution.executedPlan.toString.take(800))
+    assertThrows[IllegalStateException] {
+      BroadcastGenerateGuard.check("range_join", two) // allows exactly 1
+    }
+  }
+
   test("every exempt gate name still exists in the matrix") {
     // a renamed/removed gate must not leave a stale exemption behind —
     // stale entries would silently re-open the hole for a future gate
     // that reuses the name
     val names = graft.SparkEntry.queries.keySet
-    val stale = BroadcastGenerateGuard.exemptGates -- names
+    val stale = BroadcastGenerateGuard.exemptOffenders.keySet -- names
     assert(stale.isEmpty, s"stale exemptions: $stale")
   }
 }

@@ -72,15 +72,28 @@ object Bench {
     // contended vs 1.63 s quiet, same binaries). `contended` self-
     // qualifies round-over-round deltas without that manual step.
     val canaryName = "scan_project"
+    // a FAILING run is -1.0 (unavailable), never abs()'d into the median
+    // (round 9 — ADVICE r8: a transient error in one phase would
+    // otherwise yield a bogus median and could flip `contended` either
+    // way, and the failure never reached `errors`)
     def canaryMedian(): Double =
       SparkEntry.queries.get(canaryName) match {
         case Some(fn) =>
           val ts = (1 to 3).map { _ =>
-            spark.catalog.clearCache(); math.abs(timeGate(canaryName, fn))
+            spark.catalog.clearCache(); timeGate(canaryName, fn)
           }
-          ts.sorted.apply(1)
+          if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
         case None => -1.0
       }
+    // both canary phases must measure WARM-cache state: the sweep has
+    // read everything by the `after` phase, so the `before` phase pays
+    // one untimed scan at the bench SF first (round 9 — ADVICE r8: cold
+    // page-cache I/O on a slow disk could shift before/after toward the
+    // 1.5× contention threshold without any real external load)
+    SparkEntry.queries.get(canaryName).foreach { fn =>
+      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     val canaryBefore = canaryMedian()
 
     // ---- tier 1: full sweep, every gate once -------------------------
@@ -113,6 +126,18 @@ object Bench {
       .toSeq.distinct.mkString("[", ",", "]")
     val total = results.values.map(math.abs).sum
     val headlineTotal = headline.map { case (_, v) => math.abs(v) }.sum
+    // canary-NORMALIZED totals (round 9 — VERDICT r8 item 5): the canary
+    // is fixed work, so its median IS a host-speed unit — r8 vs the
+    // quiet-host r7 rerun read a uniform 1.23× across 212 unchanged
+    // gates, which a before/after drift check cannot see. Dividing the
+    // totals by the mean canary makes round-over-round deltas computable
+    // on a steadily-loaded host without a quiet rerun (PERF.md documents
+    // the convention). -1.0 = canary unavailable, normalization skipped.
+    val canaryUnit =
+      if (canaryBefore > 0 && canaryAfter > 0) (canaryBefore + canaryAfter) / 2
+      else -1.0
+    val totalNorm = if (canaryUnit > 0) total / canaryUnit else -1.0
+    val headlineNorm = if (canaryUnit > 0) headlineTotal / canaryUnit else -1.0
     // stdout gets a COMPACT line (round-5 verdict: the driver's scrape
     // window truncated the 193-entry sweep map, leaving BENCH_r05.json
     // with parsed:null) — `queries` on stdout carries only the 30
@@ -121,7 +146,8 @@ object Bench {
       s""","queries":${jmap(headline)},"headline_total":$headlineTotal""" +
       s""","sweep_gates":${results.size},"errors":$errs,"sf":"$sfDir"""" +
       s""","canary_before":$canaryBefore,"canary_after":$canaryAfter""" +
-      s""","contended":$contended"""
+      s""","contended":$contended,"canary_unit":$canaryUnit""" +
+      s""","total_per_canary":$totalNorm,"headline_per_canary":$headlineNorm"""
     val stdoutJson = s"""{"metric":"total",$common}"""
     val fileJson = s"""{"metric":"total",$common,"sweep":${jmap(results)}}"""
     // file first (canonical; survives stdout truncation), then stdout

@@ -34,25 +34,33 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 object BroadcastGenerateGuard {
 
   /** Gates whose flagged broadcasts are deliberate — BOUNDED-multiplier
-    * explodes on genuinely small sides — keyed to the EXACT offender
-    * count observed in the audit (Probe bcast at sf0.001 / sf0.01 /
-    * sf0.1, identical at all three). Count-pinned (round 8 — ADVICE r7):
-    * a bare gate-name exemption would silence a FUTURE second,
-    * genuinely corpus-sided explode-broadcast added to an exempt gate;
-    * with the count pinned, any new site in an exempt gate still fails. */
-  val exemptOffenders: Map[String, Int] = Map(
+    * explodes on genuinely small sides — keyed to a PER-SITE generator
+    * fingerprint (a prefix of the bound generator string, cut before
+    * unstable ordinals/object hashes) observed in the audit (Probe
+    * bcast at sf0.001 / sf0.01 / sf0.1, identical at all three).
+    * Fingerprint-pinned (round 9 — ADVICE r8): a bare COUNT would let a
+    * plan change swap the audited benign site for a different,
+    * genuinely corpus-sided one without tripping the lint, and
+    * bad.size < allowed would silently leave stale slack; with per-site
+    * prefixes, an UNMATCHED offender fails AND an unused exemption
+    * fails, so every identity change forces a re-audit. */
+  val exemptOffenders: Map[String, Seq[String]] = Map(
     // pred-filtered QUERY side exploded ×nprobe — broadcasting the
     // handful of probe rows against the corpus is the intended plan
-    "ann_ivf_topk" -> 1, "ann_lsh_topk" -> 1, "ann_pq_topk" -> 1,
+    "ann_ivf_topk" -> Seq("explode(transform(slice(sort_array("),
+    "ann_lsh_topk" -> Seq("explode(array(("),
+    "ann_pq_topk" -> Seq("explode(transform(slice(sort_array("),
     // 2-element quantile literal explode (exact_quantile broadcasts it
     // at two join sites — both audited)
-    "exact_quantile" -> 2, "hourly_quantiles" -> 1,
-    "weighted_quantile" -> 1,
+    "exact_quantile" -> Seq("explode([0.5,0.99])", "explode([0.5,0.99])"),
+    "hourly_quantiles" -> Seq("explode([0.5,0.95])"),
+    "weighted_quantile" -> Seq("explode([0.5,0.9])"),
     // salt-literal explode on the replicated dim side of the salted join
-    "skew_salted_join" -> 1,
+    "skew_salted_join" -> Seq(
+      "explode(org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"),
     // INTERVAL (dim) side exploded ×span/width — broadcasting exploded
     // campaigns against the point corpus is the right plan at any scale
-    "range_join" -> 1)
+    "range_join" -> Seq("explode(sequence("))
 
   /** Back-compat membership view (Probe's `[exempt]` tag). */
   def exemptGates(gate: String): Boolean = exemptOffenders.contains(gate)
@@ -74,6 +82,12 @@ object BroadcastGenerateGuard {
     def generates(p: SparkPlan): Seq[GenerateExec] = unwrap(p) match {
       case _: HashAggregateExec | _: ObjectHashAggregateExec |
            _: SortAggregateExec => Nil
+      // a NESTED broadcast exchange is its own offender site, visited
+      // separately by the outer walk — descending through it here would
+      // attribute its Generates to BOTH exchanges (round 9 — ADVICE r8:
+      // harmless when the result was boolean, but a double-counted
+      // single audited site spuriously exceeds a pinned exemption)
+      case _: BroadcastExchangeExec => Nil
       case g: GenerateExec => g +: g.children.flatMap(generates)
       case other => other.children.flatMap(generates)
     }
@@ -100,16 +114,31 @@ object BroadcastGenerateGuard {
     out.toSeq
   }
 
-  /** Throw if `df`'s plan broadcasts an exploded side beyond the gate's
-    * audited exemption count (0 for non-exempt gates). */
+  /** Throw if `df`'s plan broadcasts an exploded side the gate's audit
+    * did not fingerprint — AND if an audited fingerprint goes unused
+    * (the plan no longer has that site: stale slack a future regression
+    * could hide under — re-audit and shrink the exemption). Multiset
+    * matching: each offender consumes at most one expected prefix. */
   def check(gate: String, df: DataFrame): Unit = {
     val bad = offenders(df)
-    val allowed = exemptOffenders.getOrElse(gate, 0)
-    if (bad.size > allowed)
+    val unmatched = scala.collection.mutable.Buffer(
+      exemptOffenders.getOrElse(gate, Seq.empty): _*)
+    val rogue = bad.filterNot { g =>
+      val i = unmatched.indexWhere(p => g.startsWith(p))
+      if (i >= 0) { unmatched.remove(i); true } else false
+    }
+    if (rogue.nonEmpty)
       throw new IllegalStateException(
-        s"BroadcastGenerateGuard: gate '$gate' broadcasts ${bad.size} " +
-          s"exploded join side(s), audited exemption allows $allowed " +
+        s"BroadcastGenerateGuard: gate '$gate' broadcasts ${rogue.size} " +
+          s"exploded join side(s) outside its audited exemptions " +
           s"(estimate is explode-blind — pin merge/shuffle_hash or " +
-          s"re-audit the exemption): ${bad.mkString(" | ")}")
+          s"re-audit the exemption): ${rogue.mkString(" | ")}")
+    if (unmatched.nonEmpty)
+      throw new IllegalStateException(
+        s"BroadcastGenerateGuard: gate '$gate' no longer exhibits " +
+          s"${unmatched.size} audited exploded-broadcast site(s) " +
+          s"(${unmatched.mkString(" | ")}) — the exemption is stale; " +
+          "re-audit (Probe bcast) and shrink it so the slack cannot " +
+          "mask a future corpus-sided site")
   }
 }

@@ -13,7 +13,10 @@ class BroadcastGuardSpec extends SparkSpec {
   private def corpus = (0L until 2000L).map(i => (i, i % 1000)).toDF("id", "k")
 
   test("a raw exploded broadcast build is flagged") {
-    val tiny = spark.range(4).selectExpr("id AS tid", "explode(sequence(0L, 999L)) AS k")
+    // sequence bounds reference a column so the array does NOT constant-
+    // fold — the generator string keeps the `explode(sequence(` shape
+    // range_join's audited fingerprint pins
+    val tiny = spark.range(4).selectExpr("id AS tid", "explode(sequence(pmod(id, 1L), 999L)) AS k")
     val joined = corpus.join(tiny, "k")
     val bad = BroadcastGenerateGuard.offenders(joined)
     assert(bad.nonEmpty, joined.queryExecution.executedPlan.toString.take(500))
@@ -54,7 +57,7 @@ class BroadcastGuardSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString.take(800))
   }
 
-  test("exemptions are count-pinned: a second offender in an exempt gate fails") {
+  test("exemptions are fingerprint-pinned: a second offender in an exempt gate fails") {
     // ADVICE r7: a bare gate-name exemption would mask a future second,
     // genuinely corpus-sided explode-broadcast added to an exempt gate
     val t1 = spark.range(4).selectExpr("id AS t1id", "explode(sequence(0L, 999L)) AS k")
@@ -65,6 +68,66 @@ class BroadcastGuardSpec extends SparkSpec {
     assertThrows[IllegalStateException] {
       BroadcastGenerateGuard.check("range_join", two) // allows exactly 1
     }
+  }
+
+  test("a swapped offender identity fails even at the audited count") {
+    // ADVICE r8: count-pinning alone would pass a plan change that
+    // removed the audited benign explode-broadcast and introduced a
+    // different one; the fingerprint must not match
+    val tiny = spark.range(4).selectExpr("id AS tid", "explode(sequence(0L, 999L)) AS k")
+    val joined = corpus.join(tiny, "k")
+    assert(BroadcastGenerateGuard.offenders(joined).size == 1)
+    assertThrows[IllegalStateException] {
+      // hourly_quantiles' audited site is explode([0.5,0.95]) — same
+      // count (1), different generator → rogue
+      BroadcastGenerateGuard.check("hourly_quantiles", joined)
+    }
+  }
+
+  test("an unused exemption (stale slack) fails on a clean plan") {
+    // ADVICE r8: bad.size < allowed passing silently leaves slack a
+    // future corpus-sided site could hide under
+    val clean = corpus.groupBy("k").count()
+    assert(BroadcastGenerateGuard.offenders(clean).isEmpty)
+    assertThrows[IllegalStateException] {
+      BroadcastGenerateGuard.check("range_join", clean)
+    }
+  }
+
+  test("an exploded broadcast build on an IN-subquery's build side is flagged") {
+    // VERDICT r8 item 6: liveness fixture for the round-8 subquery walk —
+    // no gate in the matrix routes an exploded broadcast through a
+    // subquery, so without this fixture reverting the walk stays green
+    val tiny = spark.range(4)
+      .selectExpr("id AS tid", "explode(sequence(0L, 999L)) AS k")
+    tiny.createOrReplaceTempView("bgg_tiny_in")
+    corpus.createOrReplaceTempView("bgg_corp_in")
+    val df = spark.sql(
+      """SELECT id FROM bgg_corp_in
+        |WHERE id IN (SELECT c.id FROM bgg_corp_in c JOIN bgg_tiny_in t
+        |             ON c.k = t.k WHERE t.tid > 0)""".stripMargin)
+    assert(BroadcastGenerateGuard.offenders(df).nonEmpty,
+      df.queryExecution.executedPlan.toString.take(800))
+  }
+
+  test("a Generate under a NESTED broadcast is attributed to one exchange only") {
+    // ADVICE r8: the outer exchange's walk must stop at an inner
+    // BroadcastExchangeExec (visited separately) — double attribution
+    // of one audited site would spuriously exceed a pinned exemption
+    val tiny = spark.range(4).selectExpr("id AS tid", "explode(sequence(0L, 999L)) AS k")
+    val mid = spark.range(64).selectExpr("id AS mid", "id % 8 AS k")
+    // tiny broadcasts into mid; the joined (still small) side broadcasts
+    // into the corpus → the Generate sits under BOTH exchanges in the
+    // tree but must be reported once
+    val inner = mid.join(tiny.hint("broadcast"), "k")
+    val joined = corpus.join(inner.hint("broadcast"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    val bad = BroadcastGenerateGuard.offenders(joined)
+    // only assert single attribution when the shape actually nested
+    // (two exchanges materialized with the Generate under the inner)
+    if (plan.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange") >= 2)
+      assert(bad.size <= 1, s"double-attributed: ${bad.mkString(" | ")}\n" +
+        plan.take(800))
   }
 
   test("every exempt gate name still exists in the matrix") {

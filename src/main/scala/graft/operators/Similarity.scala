@@ -37,34 +37,237 @@ object Similarity {
     * BIGINT)))` — both engines take `round` on the positive double
     * √n (half-up; √n can never land exactly on .5, since x.5² is never
     * integral). The 4096 cap bounds plan-literal size (cellStructs
-    * builds a cells-length struct array on the query side); at 100 TB
-    * the cap is raised together with a hierarchical quantizer, not by
-    * letting one flat codebook grow unbounded. */
+    * builds a cells-length struct array on the query side); past it the
+    * AUTO path switches to the TWO-LEVEL hierarchical quantizer
+    * ([[HierQuantizer]], round 9) instead of letting one flat codebook
+    * grow unbounded — this function remains the FLAT sizing rule the
+    * gate oracles replay. */
   def ivfCellCount(n: Long): Int =
-    math.max(4, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+    math.max(4, math.min(FlatCellCap, math.round(math.sqrt(n.toDouble)).toInt))
 
-  /** Shared cell-count resolution for every quantizer-family entry
-    * point: `nCentroids > 0` = caller-explicit (audited by the lint
-    * when it is on); `nCentroids <= 0` = AUTO, corpus-dimensioned via
-    * [[ivfCellCount]] from `knownCount` or one metadata-scale
-    * `count()`. Every resolution routes through
+  /** Flat-codebook ceiling: [[cellStructs]] builds a cells-length struct
+    * array as a PLAN LITERAL on the query side and [[withCell]] ships a
+    * cells×d float literal into the assignment kernel — both are fine
+    * at ≤4096 cells and pathological if one codebook grew with a 100 TB
+    * corpus. Above this, the auto path goes hierarchical (√total cells
+    * per level, each level under the cap). Override ONLY for probes and
+    * specs via `spark.graft.quantizer.flatCellCap` — production layouts
+    * keep the default. */
+  val FlatCellCap = 4096
+  val FlatCellCapKey = "spark.graft.quantizer.flatCellCap"
+  private def flatCap(spark: SparkSession): Int =
+    spark.conf.getOption(FlatCellCapKey).map(_.toInt).getOrElse(FlatCellCap)
+
+  /** UNCAPPED √n-ideal total cell count — what the corpus actually
+    * needs for Θ(n^1.5) candidate economics at any scale. The flat
+    * quantizer serves it up to [[FlatCellCap]]; beyond that the
+    * hierarchical quantizer factors it as k1×k2 with each level under
+    * the cap (n ≈ 16.8M vectors is the crossover). */
+  def idealCells(n: Long): Long =
+    math.max(4L, math.round(math.sqrt(n.toDouble)))
+
+  /** The coarse-quantizer abstraction behind every cell-blocked
+    * operator in this family (ivfTopK / pqTopK / semDedup / knnGraph /
+    * cellBalancedSample / bitextMine): assignment adds an int `cell`
+    * column; probing explodes a query row into its probed cell ids.
+    * Two implementations — the FLAT codebook (plan-literal centroids,
+    * the gate-scale recipe the DuckDB oracles replay verbatim) and the
+    * TWO-LEVEL hierarchy for corpora whose √n-ideal exceeds
+    * [[FlatCellCap]]. */
+  private[graft] sealed trait CoarseQuantizer {
+    def isEmpty: Boolean
+    /** Total composite cells (k1·k2 for the hierarchy). */
+    def numCells: Long
+    def dims: Int
+    /** Adds int `cell` to a frame with vector column `v`; every input
+      * column is preserved. */
+    def assign(df: DataFrame): DataFrame
+    /** Explodes each query row into its probed `cell` ids (up to
+      * nProbe for flat; up to nProbe top-cells × nProbe sub-cells for
+      * the hierarchy), preserving every input column. */
+    def probeCells(queries: DataFrame, vecCol: String, nProbe: Int): DataFrame
+  }
+
+  /** Flat codebook: centroids are a plan literal (≤ [[FlatCellCap]]×d
+    * floats), assignment is one fused [[graft.functions.NearestCentroid]]
+    * scan, probing sorts the cellStructs array — bit-identical to the
+    * pre-round-9 inline recipe, so every quantizer gate's oracle replay
+    * is unchanged. */
+  private[graft] final class FlatQuantizer(
+      val centroids: Seq[(Int, Seq[Float])]) extends CoarseQuantizer {
+    def isEmpty: Boolean = centroids.isEmpty
+    def numCells: Long = centroids.size.toLong
+    def dims: Int = centroids.head._2.length
+    def assign(df: DataFrame): DataFrame = withCell(df, centroids)
+    def probeCells(queries: DataFrame, vecCol: String, nProbe: Int): DataFrame = {
+      val keep = queries.columns.toSeq.map(col)
+      // `__cos` / `__cells` stay materialized column references — the
+      // cellStructs contract (embedding the kernel expression K×
+      // re-runs it K×)
+      queries
+        .withColumn("__cos", cosScores(col(vecCol), centroids))
+        .withColumn("__cells", cellStructs(col("__cos"), centroids))
+        .select(keep :+ explode(expr(
+          s"transform(slice(sort_array(__cells, false), 1, $nProbe), s -> s.cid)"))
+          .as("cell"): _*)
+    }
+  }
+
+  /** Two-level hierarchical coarse quantizer (round 9 — VERDICT r8
+    * item 1): k1 TOP centroids (plan literal, ≤ cap) partition the
+    * corpus; each top cell trains its own ≤k2 SUB-centroids with the
+    * SAME deterministic recipe (first-k2 seeds by id within the cell,
+    * one distributed Lloyd step, FLOAT-rounded means), and the
+    * composite cell id is `tcell·k2 + sub` (< 2³¹ for any feasible
+    * corpus: total cells = √n). The flat 4096-cap left per-cell
+    * occupancy ∝ n past ~16.8M vectors — candidate volume reverted to
+    * Θ(n²/4096), the same disease class the round-7 √n sizing cured a
+    * decade earlier.
+    *
+    * Scale shape: sub-centroids are NOT a plan literal — they live in a
+    * (tcell, cids, flat) packed table of k1 rows (√n·d floats total,
+    * ∝ index metadata, broadcast-joined on the top cell), and
+    * assignment/probing run the SAME fused kernels with the packed
+    * array as a COLUMN argument, so one row pays k1 + k2 ≈ 2·n^(1/4)
+    * kernel cosines instead of the flat path's 4096. Probing takes the
+    * nProbe best top cells, then the nProbe best sub-cells within each
+    * (the standard IVF-hierarchy/IMI trade: ≤ nProbe² composite
+    * probes, constrained per top cell). A top cell that wins no rows
+    * on the final assignment pass has no packed row and drops out of
+    * both joins — it holds no candidates by construction.
+    *
+    * Determinism is the family recipe end to end (round-6 cosines,
+    * highest-cid tie-breaks, FLOAT-rounded Lloyd means), so the
+    * hierarchy is as oracle-replayable as the flat path — the gates
+    * simply never reach it at gate scale (hierarchy activates past
+    * ~16.8M vectors; ScaleCheck `hier` records the measured curve). */
+  private[graft] final class HierQuantizer(
+      val top: Seq[(Int, Seq[Float])], val k2: Int,
+      subPacked: DataFrame, val dims: Int) extends CoarseQuantizer {
+    def isEmpty: Boolean = false
+    def numCells: Long = top.size.toLong * k2
+    private def subPick(vec: Column): Column =
+      // same all-NaN fold as withCell: kernel returns -1, pmod folds to
+      // the LAST (highest-cid) sub-centroid
+      element_at(col("__cids"),
+        pmod(call_function("nearest_centroid", vec, col("__flat"), lit(dims)),
+          size(col("__cids"))) + 1)
+    def assign(df: DataFrame): DataFrame = {
+      val keep = df.columns.toSeq.map(col)
+      withCell(df, top).withColumnRenamed("cell", "__tcell")
+        .join(broadcast(subPacked), col("__tcell") === col("__sp_tcell"))
+        .select(keep :+
+          (col("__tcell") * lit(k2) + subPick(col("v"))).cast("int").as("cell"): _*)
+    }
+    def probeCells(queries: DataFrame, vecCol: String, nProbe: Int): DataFrame = {
+      val keep = queries.columns.toSeq.map(col)
+      val topProbed = queries
+        .withColumn("__tcos", cosScores(col(vecCol), top))
+        .withColumn("__tcells", cellStructs(col("__tcos"), top))
+        .select(keep :+ explode(expr(
+          s"transform(slice(sort_array(__tcells, false), 1, $nProbe), s -> s.cid)"))
+          .as("__tcell"): _*)
+      // per probed top cell: round-6 sub-cell cosines from the packed
+      // column, desc struct sort (highest-cid tie-break, same as the
+      // flat path's cellStructs sort), best nProbe sub ids
+      topProbed.join(broadcast(subPacked), col("__tcell") === col("__sp_tcell"))
+        .withColumn("__scands", expr(
+          s"slice(sort_array(zip_with(centroid_cosines($vecCol, __flat, $dims), " +
+            s"__cids, (s, c) -> named_struct('cos', round(s, 6), 'cid', c)), " +
+            s"false), 1, $nProbe)"))
+        .select((keep :+ col("__tcell")) :+
+          explode(expr("transform(__scands, s -> s.cid)")).as("__sub"): _*)
+        .select(keep :+
+          (col("__tcell") * lit(k2) + col("__sub")).cast("int").as("cell"): _*)
+    }
+  }
+
+  /** Packs per-top-cell sub-centroids into one row per top cell:
+    * `(__sp_tcell, __cids, __flat)` — cids sorted ascending so the
+    * kernel's highest-INDEX tie-break equals the family's highest-CID
+    * rule, flat = the concatenated float centroids in cid order. */
+  private def packSubs(df: DataFrame): DataFrame =
+    df.groupBy(col("__tcell").as("__sp_tcell"))
+      .agg(sort_array(collect_list(struct(col("__sub"), col("v")))).as("__cs"))
+      .select(col("__sp_tcell"),
+        expr("transform(__cs, s -> s.__sub)").as("__cids"),
+        expr("flatten(transform(__cs, s -> s.v))").as("__flat"))
+
+  /** Trains the two-level hierarchy: top level via [[refinedCentroids]]
+    * (unchanged recipe), then ONE distributed Lloyd step over ALL top
+    * cells simultaneously — per-cell seeds are the first k2 vectors by
+    * id (one window shuffle keyed by top cell), assignment is one
+    * broadcast-join + fused-kernel corpus pass, and the mean recompute
+    * is a (tcell, sub, dim)-keyed aggregate with map-side combine.
+    * Nothing corpus-sized ever reaches the driver: top centroids are
+    * k1×d floats, and the packed sub table (√n·d floats) stays
+    * distributed behind a broadcast. */
+  private def trainHier(e: DataFrame, k1: Int, k2: Int): CoarseQuantizer = {
+    val top = refinedCentroids(e, k1)
+    if (top.isEmpty) return new FlatQuantizer(Nil)
+    val dims = top.head._2.length
+    val t = withCell(e, top).withColumnRenamed("cell", "__tcell")
+    val wSeed = Window.partitionBy("__tcell").orderBy("n_id")
+    val seeds = t.withColumn("__rn", row_number().over(wSeed))
+      .filter(col("__rn") <= k2)
+      .select(col("__tcell"), (col("__rn") - 1).as("__sub"), col("v"))
+    val seedPacked = packSubs(seeds)
+    val assigned = t
+      .join(broadcast(seedPacked), col("__tcell") === col("__sp_tcell"))
+      .withColumn("__sub", element_at(col("__cids"),
+        pmod(call_function("nearest_centroid", col("v"), col("__flat"),
+          lit(dims)), size(col("__cids"))) + 1))
+    val refinedSubs = assigned
+      .select(col("__tcell"), col("__sub"),
+        posexplode(col("v")).as(Seq("__dim", "__x")))
+      .groupBy("__tcell", "__sub", "__dim").agg(avg("__x").as("__m"))
+      .groupBy("__tcell", "__sub")
+      .agg(sort_array(collect_list(struct(col("__dim"), col("__m")))).as("__ms"))
+      .select(col("__tcell"), col("__sub"),
+        expr("transform(__ms, s -> CAST(s.__m AS FLOAT))").as("v"))
+    // pinned for the lifetime of the returned quantizer (assignment and
+    // probing both broadcast it; OperatorCache.clear is the eviction
+    // point, the family convention)
+    val subPacked = packSubs(refinedSubs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    new HierQuantizer(top, k2, subPacked, dims)
+  }
+
+  /** Shared quantizer resolution for every family entry point:
+    * `nCentroids > 0` = caller-explicit FLAT codebook (audited by the
+    * lint when it is on — past the cap an explicit flat count fails the
+    * audit, which is correct: the auto path is the scale path);
+    * `nCentroids <= 0` = AUTO, corpus-dimensioned from `knownCount` or
+    * one metadata-scale `count()` — flat [[ivfCellCount]] up to
+    * [[FlatCellCap]], the two-level [[HierQuantizer]] beyond it
+    * (k1 = ⌈√total⌉ top cells × k2 = ⌈total/k1⌉ subs ≥ the uncapped
+    * √n-ideal). Every resolution routes through
     * [[graft.plans.QuantizerCellGuard]] so a constant-cells regression
     * fails the Verify matrix instead of shipping. */
-  private def resolveCells(op: String, nCentroids: Int, e: DataFrame,
-                           knownCount: Option[Long]): Int = {
+  private[graft] def buildQuantizer(op: String, nCentroids: Int, e: DataFrame,
+                                    knownCount: Option[Long]): CoarseQuantizer = {
     val spark = e.sparkSession
     if (nCentroids > 0) {
       if (graft.plans.QuantizerCellGuard.enabled(spark)) {
         val n = knownCount.getOrElse(e.count())
-        graft.plans.QuantizerCellGuard.check(spark, op, n, nCentroids,
-          ivfCellCount(n))
+        graft.plans.QuantizerCellGuard.check(spark, op, n, nCentroids.toLong,
+          idealCells(n))
       }
-      nCentroids
+      new FlatQuantizer(refinedCentroids(e, nCentroids))
     } else {
       val n = knownCount.getOrElse(e.count())
-      val cells = ivfCellCount(n)
-      graft.plans.QuantizerCellGuard.check(spark, op, n, cells, cells)
-      cells
+      val total = idealCells(n)
+      val cap = flatCap(spark)
+      if (total <= cap) {
+        val cells = total.toInt
+        graft.plans.QuantizerCellGuard.check(spark, op, n, cells.toLong, total)
+        new FlatQuantizer(refinedCentroids(e, cells))
+      } else {
+        val k1 = math.min(cap, math.ceil(math.sqrt(total.toDouble)).toInt)
+        val k2 = math.min(cap, math.ceil(total.toDouble / k1).toInt)
+        graft.plans.QuantizerCellGuard.check(spark, op, n, k1.toLong * k2, total)
+        trainHier(e, k1, k2)
+      }
     }
   }
 
@@ -328,21 +531,16 @@ object Similarity {
               knownCount: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    val cells = resolveCells("ivfTopK", nCentroids, e, knownCount)
-    val refined = refinedCentroids(e, cells)
-    if (refined.isEmpty) // empty corpus: empty result, same schema
+    val quant = buildQuantizer("ivfTopK", nCentroids, e, knownCount)
+    if (quant.isEmpty) // empty corpus: empty result, same schema
       return e.limit(0).select(col("n_id").as("q_id"), col("n_id"),
         lit(0L).as("rnk"), lit(0.0).as("cos"))
 
-    val corpus = withCell(e, refined)
+    val corpus = quant.assign(e)
       .withColumnRenamed("v", "v_n")
-    val queries = e.filter(queryPred)
-      .withColumn("__cos", cosScores(col("v"), refined))
-      .select(col("n_id").as("q_id"), col("v").as("v_q"),
-        cellStructs(col("__cos"), refined).as("cells"))
-      .select(col("q_id"), col("v_q"),
-        explode(expr(s"transform(slice(sort_array(cells, false), 1, $nProbe), s -> s.cid)"))
-          .as("cell"))
+    val queries = quant.probeCells(
+      e.filter(queryPred).select(col("n_id").as("q_id"), col("v").as("v_q")),
+      "v_q", nProbe)
 
     val scored = corpus.join(broadcast(queries), "cell")
       .filter(col("q_id") =!= col("n_id"))
@@ -457,10 +655,9 @@ object Similarity {
     // only the COARSE quantizer corpus-dimensions: ksub is per-subspace
     // code granularity (reconstruction quality), not a blocking key —
     // occupancy arguments do not apply to it
-    val cells = resolveCells("pqTopK", nCentroids, e, knownCount)
-    val refined = refinedCentroids(e, cells)
-    if (refined.isEmpty) return None
-    val dims = refined.head._2.length
+    val quant = buildQuantizer("pqTopK", nCentroids, e, knownCount)
+    if (quant.isEmpty) return None
+    val dims = quant.dims
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val sub = dims / m
 
@@ -510,7 +707,7 @@ object Similarity {
         lit(0.0))
       sqrt(greatest(lit(0.0), xSq + cSq - lit(2.0) * dot))
     }
-    val corpus = withCell(e, refined)
+    val corpus = quant.assign(e)
       .withColumn("codes", codes)
       .withColumn("x_sub_sq", array((0 until m).map(xSubSq): _*))
       .withColumn("eps", array((0 until m).map(epsJ): _*))
@@ -531,18 +728,14 @@ object Similarity {
     val lut = concat((0 until m).map(lutJ): _*)
     val qSub = array((0 until m).map(j => sqrt(expr(
       s"aggregate(slice(v, ${j * sub + 1}, $sub), 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))): _*)
-    val queries = e.filter(queryPred)
-      .withColumn("__cos", cosScores(col("v"), refined))
-      .withColumn("lut", lut)
-      .withColumn("q_sub", qSub)
-      .select(col("n_id").as("q_id"), col("v").as("v_q"), col("lut"),
-        col("q_sub"),
-        sqrt(expr("aggregate(q_sub, 0D, (a, x) -> a + x * x)")).as("q_norm"),
-        cellStructs(col("__cos"), refined).as("cells"))
-      .select(col("q_id"), col("v_q"), col("lut"), col("q_sub"),
-        col("q_norm"),
-        explode(expr(s"transform(slice(sort_array(cells, false), 1, $nProbe), s -> s.cid)"))
-          .as("cell"))
+    val queries = quant.probeCells(
+      e.filter(queryPred)
+        .withColumn("lut", lut)
+        .withColumn("q_sub", qSub)
+        .select(col("n_id").as("q_id"), col("v").as("v_q"), col("lut"),
+          col("q_sub"),
+          sqrt(expr("aggregate(q_sub, 0D, (a, x) -> a + x * x)")).as("q_norm")),
+      "v_q", nProbe)
 
     // ADC estimate + Cauchy–Schwarz bound: m lookups / m multiplies per
     // candidate. NaN-safety is CONSERVATIVE (a NaN bound keeps the row:
@@ -608,12 +801,11 @@ object Similarity {
                knownCount: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    val refined = refinedCentroids(e,
-      resolveCells("semDedup", nCentroids, e, knownCount))
-    if (refined.isEmpty) // empty corpus: empty result, same schema
+    val quant = buildQuantizer("semDedup", nCentroids, e, knownCount)
+    if (quant.isEmpty) // empty corpus: empty result, same schema
       return e.limit(0).select(col("n_id").as("vec_id"),
         lit(null).cast("int").as("cell"), lit(true).as("kept"))
-    val corpus = withCell(e, refined)
+    val corpus = quant.assign(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // within-cell pairs via the hot-cell salt grid: a hub cell's
     // occupancy² product spreads over ~(occ/bound)² reducers instead of
@@ -653,12 +845,11 @@ object Similarity {
                          knownCount: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    val refined = refinedCentroids(e,
-      resolveCells("cellBalancedSample", nCentroids, e, knownCount))
-    if (refined.isEmpty) // empty corpus: empty result, same schema
+    val quant = buildQuantizer("cellBalancedSample", nCentroids, e, knownCount)
+    if (quant.isEmpty) // empty corpus: empty result, same schema
       return e.limit(0).select(col("n_id").as(idCol),
         lit(null).cast("int").as("cell"))
-    val cells = withCell(e, refined)
+    val cells = quant.assign(e)
       .select(col("n_id").as(idCol), col("cell"))
     Sampling.quotaPerGroup(cells, Seq("cell"), idCol, perCell, salt)
   }
@@ -686,12 +877,11 @@ object Similarity {
                knownCount: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    val refined = refinedCentroids(e,
-      resolveCells("knnGraph", nCentroids, e, knownCount))
-    if (refined.isEmpty) // empty corpus: no edges, same schema
+    val quant = buildQuantizer("knnGraph", nCentroids, e, knownCount)
+    if (quant.isEmpty) // empty corpus: no edges, same schema
       return e.limit(0).select(col("n_id").as("id_a"), col("n_id").as("id_b"),
         lit(0.0).as("cos"))
-    val cells = withCell(e, refined)
+    val cells = quant.assign(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate pairs ride the hot-cell salt grid (see semDedup) — same
     // pairs, bounded per-reducer product under cell skew
@@ -929,13 +1119,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("v"),
       sideA.as("is_a"))
-    val refined = refinedCentroids(e.select("n_id", "v"),
-      resolveCells("bitextMine", nCentroids, e.select("n_id", "v"), knownCount))
-    if (refined.isEmpty) // empty corpus: no pairs, same schema
+    val quant = buildQuantizer("bitextMine", nCentroids,
+      e.select("n_id", "v"), knownCount)
+    if (quant.isEmpty) // empty corpus: no pairs, same schema
       return e.limit(0).select(col("n_id").as("id_a"), col("n_id").as("id_b"),
         lit(0.0).as("cos"), lit(0.0).as("margin"))
     // persisted: both sides, plus the grid occupancy scan, read it
-    val cells = withCell(e, refined)
+    val cells = quant.assign(e)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cells.filter(col("is_a"))
       .select(col("n_id").as("src"), col("v").as("v_a"), col("cell"))

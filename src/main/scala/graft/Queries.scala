@@ -1093,6 +1093,38 @@ object Queries {
       .orderBy("in_id", "ex_id")
   }
 
+  /** Round 9 (VERDICT r8 task 2): the PERSISTED-INDEX ingest path —
+    * the standing side's `(ex_id, tbl, bucket)` postings are built once
+    * ([[operators.Dedup.embeddingPostings]], what
+    * `Engine.appendRowsDedupedEmbedding` materializes as the
+    * `<stream>__lshidx` sibling) and the shard probes THEM
+    * ([[operators.Dedup.embeddingIncrementalNearDupsIndexed]]) — no
+    * standing-corpus signature in the per-ingest plan. Same brute-force
+    * oracle as `incremental_embedding_dedup`: hash-match proves the
+    * index+probe split loses nothing vs the inline re-signature path. */
+  val incrementalEmbeddingDedupIndexed: Q = q("incremental_embedding_dedup_indexed",
+    """SELECT a.vec_id AS in_id, b.vec_id AS ex_id,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      | FROM embeddings a JOIN embeddings b
+      |   ON a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+      | WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+      | ORDER BY in_id, ex_id""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val existing = emb.filter(col("vec_id") % 5 =!= 0)
+    val incoming = emb.filter(col("vec_id") % 5 === 0)
+    val (planes, tables, radius) = operators.Dedup.lshLayout(
+      existing.count(), threshold = 0.45, targetOccupancy = 16,
+      missTarget = 1e-6, probeRadius = 2, maxTables = 512)
+    val postings = operators.Dedup.embeddingPostings(
+      existing, "vec_id", "embedding", planes, tables)
+    operators.Dedup.embeddingIncrementalNearDupsIndexed(
+      postings, existing, incoming, "vec_id", "embedding",
+      threshold = 0.45, planes, tables, radius)._1
+      .orderBy("in_id", "ex_id")
+  }
+
   /** Exact ANN baseline: top-5 cosine neighbors for query vectors id<10. */
   val annTopK: Q = q("ann_topk",
     """SELECT q_id, n_id, rnk, cos FROM (
@@ -6933,6 +6965,7 @@ object Queries {
     dedupMinhashLsh, ngramJaccard, tfidfCosineGate, dedupSimhash,
     imageDhashNearDup, audioFpNearDup, videoFpNearDup, embeddingNearDup,
     embeddingNearDupScaled, incrementalEmbeddingDedup,
+    incrementalEmbeddingDedupIndexed,
     annTopK, annLshTopK, annIvfTopK, hardNegativesGate, sourceSimilarity, mapAccess,
     semanticDecontaminateGate, embeddingQuantize, randomProjectionGate,
     timeTravelAsOf,

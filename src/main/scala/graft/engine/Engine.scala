@@ -328,16 +328,30 @@ final class Engine(
     } finally df.unpersist()
     }
 
-  /** Embedding-space sibling of [[appendRowsDeduped]] (round 7): ingest
-    * a shard of (id, embedding) rows, dropping rows whose vector
-    * near-duplicates the standing stream at cosine ≥ `threshold` — the
-    * engine wiring over
-    * [[graft.operators.Dedup.embeddingIncrementalNearDupsManaged]].
-    * Same standing-index economics (the shard probes, the corpus never
-    * self-pairs), same ingest-lock serialization, same per-call
-    * unpersist hygiene. In-batch mutual near-dups are kept (dedup is
-    * against the INDEX; run the self-join dedup on the shard first if
-    * intra-shard pruning is also wanted).
+  /** Embedding-space sibling of [[appendRowsDeduped]] (round 7; round 9:
+    * persisted postings index — VERDICT r8 task 2): ingest a shard of
+    * (id, embedding) rows, dropping rows whose vector near-duplicates
+    * the standing stream at cosine ≥ `threshold`.
+    *
+    * The standing corpus's sign-LSH postings live in a managed sibling
+    * stream `<name>__lshidx` — `(ex_id, tbl, bucket)`, bucketed on the
+    * probe key — so a steady-state ingest costs O(shard·tables·probes)
+    * signature+shuffle plus a postings READ: the corpus is never
+    * re-signatured per micro-batch (the round-8 weakness). Each ingest
+    * appends its survivors' postings; the solver layout
+    * ([[graft.operators.Dedup.lshLayout]]) is pinned in the index
+    * stream's properties and re-solved against the ledger count on
+    * every call — when corpus growth moves the solver to a new
+    * (planes, tables, radius), the index is rebuilt from the corpus in
+    * ONE signature pass (a layout epoch; breakpoints are geometric in
+    * n, so the amortized per-row rebuild cost is O(1)). The ledger
+    * count also means the fast path runs zero corpus-sized actions.
+    *
+    * Same ingest-lock serialization and per-call unpersist hygiene as
+    * the MinHash sibling; in-batch mutual near-dups are kept. The index
+    * assumes THIS method is the stream's only writer (the single-writer
+    * ingest contract): rows landed via plain [[appendRows]] are invisible
+    * to the probe until the next layout epoch rebuilds from the corpus.
     *
     * @return number of incoming rows dropped as near-duplicates
     */
@@ -346,21 +360,81 @@ final class Engine(
                                  dims: Int = 64): Long =
     streamLock(name).synchronized {
     val existing = readStream(name).select(col(idCol), col(vecCol))
+    val idxName = lshIndexName(name)
+    def solve(n: Long): (Int, Int, Int) = graft.operators.Dedup.lshLayout(
+      math.max(1L, n), threshold, targetOccupancy = 16, missTarget = 1e-6,
+      probeRadius = 2, maxTables = 512)
+    def metaProps(p: Int, t: Int, r: Int, n: Long): Map[String, String] = Map(
+      "bucket_by" -> "tbl,bucket", "bucket_count" -> "32",
+      "lsh_planes" -> p.toString, "lsh_tables" -> t.toString,
+      "lsh_radius" -> r.toString, "lsh_n" -> n.toString,
+      "lsh_threshold" -> threshold.toString, "lsh_dims" -> dims.toString)
+    // fast path: a live index whose pinned layout still matches the
+    // solver at the ledger count (and this call's config)
+    val live = catalog.get(idxName).flatMap { d =>
+      for {
+        p <- d.properties.get("lsh_planes").map(_.toInt)
+        t <- d.properties.get("lsh_tables").map(_.toInt)
+        r <- d.properties.get("lsh_radius").map(_.toInt)
+        n <- d.properties.get("lsh_n").map(_.toLong)
+        if d.properties.get("lsh_threshold").contains(threshold.toString)
+        if d.properties.get("lsh_dims").contains(dims.toString)
+        if solve(n) == ((p, t, r))
+      } yield (p, t, r, n)
+    }
+    val (planes, tables, radius, n0) = live.getOrElse {
+      // bootstrap or layout-epoch rebuild: one signature pass over the
+      // standing corpus under the new layout
+      val n = existing.count()
+      val (p, t, r) = solve(n)
+      if (catalog.get(idxName).isEmpty) {
+        val st = new org.apache.spark.sql.types.StructType()
+          .add("ex_id", existing.schema(idCol).dataType, nullable = true)
+          .add("tbl", org.apache.spark.sql.types.IntegerType, nullable = false)
+          .add("bucket", org.apache.spark.sql.types.LongType, nullable = false)
+        val d = StreamDef(catalog.qualify(idxName), StreamSchema.fromStruct(st),
+          sources = Seq(catalog.qualify(name)), properties = metaProps(p, t, r, n))
+        catalog.put(d)
+        writeEmpty(d)
+      } else truncate(idxName)
+      appendRows(idxName,
+        graft.operators.Dedup.embeddingPostings(existing, idCol, vecCol, p, t, dims))
+      val dNow = catalog.get(idxName).get
+      catalog.put(dNow.copy(properties = metaProps(p, t, r, n)))
+      (p, t, r, n)
+    }
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (pairs, cleanup) =
-        graft.operators.Dedup.embeddingIncrementalNearDupsManaged(
-          existing, df, idCol, vecCol, threshold, dims)
+        graft.operators.Dedup.embeddingIncrementalNearDupsIndexed(
+          readStream(idxName), existing, df, idCol, vecCol, threshold,
+          planes, tables, radius, dims)
       val flagged = pairs
         .select(col("in_id").as(idCol)).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val dropped = df.join(flagged, Seq(idCol), "left_semi").count()
-        appendRows(name, df.join(flagged, Seq(idCol), "left_anti"))
+        val survivors = df.join(flagged, Seq(idCol), "left_anti")
+        appendRows(name, survivors)
+        // the index ingests the survivors' postings under the SAME epoch
+        // layout the probe used — shard-sized, no corpus work
+        appendRows(idxName, graft.operators.Dedup.embeddingPostings(
+          survivors.select(col(idCol), col(vecCol)), idCol, vecCol,
+          planes, tables, dims))
+        val ingested = df.count() - dropped
+        val dNow = catalog.get(idxName).get
+        catalog.put(dNow.copy(
+          properties = dNow.properties + ("lsh_n" -> (n0 + ingested).toString)))
         dropped
       } finally { flagged.unpersist(); cleanup() }
     } finally df.unpersist()
     }
+
+  /** The managed postings-index stream backing
+    * [[appendRowsDedupedEmbedding]] for `name` — public so operational
+    * tooling can inspect/DROP it; its layout epoch lives in the stream
+    * properties (`lsh_planes`/`lsh_tables`/`lsh_radius`/`lsh_n`). */
+  def lshIndexName(name: String): String = name + "__lshidx"
 
   /** Per-stream ingest mutex: [[write]] is read-epoch-then-write and
     * [[appendRowsDeduped]] is read-index-probe-then-write — two

@@ -787,7 +787,90 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** Incremental-ingest dedup scale probe (round 9 — VERDICT r8 item 2):
+    * `runMain graft.tools.ScaleCheck ingest [corpusList] [shard] [d]`
+    * (default `200000,2000000` / 20000 / 64 — standing corpus 10× and
+    * 100× the shard). For each corpus size n it materializes a synthetic
+    * engine stream of n deterministic vectors, lets the FIRST deduped
+    * ingest bootstrap the persisted `__lshidx` postings stream (reported
+    * separately — that pass is the one-per-epoch cost), then times ONE
+    * steady-state `appendRowsDedupedEmbedding` of a mixed shard (half
+    * exact duplicates of corpus vectors, half novel). Alongside it times
+    * the round-8 inline path (`embeddingIncrementalNearDupsManaged`,
+    * which re-signatures the standing corpus per call) on the same
+    * shard, probe-only — a LOWER bound on the old per-ingest cost.
+    *
+    * The claim under test: the indexed ingest is ~flat as the corpus
+    * grows 10×→100× the shard (its per-ingest work is shard signatures +
+    * a postings read), while the inline path grows ~linearly with the
+    * corpus (its per-ingest work IS the corpus signature pass). PERF.md
+    * records the measured pair. */
+  private def ingestMain(args: Array[String]): Unit = {
+    val ns = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(200000L, 2000000L))
+    val shardN = args.lift(1).map(_.toLong).getOrElse(20000L)
+    val d = args.lift(2).map(_.toInt).getOrElse(64)
+    val threshold = 0.9
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-ingestcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    def vecOf(src: org.apache.spark.sql.Column) =
+      expr(s"transform(sequence(0, ${d - 1}), j -> " +
+        "CAST((pmod(xxhash64(__src, j), 2001) - 1000) / 1000.0 AS FLOAT))")
+    for (n <- ns) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ingestcheck").toString
+      val e = new graft.engine.Engine(spark, root)
+      e.createStream("corpus", graft.schema.StreamSchema.fromStruct(
+        new org.apache.spark.sql.types.StructType()
+          .add("vec_id", "long", nullable = false)
+          .add("embedding", s"array<float>")))
+      e.appendRows("corpus", spark.range(n)
+        .select(col("id").as("vec_id"), col("id").as("__src"))
+        .withColumn("embedding", vecOf(col("__src"))).drop("__src"))
+      // mixed shard: ids n..n+shard; first half duplicates corpus vector
+      // (same generator seed), second half novel (unseen seeds)
+      def shard(offset: Long) = spark.range(shardN)
+        .select((col("id") + n + offset).as("vec_id"),
+          when(col("id") < shardN / 2, col("id") + offset)
+            .otherwise(col("id") + n + offset).as("__src"))
+        .withColumn("embedding", vecOf(col("__src"))).drop("__src")
+      val t0 = System.nanoTime()
+      val dBoot = e.appendRowsDedupedEmbedding("corpus", shard(0),
+        "vec_id", "embedding", threshold, d)
+      val bootSec = (System.nanoTime() - t0) / 1e9
+      val idx = e.catalog.get(e.lshIndexName("corpus")).get
+      val t1 = System.nanoTime()
+      val dSteady = e.appendRowsDedupedEmbedding("corpus", shard(shardN),
+        "vec_id", "embedding", threshold, d)
+      val steadySec = (System.nanoTime() - t1) / 1e9
+      // round-8 inline path, probe-only (no append — a lower bound)
+      val existing = e.readStream("corpus").select(col("vec_id"), col("embedding"))
+      val t2 = System.nanoTime()
+      val (pairs, cleanup) =
+        graft.operators.Dedup.embeddingIncrementalNearDupsManaged(
+          existing, shard(2 * shardN), "vec_id", "embedding", threshold, d)
+      val inlinePairs = pairs.count()
+      val inlineSec = (System.nanoTime() - t2) / 1e9
+      cleanup()
+      println(f"[ingest] corpus=$n shard=$shardN d=$d " +
+        f"layout=(p=${idx.properties("lsh_planes")},t=${idx.properties("lsh_tables")}," +
+        f"r=${idx.properties("lsh_radius")}) bootstrap=$bootSec%.1f s " +
+        f"(dropped=$dBoot) indexed_ingest=$steadySec%.1f s (dropped=$dSteady) " +
+        f"inline_probe=$inlineSec%.1f s (pairs=$inlinePairs) " +
+        f"inline/indexed=${inlineSec / steadySec}%.1fx")
+      graft.operators.OperatorCache.clear(spark)
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ingest")) return ingestMain(args.drop(1))
     if (args.headOption.contains("hier")) return hierMain(args.drop(1))
     if (args.headOption.contains("gates")) return gatesMain(args.drop(1))
     if (args.headOption.contains("bitext")) return bitextMain(args.drop(1))

@@ -451,6 +451,67 @@ class EngineSpec extends SparkSpec {
     assert(e.readStream("vecs").select("vec_id").as[Long].collect().sorted
       .toSeq == Seq(1L, 2L, 11L))
     assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore)
+
+    // round 9 (VERDICT r8 task 2): the ingest path maintains a persisted
+    // postings index — the standing corpus is never re-signatured per
+    // ingest. The sibling stream carries the layout epoch in properties
+    // and exactly rows × tables posting rows.
+    val idx = e.catalog.get(e.lshIndexName("vecs"))
+    assert(idx.nonEmpty, "postings index stream missing")
+    val tables = idx.get.properties("lsh_tables").toInt
+    assert(idx.get.properties("lsh_n").toLong == 3L)
+    assert(e.readStream(e.lshIndexName("vecs")).count() == 3L * tables)
+    // the index is bucketed on the probe key, so the per-ingest postings
+    // join plans with no exchange on the corpus side
+    assert(idx.get.properties("bucket_by") == "tbl,bucket")
+  }
+
+  test("appendRowsDedupedEmbedding: a stale index layout triggers a one-pass epoch rebuild") {
+    import spark.implicits._
+    val e = newEngine()
+    e.createStream("vecs2", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long", nullable = false)
+        .add("embedding", "array<float>")))
+    def vec(k: Int): Array[Float] =
+      Array.tabulate(8)(d => if (d == k) 5f else 0.1f)
+    assert(e.appendRowsDedupedEmbedding("vecs2",
+      Seq((1L, vec(0)), (2L, vec(1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.8, dims = 8) == 0L)
+
+    // tamper the pinned layout (as if the solver had moved across an
+    // epoch boundary): the next ingest must re-solve, rebuild the
+    // postings from the corpus in one pass, and re-pin the solver layout
+    val idxName = e.lshIndexName("vecs2")
+    val d0 = e.catalog.get(idxName).get
+    e.catalog.put(d0.copy(properties = d0.properties +
+      ("lsh_planes" -> "19", "lsh_tables" -> "2", "lsh_radius" -> "0")))
+
+    val dropped = e.appendRowsDedupedEmbedding("vecs2",
+      Seq((10L, vec(0).map(_ + 0.01f)), (11L, vec(2)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.8, dims = 8)
+    assert(dropped == 1L, "rebuilt index must still catch the near-dup")
+    val d1 = e.catalog.get(idxName).get
+    val solver = graft.operators.Dedup.lshLayout(2L, 0.8,
+      targetOccupancy = 16, missTarget = 1e-6, probeRadius = 2, maxTables = 512)
+    assert((d1.properties("lsh_planes").toInt, d1.properties("lsh_tables").toInt,
+      d1.properties("lsh_radius").toInt) == solver,
+      "epoch rebuild must re-pin the solver layout")
+    assert(d1.properties("lsh_n").toLong == 3L)
+    assert(e.readStream(idxName).count() ==
+      3L * d1.properties("lsh_tables").toInt,
+      "rebuild + survivor append must leave exactly rows×tables postings")
+
+    // a config change (threshold) is also an epoch boundary: the pinned
+    // fingerprint no longer matches, so the ingest rebuilds rather than
+    // probing with the wrong layout
+    assert(e.appendRowsDedupedEmbedding("vecs2",
+      Seq((20L, vec(3))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.9, dims = 8) == 0L)
+    val d2 = e.catalog.get(idxName).get
+    assert(d2.properties("lsh_threshold") == "0.9")
+    assert(d2.properties("lsh_n").toLong == 4L)
   }
 
   /** Round-4 verdict item #7: the single-writer `liveRewrites` contract,

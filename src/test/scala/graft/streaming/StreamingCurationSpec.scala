@@ -181,6 +181,23 @@ class StreamingCurationSpec extends SparkSpec {
       idx2 = idx2.unionAll(b.filter(!col("vec_id").isin(dupIds: _*)))
     }
     assert(found.toMap == foldFound.toMap)
+
+    // engine twin (round 9): the persisted-postings ingest path
+    // (appendRowsDedupedEmbedding over the managed __lshidx stream) must
+    // admit exactly the survivors the inline fold admits — the index
+    // lives as a stream instead of a per-batch re-signature, same result
+    val e = new graft.engine.Engine(spark, tmpDir("graft-stream-idx"))
+    e.createStream("vstream", graft.schema.StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long", nullable = false)
+        .add("embedding", "array<float>")))
+    e.appendRows("vstream", initial.toDF("vec_id", "embedding"))
+    batches.foreach { bd =>
+      e.appendRowsDedupedEmbedding("vstream", bd.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.8, dims = 8); ()
+    }
+    assert(e.readStream("vstream").select("vec_id").as[Long].collect().toSet
+      == idx2.select(col("vec_id")).as[Long].collect().toSet)
   }
 
   test("incremental near-dup probes the standing index per micro-batch") {

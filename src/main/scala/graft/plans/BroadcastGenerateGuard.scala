@@ -115,11 +115,20 @@ object BroadcastGenerateGuard {
   }
 
   /** Throw if `df`'s plan broadcasts an exploded side the gate's audit
-    * did not fingerprint — AND if an audited fingerprint goes unused
-    * (the plan no longer has that site: stale slack a future regression
-    * could hide under — re-audit and shrink the exemption). Multiset
-    * matching: each offender consumes at most one expected prefix. */
-  def check(gate: String, df: DataFrame): Unit = {
+    * did not fingerprint. An audited fingerprint that goes UNUSED (the
+    * plan no longer has that site) is a loud stderr warning and is
+    * returned — NOT a failure (round 9): identity pinning already means
+    * slack cannot mask a rogue site (any offender outside the
+    * fingerprints fails on its own), and broadcast selection is
+    * legitimately SCALE-DEPENDENT — range_join's audited interval-side
+    * broadcast exists at sf0.01 but exceeds the broadcast threshold at
+    * sf1, where failing the gate for LOSING a broadcast would punish
+    * exactly the right planner behavior. Multiset matching: each
+    * offender consumes at most one expected prefix.
+    *
+    * @return the unused audited fingerprints (empty = exemption fully
+    *         exercised at this scale) — surfaced for specs and audits */
+  def check(gate: String, df: DataFrame): Seq[String] = {
     val bad = offenders(df)
     val unmatched = scala.collection.mutable.Buffer(
       exemptOffenders.getOrElse(gate, Seq.empty): _*)
@@ -134,11 +143,13 @@ object BroadcastGenerateGuard {
           s"(estimate is explode-blind — pin merge/shuffle_hash or " +
           s"re-audit the exemption): ${rogue.mkString(" | ")}")
     if (unmatched.nonEmpty)
-      throw new IllegalStateException(
-        s"BroadcastGenerateGuard: gate '$gate' no longer exhibits " +
-          s"${unmatched.size} audited exploded-broadcast site(s) " +
-          s"(${unmatched.mkString(" | ")}) — the exemption is stale; " +
-          "re-audit (Probe bcast) and shrink it so the slack cannot " +
-          "mask a future corpus-sided site")
+      System.err.println(
+        s"BroadcastGenerateGuard WARN: gate '$gate' does not exhibit " +
+          s"${unmatched.size} audited exploded-broadcast site(s) at this " +
+          s"scale (${unmatched.mkString(" | ")}) — expected when the " +
+          "planner drops a broadcast past its size threshold; if the " +
+          "site is gone at EVERY scale, re-audit (Probe bcast) and " +
+          "shrink the exemption")
+    unmatched.toSeq
   }
 }

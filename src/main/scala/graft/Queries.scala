@@ -770,6 +770,41 @@ object Queries {
       .orderBy("in_id", "ex_id")
   }
 
+  /** Round 9: the PERSISTED-INDEX text ingest path — the standing
+    * side's `(ex_id, band, bkey)` postings and `(ex_id, hs)` signatures
+    * are built once ([[operators.Dedup.minhashIndexFrames]], what
+    * `Engine.appendRowsDeduped` materializes as the `__mhpost`/`__mhsig`
+    * siblings) and the shard probes THEM
+    * ([[operators.Dedup.incrementalNearDupsIndexed]]) — no corpus
+    * re-shingle in the per-ingest plan. Same brute-force oracle as
+    * `incremental_dedup`: hash-match proves the index+probe split loses
+    * nothing vs the inline path. */
+  val incrementalDedupIndexed: Q = q("incremental_dedup_indexed",
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${duckShingles(2)} AS s FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |shg AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS gram FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS in_id, b.doc_id AS ex_id,
+       |    count(*) AS i, any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+       |  FROM shg a JOIN shg b ON a.gram = b.gram
+       |    AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |  GROUP BY 1, 2)
+       |SELECT in_id, ex_id, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+       |FROM inter
+       |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+       |ORDER BY in_id, ex_id""".stripMargin) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val (post, sigs, _) = operators.Dedup.minhashIndexFrames(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32)
+    operators.Dedup.incrementalNearDupsIndexed(
+      post, sigs, docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", shingleN = 2, numHashes = 128, bands = 32,
+      threshold = 0.5)._1
+      .orderBy("in_id", "ex_id")
+  }
+
   /** Bloom-prefiltered exact incremental dedup ([[operators.Bloom
     * .newRowsVia]], round 6): which shard rows are NEW vs the standing
     * corpus, with the standing Bloom filter absorbing the definite
@@ -6995,7 +7030,8 @@ object Queries {
     nullsOrdering, statsAgg,
     tpchQ2, tpchQ4, tpchQ7, tpchQ8, tpchQ9, tpchQ11,
     tpchQ15, tpchQ16, tpchQ17, tpchQ20, tpchQ21,
-    incrementalDedup, incrementalDedupBloom, knnLabelVote, dsirWeightsGate,
+    incrementalDedup, incrementalDedupIndexed, incrementalDedupBloom,
+    knnLabelVote, dsirWeightsGate,
     sourceQualityGate,
     pipelineCurationV5,
     zorderCluster, qualityClassifier, bm25TopKGate, unicodeNfc,

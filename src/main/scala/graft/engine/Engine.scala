@@ -289,7 +289,15 @@ final class Engine(
     * [[graft.operators.Dedup.incrementalNearDups]] shard-vs-index
     * probe wired into the engine write path, so a continuously-fed
     * stream stays deduplicated without ever re-pairing its standing
-    * corpus (per-ingest cost: one index scan + shard-sized candidates).
+    * corpus. Round 9: the corpus's band postings and hashed-shingle
+    * signatures live in managed sibling streams (`<name>__mhpost`,
+    * bucketed on the probe key, and `<name>__mhsig`) — steady-state
+    * per-ingest cost is shard shingling + two slim index READS, never a
+    * corpus re-shingle (the MinHash twin of the `__lshidx` embedding
+    * index; no layout solver here, so the only rebuild trigger is a
+    * parameter change). The index assumes this method is the stream's
+    * only writer — rows landed via plain [[appendRows]] are invisible
+    * to the probe until a parameter change forces a rebuild.
     * In-batch duplicates of a surviving novel row are kept (dedup is
     * against the INDEX; run [[graft.operators.Dedup.minhashLsh]] on the
     * shard first if intra-shard dedup is also wanted).
@@ -307,13 +315,57 @@ final class Engine(
                         textCol: String, threshold: Double = 0.5): Long =
     streamLock(name).synchronized {
     val existing = readStream(name).select(col(idCol), col(textCol))
+    val postName = mhPostingsName(name)
+    val sigName = mhSignaturesName(name)
+    val (shingleN, numHashes, bands) = (2, 128, 32)
+    def postProps: Map[String, String] = Map(
+      "bucket_by" -> "band,bkey", "bucket_count" -> "32",
+      "mh_shingle_n" -> shingleN.toString,
+      "mh_num_hashes" -> numHashes.toString, "mh_bands" -> bands.toString)
+    // the index has no layout solver (parameters are fixed and the
+    // verify threshold is not baked in) — rebuild only when the pinned
+    // parameters disagree or a sibling is missing
+    val live = catalog.get(postName).exists { d =>
+      d.properties.get("mh_shingle_n").contains(shingleN.toString) &&
+        d.properties.get("mh_num_hashes").contains(numHashes.toString) &&
+        d.properties.get("mh_bands").contains(bands.toString)
+    } && catalog.get(sigName).nonEmpty
+    if (!live) {
+      // bootstrap/rebuild: ONE shingle+minhash pass over the corpus
+      val idType = existing.schema(idCol).dataType
+      if (catalog.get(postName).isEmpty) {
+        val st = new org.apache.spark.sql.types.StructType()
+          .add("ex_id", idType, nullable = true)
+          .add("band", org.apache.spark.sql.types.IntegerType, nullable = false)
+          .add("bkey", org.apache.spark.sql.types.LongType, nullable = false)
+        val d = StreamDef(catalog.qualify(postName), StreamSchema.fromStruct(st),
+          sources = Seq(catalog.qualify(name)), properties = postProps)
+        catalog.put(d); writeEmpty(d)
+      } else truncate(postName)
+      if (catalog.get(sigName).isEmpty) {
+        val st = new org.apache.spark.sql.types.StructType()
+          .add("ex_id", idType, nullable = true)
+          .add("hs", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType), nullable = true)
+        val d = StreamDef(catalog.qualify(sigName), StreamSchema.fromStruct(st),
+          sources = Seq(catalog.qualify(name)))
+        catalog.put(d); writeEmpty(d)
+      } else truncate(sigName)
+      val (post, sigs, cleanupIdx) = graft.operators.Dedup.minhashIndexFrames(
+        existing, idCol, textCol, shingleN, numHashes, bands)
+      try { appendRows(postName, post); appendRows(sigName, sigs) }
+      finally cleanupIdx()
+      val dNow = catalog.get(postName).get
+      catalog.put(dNow.copy(properties = postProps))
+    }
     // the shard feeds three jobs (index probe, drop count, anti-join
     // append) — persist it for the call so an expensive upstream plan
     // isn't recomputed per job
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (pairs, cleanup) = graft.operators.Dedup.incrementalNearDupsManaged(
-        existing, df, idCol, textCol, threshold = threshold)
+      val (pairs, cleanup) = graft.operators.Dedup.incrementalNearDupsIndexed(
+        readStream(postName), readStream(sigName), df, idCol, textCol,
+        shingleN, numHashes, bands, threshold)
       val flagged = pairs
         .select(col("in_id").as(idCol)).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -322,11 +374,25 @@ final class Engine(
         // every copy): semi-join against the materialized id set — which
         // the anti-join write below then reuses instead of re-probing
         val dropped = df.join(flagged, Seq(idCol), "left_semi").count()
-        appendRows(name, df.join(flagged, Seq(idCol), "left_anti"))
+        val survivors = df.join(flagged, Seq(idCol), "left_anti")
+        appendRows(name, survivors)
+        // the index ingests the survivors' rows — shard-sized, no
+        // corpus work
+        val (sPost, sSigs, cleanupS) = graft.operators.Dedup.minhashIndexFrames(
+          survivors.select(col(idCol), col(textCol)), idCol, textCol,
+          shingleN, numHashes, bands)
+        try { appendRows(postName, sPost); appendRows(sigName, sSigs) }
+        finally cleanupS()
         dropped
       } finally { flagged.unpersist(); cleanup() }
     } finally df.unpersist()
     }
+
+  /** The managed MinHash-index sibling streams backing
+    * [[appendRowsDeduped]] for `name` — public for operational
+    * tooling, like [[lshIndexName]]. */
+  def mhPostingsName(name: String): String = name + "__mhpost"
+  def mhSignaturesName(name: String): String = name + "__mhsig"
 
   /** Embedding-space sibling of [[appendRowsDeduped]] (round 7; round 9:
     * persisted postings index — VERDICT r8 task 2): ingest a shard of

@@ -204,40 +204,100 @@ object Dedup {
       idCol: String, textCol: String, shingleN: Int = 2,
       numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.5): (DataFrame, () => Unit) = {
+    // one-shot callers re-signature the standing corpus inline; a
+    // long-running ingest loop should persist the index frames once and
+    // probe them via [[incrementalNearDupsIndexed]] instead
+    // (Engine.appendRowsDeduped does exactly that)
+    val (post, sigs, cleanupIdx) = minhashIndexFrames(
+      existing, idCol, textCol, shingleN, numHashes, bands)
+    val (out, cleanupIn) = incrementalNearDupsIndexed(
+      post, sigs, incoming, idCol, textCol, shingleN, numHashes, bands,
+      threshold)
+    (out, () => { cleanupIn(); cleanupIdx() })
+  }
+
+  /** The persistable MinHash-LSH index over a text corpus, as two
+    * frames sharing ONE signature pass: `(ex_id, band, bkey)` postings
+    * (the candidate blocker — one row per document per band) and
+    * `(ex_id, hs)` hashed-shingle signatures (the exact-verify
+    * artifact). Materialize both (e.g. as engine streams, postings
+    * bucketed on `(band, bkey)`), append each ingested shard's rows,
+    * and a per-ingest probe never re-shingles or re-minhashes the
+    * standing corpus ([[incrementalNearDupsIndexed]]) — the text twin
+    * of [[embeddingPostings]]. Unlike the embedding index there is no
+    * layout solver: `(shingleN, numHashes, bands)` are fixed
+    * parameters, so a rebuild is needed only when THEY change (the
+    * verify threshold is not baked into the index at all).
+    *
+    * @return (postings, signatures, unpersist handle for the shared
+    *         signature frame — invoke after both are consumed) */
+  def minhashIndexFrames(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 2, numHashes: Int = 128,
+                         bands: Int = 32): (DataFrame, DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    graft.functions.GraftFunctions.register(existing.sparkSession)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val s = df
+      .select(col(idCol).as("ex_id"),
+        hashedShingles(shingles(col(textCol), shingleN)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("mh", call_function("minhashes", col("hs"), lit(numHashes)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val post = s.select(col("ex_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))"))
+        .as(Seq("band", "bkey")))
+    (post, s.select("ex_id", "hs"), () => { s.unpersist(); () })
+  }
 
-    def sig(df: DataFrame): DataFrame = df
+  /** Incremental text near-dup against a PREBUILT MinHash index (see
+    * [[minhashIndexFrames]]): the shard shingles+minhashes ITSELF,
+    * probes the standing postings on `(band, bkey)`, and exact-verifies
+    * candidate Jaccards against the standing `signatures` — the
+    * standing corpus contributes two slim READS, never a re-shingle or
+    * re-minhash. Same banding guarantees as [[minhashLsh]] (b=32, r=4 ⇒
+    * P(miss | j≥0.8) ≈ 5e-8); `(shingleN, numHashes, bands)` must be
+    * the parameters the index was built with.
+    *
+    * @return ((in_id, ex_id, jaccard) pairs at J ≥ threshold,
+    *         unpersist handle for the shard signature frame) */
+  def incrementalNearDupsIndexed(
+      postings: DataFrame, signatures: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 2,
+      numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5): (DataFrame, () => Unit) = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    val inSig = incoming
       .select(col(idCol).as("id"),
         hashedShingles(shingles(col(textCol), shingleN)).as("hs"))
       .filter(size(col("hs")) > 0)
       .withColumn("mh", call_function("minhashes", col("hs"), lit(numHashes)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    def banded(s: DataFrame): DataFrame = s.select(col("id"),
+    val inBand = inSig.select(col("id"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(mh, b * $r + 1, $r)))"))
         .as(Seq("band", "bkey")))
-
-    val exSig = sig(existing)
-    val inSig = sig(incoming)
-
-    // band keys only through the join (the minhashLsh lesson); incoming
-    // is the small side — at scale this is the probe of a per-shard
-    // ingest against the standing index
-    val candidates = banded(inSig).as("a").hint("shuffle_hash")
-      .join(banded(exSig).as("b"), Seq("band", "bkey"))
-      .select(col("a.id").as("in_id"), col("b.id").as("ex_id"))
+    // band keys only through the join (the minhashLsh lesson);
+    // SHUFFLE_HASH with the SHARD as build side — the standing postings
+    // stream through untouched (bucketed storage on (band, bkey)
+    // removes even their exchange)
+    val candidates = inBand.as("a").hint("shuffle_hash")
+      .join(postings.select(col("ex_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col("a.id").as("in_id"), col("ex_id"))
       .dropDuplicates("in_id", "ex_id")
-
+    // exact verify: unhinted so AQE broadcasts the shard-bounded
+    // candidate side at runtime; the standing signatures are scanned,
+    // never moved (the embedding-twin verify argument)
     val out = candidates
       .join(inSig.select(col("id").as("in_id"), col("hs").as("hs_a")), "in_id")
-      .join(exSig.select(col("id").as("ex_id"), col("hs").as("hs_b")), "ex_id")
+      .join(signatures.select(col("ex_id"), col("hs").as("hs_b")), "ex_id")
       .withColumn("jaccard", jaccardSorted(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select("in_id", "ex_id", "jaccard")
-    (out, () => { exSig.unpersist(); inSig.unpersist(); () })
+    (out, () => { inSig.unpersist(); () })
   }
 
   /** EXACT weighted-cosine pairs over tf·idf n-gram vectors via an

@@ -422,6 +422,16 @@ class EngineSpec extends SparkSpec {
     // repeated-ingest hygiene: each call unpersists its probe frames —
     // a long-running engine must not accumulate blocks per ingest
     assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore)
+
+    // round 9: the ingest path maintains persisted MinHash index
+    // siblings — band postings (rows × 32 bands) bucketed on the probe
+    // key, plus the hashed-shingle signatures the exact verify reads —
+    // so the standing corpus is never re-shingled per ingest
+    val post = e.catalog.get(e.mhPostingsName("corpus"))
+    assert(post.nonEmpty, "postings index stream missing")
+    assert(post.get.properties("bucket_by") == "band,bkey")
+    assert(e.readStream(e.mhPostingsName("corpus")).count() == 3L * 32)
+    assert(e.readStream(e.mhSignaturesName("corpus")).count() == 3L)
   }
 
   test("appendRowsDedupedEmbedding: ingest-time vector dedup against the standing stream") {

@@ -869,8 +869,72 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** TEXT twin of [[ingestMain]] (round 9 — the MinHash `__mhpost`/
+    * `__mhsig` index): `runMain graft.tools.ScaleCheck ingesttext
+    * [corpusList] [shard]` (default `200000,2000000` / 20000).
+    * Synthetic documents (24 hash-derived tokens; half of each shard
+    * exactly duplicates a corpus document, half is novel), engine
+    * stream + one bootstrap ingest, then ONE timed steady-state
+    * `appendRowsDeduped` vs the inline
+    * `incrementalNearDupsManaged` probe (which re-shingles +
+    * re-minhashes the standing corpus per call). */
+  private def ingestTextMain(args: Array[String]): Unit = {
+    val ns = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(200000L, 2000000L))
+    val shardN = args.lift(1).map(_.toLong).getOrElse(20000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-ingesttextcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    def textOf(src: org.apache.spark.sql.Column) =
+      expr("array_join(transform(sequence(0, 23), j -> " +
+        "concat('w', pmod(xxhash64(__src, j), 50000))), ' ')")
+    for (n <- ns) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ingesttextcheck").toString
+      val e = new graft.engine.Engine(spark, root)
+      e.createStream("corpus", graft.schema.StreamSchema.fromStruct(
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long", nullable = false)
+          .add("text", "string")))
+      e.appendRows("corpus", spark.range(n)
+        .select(col("id").as("doc_id"), col("id").as("__src"))
+        .withColumn("text", textOf(col("__src"))).drop("__src"))
+      def shard(offset: Long) = spark.range(shardN)
+        .select((col("id") + n + offset).as("doc_id"),
+          when(col("id") < shardN / 2, col("id") + offset)
+            .otherwise(col("id") + n + offset).as("__src"))
+        .withColumn("text", textOf(col("__src"))).drop("__src")
+      val t0 = System.nanoTime()
+      val dBoot = e.appendRowsDeduped("corpus", shard(0), "doc_id", "text")
+      val bootSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val dSteady = e.appendRowsDeduped("corpus", shard(shardN), "doc_id", "text")
+      val steadySec = (System.nanoTime() - t1) / 1e9
+      val existing = e.readStream("corpus").select(col("doc_id"), col("text"))
+      val t2 = System.nanoTime()
+      val (pairs, cleanup) =
+        graft.operators.Dedup.incrementalNearDupsManaged(
+          existing, shard(2 * shardN), "doc_id", "text")
+      val inlinePairs = pairs.count()
+      val inlineSec = (System.nanoTime() - t2) / 1e9
+      cleanup()
+      println(f"[ingesttext] corpus=$n shard=$shardN bootstrap=$bootSec%.1f s " +
+        f"(dropped=$dBoot) indexed_ingest=$steadySec%.1f s (dropped=$dSteady) " +
+        f"inline_probe=$inlineSec%.1f s (pairs=$inlinePairs) " +
+        f"inline/indexed=${inlineSec / steadySec}%.1fx")
+      graft.operators.OperatorCache.clear(spark)
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("ingest")) return ingestMain(args.drop(1))
+    if (args.headOption.contains("ingesttext")) return ingestTextMain(args.drop(1))
     if (args.headOption.contains("hier")) return hierMain(args.drop(1))
     if (args.headOption.contains("gates")) return gatesMain(args.drop(1))
     if (args.headOption.contains("bitext")) return bitextMain(args.drop(1))

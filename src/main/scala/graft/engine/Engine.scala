@@ -383,6 +383,7 @@ final class Engine(
           shingleN, numHashes, bands)
         try { appendRows(postName, sPost); appendRows(sigName, sSigs) }
         finally cleanupS()
+        maybeCompactIndex(postName); maybeCompactIndex(sigName)
         dropped
       } finally { flagged.unpersist(); cleanup() }
     } finally df.unpersist()
@@ -393,6 +394,25 @@ final class Engine(
     * tooling, like [[lshIndexName]]. */
   def mhPostingsName(name: String): String = name + "__mhpost"
   def mhSignaturesName(name: String): String = name + "__mhsig"
+
+  /** Periodic OPTIMIZE for the managed index siblings: every deduped
+    * ingest appends one file set to its index stream(s), so a
+    * long-lived stream fed in micro-batches goes metadata-bound after
+    * thousands of ingests (the small-file problem `compactStorage`
+    * exists for). Every `spark.graft.index.compactEvery` index appends
+    * (default 64) the sibling is rewritten in place — amortized cost
+    * ~1/64 of an index scan per ingest, and time-travel/compaction
+    * semantics are untouched (OPTIMIZE is a pure physical rewrite). */
+  private def indexCompactEvery: Long =
+    spark.conf.getOption("spark.graft.index.compactEvery")
+      .map(_.toLong).getOrElse(64L)
+  private def maybeCompactIndex(idxName: String): Unit = {
+    val every = indexCompactEvery
+    if (every > 0) catalog.get(idxName).foreach { d =>
+      if (d.writeEpoch > 0 && d.writeEpoch % every == 0)
+        compactStorage(idxName, targetFiles = 32)
+    }
+  }
 
   /** Embedding-space sibling of [[appendRowsDeduped]] (round 7; round 9:
     * persisted postings index — VERDICT r8 task 2): ingest a shard of
@@ -491,6 +511,7 @@ final class Engine(
         val dNow = catalog.get(idxName).get
         catalog.put(dNow.copy(
           properties = dNow.properties + ("lsh_n" -> (n0 + ingested).toString)))
+        maybeCompactIndex(idxName)
         dropped
       } finally { flagged.unpersist(); cleanup() }
     } finally df.unpersist()

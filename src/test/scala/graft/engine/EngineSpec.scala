@@ -524,6 +524,47 @@ class EngineSpec extends SparkSpec {
     assert(d2.properties("lsh_n").toLong == 4L)
   }
 
+  test("index siblings auto-compact on the configured cadence") {
+    import spark.implicits._
+    val e = newEngine()
+    e.createStream("cvecs", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long", nullable = false)
+        .add("embedding", "array<float>")))
+    def vec(k: Int): Array[Float] =
+      Array.tabulate(8)(d => if (d == k) 5f else 0.1f)
+    def fileNames(name: String): Set[String] =
+      Option(new java.io.File(e.catalog.dataPath(name)).listFiles())
+        .map(_.map(_.getName).filter(_.startsWith("part-")).toSet)
+        .getOrElse(Set.empty)
+    spark.conf.set("spark.graft.index.compactEvery", "4")
+    try {
+      val idxName = e.lshIndexName("cvecs")
+      // ingest 1: empty-write (epoch 1) + bootstrap postings (2) +
+      // survivor append (3) — under the cadence, nothing compacts
+      e.appendRowsDedupedEmbedding("cvecs",
+        Seq((0L, vec(0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.8, dims = 8)
+      val before = fileNames(idxName)
+      assert(before.nonEmpty)
+      // ingest 2's append is index epoch 4 → the cadence fires and the
+      // sibling is REWRITTEN in place: every pre-existing part file is
+      // replaced (a long-lived micro-batch stream cannot go
+      // metadata-bound on append file sets)
+      e.appendRowsDedupedEmbedding("cvecs",
+        Seq((1L, vec(1))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.8, dims = 8)
+      val after = fileNames(idxName)
+      assert(after.nonEmpty && (after & before).isEmpty,
+        s"index not rewritten: ${(after & before).size} original files survive")
+      // correctness is untouched by the physical rewrite: a dup of an
+      // early vector is still caught against the compacted index
+      assert(e.appendRowsDedupedEmbedding("cvecs",
+        Seq((100L, vec(0).map(_ + 0.01f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.8, dims = 8) == 1L)
+    } finally spark.conf.unset("spark.graft.index.compactEvery")
+  }
+
   /** Round-4 verdict item #7: the single-writer `liveRewrites` contract,
     * adversarially tested. Two ingests against ONE stream run on separate
     * threads; each shard is novel against the standing index but

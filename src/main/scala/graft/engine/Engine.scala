@@ -295,9 +295,10 @@ final class Engine(
     * per-ingest cost is shard shingling + two slim index READS, never a
     * corpus re-shingle (the MinHash twin of the `__lshidx` embedding
     * index; no layout solver here, so the only rebuild trigger is a
-    * parameter change). The index assumes this method is the stream's
-    * only writer — rows landed via plain [[appendRows]] are invisible
-    * to the probe until a parameter change forces a rebuild.
+    * parameter change). Out-of-band writes to the stream (plain
+    * [[appendRows]], [[truncate]], [[deleteKeys]]) are detected via the
+    * main stream's pinned write epoch: the next deduped ingest rebuilds
+    * the index from the corpus instead of probing a stale one.
     * In-batch duplicates of a surviving novel row are kept (dedup is
     * against the INDEX; run [[graft.operators.Dedup.minhashLsh]] on the
     * shard first if intra-shard dedup is also wanted).
@@ -318,17 +319,25 @@ final class Engine(
     val postName = mhPostingsName(name)
     val sigName = mhSignaturesName(name)
     val (shingleN, numHashes, bands) = (2, 128, 32)
+    // the MAIN stream's write epoch, pinned into the index per ingest:
+    // an out-of-band write (plain appendRows / truncate / deleteKeys)
+    // bumps it, so the next deduped ingest sees the mismatch and
+    // rebuilds instead of probing a silently-stale index
+    val mainEpoch = catalog.get(name).map(_.writeEpoch).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
     def postProps: Map[String, String] = Map(
       "bucket_by" -> "band,bkey", "bucket_count" -> "32",
       "mh_shingle_n" -> shingleN.toString,
       "mh_num_hashes" -> numHashes.toString, "mh_bands" -> bands.toString)
     // the index has no layout solver (parameters are fixed and the
-    // verify threshold is not baked in) — rebuild only when the pinned
-    // parameters disagree or a sibling is missing
+    // verify threshold is not baked in) — rebuild when the pinned
+    // parameters disagree, a sibling is missing, or the main stream was
+    // written outside this path since the last ingest
     val live = catalog.get(postName).exists { d =>
       d.properties.get("mh_shingle_n").contains(shingleN.toString) &&
         d.properties.get("mh_num_hashes").contains(numHashes.toString) &&
-        d.properties.get("mh_bands").contains(bands.toString)
+        d.properties.get("mh_bands").contains(bands.toString) &&
+        d.properties.get("mh_main_epoch").contains(mainEpoch.toString)
     } && catalog.get(sigName).nonEmpty
     if (!live) {
       // bootstrap/rebuild: ONE shingle+minhash pass over the corpus
@@ -356,7 +365,8 @@ final class Engine(
       try { appendRows(postName, post); appendRows(sigName, sigs) }
       finally cleanupIdx()
       val dNow = catalog.get(postName).get
-      catalog.put(dNow.copy(properties = postProps))
+      catalog.put(dNow.copy(properties =
+        postProps + ("mh_main_epoch" -> mainEpoch.toString)))
     }
     // the shard feeds three jobs (index probe, drop count, anti-join
     // append) — persist it for the call so an expensive upstream plan
@@ -383,6 +393,10 @@ final class Engine(
           shingleN, numHashes, bands)
         try { appendRows(postName, sPost); appendRows(sigName, sSigs) }
         finally cleanupS()
+        // re-pin the main epoch AFTER our own survivor append bumped it
+        val dPost = catalog.get(postName).get
+        catalog.put(dPost.copy(properties = dPost.properties +
+          ("mh_main_epoch" -> catalog.get(name).get.writeEpoch.toString)))
         maybeCompactIndex(postName); maybeCompactIndex(sigName)
         dropped
       } finally { flagged.unpersist(); cleanup() }
@@ -434,10 +448,11 @@ final class Engine(
     * count also means the fast path runs zero corpus-sized actions.
     *
     * Same ingest-lock serialization and per-call unpersist hygiene as
-    * the MinHash sibling; in-batch mutual near-dups are kept. The index
-    * assumes THIS method is the stream's only writer (the single-writer
-    * ingest contract): rows landed via plain [[appendRows]] are invisible
-    * to the probe until the next layout epoch rebuilds from the corpus.
+    * the MinHash sibling; in-batch mutual near-dups are kept.
+    * Out-of-band writes (plain [[appendRows]], [[truncate]],
+    * [[deleteKeys]]) are detected via the main stream's pinned write
+    * epoch and force a rebuild, so the probe never runs against a
+    * silently-stale index.
     *
     * @return number of incoming rows dropped as near-duplicates
     */
@@ -447,6 +462,12 @@ final class Engine(
     streamLock(name).synchronized {
     val existing = readStream(name).select(col(idCol), col(vecCol))
     val idxName = lshIndexName(name)
+    // out-of-band-write detector, as in [[appendRowsDeduped]]: the main
+    // stream's epoch is pinned into the index per ingest, so a plain
+    // appendRows/truncate/deleteKeys forces a rebuild instead of a
+    // probe against a silently-stale index
+    val mainEpoch = catalog.get(name).map(_.writeEpoch).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
     def solve(n: Long): (Int, Int, Int) = graft.operators.Dedup.lshLayout(
       math.max(1L, n), threshold, targetOccupancy = 16, missTarget = 1e-6,
       probeRadius = 2, maxTables = 512)
@@ -465,6 +486,7 @@ final class Engine(
         n <- d.properties.get("lsh_n").map(_.toLong)
         if d.properties.get("lsh_threshold").contains(threshold.toString)
         if d.properties.get("lsh_dims").contains(dims.toString)
+        if d.properties.get("lsh_main_epoch").contains(mainEpoch.toString)
         if solve(n) == ((p, t, r))
       } yield (p, t, r, n)
     }
@@ -486,7 +508,8 @@ final class Engine(
       appendRows(idxName,
         graft.operators.Dedup.embeddingPostings(existing, idCol, vecCol, p, t, dims))
       val dNow = catalog.get(idxName).get
-      catalog.put(dNow.copy(properties = metaProps(p, t, r, n)))
+      catalog.put(dNow.copy(properties =
+        metaProps(p, t, r, n) + ("lsh_main_epoch" -> mainEpoch.toString)))
       (p, t, r, n)
     }
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -509,8 +532,9 @@ final class Engine(
           planes, tables, dims))
         val ingested = df.count() - dropped
         val dNow = catalog.get(idxName).get
-        catalog.put(dNow.copy(
-          properties = dNow.properties + ("lsh_n" -> (n0 + ingested).toString)))
+        catalog.put(dNow.copy(properties = dNow.properties +
+          ("lsh_n" -> (n0 + ingested).toString) +
+          ("lsh_main_epoch" -> catalog.get(name).get.writeEpoch.toString)))
         maybeCompactIndex(idxName)
         dropped
       } finally { flagged.unpersist(); cleanup() }

@@ -524,6 +524,41 @@ class EngineSpec extends SparkSpec {
     assert(d2.properties("lsh_n").toLong == 4L)
   }
 
+  test("out-of-band writes to a deduped stream force an index rebuild") {
+    import spark.implicits._
+    val e = newEngine()
+    e.createStream("oob", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long", nullable = false).add("text", "string")))
+    assert(e.appendRowsDeduped("oob",
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text") == 0L)
+    // out-of-band: a row lands via plain appendRows — the index never
+    // saw it, but the epoch pin notices on the next deduped ingest
+    e.appendRows("oob",
+      Seq((2L, "totally different words entirely here")).toDF("doc_id", "text"))
+    val d = e.appendRowsDeduped("oob",
+      Seq((10L, "totally different words entirely here")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(d == 1L,
+      "a near-dup of the out-of-band row must be caught (stale-index hole)")
+    // embedding twin: same detector
+    e.createStream("oobv", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long", nullable = false)
+        .add("embedding", "array<float>")))
+    def vec(k: Int): Array[Float] =
+      Array.tabulate(8)(dd => if (dd == k) 5f else 0.1f)
+    assert(e.appendRowsDedupedEmbedding("oobv",
+      Seq((1L, vec(0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.8, dims = 8) == 0L)
+    e.appendRows("oobv", Seq((2L, vec(1))).toDF("vec_id", "embedding"))
+    assert(e.appendRowsDedupedEmbedding("oobv",
+      Seq((10L, vec(1).map(_ + 0.01f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.8, dims = 8) == 1L,
+      "a near-dup of the out-of-band vector must be caught")
+  }
+
   test("index siblings auto-compact on the configured cadence") {
     import spark.implicits._
     val e = newEngine()

@@ -935,6 +935,13 @@ final class Engine(
         sql = newSql,
         sources = c.sources.map(s => if (s == qOld) qNew else s)))
     }
+    // managed index siblings are named after their stream — carry them
+    // along so the next deduped ingest finds its index instead of
+    // orphaning the old one and re-bootstrapping from scratch
+    Seq("__lshidx", "__mhpost", "__mhsig").foreach { suf =>
+      if (catalog.exists(oldName + suf))
+        renameStream(oldName + suf, newName + suf)
+    }
     // the renamed stream keeps its own pipeline SQL (sink name is implicit)
   }
 

@@ -557,6 +557,22 @@ class EngineSpec extends SparkSpec {
       Seq((10L, vec(1).map(_ + 0.01f))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", threshold = 0.8, dims = 8) == 1L,
       "a near-dup of the out-of-band vector must be caught")
+
+    // lifecycle: rename carries the managed siblings (the next ingest
+    // probes the EXISTING index — a renamed stream must not re-bootstrap
+    // and orphan the old one); cascade drop takes them out
+    e.renameStream("oobv", "oobv2")
+    assert(e.catalog.get(e.lshIndexName("oobv")).isEmpty)
+    assert(e.catalog.get(e.lshIndexName("oobv2")).nonEmpty)
+    assert(e.appendRowsDedupedEmbedding("oobv2",
+      Seq((11L, vec(1).map(_ + 0.02f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.8, dims = 8) == 1L)
+    e.dropStream("oobv2")
+    assert(e.catalog.get(e.lshIndexName("oobv2")).isEmpty,
+      "cascade drop must take the index sibling")
+    e.dropStream("oob")
+    assert(e.catalog.get(e.mhPostingsName("oob")).isEmpty &&
+      e.catalog.get(e.mhSignaturesName("oob")).isEmpty)
   }
 
   test("index siblings auto-compact on the configured cadence") {

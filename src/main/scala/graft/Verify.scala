@@ -123,9 +123,24 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+    // a SPARK_GRAFT_ONLY run must MERGE into an existing oracle map, not
+    // clobber it down to the filtered subset — otherwise one fast
+    // single-gate iteration silently invalidates a full dump's compare
+    // set (tools/check.py and correctness_json.py read this file)
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    val existing: Map[String, String] =
+      if (only.nonEmpty && Files.exists(oraclePath)) {
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(Files.readString(oraclePath))
+          import scala.jdk.CollectionConverters._
+          node.fields().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        } catch { case _: Throwable => Map.empty }
+      } else Map.empty
+    val json = (existing ++ SparkEntry.oracleSql.filter(kv => selected(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(oraclePath, json)
     spark.stop()
   }
 }

@@ -477,13 +477,17 @@ final class Engine(
       "lsh_radius" -> r.toString, "lsh_n" -> n.toString,
       "lsh_threshold" -> threshold.toString, "lsh_dims" -> dims.toString)
     // fast path: a live index whose pinned layout still matches the
-    // solver at the ledger count (and this call's config)
+    // solver at the ledger count (and this call's config). Non-numeric
+    // pinned values (hand-edited catalog) fall through to a rebuild
+    // rather than throwing.
+    def num(v: Option[String]): Option[Long] =
+      v.flatMap(s => scala.util.Try(s.toLong).toOption)
     val live = catalog.get(idxName).flatMap { d =>
       for {
-        p <- d.properties.get("lsh_planes").map(_.toInt)
-        t <- d.properties.get("lsh_tables").map(_.toInt)
-        r <- d.properties.get("lsh_radius").map(_.toInt)
-        n <- d.properties.get("lsh_n").map(_.toLong)
+        p <- num(d.properties.get("lsh_planes")).map(_.toInt)
+        t <- num(d.properties.get("lsh_tables")).map(_.toInt)
+        r <- num(d.properties.get("lsh_radius")).map(_.toInt)
+        n <- num(d.properties.get("lsh_n"))
         if d.properties.get("lsh_threshold").contains(threshold.toString)
         if d.properties.get("lsh_dims").contains(dims.toString)
         if d.properties.get("lsh_main_epoch").contains(mainEpoch.toString)

@@ -282,8 +282,12 @@ object Dedup {
     // band keys only through the join (the minhashLsh lesson);
     // SHUFFLE_HASH with the SHARD as build side — the standing postings
     // stream through untouched (bucketed storage on (band, bkey)
-    // removes even their exchange)
-    val candidates = inBand.as("a").hint("shuffle_hash")
+    // removes even their exchange). A bulk-sized incoming side degrades
+    // to sort-merge past [[probeHashBuildCap]] exploded rows, as in the
+    // embedding kernel.
+    val hinted = if (inSig.count() * bands <= probeHashBuildCap)
+      inBand.as("a").hint("shuffle_hash") else inBand.as("a").hint("merge")
+    val candidates = hinted
       .join(postings.select(col("ex_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select(col("a.id").as("in_id"), col("ex_id"))
@@ -1226,6 +1230,16 @@ object Dedup {
     (out, () => { innerCleanup(); ex.unpersist(); () })
   }
 
+  /** Probe-side exploded-row cap for the shuffle-hash candidate join in
+    * the incremental kernels: below it the SHARD postings are the hash
+    * build (the index streams through unsorted — the right plan for
+    * micro-batch ingest); above it the join degrades to sort-merge,
+    * trading an index sort for spillability (a hash build of a
+    * bulk-sized probe side dies with SparkOutOfMemoryError — measured
+    * at 26B exploded rows, sf10 θ=0.45). 100M rows ≈ 3M/partition ×
+    * ~40 B ≈ 125 MB per build at 32 shuffle partitions. */
+  private[operators] val probeHashBuildCap: Long = 100000000L
+
   /** The persistable sign-LSH index over an embedding corpus: one
     * `(ex_id, tbl, bucket)` posting row per (vector, table), using the
     * SAME per-table plane seeds (`hp<t>:`) as every embedding-LSH path
@@ -1295,8 +1309,17 @@ object Dedup {
     // broadcast the STANDING INDEX postings (estimated ~KB from the
     // pruned persisted frame, actually corpus×tables), and a merge hint
     // would re-sort that index every ingest; hashing the shard streams
-    // the index untouched at any scale.
-    val candidates = inPost.hint("shuffle_hash").join(exPost, Seq("tbl", "bucket"))
+    // the index untouched at any scale — PROVIDED the shard is
+    // shard-sized. A large "incoming" side (a bulk backfill, or the
+    // gate's 20%-of-corpus split) times tables×probes overflows the
+    // per-partition hash build (measured: SparkOutOfMemoryError at
+    // 26B probe rows, sf10 θ=0.45), so past [[probeHashBuildCap]]
+    // exploded rows the join degrades to sort-merge — both sides sort
+    // and SPILL instead of dying in the build.
+    val probeRows = in.count() * tables.toLong * flips.size
+    val hinted = if (probeRows <= probeHashBuildCap)
+      inPost.hint("shuffle_hash") else inPost.hint("merge")
+    val candidates = hinted.join(exPost, Seq("tbl", "bucket"))
       .select("in_id", "ex_id").distinct()
     // exact verify: candidates (shard-bounded) join the corpus vectors by
     // id — left unhinted so AQE sizes the candidate side at runtime and

@@ -285,7 +285,7 @@ object Dedup {
     // removes even their exchange). A bulk-sized incoming side degrades
     // to sort-merge past [[probeHashBuildCap]] exploded rows, as in the
     // embedding kernel.
-    val hinted = if (inSig.count() * bands <= probeHashBuildCap)
+    val hinted = if (inSig.count() * bands <= probeHashBuildCap(incoming.sparkSession))
       inBand.as("a").hint("shuffle_hash") else inBand.as("a").hint("merge")
     val candidates = hinted
       .join(postings.select(col("ex_id"), col("band"), col("bkey")),
@@ -1236,9 +1236,14 @@ object Dedup {
     * micro-batch ingest); above it the join degrades to sort-merge,
     * trading an index sort for spillability (a hash build of a
     * bulk-sized probe side dies with SparkOutOfMemoryError — measured
-    * at 26B exploded rows, sf10 θ=0.45). 100M rows ≈ 3M/partition ×
-    * ~40 B ≈ 125 MB per build at 32 shuffle partitions. */
-  private[operators] val probeHashBuildCap: Long = 100000000L
+    * at 26B exploded rows, sf10 θ=0.45). Default 100M rows ≈
+    * 3M/partition × ~40 B ≈ 125 MB per build at 32 shuffle partitions;
+    * overridable via `spark.graft.dedup.probeHashBuildCap` (specs pin
+    * the merge-plan ≡ hash-plan differential by forcing it to 0). */
+  private[operators] def probeHashBuildCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.dedup.probeHashBuildCap")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(100000000L)
 
   /** The persistable sign-LSH index over an embedding corpus: one
     * `(ex_id, tbl, bucket)` posting row per (vector, table), using the
@@ -1317,7 +1322,7 @@ object Dedup {
     // exploded rows the join degrades to sort-merge — both sides sort
     // and SPILL instead of dying in the build.
     val probeRows = in.count() * tables.toLong * flips.size
-    val hinted = if (probeRows <= probeHashBuildCap)
+    val hinted = if (probeRows <= probeHashBuildCap(incoming.sparkSession))
       inPost.hint("shuffle_hash") else inPost.hint("merge")
     val candidates = hinted.join(exPost, Seq("tbl", "bucket"))
       .select("in_id", "ex_id").distinct()

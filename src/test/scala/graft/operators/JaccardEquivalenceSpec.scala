@@ -163,6 +163,45 @@ class JaccardEquivalenceSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(inc == expected,
         s"seed=$seed: missing=${expected -- inc} extra=${inc -- expected}")
+
+      // round 9: the bulk-probe degradation path (sort-merge build past
+      // spark.graft.dedup.probeHashBuildCap) must be result-identical to
+      // the shuffle-hash plan — force the cap to 0 so EVERY probe takes
+      // the merge branch, for both the text and embedding kernels
+      spark.conf.set("spark.graft.dedup.probeHashBuildCap", "0")
+      try {
+        val incMerge = Dedup.incrementalNearDups(
+          existing = df.filter($"doc_id" % 3 =!= 0),
+          incoming = df.filter($"doc_id" % 3 === 0),
+          "doc_id", "text", threshold = 0.4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(incMerge == expected,
+          s"seed=$seed merge-plan: missing=${expected -- incMerge} " +
+            s"extra=${incMerge -- expected}")
+      } finally spark.conf.unset("spark.graft.dedup.probeHashBuildCap")
     }
+  }
+
+  test("embedding incremental kernel: merge-degraded plan == shuffle-hash plan") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextFloat() - 0.5f)
+    val base = (1L to 40L).map(id => id -> vec())
+    // plant cross-split near-dups: jittered copies of existing vectors
+    val docs = base ++ Seq(100L -> base(2)._2.map(_ + 0.005f),
+      105L -> base(7)._2.map(_ + 0.005f))
+    val df = docs.toDF("vec_id", "embedding")
+    def run(): Set[(Long, Long)] = Dedup.embeddingIncrementalNearDups(
+      existing = df.filter($"vec_id" < 100L),
+      incoming = df.filter($"vec_id" >= 100L),
+      "vec_id", "embedding", threshold = 0.9, dims = 16)
+      .select("in_id", "ex_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hash = run()
+    assert(hash == Set((100L, 3L), (105L, 8L)))
+    spark.conf.set("spark.graft.dedup.probeHashBuildCap", "0")
+    try assert(run() == hash, "merge-degraded plan diverged")
+    finally spark.conf.unset("spark.graft.dedup.probeHashBuildCap")
   }
 }

@@ -30,6 +30,13 @@ object Verify {
       // constant-cells Θ(n²/cells) regression class) fails the run
       .config(graft.plans.QuantizerCellGuard.ModeKey,
         sys.env.getOrElse("SPARK_GRAFT_QUANTIZER_GUARD", "fail"))
+      // unused broadcast-exemption fingerprints FAIL at the audited small
+      // scales (sf0.001–0.1, where every fingerprinted site is known to
+      // exist) and stay warnings at 10×+ where the planner legitimately
+      // drops broadcasts past their size threshold (round 10 — ADVICE r9)
+      .config(graft.plans.BroadcastGenerateGuard.StrictUnusedKey,
+        sys.env.getOrElse("SPARK_GRAFT_BCAST_STRICT",
+          if (args(0).matches(""".*sf0\.(001|01|1)/?$""")) "fail" else "warn"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Lint liveness self-check: a conf typo or a dropped extensions line
@@ -136,9 +143,23 @@ object Verify {
           import scala.jdk.CollectionConverters._
           node.fields().asScala
             .map(e => e.getKey -> e.getValue.asText()).toMap
-        } catch { case _: Throwable => Map.empty }
+        } catch { case e: Throwable =>
+          // LOUD (round 10 — ADVICE r9): a corrupted oracle file silently
+          // reverting a filtered run to clobber semantics is exactly the
+          // bug the merge exists to prevent — shout, then rebuild the
+          // filtered subset only (the full-dump compare set is lost and
+          // the operator must re-run an unfiltered Verify)
+          System.err.println(s"[verify] WARNING: existing oracle_sql.json " +
+            s"failed to parse (${e.getMessage}) — the filtered run will " +
+            "write ONLY its own gates; re-run a full Verify to restore " +
+            "the complete compare set")
+          Map.empty
+        }
       } else Map.empty
-    val json = (existing ++ SparkEntry.oracleSql.filter(kv => selected(kv._1)))
+    // prune merged keys for gates since removed/renamed: a stale entry
+    // would make check.py compare a key no current query dumps
+    val json = (existing.filter(kv => SparkEntry.oracleSql.contains(kv._1))
+        ++ SparkEntry.oracleSql.filter(kv => selected(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(oraclePath, json)
     spark.stop()

@@ -246,6 +246,7 @@ final class Engine(
     */
   def createModel(name: String, sql: String, cfg: ModelConfig = ModelConfig(),
                   fullRefresh: Boolean = false): ApplyResult = {
+    requireUserName(name, "materialize model")
     val existed = catalog.exists(name)
     if (existed && !fullRefresh && !hasChanged(name, sql, cfg)) return Unchanged
     if (existed) dropStream(name, cascade = false, keepConsumers = true)
@@ -331,14 +332,21 @@ final class Engine(
       "mh_num_hashes" -> numHashes.toString, "mh_bands" -> bands.toString)
     // the index has no layout solver (parameters are fixed and the
     // verify threshold is not baked in) — rebuild when the pinned
-    // parameters disagree, a sibling is missing, or the main stream was
-    // written outside this path since the last ingest
+    // parameters disagree, a sibling is missing, the main stream was
+    // written outside this path since the last ingest, OR a sibling
+    // ITSELF was written out of band (round 10 — ADVICE r9 item 2: the
+    // siblings' own write epochs are pinned too, so a direct
+    // appendRows/truncate to `__mhpost`/`__mhsig` forces a rebuild
+    // instead of probing a silently-corrupted index)
     val live = catalog.get(postName).exists { d =>
       d.properties.get("mh_shingle_n").contains(shingleN.toString) &&
         d.properties.get("mh_num_hashes").contains(numHashes.toString) &&
         d.properties.get("mh_bands").contains(bands.toString) &&
-        d.properties.get("mh_main_epoch").contains(mainEpoch.toString)
-    } && catalog.get(sigName).nonEmpty
+        d.properties.get("mh_main_epoch").contains(mainEpoch.toString) &&
+        d.properties.get("mh_post_epoch").contains(d.writeEpoch.toString) &&
+        catalog.get(sigName).exists(sd =>
+          d.properties.get("mh_sig_epoch").contains(sd.writeEpoch.toString))
+    }
     if (!live) {
       // bootstrap/rebuild: ONE shingle+minhash pass over the corpus
       val idType = existing.schema(idCol).dataType
@@ -366,7 +374,9 @@ final class Engine(
       finally cleanupIdx()
       val dNow = catalog.get(postName).get
       catalog.put(dNow.copy(properties =
-        postProps + ("mh_main_epoch" -> mainEpoch.toString)))
+        postProps + ("mh_main_epoch" -> mainEpoch.toString)
+          + ("mh_post_epoch" -> dNow.writeEpoch.toString)
+          + ("mh_sig_epoch" -> catalog.get(sigName).get.writeEpoch.toString)))
     }
     // the shard feeds three jobs (index probe, drop count, anti-join
     // append) — persist it for the call so an expensive upstream plan
@@ -393,10 +403,14 @@ final class Engine(
           shingleN, numHashes, bands)
         try { appendRows(postName, sPost); appendRows(sigName, sSigs) }
         finally cleanupS()
-        // re-pin the main epoch AFTER our own survivor append bumped it
+        // re-pin the main epoch AFTER our own survivor append bumped it,
+        // and the siblings' own epochs after THEIR appends (out-of-band
+        // sibling-write detection — see the live check above)
         val dPost = catalog.get(postName).get
         catalog.put(dPost.copy(properties = dPost.properties +
-          ("mh_main_epoch" -> catalog.get(name).get.writeEpoch.toString)))
+          ("mh_main_epoch" -> catalog.get(name).get.writeEpoch.toString) +
+          ("mh_post_epoch" -> dPost.writeEpoch.toString) +
+          ("mh_sig_epoch" -> catalog.get(sigName).get.writeEpoch.toString)))
         maybeCompactIndex(postName); maybeCompactIndex(sigName)
         dropped
       } finally { flagged.unpersist(); cleanup() }
@@ -408,6 +422,23 @@ final class Engine(
     * tooling, like [[lshIndexName]]. */
   def mhPostingsName(name: String): String = name + "__mhpost"
   def mhSignaturesName(name: String): String = name + "__mhsig"
+
+  /** Suffixes RESERVED for engine-managed index sibling streams
+    * (round 10 — ADVICE r9 item 1): a user stream named e.g.
+    * `foo__mhpost` would collide with the managed sibling namespace —
+    * the props check in [[appendRowsDeduped]] would truncate/overwrite
+    * it, and [[renameStream]] would blindly carry it. Creation paths
+    * reject these names, so any existing suffixed stream IS
+    * engine-managed and the sibling lifecycle (rename carry, rebuild,
+    * compaction) can treat it as its own. */
+  val ManagedSuffixes: Seq[String] =
+    Seq("__mhpost", "__mhsig", "__lshidx", "__annidx", "__anncent")
+  private def requireUserName(name: String, what: String): Unit =
+    ManagedSuffixes.find(name.endsWith).foreach { suf =>
+      throw new IllegalArgumentException(
+        s"cannot $what '$name': the '$suf' suffix is reserved for " +
+          "engine-managed index sibling streams")
+    }
 
   /** Periodic OPTIMIZE for the managed index siblings: every deduped
     * ingest appends one file set to its index stream(s), so a
@@ -491,6 +522,9 @@ final class Engine(
         if d.properties.get("lsh_threshold").contains(threshold.toString)
         if d.properties.get("lsh_dims").contains(dims.toString)
         if d.properties.get("lsh_main_epoch").contains(mainEpoch.toString)
+        // the index's OWN pinned epoch: a direct out-of-band write to
+        // the `__lshidx` sibling forces a rebuild (round 10 — ADVICE r9)
+        if d.properties.get("lsh_idx_epoch").contains(d.writeEpoch.toString)
         if solve(n) == ((p, t, r))
       } yield (p, t, r, n)
     }
@@ -513,7 +547,8 @@ final class Engine(
         graft.operators.Dedup.embeddingPostings(existing, idCol, vecCol, p, t, dims))
       val dNow = catalog.get(idxName).get
       catalog.put(dNow.copy(properties =
-        metaProps(p, t, r, n) + ("lsh_main_epoch" -> mainEpoch.toString)))
+        metaProps(p, t, r, n) + ("lsh_main_epoch" -> mainEpoch.toString)
+          + ("lsh_idx_epoch" -> dNow.writeEpoch.toString)))
       (p, t, r, n)
     }
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -538,7 +573,8 @@ final class Engine(
         val dNow = catalog.get(idxName).get
         catalog.put(dNow.copy(properties = dNow.properties +
           ("lsh_n" -> (n0 + ingested).toString) +
-          ("lsh_main_epoch" -> catalog.get(name).get.writeEpoch.toString)))
+          ("lsh_main_epoch" -> catalog.get(name).get.writeEpoch.toString) +
+          ("lsh_idx_epoch" -> dNow.writeEpoch.toString)))
         maybeCompactIndex(idxName)
         dropped
       } finally { flagged.unpersist(); cleanup() }
@@ -663,6 +699,7 @@ final class Engine(
     * co-bucketed streams plan with no Exchange. */
   def createStream(name: String, schema: StreamSchema,
                    properties: Map[String, String] = Map.empty): Unit = {
+    requireUserName(name, "create stream")
     val d = StreamDef(catalog.qualify(name), schema, properties = properties)
     catalog.put(d)
     writeEmpty(d)
@@ -728,6 +765,7 @@ final class Engine(
   def seed(name: String, csvPath: String,
            columnTypes: Map[String, String] = Map.empty,
            fullRefresh: Boolean = false): ApplyResult = {
+    requireUserName(name, "seed")
     val inferred = inferSeedTypes(csvPath)
     val types = inferred.map { case (n, t) =>
       n -> columnTypes.get(n).flatMap(FlinkType.parse).getOrElse(t)
@@ -921,6 +959,15 @@ final class Engine(
     * the reference's fragile first-occurrence string replace
     * (impl.py:694-701). */
   def renameStream(oldName: String, newName: String): Unit = {
+    // direct renames of managed index siblings are engine-internal only:
+    // a user-initiated rename either targets the MAIN stream (siblings
+    // are carried below) or is a namespace collision to reject
+    requireUserName(oldName, "rename")
+    requireUserName(newName, "rename to")
+    renameStreamInternal(oldName, newName)
+  }
+
+  private def renameStreamInternal(oldName: String, newName: String): Unit = {
     val qOld = catalog.qualify(oldName)
     val qNew = catalog.qualify(newName)
     // a bucketed stream's backing table points at the OLD data dir; drop
@@ -942,9 +989,9 @@ final class Engine(
     // managed index siblings are named after their stream — carry them
     // along so the next deduped ingest finds its index instead of
     // orphaning the old one and re-bootstrapping from scratch
-    Seq("__lshidx", "__mhpost", "__mhsig").foreach { suf =>
+    ManagedSuffixes.foreach { suf =>
       if (catalog.exists(oldName + suf))
-        renameStream(oldName + suf, newName + suf)
+        renameStreamInternal(oldName + suf, newName + suf)
     }
     // the renamed stream keeps its own pipeline SQL (sink name is implicit)
   }

@@ -265,7 +265,8 @@ object Dedup {
       postings: DataFrame, signatures: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 2,
       numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.5): (DataFrame, () => Unit) = {
+      threshold: Double = 0.5,
+      shardRows: Option[Long] = None): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     graft.functions.GraftFunctions.register(incoming.sparkSession)
@@ -284,8 +285,11 @@ object Dedup {
     // stream through untouched (bucketed storage on (band, bkey)
     // removes even their exchange). A bulk-sized incoming side degrades
     // to sort-merge past [[probeHashBuildCap]] exploded rows, as in the
-    // embedding kernel.
-    val hinted = if (inSig.count() * bands <= probeHashBuildCap(incoming.sparkSession))
+    // embedding kernel. `shardRows` lets a caller with ledger knowledge
+    // pin the pick; otherwise the plan-statistics estimate decides —
+    // no extra action in the ingest path (round 10).
+    val rows = shardRows.getOrElse(shardRowEstimate(incoming))
+    val hinted = if (rows * bands.toLong <= probeHashBuildCap(incoming.sparkSession))
       inBand.as("a").hint("shuffle_hash") else inBand.as("a").hint("merge")
     val candidates = hinted
       .join(postings.select(col("ex_id"), col("band"), col("bkey")),
@@ -1245,6 +1249,26 @@ object Dedup {
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .getOrElse(100000000L)
 
+  /** Shard-row ESTIMATE for the hash-vs-merge pick in the indexed probe
+    * kernels (round 10 — VERDICT r9 item 7: the `count()` action ran an
+    * extra job per micro-batch ingest). Plan-statistics rowCount when
+    * the optimizer knows it (CBO, materialized cache); else a
+    * DELIBERATELY-HIGH bytes/8 bound — real text/embedding rows are far
+    * wider than 8 bytes, so the error direction is toward MERGE (the
+    * spillable plan), never toward an oversized hash build. A true
+    * micro-batch (≤ MBs) stays far under the cap either way; only
+    * mid-sized bulk shards may take merge where a count would have
+    * picked hash — one extra index sort, not a correctness or OOM risk
+    * (the merge≡hash differential spec pins output equality). */
+  private def shardRowEstimate(df: DataFrame): Long = {
+    val st = df.queryExecution.optimizedPlan.stats
+    st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong).getOrElse {
+      val approx = st.sizeInBytes / 8
+      if (approx >= BigInt(Long.MaxValue)) Long.MaxValue
+      else math.max(1L, approx.toLong)
+    }
+  }
+
   /** The persistable sign-LSH index over an embedding corpus: one
     * `(ex_id, tbl, bucket)` posting row per (vector, table), using the
     * SAME per-table plane seeds (`hp<t>:`) as every embedding-LSH path
@@ -1290,7 +1314,8 @@ object Dedup {
       postings: DataFrame, existing: DataFrame, incoming: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       planes: Int, tables: Int, radius: Int,
-      dims: Int = 64): (DataFrame, () => Unit) = {
+      dims: Int = 64,
+      shardRows: Option[Long] = None): (DataFrame, () => Unit) = {
     graft.functions.GraftFunctions.register(incoming.sparkSession)
     val ex = existing.select(col(idCol).as("ex_id"), col(vecCol).as("v_b"))
     val in = incoming.select(col(idCol).as("in_id"), col(vecCol).as("v_a"))
@@ -1321,7 +1346,11 @@ object Dedup {
     // 26B probe rows, sf10 θ=0.45), so past [[probeHashBuildCap]]
     // exploded rows the join degrades to sort-merge — both sides sort
     // and SPILL instead of dying in the build.
-    val probeRows = in.count() * tables.toLong * flips.size
+    // shard rows via caller hint or plan statistics — never a count()
+    // action in the ingest path (round 10; error direction documented
+    // at [[shardRowEstimate]])
+    val probeRows = shardRows.getOrElse(shardRowEstimate(incoming)) *
+      tables.toLong * flips.size
     val hinted = if (probeRows <= probeHashBuildCap(incoming.sparkSession))
       inPost.hint("shuffle_hash") else inPost.hint("merge")
     val candidates = hinted.join(exPost, Seq("tbl", "bucket"))

@@ -114,6 +114,16 @@ object BroadcastGenerateGuard {
     out.toSeq
   }
 
+  /** Escalates an UNUSED audited exemption from a warning to a failure
+    * (round 10 — ADVICE r9): at the audited small scales (sf0.001–0.1)
+    * every fingerprinted site is known to exist, so a fingerprint the
+    * plan no longer exhibits there means the site changed identity and
+    * a standing exemption could silently cover a future corpus-sided
+    * site sharing its generator prefix. The small-sf Verify runs enable
+    * this; large-scale runs keep the warn (broadcast selection is
+    * legitimately scale-dependent — see [[check]]). */
+  val StrictUnusedKey = "spark.graft.guard.broadcastGenerate.strictUnused"
+
   /** Throw if `df`'s plan broadcasts an exploded side the gate's audit
     * did not fingerprint. An audited fingerprint that goes UNUSED (the
     * plan no longer has that site) is a loud stderr warning and is
@@ -123,8 +133,10 @@ object BroadcastGenerateGuard {
     * legitimately SCALE-DEPENDENT — range_join's audited interval-side
     * broadcast exists at sf0.01 but exceeds the broadcast threshold at
     * sf1, where failing the gate for LOSING a broadcast would punish
-    * exactly the right planner behavior. Multiset matching: each
-    * offender consumes at most one expected prefix.
+    * exactly the right planner behavior. Under [[StrictUnusedKey]]
+    * (the audited small scales) the unused exemption FAILS instead.
+    * Multiset matching: each offender consumes at most one expected
+    * prefix.
     *
     * @return the unused audited fingerprints (empty = exemption fully
     *         exercised at this scale) — surfaced for specs and audits */
@@ -142,14 +154,22 @@ object BroadcastGenerateGuard {
           s"exploded join side(s) outside its audited exemptions " +
           s"(estimate is explode-blind — pin merge/shuffle_hash or " +
           s"re-audit the exemption): ${rogue.mkString(" | ")}")
-    if (unmatched.nonEmpty)
-      System.err.println(
-        s"BroadcastGenerateGuard WARN: gate '$gate' does not exhibit " +
+    if (unmatched.nonEmpty) {
+      val strict = df.sparkSession.conf
+        .getOption(StrictUnusedKey).contains("fail")
+      val msg =
+        s"BroadcastGenerateGuard: gate '$gate' does not exhibit " +
           s"${unmatched.size} audited exploded-broadcast site(s) at this " +
-          s"scale (${unmatched.mkString(" | ")}) — expected when the " +
-          "planner drops a broadcast past its size threshold; if the " +
-          "site is gone at EVERY scale, re-audit (Probe bcast) and " +
-          "shrink the exemption")
+          s"scale (${unmatched.mkString(" | ")})"
+      if (strict)
+        throw new IllegalStateException(msg +
+          " — at the audited small scales every fingerprinted site must " +
+          "exist; the plan changed identity, re-audit (Probe bcast) and " +
+          "update the exemption")
+      System.err.println(msg + " — expected when the planner drops a " +
+        "broadcast past its size threshold; if the site is gone at EVERY " +
+        "scale, re-audit (Probe bcast) and shrink the exemption")
+    }
     unmatched.toSeq
   }
 }

@@ -575,6 +575,69 @@ class EngineSpec extends SparkSpec {
       e.catalog.get(e.mhSignaturesName("oob")).isEmpty)
   }
 
+  test("managed index-sibling suffixes are reserved names (ADVICE r9)") {
+    val e = newEngine()
+    val st = StreamSchema.fromStruct(new org.apache.spark.sql.types.StructType()
+      .add("id", "long", nullable = false))
+    // a colliding user stream would be truncated/overwritten by the next
+    // deduped ingest's props check and blindly carried by rename
+    assertThrows[IllegalArgumentException] { e.createStream("foo__mhpost", st) }
+    assertThrows[IllegalArgumentException] { e.createStream("foo__mhsig", st) }
+    assertThrows[IllegalArgumentException] { e.createStream("foo__lshidx", st) }
+    assertThrows[IllegalArgumentException] { e.createStream("foo__annidx", st) }
+    assertThrows[IllegalArgumentException] {
+      e.createModel("foo__lshidx", "SELECT 1 AS x")
+    }
+    assertThrows[IllegalArgumentException] {
+      e.seed("foo__mhpost", writeCsv(tmpDir("rs"), "s.csv", "id\n1\n"))
+    }
+    e.createStream("plain", st)
+    assertThrows[IllegalArgumentException] {
+      e.renameStream("plain", "plain__mhsig")
+    }
+    assert(e.catalog.exists("plain"), "failed rename must not move the stream")
+  }
+
+  test("out-of-band writes to an index SIBLING force a rebuild (ADVICE r9)") {
+    import spark.implicits._
+    val e = newEngine()
+    e.createStream("sib", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long", nullable = false).add("text", "string")))
+    assert(e.appendRowsDeduped("sib",
+      Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text") == 0L)
+    // corrupt the POSTINGS sibling directly (the main stream is
+    // untouched, so the main-epoch pin alone would not notice): an
+    // empty postings index would silently miss every near-dup
+    e.truncate(e.mhPostingsName("sib"))
+    assert(e.appendRowsDeduped("sib",
+      Seq((10L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text") == 1L,
+      "a near-dup must be caught after sibling corruption (rebuild)")
+    // the signatures sibling is pinned too
+    e.truncate(e.mhSignaturesName("sib"))
+    assert(e.appendRowsDeduped("sib",
+      Seq((11L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text") == 1L)
+
+    // embedding twin: truncate __lshidx, the next ingest must rebuild
+    e.createStream("sibv", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long", nullable = false)
+        .add("embedding", "array<float>")))
+    def vec(k: Int): Array[Float] =
+      Array.tabulate(8)(d => if (d == k) 5f else 0.1f)
+    assert(e.appendRowsDedupedEmbedding("sibv",
+      Seq((1L, vec(0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.8, dims = 8) == 0L)
+    e.truncate(e.lshIndexName("sibv"))
+    assert(e.appendRowsDedupedEmbedding("sibv",
+      Seq((10L, vec(0).map(_ + 0.01f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.8, dims = 8) == 1L,
+      "a near-dup must be caught after index corruption (rebuild)")
+  }
+
   test("index siblings auto-compact on the configured cadence") {
     import spark.implicits._
     val e = newEngine()

@@ -105,6 +105,26 @@ class BroadcastGuardSpec extends SparkSpec {
     assert(BroadcastGenerateGuard.check("range_join", joined).isEmpty)
   }
 
+  test("strict mode escalates an unused exemption to a failure (small-sf audit)") {
+    // round 10 — ADVICE r9: at the audited small scales every
+    // fingerprinted site is known to exist, so its ABSENCE there means
+    // the plan changed identity and the standing fingerprint could
+    // silently exempt a future corpus-sided site; the small-sf Verify
+    // runs enable this key (sf1+ keeps the scale-dependent warn)
+    val clean = corpus.groupBy("k").count()
+    spark.conf.set(BroadcastGenerateGuard.StrictUnusedKey, "fail")
+    try {
+      assertThrows[IllegalStateException] {
+        BroadcastGenerateGuard.check("range_join", clean)
+      }
+      // a fully-exercised exemption still passes under strict
+      val tiny = spark.range(4)
+        .selectExpr("id AS tid", "explode(sequence(0L, id * 200L)) AS k")
+      val joined = corpus.join(tiny, "k")
+      assert(BroadcastGenerateGuard.check("range_join", joined).isEmpty)
+    } finally spark.conf.unset(BroadcastGenerateGuard.StrictUnusedKey)
+  }
+
   test("an exploded broadcast build on an IN-subquery's build side is flagged") {
     // VERDICT r8 item 6: liveness fixture for the round-8 subquery walk —
     // no gate in the matrix routes an exploded broadcast through a

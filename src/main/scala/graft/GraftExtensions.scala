@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.injectAll(ext)
+    // SQL-reachable LLM-pipeline operators (round 10): table-valued
+    // functions so model/test SQL can express dedup/retrieval stages —
+    // see [[graft.functions.GraftTableFunctions]]
+    functions.GraftTableFunctions.injectAll(ext)
     // optimizer lints for the scale contract (each off unless the session
     // sets its spark.graft.guard.* key to warn|fail) — see
     // [[graft.plans.SinglePartitionWindowGuard]] and

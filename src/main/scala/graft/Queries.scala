@@ -3280,6 +3280,105 @@ object Queries {
       .orderBy("q_id", "rnk")
   }
 
+  /** Round 10 (VERDICT r9 item 1): ANN served from the PERSISTED index —
+    * the corpus ingests into an engine stream, `ensureAnnIndex`
+    * materializes the codebooks (`__anncent`) and the encoded corpus
+    * (`__annidx`, bucketed on cell) once, and the search runs probe +
+    * cell-join only: no Lloyd retrain, no corpus re-assignment in the
+    * query plan. Same oracle as `ann_ivf_topk` — hash-match proves the
+    * store/load split loses nothing vs the inline retrain-per-call
+    * path (floats round-trip parquet bit-exactly; the training recipe
+    * is storage-order-independent). */
+  private def annIndexedGate(name: String, method: String): Q =
+    q(name,
+      s"""WITH ${duckIvfCells()},
+        |corpus AS (SELECT vec_id AS n_id, v AS v_n, cid AS cell FROM a1 WHERE r = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS q_id, v AS v_q, cid AS cell
+        |  FROM a1 WHERE vec_id < 10 AND r <= 3),
+        |cand AS (
+        |  SELECT q.q_id, c.n_id,
+        |    round(list_cosine_similarity(q.v_q, c.v_n), 6) AS cos
+        |  FROM qprobe q JOIN corpus c USING (cell)
+        |  WHERE q.q_id <> c.n_id)
+        |SELECT q_id, n_id, rnk, cos FROM (
+        |  SELECT q_id, n_id,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, n_id) AS BIGINT) AS rnk, cos
+        |  FROM cand) t
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+      val e = new engine.Engine(s,
+        java.nio.file.Files.createTempDirectory("graft-annidx-gate").toString)
+      e.createStream("emb_idx", schema.StreamSchema.fromStruct(
+        new org.apache.spark.sql.types.StructType()
+          .add("vec_id", "long", nullable = false)
+          .add("embedding", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      e.appendRows("emb_idx",
+        t(s, dir, "embeddings").select("vec_id", "embedding"))
+      e.annTopKIndexed("emb_idx", "vec_id", "embedding",
+        queryPred = col("vec_id") < 10, k = 5, nProbe = 3, method = method)
+        .orderBy("q_id", "rnk")
+    }
+
+  val annIvfTopKIndexed: Q = annIndexedGate("ann_ivf_topk_indexed", "ivf")
+  val annPqTopKIndexed: Q = annIndexedGate("ann_pq_topk_indexed", "pq")
+
+  // ---------------------------------------------------------------------
+  // SQL-reachable LLM operators (round 10 — VERDICT r9 item 4): the
+  // reference's entire pipeline surface is SQL text, so the dedup /
+  // retrieval stages must be expressible IN SQL, not just via the Scala
+  // API. These gates run the registered table-valued functions
+  // ([[functions.GraftTableFunctions]], injected by GraftExtensions)
+  // through plain `spark.sql` over temp views — the exact path a graft
+  // model's SQL takes — against the same oracles as their Scala-API
+  // twins.
+  // ---------------------------------------------------------------------
+
+  private def sqlTvf(name: String, tables: Seq[String], sql: String,
+                     oracle: String): Q =
+    Q(name, (s, dir) => {
+      tables.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+      s.sql(sql)
+    }, Some(oracle))
+
+  val sqlMinhashPairs: Q = sqlTvf("sql_minhash_pairs", Seq("documents"),
+    """SELECT id_a, id_b, jaccard
+      | FROM minhash_pairs('documents', 'doc_id', 'text', 0.5)
+      | ORDER BY id_a, id_b""".stripMargin,
+    duckJaccardPairs(n = 2, threshold = 0.5, leftPred = "true"))
+
+  val sqlAnnTopK: Q = sqlTvf("sql_ann_topk", Seq("embeddings"),
+    """SELECT q_id, n_id, rnk, cos
+      | FROM ann_topk('embeddings', 'vec_id', 'embedding', 'vec_id < 10', 5)
+      | ORDER BY q_id, rnk""".stripMargin,
+    """SELECT q_id, n_id, rnk, cos FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+      |      c.vec_id) AS BIGINT) AS rnk,
+      |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 10) t
+      | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
+
+  val sqlSemDedup: Q = sqlTvf("sql_semdedup", Seq("embeddings"),
+    """SELECT vec_id, CAST(cell AS BIGINT) AS cell, kept
+      | FROM semdedup('embeddings', 'vec_id', 'embedding', 0.4)
+      | ORDER BY vec_id""".stripMargin,
+    s"""WITH ${duckIvfCells()},
+      |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
+      |dups AS (
+      |  SELECT DISTINCT b.vec_id AS vec_id
+      |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+      |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+      |  (d.vec_id IS NULL) AS kept
+      |FROM corpus c LEFT JOIN dups d ON c.vec_id = d.vec_id
+      |ORDER BY c.vec_id""".stripMargin)
+
   /** Deterministic multi-epoch training shuffle
     * ([[operators.Sampling.epochShuffle]], round 6): every doc gets an
     * (epoch, shard, pos) address per epoch — independent permutations
@@ -7055,7 +7154,8 @@ object Queries {
     resampleFfill, qualityBudgetCut, phraseSearchGate, phraseSearchIndexed,
     quantileSketchRollup, sketchDrift, corpusOverlapSketch, cmSketchTopK,
     exactQuantileGate,
-    annPqTopK,
+    annPqTopK, annIvfTopKIndexed, annPqTopKIndexed,
+    sqlMinhashPairs, sqlAnnTopK, sqlSemDedup,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,

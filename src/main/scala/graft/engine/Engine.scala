@@ -182,8 +182,20 @@ final class Engine(
     * done properly as SURVEY §2.6 L4 recommends). */
   def sourcesOf(sql: String): Seq[String] = {
     val plan = spark.sessionState.sqlParser.parsePlan(SqlDialect.rewrite(sql))
-    plan.collect { case r: UnresolvedRelation => r.multipartIdentifier.last }
-      .distinct
+    val relations = plan.collect {
+      case r: UnresolvedRelation => Seq(r.multipartIdentifier.last)
+      // graft table functions take the source TABLE as their first
+      // string-literal argument — track it so rename/cascade see
+      // through a TVF-shaped pipeline stage (round 10)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if graft.functions.GraftTableFunctions.names
+            .contains(f.name.last.toLowerCase) =>
+        f.functionArgs.headOption.collect {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+              if s != null => s.toString
+        }.toSeq
+    }.flatten
+    relations.distinct
       .map(catalog.qualify)
       .filter(catalog.exists)
   }
@@ -586,6 +598,198 @@ final class Engine(
     * tooling can inspect/DROP it; its layout epoch lives in the stream
     * properties (`lsh_planes`/`lsh_tables`/`lsh_radius`/`lsh_n`). */
   def lshIndexName(name: String): String = name + "__lshidx"
+
+  // ------------------------------------------------------------------
+  // Persisted ANN retrieval index (round 10 — VERDICT r9 item 1: the
+  // third application of the sibling-index pattern). ivfTopK/pqTopK
+  // retrain the coarse quantizer and re-assign + re-encode the WHOLE
+  // corpus on every call — fine for one-shot analytics, ruinous for a
+  // 100 TB corpus served repeated query batches. The index materializes
+  // both halves once:
+  //   <name>__anncent — the codebooks, one uniform (kind, j, cid,
+  //     centroid) row shape: kind 0 = coarse centroids (flat codebook or
+  //     the hierarchy's top level), kind 1 = PQ sub-codebooks, kind 2 =
+  //     the hierarchy's per-top-cell sub-centroids (√n·d floats,
+  //     distributed end to end — never collected).
+  //   <name>__annidx — the encoded corpus (ex_id, cell, v, codes, eps,
+  //     norm_x), bucketed on `cell` so the probe join needs no corpus
+  //     exchange even when the query side outgrows a broadcast.
+  // Same lifecycle as __lshidx: epochs pinned (main stream, both
+  // siblings), out-of-band writes force a rebuild, rename carries the
+  // siblings, cascade drop removes them, auto-compaction on the
+  // [[maybeCompactIndex]] cadence.
+  // ------------------------------------------------------------------
+
+  def annIndexName(name: String): String = name + "__annidx"
+  def annCentroidsName(name: String): String = name + "__anncent"
+
+  /** Ensure a live ANN index over stream `name`'s (idCol, vecCol):
+    * no-op when the pinned config + epochs match; otherwise ONE
+    * train + assign + encode pass over the corpus rebuilds both
+    * siblings. `nCentroids` 0 = corpus-dimensioned AUTO (the flat
+    * √n codebook up to the cap, the two-level hierarchy beyond it —
+    * `ann_kind` records which); PQ codebooks (`m`, `ksub`) are always
+    * built alongside, so one index serves both `ivf` and `pq` searches
+    * (dims must divide by m, as in [[graft.operators.Similarity.pqTopK]]).
+    *
+    * @return true when the index was (re)built, false when live */
+  def ensureAnnIndex(name: String, idCol: String, vecCol: String,
+                     nCentroids: Int = 0, m: Int = 8, ksub: Int = 16): Boolean =
+    streamLock(name).synchronized {
+    import graft.operators.Similarity
+    val idxName = annIndexName(name)
+    val centName = annCentroidsName(name)
+    val mainEpoch = catalog.get(name).map(_.writeEpoch).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    val live = catalog.get(idxName).exists { d =>
+      d.properties.get("ann_ncentroids").contains(nCentroids.toString) &&
+        d.properties.get("ann_m").contains(m.toString) &&
+        d.properties.get("ann_ksub").contains(ksub.toString) &&
+        d.properties.get("ann_main_epoch").contains(mainEpoch.toString) &&
+        d.properties.get("ann_idx_epoch").contains(d.writeEpoch.toString) &&
+        catalog.get(centName).exists(cd =>
+          d.properties.get("ann_cent_epoch").contains(cd.writeEpoch.toString))
+    }
+    if (live) return false
+    val existing = readStream(name).select(col(idCol), col(vecCol))
+    val e = existing.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val idType = existing.schema(idCol).dataType
+    // one metadata-scale count (the sizing action every AUTO build pays;
+    // pinned as ann_n so subsequent ensure calls run zero actions)
+    val n = e.count()
+    val quant = Similarity.buildQuantizer("annIndex", nCentroids, e, Some(n))
+    if (catalog.get(centName).isEmpty) {
+      val st = new org.apache.spark.sql.types.StructType()
+        .add("kind", "int", nullable = false)
+        .add("j", "int", nullable = false)
+        .add("cid", "int", nullable = false)
+        .add("centroid", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = true)
+      val d = StreamDef(catalog.qualify(centName), StreamSchema.fromStruct(st),
+        sources = Seq(catalog.qualify(name)))
+      catalog.put(d); writeEmpty(d)
+    } else truncate(centName)
+    if (catalog.get(idxName).isEmpty) {
+      val st = new org.apache.spark.sql.types.StructType()
+        .add("ex_id", idType, nullable = true)
+        .add("cell", "int", nullable = true)
+        .add("v", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = true)
+        .add("codes", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType), nullable = true)
+        .add("eps", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType), nullable = true)
+        .add("norm_x", "double", nullable = true)
+      val d = StreamDef(catalog.qualify(idxName), StreamSchema.fromStruct(st),
+        sources = Seq(catalog.qualify(name)),
+        properties = Map("bucket_by" -> "cell", "bucket_count" -> "32"))
+      catalog.put(d); writeEmpty(d)
+    } else truncate(idxName)
+    val (kind, k2, dims) = quant match {
+      case h: Similarity.HierQuantizer => ("hier", h.k2, h.dims)
+      case f: Similarity.FlatQuantizer =>
+        ("flat", 0, if (f.isEmpty) 0 else f.dims)
+    }
+    if (!quant.isEmpty) {
+      val books = Similarity.trainPqBooks(e, dims, m, ksub)
+      appendRows(centName, Similarity.quantizerRows(quant, spark)
+        .unionAll(Similarity.booksRows(books, spark)))
+      appendRows(idxName, Similarity.pqEncode(quant.assign(e), books)
+        .select(col("n_id").as("ex_id"), col("cell"),
+          col("v_n").as("v"), col("codes"), col("eps"), col("norm_x")))
+    }
+    val dIdx = catalog.get(idxName).get
+    catalog.put(dIdx.copy(properties = dIdx.properties ++ Map(
+      "ann_ncentroids" -> nCentroids.toString, "ann_m" -> m.toString,
+      "ann_ksub" -> ksub.toString, "ann_kind" -> kind,
+      "ann_k2" -> k2.toString, "ann_dims" -> dims.toString,
+      "ann_n" -> n.toString,
+      "ann_main_epoch" -> mainEpoch.toString,
+      "ann_idx_epoch" -> dIdx.writeEpoch.toString,
+      "ann_cent_epoch" -> catalog.get(centName).get.writeEpoch.toString)))
+    true
+    }
+
+  /** Top-k ANN over stream `name` served FROM the persisted index:
+    * [[ensureAnnIndex]] (a no-op when live), then probe + cell-join —
+    * the per-query-batch cost is independent of whether the codebook
+    * ever existed before, and identical rows to the inline
+    * `Similarity.ivfTopK`/`pqTopK` on the same corpus (AnnIndexSpec and
+    * the `ann_*_topk_indexed` gates pin it against the same oracle).
+    *
+    * @param method "ivf" (exact cosine over probed cells) or "pq"
+    *               (ADC + error-bound prune, exact by construction) */
+  def annTopKIndexed(name: String, idCol: String, vecCol: String,
+                     queryPred: org.apache.spark.sql.Column, k: Int,
+                     nProbe: Int = 2, method: String = "ivf",
+                     nCentroids: Int = 0, m: Int = 8,
+                     ksub: Int = 16): DataFrame = {
+    import graft.operators.Similarity
+    require(Seq("ivf", "pq").contains(method), s"unknown method '$method'")
+    ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
+    val props = catalog.get(annIndexName(name)).get.properties
+    val queries = readStream(name).filter(queryPred)
+      .select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    if (props("ann_n").toLong == 0L) // empty corpus: empty result
+      return queries.limit(0).select(col("n_id").as("q_id"), col("n_id"),
+        lit(0L).as("rnk"), lit(0.0).as("cos"))
+    val centRows = readStream(annCentroidsName(name))
+    val hierK2 =
+      if (props("ann_kind") == "hier") Some(props("ann_k2").toInt) else None
+    val quant = Similarity.quantizerFromRows(centRows, hierK2)
+    val idx = readStream(annIndexName(name))
+      .withColumnRenamed("ex_id", "n_id")
+    method match {
+      case "ivf" => Similarity.ivfTopKFromIndex(idx, quant, queries, k, nProbe)
+      case "pq" =>
+        val books = Similarity.booksFromRows(centRows,
+          props("ann_m").toInt, props("ann_ksub").toInt)
+        Similarity.pqTopKFromIndex(idx, quant, books, queries, k, nProbe)
+    }
+  }
+
+  /** Ingest a shard INTO an ANN-indexed stream without a rebuild: the
+    * rows append to the main stream and their assignments/codes append
+    * to the index under the STANDING codebooks — shard-sized work, the
+    * standard IVF deployment shape (codebooks retrain rarely; the cell
+    * layout drifts from the √n-ideal as the corpus grows, and the
+    * operator forces a retrain by dropping the index or changing
+    * config). Epochs re-pin afterward so subsequent searches keep the
+    * fast path. */
+  def appendRowsAnnIndexed(name: String, df: DataFrame, idCol: String,
+                           vecCol: String, nCentroids: Int = 0,
+                           m: Int = 8, ksub: Int = 16): Unit =
+    streamLock(name).synchronized {
+    import graft.operators.Similarity
+    ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
+    val idxName = annIndexName(name)
+    val centName = annCentroidsName(name)
+    val props = catalog.get(idxName).get.properties
+    appendRows(name, df)
+    val shard = df.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val shardN = shard.count()
+    if (props("ann_n").toLong == 0L) {
+      // the standing index is EMPTY — there is no codebook to encode
+      // under; rebuild from the (now non-empty) corpus instead
+      ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
+      return
+    }
+    val centRows = readStream(centName)
+    val hierK2 =
+      if (props("ann_kind") == "hier") Some(props("ann_k2").toInt) else None
+    val quant = Similarity.quantizerFromRows(centRows, hierK2)
+    val books = Similarity.booksFromRows(centRows, m, ksub)
+    appendRows(idxName, Similarity.pqEncode(quant.assign(shard), books)
+      .select(col("n_id").as("ex_id"), col("cell"),
+        col("v_n").as("v"), col("codes"), col("eps"), col("norm_x")))
+    val dIdx = catalog.get(idxName).get
+    catalog.put(dIdx.copy(properties = dIdx.properties ++ Map(
+      "ann_n" -> (props("ann_n").toLong + shardN).toString,
+      "ann_main_epoch" -> catalog.get(name).get.writeEpoch.toString,
+      "ann_idx_epoch" -> dIdx.writeEpoch.toString,
+      "ann_cent_epoch" -> catalog.get(centName).get.writeEpoch.toString)))
+    maybeCompactIndex(idxName)
+    }
 
   /** Per-stream ingest mutex: [[write]] is read-epoch-then-write and
     * [[appendRowsDeduped]] is read-index-probe-then-write — two

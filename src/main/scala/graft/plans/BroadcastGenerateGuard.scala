@@ -50,6 +50,11 @@ object BroadcastGenerateGuard {
     "ann_ivf_topk" -> Seq("explode(transform(slice(sort_array("),
     "ann_lsh_topk" -> Seq("explode(array(("),
     "ann_pq_topk" -> Seq("explode(transform(slice(sort_array("),
+    // the index-backed twins probe the same pred-filtered query side
+    // (audited round 10 — the corpus index side streams from its
+    // bucketed scan, never broadcasts)
+    "ann_ivf_topk_indexed" -> Seq("explode(transform(slice(sort_array("),
+    "ann_pq_topk_indexed" -> Seq("explode(transform(slice(sort_array("),
     // 2-element quantile literal explode (exact_quantile broadcasts it
     // at two join sites — both audited)
     "exact_quantile" -> Seq("explode([0.5,0.99])", "explode([0.5,0.99])"),

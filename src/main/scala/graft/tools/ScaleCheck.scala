@@ -932,7 +932,69 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** Persisted-ANN-index scale probe (round 10 — VERDICT r9 item 1):
+    * `runMain graft.tools.ScaleCheck annidx [corpusList] [d]` (default
+    * `200000,2000000` / 32). For each corpus size n: materialize an
+    * engine stream of n deterministic vectors, time `ensureAnnIndex`
+    * (the once-per-epoch build: quantizer train + corpus assign+encode),
+    * then time THREE repeat `annTopKIndexed` query batches (32 queries,
+    * k=10, nProbe=3) and ONE inline `ivfTopK` on the same queries — the
+    * inline path re-pays train+assign per call. The claim under test:
+    * repeat-query cost stops scaling with the corpus once the index
+    * stands (probe + cell-join only; candidates grow ~nProbe·√n), while
+    * the inline call stays corpus-linear. PERF.md records the pair. */
+  private def annidxMain(args: Array[String]): Unit = {
+    val ns = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(200000L, 2000000L))
+    val d = args.lift(1).map(_.toInt).getOrElse(32)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-annidxcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    for (n <- ns) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-annidxcheck").toString
+      val e = new graft.engine.Engine(spark, root)
+      e.createStream("corpus", graft.schema.StreamSchema.fromStruct(
+        new org.apache.spark.sql.types.StructType()
+          .add("vec_id", "long", nullable = false)
+          .add("embedding", "array<float>")))
+      e.appendRows("corpus", spark.range(n)
+        .select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, ${d - 1}), j -> " +
+            "CAST((pmod(xxhash64(id, j), 2001) - 1000) / 1000.0 AS FLOAT))")
+            .as("embedding")))
+      val t0 = System.nanoTime()
+      e.ensureAnnIndex("corpus", "vec_id", "embedding")
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val reps = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        val c = e.annTopKIndexed("corpus", "vec_id", "embedding",
+          col("vec_id") < 32, k = 10, nProbe = 3).count()
+        require(c > 0, "indexed search returned nothing")
+        (System.nanoTime() - t) / 1e9
+      }
+      val t1 = System.nanoTime()
+      graft.operators.Similarity.ivfTopK(
+        e.readStream("corpus"), "vec_id", "embedding",
+        col("vec_id") < 32, k = 10, nProbe = 3).count()
+      val inlineSec = (System.nanoTime() - t1) / 1e9
+      val med = reps.sorted.apply(1)
+      println(f"[annidx] corpus=$n d=$d build=$buildSec%.1f s " +
+        f"indexed_query=${reps.map(r => f"$r%.1f").mkString("/")} s " +
+        f"(median=$med%.1f) inline_query=$inlineSec%.1f s " +
+        f"inline/indexed=${inlineSec / med}%.1fx")
+      graft.operators.OperatorCache.clear(spark)
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("annidx")) return annidxMain(args.drop(1))
     if (args.headOption.contains("ingest")) return ingestMain(args.drop(1))
     if (args.headOption.contains("ingesttext")) return ingestTextMain(args.drop(1))
     if (args.headOption.contains("hier")) return hierMain(args.drop(1))

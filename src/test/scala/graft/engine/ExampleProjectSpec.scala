@@ -153,4 +153,30 @@ class ExampleProjectSpec extends SparkSpec {
     assert(d.schema.watermarks.head.delayThreshold.contains("0.001 seconds"))
     assert(d.sources == Seq("envoy_raw"))
   }
+
+  test("a model's SQL can invoke a graft table function (round 10: SQL-reachable operators)") {
+    import spark.implicits._
+    val e = new Engine(spark, tmpDir("graft-tvf-model"))
+    e.createStream("docs", StreamSchema(Seq(
+      PhysicalField("doc_id", FBigInt), PhysicalField("text", FString))))
+    e.appendRows("docs", Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here")).toDF("doc_id", "text"))
+    // the reference's whole surface is SQL text — a dedup stage must be
+    // expressible as a model's SELECT, not only via the Scala API
+    assert(e.createModel("dup_pairs",
+      """SELECT id_a, id_b, jaccard
+        |FROM minhash_pairs('docs', 'doc_id', 'text', 0.5)""".stripMargin)
+      == Created)
+    val rows = e.readStream("dup_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 2L, 1.0)))
+    // dependency tracking sees THROUGH the TVF: the model's source list
+    // carries the stream named in the literal argument, so rename /
+    // cascade-drop semantics hold for TVF-shaped pipelines too
+    assert(e.catalog.get("dup_pairs").get.sources
+      == Seq(e.catalog.qualify("docs")))
+    e.dropStream("docs") // cascade must take the TVF consumer
+    assert(e.catalog.get("dup_pairs").isEmpty)
+  }
 }

@@ -738,6 +738,10 @@ object ScaleCheck {
     val ns = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
       .getOrElse(Seq(2000000L, 20000000L, 40000000L))
     val d = args.lift(1).map(_.toInt).getOrElse(16)
+    // optional sub-broadcast cap override (bytes): force 0 to exercise
+    // the past-the-cap shuffle-hash degrade at probe scale (round 10 —
+    // the n^1.5 curve must hold without the broadcast)
+    val subCap = args.lift(2).map(_.toLong)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-hiercheck")
@@ -745,6 +749,9 @@ object ScaleCheck {
       .config("spark.ui.enabled", false)
       .config(graft.plans.QuantizerCellGuard.ModeKey, "fail")
       .getOrCreate()
+    subCap.foreach(c => spark.conf.set(
+      graft.operators.Similarity.SubBroadcastCapKey, c.toString))
+    subCap.foreach(c => println(s"[hier] sub-broadcast cap forced to $c B"))
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val results = scala.collection.mutable.ArrayBuffer[(Long, Double)]()

@@ -3307,22 +3307,73 @@ object Queries {
         |      ORDER BY cos DESC, n_id) AS BIGINT) AS rnk, cos
         |  FROM cand) t
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
-      val e = new engine.Engine(s,
-        java.nio.file.Files.createTempDirectory("graft-annidx-gate").toString)
-      e.createStream("emb_idx", schema.StreamSchema.fromStruct(
-        new org.apache.spark.sql.types.StructType()
-          .add("vec_id", "long", nullable = false)
-          .add("embedding", org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType))))
-      e.appendRows("emb_idx",
-        t(s, dir, "embeddings").select("vec_id", "embedding"))
-      e.annTopKIndexed("emb_idx", "vec_id", "embedding",
-        queryPred = col("vec_id") < 10, k = 5, nProbe = 3, method = method)
+      withAnnEngine(s, dir)(_.annTopKIndexed("emb_idx", "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5, nProbe = 3, method = method))
         .orderBy("q_id", "rnk")
     }
 
   val annIvfTopKIndexed: Q = annIndexedGate("ann_ivf_topk_indexed", "ivf")
   val annPqTopKIndexed: Q = annIndexedGate("ann_pq_topk_indexed", "pq")
+
+  /** Shared engine-setup for the index-served quantizer-family gates:
+    * corpus into a stream, one `ensureAnnIndex`, then `run` against the
+    * standing index. */
+  private def withAnnEngine(s: SparkSession, dir: String)(
+      run: engine.Engine => DataFrame): DataFrame = {
+    val e = new engine.Engine(s,
+      java.nio.file.Files.createTempDirectory("graft-annidx-gate").toString)
+    e.createStream("emb_idx", schema.StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long", nullable = false)
+        .add("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    e.appendRows("emb_idx",
+      t(s, dir, "embeddings").select("vec_id", "embedding"))
+    run(e)
+  }
+
+  /** SemDedup served from the persisted index (round 10): the cell
+    * assignment reads from `__annidx`; only the threshold pair stage
+    * runs. Shares `semdedup`'s replayed-quantizer oracle — hash-match
+    * proves assignment store/load loses nothing. */
+  val semDedupIndexedGate: Q = q("semdedup_indexed",
+    s"""WITH ${duckIvfCells()},
+      |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
+      |dups AS (
+      |  SELECT DISTINCT b.vec_id AS vec_id
+      |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+      |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+      |  (d.vec_id IS NULL) AS kept
+      |FROM corpus c LEFT JOIN dups d ON c.vec_id = d.vec_id
+      |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
+    withAnnEngine(s, dir)(_.semDedupIndexed("emb_idx", "vec_id", "embedding",
+        threshold = 0.4))
+      .withColumn("cell", col("cell").cast("long"))
+      .orderBy("vec_id")
+  }
+
+  /** Mutual-kNN graph served from the persisted index (round 10);
+    * shares `knn_graph`'s oracle. */
+  val knnGraphIndexedGate: Q = q("knn_graph_indexed",
+    s"""WITH ${duckIvfCells()},
+       |corpus AS (SELECT vec_id, v, cid AS cell FROM a1 WHERE r = 1),
+       |directed AS (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       |  FROM (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |          round(list_cosine_similarity(a.v, b.v), 6) AS cos
+       |        FROM corpus a JOIN corpus b
+       |          ON a.cell = b.cell AND a.vec_id <> b.vec_id) d),
+       |knn AS (SELECT src, dst, cos FROM directed WHERE rnk <= 5)
+       |SELECT least(src, dst) AS id_a, greatest(src, dst) AS id_b,
+       |  max(cos) AS cos
+       |FROM knn GROUP BY 1, 2 HAVING count(*) = 2
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    withAnnEngine(s, dir)(_.knnGraphIndexed("emb_idx", "vec_id", "embedding",
+        k = 5))
+      .orderBy("id_a", "id_b")
+  }
 
   // ---------------------------------------------------------------------
   // SQL-reachable LLM operators (round 10 — VERDICT r9 item 4): the
@@ -7155,6 +7206,7 @@ object Queries {
     quantileSketchRollup, sketchDrift, corpusOverlapSketch, cmSketchTopK,
     exactQuantileGate,
     annPqTopK, annIvfTopKIndexed, annPqTopKIndexed,
+    semDedupIndexedGate, knnGraphIndexedGate,
     sqlMinhashPairs, sqlAnnTopK, sqlSemDedup,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,

@@ -748,6 +748,32 @@ final class Engine(
     }
   }
 
+  /** SemDedup verdicts over stream `name` served FROM the persisted
+    * index: the cell ASSIGNMENT (the quantizer-train + corpus-pass half
+    * the inline operator re-pays per call) reads from `__annidx`; only
+    * the threshold-dependent within-cell pair stage runs per call.
+    * Identical rows to `Similarity.semDedup` on the same corpus. */
+  def semDedupIndexed(name: String, idCol: String, vecCol: String,
+                      threshold: Double = 0.4, nCentroids: Int = 0,
+                      m: Int = 8, ksub: Int = 16): DataFrame = {
+    ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
+    val idx = readStream(annIndexName(name))
+      .select(col("ex_id").as("n_id"), col("v"), col("cell"))
+    graft.operators.Similarity.semDedupFromCells(idx, threshold)
+  }
+
+  /** Mutual-kNN graph over stream `name` served FROM the persisted
+    * index — same assignment-reuse split as [[semDedupIndexed]].
+    * Identical rows to `Similarity.knnGraph` on the same corpus. */
+  def knnGraphIndexed(name: String, idCol: String, vecCol: String,
+                      k: Int, nCentroids: Int = 0,
+                      m: Int = 8, ksub: Int = 16): DataFrame = {
+    ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
+    val idx = readStream(annIndexName(name))
+      .select(col("ex_id").as("n_id"), col("v"), col("cell"))
+    graft.operators.Similarity.knnGraphFromCells(idx, k)
+  }
+
   /** Ingest a shard INTO an ANN-indexed stream without a rebuild: the
     * rows append to the main stream and their assignments/codes append
     * to the index under the STANDING codebooks — shard-sized work, the

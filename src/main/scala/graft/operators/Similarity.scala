@@ -1006,7 +1006,18 @@ object Similarity {
     if (quant.isEmpty) // empty corpus: empty result, same schema
       return e.limit(0).select(col("n_id").as("vec_id"),
         lit(null).cast("int").as("cell"), lit(true).as("kept"))
-    val corpus = quant.assign(e)
+    semDedupFromCells(quant.assign(e), threshold)
+  }
+
+  /** The verdict tail over an ASSIGNED corpus (`n_id`, `v`, `cell`) —
+    * shared by [[semDedup]] and the index-backed
+    * `Engine.semDedupIndexed` (the assignment is the expensive,
+    * index-persistable half; this tail is the threshold-dependent
+    * pair stage that must run per call). */
+  private[graft] def semDedupFromCells(assigned: DataFrame,
+                                       threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(assigned.sparkSession)
+    val corpus = assigned.select(col("n_id"), col("v"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // within-cell pairs via the hot-cell salt grid: a hub cell's
     // occupancy² product spreads over ~(occ/bound)² reducers instead of
@@ -1014,7 +1025,7 @@ object Similarity {
     val aS = corpus.select(col("n_id").as("a_id"), col("v").as("a_v"), col("cell"))
     val bS = corpus.select(col("n_id").as("b_id"), col("v").as("b_v"), col("cell"))
     val dups = SkewJoin.gridSalted(aS, bS, "cell", col("a_id"), col("b_id"),
-        hotBoundFloor(emb.sparkSession))
+        hotBoundFloor(assigned.sparkSession))
       .filter(col("a_id") < col("b_id"))
       .filter(round(cosine(col("a_v"), col("b_v")), 6) >= threshold)
       .select(col("b_id").as("dup_id")).distinct()
@@ -1082,14 +1093,24 @@ object Similarity {
     if (quant.isEmpty) // empty corpus: no edges, same schema
       return e.limit(0).select(col("n_id").as("id_a"), col("n_id").as("id_b"),
         lit(0.0).as("cos"))
-    val cells = quant.assign(e)
+    knnGraphFromCells(quant.assign(e), k)
+  }
+
+  /** The mutual-kNN tail over an ASSIGNED corpus (`n_id`, `v`, `cell`)
+    * — shared by [[knnGraph]] and the index-backed
+    * `Engine.knnGraphIndexed` (same split rationale as
+    * [[semDedupFromCells]]). */
+  private[graft] def knnGraphFromCells(assigned: DataFrame,
+                                       k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(assigned.sparkSession)
+    val cells = assigned.select(col("n_id"), col("v"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate pairs ride the hot-cell salt grid (see semDedup) — same
     // pairs, bounded per-reducer product under cell skew
     val aS = cells.select(col("n_id").as("src"), col("v").as("v_a"), col("cell"))
     val bS = cells.select(col("n_id").as("dst"), col("v").as("v_b"), col("cell"))
     val directed = SkewJoin.gridSalted(aS, bS, "cell", col("src"), col("dst"),
-        hotBoundFloor(emb.sparkSession))
+        hotBoundFloor(assigned.sparkSession))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         round(cosine(col("v_a"), col("v_b")), 6).as("cos"))

@@ -57,6 +57,20 @@ class AnnIndexSpec extends SparkSpec {
       col("vec_id") < 5, k = 3, nProbe = 2, method = "pq").collect().toSet
     assert(idxPq == inlinePq, "indexed PQ must equal inline pqTopK")
     assert(idxPq == idxIvf, "PQ's bound prune is exact by construction")
+
+    // the other two family members served from the same stored
+    // assignment (round 10): identical rows to the inline operators
+    val inlineSem = Similarity.semDedup(data, "vec_id", "embedding",
+      threshold = 0.8).collect().map(_.toSeq).toSet
+    val idxSem = e.semDedupIndexed("emb", "vec_id", "embedding",
+      threshold = 0.8).collect().map(_.toSeq).toSet
+    assert(idxSem == inlineSem, "indexed semDedup must equal inline")
+    val inlineKnn = Similarity.knnGraph(data, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    val idxKnn = e.knnGraphIndexed("emb", "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(idxKnn == inlineKnn, "indexed knnGraph must equal inline")
+    assert(inlineKnn.nonEmpty)
   }
 
   test("out-of-band writes to the main stream OR a sibling force a rebuild") {

@@ -623,6 +623,16 @@ final class Engine(
   def annIndexName(name: String): String = name + "__annidx"
   def annCentroidsName(name: String): String = name + "__anncent"
 
+  /** AUTO-codebook staleness bound for [[ensureAnnIndex]]: a corpus
+    * grown past this factor of the size its codebook was trained at
+    * (via [[appendRowsAnnIndexed]]) triggers a retrain on the next
+    * ensure. 4× ⇒ cells sit at worst 2× under the √n-ideal — within
+    * the candidate-volume envelope the quantizer-cell guard tolerates;
+    * retrains are geometric in n, so amortized O(1)/row. */
+  private def annGrowthCap: Long =
+    spark.conf.getOption("spark.graft.ann.growthCap")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(4L)
+
   /** Ensure a live ANN index over stream `name`'s (idCol, vecCol):
     * no-op when the pinned config + epochs match; otherwise ONE
     * train + assign + encode pass over the corpus rebuilds both
@@ -648,7 +658,19 @@ final class Engine(
         d.properties.get("ann_main_epoch").contains(mainEpoch.toString) &&
         d.properties.get("ann_idx_epoch").contains(d.writeEpoch.toString) &&
         catalog.get(centName).exists(cd =>
-          d.properties.get("ann_cent_epoch").contains(cd.writeEpoch.toString))
+          d.properties.get("ann_cent_epoch").contains(cd.writeEpoch.toString)) &&
+        // codebook-drift bound: [[appendRowsAnnIndexed]] grows the corpus
+        // under FROZEN codebooks, so per-cell occupancy drifts off the
+        // √n-ideal linearly with growth. Past `annGrowthCap`× the corpus
+        // the codebook was trained at, the index is stale and the next
+        // ensure retrains — the geometric-epoch amortization argument of
+        // the LSH layout solver (rebuild cost O(1)/row amortized).
+        (nCentroids > 0 || { // explicit codebooks are the caller's choice
+          def num(k: String) = d.properties.get(k)
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+          num("ann_trained_n").zip(num("ann_n")).exists { case (t, c) =>
+            c <= math.max(1L, t) * annGrowthCap }
+        })
     }
     if (live) return false
     val existing = readStream(name).select(col(idCol), col(vecCol))
@@ -703,7 +725,7 @@ final class Engine(
       "ann_ncentroids" -> nCentroids.toString, "ann_m" -> m.toString,
       "ann_ksub" -> ksub.toString, "ann_kind" -> kind,
       "ann_k2" -> k2.toString, "ann_dims" -> dims.toString,
-      "ann_n" -> n.toString,
+      "ann_n" -> n.toString, "ann_trained_n" -> n.toString,
       "ann_main_epoch" -> mainEpoch.toString,
       "ann_idx_epoch" -> dIdx.writeEpoch.toString,
       "ann_cent_epoch" -> catalog.get(centName).get.writeEpoch.toString)))

@@ -990,11 +990,22 @@ object ScaleCheck {
         e.readStream("corpus"), "vec_id", "embedding",
         col("vec_id") < 32, k = 10, nProbe = 3).count()
       val inlineSec = (System.nanoTime() - t1) / 1e9
+      // shard ingest under the STANDING codebooks: cost must be
+      // shard-sized, ~flat in corpus size (assign+encode the shard,
+      // append to __annidx — no retrain, no corpus pass)
+      val shard = spark.range(n, n + 10000).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${d - 1}), j -> " +
+          "CAST((pmod(xxhash64(id, j), 2001) - 1000) / 1000.0 AS FLOAT))")
+          .as("embedding"))
+      val t2 = System.nanoTime()
+      e.appendRowsAnnIndexed("corpus", shard, "vec_id", "embedding")
+      val ingestSec = (System.nanoTime() - t2) / 1e9
       val med = reps.sorted.apply(1)
       println(f"[annidx] corpus=$n d=$d build=$buildSec%.1f s " +
         f"indexed_query=${reps.map(r => f"$r%.1f").mkString("/")} s " +
         f"(median=$med%.1f) inline_query=$inlineSec%.1f s " +
-        f"inline/indexed=${inlineSec / med}%.1fx")
+        f"inline/indexed=${inlineSec / med}%.1fx " +
+        f"shard10k_ingest=$ingestSec%.1f s")
       graft.operators.OperatorCache.clear(spark)
     }
     spark.stop()

@@ -140,6 +140,18 @@ class AnnIndexSpec extends SparkSpec {
       col("vec_id") < 3, k = 5, nProbe = 4096).collect().toSet
     assert(viaIdx == brute,
       "all-cells probe over the standing index must equal brute force")
+
+    // codebook-drift bound: with the growth cap forced to 1×, the next
+    // ensure sees the corpus grown past the trained size and retrains
+    spark.conf.set("spark.graft.ann.growthCap", "1")
+    try {
+      assert(e.ensureAnnIndex("emb3", "vec_id", "embedding"),
+        "growth past the cap must trigger a codebook retrain")
+      assert(e.catalog.get(e.annIndexName("emb3")).get
+        .properties("ann_trained_n").toLong == 60L)
+      assert(!e.ensureAnnIndex("emb3", "vec_id", "embedding"),
+        "freshly retrained index is live again")
+    } finally spark.conf.unset("spark.graft.ann.growthCap")
   }
 
   test("lifecycle: rename carries the ANN siblings, cascade drop removes them") {
@@ -162,6 +174,42 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.catalog.get(e.annIndexName("emb5")).isEmpty &&
       e.catalog.get(e.annCentroidsName("emb5")).isEmpty,
       "cascade drop must take both ANN siblings")
+  }
+
+  test("HIERARCHICAL quantizer round-trips through the index (kind-2 rows)") {
+    // past the (lowered) flat cap the stored codebook is two-level: top
+    // centroids as kind-0 rows, per-top-cell sub-centroids as kind-2
+    // rows re-packed on load — the indexed searches must still equal
+    // the inline operators trained under the same cap
+    val e = newEngine()
+    vecStream(e, "embh")
+    val data = corpus(120)
+    e.appendRows("embh", data)
+    spark.conf.set(graft.operators.Similarity.FlatCellCapKey, "4")
+    try {
+      assert(e.ensureAnnIndex("embh", "vec_id", "embedding"))
+      assert(e.catalog.get(e.annIndexName("embh")).get
+        .properties("ann_kind") == "hier", "cap 4 at n=120 must go hier")
+      val inlineIvf = Similarity.ivfTopK(data, "vec_id", "embedding",
+        col("vec_id") < 5, k = 3, nProbe = 2).collect().toSet
+      val idxIvf = e.annTopKIndexed("embh", "vec_id", "embedding",
+        col("vec_id") < 5, k = 3, nProbe = 2).collect().toSet
+      assert(idxIvf == inlineIvf,
+        "indexed hier IVF must equal inline hier ivfTopK")
+      assert(idxIvf.nonEmpty)
+      val inlinePq = Similarity.pqTopK(data, "vec_id", "embedding",
+        col("vec_id") < 5, k = 3, nProbe = 2).collect().toSet
+      val idxPq = e.annTopKIndexed("embh", "vec_id", "embedding",
+        col("vec_id") < 5, k = 3, nProbe = 2, method = "pq").collect().toSet
+      assert(idxPq == inlinePq,
+        "indexed hier PQ must equal inline hier pqTopK")
+      val inlineSem = Similarity.semDedup(data, "vec_id", "embedding",
+        threshold = 0.8).collect().map(_.toSeq).toSet
+      val idxSem = e.semDedupIndexed("embh", "vec_id", "embedding",
+        threshold = 0.8).collect().map(_.toSeq).toSet
+      assert(idxSem == inlineSem,
+        "indexed hier semDedup must equal inline")
+    } finally spark.conf.unset(graft.operators.Similarity.FlatCellCapKey)
   }
 
   test("empty corpus: index builds empty, search returns empty with schema") {

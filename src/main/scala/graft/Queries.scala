@@ -3415,6 +3415,39 @@ object Queries {
       |  WHERE q.vec_id < 10) t
       | WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)
 
+  /** The PERSISTED-index ANN search from plain SQL (round 10): the
+    * engine binds itself to the session in `registerViews`, and the
+    * `ann_indexed_topk` TVF resolves through it — so a model's SQL can
+    * express the SCALE retrieval path (standing `__annidx`, no per-call
+    * retrain), not just the inline operators. Shares `ann_ivf_topk`'s
+    * replayed-quantizer oracle. */
+  val sqlAnnIndexedTopK: Q = q("sql_ann_indexed_topk",
+    s"""WITH ${duckIvfCells()},
+      |corpus AS (SELECT vec_id AS n_id, v AS v_n, cid AS cell FROM a1 WHERE r = 1),
+      |qprobe AS (
+      |  SELECT vec_id AS q_id, v AS v_q, cid AS cell
+      |  FROM a1 WHERE vec_id < 10 AND r <= 3),
+      |cand AS (
+      |  SELECT q.q_id, c.n_id,
+      |    round(list_cosine_similarity(q.v_q, c.v_n), 6) AS cos
+      |  FROM qprobe q JOIN corpus c USING (cell)
+      |  WHERE q.q_id <> c.n_id)
+      |SELECT q_id, n_id, rnk, cos FROM (
+      |  SELECT q_id, n_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, n_id) AS BIGINT) AS rnk, cos
+      |  FROM cand) t
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+    withAnnEngine(s, dir) { e =>
+      e.registerViews() // binds this engine as the session's TVF target
+      s.sql(
+        """SELECT q_id, n_id, rnk, cos
+          |FROM ann_indexed_topk('emb_idx', 'vec_id', 'embedding',
+          |  'vec_id < 10', 5, 3)
+          |ORDER BY q_id, rnk""".stripMargin)
+    }
+  }
+
   val sqlSemDedup: Q = sqlTvf("sql_semdedup", Seq("embeddings"),
     """SELECT vec_id, CAST(cell AS BIGINT) AS cell, kept
       | FROM semdedup('embeddings', 'vec_id', 'embedding', 0.4)
@@ -7207,7 +7240,7 @@ object Queries {
     exactQuantileGate,
     annPqTopK, annIvfTopKIndexed, annPqTopKIndexed,
     semDedupIndexedGate, knnGraphIndexedGate,
-    sqlMinhashPairs, sqlAnnTopK, sqlSemDedup,
+    sqlMinhashPairs, sqlAnnTopK, sqlSemDedup, sqlAnnIndexedTopK,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,

@@ -52,6 +52,34 @@ case object Created extends ApplyResult
 case object Updated extends ApplyResult
 case object Unchanged extends ApplyResult
 
+object Engine {
+  /** Session conf key naming the engine root whose streams back the
+    * engine-bound SQL table functions (`ann_indexed_topk`): set by
+    * [[Engine.registerViews]] — i.e. by the engine actively driving a
+    * SQL statement — and read by the TVF builders at analysis time. */
+  val RootConfKey = "spark.graft.engine.root"
+
+  /** Live engines by root, for the engine-bound TVFs: the TVF must
+    * reach the SAME instance (its stream locks serialize index
+    * rebuilds against ingest — a second instance on one root would
+    * break the single-writer contract). Registration is by
+    * construction; roots are temp-dir-unique in practice. */
+  private[graft] val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Engine]()
+
+  /** The engine bound to the session's [[RootConfKey]], for TVFs. */
+  private[graft] def bound(spark: SparkSession): Engine = {
+    val root = spark.conf.getOption(RootConfKey).getOrElse(
+      throw new IllegalStateException(
+        "no engine bound to this session: engine-backed table functions " +
+          "resolve through the engine that registered the stream views " +
+          s"(run the SQL via the engine, or set ${RootConfKey})"))
+    Option(registry.get(root)).getOrElse(
+      throw new IllegalStateException(
+        s"no live engine for root '$root' in this process"))
+  }
+}
+
 /** The engine: one process, one SparkSession, a file-backed catalog. The
   * reference's control-plane/data-plane REST split (SURVEY §3) collapses to
   * direct calls; Flink-on-Decodable is replaced by Spark SQL as executor.
@@ -73,6 +101,7 @@ final class Engine(
 
   val catalog = new Catalog(root, namespace)
   GraftFunctions.register(spark)
+  Engine.registry.put(root, this) // engine-bound TVF resolution
 
   /** Hidden ingest-order columns. Epoch and within-write sequence are
     * SEPARATE columns (not bit-packed into one long): a packed
@@ -162,8 +191,13 @@ final class Engine(
       .add(SeqCol, "long", nullable = false)
       .add(DeletedCol, "boolean", nullable = false)
 
-  /** Register every catalog stream as a temp view (compacted read). */
-  def registerViews(): Unit =
+  /** Register every catalog stream as a temp view (compacted read).
+    * Also binds THIS engine as the session's engine-backed-TVF target
+    * ([[Engine.RootConfKey]]): registerViews runs immediately before
+    * every engine-driven `spark.sql`, so an `ann_indexed_topk(...)` in
+    * model/test SQL resolves against this engine's persisted index. */
+  def registerViews(): Unit = {
+    spark.conf.set(Engine.RootConfKey, root)
     catalog.list().foreach { d =>
       readStream(d.name).createOrReplaceTempView(d.name)
       namespace.foreach { ns =>
@@ -172,6 +206,7 @@ final class Engine(
         if (short != d.name) readStream(d.name).createOrReplaceTempView(short)
       }
     }
+  }
 
   // ------------------------------------------------------------------
   // Schema inference (S7) and change detection (L2)

@@ -126,6 +126,26 @@ object GraftTableFunctions {
         threshold = thr)
         .queryExecution.analyzed
     },
+    fn("ann_indexed_topk",
+      "ann_indexed_topk(stream, idCol, vecCol, queryPredicateSql, k, " +
+        "nProbe, method) - top-k ANN served from the engine's PERSISTED " +
+        "__annidx index (the scale path: no per-query codebook retrain). " +
+        "Resolves through the engine bound to the session " +
+        "(Engine.registerViews binds it), so it is consistent with the " +
+        "engine's epoch machinery — a stale index rebuilds before " +
+        "serving. method: 'ivf' (default) or 'pq'") { args =>
+      val tbl = litString(args, 0, "ann_indexed_topk", "stream name")
+      val id = litString(args, 1, "ann_indexed_topk", "id column")
+      val vec = litString(args, 2, "ann_indexed_topk", "vector column")
+      val pred = litString(args, 3, "ann_indexed_topk", "query predicate SQL")
+      val k = litInt(args, 4, "ann_indexed_topk", "k", 10)
+      val nProbe = litInt(args, 5, "ann_indexed_topk", "nProbe", 2)
+      val method = args.lift(6).map(_ =>
+        litString(args, 6, "ann_indexed_topk", "method")).getOrElse("ivf")
+      graft.engine.Engine.bound(SparkSession.active)
+        .annTopKIndexed(tbl, id, vec, expr(pred), k, nProbe, method)
+        .queryExecution.analyzed
+    },
     fn("text_quality",
       "text_quality(table) - per-document quality metrics " +
         "(doc_id, n_chars_m, n_tokens, avg_token_len)") { args =>

@@ -55,6 +55,7 @@ object BroadcastGenerateGuard {
     // bucketed scan, never broadcasts)
     "ann_ivf_topk_indexed" -> Seq("explode(transform(slice(sort_array("),
     "ann_pq_topk_indexed" -> Seq("explode(transform(slice(sort_array("),
+    "sql_ann_indexed_topk" -> Seq("explode(transform(slice(sort_array("),
     // 2-element quantile literal explode (exact_quantile broadcasts it
     // at two join sites — both audited)
     "exact_quantile" -> Seq("explode([0.5,0.99])", "explode([0.5,0.99])"),

@@ -212,6 +212,28 @@ class AnnIndexSpec extends SparkSpec {
     } finally spark.conf.unset(graft.operators.Similarity.FlatCellCapKey)
   }
 
+  test("ann_indexed_topk TVF resolves through the session-bound engine") {
+    val e = newEngine()
+    vecStream(e, "embsql")
+    val data = corpus(50)
+    e.appendRows("embsql", data)
+    e.registerViews() // binds this engine as the session's TVF target
+    val viaSql = spark.sql(
+      """SELECT q_id, n_id, rnk, cos
+        |FROM ann_indexed_topk('embsql', 'vec_id', 'embedding',
+        |  'vec_id < 4', 3, 2)""".stripMargin).collect().toSet
+    val viaApi = e.annTopKIndexed("embsql", "vec_id", "embedding",
+      col("vec_id") < 4, k = 3, nProbe = 2).collect().toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    // without a bound engine the TVF is a loud analysis error, not a
+    // silent empty result
+    spark.conf.unset(Engine.RootConfKey)
+    assertThrows[Exception] {
+      spark.sql("SELECT * FROM ann_indexed_topk('embsql', 'vec_id', " +
+        "'embedding', 'vec_id < 4', 3, 2)").queryExecution.analyzed
+    }
+  }
+
   test("empty corpus: index builds empty, search returns empty with schema") {
     val e = newEngine()
     vecStream(e, "emb6")

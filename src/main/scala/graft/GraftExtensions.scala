@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // [[graft.plans.CartesianJoinGuard]]
     ext.injectOptimizerRule(_ => new plans.SinglePartitionWindowGuard)
     ext.injectOptimizerRule(_ => new plans.CartesianJoinGuard)
+    // plans the deferred-effect lifecycle node the ann_index_* TVFs
+    // return (round 11) — see [[graft.plans.GraftAction]]
+    ext.injectPlannerStrategy(_ => new plans.GraftActionStrategy)
   }
 }

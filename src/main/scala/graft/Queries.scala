@@ -3329,7 +3329,9 @@ object Queries {
           org.apache.spark.sql.types.FloatType))))
     e.appendRows("emb_idx",
       t(s, dir, "embeddings").select("vec_id", "embedding"))
-    run(e)
+    // close releases the process-global registry/conf bindings only —
+    // the returned (lazy) serving plan reads parquet, not the registry
+    try run(e) finally e.close()
   }
 
   /** SemDedup served from the persisted index (round 10): the cell
@@ -3440,6 +3442,14 @@ object Queries {
       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
     withAnnEngine(s, dir) { e =>
       e.registerViews() // binds this engine as the session's TVF target
+      // round 11: the serving TVF is PURE (no implicit build — ADVICE
+      // r10 item 2), so the SQL surface builds the index explicitly
+      // first; the rebuild's effect runs at EXECUTION (collect), which
+      // this also exercises end to end
+      val status = s.sql(
+        """SELECT * FROM ann_index_rebuild('emb_idx', 'vec_id',
+          |  'embedding')""".stripMargin).collect()
+      assert(status.head.getBoolean(1), "first rebuild must build")
       s.sql(
         """SELECT q_id, n_id, rnk, cos
           |FROM ann_indexed_topk('emb_idx', 'vec_id', 'embedding',
@@ -3462,6 +3472,46 @@ object Queries {
       |  (d.vec_id IS NULL) AS kept
       |FROM corpus c LEFT JOIN dups d ON c.vec_id = d.vec_id
       |ORDER BY c.vec_id""".stripMargin)
+
+  /** Parameterized-knob TVF (round 11 — VERDICT r10 item 4: round 10's
+    * minhash_pairs hardcoded shingleN/numHashes/bands): the knobs drive
+    * from SQL — 3-shingles under 64 bands × r=2 banding (P(miss |
+    * J≥0.5) ≈ 1e-8, so sketch == exact here as in `dedup_minhash_lsh`)
+    * — against the exact 3-gram Jaccard oracle. */
+  val sqlMinhashPairsKnobs: Q = sqlTvf("sql_minhash_pairs_knobs",
+    Seq("documents"),
+    """SELECT id_a, id_b, jaccard
+      | FROM minhash_pairs('documents', 'doc_id', 'text', 0.5, 3, 128, 64)
+      | ORDER BY id_a, id_b""".stripMargin,
+    duckJaccardPairs(n = 3, threshold = 0.5, leftPred = "true"))
+
+  /** Benchmark decontamination from SQL (round 11 — VERDICT r10 item 4):
+    * the `decontaminate` TVF reads TWO tables (corpus + benchmark), so
+    * this also exercises multi-table dependency extraction through the
+    * TVF layer. Same split and oracle as the Scala-API gate. */
+  val sqlDecontaminate: Q = q("sql_decontaminate", {
+    val sh = duckShingles(4)
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($sh) AS g FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 4),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+       |bad AS (
+       |  SELECT DISTINCT doc_id FROM sh JOIN bench USING (g)
+       |  WHERE doc_id % 50 <> 0)
+       |SELECT d.doc_id, d.lang FROM documents d
+       |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY d.doc_id""".stripMargin }) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .createOrReplaceTempView("decon_corpus")
+    docs.filter(col("doc_id") % 50 === 0)
+      .createOrReplaceTempView("decon_bench")
+    s.sql(
+      """SELECT doc_id, lang
+        |FROM decontaminate('decon_corpus', 'doc_id', 'text',
+        |  'decon_bench', 'text', 4)
+        |ORDER BY doc_id""".stripMargin)
+  }
 
   /** Deterministic multi-epoch training shuffle
     * ([[operators.Sampling.epochShuffle]], round 6): every doc gets an
@@ -7241,6 +7291,7 @@ object Queries {
     annPqTopK, annIvfTopKIndexed, annPqTopKIndexed,
     semDedupIndexedGate, knnGraphIndexedGate,
     sqlMinhashPairs, sqlAnnTopK, sqlSemDedup, sqlAnnIndexedTopK,
+    sqlMinhashPairsKnobs, sqlDecontaminate,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,

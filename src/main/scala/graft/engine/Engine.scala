@@ -191,6 +191,23 @@ final class Engine(
       .add(SeqCol, "long", nullable = false)
       .add(DeletedCol, "boolean", nullable = false)
 
+  /** The rows ONE write epoch appended, re-read from COMMITTED storage
+    * (round 11): the stable frame the sibling-index ingest/maintenance
+    * passes run over. The ingest paths' `survivors` plan runs through a
+    * persisted probe frame whose lineage includes the postings streams —
+    * the moment the first sibling append commits, Spark invalidates that
+    * cache, and a later re-evaluation probes the survivors' OWN fresh
+    * postings, self-flags them, and silently evaluates empty. Reading
+    * the committed epoch back severs the lineage entirely; each epoch is
+    * a constant column per file, so parquet min/max stats prune the scan
+    * to the shard's own files. */
+  private def rowsAtEpoch(name: String, epoch: Long): DataFrame = {
+    val d = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    d.schema.applyComputed(readRaw(d).filter(col(EpochCol) === lit(epoch)))
+      .drop(SeqCol, EpochCol, DeletedCol)
+  }
+
   /** Register every catalog stream as a temp view (compacted read).
     * Also binds THIS engine as the session's engine-backed-TVF target
     * ([[Engine.RootConfKey]]): registerViews runs immediately before
@@ -219,16 +236,20 @@ final class Engine(
     val plan = spark.sessionState.sqlParser.parsePlan(SqlDialect.rewrite(sql))
     val relations = plan.collect {
       case r: UnresolvedRelation => Seq(r.multipartIdentifier.last)
-      // graft table functions take the source TABLE as their first
-      // string-literal argument — track it so rename/cascade see
-      // through a TVF-shaped pipeline stage (round 10)
+      // graft table functions take their source TABLE(s) as
+      // string-literal arguments (position 0, plus extras per
+      // GraftTableFunctions.tableArgPositions — decontaminate reads
+      // two tables) — track them so rename/cascade see through a
+      // TVF-shaped pipeline stage (round 10; round 11 multi-table)
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
           if graft.functions.GraftTableFunctions.names
             .contains(f.name.last.toLowerCase) =>
-        f.functionArgs.headOption.collect {
-          case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
-              if s != null => s.toString
-        }.toSeq
+        graft.functions.GraftTableFunctions.tableArgPositions
+          .getOrElse(f.name.last.toLowerCase, Seq(0))
+          .flatMap(i => f.functionArgs.lift(i).collect {
+            case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+                if s != null => s.toString
+          })
     }.flatten
     relations.distinct
       .map(catalog.qualify)
@@ -376,7 +397,12 @@ final class Engine(
     def postProps: Map[String, String] = Map(
       "bucket_by" -> "band,bkey", "bucket_count" -> "32",
       "mh_shingle_n" -> shingleN.toString,
-      "mh_num_hashes" -> numHashes.toString, "mh_bands" -> bands.toString)
+      "mh_num_hashes" -> numHashes.toString, "mh_bands" -> bands.toString,
+      // round 11: the indexed columns are pinned so OTHER managed
+      // ingest paths ([[appendRowsAnnIndexed]], the embedding dedup)
+      // can maintain this sibling for their survivors — see
+      // [[maintainSiblingIndexes]]
+      "mh_id_col" -> idCol, "mh_text_col" -> textCol)
     // the index has no layout solver (parameters are fixed and the
     // verify threshold is not baked in) — rebuild when the pinned
     // parameters disagree, a sibling is missing, the main stream was
@@ -389,6 +415,8 @@ final class Engine(
       d.properties.get("mh_shingle_n").contains(shingleN.toString) &&
         d.properties.get("mh_num_hashes").contains(numHashes.toString) &&
         d.properties.get("mh_bands").contains(bands.toString) &&
+        d.properties.get("mh_id_col").contains(idCol) &&
+        d.properties.get("mh_text_col").contains(textCol) &&
         d.properties.get("mh_main_epoch").contains(mainEpoch.toString) &&
         d.properties.get("mh_post_epoch").contains(d.writeEpoch.toString) &&
         catalog.get(sigName).exists(sd =>
@@ -443,10 +471,16 @@ final class Engine(
         val dropped = df.join(flagged, Seq(idCol), "left_semi").count()
         val survivors = df.join(flagged, Seq(idCol), "left_anti")
         appendRows(name, survivors)
+        // the committed survivor rows, re-read by epoch: every index
+        // ingest below runs over THIS frame, never over the reactive
+        // `survivors` plan (see [[rowsAtEpoch]] — the first sibling
+        // append invalidates `flagged`'s cache, after which a
+        // re-evaluated `survivors` self-flags and evaluates empty)
+        val survivorRows = rowsAtEpoch(name, catalog.get(name).get.writeEpoch)
         // the index ingests the survivors' rows — shard-sized, no
         // corpus work
         val (sPost, sSigs, cleanupS) = graft.operators.Dedup.minhashIndexFrames(
-          survivors.select(col(idCol), col(textCol)), idCol, textCol,
+          survivorRows.select(col(idCol), col(textCol)), idCol, textCol,
           shingleN, numHashes, bands)
         try { appendRows(postName, sPost); appendRows(sigName, sSigs) }
         finally cleanupS()
@@ -459,6 +493,13 @@ final class Engine(
           ("mh_post_epoch" -> dPost.writeEpoch.toString) +
           ("mh_sig_epoch" -> catalog.get(sigName).get.writeEpoch.toString)))
         maybeCompactIndex(postName); maybeCompactIndex(sigName)
+        // round 11 (VERDICT r10 item 1): the survivors also feed any
+        // OTHER live sibling index on this stream — without this, a
+        // stream carrying both a dedup index and an ANN index paid a
+        // corpus-linear ANN rebuild after every deduped ingest (the
+        // survivor append advanced the main epoch, so the next
+        // ensureAnnIndex saw a stale pin and retrained)
+        maintainSiblingIndexes(name, survivorRows, mainEpoch, skip = Set("mh"))
         dropped
       } finally { flagged.unpersist(); cleanup() }
     } finally df.unpersist()
@@ -546,14 +587,15 @@ final class Engine(
     // probe against a silently-stale index
     val mainEpoch = catalog.get(name).map(_.writeEpoch).getOrElse(
       throw new IllegalArgumentException(s"stream '$name' not found"))
-    def solve(n: Long): (Int, Int, Int) = graft.operators.Dedup.lshLayout(
-      math.max(1L, n), threshold, targetOccupancy = 16, missTarget = 1e-6,
-      probeRadius = 2, maxTables = 512)
+    def solve(n: Long): (Int, Int, Int) = lshSolve(n, threshold)
     def metaProps(p: Int, t: Int, r: Int, n: Long): Map[String, String] = Map(
       "bucket_by" -> "tbl,bucket", "bucket_count" -> "32",
       "lsh_planes" -> p.toString, "lsh_tables" -> t.toString,
       "lsh_radius" -> r.toString, "lsh_n" -> n.toString,
-      "lsh_threshold" -> threshold.toString, "lsh_dims" -> dims.toString)
+      "lsh_threshold" -> threshold.toString, "lsh_dims" -> dims.toString,
+      // round 11: pinned for cross-family maintenance, as in
+      // [[appendRowsDeduped]]'s postProps
+      "lsh_id_col" -> idCol, "lsh_vec_col" -> vecCol)
     // fast path: a live index whose pinned layout still matches the
     // solver at the ledger count (and this call's config). Non-numeric
     // pinned values (hand-edited catalog) fall through to a rebuild
@@ -568,6 +610,8 @@ final class Engine(
         n <- num(d.properties.get("lsh_n"))
         if d.properties.get("lsh_threshold").contains(threshold.toString)
         if d.properties.get("lsh_dims").contains(dims.toString)
+        if d.properties.get("lsh_id_col").contains(idCol)
+        if d.properties.get("lsh_vec_col").contains(vecCol)
         if d.properties.get("lsh_main_epoch").contains(mainEpoch.toString)
         // the index's OWN pinned epoch: a direct out-of-band write to
         // the `__lshidx` sibling forces a rebuild (round 10 — ADVICE r9)
@@ -611,10 +655,13 @@ final class Engine(
         val dropped = df.join(flagged, Seq(idCol), "left_semi").count()
         val survivors = df.join(flagged, Seq(idCol), "left_anti")
         appendRows(name, survivors)
+        // committed survivor rows, re-read by epoch (see [[rowsAtEpoch]]
+        // — the postings append below invalidates `flagged`'s cache)
+        val survivorRows = rowsAtEpoch(name, catalog.get(name).get.writeEpoch)
         // the index ingests the survivors' postings under the SAME epoch
         // layout the probe used — shard-sized, no corpus work
         appendRows(idxName, graft.operators.Dedup.embeddingPostings(
-          survivors.select(col(idCol), col(vecCol)), idCol, vecCol,
+          survivorRows.select(col(idCol), col(vecCol)), idCol, vecCol,
           planes, tables, dims))
         val ingested = df.count() - dropped
         val dNow = catalog.get(idxName).get
@@ -623,6 +670,8 @@ final class Engine(
           ("lsh_main_epoch" -> catalog.get(name).get.writeEpoch.toString) +
           ("lsh_idx_epoch" -> dNow.writeEpoch.toString)))
         maybeCompactIndex(idxName)
+        // cross-family maintenance (round 11) — see [[appendRowsDeduped]]
+        maintainSiblingIndexes(name, survivorRows, mainEpoch, skip = Set("lsh"))
         dropped
       } finally { flagged.unpersist(); cleanup() }
     } finally df.unpersist()
@@ -633,6 +682,194 @@ final class Engine(
     * tooling can inspect/DROP it; its layout epoch lives in the stream
     * properties (`lsh_planes`/`lsh_tables`/`lsh_radius`/`lsh_n`). */
   def lshIndexName(name: String): String = name + "__lshidx"
+
+  /** The ONE place the embedding-LSH layout solver's occupancy/miss
+    * parameters live: both [[appendRowsDedupedEmbedding]]'s live check
+    * and [[maintainSiblingIndexes]]'s layout-epoch check call this —
+    * a drifted duplicate would make the two paths disagree on when a
+    * layout epoch ends. */
+  private def lshSolve(n: Long, threshold: Double): (Int, Int, Int) =
+    graft.operators.Dedup.lshLayout(math.max(1L, n), threshold,
+      targetOccupancy = 16, missTarget = 1e-6, probeRadius = 2,
+      maxTables = 512)
+
+  // ------------------------------------------------------------------
+  // Cross-family sibling-index maintenance (round 11 — VERDICT r10
+  // item 1). A stream can carry up to three managed index families at
+  // once (MinHash text dedup, sign-LSH embedding dedup, the ANN
+  // retrieval index). Before this section, each managed ingest path
+  // maintained only ITS OWN siblings — the survivor append advanced the
+  // main write epoch, so every OTHER family's pinned `*_main_epoch`
+  // went stale and its next use paid a corpus-linear rebuild at ingest
+  // cadence. Now every managed ingest routes its appended rows through
+  // the other families' standing layouts too (shard-sized encode /
+  // posting passes — the same work those families' own ingest paths
+  // do), then re-pins epochs, so ALL live indexes stay live across any
+  // managed ingest. Out-of-band writes (plain appendRows / truncate /
+  // deleteKeys) still invalidate everything — that contract is the
+  // correctness backstop, unchanged.
+  // ------------------------------------------------------------------
+
+  private def propLong(p: Map[String, String], k: String): Option[Long] =
+    p.get(k).flatMap(s => scala.util.Try(s.toLong).toOption)
+
+  /** Maintain every OTHER live sibling index after a managed ingest
+    * appended `appended` to `name`. `preEpoch` is the main stream's
+    * write epoch BEFORE the caller's append — a sibling is maintained
+    * only when its pinned main epoch equals it (i.e. the sibling was
+    * live w.r.t. exactly the corpus this ingest extended); anything
+    * else is left stale for its own rebuild machinery (correctness is
+    * the epoch pins' job, maintenance is purely the fast path). `skip`
+    * names the family the caller already maintains itself
+    * ("mh" | "lsh" | "ann"). Caller holds streamLock(name). */
+  private def maintainSiblingIndexes(name: String, appended: DataFrame,
+                                     preEpoch: Long,
+                                     skip: Set[String]): Unit = {
+    if (!skip("mh")) maintainMhSiblings(name, appended, preEpoch)
+    if (!skip("lsh")) maintainLshSibling(name, appended, preEpoch)
+    if (!skip("ann")) maintainAnnSiblings(name, appended, preEpoch)
+  }
+
+  /** MinHash postings/signatures twin of [[maintainAnnSiblings]]: the
+    * appended rows' postings enter the standing band layout (parameters
+    * are pinned and fixed, so there is no layout-epoch case here). */
+  private def maintainMhSiblings(name: String, appended: DataFrame,
+                                 preEpoch: Long): Unit = {
+    val postName = mhPostingsName(name)
+    val sigName = mhSignaturesName(name)
+    catalog.get(postName).foreach { d =>
+      val p = d.properties
+      val ok = for {
+        sn <- propLong(p, "mh_shingle_n").map(_.toInt)
+        nh <- propLong(p, "mh_num_hashes").map(_.toInt)
+        nb <- propLong(p, "mh_bands").map(_.toInt)
+        idC <- p.get("mh_id_col") if appended.columns.contains(idC)
+        txtC <- p.get("mh_text_col") if appended.columns.contains(txtC)
+        if p.get("mh_main_epoch").contains(preEpoch.toString)
+        if p.get("mh_post_epoch").contains(d.writeEpoch.toString)
+        if catalog.get(sigName).exists(sd =>
+          p.get("mh_sig_epoch").contains(sd.writeEpoch.toString))
+      } yield (sn, nh, nb, idC, txtC)
+      ok.foreach { case (sn, nh, nb, idC, txtC) =>
+        val (post, sigs, cleanup) = graft.operators.Dedup.minhashIndexFrames(
+          appended.select(col(idC), col(txtC)), idC, txtC, sn, nh, nb)
+        try { appendRows(postName, post); appendRows(sigName, sigs) }
+        finally cleanup()
+        val dNow = catalog.get(postName).get
+        catalog.put(dNow.copy(properties = dNow.properties +
+          ("mh_main_epoch" -> catalog.get(name).get.writeEpoch.toString) +
+          ("mh_post_epoch" -> dNow.writeEpoch.toString) +
+          ("mh_sig_epoch" -> catalog.get(sigName).get.writeEpoch.toString)))
+        maybeCompactIndex(postName); maybeCompactIndex(sigName)
+      }
+    }
+  }
+
+  /** Sign-LSH postings twin: appended rows' postings enter the standing
+    * (planes, tables) layout UNLESS their count crosses a solver layout
+    * breakpoint — then the sibling is left stale and the next embedding
+    * ingest rebuilds under the new layout (geometric epochs, amortized
+    * O(1)/row, exactly the owning path's own policy). */
+  private def maintainLshSibling(name: String, appended: DataFrame,
+                                 preEpoch: Long): Unit = {
+    val idxName = lshIndexName(name)
+    catalog.get(idxName).foreach { d =>
+      val p = d.properties
+      val ok = for {
+        planes <- propLong(p, "lsh_planes").map(_.toInt)
+        tables <- propLong(p, "lsh_tables").map(_.toInt)
+        radius <- propLong(p, "lsh_radius").map(_.toInt)
+        n <- propLong(p, "lsh_n")
+        dims <- propLong(p, "lsh_dims").map(_.toInt)
+        thr <- p.get("lsh_threshold")
+          .flatMap(s => scala.util.Try(s.toDouble).toOption)
+        idC <- p.get("lsh_id_col") if appended.columns.contains(idC)
+        vC <- p.get("lsh_vec_col") if appended.columns.contains(vC)
+        if p.get("lsh_main_epoch").contains(preEpoch.toString)
+        if p.get("lsh_idx_epoch").contains(d.writeEpoch.toString)
+      } yield (planes, tables, radius, n, dims, thr, idC, vC)
+      ok.foreach { case (planes, tables, radius, n, dims, thr, idC, vC) =>
+        val shard = appended.select(col(idC), col(vC))
+        val shardN = shard.count()
+        val newN = n + shardN
+        if (lshSolve(newN, thr) == ((planes, tables, radius))) {
+          if (shardN > 0)
+            appendRows(idxName, graft.operators.Dedup.embeddingPostings(
+              shard, idC, vC, planes, tables, dims))
+          val dNow = catalog.get(idxName).get
+          catalog.put(dNow.copy(properties = dNow.properties +
+            ("lsh_n" -> newN.toString) +
+            ("lsh_main_epoch" -> catalog.get(name).get.writeEpoch.toString) +
+            ("lsh_idx_epoch" -> dNow.writeEpoch.toString)))
+          maybeCompactIndex(idxName)
+        }
+      }
+    }
+  }
+
+  /** ANN-index twin — the round-11 headline case: deduped-ingest
+    * SURVIVORS encode into the standing `__annidx` under the FROZEN
+    * codebooks (the [[appendRowsAnnIndexed]] shard path), instead of
+    * leaving the index stale and forcing a corpus-linear retrain at the
+    * next search. Skips (leaves stale) when the standing index is
+    * empty, or when an AUTO codebook would cross [[annGrowthCap]] — in
+    * both cases the next ensure's rebuild IS the right move and
+    * encoding first would be wasted work.
+    *
+    * @return true when the index is live after this call (maintained or
+    *         trivially re-pinned); false when it was left stale */
+  private def maintainAnnSiblings(name: String, appended: DataFrame,
+                                  preEpoch: Long): Boolean = {
+    import graft.operators.Similarity
+    val idxName = annIndexName(name)
+    val centName = annCentroidsName(name)
+    val ok = catalog.get(idxName).flatMap { d =>
+      val p = d.properties
+      for {
+        m <- propLong(p, "ann_m").map(_.toInt)
+        ksub <- propLong(p, "ann_ksub").map(_.toInt)
+        annN <- propLong(p, "ann_n") if annN > 0
+        trained <- propLong(p, "ann_trained_n")
+        kind <- p.get("ann_kind")
+        idC <- p.get("ann_id_col") if appended.columns.contains(idC)
+        vC <- p.get("ann_vec_col") if appended.columns.contains(vC)
+        if p.get("ann_main_epoch").contains(preEpoch.toString)
+        if p.get("ann_idx_epoch").contains(d.writeEpoch.toString)
+        if catalog.get(centName).exists(cd =>
+          p.get("ann_cent_epoch").contains(cd.writeEpoch.toString))
+      } yield (p, m, ksub, annN, trained, kind, idC, vC)
+    }
+    ok.exists { case (p, m, ksub, annN, trained, kind, idC, vC) =>
+      val shard = appended.select(col(idC).as("n_id"), col(vC).as("v"))
+      val shardN = shard.count()
+      val auto = p.get("ann_ncentroids").contains("0")
+      if (auto && annN + shardN > math.max(1L, trained) * annGrowthCap)
+        false // past the drift cap: stale → next ensure retrains
+      else {
+        if (shardN > 0) {
+          val centRows = readStream(centName)
+          val hierK2 =
+            if (kind == "hier") propLong(p, "ann_k2").map(_.toInt) else None
+          val quant = Similarity.quantizerFromRows(centRows, hierK2)
+          val books = Similarity.booksFromRows(centRows, m, ksub)
+          appendRows(idxName, Similarity.pqEncode(quant.assign(shard), books)
+            .select(col("n_id").as("ex_id"), col("cell"),
+              col("v_n").as("v"), col("codes"), col("eps"), col("norm_x")))
+        }
+        // zero survivors still re-pin: the caller's (empty) append
+        // advanced the main epoch, and a no-op ingest must not cost the
+        // next search a rebuild
+        val dIdx = catalog.get(idxName).get
+        catalog.put(dIdx.copy(properties = dIdx.properties ++ Map(
+          "ann_n" -> (annN + shardN).toString,
+          "ann_main_epoch" -> catalog.get(name).get.writeEpoch.toString,
+          "ann_idx_epoch" -> dIdx.writeEpoch.toString,
+          "ann_cent_epoch" -> catalog.get(centName).get.writeEpoch.toString)))
+        maybeCompactIndex(idxName)
+        true
+      }
+    }
+  }
 
   // ------------------------------------------------------------------
   // Persisted ANN retrieval index (round 10 — VERDICT r9 item 1: the
@@ -690,6 +927,11 @@ final class Engine(
       d.properties.get("ann_ncentroids").contains(nCentroids.toString) &&
         d.properties.get("ann_m").contains(m.toString) &&
         d.properties.get("ann_ksub").contains(ksub.toString) &&
+        // round 11: the indexed COLUMNS are part of the config — an
+        // ensure over a different vector column must rebuild, not
+        // silently serve the other column's index
+        d.properties.get("ann_id_col").contains(idCol) &&
+        d.properties.get("ann_vec_col").contains(vecCol) &&
         d.properties.get("ann_main_epoch").contains(mainEpoch.toString) &&
         d.properties.get("ann_idx_epoch").contains(d.writeEpoch.toString) &&
         catalog.get(centName).exists(cd =>
@@ -760,6 +1002,7 @@ final class Engine(
       "ann_ncentroids" -> nCentroids.toString, "ann_m" -> m.toString,
       "ann_ksub" -> ksub.toString, "ann_kind" -> kind,
       "ann_k2" -> k2.toString, "ann_dims" -> dims.toString,
+      "ann_id_col" -> idCol, "ann_vec_col" -> vecCol,
       "ann_n" -> n.toString, "ann_trained_n" -> n.toString,
       "ann_main_epoch" -> mainEpoch.toString,
       "ann_idx_epoch" -> dIdx.writeEpoch.toString,
@@ -781,10 +1024,41 @@ final class Engine(
                      nProbe: Int = 2, method: String = "ivf",
                      nCentroids: Int = 0, m: Int = 8,
                      ksub: Int = 16): DataFrame = {
+    ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
+    annTopKIndexedServe(name, idCol, vecCol, queryPred, k, nProbe, method)
+  }
+
+  /** Serve top-k from the CURRENT persisted index, with NO ensure —
+    * pure plan construction over the standing `__annidx`/`__anncent`
+    * contents (round 11 — ADVICE r10 item 2: the `ann_indexed_topk` TVF
+    * resolves at SQL analysis time, so it must never truncate, rebuild,
+    * or run corpus jobs as a side effect of EXPLAIN or schema
+    * inference; it calls THIS). The only work at plan time is the
+    * centroid-scale codebook read (K×d rows — index metadata). A
+    * missing index, or one built over different columns, is a loud
+    * error naming the lifecycle ops; a merely STALE index (corpus
+    * written since the last build) serves its last built epoch, the
+    * standard materialized-index contract — `ann_index_rebuild` /
+    * [[ensureAnnIndex]] folds new rows in. */
+  def annTopKIndexedServe(name: String, idCol: String, vecCol: String,
+                          queryPred: org.apache.spark.sql.Column, k: Int,
+                          nProbe: Int = 2,
+                          method: String = "ivf"): DataFrame = {
     import graft.operators.Similarity
     require(Seq("ivf", "pq").contains(method), s"unknown method '$method'")
-    ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
-    val props = catalog.get(annIndexName(name)).get.properties
+    val props = catalog.get(annIndexName(name)).map(_.properties).getOrElse(
+      throw new IllegalStateException(
+        s"no persisted ANN index for stream '$name' — build one with " +
+          s"ann_index_rebuild('$name', '$idCol', '$vecCol') or " +
+          "Engine.ensureAnnIndex"))
+    if (!props.get("ann_id_col").contains(idCol) ||
+        !props.get("ann_vec_col").contains(vecCol))
+      throw new IllegalStateException(
+        s"the persisted ANN index for stream '$name' covers columns " +
+          s"(${props.getOrElse("ann_id_col", "?")}, " +
+          s"${props.getOrElse("ann_vec_col", "?")}), not ($idCol, " +
+          s"$vecCol) — rebuild with ann_index_rebuild('$name', " +
+          s"'$idCol', '$vecCol')")
     val queries = readStream(name).filter(queryPred)
       .select(col(idCol).as("n_id"), col(vecCol).as("v"))
     if (props("ann_n").toLong == 0L) // empty corpus: empty result
@@ -805,11 +1079,52 @@ final class Engine(
     }
   }
 
+  /** Explicit index-lifecycle entry points (round 11 — VERDICT r10
+    * item 4): what `ann_indexed_topk` used to trigger implicitly is now
+    * manageable — from Scala here, and from SQL via the
+    * `ann_index_rebuild`/`ann_index_drop` table functions (whose
+    * effects run at EXECUTION time through
+    * [[graft.plans.GraftAction]]). `force` truncates the encoded corpus
+    * first, so even a live index retrains — the operational "my data
+    * distribution moved" knob the growth cap cannot see.
+    *
+    * @return true when a (re)build ran, false when live and !force */
+  def rebuildAnnIndex(name: String, idCol: String, vecCol: String,
+                      nCentroids: Int = 0, m: Int = 8, ksub: Int = 16,
+                      force: Boolean = false): Boolean =
+    streamLock(name).synchronized {
+      if (force && catalog.get(annIndexName(name)).nonEmpty)
+        truncate(annIndexName(name)) // breaks the idx-epoch pin
+      ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
+    }
+
+  /** Drop the ANN index siblings (stream data untouched). @return true
+    * when an index existed. */
+  def dropAnnIndex(name: String): Boolean =
+    streamLock(name).synchronized {
+      val had = catalog.get(annIndexName(name)).nonEmpty ||
+        catalog.get(annCentroidsName(name)).nonEmpty
+      Seq(annIndexName(name), annCentroidsName(name)).foreach { s =>
+        if (catalog.get(s).nonEmpty) dropStream(s)
+      }
+      had
+    }
+
   /** SemDedup verdicts over stream `name` served FROM the persisted
     * index: the cell ASSIGNMENT (the quantizer-train + corpus-pass half
     * the inline operator re-pays per call) reads from `__annidx`; only
     * the threshold-dependent within-cell pair stage runs per call.
-    * Identical rows to `Similarity.semDedup` on the same corpus. */
+    *
+    * Equivalence contract (qualified — ADVICE r10 item 5): identical
+    * rows to `Similarity.semDedup` when the index epoch IS a fresh
+    * build of the corpus (every gate and the ensure-then-serve path).
+    * After [[appendRowsAnnIndexed]]/dedup-survivor growth under a
+    * FROZEN codebook, the stored cells are the frozen quantizer's
+    * assignment — the inline operator would retrain and may place
+    * borderline vectors differently, so post-ingest results are
+    * approximate within the [[annGrowthCap]] drift bound (cells at
+    * worst cap× the √n-ideal); pairs WITHIN a stored cell are still
+    * exact cosines. AnnIndexSpec pins both halves. */
   def semDedupIndexed(name: String, idCol: String, vecCol: String,
                       threshold: Double = 0.4, nCentroids: Int = 0,
                       m: Int = 8, ksub: Int = 16): DataFrame = {
@@ -820,8 +1135,10 @@ final class Engine(
   }
 
   /** Mutual-kNN graph over stream `name` served FROM the persisted
-    * index — same assignment-reuse split as [[semDedupIndexed]].
-    * Identical rows to `Similarity.knnGraph` on the same corpus. */
+    * index — same assignment-reuse split AND the same qualified
+    * equivalence contract as [[semDedupIndexed]]: identical rows to
+    * `Similarity.knnGraph` at a fresh index epoch; approximate within
+    * the frozen-codebook drift bound after index-preserving ingests. */
   def knnGraphIndexed(name: String, idCol: String, vecCol: String,
                       k: Int, nCentroids: Int = 0,
                       m: Int = 8, ksub: Int = 16): DataFrame = {
@@ -843,35 +1160,23 @@ final class Engine(
                            vecCol: String, nCentroids: Int = 0,
                            m: Int = 8, ksub: Int = 16): Unit =
     streamLock(name).synchronized {
-    import graft.operators.Similarity
     ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
-    val idxName = annIndexName(name)
-    val centName = annCentroidsName(name)
-    val props = catalog.get(idxName).get.properties
+    val preEpoch = catalog.get(name).get.writeEpoch
     appendRows(name, df)
-    val shard = df.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    val shardN = shard.count()
-    if (props("ann_n").toLong == 0L) {
-      // the standing index is EMPTY — there is no codebook to encode
-      // under; rebuild from the (now non-empty) corpus instead
+    // committed shard rows by epoch: cheaper than re-running a possibly
+    // expensive caller plan per maintenance pass, and immune to cache
+    // invalidation (see [[rowsAtEpoch]])
+    val appended = rowsAtEpoch(name, catalog.get(name).get.writeEpoch)
+    if (!maintainAnnSiblings(name, appended, preEpoch))
+      // left stale: the standing index was EMPTY (no codebook to encode
+      // under), or this shard crossed the AUTO growth cap — either way a
+      // retrain from the now-complete corpus is the right (and
+      // amortized-O(1)/row) move, paid here rather than by the next
+      // search
       ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
-      return
-    }
-    val centRows = readStream(centName)
-    val hierK2 =
-      if (props("ann_kind") == "hier") Some(props("ann_k2").toInt) else None
-    val quant = Similarity.quantizerFromRows(centRows, hierK2)
-    val books = Similarity.booksFromRows(centRows, m, ksub)
-    appendRows(idxName, Similarity.pqEncode(quant.assign(shard), books)
-      .select(col("n_id").as("ex_id"), col("cell"),
-        col("v_n").as("v"), col("codes"), col("eps"), col("norm_x")))
-    val dIdx = catalog.get(idxName).get
-    catalog.put(dIdx.copy(properties = dIdx.properties ++ Map(
-      "ann_n" -> (props("ann_n").toLong + shardN).toString,
-      "ann_main_epoch" -> catalog.get(name).get.writeEpoch.toString,
-      "ann_idx_epoch" -> dIdx.writeEpoch.toString,
-      "ann_cent_epoch" -> catalog.get(centName).get.writeEpoch.toString)))
-    maybeCompactIndex(idxName)
+    // round 11: any OTHER live sibling family (text/embedding dedup
+    // indexes) ingests this shard too — see [[maintainSiblingIndexes]]
+    maintainSiblingIndexes(name, appended, preEpoch, skip = Set("ann"))
     }
 
   /** Per-stream ingest mutex: [[write]] is read-epoch-then-write and
@@ -1669,5 +1974,22 @@ final class Engine(
     requireConnection(name, "delete")
     deactivateConnection(name)
     catalog.deleteConnection(name)
+  }
+
+  /** Release this engine's process-global registrations (round 11 —
+    * VERDICT r10 "what's wrong" item 1: [[Engine.registry]] had no
+    * removal path, so every engine a long-lived session constructed
+    * parked in the static map forever, its Catalog and temp-root state
+    * strongly referenced). Removes the registry binding — guarded so a
+    * NEWER engine that took the same root is left in place (latest
+    * wins, as registration does) — and clears the session's
+    * [[Engine.RootConfKey]] when it still points at this root, so
+    * `Engine.bound` can no longer resurrect an abandoned engine.
+    * Idempotent; stream data on disk is untouched (close releases the
+    * process bindings, it is not a drop). */
+  def close(): Unit = {
+    Engine.registry.remove(root, this)
+    if (spark.conf.getOption(Engine.RootConfKey).contains(root))
+      spark.conf.unset(Engine.RootConfKey)
   }
 }

@@ -71,6 +71,18 @@ object Similarity {
   val SubBroadcastCapBytes: Long = 64L << 20
   val SubBroadcastCapKey = "spark.graft.quantizer.subBroadcastCapBytes"
 
+  /** Size cap on the PROBED-QUERY broadcast in the IVF/PQ search tails
+    * (round 11 — ADVICE r10 item 1): `ivfSearchTail`/`pqBarFrames`
+    * broadcast the probed query side unconditionally, which is right
+    * for gate-scale query batches but dies at Spark's broadcast ceiling
+    * when a standing-index serving path is handed a bulk query batch
+    * (queries × nProbe fan-out × the PQ LUT payload). Past the cap the
+    * cell equi-join degrades to SHUFFLE_HASH with the probed side as
+    * build — the corpus side is bucketed on `cell` in the index-served
+    * path, so it still joins without an exchange (the same
+    * degrade-not-die trade as [[SubBroadcastCapKey]]). */
+  val ProbeBroadcastCapKey = "spark.graft.ann.probeBroadcastCapBytes"
+
   /** UNCAPPED √n-ideal total cell count — what the corpus actually
     * needs for Θ(n^1.5) candidate economics at any scale. The flat
     * quantizer serves it up to [[FlatCellCap]]; beyond that the
@@ -92,6 +104,10 @@ object Similarity {
     /** Total composite cells (k1·k2 for the hierarchy). */
     def numCells: Long
     def dims: Int
+    /** Rows [[probeCells]] emits per query row, at most: nProbe flat,
+      * nProbe top-cells × nProbe sub-cells for the hierarchy — the
+      * multiplier the probed-side broadcast estimate scales by. */
+    def probeFanout(nProbe: Int): Long
     /** Adds int `cell` to a frame with vector column `v`; every input
       * column is preserved. */
     def assign(df: DataFrame): DataFrame
@@ -111,6 +127,7 @@ object Similarity {
     def isEmpty: Boolean = centroids.isEmpty
     def numCells: Long = centroids.size.toLong
     def dims: Int = centroids.head._2.length
+    def probeFanout(nProbe: Int): Long = math.min(nProbe.toLong, numCells)
     def assign(df: DataFrame): DataFrame = withCell(df, centroids)
     def probeCells(queries: DataFrame, vecCol: String, nProbe: Int): DataFrame = {
       val keep = queries.columns.toSeq.map(col)
@@ -159,6 +176,8 @@ object Similarity {
       val subPacked: DataFrame, val dims: Int) extends CoarseQuantizer {
     def isEmpty: Boolean = false
     def numCells: Long = top.size.toLong * k2
+    def probeFanout(nProbe: Int): Long =
+      math.min(nProbe.toLong, top.size.toLong) * math.min(nProbe.toLong, k2.toLong)
     /** The sub-centroid side of the assignment/probe joins —
       * [[packedSide]] with this hierarchy's k1·k2 centroid budget. */
     private def subSide: DataFrame =
@@ -211,6 +230,44 @@ object Similarity {
       .getOrElse(SubBroadcastCapBytes)
     if (bytes <= cap) broadcast(packed) else packed.hint("shuffle_hash")
   }
+
+  /** The probed-query join side under [[ProbeBroadcastCapKey]] (round
+    * 11 — ADVICE r10 item 1): broadcast while the caller's size bound
+    * fits; shuffle-hash with the probed side as BUILD past it (the
+    * query batch is the small side by construction — the corpus it
+    * probes is what outgrew it). */
+  private def probedSide(probed: DataFrame, estBytes: Long): DataFrame = {
+    val cap = probed.sparkSession.conf.getOption(ProbeBroadcastCapKey)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(SubBroadcastCapBytes)
+    if (estBytes <= cap) broadcast(probed) else probed.hint("shuffle_hash")
+  }
+
+  /** Byte bound for a probed-query frame: a plan-statistics ROW bound
+    * on the UNPROBED query side (Generate-blind stats would undercount
+    * the fan-out), × the quantizer's probe fan-out × the caller's
+    * post-probe row payload. The rowCount fallback (sizeInBytes/8)
+    * over-counts rows for real vector rows, so the error direction is
+    * toward the shuffle degrade — never toward an oversized broadcast
+    * (the [[graft.operators.Dedup]] shardRowEstimate convention). */
+  private def probedBytesEstimate(queries: DataFrame, fanout: Long,
+                                  rowBytes: Long): Long = {
+    val st = queries.queryExecution.optimizedPlan.stats
+    val rows = st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong)
+      .getOrElse {
+        val approx = st.sizeInBytes / 8
+        if (approx >= BigInt(Long.MaxValue)) Long.MaxValue
+        else math.max(1L, approx.toLong)
+      }
+    val b = BigInt(rows) * math.max(1L, fanout) * math.max(1L, rowBytes)
+    if (b >= BigInt(Long.MaxValue)) Long.MaxValue else b.toLong
+  }
+
+  /** Post-probe row payloads for the two search tails: q_id + vector
+    * (+ the PQ LUT/norm columns) + the probed cell + per-row overhead. */
+  private def ivfProbeRowBytes(dims: Int): Long = 4L * dims + 48
+  private def pqProbeRowBytes(dims: Int, b: PqBooks): Long =
+    4L * dims + 8L * b.m * b.ksub + 8L * b.m + 64
 
   /** Packs per-top-cell sub-centroids into one row per top cell:
     * `(__sp_tcell, __cids, __flat)` — cids sorted ascending so the
@@ -630,19 +687,22 @@ object Similarity {
 
     val corpus = quant.assign(e)
       .withColumnRenamed("v", "v_n")
-    val queries = quant.probeCells(
-      e.filter(queryPred).select(col("n_id").as("q_id"), col("v").as("v_q")),
-      "v_q", nProbe)
-    ivfSearchTail(corpus, queries, k)
+    val qs = e.filter(queryPred)
+      .select(col("n_id").as("q_id"), col("v").as("v_q"))
+    val queries = quant.probeCells(qs, "v_q", nProbe)
+    ivfSearchTail(corpus, queries, k, probedBytesEstimate(qs,
+      quant.probeFanout(nProbe), ivfProbeRowBytes(quant.dims)))
   }
 
   /** The exact-scoring tail shared by [[ivfTopK]] and the index-backed
     * [[ivfTopKFromIndex]]: cell equi-join with the PROBED QUERIES
-    * broadcast (the corpus never shuffles), round-6 exact cosine,
+    * broadcast while `probedBytes` fits [[ProbeBroadcastCapKey]] (the
+    * corpus never shuffles; past the cap the probed side builds a
+    * shuffle-hash instead — ADVICE r10 item 1), round-6 exact cosine,
     * per-query window with the family's n_id tie-break. */
   private[graft] def ivfSearchTail(corpus: DataFrame, probed: DataFrame,
-                                   k: Int): DataFrame = {
-    val scored = corpus.join(broadcast(probed), "cell")
+                                   k: Int, probedBytes: Long): DataFrame = {
+    val scored = corpus.join(probedSide(probed, probedBytes), "cell")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", round(cosine(col("v_q"), col("v_n")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
@@ -665,10 +725,10 @@ object Similarity {
                                       queries: DataFrame, k: Int,
                                       nProbe: Int): DataFrame = {
     val corpus = index.select(col("n_id"), col("cell"), col("v").as("v_n"))
-    val probed = quant.probeCells(
-      queries.select(col("n_id").as("q_id"), col("v").as("v_q")),
-      "v_q", nProbe)
-    ivfSearchTail(corpus, probed, k)
+    val qs = queries.select(col("n_id").as("q_id"), col("v").as("v_q"))
+    val probed = quant.probeCells(qs, "v_q", nProbe)
+    ivfSearchTail(corpus, probed, k, probedBytesEstimate(qs,
+      quant.probeFanout(nProbe), ivfProbeRowBytes(quant.dims)))
   }
 
   /** IVF-PQ ANN (round 6 — the fourth ANN path, and the canonical 100 TB
@@ -757,7 +817,9 @@ object Similarity {
     val corpusEnc = index.select(col("n_id"), col("cell"), col("v").as("v_n"),
       col("codes"), col("eps"), col("norm_x"))
     val probed = quant.probeCells(pqQueries(queries, books), "v_q", nProbe)
-    pqFinal(pqBarFrames(corpusEnc, probed, books, k)._2, k)
+    pqFinal(pqBarFrames(corpusEnc, probed, books, k,
+      probedBytesEstimate(queries, quant.probeFanout(nProbe),
+        pqProbeRowBytes(quant.dims, books)))._2, k)
   }
 
   /** Pruning-power observability for [[pqTopK]] (Probe pq): per-query
@@ -921,9 +983,10 @@ object Similarity {
     * final desc rank orders FIRST, identical to ivfTopK's treatment of
     * the same row. Returns (bar frame, [[pqSurvives]] survivors). */
   private[graft] def pqBarFrames(corpusEnc: DataFrame, probed: DataFrame,
-                                 b: PqBooks, k: Int): (DataFrame, DataFrame) = {
+                                 b: PqBooks, k: Int,
+                                 probedBytes: Long): (DataFrame, DataFrame) = {
     val (m, ksub) = (b.m, b.ksub)
-    val bounded = corpusEnc.join(broadcast(probed), "cell")
+    val bounded = corpusEnc.join(probedSide(probed, probedBytes), "cell")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc_dot", expr(
         s"aggregate(zip_with(codes, sequence(0, ${m - 1}), (c, j) -> element_at(lut, j * $ksub + c + 1)), 0D, (a, x) -> a + x)"))
@@ -967,9 +1030,11 @@ object Similarity {
     if (quant.isEmpty) return None
     val books = trainPqBooks(e, quant.dims, m, ksub)
     val corpus = pqEncode(quant.assign(e), books)
-    val queries = quant.probeCells(
-      pqQueries(e.filter(queryPred), books), "v_q", nProbe)
-    Some(pqBarFrames(corpus, queries, books, k))
+    val qs = e.filter(queryPred)
+    val queries = quant.probeCells(pqQueries(qs, books), "v_q", nProbe)
+    Some(pqBarFrames(corpus, queries, books, k,
+      probedBytesEstimate(qs, quant.probeFanout(nProbe),
+        pqProbeRowBytes(quant.dims, books))))
   }
 
   /** The bound-prune survivor predicate over a [[pqFrames]] bar frame —

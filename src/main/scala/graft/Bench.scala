@@ -98,15 +98,43 @@ object Bench {
     }
     val canaryBefore = canaryMedian()
 
+    // ---- interleaved canaries (round 11 — VERDICT r10 item 7) --------
+    // BENCH_r10's host drifted 0.173→0.224 MID-sweep: gates caught in
+    // the drift read 2-3× their quiet cost while a mean-of-two-endpoints
+    // canary could not localize it and `contended` stayed false. A
+    // single canary run now lands every 16 sweep gates / every 4
+    // headline gates (~0.3 s each — noise against a 250+ s sweep), each
+    // gate records the canary SEGMENT it ran under (`sweep_canary` in
+    // the file record, `headline_canary` on stdout), and `contended`
+    // trips on >1.2× before/after drift OR >1.5× spread across ALL
+    // canary points — one noisy segment can no longer hide.
+    val canaryLog = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    if (canaryBefore > 0) canaryLog += ("before" -> canaryBefore)
+    var segCanary = canaryBefore
+    def canaryPoint(label: String): Unit =
+      SparkEntry.queries.get(canaryName).foreach { fn =>
+        spark.catalog.clearCache()
+        val t = timeGate(canaryName, fn)
+        if (t > 0) { canaryLog += (label -> t); segCanary = t }
+      }
+
     // ---- tier 1: full sweep, every gate once -------------------------
-    val results = SparkEntry.queries.map { case (name, fn) => name -> timeGate(name, fn) }
+    val sweepCanary = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val results = SparkEntry.queries.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 16 == 0) canaryPoint(s"sweep:$i")
+      sweepCanary(name) = segCanary
+      name -> timeGate(name, fn)
+    }
 
     // ---- tier 2: headline = 30 heaviest, ×3, medians -----------------
     // selected from THIS sweep (self-maintaining as the matrix grows);
     // caches cleared per iteration so every run recomputes its data
     val headlineNames = results.toSeq.filter(_._2 > 0).sortBy(-_._2)
       .take(30).map(_._1)
-    val headline = headlineNames.map { name =>
+    val headlineCanary = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val headline = headlineNames.zipWithIndex.map { case (name, i) =>
+      if (i > 0 && i % 4 == 0) canaryPoint(s"headline:$i")
+      headlineCanary(name) = segCanary
       val fn = SparkEntry.queries(name)
       val ts = (1 to 3).map { _ => spark.catalog.clearCache(); timeGate(name, fn) }
       val median =
@@ -116,17 +144,26 @@ object Bench {
     }
 
     val canaryAfter = canaryMedian()
-    // contended = the fixed-work canary drifted >1.5× across the run
-    // (either direction: load arriving mid-run or present at the start)
-    val contended = canaryBefore > 0 && canaryAfter > 0 &&
+    if (canaryAfter > 0) canaryLog += ("after" -> canaryAfter)
+    // contended = host drift: >1.2× between the endpoint medians (the
+    // r10 sweep drifted 30% and stayed under the old 1.5× bar), or
+    // >1.5× spread across ALL interleaved points (a mid-sweep spike
+    // that recovers by the end still poisons the gates under it)
+    val canaryVals = canaryLog.map(_._2)
+    val contended = (canaryBefore > 0 && canaryAfter > 0 &&
       math.max(canaryBefore, canaryAfter) /
-        math.max(1e-9, math.min(canaryBefore, canaryAfter)) > 1.5
+        math.max(1e-9, math.min(canaryBefore, canaryAfter)) > 1.2) ||
+      (canaryVals.nonEmpty && canaryVals.max /
+        math.max(1e-9, canaryVals.min) > 1.5)
 
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jpairs(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "[\"" + k + "\"," + v + "]" }
+        .mkString("[", ",", "]")
     val errs = (results ++ headline).collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .toSeq.distinct.mkString("[", ",", "]")
-    val total = results.values.map(math.abs).sum
+    val total = results.map { case (_, v) => math.abs(v) }.sum
     val headlineTotal = headline.map { case (_, v) => math.abs(v) }.sum
     // canary-NORMALIZED totals (round 9 — VERDICT r8 item 5): the canary
     // is fixed work, so its median IS a host-speed unit — r8 vs the
@@ -149,9 +186,12 @@ object Bench {
       s""","sweep_gates":${results.size},"errors":$errs,"sf":"$sfDir"""" +
       s""","canary_before":$canaryBefore,"canary_after":$canaryAfter""" +
       s""","contended":$contended,"canary_unit":$canaryUnit""" +
-      s""","total_per_canary":$totalNorm,"headline_per_canary":$headlineNorm"""
+      s""","total_per_canary":$totalNorm,"headline_per_canary":$headlineNorm""" +
+      s""","canaries":${jpairs(canaryLog)}""" +
+      s""","headline_canary":${jmap(headlineCanary)}"""
     val stdoutJson = s"""{"metric":"total",$common}"""
-    val fileJson = s"""{"metric":"total",$common,"sweep":${jmap(results)}}"""
+    val fileJson = s"""{"metric":"total",$common,"sweep":${jmap(results)}""" +
+      s""","sweep_canary":${jmap(sweepCanary)}}"""
     // file first (canonical; survives stdout truncation), then stdout
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")
     try {

@@ -954,6 +954,12 @@ object ScaleCheck {
     val ns = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
       .getOrElse(Seq(200000L, 2000000L))
     val d = args.lift(1).map(_.toInt).getOrElse(32)
+    // optional 3rd arg: sub-centroid broadcast cap override (round 11 —
+    // VERDICT r10 item 2: the 20M point crosses the flat-codebook cap,
+    // so the index carries the HIER quantizer; cap 0 forces the
+    // past-broadcast shuffle-hash degrade plan, as `ScaleCheck hier`
+    // does)
+    val subCap = args.lift(2).map(_.toLong)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-annidxcheck")
@@ -961,6 +967,8 @@ object ScaleCheck {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    subCap.foreach(c => spark.conf.set(
+      graft.operators.Similarity.SubBroadcastCapKey, c.toString))
     graft.functions.GraftFunctions.register(spark)
     for (n <- ns) {
       val root = java.nio.file.Files
@@ -978,6 +986,8 @@ object ScaleCheck {
       val t0 = System.nanoTime()
       e.ensureAnnIndex("corpus", "vec_id", "embedding")
       val buildSec = (System.nanoTime() - t0) / 1e9
+      val annKind = e.catalog.get(e.annIndexName("corpus")).get
+        .properties.getOrElse("ann_kind", "?")
       val reps = (1 to 3).map { _ =>
         val t = System.nanoTime()
         val c = e.annTopKIndexed("corpus", "vec_id", "embedding",
@@ -985,11 +995,17 @@ object ScaleCheck {
         require(c > 0, "indexed search returned nothing")
         (System.nanoTime() - t) / 1e9
       }
-      val t1 = System.nanoTime()
-      graft.operators.Similarity.ivfTopK(
-        e.readStream("corpus"), "vec_id", "embedding",
-        col("vec_id") < 32, k = 10, nProbe = 3).count()
-      val inlineSec = (System.nanoTime() - t1) / 1e9
+      // inline contrast is corpus-linear BY CONSTRUCTION (per-call Lloyd
+      // retrain; 6.5→124 s across 200k→2M, round 10) — at ≥4M re-measuring
+      // it buys nothing and costs ~hour-scale, so the point is skipped
+      // and the indexed columns carry the comparison
+      val inlineSec = if (n >= 4000000L) Double.NaN else {
+        val t1 = System.nanoTime()
+        graft.operators.Similarity.ivfTopK(
+          e.readStream("corpus"), "vec_id", "embedding",
+          col("vec_id") < 32, k = 10, nProbe = 3).count()
+        (System.nanoTime() - t1) / 1e9
+      }
       // shard ingest under the STANDING codebooks: cost must be
       // shard-sized, ~flat in corpus size (assign+encode the shard,
       // append to __annidx — no retrain, no corpus pass)
@@ -1001,7 +1017,7 @@ object ScaleCheck {
       e.appendRowsAnnIndexed("corpus", shard, "vec_id", "embedding")
       val ingestSec = (System.nanoTime() - t2) / 1e9
       val med = reps.sorted.apply(1)
-      println(f"[annidx] corpus=$n d=$d build=$buildSec%.1f s " +
+      println(f"[annidx] corpus=$n d=$d kind=$annKind build=$buildSec%.1f s " +
         f"indexed_query=${reps.map(r => f"$r%.1f").mkString("/")} s " +
         f"(median=$med%.1f) inline_query=$inlineSec%.1f s " +
         f"inline/indexed=${inlineSec / med}%.1fx " +
@@ -1011,8 +1027,92 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** Combined-index ingest probe (round 11 — VERDICT r10 item 1):
+    * `runMain graft.tools.ScaleCheck combined [corpusList] [d]` (default
+    * `200000,2000000` / 32). One stream carries BOTH the MinHash dedup
+    * siblings and the ANN retrieval index. The claim under test: a
+    * deduped ingest's cost stays SHARD-sized as the corpus grows — the
+    * unified sibling maintenance encodes the survivors into the
+    * standing `__annidx` under frozen codebooks, so the ANN index stays
+    * live (`ensureAnnIndex` right after must be a no-op, and the repeat
+    * query must run at index-served cost). Before round 11 the same
+    * ingest left the ANN index stale and the next search re-paid the
+    * corpus-linear build (the `build` column is that cost, for
+    * contrast). */
+  private def combinedMain(args: Array[String]): Unit = {
+    val ns = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(200000L, 2000000L))
+    val d = args.lift(1).map(_.toInt).getOrElse(32)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-combinedcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val textExpr = "concat('tok', id, ' a', id % 97, ' b', id % 89, " +
+      "' c', id % 83, ' d', id % 79, ' e', id % 73)"
+    def vecExpr = s"transform(sequence(0, ${d - 1}), j -> " +
+      "CAST((pmod(xxhash64(id, j), 2001) - 1000) / 1000.0 AS FLOAT))"
+    for (n <- ns) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-combinedcheck").toString
+      val e = new graft.engine.Engine(spark, root)
+      e.createStream("corpus", graft.schema.StreamSchema.fromStruct(
+        new org.apache.spark.sql.types.StructType()
+          .add("vec_id", "long", nullable = false)
+          .add("text", "string")
+          .add("embedding", "array<float>")))
+      e.appendRows("corpus", spark.range(n)
+        .select(col("id").as("vec_id"), expr(textExpr).as("text"),
+          expr(vecExpr).as("embedding")))
+      // bootstrap both families: one corpus pass each
+      val t0 = System.nanoTime()
+      val d0 = e.appendRowsDeduped("corpus",
+        spark.range(n, n + 1).select(col("id").as("vec_id"),
+          expr(textExpr).as("text"), expr(vecExpr).as("embedding")),
+        "vec_id", "text", threshold = 0.5)
+      val mhBootSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      e.ensureAnnIndex("corpus", "vec_id", "embedding")
+      val annBuildSec = (System.nanoTime() - t1) / 1e9
+      // the measured ingest: 10k rows, 1k text-dups of existing docs +
+      // 9k novel — through the dedup path, onto the ANN-indexed stream
+      val dups = spark.range(1000).select(
+        (col("id") + 900000000L).as("vec_id"), expr(textExpr).as("text"),
+        expr(vecExpr).as("embedding"))
+      val novel = spark.range(n + 1, n + 9001).select(
+        col("id").as("vec_id"), expr(textExpr).as("text"),
+        expr(vecExpr).as("embedding"))
+      val t2 = System.nanoTime()
+      val dropped = e.appendRowsDeduped("corpus", dups.unionAll(novel),
+        "vec_id", "text", threshold = 0.5)
+      val ingestSec = (System.nanoTime() - t2) / 1e9
+      require(dropped >= 1000, s"expected the 1000 dups dropped, got $dropped")
+      // the ANN index must still be LIVE — zero rebuild work
+      val t3 = System.nanoTime()
+      val rebuilt = e.ensureAnnIndex("corpus", "vec_id", "embedding")
+      val ensureSec = (System.nanoTime() - t3) / 1e9
+      require(!rebuilt, "combined ingest must keep the ANN index live")
+      val t4 = System.nanoTime()
+      val hits = e.annTopKIndexed("corpus", "vec_id", "embedding",
+        col("vec_id") < 32, k = 10, nProbe = 3).count()
+      val querySec = (System.nanoTime() - t4) / 1e9
+      require(hits > 0)
+      println(f"[combined] corpus=$n d=$d mh_bootstrap=$mhBootSec%.1f s " +
+        f"(dropped=$d0) ann_build=$annBuildSec%.1f s " +
+        f"combined_ingest10k=$ingestSec%.1f s (dropped=$dropped) " +
+        f"post_ingest_ensure=$ensureSec%.2f s (live) " +
+        f"indexed_query=$querySec%.1f s")
+      graft.operators.OperatorCache.clear(spark)
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("annidx")) return annidxMain(args.drop(1))
+    if (args.headOption.contains("combined")) return combinedMain(args.drop(1))
     if (args.headOption.contains("ingest")) return ingestMain(args.drop(1))
     if (args.headOption.contains("ingesttext")) return ingestTextMain(args.drop(1))
     if (args.headOption.contains("hier")) return hierMain(args.drop(1))

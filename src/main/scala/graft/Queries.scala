@@ -3513,6 +3513,38 @@ object Queries {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** DSIR importance weighting from SQL (round 11): the data-SELECTION
+    * stage joins the TVF family — a model's SQL can score every doc
+    * against a target subset (here `source = 'src0'`) without touching
+    * the Scala API. Same oracle as the Scala-API `dsir_weights` gate. */
+  val sqlDsirWeights: Q = sqlTvf("sql_dsir_weights", Seq("documents"),
+    """SELECT doc_id, n_tokens, avg_logratio
+      | FROM dsir_weights('documents', 'doc_id', 'text', 'source = ''src0''')
+      | ORDER BY doc_id""".stripMargin,
+    """WITH words AS (
+      |  SELECT doc_id, (source = 'src0') AS tgt,
+      |         unnest(string_split(text, ' ')) AS word FROM documents),
+      |dtf AS (SELECT doc_id, tgt, word, count(*) AS tf
+      |        FROM words GROUP BY doc_id, tgt, word),
+      |vocab AS (
+      |  SELECT word, sum(tf) AS raw_cnt,
+      |         sum(CASE WHEN tgt THEN tf ELSE 0 END) AS tgt_cnt
+      |  FROM dtf GROUP BY word),
+      |totals AS (
+      |  SELECT CAST(sum(raw_cnt) AS DOUBLE) AS raw_total,
+      |         CAST(sum(tgt_cnt) AS DOUBLE) AS tgt_total,
+      |         CAST(count(*) AS DOUBLE) AS v FROM vocab),
+      |scored AS (
+      |  SELECT word, CAST(round(
+      |      (ln(CAST(tgt_cnt + 1 AS DOUBLE) / (tgt_total + v))
+      |     - ln(CAST(raw_cnt + 1 AS DOUBLE) / (raw_total + v)))
+      |      * 1000000) AS BIGINT) AS lr
+      |  FROM vocab CROSS JOIN totals)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  CAST(sum(lr * tf) AS DOUBLE) / (sum(tf) * 1000000) AS avg_logratio
+      |FROM dtf JOIN scored USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   /** Deterministic multi-epoch training shuffle
     * ([[operators.Sampling.epochShuffle]], round 6): every doc gets an
     * (epoch, shard, pos) address per epoch — independent permutations
@@ -7291,7 +7323,7 @@ object Queries {
     annPqTopK, annIvfTopKIndexed, annPqTopKIndexed,
     semDedupIndexedGate, knnGraphIndexedGate,
     sqlMinhashPairs, sqlAnnTopK, sqlSemDedup, sqlAnnIndexedTopK,
-    sqlMinhashPairsKnobs, sqlDecontaminate,
+    sqlMinhashPairsKnobs, sqlDecontaminate, sqlDsirWeights,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,

@@ -193,6 +193,19 @@ object GraftTableFunctions {
         table(bench), benchTxt, n)
         .queryExecution.analyzed
     },
+    fn("dsir_weights",
+      "dsir_weights(table, idCol, textCol, targetPredicateSql) - DSIR " +
+        "importance weight per document (idCol, n_tokens, avg_logratio): " +
+        "mean unigram log-ratio of the target-subset LM over the corpus " +
+        "LM (Xie 2023), target rows selected by the predicate",
+      maxArgs = 4) { args =>
+      val tbl = litString(args, 0, "dsir_weights", "table name")
+      val id = litString(args, 1, "dsir_weights", "id column")
+      val txt = litString(args, 2, "dsir_weights", "text column")
+      val pred = litString(args, 3, "dsir_weights", "target predicate SQL")
+      graft.operators.Vocab.dsirWeights(table(tbl), expr(pred), id, txt)
+        .queryExecution.analyzed
+    },
     fn("ann_indexed_topk",
       "ann_indexed_topk(stream, idCol, vecCol, queryPredicateSql, k, " +
         "nProbe, method) - top-k ANN served from the engine's PERSISTED " +

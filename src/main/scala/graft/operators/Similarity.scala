@@ -246,16 +246,22 @@ object Similarity {
   /** Byte bound for a probed-query frame: a plan-statistics ROW bound
     * on the UNPROBED query side (Generate-blind stats would undercount
     * the fan-out), × the quantizer's probe fan-out × the caller's
-    * post-probe row payload. The rowCount fallback (sizeInBytes/8)
-    * over-counts rows for real vector rows, so the error direction is
-    * toward the shuffle degrade — never toward an oversized broadcast
-    * (the [[graft.operators.Dedup]] shardRowEstimate convention). */
+    * post-probe row payload. Rows fall back to sizeInBytes divided by
+    * `srcRowBytes` — the caller's FLOOR on the source row width (the
+    * 4·dims vector payload every row of this family carries; round 11
+    * re-audit: the former /8 divisor over-counted 64-float rows ~50×,
+    * silently flipping the audited probe broadcast to the shuffle
+    * degrade at gate scales — the strict unused-exemption lint caught
+    * it). The bound stays filter-blind and payload-floored, so the
+    * error direction remains toward the shuffle degrade — never toward
+    * an oversized broadcast (the [[graft.operators.Dedup]]
+    * shardRowEstimate convention). */
   private def probedBytesEstimate(queries: DataFrame, fanout: Long,
-                                  rowBytes: Long): Long = {
+                                  rowBytes: Long, srcRowBytes: Long): Long = {
     val st = queries.queryExecution.optimizedPlan.stats
     val rows = st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong)
       .getOrElse {
-        val approx = st.sizeInBytes / 8
+        val approx = st.sizeInBytes / math.max(8L, srcRowBytes)
         if (approx >= BigInt(Long.MaxValue)) Long.MaxValue
         else math.max(1L, approx.toLong)
       }
@@ -691,7 +697,8 @@ object Similarity {
       .select(col("n_id").as("q_id"), col("v").as("v_q"))
     val queries = quant.probeCells(qs, "v_q", nProbe)
     ivfSearchTail(corpus, queries, k, probedBytesEstimate(qs,
-      quant.probeFanout(nProbe), ivfProbeRowBytes(quant.dims)))
+      quant.probeFanout(nProbe), ivfProbeRowBytes(quant.dims),
+      4L * quant.dims))
   }
 
   /** The exact-scoring tail shared by [[ivfTopK]] and the index-backed
@@ -728,7 +735,8 @@ object Similarity {
     val qs = queries.select(col("n_id").as("q_id"), col("v").as("v_q"))
     val probed = quant.probeCells(qs, "v_q", nProbe)
     ivfSearchTail(corpus, probed, k, probedBytesEstimate(qs,
-      quant.probeFanout(nProbe), ivfProbeRowBytes(quant.dims)))
+      quant.probeFanout(nProbe), ivfProbeRowBytes(quant.dims),
+      4L * quant.dims))
   }
 
   /** IVF-PQ ANN (round 6 — the fourth ANN path, and the canonical 100 TB
@@ -819,7 +827,7 @@ object Similarity {
     val probed = quant.probeCells(pqQueries(queries, books), "v_q", nProbe)
     pqFinal(pqBarFrames(corpusEnc, probed, books, k,
       probedBytesEstimate(queries, quant.probeFanout(nProbe),
-        pqProbeRowBytes(quant.dims, books)))._2, k)
+        pqProbeRowBytes(quant.dims, books), 4L * quant.dims))._2, k)
   }
 
   /** Pruning-power observability for [[pqTopK]] (Probe pq): per-query
@@ -1034,7 +1042,7 @@ object Similarity {
     val queries = quant.probeCells(pqQueries(qs, books), "v_q", nProbe)
     Some(pqBarFrames(corpus, queries, books, k,
       probedBytesEstimate(qs, quant.probeFanout(nProbe),
-        pqProbeRowBytes(quant.dims, books))))
+        pqProbeRowBytes(quant.dims, books), 4L * quant.dims)))
   }
 
   /** The bound-prune survivor predicate over a [[pqFrames]] bar frame —

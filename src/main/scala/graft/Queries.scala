@@ -1198,6 +1198,51 @@ object Queries {
       .orderBy("id_anchor", "rnk")
   }
 
+  /** ANN quality measurement as a first-class operator
+    * ([[operators.Similarity.recallAtK]], round 11): recall@5 of a
+    * dimension-truncated search (first 16 of 64 dims — the JL/PCA-style
+    * cheap-projection retrieval shape) against the full-dimension exact
+    * ranking. Both rankings are exactly SQL-expressible, so the oracle
+    * replays the entire measurement — searches AND the recall join —
+    * making this the value-exact anchor for the quantizer recall curves
+    * in PERF.md (`ScaleCheck recall`), whose IVF/PQ side DuckDB cannot
+    * reproduce. */
+  val annRecallTruncated: Q = q("ann_recall_truncated",
+    """WITH ex AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+      |        c.vec_id) AS rnk
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |    WHERE q.vec_id < 20) t WHERE rnk <= 5),
+      |ap AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_cosine_similarity(
+      |          list_slice(CAST(q.embedding AS DOUBLE[]), 1, 16),
+      |          list_slice(CAST(c.embedding AS DOUBLE[]), 1, 16)), 6) DESC,
+      |        c.vec_id) AS rnk
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |    WHERE q.vec_id < 20) t WHERE rnk <= 5)
+      |SELECT ex.q_id, CAST(count(ap.n_id) AS BIGINT) AS n_hit,
+      |  CAST(count(*) AS BIGINT) AS n_true,
+      |  round(CAST(count(ap.n_id) AS DOUBLE) / count(*), 6) AS recall
+      |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+      |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+    val exact = operators.Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", queryPred = col("vec_id") < 20, k = 5)
+    val truncated = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("emb16"))
+    val approx = operators.Similarity.bruteForceTopK(
+      truncated, "vec_id", "emb16", queryPred = col("vec_id") < 20, k = 5)
+    operators.Similarity.recallAtK(approx, exact, k = 5)
+      .orderBy("q_id")
+  }
+
   /** kNN label vote (embedding-space label propagation): majority label
     * of each query's 5 exact nearest neighbors, vote ties broken by best
     * neighbor rank then label — both engines replay the identical
@@ -3472,6 +3517,52 @@ object Queries {
       |  (d.vec_id IS NULL) AS kept
       |FROM corpus c LEFT JOIN dups d ON c.vec_id = d.vec_id
       |ORDER BY c.vec_id""".stripMargin)
+
+  /** The recall measurement from plain SQL (round 11, with
+    * `ann_recall_truncated`): the two neighbor frames register as temp
+    * views and the `ann_recall` TVF joins them — so a model's SQL can
+    * gate a retrieval index on measured quality (e.g. a test that
+    * fails when recall drops below a floor). Same truncated-vs-full
+    * measurement and oracle as `ann_recall_truncated`. */
+  val sqlAnnRecall: Q = q("sql_ann_recall",
+    """WITH ex AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+      |        c.vec_id) AS rnk
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |    WHERE q.vec_id < 20) t WHERE rnk <= 5),
+      |ap AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_cosine_similarity(
+      |          list_slice(CAST(q.embedding AS DOUBLE[]), 1, 16),
+      |          list_slice(CAST(c.embedding AS DOUBLE[]), 1, 16)), 6) DESC,
+      |        c.vec_id) AS rnk
+      |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      |    WHERE q.vec_id < 20) t WHERE rnk <= 5)
+      |SELECT ex.q_id, CAST(count(ap.n_id) AS BIGINT) AS n_hit,
+      |  CAST(count(*) AS BIGINT) AS n_true,
+      |  round(CAST(count(ap.n_id) AS DOUBLE) / count(*), 6) AS recall
+      |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+      |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin) { (s, dir) =>
+    GraftFunctions.register(s)
+    val emb = t(s, dir, "embeddings")
+    operators.Similarity.bruteForceTopK(
+      emb, "vec_id", "embedding", queryPred = col("vec_id") < 20, k = 5)
+      .createOrReplaceTempView("recall_exact")
+    operators.Similarity.bruteForceTopK(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb16")),
+      "vec_id", "emb16", queryPred = col("vec_id") < 20, k = 5)
+      .createOrReplaceTempView("recall_approx")
+    s.sql(
+      """SELECT q_id, n_hit, n_true, recall
+        |FROM ann_recall('recall_approx', 'recall_exact', 5)
+        |ORDER BY q_id""".stripMargin)
+  }
 
   /** Parameterized-knob TVF (round 11 — VERDICT r10 item 4: round 10's
     * minhash_pairs hardcoded shingleN/numHashes/bands): the knobs drive
@@ -7266,7 +7357,8 @@ object Queries {
     imageDhashNearDup, audioFpNearDup, videoFpNearDup, embeddingNearDup,
     embeddingNearDupScaled, incrementalEmbeddingDedup,
     incrementalEmbeddingDedupIndexed,
-    annTopK, annLshTopK, annIvfTopK, hardNegativesGate, sourceSimilarity, mapAccess,
+    annTopK, annLshTopK, annIvfTopK, hardNegativesGate, annRecallTruncated,
+    sourceSimilarity, mapAccess,
     semanticDecontaminateGate, embeddingQuantize, randomProjectionGate,
     timeTravelAsOf,
     rangeJoinGate,
@@ -7323,7 +7415,7 @@ object Queries {
     annPqTopK, annIvfTopKIndexed, annPqTopKIndexed,
     semDedupIndexedGate, knnGraphIndexedGate,
     sqlMinhashPairs, sqlAnnTopK, sqlSemDedup, sqlAnnIndexedTopK,
-    sqlMinhashPairsKnobs, sqlDecontaminate, sqlDsirWeights,
+    sqlMinhashPairsKnobs, sqlDecontaminate, sqlDsirWeights, sqlAnnRecall,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,
     frequentPairsGate, sketchW1Gate, dedupAttribution, shardNoveltyGate,

@@ -1036,6 +1036,12 @@ final class Engine(
     }
   }
 
+  /** Probe-width tuning pins ([[annNProbeForRecall]] `pin = true`):
+    * survive frozen-codebook shard ingests (the measured recall stays
+    * valid within the drift bound), stripped by any REBUILD (new
+    * codebooks, new recall geometry). */
+  private val annPinKeys = Set("ann_nprobe", "ann_nprobe_recall")
+
   private def annProps(idCol: String, vecCol: String, nCentroids: Int,
                        m: Int, ksub: Int, n: Long, kind: String, k2: Int,
                        dims: Int, mainEpoch: Long, idxEpoch: Long,
@@ -1142,9 +1148,11 @@ final class Engine(
               catalog.put(catalog.get(centName).get
                 .copy(writeEpoch = snap._3 + 1))
               val dIdx = catalog.get(idxName).get
+              // a rebuild invalidates any pinned probe-width tuning:
+              // new codebooks mean the measured recall no longer applies
               catalog.put(dIdx.copy(writeEpoch = snap._2 + 1,
-                properties = dIdx.properties ++ annProps(idCol, vecCol,
-                  nCentroids, m, ksub, n, kind, k2, dims,
+                properties = (dIdx.properties -- annPinKeys) ++ annProps(
+                  idCol, vecCol, nCentroids, m, ksub, n, kind, k2, dims,
                   mainEpoch = snap._1, idxEpoch = snap._2 + 1,
                   centEpoch = snap._3 + 1)))
               true
@@ -1182,10 +1190,12 @@ final class Engine(
     appendRows(centName, centRows)
     appendRows(idxName, idxRows)
     val dIdx = catalog.get(idxName).get
-    catalog.put(dIdx.copy(properties = dIdx.properties ++ annProps(
-      idCol, vecCol, nCentroids, m, ksub, n, kind, k2, dims,
-      mainEpoch = mainEpoch, idxEpoch = dIdx.writeEpoch,
-      centEpoch = catalog.get(centName).get.writeEpoch)))
+    // rebuild invalidates any pinned probe-width tuning (see the staged
+    // commit path): new codebooks, new recall geometry
+    catalog.put(dIdx.copy(properties = (dIdx.properties -- annPinKeys) ++
+      annProps(idCol, vecCol, nCentroids, m, ksub, n, kind, k2, dims,
+        mainEpoch = mainEpoch, idxEpoch = dIdx.writeEpoch,
+        centEpoch = catalog.get(centName).get.writeEpoch)))
   }
 
   /** Stage one sibling's next-generation contents into its
@@ -1286,6 +1296,9 @@ final class Engine(
                           method: String = "ivf"): DataFrame = {
     import graft.operators.Similarity
     require(Seq("ivf", "pq").contains(method), s"unknown method '$method'")
+    require(nProbe >= 0,
+      s"nProbe must be >= 0 (0 = AUTO: the pinned tuned width, else 2), " +
+        s"got $nProbe")
     val props = catalog.get(annIndexName(name)).map(_.properties).getOrElse(
       throw new IllegalStateException(
         s"no persisted ANN index for stream '$name' — build one with " +
@@ -1310,13 +1323,128 @@ final class Engine(
     val quant = Similarity.quantizerFromRows(centRows, hierK2)
     val idx = readStream(annIndexName(name))
       .withColumnRenamed("ex_id", "n_id")
+    // AUTO: the recall-tuned pinned width when one is live (rebuilds
+    // strip it — annPinKeys), else the family default
+    val effProbe =
+      if (nProbe > 0) nProbe
+      else props.get("ann_nprobe").map(_.toInt).getOrElse(2)
     method match {
-      case "ivf" => Similarity.ivfTopKFromIndex(idx, quant, queries, k, nProbe)
+      case "ivf" =>
+        Similarity.ivfTopKFromIndex(idx, quant, queries, k, effProbe)
       case "pq" =>
         val books = Similarity.booksFromRows(centRows,
           props("ann_m").toInt, props("ann_ksub").toInt)
-        Similarity.pqTopKFromIndex(idx, quant, books, queries, k, nProbe)
+        Similarity.pqTopKFromIndex(idx, quant, books, queries, k, effProbe)
     }
+  }
+
+  /** Measured recall@k of the index-served search against exact ground
+    * truth, on a deterministic hash-sample of the stream's own rows
+    * (round 11): the operational quality check for a standing index —
+    * codebooks frozen under ingest drift make recall an EMPIRICAL
+    * property, so an operator needs a measurement, not a hope. Cost:
+    * ONE brute-force pass (corpus × ~`sampleQueries` broadcast queries
+    * — the corpus never shuffles) plus one index-served search; the
+    * recall join itself is output-sized
+    * ([[graft.operators.Similarity.recallAtK]]).
+    *
+    * Serves the CURRENT index like [[annTopKIndexedServe]] (no ensure,
+    * no rebuild); a missing index is the same loud lifecycle error. */
+  def annRecallMeasured(name: String, idCol: String, vecCol: String,
+                        k: Int = 10, nProbe: Int = 2,
+                        sampleQueries: Int = 64,
+                        method: String = "ivf"): Double = {
+    val pred = annSamplePred(name, idCol, sampleQueries)
+    val truth = graft.operators.Similarity.bruteForceTopK(
+      readStream(name), idCol, vecCol, pred, k).persist()
+    try annRecallAgainst(truth, name, idCol, vecCol, pred, k, nProbe, method)
+    finally truth.unpersist()
+  }
+
+  /** Recall-targeted probe-width tuner (round 11): the smallest
+    * power-of-two `nProbe` whose measured recall@k on a sampled query
+    * set meets `targetRecall`, with the recall it achieved. Turns the
+    * raw nProbe knob into the contract an operator actually wants
+    * ("give me ≥ 0.9 recall, as cheap as that gets") — recall depends
+    * on the corpus's geometry, so no fixed default is right at every
+    * deployment. The sweep doubles nProbe (at most log₂ `maxNProbe`
+    * index-served searches, each probe + cell-join sized) and stops
+    * early when the quantizer's probe fanout saturates — probing more
+    * cells than the codebook has buys nothing by construction. Ground
+    * truth is ONE brute-force pass over the sampled queries, shared by
+    * every step. Serves the CURRENT index (no ensure); build first via
+    * [[ensureAnnIndex]] / `ann_index_rebuild`.
+    *
+    * `pin = true` records the result as index properties
+    * (`ann_nprobe`, `ann_nprobe_recall`) and `annTopKIndexedServe`
+    * with `nProbe = 0` (AUTO) serves at the pinned width — measure →
+    * pin → serve, the closed operational loop. The pin survives
+    * frozen-codebook shard ingests (recall stays valid within the
+    * drift bound) and is STRIPPED by any rebuild: retrained codebooks
+    * void the measurement, and AUTO falls back to the family default
+    * rather than serving a stale promise. */
+  def annNProbeForRecall(name: String, idCol: String, vecCol: String,
+                         targetRecall: Double, k: Int = 10,
+                         sampleQueries: Int = 64, maxNProbe: Int = 64,
+                         method: String = "ivf",
+                         pin: Boolean = false): (Int, Double) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val props = catalog.get(annIndexName(name)).map(_.properties).getOrElse(
+      throw new IllegalStateException(
+        s"no persisted ANN index for stream '$name' — build one with " +
+          s"ann_index_rebuild('$name', '$idCol', '$vecCol') or " +
+          "Engine.ensureAnnIndex"))
+    if (props("ann_n").toLong == 0L) return (1, 1.0) // vacuous on empty
+    val quant = graft.operators.Similarity.quantizerFromRows(
+      readStream(annCentroidsName(name)),
+      if (props("ann_kind") == "hier") Some(props("ann_k2").toInt) else None)
+    val pred = annSamplePred(name, idCol, sampleQueries)
+    val truth = graft.operators.Similarity.bruteForceTopK(
+      readStream(name), idCol, vecCol, pred, k).persist()
+    try {
+      if (truth.isEmpty) return (1, 1.0)
+      var nProbe = 1
+      var recall =
+        annRecallAgainst(truth, name, idCol, vecCol, pred, k, nProbe, method)
+      while (recall < targetRecall && nProbe < maxNProbe &&
+          quant.probeFanout(nProbe * 2) > quant.probeFanout(nProbe)) {
+        nProbe *= 2
+        recall =
+          annRecallAgainst(truth, name, idCol, vecCol, pred, k, nProbe, method)
+      }
+      if (pin) streamLock(name).synchronized {
+        // pinned under the ingest lock so a concurrent rebuild's strip
+        // and this write serialize; AUTO serving (nProbe = 0) reads it
+        catalog.get(annIndexName(name)).foreach { d =>
+          catalog.put(d.copy(properties = d.properties +
+            ("ann_nprobe" -> nProbe.toString) +
+            ("ann_nprobe_recall" -> recall.toString)))
+        }
+      }
+      (nProbe, recall)
+    } finally truth.unpersist()
+  }
+
+  /** Deterministic ~`sampleQueries`-row query sample: hash-mod over the
+    * id column, so the sample is stable across calls and engines. */
+  private def annSamplePred(name: String, idCol: String,
+                            sampleQueries: Int): org.apache.spark.sql.Column = {
+    val n = catalog.get(annIndexName(name)).flatMap(d =>
+      propLong(d.properties, "ann_n")).getOrElse(0L)
+    val f = math.max(1L, n / math.max(1, sampleQueries))
+    pmod(xxhash64(col(idCol)), lit(f)) === 0
+  }
+
+  private def annRecallAgainst(truth: DataFrame, name: String, idCol: String,
+                               vecCol: String,
+                               pred: org.apache.spark.sql.Column, k: Int,
+                               nProbe: Int, method: String): Double = {
+    val approx = annTopKIndexedServe(name, idCol, vecCol, pred, k,
+      nProbe, method)
+    val r = graft.operators.Similarity.recallAtK(approx, truth, k)
+      .agg(avg("recall")).head()
+    if (r.isNullAt(0)) 1.0 else r.getDouble(0) // no truth rows: vacuous
   }
 
   /** Explicit index-lifecycle entry points (round 11 — VERDICT r10

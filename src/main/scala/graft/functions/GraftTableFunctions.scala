@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-reachable LLM-pipeline operators (round 10 — VERDICT r9 item 4;
@@ -213,7 +213,9 @@ object GraftTableFunctions {
         "Resolves through the engine bound to the session " +
         "(Engine.registerViews binds it). PURE: serves the index's last " +
         "built epoch and never rebuilds — build/refresh explicitly with " +
-        "ann_index_rebuild(...). method: 'ivf' (default) or 'pq'",
+        "ann_index_rebuild(...). nProbe 0 = AUTO (the width pinned by " +
+        "ann_nprobe_for_recall(..., pin=>true), else 2). method: 'ivf' " +
+        "(default) or 'pq'",
       maxArgs = 7) { args =>
       val tbl = litString(args, 0, "ann_indexed_topk", "stream name")
       val id = litString(args, 1, "ann_indexed_topk", "id column")
@@ -255,6 +257,61 @@ object GraftTableFunctions {
             p.getOrElse("ann_kind", null)))
         })
     },
+    fn("ann_recall_measured",
+      "ann_recall_measured(stream, idCol, vecCol, k, nProbe, " +
+        "sampleQueries, method) - measured recall@k of the stream's " +
+        "persisted ANN index on a deterministic query sample (one " +
+        "brute-force truth pass + one index-served search). Runs at " +
+        "EXECUTION time. Returns (stream, n_probe, k, recall)",
+      maxArgs = 7) { args =>
+      val tbl = litString(args, 0, "ann_recall_measured", "stream name")
+      val id = litString(args, 1, "ann_recall_measured", "id column")
+      val vec = litString(args, 2, "ann_recall_measured", "vector column")
+      val k = litInt(args, 3, "ann_recall_measured", "k", 10)
+      val nProbe = litInt(args, 4, "ann_recall_measured", "nProbe", 2)
+      val sq = litInt(args, 5, "ann_recall_measured", "sampleQueries", 64)
+      val method = args.lift(6).map(_ =>
+        litString(args, 6, "ann_recall_measured", "method")).getOrElse("ivf")
+      val eng = bound()
+      graft.plans.GraftAction(s"ann_recall_measured($tbl)",
+        Seq(AttributeReference("stream", StringType, nullable = false)(),
+          AttributeReference("n_probe", LongType, nullable = false)(),
+          AttributeReference("k", LongType, nullable = false)(),
+          AttributeReference("recall", DoubleType, nullable = false)()),
+        () => Seq(Row(tbl, nProbe.toLong, k.toLong,
+          eng.annRecallMeasured(tbl, id, vec, k, nProbe, sq, method))))
+    },
+    fn("ann_nprobe_for_recall",
+      "ann_nprobe_for_recall(stream, idCol, vecCol, targetRecall, k, " +
+        "sampleQueries, maxNProbe, pin) - smallest power-of-two nProbe " +
+        "whose measured recall@k on a sampled query set meets " +
+        "targetRecall (doubling sweep against one shared brute-force " +
+        "truth pass). pin=true records the result on the index, and " +
+        "ann_indexed_topk with nProbe 0 (AUTO) serves at the pinned " +
+        "width (rebuilds strip the pin). Runs at EXECUTION time. " +
+        "Returns (stream, n_probe, recall)",
+      maxArgs = 8) { args =>
+      val tbl = litString(args, 0, "ann_nprobe_for_recall", "stream name")
+      val id = litString(args, 1, "ann_nprobe_for_recall", "id column")
+      val vec = litString(args, 2, "ann_nprobe_for_recall", "vector column")
+      val target = litDouble(args, 3, "ann_nprobe_for_recall",
+        "target recall", 0.9)
+      val k = litInt(args, 4, "ann_nprobe_for_recall", "k", 10)
+      val sq = litInt(args, 5, "ann_nprobe_for_recall", "sampleQueries", 64)
+      val maxP = litInt(args, 6, "ann_nprobe_for_recall", "maxNProbe", 64)
+      val pin = litBoolean(args, 7, "ann_nprobe_for_recall", "pin", false)
+      val eng = bound()
+      graft.plans.GraftAction(s"ann_nprobe_for_recall($tbl)",
+        Seq(AttributeReference("stream", StringType, nullable = false)(),
+          AttributeReference("n_probe", LongType, nullable = false)(),
+          AttributeReference("recall", DoubleType, nullable = false)()),
+        () => {
+          val (nProbe, recall) =
+            eng.annNProbeForRecall(tbl, id, vec, target, k, sq, maxP,
+              pin = pin)
+          Seq(Row(tbl, nProbe.toLong, recall))
+        })
+    },
     fn("ann_index_drop",
       "ann_index_drop(stream) - drop the stream's persisted ANN index " +
         "siblings (stream data untouched). Runs at EXECUTION time. " +
@@ -266,6 +323,20 @@ object GraftTableFunctions {
         Seq(AttributeReference("stream", StringType, nullable = false)(),
           AttributeReference("dropped", BooleanType, nullable = false)()),
         () => Seq(Row(tbl, eng.dropAnnIndex(tbl))))
+    },
+    fn("ann_recall",
+      "ann_recall(approxTable, exactTable, k) - recall@k of an " +
+        "approximate neighbor table against exact ground truth, one row " +
+        "per ground-truth query (q_id, n_hit, n_true, recall). Both " +
+        "tables in the family's (q_id, n_id, rnk, ...) shape; rows past " +
+        "rank k are ignored, queries missing from approxTable score 0. " +
+        "Default k = 10",
+      maxArgs = 3) { args =>
+      val ap = litString(args, 0, "ann_recall", "approximate table name")
+      val ex = litString(args, 1, "ann_recall", "exact table name")
+      val k = litInt(args, 2, "ann_recall", "k", 10)
+      graft.operators.Similarity.recallAtK(table(ap), table(ex), k)
+        .queryExecution.analyzed
     },
     fn("text_quality",
       "text_quality(table) - per-document quality metrics " +
@@ -298,5 +369,6 @@ object GraftTableFunctions {
     * position 0) — `decontaminate` reads two tables, so rename/cascade
     * tracking must see both (Engine.sourcesOf). */
   val tableArgPositions: Map[String, Seq[Int]] =
-    names.map(n => n -> Seq(0)).toMap + ("decontaminate" -> Seq(0, 3))
+    names.map(n => n -> Seq(0)).toMap +
+      ("decontaminate" -> Seq(0, 3)) + ("ann_recall" -> Seq(0, 1))
 }

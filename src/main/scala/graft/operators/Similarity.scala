@@ -482,6 +482,36 @@ object Similarity {
       .select("q_id", "n_id", "rnk", "cos")
   }
 
+  /** Recall@k of an approximate neighbor frame against exact ground
+    * truth — the standard ANN quality metric (fraction of each query's
+    * true top-k the approximate search returned). Both inputs are the
+    * family's `(q_id, n_id, rnk, …)` shape ([[bruteForceTopK]],
+    * [[ivfTopK]], [[pqTopK]], `Engine.annTopKIndexed` all emit it);
+    * rows past rank `k` are ignored on both sides, and queries missing
+    * entirely from `approx` (a probe set that covered none of their
+    * cells) score 0, not absent — an ANN stack that silently drops
+    * queries must not look healthy.
+    *
+    * Scale: both inputs are output-sized (|queries|·k rows), so the
+    * equi-join + per-query aggregate never touch the corpus — recall
+    * measurement costs the same at 100 TB as at 100 MB once the two
+    * searches have run.
+    *
+    * @return one row per ground-truth query:
+    *         (q_id, n_hit, n_true, recall), recall rounded to 6 dp
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), lit(1).as("__hit"))
+    val ex = exact.filter(col("rnk") <= k).select(col("q_id"), col("n_id"))
+    ex.join(a, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"),
+        count(lit(1)).cast("long").as("n_true"))
+      .select(col("q_id"), col("n_hit"), col("n_true"),
+        round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
+  }
+
   /** Hard-negative mining for contrastive training: per anchor, the
     * neighbors whose similarity RANK falls in `[loRank, hiRank]` —
     * similar enough to be informative negatives, far enough down the

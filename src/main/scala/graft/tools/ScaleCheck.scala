@@ -939,6 +939,106 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** ANN recall curve (round 11): `runMain graft.tools.ScaleCheck
+    * recall [corpusList] [d] [k] [nQueries]` (default `200000,2000000`
+    * / 32 / 10 / 48). For each corpus size and each of two data
+    * geometries — CLUSTERED (256 planted centers + noise, the shape
+    * embedding corpora actually have) and UNIFORM (adversarial for a
+    * coarse quantizer: cell boundaries cut neighborhoods arbitrarily) —
+    * build the persisted index once, compute exact ground truth with
+    * [[graft.operators.Similarity.bruteForceTopK]], then measure
+    * recall@k ([[graft.operators.Similarity.recallAtK]]) of the
+    * index-served search at nProbe ∈ {1, 2, 4, 8}, with per-search
+    * wall time. PQ is NOT swept separately: its error-bound prune makes
+    * `pqTopK ≡ ivfTopK` row-for-row (Similarity.scala pqFinal
+    * contract), which the probe verifies at one point instead.
+    *
+    * The claim under test: recall is a nProbe-tunable contract, not a
+    * fixed property — the curve tells an operator what nProbe buys at
+    * their data's geometry, and the measured search times give the
+    * recall/latency exchange rate. Candidate volume grows ~nProbe·√n,
+    * so the recall KNOB costs linearly in nProbe while recall
+    * approaches 1 geometrically on clustered data. */
+  private def recallMain(args: Array[String]): Unit = {
+    val ns = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(200000L, 2000000L))
+    val d = args.lift(1).map(_.toInt).getOrElse(32)
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val nQ = args.lift(3).map(_.toInt).getOrElse(48)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-recallcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Similarity
+    // clustered: center(id % 256) + 0.25·noise(id) — tight enough that
+    // true neighbors share a center, loose enough that rankings differ
+    // per row; uniform: pure hash noise (no structure to exploit)
+    def vecExpr(clustered: Boolean): String = {
+      val center = s"(pmod(xxhash64(pmod(id, 256), j), 2001) - 1000) / 1000.0"
+      val noise = s"(pmod(xxhash64(id, j + 7777), 2001) - 1000) / 1000.0"
+      val body = if (clustered) s"$center + 0.25 * ($noise)" else noise
+      s"transform(sequence(0, ${d - 1}), j -> CAST($body AS FLOAT))"
+    }
+    for (n <- ns; clustered <- Seq(true, false)) {
+      val layout = if (clustered) "clustered" else "uniform"
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-recallcheck").toString
+      val e = new graft.engine.Engine(spark, root)
+      e.createStream("corpus", graft.schema.StreamSchema.fromStruct(
+        new org.apache.spark.sql.types.StructType()
+          .add("vec_id", "long", nullable = false)
+          .add("embedding", "array<float>")))
+      e.appendRows("corpus", spark.range(n)
+        .select(col("id").as("vec_id"),
+          expr(vecExpr(clustered)).as("embedding")))
+      val t0 = System.nanoTime()
+      e.ensureAnnIndex("corpus", "vec_id", "embedding")
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val kind = e.catalog.get(e.annIndexName("corpus")).get
+        .properties.getOrElse("ann_kind", "?")
+      val corpus = e.readStream("corpus")
+      val tTruth = System.nanoTime()
+      val truth = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        col("vec_id") < nQ, k).persist()
+      val truthN = truth.count()
+      val truthSec = (System.nanoTime() - tTruth) / 1e9
+      require(truthN == nQ.toLong * k, s"truth rows $truthN != ${nQ * k}")
+      val curve = Seq(1, 2, 4, 8).map { nProbe =>
+        val t = System.nanoTime()
+        val approx = e.annTopKIndexedServe("corpus", "vec_id", "embedding",
+          col("vec_id") < nQ, k, nProbe).persist()
+        approx.count()
+        val searchSec = (System.nanoTime() - t) / 1e9
+        val r = Similarity.recallAtK(approx, truth, k)
+          .agg(avg("recall")).head().getDouble(0)
+        approx.unpersist()
+        (nProbe, r, searchSec)
+      }
+      // the pq ≡ ivf contract, verified at one sweep point: identical
+      // (q_id, n_id) sets → identical recall by construction
+      val ivf2 = e.annTopKIndexedServe("corpus", "vec_id", "embedding",
+        col("vec_id") < nQ, k, nProbe = 2)
+      val pq2 = e.annTopKIndexedServe("corpus", "vec_id", "embedding",
+        col("vec_id") < nQ, k, nProbe = 2, method = "pq")
+      val pqDiff = ivf2.select("q_id", "n_id")
+        .exceptAll(pq2.select("q_id", "n_id")).count()
+      require(pqDiff == 0, s"pq ≢ ivf at nProbe=2: $pqDiff rows differ")
+      truth.unpersist()
+      val curveStr = curve.map { case (p, r, s) =>
+        f"nProbe=$p recall=$r%.3f (${s}%.1f s)"
+      }.mkString("  ")
+      println(f"[recall] corpus=$n d=$d layout=$layout kind=$kind k=$k " +
+        f"queries=$nQ build=$buildSec%.1f s truth=$truthSec%.1f s " +
+        f"$curveStr pq≡ivf@2: ok")
+      graft.operators.OperatorCache.clear(spark)
+    }
+    spark.stop()
+  }
+
   /** Persisted-ANN-index scale probe (round 10 — VERDICT r9 item 1):
     * `runMain graft.tools.ScaleCheck annidx [corpusList] [d]` (default
     * `200000,2000000` / 32). For each corpus size n: materialize an
@@ -1112,6 +1212,7 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("annidx")) return annidxMain(args.drop(1))
+    if (args.headOption.contains("recall")) return recallMain(args.drop(1))
     if (args.headOption.contains("combined")) return combinedMain(args.drop(1))
     if (args.headOption.contains("ingest")) return ingestMain(args.drop(1))
     if (args.headOption.contains("ingesttext")) return ingestTextMain(args.drop(1))

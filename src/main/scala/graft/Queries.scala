@@ -3360,20 +3360,77 @@ object Queries {
   val annIvfTopKIndexed: Q = annIndexedGate("ann_ivf_topk_indexed", "ivf")
   val annPqTopKIndexed: Q = annIndexedGate("ann_pq_topk_indexed", "pq")
 
+  /** Shared oracle for the PRE-FILTERED index-served search (round 11):
+    * the quantizer replays as usual, the corpus joins back to
+    * `embeddings` for the metadata column, and the predicate applies to
+    * the NEIGHBOR side below the ranking — so each query's top-5 are
+    * the best ELIGIBLE rows in its probed cells, the filtered-ANN
+    * contract ([[operators.Similarity.ivfTopKFromIndex]] `eligible`). */
+  private val annFilteredIndexedOracle: String =
+    s"""WITH ${duckIvfCells()},
+      |corpus AS (
+      |  SELECT a1.vec_id AS n_id, a1.v AS v_n, cid AS cell, e.label
+      |  FROM a1 JOIN embeddings e ON a1.vec_id = e.vec_id WHERE r = 1),
+      |qprobe AS (
+      |  SELECT vec_id AS q_id, v AS v_q, cid AS cell
+      |  FROM a1 WHERE vec_id < 10 AND r <= 3),
+      |cand AS (
+      |  SELECT q.q_id, c.n_id,
+      |    round(list_cosine_similarity(q.v_q, c.v_n), 6) AS cos
+      |  FROM qprobe q JOIN corpus c USING (cell)
+      |  WHERE q.q_id <> c.n_id AND c.label <= 4)
+      |SELECT q_id, n_id, rnk, cos FROM (
+      |  SELECT q_id, n_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, n_id) AS BIGINT) AS rnk, cos
+      |  FROM cand) t
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** Pre-filtered vector search served from the PERSISTED index
+    * (round 11): "top-k neighbors among rows WHERE label <= 4" with no
+    * retrain and no corpus re-encode — the predicate evaluates on the
+    * main stream (pushdown scan, one metadata column), projects to an
+    * eligible-id set, and semi-joins the stored `__annidx` encoding
+    * BEFORE scoring. The pq twin shares the oracle verbatim: the ADC
+    * bound-prune sees eligible candidates only, so pq ≡ ivf holds
+    * under filtering exactly as it does unfiltered (the post-filter
+    * formulation this design rejects breaks that equality — an
+    * ineligible near neighbor would set the prune threshold). */
+  private def annIndexedFilteredGate(name: String, method: String): Q =
+    q(name, annFilteredIndexedOracle) { (s, dir) =>
+      withAnnEngine(s, dir, withLabel = true)(
+        _.annTopKIndexed("emb_idx", "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5, nProbe = 3, method = method,
+          corpusPred = Some(col("label") <= 4)))
+        .orderBy("q_id", "rnk")
+    }
+
+  val annIvfFilteredIndexed: Q =
+    annIndexedFilteredGate("ann_indexed_filtered_topk", "ivf")
+  val annPqFilteredIndexed: Q =
+    annIndexedFilteredGate("ann_indexed_filtered_pq", "pq")
+
   /** Shared engine-setup for the index-served quantizer-family gates:
     * corpus into a stream, one `ensureAnnIndex`, then `run` against the
     * standing index. */
-  private def withAnnEngine(s: SparkSession, dir: String)(
+  private def withAnnEngine(s: SparkSession, dir: String,
+                            withLabel: Boolean = false)(
       run: engine.Engine => DataFrame): DataFrame = {
     val e = new engine.Engine(s,
       java.nio.file.Files.createTempDirectory("graft-annidx-gate").toString)
-    e.createStream("emb_idx", schema.StreamSchema.fromStruct(
-      new org.apache.spark.sql.types.StructType()
-        .add("vec_id", "long", nullable = false)
-        .add("embedding", org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.FloatType))))
+    val base = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", "long", nullable = false)
+      .add("embedding", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    // the filtered-search gates need a metadata column on the MAIN
+    // stream (the index siblings store only the encoding) — the
+    // predicate evaluates there and semi-joins in as an eligible set
+    val st = if (withLabel) base.add("label", "int") else base
+    e.createStream("emb_idx", schema.StreamSchema.fromStruct(st))
+    val cols = if (withLabel) Seq("vec_id", "embedding", "label")
+               else Seq("vec_id", "embedding")
     e.appendRows("emb_idx",
-      t(s, dir, "embeddings").select("vec_id", "embedding"))
+      t(s, dir, "embeddings").select(cols.map(col): _*))
     // close releases the process-global registry/conf bindings only —
     // the returned (lazy) serving plan reads parquet, not the registry
     try run(e) finally e.close()
@@ -3499,6 +3556,26 @@ object Queries {
         """SELECT q_id, n_id, rnk, cos
           |FROM ann_indexed_topk('emb_idx', 'vec_id', 'embedding',
           |  'vec_id < 10', 5, 3)
+          |ORDER BY q_id, rnk""".stripMargin)
+    }
+  }
+
+  /** The filtered-search SQL surface (round 11): the 8th
+    * `ann_indexed_topk` argument is a corpus predicate evaluated on the
+    * MAIN stream — "top-k among rows WHERE label <= 4" in one SQL call
+    * against the standing index. Shares the filtered gates' oracle. */
+  val sqlAnnFilteredTopK: Q = q("sql_ann_filtered_topk",
+    annFilteredIndexedOracle) { (s, dir) =>
+    withAnnEngine(s, dir, withLabel = true) { e =>
+      e.registerViews()
+      val status = s.sql(
+        """SELECT * FROM ann_index_rebuild('emb_idx', 'vec_id',
+          |  'embedding')""".stripMargin).collect()
+      assert(status.head.getBoolean(1), "first rebuild must build")
+      s.sql(
+        """SELECT q_id, n_id, rnk, cos
+          |FROM ann_indexed_topk('emb_idx', 'vec_id', 'embedding',
+          |  'vec_id < 10', 5, 3, 'ivf', 'label <= 4')
           |ORDER BY q_id, rnk""".stripMargin)
     }
   }
@@ -7413,8 +7490,10 @@ object Queries {
     quantileSketchRollup, sketchDrift, corpusOverlapSketch, cmSketchTopK,
     exactQuantileGate,
     annPqTopK, annIvfTopKIndexed, annPqTopKIndexed,
+    annIvfFilteredIndexed, annPqFilteredIndexed,
     semDedupIndexedGate, knnGraphIndexedGate,
     sqlMinhashPairs, sqlAnnTopK, sqlSemDedup, sqlAnnIndexedTopK,
+    sqlAnnFilteredTopK,
     sqlMinhashPairsKnobs, sqlDecontaminate, sqlDsirWeights, sqlAnnRecall,
     epochShuffleGate, rendezvousShardGate, bpeTrainGate,
     bpeEncodeGate, kCenterGate, bpeFertilityGate, vocabCoverageGate,

@@ -1260,7 +1260,9 @@ final class Engine(
                      queryPred: org.apache.spark.sql.Column, k: Int,
                      nProbe: Int = 2, method: String = "ivf",
                      nCentroids: Int = 0, m: Int = 8,
-                     ksub: Int = 16): DataFrame = {
+                     ksub: Int = 16,
+                     corpusPred: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     // round 11 (VERDICT r10 item 3): during an in-flight staged rebuild
     // a search SERVES the standing generation instead of blocking for
     // the corpus-linear build — the swap lands atomically and the next
@@ -1275,7 +1277,8 @@ final class Engine(
     }
     if (!(inFlight && servable))
       ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
-    annTopKIndexedServe(name, idCol, vecCol, queryPred, k, nProbe, method)
+    annTopKIndexedServe(name, idCol, vecCol, queryPred, k, nProbe, method,
+      corpusPred)
   }
 
   /** Serve top-k from the CURRENT persisted index, with NO ensure —
@@ -1289,11 +1292,26 @@ final class Engine(
     * error naming the lifecycle ops; a merely STALE index (corpus
     * written since the last build) serves its last built epoch, the
     * standard materialized-index contract — `ann_index_rebuild` /
-    * [[ensureAnnIndex]] folds new rows in. */
+    * [[ensureAnnIndex]] folds new rows in.
+    *
+    * `corpusPred` (round 11) is the PRE-FILTERED search shape over the
+    * standing index — "top-k among rows WHERE lang='en'": the predicate
+    * evaluates on the MAIN stream (the index siblings store only the
+    * encoding, not user columns), projects to an eligible-id frame
+    * (predicate pushes to the parquet scan, one column read), and the
+    * index side semi-joins it BEFORE the probe scoring — so every
+    * query still receives up to k ELIGIBLE neighbors from its probed
+    * cells, and the PQ bound-prune thresholds see eligible candidates
+    * only (a post-filter breaks both contracts; see
+    * [[graft.operators.Similarity.pqTopKFromIndex]]). A very selective
+    * predicate can thin probed cells below k — widen `nProbe` to
+    * compensate, exactly the published filtered-IVF guidance. */
   def annTopKIndexedServe(name: String, idCol: String, vecCol: String,
                           queryPred: org.apache.spark.sql.Column, k: Int,
                           nProbe: Int = 2,
-                          method: String = "ivf"): DataFrame = {
+                          method: String = "ivf",
+                          corpusPred: Option[org.apache.spark.sql.Column] =
+                            None): DataFrame = {
     import graft.operators.Similarity
     require(Seq("ivf", "pq").contains(method), s"unknown method '$method'")
     require(nProbe >= 0,
@@ -1328,13 +1346,17 @@ final class Engine(
     val effProbe =
       if (nProbe > 0) nProbe
       else props.get("ann_nprobe").map(_.toInt).getOrElse(2)
+    val eligible = corpusPred.map(p =>
+      readStream(name).filter(p).select(col(idCol).as("n_id")))
     method match {
       case "ivf" =>
-        Similarity.ivfTopKFromIndex(idx, quant, queries, k, effProbe)
+        Similarity.ivfTopKFromIndex(idx, quant, queries, k, effProbe,
+          eligible)
       case "pq" =>
         val books = Similarity.booksFromRows(centRows,
           props("ann_m").toInt, props("ann_ksub").toInt)
-        Similarity.pqTopKFromIndex(idx, quant, books, queries, k, effProbe)
+        Similarity.pqTopKFromIndex(idx, quant, books, queries, k, effProbe,
+          eligible)
     }
   }
 
@@ -1349,15 +1371,26 @@ final class Engine(
     * ([[graft.operators.Similarity.recallAtK]]).
     *
     * Serves the CURRENT index like [[annTopKIndexedServe]] (no ensure,
-    * no rebuild); a missing index is the same loud lifecycle error. */
+    * no rebuild); a missing index is the same loud lifecycle error.
+    *
+    * `corpusPred` measures recall of the FILTERED search (round 11):
+    * ground truth restricts its neighbor side to the same eligible set
+    * the serve path semi-joins, so the number answers "how much does
+    * the probe miss under THIS filter" — which widens with selectivity
+    * (filters thin probed cells), exactly what an operator tuning
+    * `nProbe` for a filtered workload needs to see. */
   def annRecallMeasured(name: String, idCol: String, vecCol: String,
                         k: Int = 10, nProbe: Int = 2,
                         sampleQueries: Int = 64,
-                        method: String = "ivf"): Double = {
+                        method: String = "ivf",
+                        corpusPred: Option[org.apache.spark.sql.Column] =
+                          None): Double = {
     val pred = annSamplePred(name, idCol, sampleQueries)
     val truth = graft.operators.Similarity.bruteForceTopK(
-      readStream(name), idCol, vecCol, pred, k).persist()
-    try annRecallAgainst(truth, name, idCol, vecCol, pred, k, nProbe, method)
+      readStream(name), idCol, vecCol, pred, k,
+      corpusPred = corpusPred.getOrElse(lit(true))).persist()
+    try annRecallAgainst(truth, name, idCol, vecCol, pred, k, nProbe, method,
+      corpusPred)
     finally truth.unpersist()
   }
 
@@ -1382,12 +1415,21 @@ final class Engine(
     * frozen-codebook shard ingests (recall stays valid within the
     * drift bound) and is STRIPPED by any rebuild: retrained codebooks
     * void the measurement, and AUTO falls back to the family default
-    * rather than serving a stale promise. */
+    * rather than serving a stale promise.
+    *
+    * `corpusPred` tunes for a FILTERED workload (round 11): truth and
+    * every probe step restrict neighbors to the eligible set, so the
+    * returned width is the one the filtered search needs — wider than
+    * unfiltered when the filter thins probed cells. A pin taken under
+    * a filter applies to AUTO serving globally; pin it only when the
+    * filtered workload IS the serving workload. */
   def annNProbeForRecall(name: String, idCol: String, vecCol: String,
                          targetRecall: Double, k: Int = 10,
                          sampleQueries: Int = 64, maxNProbe: Int = 64,
                          method: String = "ivf",
-                         pin: Boolean = false): (Int, Double) = {
+                         pin: Boolean = false,
+                         corpusPred: Option[org.apache.spark.sql.Column] =
+                           None): (Int, Double) = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
     val props = catalog.get(annIndexName(name)).map(_.properties).getOrElse(
@@ -1401,17 +1443,20 @@ final class Engine(
       if (props("ann_kind") == "hier") Some(props("ann_k2").toInt) else None)
     val pred = annSamplePred(name, idCol, sampleQueries)
     val truth = graft.operators.Similarity.bruteForceTopK(
-      readStream(name), idCol, vecCol, pred, k).persist()
+      readStream(name), idCol, vecCol, pred, k,
+      corpusPred = corpusPred.getOrElse(lit(true))).persist()
     try {
       if (truth.isEmpty) return (1, 1.0)
       var nProbe = 1
       var recall =
-        annRecallAgainst(truth, name, idCol, vecCol, pred, k, nProbe, method)
+        annRecallAgainst(truth, name, idCol, vecCol, pred, k, nProbe, method,
+          corpusPred)
       while (recall < targetRecall && nProbe < maxNProbe &&
           quant.probeFanout(nProbe * 2) > quant.probeFanout(nProbe)) {
         nProbe *= 2
         recall =
-          annRecallAgainst(truth, name, idCol, vecCol, pred, k, nProbe, method)
+          annRecallAgainst(truth, name, idCol, vecCol, pred, k, nProbe,
+            method, corpusPred)
       }
       if (pin) streamLock(name).synchronized {
         // pinned under the ingest lock so a concurrent rebuild's strip
@@ -1439,9 +1484,11 @@ final class Engine(
   private def annRecallAgainst(truth: DataFrame, name: String, idCol: String,
                                vecCol: String,
                                pred: org.apache.spark.sql.Column, k: Int,
-                               nProbe: Int, method: String): Double = {
+                               nProbe: Int, method: String,
+                               corpusPred: Option[org.apache.spark.sql.Column]
+                                 = None): Double = {
     val approx = annTopKIndexedServe(name, idCol, vecCol, pred, k,
-      nProbe, method)
+      nProbe, method, corpusPred)
     val r = graft.operators.Similarity.recallAtK(approx, truth, k)
       .agg(avg("recall")).head()
     if (r.isNullAt(0)) 1.0 else r.getDouble(0) // no truth rows: vacuous

@@ -208,15 +208,19 @@ object GraftTableFunctions {
     },
     fn("ann_indexed_topk",
       "ann_indexed_topk(stream, idCol, vecCol, queryPredicateSql, k, " +
-        "nProbe, method) - top-k ANN served from the engine's PERSISTED " +
-        "__annidx index (the scale path: no per-query codebook retrain). " +
-        "Resolves through the engine bound to the session " +
-        "(Engine.registerViews binds it). PURE: serves the index's last " +
-        "built epoch and never rebuilds — build/refresh explicitly with " +
-        "ann_index_rebuild(...). nProbe 0 = AUTO (the width pinned by " +
-        "ann_nprobe_for_recall(..., pin=>true), else 2). method: 'ivf' " +
-        "(default) or 'pq'",
-      maxArgs = 7) { args =>
+        "nProbe, method, corpusPredicateSql) - top-k ANN served from the " +
+        "engine's PERSISTED __annidx index (the scale path: no per-query " +
+        "codebook retrain). Resolves through the engine bound to the " +
+        "session (Engine.registerViews binds it). PURE: serves the " +
+        "index's last built epoch and never rebuilds — build/refresh " +
+        "explicitly with ann_index_rebuild(...). nProbe 0 = AUTO (the " +
+        "width pinned by ann_nprobe_for_recall(..., pin=>true), else 2). " +
+        "method: 'ivf' (default) or 'pq'. corpusPredicateSql (optional) " +
+        "restricts NEIGHBORS to rows passing it, evaluated on the main " +
+        "stream BEFORE ranking — every query still gets up to k eligible " +
+        "rows from its probed cells (widen nProbe for very selective " +
+        "filters)",
+      maxArgs = 8) { args =>
       val tbl = litString(args, 0, "ann_indexed_topk", "stream name")
       val id = litString(args, 1, "ann_indexed_topk", "id column")
       val vec = litString(args, 2, "ann_indexed_topk", "vector column")
@@ -225,7 +229,10 @@ object GraftTableFunctions {
       val nProbe = litInt(args, 5, "ann_indexed_topk", "nProbe", 2)
       val method = args.lift(6).map(_ =>
         litString(args, 6, "ann_indexed_topk", "method")).getOrElse("ivf")
-      bound().annTopKIndexedServe(tbl, id, vec, expr(pred), k, nProbe, method)
+      val corpusPred = args.lift(7).map(_ => expr(
+        litString(args, 7, "ann_indexed_topk", "corpus predicate SQL")))
+      bound().annTopKIndexedServe(tbl, id, vec, expr(pred), k, nProbe, method,
+          corpusPred)
         .queryExecution.analyzed
     },
     fn("ann_index_rebuild",

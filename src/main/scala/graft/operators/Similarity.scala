@@ -756,12 +756,28 @@ object Similarity {
     * per-call Lloyd retrain + full-corpus re-assignment the inline path
     * does. Bit-identical to [[ivfTopK]] on the same corpus because the
     * stored assignment IS the inline assignment (floats round-trip
-    * parquet exactly; the recipe is storage-order-independent). */
+    * parquet exactly; the recipe is storage-order-independent).
+    *
+    * `eligible` (round 11) is the PRE-FILTERED search shape served from
+    * the index: a single-column (`n_id`) frame of corpus ids allowed to
+    * be neighbors — the index side semi-joins it BEFORE the cell join,
+    * so ranking sees eligible candidates only and every query still
+    * receives up to k eligible rows from the probed cells (a
+    * post-filter formulation returns < k whenever a near neighbor
+    * fails the predicate). Scale shape: the eligible frame is an
+    * id-projection of a predicate-pushed corpus scan; AQE broadcasts
+    * it when the predicate is selective, and past that the semi-join
+    * hashes on id while the cell join still broadcasts the probed
+    * side — the index never shuffles twice. */
   private[graft] def ivfTopKFromIndex(index: DataFrame,
                                       quant: CoarseQuantizer,
                                       queries: DataFrame, k: Int,
-                                      nProbe: Int): DataFrame = {
-    val corpus = index.select(col("n_id"), col("cell"), col("v").as("v_n"))
+                                      nProbe: Int,
+                                      eligible: Option[DataFrame] = None)
+      : DataFrame = {
+    val base = index.select(col("n_id"), col("cell"), col("v").as("v_n"))
+    val corpus = eligible.fold(base)(el =>
+      base.join(el.select(col("n_id")), Seq("n_id"), "left_semi"))
     val qs = queries.select(col("n_id").as("q_id"), col("v").as("v_q"))
     val probed = quant.probeCells(qs, "v_q", nProbe)
     ivfSearchTail(corpus, probed, k, probedBytesEstimate(qs,
@@ -848,12 +864,24 @@ object Similarity {
     * query batch pays LUT build + probe + ADC only — never the per-call
     * codebook retrain + full-corpus re-encode. Output ≡ [[pqTopK]] ≡
     * [[ivfTopK]] (the error-bound prune is exact by construction and
-    * every stored float round-trips parquet bit-exactly). */
+    * every stored float round-trips parquet bit-exactly).
+    *
+    * `eligible` (round 11, same contract as [[ivfTopKFromIndex]]) MUST
+    * apply BEFORE the ADC bound-prune, never after: the prune threshold
+    * is the per-query k-th best candidate LOWER bound, so an ineligible
+    * near neighbor left in the candidate set would raise the threshold
+    * and prune eligible true top-k rows — a post-filter here is not
+    * merely slower, it is WRONG (AnnIndexSpec pins pq ≡ ivf on a
+    * corpus whose nearest neighbors are ineligible). */
   private[graft] def pqTopKFromIndex(index: DataFrame, quant: CoarseQuantizer,
                                      books: PqBooks, queries: DataFrame,
-                                     k: Int, nProbe: Int): DataFrame = {
-    val corpusEnc = index.select(col("n_id"), col("cell"), col("v").as("v_n"),
+                                     k: Int, nProbe: Int,
+                                     eligible: Option[DataFrame] = None)
+      : DataFrame = {
+    val baseEnc = index.select(col("n_id"), col("cell"), col("v").as("v_n"),
       col("codes"), col("eps"), col("norm_x"))
+    val corpusEnc = eligible.fold(baseEnc)(el =>
+      baseEnc.join(el.select(col("n_id")), Seq("n_id"), "left_semi"))
     val probed = quant.probeCells(pqQueries(queries, books), "v_q", nProbe)
     pqFinal(pqBarFrames(corpusEnc, probed, books, k,
       probedBytesEstimate(queries, quant.probeFanout(nProbe),

@@ -56,6 +56,12 @@ object BroadcastGenerateGuard {
     "ann_ivf_topk_indexed" -> Seq("explode(transform(slice(sort_array("),
     "ann_pq_topk_indexed" -> Seq("explode(transform(slice(sort_array("),
     "sql_ann_indexed_topk" -> Seq("explode(transform(slice(sort_array("),
+    // the FILTERED index-served twins (round 11): same probed query
+    // side; the corpus-side eligible semi-join never broadcasts a
+    // Generate (the eligible frame is an id projection, explode-free)
+    "ann_indexed_filtered_topk" -> Seq("explode(transform(slice(sort_array("),
+    "ann_indexed_filtered_pq" -> Seq("explode(transform(slice(sort_array("),
+    "sql_ann_filtered_topk" -> Seq("explode(transform(slice(sort_array("),
     // 2-element quantile literal explode (exact_quantile broadcasts it
     // at two join sites — both audited)
     "exact_quantile" -> Seq("explode([0.5,0.99])", "explode([0.5,0.99])"),

@@ -1039,6 +1039,85 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** Filtered-search scale probe (round 11):
+    * `runMain graft.tools.ScaleCheck filtered [corpusList] [d] [nQ]`
+    * (default `200000,2000000` / 32 / 32). Builds a clustered corpus
+    * with a `label` metadata column (pmod 100 → selectivity predicates
+    * `label < s` select s%), one persisted index, then for each
+    * selectivity in {1%, 10%, 50%}: timed filtered serve at nProbe=2,
+    * plus measured filtered recall at nProbe 2 and 8 against FILTERED
+    * brute force. Claims under test: (a) filtered-search cost stays
+    * index-served (probe + eligible semi-join — never a re-encode or a
+    * corpus re-shuffle) at 10× corpus; (b) recall at fixed nProbe drops
+    * as the filter thins probed cells, and widening nProbe restores it
+    * — the measured form of the "widen nProbe for selective filters"
+    * guidance on [[graft.engine.Engine.annTopKIndexedServe]]. */
+  private def filteredMain(args: Array[String]): Unit = {
+    val ns = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(200000L, 2000000L))
+    val d = args.lift(1).map(_.toInt).getOrElse(32)
+    val nQ = args.lift(2).map(_.toInt).getOrElse(32)
+    val k = 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-filteredcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Similarity
+    val vecExpr = {
+      val center = s"(pmod(xxhash64(pmod(id, 256), j), 2001) - 1000) / 1000.0"
+      val noise = s"(pmod(xxhash64(id, j + 7777), 2001) - 1000) / 1000.0"
+      s"transform(sequence(0, ${d - 1}), j -> CAST($center + 0.25 * ($noise) AS FLOAT))"
+    }
+    for (n <- ns) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-filteredcheck").toString
+      val e = new graft.engine.Engine(spark, root)
+      e.createStream("corpus", graft.schema.StreamSchema.fromStruct(
+        new org.apache.spark.sql.types.StructType()
+          .add("vec_id", "long", nullable = false)
+          .add("embedding", "array<float>")
+          .add("label", "int")))
+      e.appendRows("corpus", spark.range(n)
+        .select(col("id").as("vec_id"), expr(vecExpr).as("embedding"),
+          pmod(col("id"), lit(100)).cast("int").as("label")))
+      val t0 = System.nanoTime()
+      e.ensureAnnIndex("corpus", "vec_id", "embedding")
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val corpus = e.readStream("corpus")
+      for (sel <- Seq(1, 10, 50)) {
+        val pred = Some(col("label") < sel)
+        val tS = System.nanoTime()
+        val served = e.annTopKIndexedServe("corpus", "vec_id", "embedding",
+          col("vec_id") < nQ, k, nProbe = 2, corpusPred = pred)
+        val servedN = served.count()
+        val serveSec = (System.nanoTime() - tS) / 1e9
+        val truth = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          col("vec_id") < nQ, k,
+          corpusPred = col("label") < sel).persist()
+        truth.count()
+        def recallAt(nProbe: Int): Double = {
+          val approx = e.annTopKIndexedServe("corpus", "vec_id",
+            "embedding", col("vec_id") < nQ, k, nProbe, corpusPred = pred)
+          val r = Similarity.recallAtK(approx, truth, k)
+            .agg(avg("recall")).head()
+          if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+        }
+        val r2 = recallAt(2)
+        val r8 = recallAt(8)
+        truth.unpersist()
+        println(f"[filtered] corpus=$n d=$d sel=$sel%% nProbe=2 " +
+          f"serve=$serveSec%.1f s rows=$servedN " +
+          f"recall@2=$r2%.3f recall@8=$r8%.3f (build=$buildSec%.1f s)")
+      }
+      graft.operators.OperatorCache.clear(spark)
+    }
+    spark.stop()
+  }
+
   /** Persisted-ANN-index scale probe (round 10 — VERDICT r9 item 1):
     * `runMain graft.tools.ScaleCheck annidx [corpusList] [d]` (default
     * `200000,2000000` / 32). For each corpus size n: materialize an
@@ -1213,6 +1292,7 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("annidx")) return annidxMain(args.drop(1))
     if (args.headOption.contains("recall")) return recallMain(args.drop(1))
+    if (args.headOption.contains("filtered")) return filteredMain(args.drop(1))
     if (args.headOption.contains("combined")) return combinedMain(args.drop(1))
     if (args.headOption.contains("ingest")) return ingestMain(args.drop(1))
     if (args.headOption.contains("ingesttext")) return ingestTextMain(args.drop(1))

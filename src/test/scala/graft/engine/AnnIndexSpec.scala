@@ -602,4 +602,76 @@ class AnnIndexSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("q_id", "n_id", "rnk", "cos"))
     assert(out.count() == 0)
   }
+
+  test("filtered search: pre-filter semantics, pq ≡ ivf under filtering, empty eligible set") {
+    // label = parity; the planted clusters stride by id % 4, so query 0's
+    // NEAREST neighbors (4, 8, 12, …) are all even — i.e. INELIGIBLE
+    // under the odd-only predicate. That makes this the adversarial case
+    // for a post-filter formulation: ineligible near neighbors would set
+    // the PQ prune threshold (dropping eligible true top-k → pq ≠ ivf)
+    // and post-filtering ivf's k rows would return fewer than k.
+    val e = newEngine()
+    e.createStream("embf", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long", nullable = false)
+        .add("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+        .add("label", "int")))
+    e.appendRows("embf", corpus().withColumn("label",
+      pmod(col("vec_id"), lit(2)).cast("int")))
+    assert(e.ensureAnnIndex("embf", "vec_id", "embedding"))
+
+    val oddOnly = Some(col("label") === 1)
+    val ivfF = e.annTopKIndexed("embf", "vec_id", "embedding",
+      col("vec_id") < 5, k = 3, nProbe = 2, corpusPred = oddOnly)
+      .collect().toSet
+    // only eligible neighbors, dense ranks per query
+    assert(ivfF.nonEmpty)
+    assert(ivfF.forall(_.getLong(1) % 2 == 1),
+      "every returned neighbor must pass the corpus predicate")
+    // the filter binds: unfiltered top-3 for query 0 is even-dominated
+    val unf = e.annTopKIndexed("embf", "vec_id", "embedding",
+      col("vec_id") === 0, k = 3, nProbe = 2).collect()
+    assert(unf.exists(_.getLong(1) % 2 == 0),
+      "test premise: unfiltered neighbors of query 0 include even ids")
+
+    // exact oracle over the SAME probed cells: rank ALL candidates
+    // (k = corpus size returns every probed-cell candidate with its
+    // cos), drop ineligible rows, re-rank, truncate — must equal the
+    // pre-filtered serve row for row
+    val allRanked = e.annTopKIndexed("embf", "vec_id", "embedding",
+      col("vec_id") < 5, k = 60, nProbe = 2).collect()
+    val expected = allRanked.filter(_.getLong(1) % 2 == 1)
+      .groupBy(_.getLong(0)).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r.getDouble(3), r.getLong(1))).take(3)
+          .zipWithIndex.map { case (r, i) =>
+            (q, r.getLong(1), i + 1L, r.getDouble(3)) }.toSeq
+      }.toSet
+    assert(ivfF.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))) == expected,
+      "pre-filtered serve must equal rank-all-then-filter-then-rerank")
+
+    // the critical pin: the ADC bound-prune must see ELIGIBLE candidates
+    // only — a post-filter regression surfaces here as pq ⊂ ivf
+    val pqF = e.annTopKIndexed("embf", "vec_id", "embedding",
+      col("vec_id") < 5, k = 3, nProbe = 2, method = "pq",
+      corpusPred = oddOnly).collect().toSet
+    assert(pqF == ivfF, "pq must equal ivf under filtering")
+
+    // empty eligible set: zero rows, schema intact
+    val none = e.annTopKIndexed("embf", "vec_id", "embedding",
+      col("vec_id") < 5, k = 3, nProbe = 2,
+      corpusPred = Some(col("label") > 100))
+    assert(none.columns.toSeq == Seq("q_id", "n_id", "rnk", "cos"))
+    assert(none.count() == 0)
+
+    // the SQL surface (8th ann_indexed_topk argument) serves the same rows
+    e.registerViews()
+    val sqlRows = spark.sql(
+      """SELECT q_id, n_id, rnk, cos
+        |FROM ann_indexed_topk('embf', 'vec_id', 'embedding',
+        |  'vec_id < 5', 3, 2, 'ivf', 'label = 1')""".stripMargin)
+      .collect().toSet
+    assert(sqlRows == ivfF, "TVF corpus predicate must match the Scala path")
+  }
 }

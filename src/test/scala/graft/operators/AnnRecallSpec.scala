@@ -118,6 +118,34 @@ class AnnRecallSpec extends SparkSpec {
     bare.close(); e.close()
   }
 
+  test("filtered recall: truth shares the serve path's eligible set") {
+    // parity labels over mod-16 clusters: every cluster is half
+    // ineligible, so if the ground truth were UNFILTERED the eligible-
+    // only serve could never reach recall 1.0 (≈ half of each true
+    // top-10 fails the predicate) — full-width recall == 1.0 is
+    // therefore proof that truth and serve restrict to the SAME set
+    val e = new Engine(spark, tmpDir("graft-recall-filt"))
+    e.createStream("embf", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long", nullable = false)
+        .add("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+        .add("label", "int")))
+    e.appendRows("embf", corpus(500).withColumn("label",
+      pmod(col("vec_id"), lit(2)).cast("int")))
+    e.ensureAnnIndex("embf", "vec_id", "embedding", nCentroids = 8)
+    val oddOnly = Some(col("label") === 1)
+    assert(e.annRecallMeasured("embf", "vec_id", "embedding",
+      k = 10, nProbe = 8, corpusPred = oddOnly) == 1.0,
+      "full-width filtered probe must reproduce FILTERED brute force")
+    // the tuner under the same filter meets its target (saturation at
+    // the 8-cell fanout guarantees it can always reach 1.0)
+    val (pF, rF) = e.annNProbeForRecall("embf", "vec_id", "embedding",
+      targetRecall = 0.9, k = 10, corpusPred = oddOnly)
+    assert(rF >= 0.9, s"filtered tuner returned nProbe=$pF, recall=$rF")
+    e.close()
+  }
+
   test("pin lifecycle: tuned width serves as AUTO, survives ingest, dies on rebuild") {
     val (e, _) = newIndexed()
     val (pTuned, _) = e.annNProbeForRecall("emb", "vec_id", "embedding",

@@ -3410,6 +3410,44 @@ object Queries {
   val annPqFilteredIndexed: Q =
     annIndexedFilteredGate("ann_indexed_filtered_pq", "pq")
 
+  /** Forgotten rows stay forgotten ([[engine.Engine.forgetRows]],
+    * round 11 — the physical takedown path): build the index, delete
+    * every 7th vector via the `forget_rows` SQL TVF, then search. The
+    * oracle replays the FULL-corpus quantizer — the codebooks froze
+    * BEFORE the forget, so a hash-match simultaneously proves (a) the
+    * forgotten ids left the index and the query set, and (b) forget
+    * re-pinned the index LIVE rather than forcing a rebuild (a retrain
+    * on the survivor corpus would pick different centroids and
+    * diverge). */
+  val annForgetTopK: Q = q("ann_forget_topk",
+    s"""WITH ${duckIvfCells()},
+      |corpus AS (SELECT vec_id AS n_id, v AS v_n, cid AS cell
+      |  FROM a1 WHERE r = 1 AND vec_id % 7 <> 0),
+      |qprobe AS (
+      |  SELECT vec_id AS q_id, v AS v_q, cid AS cell
+      |  FROM a1 WHERE vec_id < 10 AND vec_id % 7 <> 0 AND r <= 3),
+      |cand AS (
+      |  SELECT q.q_id, c.n_id,
+      |    round(list_cosine_similarity(q.v_q, c.v_n), 6) AS cos
+      |  FROM qprobe q JOIN corpus c USING (cell)
+      |  WHERE q.q_id <> c.n_id)
+      |SELECT q_id, n_id, rnk, cos FROM (
+      |  SELECT q_id, n_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, n_id) AS BIGINT) AS rnk, cos
+      |  FROM cand) t
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+    withAnnEngine(s, dir) { e =>
+      e.registerViews()
+      e.ensureAnnIndex("emb_idx", "vec_id", "embedding")
+      val fr = s.sql(
+        "SELECT * FROM forget_rows('emb_idx', 'vec_id % 7 = 0')").collect()
+      assert(fr.head.getLong(1) > 0, "forget must remove rows")
+      e.annTopKIndexed("emb_idx", "vec_id", "embedding",
+        queryPred = col("vec_id") < 10, k = 5, nProbe = 3)
+    }.orderBy("q_id", "rnk")
+  }
+
   /** Shared engine-setup for the index-served quantizer-family gates:
     * corpus into a stream, one `ensureAnnIndex`, then `run` against the
     * standing index. */
@@ -7490,7 +7528,7 @@ object Queries {
     quantileSketchRollup, sketchDrift, corpusOverlapSketch, cmSketchTopK,
     exactQuantileGate,
     annPqTopK, annIvfTopKIndexed, annPqTopKIndexed,
-    annIvfFilteredIndexed, annPqFilteredIndexed,
+    annIvfFilteredIndexed, annPqFilteredIndexed, annForgetTopK,
     semDedupIndexedGate, knnGraphIndexedGate,
     sqlMinhashPairs, sqlAnnTopK, sqlSemDedup, sqlAnnIndexedTopK,
     sqlAnnFilteredTopK,

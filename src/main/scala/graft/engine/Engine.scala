@@ -1702,6 +1702,173 @@ final class Engine(
     write(d, full.withColumn(DeletedCol, lit(true)), SaveMode.Append)
   }
 
+  /** PHYSICAL row removal — the takedown/opt-out path (round 11): every
+    * stored row matching `pred` is deleted from the stream's store AND
+    * pruned out of every LIVE standing index sibling (`__annidx`,
+    * `__mhpost`/`__mhsig`, `__lshidx`) by an `ex_id` anti-join, WITHOUT
+    * retraining — codebooks/band layouts hold no row data, so the
+    * indexes stay live (epochs re-pinned) and the next search/ingest
+    * pays nothing. [[deleteKeys]] hides a key behind a tombstone but
+    * keeps the bytes (and earlier epochs still serve them via
+    * [[readStreamAsOf]]); this removes them, which is what a takedown
+    * actually requires. At 100 TB the cost is one predicate-pushed
+    * rewrite of the main store plus one output-sized anti-join rewrite
+    * per index — never a retrain, never a corpus collect.
+    *
+    * Liveness rule: a sibling whose epoch pins were ALREADY broken
+    * before this call (e.g. a growth-cap-stale ANN index) is left
+    * stale rather than re-pinned — re-pinning it would falsely mark
+    * coverage of appends it never indexed; its eventual rebuild reads
+    * the post-forget store anyway. A stale-but-present `__annidx`
+    * still gets its rows pruned (a stale index must not keep serving
+    * forgotten vectors through [[annTopKIndexedServe]]'s
+    * last-built-epoch contract).
+    *
+    * Concurrency: an in-flight staged ANN rebuild is awaited first
+    * (its stage and this rewrite share the `.rewrite` staging dir); a
+    * stage that commits in that window is immediately pruned here, and
+    * one that hasn't committed aborts on the main-epoch bump. `pred`
+    * evaluates per STORED row (change-stream history and tombstone
+    * markers included — forgetting a key removes its whole history).
+    * Pinned nProbe tunings survive: codebooks are unchanged, thinner
+    * cells shift recall within the same drift bound as frozen-codebook
+    * ingest.
+    *
+    * @return the number of stored rows removed from the main stream */
+  def forgetRows(name: String, pred: org.apache.spark.sql.Column): Long = {
+    requireUserName(name, "forget rows from")
+    val key = catalog.qualify(name)
+    while (true) {
+      val inFlight = annBuilds.get(key)
+      if (inFlight != null) inFlight.await()
+      else streamLock(name).synchronized {
+        // registration requires this lock, so an empty map here means no
+        // stage can start until we finish; a racer that registered
+        // between our get and the lock sends us back around the loop
+        if (annBuilds.get(key) == null)
+          return forgetRowsLocked(name, pred)
+      }
+    }
+    0L // unreachable
+  }
+
+  private def forgetRowsLocked(name: String,
+                               pred: org.apache.spark.sql.Column): Long = {
+    val d = catalog.get(name).getOrElse(
+      throw new IllegalArgumentException(s"stream '$name' not found"))
+    val hit = coalesce(pred, lit(false)) // NULL predicate rows are KEPT
+    val raw = readRaw(d)
+    val nVictims = raw.filter(hit).count()
+    if (nVictims == 0L) return 0L // no-op: no rewrite, no epoch bumps
+    val preMain = d.writeEpoch
+
+    // sibling prune plan: (sibling stream, pinned id column, was-live)
+    // resolved BEFORE any mutation — liveness is the maintain-path pin
+    // equality, checked against the pre-forget epochs
+    val annIdx = annIndexName(name); val annCent = annCentroidsName(name)
+    val mhPost = mhPostingsName(name); val mhSig = mhSignaturesName(name)
+    val lshIdx = lshIndexName(name)
+    val annD = catalog.get(annIdx)
+    val annLive = annD.exists { id =>
+      id.properties.get("ann_main_epoch").contains(preMain.toString) &&
+        id.properties.get("ann_idx_epoch").contains(id.writeEpoch.toString) &&
+        catalog.get(annCent).exists(cd =>
+          id.properties.get("ann_cent_epoch").contains(cd.writeEpoch.toString))
+    }
+    val mhD = catalog.get(mhPost)
+    val mhLive = mhD.exists { pd =>
+      pd.properties.get("mh_main_epoch").contains(preMain.toString) &&
+        pd.properties.get("mh_post_epoch").contains(pd.writeEpoch.toString) &&
+        catalog.get(mhSig).exists(sd =>
+          pd.properties.get("mh_sig_epoch").contains(sd.writeEpoch.toString))
+    }
+    val lshD = catalog.get(lshIdx)
+    val lshLive = lshD.exists { id =>
+      id.properties.get("lsh_main_epoch").contains(preMain.toString) &&
+        id.properties.get("lsh_idx_epoch").contains(id.writeEpoch.toString)
+    }
+    // victim ids per distinct pinned id column, MATERIALIZED before the
+    // main rewrite (the frames are lazy — after the swap they would
+    // re-scan the post-forget store and prune nothing)
+    val idCols = (annD.flatMap(_.properties.get("ann_id_col")).toSeq ++
+      mhD.flatMap(_.properties.get("mh_id_col")).toSeq ++
+      lshD.flatMap(_.properties.get("lsh_id_col")).toSeq).distinct
+    val vicIds: Map[String, DataFrame] = idCols
+      .filter(raw.columns.contains).map { c =>
+        c -> raw.filter(hit).select(col(c).as("__forget_id")).distinct()
+          .localCheckpoint(eager = true)
+      }.toMap
+
+    // 1. main store rewrite + epoch bump (content changed: stale pins,
+    // out-of-band detection, and any staged commit must all see it)
+    rewriteStorage(d, raw.filter(!hit))
+    val dMain = catalog.get(name).get
+    val newMain = dMain.writeEpoch + 1
+    catalog.put(dMain.copy(writeEpoch = newMain))
+
+    /** Anti-join one sibling's stored rows against the victim set; bumps
+      * its epoch; returns the count of distinct pruned ids. */
+    def prune(sibName: String, idC: String): Long =
+      (catalog.get(sibName), vicIds.get(idC)) match {
+        case (Some(sd), Some(vic)) =>
+          val sibRaw = readRaw(sd)
+          val pruned = sibRaw
+            .join(vic, col("ex_id") === col("__forget_id"), "left_semi")
+            .select("ex_id").distinct().count()
+          if (pruned > 0) {
+            rewriteStorage(sd, sibRaw.join(vic,
+              col("ex_id") === col("__forget_id"), "left_anti"))
+            val sdNow = catalog.get(sibName).get
+            catalog.put(sdNow.copy(writeEpoch = sdNow.writeEpoch + 1))
+          }
+          pruned
+        case _ => 0L
+      }
+
+    // 2. ANN: prune even when stale (a stale index still SERVES its
+    // last epoch — it must not keep serving forgotten vectors); re-pin
+    // only when it was live
+    annD.foreach { id =>
+      val prunedN = prune(annIdx, id.properties.getOrElse("ann_id_col", ""))
+      if (annLive) {
+        val dNow = catalog.get(annIdx).get
+        val annN = propLong(dNow.properties, "ann_n").getOrElse(0L)
+        catalog.put(dNow.copy(properties = dNow.properties ++ Map(
+          "ann_n" -> math.max(0L, annN - prunedN).toString,
+          "ann_main_epoch" -> newMain.toString,
+          "ann_idx_epoch" -> dNow.writeEpoch.toString,
+          "ann_cent_epoch" ->
+            catalog.get(annCent).get.writeEpoch.toString)))
+      }
+    }
+    // 3. MinHash postings + signatures
+    mhD.foreach { pd =>
+      val idC = pd.properties.getOrElse("mh_id_col", "")
+      prune(mhPost, idC); prune(mhSig, idC)
+      if (mhLive) {
+        val dNow = catalog.get(mhPost).get
+        catalog.put(dNow.copy(properties = dNow.properties ++ Map(
+          "mh_main_epoch" -> newMain.toString,
+          "mh_post_epoch" -> dNow.writeEpoch.toString,
+          "mh_sig_epoch" -> catalog.get(mhSig).get.writeEpoch.toString)))
+      }
+    }
+    // 4. sign-LSH postings (lsh_n stays an upper bound for the layout
+    // solver: decrementing it exactly is what the pruned count gives us)
+    lshD.foreach { id =>
+      val prunedN = prune(lshIdx, id.properties.getOrElse("lsh_id_col", ""))
+      if (lshLive) {
+        val dNow = catalog.get(lshIdx).get
+        val lshN = propLong(dNow.properties, "lsh_n").getOrElse(0L)
+        catalog.put(dNow.copy(properties = dNow.properties ++ Map(
+          "lsh_n" -> math.max(0L, lshN - prunedN).toString,
+          "lsh_main_epoch" -> newMain.toString,
+          "lsh_idx_epoch" -> dNow.writeEpoch.toString)))
+      }
+    }
+    nVictims
+  }
+
   private def writeEmpty(d: StreamDef): Unit = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], d.schema.toStruct)

@@ -331,6 +331,21 @@ object GraftTableFunctions {
           AttributeReference("dropped", BooleanType, nullable = false)()),
         () => Seq(Row(tbl, eng.dropAnnIndex(tbl))))
     },
+    fn("forget_rows",
+      "forget_rows(stream, predicateSql) - PHYSICALLY delete every " +
+        "stored row matching the predicate and prune it out of all " +
+        "live index siblings (ANN/MinHash/LSH) with no retrain — the " +
+        "takedown path. Runs at EXECUTION time. Returns (stream, " +
+        "forgotten)",
+      maxArgs = 2) { args =>
+      val tbl = litString(args, 0, "forget_rows", "stream name")
+      val predSql = litString(args, 1, "forget_rows", "predicate SQL")
+      val eng = bound()
+      graft.plans.GraftAction(s"forget_rows($tbl)",
+        Seq(AttributeReference("stream", StringType, nullable = false)(),
+          AttributeReference("forgotten", LongType, nullable = false)()),
+        () => Seq(Row(tbl, eng.forgetRows(tbl, expr(predSql)))))
+    },
     fn("ann_recall",
       "ann_recall(approxTable, exactTable, k) - recall@k of an " +
         "approximate neighbor table against exact ground truth, one row " +

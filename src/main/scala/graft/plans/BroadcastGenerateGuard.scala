@@ -62,6 +62,7 @@ object BroadcastGenerateGuard {
     "ann_indexed_filtered_topk" -> Seq("explode(transform(slice(sort_array("),
     "ann_indexed_filtered_pq" -> Seq("explode(transform(slice(sort_array("),
     "sql_ann_filtered_topk" -> Seq("explode(transform(slice(sort_array("),
+    "ann_forget_topk" -> Seq("explode(transform(slice(sort_array("),
     // 2-element quantile literal explode (exact_quantile broadcasts it
     // at two join sites — both audited)
     "exact_quantile" -> Seq("explode([0.5,0.99])", "explode([0.5,0.99])"),

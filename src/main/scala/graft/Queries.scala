@@ -3448,6 +3448,38 @@ object Queries {
     }.orderBy("q_id", "rnk")
   }
 
+  /** Cascading takedown ([[engine.Engine.forgetRowsCascade]], round 11):
+    * forget propagates through a TWO-level derived-model chain (doc →
+    * per-doc length → length histogram). The oracle recomputes the
+    * second-level aggregate from the post-forget corpus, so a hash
+    * match proves both derivation levels re-materialized — a takedown
+    * is not complete while a downstream aggregate still counts the
+    * forgotten rows. */
+  val forgetCascade: Q = q("forget_cascade",
+    """SELECT CAST(length(text) AS BIGINT) AS len, count(1) AS n
+      | FROM documents WHERE doc_id % 10 <> 0
+      | GROUP BY 1 ORDER BY len""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-forgetc").toString
+    val e = new engine.Engine(s, tmp)
+    try {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      e.createStream("docs", schema.StreamSchema.fromStruct(docs.schema))
+      e.appendRows("docs", docs)
+      e.createModel("doclen",
+        "SELECT doc_id, CAST(CHAR_LENGTH(text) AS BIGINT) AS len FROM docs")
+      e.createModel("lenhist",
+        "SELECT len, count(1) AS n FROM doclen GROUP BY len")
+      e.registerViews()
+      val fr = s.sql(
+        "SELECT * FROM forget_rows('docs', 'doc_id % 10 = 0', true)")
+        .collect()
+      require(fr.head.getLong(1) > 0 && fr.head.getLong(2) == 2L,
+        s"expected forgotten>0 and exactly 2 models refreshed, got " +
+          fr.head)
+      e.readStream("lenhist").orderBy("len")
+    } finally e.close()
+  }
+
   /** Shared engine-setup for the index-served quantizer-family gates:
     * corpus into a stream, one `ensureAnnIndex`, then `run` against the
     * standing index. */
@@ -7529,6 +7561,7 @@ object Queries {
     exactQuantileGate,
     annPqTopK, annIvfTopKIndexed, annPqTopKIndexed,
     annIvfFilteredIndexed, annPqFilteredIndexed, annForgetTopK,
+    forgetCascade,
     semDedupIndexedGate, knnGraphIndexedGate,
     sqlMinhashPairs, sqlAnnTopK, sqlSemDedup, sqlAnnIndexedTopK,
     sqlAnnFilteredTopK,

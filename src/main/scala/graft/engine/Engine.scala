@@ -1737,6 +1737,7 @@ final class Engine(
     * @return the number of stored rows removed from the main stream */
   def forgetRows(name: String, pred: org.apache.spark.sql.Column): Long = {
     requireUserName(name, "forget rows from")
+    requireNoContinuousUse(name, "forget rows from")
     val key = catalog.qualify(name)
     while (true) {
       val inFlight = annBuilds.get(key)
@@ -1867,6 +1868,76 @@ final class Engine(
       }
     }
     nVictims
+  }
+
+  /** [[forgetRows]] propagated through DERIVED tables — the takedown is
+    * not complete while a downstream model still holds rows computed
+    * from the forgotten ones (a projection, an aggregate bucket, a
+    * dedup survivor). Every transitive consumer that still has pipeline
+    * SQL is re-materialized from its (post-forget) sources, in
+    * dependency order so a diamond re-derives each model exactly once
+    * and never from a stale intermediate. A DEACTIVATED model is
+    * refreshed too when its store is non-empty — `stopPipelines` keeps
+    * contents, and a takedown must purge derived copies regardless of
+    * activation state (the active flag itself is not touched); an
+    * inactive+empty model is skipped (nothing derived to purge). A
+    * consumer with no SQL (a plain stream something INSERTed into)
+    * cannot be re-derived and is left alone — its rows were appended,
+    * not derived.
+    *
+    * At 100 TB the cost is one re-materialization per affected model —
+    * the same work `dbt run --full-refresh` on that subgraph costs; the
+    * alternative (tracking row-level lineage through arbitrary SQL) is
+    * not implementable without provenance columns. Re-materialized
+    * models bump their write epoch, so THEIR standing index siblings go
+    * stale and rebuild on next use (conservative and correct).
+    *
+    * @return (rows removed from the main stream, models re-materialized) */
+  def forgetRowsCascade(name: String,
+                        pred: org.apache.spark.sql.Column): (Long, Long) = {
+    // the whole affected subgraph must be free of live continuous
+    // pipelines BEFORE any mutation — failing after the main forget
+    // would leave consumers silently stale
+    val affected = scala.collection.mutable.LinkedHashSet[String]()
+    def walk(s: String): Unit = catalog.consumers(s).foreach { c =>
+      if (affected.add(catalog.qualify(c.name))) walk(c.name)
+    }
+    walk(name)
+    affected.foreach(m => requireNoContinuousUse(m, "cascade-refresh"))
+    val n = forgetRows(name, pred)
+    if (n == 0L) return (0L, 0L)
+    (n, refreshDownstream(name))
+  }
+
+  /** Re-materialize every transitive consumer of `name` that has
+    * pipeline SQL, parents before children. @return models re-run */
+  private def refreshDownstream(name: String): Long = {
+    val affected = scala.collection.mutable.LinkedHashSet[String]()
+    def walk(s: String): Unit = catalog.consumers(s).foreach { c =>
+      if (affected.add(catalog.qualify(c.name))) walk(c.name)
+    }
+    walk(name)
+    val pending = scala.collection.mutable.LinkedHashSet(affected.toSeq: _*)
+    var refreshed = 0L
+    while (pending.nonEmpty) {
+      // ready = no source still awaiting its own refresh (affected
+      // sources only: sources outside the set were never stale)
+      val ready = pending.toSeq.filter(m =>
+        catalog.get(m).forall(_.sources.forall(s => !pending.contains(s))))
+      // a source cycle cannot be topologically ordered — refresh the
+      // remainder once in insertion order rather than loop forever
+      val batch = if (ready.nonEmpty) ready else pending.toSeq
+      batch.foreach { m =>
+        pending.remove(m)
+        catalog.get(m).foreach { d =>
+          if (d.sql.nonEmpty && (d.active || !readRaw(d).isEmpty)) {
+            runPipeline(m)
+            refreshed += 1
+          }
+        }
+      }
+    }
+    refreshed
   }
 
   private def writeEmpty(d: StreamDef): Unit = {
@@ -2518,6 +2589,41 @@ final class Engine(
   def activateConnection(name: String): Unit = {
     val c = requireConnection(name, "activate")
     catalog.putConnection(c.copy(active = true))
+  }
+
+  /** Qualified stream name → names of ACTIVE continuous pipelines that
+    * read it as a file-source OR append into it as their sink —
+    * registered by [[graft.streaming.StreamingEngine]] activation so
+    * storage REWRITES can refuse loudly: the parquet file source tracks
+    * input files by name in its offset log, and a rewrite under a live
+    * reader re-emits every surviving row as brand-new input (or fails
+    * the scan on a vanished file). Plain appends are safe (new files
+    * only) and stay unguarded. */
+  private[graft] val continuousUse =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  private[graft] def registerContinuous(pipeline: String,
+                                        sources: Seq[String]): Unit =
+    (sources :+ pipeline).map(catalog.qualify).distinct.foreach { s =>
+      continuousUse.updateWith(s)(cur =>
+        Some(cur.getOrElse(Set.empty) + pipeline))
+    }
+
+  private[graft] def unregisterContinuous(pipeline: String,
+                                          sources: Seq[String]): Unit =
+    (sources :+ pipeline).map(catalog.qualify).distinct.foreach { s =>
+      continuousUse.updateWith(s)(_.map(_ - pipeline).filter(_.nonEmpty))
+    }
+
+  /** Refuse a storage rewrite of `name` while a continuous pipeline is
+    * live on it — the actionable alternative is to deactivate first. */
+  private def requireNoContinuousUse(name: String, op: String): Unit = {
+    val users = continuousUse.getOrElse(catalog.qualify(name), Set.empty)
+    if (users.nonEmpty) throw new IllegalStateException(
+      s"cannot $op '$name': active continuous pipeline(s) " +
+        s"${users.toSeq.sorted.mkString(", ")} read or write it — a " +
+        "storage rewrite under a live file-source reader re-emits " +
+        "surviving rows as new input; deactivate them first")
   }
 
   /** Running source-bind queries per connection (data plane of an ACTIVE

@@ -332,19 +332,28 @@ object GraftTableFunctions {
         () => Seq(Row(tbl, eng.dropAnnIndex(tbl))))
     },
     fn("forget_rows",
-      "forget_rows(stream, predicateSql) - PHYSICALLY delete every " +
-        "stored row matching the predicate and prune it out of all " +
-        "live index siblings (ANN/MinHash/LSH) with no retrain — the " +
-        "takedown path. Runs at EXECUTION time. Returns (stream, " +
-        "forgotten)",
-      maxArgs = 2) { args =>
+      "forget_rows(stream, predicateSql, cascade) - PHYSICALLY delete " +
+        "every stored row matching the predicate and prune it out of " +
+        "all live index siblings (ANN/MinHash/LSH) with no retrain — " +
+        "the takedown path. cascade=true (default false) additionally " +
+        "re-materializes every transitive downstream model so derived " +
+        "tables stop holding rows computed from the forgotten ones. " +
+        "Runs at EXECUTION time. Returns (stream, forgotten, refreshed)",
+      maxArgs = 3) { args =>
       val tbl = litString(args, 0, "forget_rows", "stream name")
       val predSql = litString(args, 1, "forget_rows", "predicate SQL")
+      val cascade = litBoolean(args, 2, "forget_rows", "cascade", false)
       val eng = bound()
       graft.plans.GraftAction(s"forget_rows($tbl)",
         Seq(AttributeReference("stream", StringType, nullable = false)(),
-          AttributeReference("forgotten", LongType, nullable = false)()),
-        () => Seq(Row(tbl, eng.forgetRows(tbl, expr(predSql)))))
+          AttributeReference("forgotten", LongType, nullable = false)(),
+          AttributeReference("refreshed", LongType, nullable = false)()),
+        () => {
+          val (n, r) =
+            if (cascade) eng.forgetRowsCascade(tbl, expr(predSql))
+            else (eng.forgetRows(tbl, expr(predSql)), 0L)
+          Seq(Row(tbl, n, r))
+        })
     },
     fn("ann_recall",
       "ann_recall(approxTable, exactTable, k) - recall@k of an " +

@@ -217,6 +217,9 @@ final class StreamingEngine(val engine: Engine) {
     val q = startQuery(name, trigger, sink)
     active.put(name, q)
     val d = engine.catalog.get(name).get
+    // storage-rewrite guard: while this query lives, its file-source
+    // reads (and its sink appends) must block forget/rewrite ops
+    engine.registerContinuous(name, d.sources)
     engine.catalog.put(d.copy(active = true))
     q
   }
@@ -231,6 +234,8 @@ final class StreamingEngine(val engine: Engine) {
     } finally {
       if (q.isActive) q.stop()
       active.remove(name)
+      engine.unregisterContinuous(name,
+        engine.catalog.get(name).map(_.sources).getOrElse(Nil))
     }
   }
 
@@ -239,6 +244,7 @@ final class StreamingEngine(val engine: Engine) {
     active.remove(name).foreach { q =>
       q.stop()
       val d = engine.catalog.get(name).get
+      engine.unregisterContinuous(name, d.sources)
       engine.catalog.put(d.copy(active = false))
     }
 

@@ -1218,6 +1218,101 @@ object ScaleCheck {
     * ingest left the ANN index stale and the next search re-paid the
     * corpus-linear build (the `build` column is that cost, for
     * contrast). */
+  /** [[graft.engine.Engine.forgetRows]] at scale (round 11): forget 1%
+    * of a corpus carrying BOTH standing index families (MinHash dedup +
+    * ANN) and prove the cost class — a rewrite-bound pass over the main
+    * store plus an anti-join rewrite per sibling, NEVER a retrain. The
+    * claims under test (PERF.md): forget_sec grows ~linearly with the
+    * corpus while staying well under the ANN build cost it avoids; both
+    * families stay LIVE through the forget (post-forget `ensureAnnIndex`
+    * is a no-op and the next deduped ingest is shard-sized, not a
+    * bootstrap); the repeat indexed query costs the same after as
+    * before; a zero-match forget costs one predicate scan, no rewrite.
+    *
+    * `runMain graft.tools.ScaleCheck forget [n1,n2] [dims]`
+    */
+  private def forgetMain(args: Array[String]): Unit = {
+    val ns = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(200000L, 2000000L))
+    val d = args.lift(1).map(_.toInt).getOrElse(32)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-forgetcheck")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val textExpr = "concat('tok', id, ' a', id % 97, ' b', id % 89, " +
+      "' c', id % 83, ' d', id % 79, ' e', id % 73)"
+    def vecExpr = s"transform(sequence(0, ${d - 1}), j -> " +
+      "CAST((pmod(xxhash64(id, j), 2001) - 1000) / 1000.0 AS FLOAT))"
+    for (n <- ns) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-forgetcheck").toString
+      val e = new graft.engine.Engine(spark, root)
+      e.createStream("corpus", graft.schema.StreamSchema.fromStruct(
+        new org.apache.spark.sql.types.StructType()
+          .add("vec_id", "long", nullable = false)
+          .add("text", "string")
+          .add("embedding", "array<float>")))
+      e.appendRows("corpus", spark.range(n)
+        .select(col("id").as("vec_id"), expr(textExpr).as("text"),
+          expr(vecExpr).as("embedding")))
+      // bootstrap both families; the ANN build time is the retrain cost
+      // a forget-as-rebuild design would pay on every takedown
+      e.appendRowsDeduped("corpus",
+        spark.range(n, n + 1).select(col("id").as("vec_id"),
+          expr(textExpr).as("text"), expr(vecExpr).as("embedding")),
+        "vec_id", "text", threshold = 0.5)
+      val t0 = System.nanoTime()
+      e.ensureAnnIndex("corpus", "vec_id", "embedding")
+      val annBuildSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val preHits = e.annTopKIndexed("corpus", "vec_id", "embedding",
+        col("vec_id") < 32, k = 10, nProbe = 3).count()
+      val preQuerySec = (System.nanoTime() - t1) / 1e9
+      require(preHits > 0)
+      // the measured takedown: 1% of the corpus, both indexes standing
+      val t2 = System.nanoTime()
+      val forgotten = e.forgetRows("corpus", col("vec_id") % 100 === 0)
+      val forgetSec = (System.nanoTime() - t2) / 1e9
+      require(forgotten >= n / 100,
+        s"expected ~${n / 100} forgotten, got $forgotten")
+      val t3 = System.nanoTime()
+      require(!e.ensureAnnIndex("corpus", "vec_id", "embedding"),
+        "forget must leave the ANN index LIVE")
+      val ensureSec = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val hits = e.annTopKIndexed("corpus", "vec_id", "embedding",
+        col("vec_id") < 32, k = 10, nProbe = 3)
+        .select("n_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect()
+      val postQuerySec = (System.nanoTime() - t4) / 1e9
+      require(hits.nonEmpty && hits.forall(_ % 100 != 0),
+        "forgotten vectors must not serve")
+      // dedup family stayed live too: the next ingest is shard-sized
+      val t5 = System.nanoTime()
+      val dropped = e.appendRowsDeduped("corpus",
+        spark.range(n + 1, n + 10001).select(col("id").as("vec_id"),
+          expr(textExpr).as("text"), expr(vecExpr).as("embedding")),
+        "vec_id", "text", threshold = 0.5)
+      val ingestSec = (System.nanoTime() - t5) / 1e9
+      // zero-match forget: one pushed predicate scan, no rewrite
+      val t6 = System.nanoTime()
+      require(e.forgetRows("corpus", col("vec_id") < 0) == 0L)
+      val noopSec = (System.nanoTime() - t6) / 1e9
+      println(f"[forget] corpus=$n d=$d ann_build=$annBuildSec%.1f s " +
+        f"forget1pct=$forgetSec%.1f s (forgotten=$forgotten) " +
+        f"post_ensure=$ensureSec%.2f s (live) " +
+        f"query_pre=$preQuerySec%.1f s post=$postQuerySec%.1f s " +
+        f"ingest10k=$ingestSec%.1f s (dropped=$dropped) " +
+        f"noop_forget=$noopSec%.2f s")
+      graft.operators.OperatorCache.clear(spark)
+    }
+    spark.stop()
+  }
+
   private def combinedMain(args: Array[String]): Unit = {
     val ns = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
       .getOrElse(Seq(200000L, 2000000L))
@@ -1294,6 +1389,7 @@ object ScaleCheck {
     if (args.headOption.contains("recall")) return recallMain(args.drop(1))
     if (args.headOption.contains("filtered")) return filteredMain(args.drop(1))
     if (args.headOption.contains("combined")) return combinedMain(args.drop(1))
+    if (args.headOption.contains("forget")) return forgetMain(args.drop(1))
     if (args.headOption.contains("ingest")) return ingestMain(args.drop(1))
     if (args.headOption.contains("ingesttext")) return ingestTextMain(args.drop(1))
     if (args.headOption.contains("hier")) return hierMain(args.drop(1))

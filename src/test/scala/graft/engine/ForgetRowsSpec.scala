@@ -153,6 +153,90 @@ class ForgetRowsSpec extends SparkSpec {
     e.close()
   }
 
+  test("cascade re-materializes the downstream DAG exactly once per model") {
+    val e = newEngine()
+    e.createStream("base", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long", nullable = false).add("v", "long")))
+    e.appendRows("base", spark.range(10).select(col("id"),
+      (col("id") * 10).as("v")))
+    e.createModel("m1", "SELECT id, v FROM base")
+    e.createModel("m2", "SELECT id, v + 1 AS v1 FROM base")
+    // diamond: m3 reads BOTH m1 and m2 — must refresh after them, once
+    e.createModel("m3",
+      "SELECT count(1) AS n FROM m1 JOIN m2 ON m1.id = m2.id")
+    // a DEACTIVATED model keeps its contents — the takedown must still
+    // purge them, without flipping the active flag
+    e.stopPipelines(Some(Seq("m2")))
+    assert(e.forgetRowsCascade("base", col("id") < 3) == (3L, 3L))
+    assert(e.readStream("m1").count() == 7L)
+    assert(e.readStream("m2").count() == 7L)
+    assert(e.readStream("m3").select("n").as[Long].head() == 7L)
+    assert(!e.catalog.get("m2").get.active, "cascade must not reactivate")
+    // zero-match cascade is a full no-op (no refresh jobs)
+    assert(e.forgetRowsCascade("base", col("id") > 100) == (0L, 0L))
+    // NON-cascading forget leaves consumers stale — the documented
+    // contract (callers choose when re-derivation happens)
+    assert(e.forgetRows("base", col("id") === 3L) == 1L)
+    assert(e.readStream("m1").count() == 7L, "no cascade => stale consumer")
+    e.close()
+  }
+
+  test("cascade skips a never-activated (empty) model; no-SQL consumers are untouched") {
+    val e = newEngine()
+    e.createStream("base2", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long", nullable = false)))
+    e.appendRows("base2", spark.range(5).toDF("id"))
+    e.createModel("mEmpty", "SELECT id FROM base2",
+      ModelConfig(active = false))
+    assert(e.readStream("mEmpty").count() == 0L)
+    assert(e.forgetRowsCascade("base2", col("id") === 0L) == (1L, 0L),
+      "an inactive+empty model holds nothing derived — skip it")
+    assert(e.readStream("mEmpty").count() == 0L)
+    e.close()
+  }
+
+  test("forget refuses while an active continuous pipeline is on the stream") {
+    import graft.streaming.StreamingEngine
+    val e = newEngine()
+    e.createStream("live", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long", nullable = false).add("v", "long")))
+    e.appendRows("live", spark.range(6).select(col("id"),
+      (col("id") * 2).as("v")))
+    e.createModel("live_mv", "SELECT id, v FROM live",
+      ModelConfig(active = false))
+    e.createModel("live_mv2", "SELECT count(1) AS n FROM live_mv")
+    val se = new StreamingEngine(e)
+    se.activate("live_mv",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 hour"))
+    try {
+      // the activated query file-source-reads 'live': a rewrite under it
+      // would re-emit every surviving row as new input — refuse loudly
+      val err = intercept[IllegalStateException] {
+        e.forgetRows("live", col("id") === 0L)
+      }
+      assert(err.getMessage.contains("live_mv"))
+      // cascade refusal is checked on the whole affected subgraph BEFORE
+      // any mutation: live_mv2's refresh would overwrite a stream whose
+      // reader... here live_mv is the active one reading 'live', and
+      // live_mv (an affected model) is an active SINK — same refusal
+      val err2 = intercept[IllegalStateException] {
+        e.forgetRowsCascade("live", col("id") === 0L)
+      }
+      assert(err2.getMessage.contains("live_mv"))
+      assert(e.readStream("live").count() == 6L, "no partial mutation")
+    } finally se.deactivateAll()
+    // deactivated: catch up deterministically, then the same takedown
+    // proceeds, cascade included
+    se.refreshAvailable("live_mv")
+    assert(e.forgetRowsCascade("live", col("id") === 0L) == (1L, 2L))
+    assert(e.readStream("live").count() == 5L)
+    assert(e.readStream("live_mv2").select("n").as[Long].head() == 5L)
+    e.close()
+  }
+
   test("forget awaits an in-flight staged rebuild, then prunes its commit") {
     import scala.concurrent.{Await, Future, Promise}
     import scala.concurrent.duration._

@@ -1728,8 +1728,12 @@ final class Engine(
     * (its stage and this rewrite share the `.rewrite` staging dir); a
     * stage that commits in that window is immediately pruned here, and
     * one that hasn't committed aborts on the main-epoch bump. `pred`
-    * evaluates per STORED row (change-stream history and tombstone
-    * markers included — forgetting a key removes its whole history).
+    * evaluates per STORED row (tombstone markers included); on a
+    * PRIMARY-KEY stream a match on ANY stored version expands to the
+    * key's WHOLE history — removing only the matched version would
+    * resurrect the previously-overwritten value as the new "latest" in
+    * compacted reads (forgetting the update that introduced a PII
+    * value must not re-expose the pre-update row).
     * Pinned nProbe tunings survive: codebooks are unchanged, thinner
     * cells shift recall within the same drift bound as frozen-codebook
     * ingest.
@@ -1757,11 +1761,60 @@ final class Engine(
                                pred: org.apache.spark.sql.Column): Long = {
     val d = catalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"stream '$name' not found"))
+    // re-check under the stream lock: the entry check predates a
+    // possibly long staged-build await, and activation takes no lock —
+    // this shrinks the window to the rewrite itself
+    requireNoContinuousUse(name, "forget rows from")
     val hit = coalesce(pred, lit(false)) // NULL predicate rows are KEPT
     val raw = readRaw(d)
-    val nVictims = raw.filter(hit).count()
-    if (nVictims == 0L) return 0L // no-op: no rewrite, no epoch bumps
+    if (raw.filter(hit).isEmpty) return 0L // no-op: no rewrite, no bumps
     val preMain = d.writeEpoch
+
+    // change-stream semantics: a predicate matching ANY stored version
+    // of a primary-key row forgets the key's WHOLE history — removing
+    // only the matched version would resurrect the previously
+    // overwritten value as the new "latest" in compacted reads (e.g.
+    // forgetting the update that introduced a PII value must not
+    // re-expose the pre-update row)
+    val pkCols = d.schema.primaryKey.filter(raw.columns.contains)
+
+    // victim frames must survive the directory swap below — they are
+    // staged to a temp parquet dir (NOT localCheckpoint: checkpointed
+    // blocks pin executor memory for the session with no clean free),
+    // deleted in the finally
+    val tmpDir = java.nio.file.Paths.get(root, ".forget_tmp",
+      java.util.UUID.randomUUID.toString)
+    def materialize(df: DataFrame, sub: String): DataFrame = {
+      val p = tmpDir.resolve(sub).toString
+      df.write.mode(SaveMode.Overwrite).parquet(p)
+      spark.read.parquet(p)
+    }
+    try forgetRowsStaged(name, d, raw, hit, pkCols, preMain, materialize)
+    finally {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(tmpDir))
+        java.nio.file.Files.walk(tmpDir).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  private def forgetRowsStaged(name: String, d: StreamDef, raw: DataFrame,
+      hit: org.apache.spark.sql.Column, pkCols: Seq[String], preMain: Long,
+      materialize: (DataFrame, String) => DataFrame): Long = {
+    // PK streams: victim = whole history of any matched key (see
+    // caller); plain streams: victim = the matched rows themselves
+    val vicKeys: Option[DataFrame] = if (pkCols.isEmpty) None
+      else Some(materialize(
+        raw.filter(hit).select(pkCols.map(col): _*).distinct(), "pk"))
+    def victims(df: DataFrame): DataFrame = vicKeys match {
+      case Some(k) => df.join(k, pkCols, "left_semi")
+      case None    => df.filter(hit)
+    }
+    def survivors(df: DataFrame): DataFrame = vicKeys match {
+      case Some(k) => df.join(k, pkCols, "left_anti")
+      case None    => df.filter(!hit)
+    }
+    val nVictims = victims(raw).count()
 
     // sibling prune plan: (sibling stream, pinned id column, was-live)
     // resolved BEFORE any mutation — liveness is the maintain-path pin
@@ -1769,6 +1822,11 @@ final class Engine(
     val annIdx = annIndexName(name); val annCent = annCentroidsName(name)
     val mhPost = mhPostingsName(name); val mhSig = mhSignaturesName(name)
     val lshIdx = lshIndexName(name)
+    // the prunes below rewrite sibling STORES — a continuous pipeline
+    // file-source-reading a sibling directly (registerViews exposes
+    // them) is just as corrupted by a swap as one on the main stream
+    Seq(annIdx, mhPost, mhSig, lshIdx).filter(catalog.exists)
+      .foreach(s => requireNoContinuousUse(s, "prune index sibling"))
     val annD = catalog.get(annIdx)
     val annLive = annD.exists { id =>
       id.properties.get("ann_main_epoch").contains(preMain.toString) &&
@@ -1796,13 +1854,14 @@ final class Engine(
       lshD.flatMap(_.properties.get("lsh_id_col")).toSeq).distinct
     val vicIds: Map[String, DataFrame] = idCols
       .filter(raw.columns.contains).map { c =>
-        c -> raw.filter(hit).select(col(c).as("__forget_id")).distinct()
-          .localCheckpoint(eager = true)
+        c -> materialize(
+          victims(raw).select(col(c).as("__forget_id")).distinct(),
+          s"id_$c")
       }.toMap
 
     // 1. main store rewrite + epoch bump (content changed: stale pins,
     // out-of-band detection, and any staged commit must all see it)
-    rewriteStorage(d, raw.filter(!hit))
+    rewriteStorage(d, survivors(raw))
     val dMain = catalog.get(name).get
     val newMain = dMain.writeEpoch + 1
     catalog.put(dMain.copy(writeEpoch = newMain))
@@ -1854,15 +1913,18 @@ final class Engine(
           "mh_sig_epoch" -> catalog.get(mhSig).get.writeEpoch.toString)))
       }
     }
-    // 4. sign-LSH postings (lsh_n stays an upper bound for the layout
-    // solver: decrementing it exactly is what the pruned count gives us)
+    // 4. sign-LSH postings. lsh_n is deliberately NOT decremented: the
+    // live fast-path requires solve(lsh_n) == the pinned layout, so an
+    // exact decrement could cross a solve() boundary and void the pin,
+    // forcing a full corpus re-signature on the next ingest — the exact
+    // rebuild forget exists to avoid. It stays the layout-ledger count
+    // (an upper bound after forgets), which only delays the next
+    // layout growth, never corrupts results.
     lshD.foreach { id =>
-      val prunedN = prune(lshIdx, id.properties.getOrElse("lsh_id_col", ""))
+      prune(lshIdx, id.properties.getOrElse("lsh_id_col", ""))
       if (lshLive) {
         val dNow = catalog.get(lshIdx).get
-        val lshN = propLong(dNow.properties, "lsh_n").getOrElse(0L)
         catalog.put(dNow.copy(properties = dNow.properties ++ Map(
-          "lsh_n" -> math.max(0L, lshN - prunedN).toString,
           "lsh_main_epoch" -> newMain.toString,
           "lsh_idx_epoch" -> dNow.writeEpoch.toString)))
       }
@@ -1888,9 +1950,12 @@ final class Engine(
     * At 100 TB the cost is one re-materialization per affected model —
     * the same work `dbt run --full-refresh` on that subgraph costs; the
     * alternative (tracking row-level lineage through arbitrary SQL) is
-    * not implementable without provenance columns. Re-materialized
-    * models bump their write epoch, so THEIR standing index siblings go
-    * stale and rebuild on next use (conservative and correct).
+    * not implementable without provenance columns. A re-materialized
+    * model's persisted ANN index is EMPTIED (it would otherwise keep
+    * serving pre-refresh rows through the last-built-epoch contract)
+    * and rebuilds from the refreshed contents on the next ensure; its
+    * dedup siblings go stale via the epoch bump and rebuild before
+    * their next probe.
     *
     * @return (rows removed from the main stream, models re-materialized) */
   def forgetRowsCascade(name: String,
@@ -1898,26 +1963,29 @@ final class Engine(
     // the whole affected subgraph must be free of live continuous
     // pipelines BEFORE any mutation — failing after the main forget
     // would leave consumers silently stale
-    val affected = scala.collection.mutable.LinkedHashSet[String]()
-    def walk(s: String): Unit = catalog.consumers(s).foreach { c =>
-      if (affected.add(catalog.qualify(c.name))) walk(c.name)
-    }
-    walk(name)
+    val affected = transitiveConsumers(name)
     affected.foreach(m => requireNoContinuousUse(m, "cascade-refresh"))
     val n = forgetRows(name, pred)
     if (n == 0L) return (0L, 0L)
-    (n, refreshDownstream(name))
+    (n, refreshDownstream(affected))
   }
 
-  /** Re-materialize every transitive consumer of `name` that has
-    * pipeline SQL, parents before children. @return models re-run */
-  private def refreshDownstream(name: String): Long = {
+  /** Transitive consumer closure of `name` (qualified, discovery
+    * order), computed once per cascade — the guard pre-check and the
+    * refresh walk must agree on the same set. */
+  private def transitiveConsumers(name: String): Seq[String] = {
     val affected = scala.collection.mutable.LinkedHashSet[String]()
     def walk(s: String): Unit = catalog.consumers(s).foreach { c =>
       if (affected.add(catalog.qualify(c.name))) walk(c.name)
     }
     walk(name)
-    val pending = scala.collection.mutable.LinkedHashSet(affected.toSeq: _*)
+    affected.toSeq
+  }
+
+  /** Re-materialize every affected consumer that has pipeline SQL,
+    * parents before children. @return models re-run */
+  private def refreshDownstream(affected: Seq[String]): Long = {
+    val pending = scala.collection.mutable.LinkedHashSet(affected: _*)
     var refreshed = 0L
     while (pending.nonEmpty) {
       // ready = no source still awaiting its own refresh (affected
@@ -1931,8 +1999,22 @@ final class Engine(
         pending.remove(m)
         catalog.get(m).foreach { d =>
           if (d.sql.nonEmpty && (d.active || !readRaw(d).isEmpty)) {
+            // re-check right before the overwrite: a pipeline activated
+            // since the cascade pre-check must not have its sink
+            // swapped underneath it
+            requireNoContinuousUse(m, "cascade-refresh")
             runPipeline(m)
             refreshed += 1
+            // a re-materialized model's persisted ANN index would keep
+            // SERVING its pre-refresh rows (annTopKIndexedServe reads
+            // the last built epoch with no liveness check — by design,
+            // for the main-stream forget that PRUNES it; here the
+            // victim ids in the DERIVED rows are unknowable without
+            // row lineage). Empty it: serves nothing until rebuilt
+            // from the refreshed contents. The MinHash/LSH dedup
+            // siblings need no such step — their only consumers check
+            // the epoch pins and rebuild before probing.
+            if (catalog.exists(annIndexName(m))) truncate(annIndexName(m))
           }
         }
       }

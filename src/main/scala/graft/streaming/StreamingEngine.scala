@@ -43,6 +43,11 @@ import graft.engine.Engine
 final class StreamingEngine(val engine: Engine) {
   private val spark = engine.spark
   private val active = TrieMap.empty[String, StreamingQuery]
+  // the exact source set registered with the engine's continuous-use
+  // guard at activation — unregistration must use THIS set, not a
+  // re-read of the catalog (the model may have been redefined while
+  // active, which would leak a guard entry under the old source)
+  private val registeredSources = TrieMap.empty[String, Seq[String]]
 
   private def checkpointDir(name: String): String =
     s"${engine.root}/_checkpoints/${engine.catalog.qualify(name)}"
@@ -219,6 +224,7 @@ final class StreamingEngine(val engine: Engine) {
     val d = engine.catalog.get(name).get
     // storage-rewrite guard: while this query lives, its file-source
     // reads (and its sink appends) must block forget/rewrite ops
+    registeredSources.put(name, d.sources)
     engine.registerContinuous(name, d.sources)
     engine.catalog.put(d.copy(active = true))
     q
@@ -235,7 +241,7 @@ final class StreamingEngine(val engine: Engine) {
       if (q.isActive) q.stop()
       active.remove(name)
       engine.unregisterContinuous(name,
-        engine.catalog.get(name).map(_.sources).getOrElse(Nil))
+        registeredSources.remove(name).getOrElse(Nil))
     }
   }
 
@@ -244,7 +250,8 @@ final class StreamingEngine(val engine: Engine) {
     active.remove(name).foreach { q =>
       q.stop()
       val d = engine.catalog.get(name).get
-      engine.unregisterContinuous(name, d.sources)
+      engine.unregisterContinuous(name,
+        registeredSources.remove(name).getOrElse(Nil))
       engine.catalog.put(d.copy(active = false))
     }
 

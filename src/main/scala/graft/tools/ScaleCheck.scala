@@ -1206,18 +1206,6 @@ object ScaleCheck {
     spark.stop()
   }
 
-  /** Combined-index ingest probe (round 11 — VERDICT r10 item 1):
-    * `runMain graft.tools.ScaleCheck combined [corpusList] [d]` (default
-    * `200000,2000000` / 32). One stream carries BOTH the MinHash dedup
-    * siblings and the ANN retrieval index. The claim under test: a
-    * deduped ingest's cost stays SHARD-sized as the corpus grows — the
-    * unified sibling maintenance encodes the survivors into the
-    * standing `__annidx` under frozen codebooks, so the ANN index stays
-    * live (`ensureAnnIndex` right after must be a no-op, and the repeat
-    * query must run at index-served cost). Before round 11 the same
-    * ingest left the ANN index stale and the next search re-paid the
-    * corpus-linear build (the `build` column is that cost, for
-    * contrast). */
   /** [[graft.engine.Engine.forgetRows]] at scale (round 11): forget 1%
     * of a corpus carrying BOTH standing index families (MinHash dedup +
     * ANN) and prove the cost class — a rewrite-bound pass over the main
@@ -1313,6 +1301,18 @@ object ScaleCheck {
     spark.stop()
   }
 
+  /** Combined-index ingest probe (round 11 — VERDICT r10 item 1):
+    * `runMain graft.tools.ScaleCheck combined [corpusList] [d]` (default
+    * `200000,2000000` / 32). One stream carries BOTH the MinHash dedup
+    * siblings and the ANN retrieval index. The claim under test: a
+    * deduped ingest's cost stays SHARD-sized as the corpus grows — the
+    * unified sibling maintenance encodes the survivors into the
+    * standing `__annidx` under frozen codebooks, so the ANN index stays
+    * live (`ensureAnnIndex` right after must be a no-op, and the repeat
+    * query must run at index-served cost). Before round 11 the same
+    * ingest left the ANN index stale and the next search re-paid the
+    * corpus-linear build (the `build` column is that cost, for
+    * contrast). */
   private def combinedMain(args: Array[String]): Unit = {
     val ns = args.headOption.map(_.split(",").map(_.trim.toLong).toSeq)
       .getOrElse(Seq(200000L, 2000000L))

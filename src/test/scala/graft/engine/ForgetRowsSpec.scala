@@ -82,6 +82,46 @@ class ForgetRowsSpec extends SparkSpec {
     e.close()
   }
 
+  test("PK stream: a value-predicate match expands to the key's whole history") {
+    val e = newEngine()
+    e.createStream("cs2", StreamSchema.fromStruct(
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "string", nullable = false).add("v", "string")))
+    e.catalog.put(e.catalog.get("cs2").get.copy(
+      schema = e.catalog.get("cs2").get.schema.copy(primaryKey = Seq("k"))))
+    e.appendRows("cs2", Seq(("a", "1"), ("b", "1")).toDF("k", "v"))
+    e.appendRows("cs2", Seq(("a", "2")).toDF("k", "v"))
+    // match ONLY the update row: without whole-history expansion the
+    // overwritten ("a","1") would resurrect as the new "latest"
+    assert(e.forgetRows("cs2", col("v") === "2") == 2L,
+      "a value match on one version must take the key's whole history")
+    assert(e.readStream("cs2").select("k").as[String].collect().toSeq ==
+      Seq("b"))
+    e.close()
+  }
+
+  test("cascade empties a re-materialized model's persisted ANN index") {
+    val e = newEngine()
+    vecStream(e, "embsrc")
+    e.appendRows("embsrc", corpus(40))
+    e.createModel("embm", "SELECT vec_id, embedding FROM embsrc")
+    assert(e.ensureAnnIndex("embm", "vec_id", "embedding"))
+    assert(e.forgetRowsCascade("embsrc", col("vec_id") % 4 === 0) ==
+      (10L, 1L))
+    // the model's index must not keep serving pre-refresh rows — the
+    // derived victim ids are unknowable without row lineage, so the
+    // index is EMPTIED (serves nothing until rebuilt), never stale
+    assert(e.readStream(e.annIndexName("embm")).count() == 0L)
+    assert(e.annTopKIndexedServe("embm", "vec_id", "embedding",
+      col("vec_id") === 1, k = 5, nProbe = 64).count() == 0L)
+    // rebuild from the refreshed contents: forgotten-derived ids gone
+    assert(e.ensureAnnIndex("embm", "vec_id", "embedding"))
+    val ids = e.readStream(e.annIndexName("embm"))
+      .select(col("ex_id").cast("long")).as[Long].collect().toSet
+    assert(ids.nonEmpty && ids.forall(_ % 4 != 0))
+    e.close()
+  }
+
   test("ANN-indexed stream: pruned, still LIVE, survivors searchable") {
     val e = newEngine()
     vecStream(e, "emb")

@@ -114,7 +114,15 @@ object Bench {
     def canaryPoint(label: String): Unit =
       SparkEntry.queries.get(canaryName).foreach { fn =>
         spark.catalog.clearCache()
-        val t = timeGate(canaryName, fn)
+        // min of two runs: the canary is fixed work, so the MIN is the
+        // least-noise estimate of host capability at this instant — a
+        // single ~0.15 s sample flips on one GC pause (ADVICE r11),
+        // while real contention inflates both runs
+        val t = Seq(timeGate(canaryName, fn), timeGate(canaryName, fn))
+          .filter(_ > 0) match {
+            case Nil => -1.0
+            case ts  => ts.min
+          }
         if (t > 0) { canaryLog += (label -> t); segCanary = t }
       }
 
@@ -147,14 +155,35 @@ object Bench {
     if (canaryAfter > 0) canaryLog += ("after" -> canaryAfter)
     // contended = host drift: >1.2× between the endpoint medians (the
     // r10 sweep drifted 30% and stayed under the old 1.5× bar), or
-    // >1.5× spread across ALL interleaved points (a mid-sweep spike
-    // that recovers by the end still poisons the gates under it)
+    // >1.5× spread across the interleaved points. The interleaved
+    // points are SINGLE runs (~0.3 s — a 3× median at every point
+    // would be real sweep time), so with enough of them the spread is
+    // taken on a 1-high/1-low trimmed set: one GC/JIT hiccup in one
+    // sample must not flip a quiet run to contended, while genuine
+    // drift (many elevated points, as in r10) still trips it
     val canaryVals = canaryLog.map(_._2)
-    val contended = (canaryBefore > 0 && canaryAfter > 0 &&
-      math.max(canaryBefore, canaryAfter) /
-        math.max(1e-9, math.min(canaryBefore, canaryAfter)) > 1.2) ||
-      (canaryVals.nonEmpty && canaryVals.max /
-        math.max(1e-9, canaryVals.min) > 1.5)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val spreadVals =
+      if (canaryVals.size >= 6) canaryVals.sorted.slice(1, canaryVals.size - 1)
+      else canaryVals.toSeq
+    // drift = SUSTAINED host-speed change (r10's 0.173→0.224 class):
+    // first-half median vs second-half median of all points — two
+    // endpoint samples alone flip on one fast/slow outlier
+    val halves =
+      if (canaryVals.size >= 6) {
+        val (a, b) = canaryVals.toSeq.splitAt(canaryVals.size / 2)
+        (median(a), median(b))
+      } else (canaryBefore, canaryAfter)
+    val contended = (halves._1 > 0 && halves._2 > 0 &&
+      math.max(halves._1, halves._2) /
+        math.max(1e-9, math.min(halves._1, halves._2)) > 1.2) ||
+      (spreadVals.nonEmpty && spreadVals.max /
+        math.max(1e-9, spreadVals.min) > 1.5)
 
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -172,8 +201,13 @@ object Bench {
     // totals by the mean canary makes round-over-round deltas computable
     // on a steadily-loaded host without a quiet rerun (PERF.md documents
     // the convention). -1.0 = canary unavailable, normalization skipped.
+    // the host-speed unit is the MEDIAN over every canary point — the
+    // endpoint mean undercounts when one endpoint lands a fast/slow
+    // outlier (the r11 close run's 0.098 'before' vs a 0.14 field)
     val canaryUnit =
-      if (canaryBefore > 0 && canaryAfter > 0) (canaryBefore + canaryAfter) / 2
+      if (canaryVals.size >= 3) median(canaryVals.toSeq)
+      else if (canaryBefore > 0 && canaryAfter > 0)
+        (canaryBefore + canaryAfter) / 2
       else -1.0
     val totalNorm = if (canaryUnit > 0) total / canaryUnit else -1.0
     val headlineNorm = if (canaryUnit > 0) headlineTotal / canaryUnit else -1.0

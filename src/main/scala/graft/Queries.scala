@@ -1207,7 +1207,11 @@ object Queries {
     * making this the value-exact anchor for the quantizer recall curves
     * in PERF.md (`ScaleCheck recall`), whose IVF/PQ side DuckDB cannot
     * reproduce. */
-  val annRecallTruncated: Q = q("ann_recall_truncated",
+  /** Shared DuckDB replay of the truncated-vs-full recall measurement —
+    * consumed by `ann_recall_truncated` (operator path) and
+    * `sql_ann_recall` (TVF path): one string, so a tie-break or
+    * rounding tweak cannot silently diverge the two gates. */
+  private val truncatedRecallOracle: String =
     """WITH ex AS (
       |  SELECT q_id, n_id FROM (
       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -1231,7 +1235,10 @@ object Queries {
       |  CAST(count(*) AS BIGINT) AS n_true,
       |  round(CAST(count(ap.n_id) AS DOUBLE) / count(*), 6) AS recall
       |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
-      |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin) { (s, dir) =>
+      |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+
+  val annRecallTruncated: Q = q("ann_recall_truncated",
+    truncatedRecallOracle) { (s, dir) =>
     val emb = t(s, dir, "embeddings")
     val exact = operators.Similarity.bruteForceTopK(
       emb, "vec_id", "embedding", queryPred = col("vec_id") < 20, k = 5)
@@ -3672,30 +3679,7 @@ object Queries {
     * fails when recall drops below a floor). Same truncated-vs-full
     * measurement and oracle as `ann_recall_truncated`. */
   val sqlAnnRecall: Q = q("sql_ann_recall",
-    """WITH ex AS (
-      |  SELECT q_id, n_id FROM (
-      |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-      |        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-      |                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
-      |        c.vec_id) AS rnk
-      |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-      |    WHERE q.vec_id < 20) t WHERE rnk <= 5),
-      |ap AS (
-      |  SELECT q_id, n_id FROM (
-      |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-      |        round(list_cosine_similarity(
-      |          list_slice(CAST(q.embedding AS DOUBLE[]), 1, 16),
-      |          list_slice(CAST(c.embedding AS DOUBLE[]), 1, 16)), 6) DESC,
-      |        c.vec_id) AS rnk
-      |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-      |    WHERE q.vec_id < 20) t WHERE rnk <= 5)
-      |SELECT ex.q_id, CAST(count(ap.n_id) AS BIGINT) AS n_hit,
-      |  CAST(count(*) AS BIGINT) AS n_true,
-      |  round(CAST(count(ap.n_id) AS DOUBLE) / count(*), 6) AS recall
-      |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
-      |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin) { (s, dir) =>
+    truncatedRecallOracle) { (s, dir) =>
     GraftFunctions.register(s)
     val emb = t(s, dir, "embeddings")
     operators.Similarity.bruteForceTopK(

@@ -213,7 +213,16 @@ final class Engine(
     * ([[Engine.RootConfKey]]): registerViews runs immediately before
     * every engine-driven `spark.sql`, so an `ann_indexed_topk(...)` in
     * model/test SQL resolves against this engine's persisted index. */
-  def registerViews(): Unit = {
+  /** Serializes temp-view registration + SQL ANALYSIS on the shared
+    * session: a TVF model's micro-batch sink re-runs [[runPipeline]]
+    * from a streaming thread, and its batch `registerViews` must not
+    * interleave with [[graft.streaming.StreamingEngine.continuousPlan]]
+    * registering STREAMING views for another model's activation (the
+    * loser would resolve against the wrong view kind). Held only
+    * through analysis — materialization runs outside it. */
+  private[graft] val viewLock = new Object
+
+  def registerViews(): Unit = viewLock.synchronized {
     spark.conf.set(Engine.RootConfKey, root)
     catalog.list().foreach { d =>
       readStream(d.name).createOrReplaceTempView(d.name)
@@ -331,8 +340,16 @@ final class Engine(
       throw new IllegalArgumentException(s"stream '$name' not found"))
     val sql = d.sql.getOrElse(
       throw new IllegalStateException(s"stream '${d.name}' has no pipeline"))
-    registerViews()
-    write(d, spark.sql(sql), SaveMode.Overwrite)
+    // register + analyze under the view lock (see [[viewLock]]); the
+    // analyzed plan holds resolved relations, so the materialization
+    // below is immune to later view replacement
+    val df = viewLock.synchronized {
+      registerViews()
+      val x = spark.sql(sql)
+      x.queryExecution.analyzed
+      x
+    }
+    write(d, df, SaveMode.Overwrite)
   }
 
   /** Append the result of `sql` to an existing stream (incremental INSERT
@@ -340,8 +357,13 @@ final class Engine(
   def insertInto(name: String, sql: String): Unit = {
     val d = catalog.get(name).getOrElse(
       throw new IllegalArgumentException(s"stream '$name' not found"))
-    registerViews()
-    write(d, spark.sql(SqlDialect.rewrite(sql)), SaveMode.Append)
+    val df = viewLock.synchronized {
+      registerViews()
+      val x = spark.sql(SqlDialect.rewrite(sql))
+      x.queryExecution.analyzed
+      x
+    }
+    write(d, df, SaveMode.Append)
   }
 
   /** Append rows directly (the analog of POSTing events to a REST source
@@ -1438,6 +1460,11 @@ final class Engine(
           s"ann_index_rebuild('$name', '$idCol', '$vecCol') or " +
           "Engine.ensureAnnIndex"))
     if (props("ann_n").toLong == 0L) return (1, 1.0) // vacuous on empty
+    // the index generation the sweep below measures — a pin is only
+    // valid for THIS generation (a rebuild retrains the codebooks and
+    // deliberately strips pins; writing a measurement taken against the
+    // old codebooks onto the new index would be a stale promise)
+    val measuredGen = (props.get("ann_idx_epoch"), props.get("ann_cent_epoch"))
     val quant = graft.operators.Similarity.quantizerFromRows(
       readStream(annCentroidsName(name)),
       if (props("ann_kind") == "hier") Some(props("ann_k2").toInt) else None)
@@ -1452,19 +1479,28 @@ final class Engine(
         annRecallAgainst(truth, name, idCol, vecCol, pred, k, nProbe, method,
           corpusPred)
       while (recall < targetRecall && nProbe < maxNProbe &&
-          quant.probeFanout(nProbe * 2) > quant.probeFanout(nProbe)) {
-        nProbe *= 2
+          quant.probeFanout(math.min(nProbe * 2, maxNProbe)) >
+            quant.probeFanout(nProbe)) {
+        // never exceed the caller's cap: a doubling past it would run
+        // (and with pin=true, pin) a probe width the caller ruled out
+        nProbe = math.min(nProbe * 2, maxNProbe)
         recall =
           annRecallAgainst(truth, name, idCol, vecCol, pred, k, nProbe,
             method, corpusPred)
       }
       if (pin) streamLock(name).synchronized {
         // pinned under the ingest lock so a concurrent rebuild's strip
-        // and this write serialize; AUTO serving (nProbe = 0) reads it
+        // and this write serialize — and only onto the SAME index
+        // generation the sweep measured: if a rebuild committed while
+        // the (lock-free) sweep ran, the tuned width still returns but
+        // is NOT pinned (the new codebooks void the measurement)
         catalog.get(annIndexName(name)).foreach { d =>
-          catalog.put(d.copy(properties = d.properties +
-            ("ann_nprobe" -> nProbe.toString) +
-            ("ann_nprobe_recall" -> recall.toString)))
+          val gen = (d.properties.get("ann_idx_epoch"),
+            d.properties.get("ann_cent_epoch"))
+          if (gen == measuredGen)
+            catalog.put(d.copy(properties = d.properties +
+              ("ann_nprobe" -> nProbe.toString) +
+              ("ann_nprobe_recall" -> recall.toString)))
         }
       }
       (nProbe, recall)

@@ -285,8 +285,17 @@ object GraftTableFunctions {
           AttributeReference("n_probe", LongType, nullable = false)(),
           AttributeReference("k", LongType, nullable = false)(),
           AttributeReference("recall", DoubleType, nullable = false)()),
-        () => Seq(Row(tbl, nProbe.toLong, k.toLong,
-          eng.annRecallMeasured(tbl, id, vec, k, nProbe, sq, method))))
+        () => {
+          // report the EFFECTIVE width: nProbe 0 = AUTO resolves to the
+          // pinned tuning (else the serve default 2) — the row must
+          // record what width produced the recall, not the literal 0
+          val eff = if (nProbe != 0) nProbe.toLong
+            else eng.catalog.get(eng.annIndexName(tbl))
+              .flatMap(_.properties.get("ann_nprobe"))
+              .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(2L)
+          Seq(Row(tbl, eff, k.toLong,
+            eng.annRecallMeasured(tbl, id, vec, k, nProbe, sq, method)))
+        })
     },
     fn("ann_nprobe_for_recall",
       "ann_nprobe_for_recall(stream, idCol, vecCol, targetRecall, k, " +

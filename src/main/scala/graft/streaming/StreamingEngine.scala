@@ -103,10 +103,16 @@ final class StreamingEngine(val engine: Engine) {
         "operator plans and have no native continuous form; activate " +
         "the model (StreamingEngine.activate re-materializes it per " +
         "micro-batch) or materialize it through the batch engine")
-    d.sources.foreach { src =>
-      readStreamContinuous(src).createOrReplaceTempView(src)
+    // register + analyze atomically vs the batch side: a TVF model's
+    // micro-batch re-materialization calls registerViews() on the SAME
+    // session from its sink thread, and an interleaving would resolve
+    // this plan against a batch view (isStreaming = false)
+    engine.viewLock.synchronized {
+      d.sources.foreach { src =>
+        readStreamContinuous(src).createOrReplaceTempView(src)
+      }
+      spark.sql(sql)
     }
-    spark.sql(sql)
   }
 
   /** Ingest-cadence driver for a TVF-shaped model: a streaming union of

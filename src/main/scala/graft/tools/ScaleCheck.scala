@@ -1027,6 +1027,10 @@ object ScaleCheck {
       val pqDiff = ivf2.select("q_id", "n_id")
         .exceptAll(pq2.select("q_id", "n_id")).count()
       require(pqDiff == 0, s"pq ≢ ivf at nProbe=2: $pqDiff rows differ")
+      // cardinality too: exceptAll is one-directional (extra/duplicate
+      // pq rows would still leave ivf a subset)
+      val pqN = pq2.count(); val ivfN = ivf2.count()
+      require(pqN == ivfN, s"pq ≢ ivf at nProbe=2: $pqN vs $ivfN rows")
       truth.unpersist()
       val curveStr = curve.map { case (p, r, s) =>
         f"nProbe=$p recall=$r%.3f (${s}%.1f s)"

@@ -104,6 +104,11 @@ class AnnRecallSpec extends SparkSpec {
       s"full-recall sweep must saturate at the 8-cell codebook, " +
         s"got (nProbe=$pFull, recall=$rFull)")
     assert(p9 <= pFull, "a lower target can never need a wider probe")
+    // the caller's cap is hard, even when non-power-of-two: the sweep
+    // clamps its doubling to maxNProbe instead of overshooting past it
+    val (pCap, _) = e.annNProbeForRecall("emb", "vec_id", "embedding",
+      targetRecall = 1.0, k = 10, maxNProbe = 3)
+    assert(pCap <= 3, s"sweep exceeded maxNProbe=3 with nProbe=$pCap")
     // without an index: the serve-path lifecycle error, not a rebuild
     val bare = new Engine(spark, tmpDir("graft-recall-bare"))
     bare.createStream("emb", StreamSchema.fromStruct(
@@ -212,8 +217,12 @@ class AnnRecallSpec extends SparkSpec {
       col("vec_id") < 24, k = 10, nProbe = 2)
     val pq = e.annTopKIndexedServe("emb", "vec_id", "embedding",
       col("vec_id") < 24, k = 10, nProbe = 2, method = "pq")
+    // subset AND same cardinality — exceptAll alone is one-directional
+    // (pq emitting duplicate/extra rows would still pass it)
     assert(ivf.select("q_id", "n_id").exceptAll(pq.select("q_id", "n_id"))
       .isEmpty, "pq must serve exactly ivf's neighbor set")
+    assert(pq.count() == ivf.count(),
+      "pq must not emit rows beyond ivf's neighbor set")
     e.close()
   }
 }

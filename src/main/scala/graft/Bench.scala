@@ -168,21 +168,27 @@ object Bench {
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // the contended checks run on the INTERLEAVED points only — they
+    // share one estimator (min-of-2); the endpoints are 3-run medians,
+    // and mixing the two estimators inflates the spread on a quiet host
+    val interVals = canaryLog.collect {
+      case (l, v) if l != "before" && l != "after" => v
+    }.toSeq
     val spreadVals =
-      if (canaryVals.size >= 6) canaryVals.sorted.slice(1, canaryVals.size - 1)
-      else canaryVals.toSeq
+      if (interVals.size >= 6) interVals.sorted.slice(1, interVals.size - 1)
+      else interVals
     // drift = SUSTAINED host-speed change (r10's 0.173→0.224 class):
-    // first-half median vs second-half median of all points — two
-    // endpoint samples alone flip on one fast/slow outlier
+    // first-half median vs second-half median — endpoint samples alone
+    // flip on one fast/slow outlier
     val halves =
-      if (canaryVals.size >= 6) {
-        val (a, b) = canaryVals.toSeq.splitAt(canaryVals.size / 2)
+      if (interVals.size >= 6) {
+        val (a, b) = interVals.splitAt(interVals.size / 2)
         (median(a), median(b))
       } else (canaryBefore, canaryAfter)
     val contended = (halves._1 > 0 && halves._2 > 0 &&
       math.max(halves._1, halves._2) /
         math.max(1e-9, math.min(halves._1, halves._2)) > 1.2) ||
-      (spreadVals.nonEmpty && spreadVals.max /
+      (spreadVals.size >= 2 && spreadVals.max /
         math.max(1e-9, spreadVals.min) > 1.5)
 
     def jmap(m: Iterable[(String, Double)]): String =
@@ -204,11 +210,18 @@ object Bench {
     // the host-speed unit is the MEDIAN over every canary point — the
     // endpoint mean undercounts when one endpoint lands a fast/slow
     // outlier (the r11 close run's 0.098 'before' vs a 0.14 field)
+    // canary_unit keeps its r9/r10 semantics (endpoint mean of two
+    // 3-run medians) so cross-round canary-normalized comparisons stay
+    // apples-to-apples; the ROBUST unit — median over every interleaved
+    // point (min-of-2 each) — rides alongside as canary_unit_robust
+    // (the interleaved points use a different estimator, so the two
+    // units are NOT interchangeable)
     val canaryUnit =
-      if (canaryVals.size >= 3) median(canaryVals.toSeq)
-      else if (canaryBefore > 0 && canaryAfter > 0)
+      if (canaryBefore > 0 && canaryAfter > 0)
         (canaryBefore + canaryAfter) / 2
       else -1.0
+    val canaryUnitRobust =
+      if (interVals.size >= 3) median(interVals) else canaryUnit
     val totalNorm = if (canaryUnit > 0) total / canaryUnit else -1.0
     val headlineNorm = if (canaryUnit > 0) headlineTotal / canaryUnit else -1.0
     // stdout gets a COMPACT line (round-5 verdict: the driver's scrape
@@ -220,6 +233,7 @@ object Bench {
       s""","sweep_gates":${results.size},"errors":$errs,"sf":"$sfDir"""" +
       s""","canary_before":$canaryBefore,"canary_after":$canaryAfter""" +
       s""","contended":$contended,"canary_unit":$canaryUnit""" +
+      s""","canary_unit_robust":$canaryUnitRobust""" +
       s""","total_per_canary":$totalNorm,"headline_per_canary":$headlineNorm""" +
       s""","canaries":${jpairs(canaryLog)}""" +
       s""","headline_canary":${jmap(headlineCanary)}"""

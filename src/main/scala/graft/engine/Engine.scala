@@ -1023,7 +1023,11 @@ final class Engine(
     // one metadata-scale count (the sizing action every AUTO build pays;
     // pinned as ann_n so subsequent ensure calls run zero actions)
     val n = e.count()
-    val quant = Similarity.buildQuantizer("annIndex", nCentroids, e, Some(n))
+    // fused trainer (optimization round 11): the flat layout's coarse
+    // codebook + all PQ sub-books train in 2 actions instead of 2·(m+1)
+    val (quant, booksOpt) =
+      Similarity.buildIndexQuantizers("annIndex", nCentroids, e, Some(n),
+        m, ksub)
     val (kind, k2, dims) = quant match {
       case h: Similarity.HierQuantizer => ("hier", h.k2, h.dims)
       case f: Similarity.FlatQuantizer =>
@@ -1048,7 +1052,7 @@ final class Engine(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], idxSt),
         n, kind, k2, dims)
     } else {
-      val books = Similarity.trainPqBooks(e, dims, m, ksub)
+      val books = booksOpt.get
       (Similarity.quantizerRows(quant, spark)
         .unionAll(Similarity.booksRows(books, spark)),
         Similarity.pqEncode(quant.assign(e), books)

@@ -946,6 +946,129 @@ object Similarity {
         c._2.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)).toArray))
   }
 
+  /** ONE-PASS trainer for a flat coarse codebook plus all `m` PQ
+    * sub-codebooks (optimization round 11 — guide §1.2 "remove
+    * unnecessary passes"): [[refinedCentroids]] + [[trainPqBooks]] run
+    * 2·(m+1) Spark actions (a TakeOrdered seeds collect and a Lloyd
+    * corpus pass PER book — 18 actions at m=8), every one of them a
+    * full corpus scan whose cost at gate scale is fixed job overhead,
+    * not data. This fuses them into TWO actions with bit-identical
+    * results:
+    *
+    *  - SEEDS: one TakeOrdered of the first max(nCells, ksub) rows by
+    *    `n_id`. The flat seeds are those rows' full vectors; book j's
+    *    seeds are the SAME rows' j-th subspace slices — exactly what the
+    *    per-book `orderBy(n_id).limit(k)` collected (same unique order
+    *    key, so the same rows win).
+    *  - REFINE: one corpus pass assigns each row in all m+1 books at
+    *    once (m+1 fused-kernel calls on the row's slices — the identical
+    *    per-element work, just one scan instead of m+1) and one
+    *    (book, cell, dim)-keyed avg replaces the per-book aggregates.
+    *    The double summation order inside a group may differ from the
+    *    sequential passes'; the FLOAT rounding of every centroid mean
+    *    absorbs that, which is the established [[lloydStep]] convention
+    *    (the DuckDB oracle replays the same avg in its own order).
+    *
+    * Returns the flat book's refined centroids (what
+    * `refinedCentroids(e, nCells)` returns) and the padded [[PqBooks]]
+    * (what `trainPqBooks(e, dims, m, ksub)` returns); `(Nil, None)` on
+    * an empty corpus or `nCells == 0`, matching the separate paths. */
+  private[graft] def trainFlatAndBooks(e: DataFrame, nCells: Int, m: Int,
+      ksub: Int): (Seq[(Int, Seq[Float])], Option[PqBooks]) = {
+    val seedRows: IndexedSeq[Seq[Float]] =
+      e.orderBy("n_id").limit(math.max(nCells, ksub))
+        .collect().map(_.getSeq[Float](1)).toIndexedSeq
+    if (seedRows.isEmpty || nCells <= 0) return (Nil, None)
+    val dims = seedRows.head.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val flatSeeds = seedRows.take(nCells)
+    val pqSeeds: IndexedSeq[IndexedSeq[Seq[Float]]] =
+      (0 until m).map { j =>
+        seedRows.take(ksub).map(v => v.slice(j * sub, (j + 1) * sub))
+      }.toIndexedSeq
+    // one fused assignment per book: same kernel, same pmod fold of the
+    // all-NaN -1 as withCell (seed cids are 0..k-1, so withCell's cid
+    // indirection is the identity here)
+    val cellExprs: Seq[Column] = (0 until m).map { j =>
+      pmod(call_function("nearest_centroid",
+        slice(col("v"), j * sub + 1, sub),
+        typedlit(pqSeeds(j).flatten.toArray), lit(sub)),
+        lit(pqSeeds(j).size))
+    } :+ pmod(call_function("nearest_centroid", col("v"),
+        typedlit(flatSeeds.flatten.toArray), lit(dims)),
+        lit(flatSeeds.size))
+    // each exploded (dim, x) feeds TWO groups: subspace book dim/sub at
+    // slot dim%sub, and the flat book (bid = m) at slot dim
+    val rows = e.withColumn("__cells", array(cellExprs: _*))
+      .select(col("__cells"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(expr(
+        s"""explode(array(
+           |  struct(CAST(dim / $sub AS INT) AS bid,
+           |         __cells[CAST(dim / $sub AS INT)] AS cell,
+           |         CAST(dim % $sub AS INT) AS sdim),
+           |  struct($m AS bid, __cells[$m] AS cell, dim AS sdim)))"""
+          .stripMargin).as("t"), col("x"))
+      .groupBy(col("t.bid").as("bid"), col("t.cell").as("cell"),
+        col("t.sdim").as("sdim"))
+      .agg(avg("x").as("mv"))
+      .collect()
+    // driver assembly: per book, surviving cells sorted by cid, each
+    // cell's means sorted by slot and FLOAT-rounded — lloydStep's exact
+    // output shape (cells that win no rows drop out here too)
+    def bookOf(bid: Int): Seq[(Int, Seq[Float])] =
+      rows.filter(_.getInt(0) == bid)
+        .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+        .map { case (cell, rs) =>
+          (cell, rs.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toSeq)
+        }
+    val flatTrained = bookOf(m)
+    val books: Seq[Seq[(Int, Seq[Float])]] = (0 until m).map { j =>
+      val trained = bookOf(j)
+      trained ++ (trained.size until ksub).map(i => (i, trained.last._2))
+    }
+    (flatTrained, Some(PqBooks(m, ksub, sub,
+      books.map(_.flatMap(_._2).toArray),
+      books.map(_.map(c =>
+        c._2.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        .toArray))))
+  }
+
+  /** [[buildQuantizer]] + [[trainPqBooks]] for the paths that need both
+    * (the persisted-index build and the inline PQ family), routed
+    * through [[trainFlatAndBooks]] when the layout resolves FLAT — the
+    * hierarchical layout keeps its train-top + per-cell refinement
+    * shape and the separate book passes. Same [[graft.plans
+    * .QuantizerCellGuard]] audit as [[buildQuantizer]]. */
+  private[graft] def buildIndexQuantizers(op: String, nCentroids: Int,
+      e: DataFrame, knownCount: Option[Long], m: Int, ksub: Int)
+      : (CoarseQuantizer, Option[PqBooks]) = {
+    val spark = e.sparkSession
+    if (nCentroids > 0) {
+      if (graft.plans.QuantizerCellGuard.enabled(spark)) {
+        val n = knownCount.getOrElse(e.count())
+        graft.plans.QuantizerCellGuard.check(spark, op, n, nCentroids.toLong,
+          idealCells(n))
+      }
+      val (flat, books) = trainFlatAndBooks(e, nCentroids, m, ksub)
+      (new FlatQuantizer(flat), books)
+    } else {
+      val n = knownCount.getOrElse(e.count())
+      val total = idealCells(n)
+      if (total <= flatCap(spark)) {
+        val cells = total.toInt
+        graft.plans.QuantizerCellGuard.check(spark, op, n, cells.toLong, total)
+        val (flat, books) = trainFlatAndBooks(e, cells, m, ksub)
+        (new FlatQuantizer(flat), books)
+      } else {
+        val quant = buildQuantizer(op, nCentroids, e, Some(n))
+        (quant,
+          if (quant.isEmpty) None
+          else Some(trainPqBooks(e, quant.dims, m, ksub)))
+      }
+    }
+  }
+
   /** PQ codebooks → (kind=1, j=subspace, cid, centroid) rows (the
     * storable form; norms recompute on load with the same fold). */
   private[graft] def booksRows(b: PqBooks, spark: SparkSession): DataFrame = {
@@ -1092,9 +1215,10 @@ object Similarity {
     // only the COARSE quantizer corpus-dimensions: ksub is per-subspace
     // code granularity (reconstruction quality), not a blocking key —
     // occupancy arguments do not apply to it
-    val quant = buildQuantizer("pqTopK", nCentroids, e, knownCount)
+    val (quant, booksOpt) =
+      buildIndexQuantizers("pqTopK", nCentroids, e, knownCount, m, ksub)
     if (quant.isEmpty) return None
-    val books = trainPqBooks(e, quant.dims, m, ksub)
+    val books = booksOpt.get
     val corpus = pqEncode(quant.assign(e), books)
     val qs = e.filter(queryPred)
     val queries = quant.probeCells(pqQueries(qs, books), "v_q", nProbe)

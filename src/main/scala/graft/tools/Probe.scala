@@ -21,6 +21,7 @@ object Probe {
     if (args.headOption.contains("tri")) return triMain(args.drop(1))
     if (args.headOption.contains("ac")) return acMain(args.drop(1))
     if (args.headOption.contains("bcast")) return bcastMain(args.drop(1))
+    if (args.headOption.contains("annprof")) return annprofMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -562,6 +563,82 @@ object Probe {
       f"true dups=$trueDups, fp overhead=${nHits - trueDups}) — " +
       f"definite misses skipped: ${nShard - nHits}")
     f.unpersist()
+    spark.stop()
+  }
+
+  /** `Probe annprof <sf> [reps]` — stage decomposition of the
+    * `withAnnEngine` + `ensureAnnIndex` substrate that ~10 indexed-ANN
+    * gates pay per invocation (optimization round 11): engine create,
+    * createStream, appendRows(corpus), ensureAnnIndex, and the served
+    * search, each timed separately. The data at sf0.1 is 2k × d64
+    * (~0.5 MB), so everything measured here is fixed per-gate overhead
+    * (action count × scheduler/commit latency), not data volume. */
+  private def annprofMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[annprof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    (1 to reps).foreach { rep =>
+      println(s"[annprof] --- rep $rep ---")
+      spark.catalog.clearCache()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-annprof").toString
+      val e = timed("engine create")(new graft.engine.Engine(spark, tmp))
+      val st = new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long", nullable = false)
+        .add("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      timed("createStream")(
+        e.createStream("emb_idx", graft.schema.StreamSchema.fromStruct(st)))
+      timed("appendRows corpus")(e.appendRows("emb_idx", emb))
+      timed("ensureAnnIndex")(
+        e.ensureAnnIndex("emb_idx", "vec_id", "embedding"))
+      val served = timed("annTopKIndexed plan")(
+        e.annTopKIndexed("emb_idx", "vec_id", "embedding",
+          queryPred = org.apache.spark.sql.functions.col("vec_id") < 10,
+          k = 5, nProbe = 3))
+      timed("search count")(served.count())
+      timed("engine close")(e.close())
+
+      // ---- annIndexContents stage replica (what ensureAnnIndex pays) --
+      import graft.operators.Similarity
+      val corpus = emb.select(col("vec_id").as("n_id"),
+        col("embedding").as("v"))
+      val n = timed("  count")(corpus.count())
+      val quant = timed("  buildQuantizer (seeds + 1 lloyd)")(
+        Similarity.buildQuantizer("annprof", 0, corpus, Some(n)))
+      val dims = 64
+      val books = timed("  trainPqBooks (m=8 x (seeds + lloyd))")(
+        Similarity.trainPqBooks(corpus, dims, 8, 16))
+      val encoded = Similarity.pqEncode(quant.assign(corpus), books)
+        .select(col("n_id").as("ex_id"), col("cell"),
+          col("v_n").as("v"), col("codes"), col("eps"), col("norm_x"))
+      val tmpd = java.nio.file.Files.createTempDirectory("annprof-w").toString
+      timed("  encode+write plain parquet")(
+        encoded.write.mode("overwrite").parquet(tmpd + "/plain"))
+      timed("  encode+write bucketed saveAsTable")({
+        encoded.write.mode("overwrite")
+          .bucketBy(8, "cell").sortBy("cell")
+          .option("path", tmpd + "/bucketed").format("parquet")
+          .saveAsTable("annprof_stage")
+        spark.sql("DROP TABLE IF EXISTS annprof_stage")
+      })
+      timed("  centroid rows write")(
+        Similarity.quantizerRows(quant, spark)
+          .unionAll(Similarity.booksRows(books, spark))
+          .write.mode("overwrite").parquet(tmpd + "/cent"))
+    }
     spark.stop()
   }
 }

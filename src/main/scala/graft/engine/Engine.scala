@@ -1547,8 +1547,16 @@ final class Engine(
   def rebuildAnnIndex(name: String, idCol: String, vecCol: String,
                       nCentroids: Int = 0, m: Int = 8, ksub: Int = 16,
                       force: Boolean = false): Boolean =
-    streamLock(name).synchronized {
-      if (force && catalog.get(annIndexName(name)).nonEmpty)
+    if (!force)
+      // plain ensure semantics (live → false): delegate WITHOUT taking
+      // the ingest lock, so a build goes down ensureAnnIndex's staged
+      // build-aside-then-swap path instead of the in-lock truncate +
+      // append route (optimization round 11: the in-lock route costs
+      // ~2 extra truncate/append actions AND blocks concurrent
+      // searches/ingest for the whole corpus-linear build)
+      ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
+    else streamLock(name).synchronized {
+      if (catalog.get(annIndexName(name)).nonEmpty)
         truncate(annIndexName(name)) // breaks the idx-epoch pin
       ensureAnnIndex(name, idCol, vecCol, nCentroids, m, ksub)
     }

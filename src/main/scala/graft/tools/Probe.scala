@@ -22,6 +22,7 @@ object Probe {
     if (args.headOption.contains("ac")) return acMain(args.drop(1))
     if (args.headOption.contains("bcast")) return bcastMain(args.drop(1))
     if (args.headOption.contains("annprof")) return annprofMain(args.drop(1))
+    if (args.headOption.contains("sqlannprof")) return sqlannprofMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -169,6 +170,9 @@ object Probe {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the sql_*/forget gates resolve graft table functions, exactly
+      // as the bench session does
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // "-cc" in the name list: clearCache before every run ×4 (reproduces
@@ -563,6 +567,58 @@ object Probe {
       f"true dups=$trueDups, fp overhead=${nHits - trueDups}) — " +
       f"definite misses skipped: ${nShard - nHits}")
     f.unpersist()
+    spark.stop()
+  }
+
+  /** `Probe sqlannprof <sf> [reps]` — phase decomposition of the
+    * sql_ann_indexed_topk gate (engine ingest → registerViews → SQL
+    * rebuild TVF → TVF search), which measures 2-3× the direct
+    * ann_ivf_topk_indexed gate despite sharing its substrate. */
+  private def sqlannprofMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[sqlannprof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    (1 to reps).foreach { rep =>
+      println(s"[sqlannprof] --- rep $rep ---")
+      spark.catalog.clearCache()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sqlannprof")
+        .toString
+      val e = new graft.engine.Engine(spark, tmp)
+      val st = new org.apache.spark.sql.types.StructType()
+        .add("vec_id", "long", nullable = false)
+        .add("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))
+      timed("createStream")(
+        e.createStream("emb_idx", graft.schema.StreamSchema.fromStruct(st)))
+      timed("appendRows corpus")(e.appendRows("emb_idx", emb))
+      timed("registerViews")(e.registerViews())
+      timed("rebuild TVF plan")(spark.sql(
+        "SELECT * FROM ann_index_rebuild('emb_idx', 'vec_id', 'embedding')"))
+      timed("rebuild TVF collect")(spark.sql(
+        "SELECT * FROM ann_index_rebuild('emb_idx', 'vec_id', 'embedding')")
+        .collect())
+      val q = timed("search TVF plan")(spark.sql(
+        """SELECT q_id, n_id, rnk, cos
+          |FROM ann_indexed_topk('emb_idx', 'vec_id', 'embedding',
+          |  'vec_id < 10', 5, 3)
+          |ORDER BY q_id, rnk""".stripMargin))
+      timed("search TVF count")(q.count())
+      timed("engine close")(e.close())
+    }
     spark.stop()
   }
 

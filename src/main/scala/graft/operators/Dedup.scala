@@ -63,11 +63,18 @@ object Dedup {
     * ["a b", "b c", ...]. Documents shorter than n words yield an empty
     * array (guarded — Spark's `sequence(0, -1)` would count backwards). */
   def shingles(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    val ngrams = transform(sequence(lit(0), size(words) - n),
-      i => concat_ws(" ", slice(words, i + lit(1), lit(n))))
-    when(size(words) >= n, array_distinct(ngrams))
-      .otherwise(array().cast("array<string>"))
+    // bind the split ONCE per row (optimization round 11): higher-order
+    // lambdas are interpreted per element, so a `slice(split(text), …)`
+    // lambda body re-splits the text at every shingle position —
+    // O(words²) splits per doc. Wrapping the split in a 1-element array
+    // and transforming over it binds the words to a lambda VARIABLE,
+    // which the inner lambda references in O(1); same output exactly.
+    element_at(transform(array(split(text, " ")), words => {
+      val ngrams = transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n))))
+      when(size(words) >= n, array_distinct(ngrams))
+        .otherwise(array().cast("array<string>"))
+    }), 1)
   }
 
   /** Exact Jaccard similarity of two distinct-element array columns,

@@ -449,11 +449,14 @@ object TextAnalysis {
   private def segments(docs: DataFrame, idCol: String, textCol: String,
                        windowWords: Int): DataFrame = {
     require(windowWords > 0, "windowWords must be positive")
+    // split bound once per row (optimization round 11) — the former
+    // lambda body re-split the text per window; see Dedup.shingles
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("did"),
         posexplode(expr(
-          s"""transform(sequence(0, CAST((size(split($textCol, ' ')) - 1) / $windowWords AS INT)),
-             |  i -> concat_ws(' ', slice(split($textCol, ' '), i * $windowWords + 1, $windowWords)))"""
+          s"""transform(array(split($textCol, ' ')), ws ->
+             |  transform(sequence(0, CAST((size(ws) - 1) / $windowWords AS INT)),
+             |    i -> concat_ws(' ', slice(ws, i * $windowWords + 1, $windowWords))))[0]"""
             .stripMargin)).as(Seq("seg_id", "seg")))
   }
 

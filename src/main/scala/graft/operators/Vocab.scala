@@ -78,6 +78,20 @@ object Vocab {
       .select(idCol, "n_words", "avg_neg_logp")
   }
 
+  /** Per-row bigram structs `(w1, w2)` over whitespace tokens, with the
+    * split bound ONCE per row (optimization round 11): higher-order
+    * lambdas are interpreted per element, so the former
+    * `element_at(split(text), i+…)` lambda body re-split the text at
+    * every bigram position — O(words²) splits per doc. Wrapping the
+    * split in a 1-element array and transforming over it binds the
+    * words to a lambda VARIABLE the inner lambda reads in O(1); output
+    * is exactly the old expression's. */
+  private def docBigrams(textCol: String): Column =
+    element_at(transform(array(split(col(textCol), " ")), ws =>
+      transform(sequence(lit(0), size(ws) - 2), i =>
+        struct(element_at(ws, i + 1).as("w1"),
+          element_at(ws, i + 2).as("w2")))), 1)
+
   /** Interpolated bigram log-perplexity (the KenLM-shaped upgrade of
     * [[unigramLogPerplexity]], with the corpus itself as the LM): each
     * document's mean negative log-probability of its bigrams under
@@ -101,12 +115,7 @@ object Vocab {
     val w = split(col(textCol), " ")
     // per-doc bigram term frequencies — one explode, one pre-aggregate
     val docBf = docs.filter(size(w) >= 2)
-      .select(col(idCol).as("did"),
-        explode(expr(
-          s"""transform(sequence(0, size(split($textCol, ' ')) - 2),
-             |  i -> struct(element_at(split($textCol, ' '), i + 1) AS w1,
-             |              element_at(split($textCol, ' '), i + 2) AS w2))"""
-            .stripMargin)).as("bg"))
+      .select(col(idCol).as("did"), explode(docBigrams(textCol)).as("bg"))
       .select(col("did"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("did", "w1", "w2").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -162,12 +171,7 @@ object Vocab {
     require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
     val w = split(col(textCol), " ")
     val docBf = docs.filter(size(w) >= 2)
-      .select(col(idCol).as("did"),
-        explode(expr(
-          s"""transform(sequence(0, size(split($textCol, ' ')) - 2),
-             |  i -> struct(element_at(split($textCol, ' '), i + 1) AS w1,
-             |              element_at(split($textCol, ' '), i + 2) AS w2))"""
-            .stripMargin)).as("bg"))
+      .select(col(idCol).as("did"), explode(docBigrams(textCol)).as("bg"))
       .select(col("did"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("did", "w1", "w2").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

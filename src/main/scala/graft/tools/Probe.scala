@@ -23,6 +23,7 @@ object Probe {
     if (args.headOption.contains("bcast")) return bcastMain(args.drop(1))
     if (args.headOption.contains("annprof")) return annprofMain(args.drop(1))
     if (args.headOption.contains("sqlannprof")) return sqlannprofMain(args.drop(1))
+    if (args.headOption.contains("knprof")) return knprofMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -567,6 +568,46 @@ object Probe {
       f"true dups=$trueDups, fp overhead=${nHits - trueDups}) — " +
       f"definite misses skipped: ${nShard - nHits}")
     f.unpersist()
+    spark.stop()
+  }
+
+  /** `Probe knprof <sf> [reps]` — stage decomposition of the
+    * Kneser-Ney perplexity chain (ppl_buckets / pipeline_curation_v6's
+    * triage half) and the label-propagation rounds. */
+  private def knprofMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[knprof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    (1 to reps).foreach { rep =>
+      println(s"[knprof] --- rep $rep ---")
+      spark.catalog.clearCache()
+      // KN chain in gate shape
+      timed("kneserNey full")(
+        graft.operators.Vocab.kneserNeyLogPerplexity(docs).count())
+      timed("perplexityBuckets full")(
+        graft.operators.Vocab.perplexityBuckets(docs).count())
+      spark.catalog.clearCache()
+      // LP decomposition
+      val edges = timed("knnGraph edges")(
+        graft.operators.Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+          .localCheckpoint(true))
+      timed("labelPropagation rounds")(
+        graft.operators.Graphs.labelPropagation(
+          emb.select("vec_id"), edges, idCol = "vec_id", rounds = 4).count())
+    }
     spark.stop()
   }
 

@@ -341,15 +341,22 @@ object Dedup {
   def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, threshold: Double = 0.5,
                        queryPred: Column = lit(true)): DataFrame = {
-    val words = split(col(textCol), " ")
     // RAW grams (multiplicity kept — tf is a count, unlike the distinct
-    // sets the Jaccard family uses)
-    val grams = when(size(words) >= shingleN,
-      transform(sequence(lit(0), size(words) - shingleN),
-        i => concat_ws(" ", slice(words, i + lit(1), lit(shingleN)))))
-      .otherwise(array().cast("array<string>"))
+    // sets the Jaccard family uses); split bound once per row via the
+    // 1-element-array transform, same as [[shingles]] (optimization
+    // round 11 — the former lambda re-split the text per gram position)
+    val grams = element_at(transform(array(split(col(textCol), " ")),
+      words =>
+        when(size(words) >= shingleN,
+          transform(sequence(lit(0), size(words) - shingleN),
+            i => concat_ws(" ", slice(words, i + lit(1), lit(shingleN)))))
+        .otherwise(array().cast("array<string>"))), 1)
+    // tf feeds BOTH the df aggregate and the weight join — pin it, or
+    // the explode+aggregate subtree runs twice per action (optimization
+    // round 11: measured 2× the gram pass inside one w materialization)
     val tf = df.select(col(idCol).as("id"), explode(grams).as("gram"))
       .groupBy("id", "gram").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfTbl = tf.groupBy("gram").agg(count(lit(1)).as("df"))
     val n = df.select(count(lit(1)).as("n"))
     val w = tf.join(dfTbl, "gram").crossJoin(broadcast(n))
@@ -365,7 +372,10 @@ object Dedup {
       // like the family's signature frames (session-level eviction via
       // OperatorCache; the plain entry point pins deliberately)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // norms joins in twice (id_a and id_b sides) — pin the 1-row-per-doc
+    // frame so the w scan behind it runs once
     val norms = w.groupBy("id").agg(sum(col("w") * col("w")).as("nrm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val num = w.filter(queryPred)
       .select(col("id").as("id_a"), col("gram"), col("w").as("w_a"))
       .join(w.select(col("id").as("id_b"), col("gram"), col("w").as("w_b")),

@@ -24,6 +24,7 @@ object Probe {
     if (args.headOption.contains("annprof")) return annprofMain(args.drop(1))
     if (args.headOption.contains("sqlannprof")) return sqlannprofMain(args.drop(1))
     if (args.headOption.contains("knprof")) return knprofMain(args.drop(1))
+    if (args.headOption.contains("tfidfprof")) return tfidfprofMain(args.drop(1))
     val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -568,6 +569,70 @@ object Probe {
       f"true dups=$trueDups, fp overhead=${nHits - trueDups}) — " +
       f"definite misses skipped: ${nShard - nHits}")
     f.unpersist()
+    spark.stop()
+  }
+
+  /** `Probe tfidfprof <sf> [reps]` — stage decomposition of
+    * tfidfCosinePairs (the tfidf_cosine_pairs gate: ~8 s cold at sf0.1
+    * despite a 278k-row candidate join). */
+  private def tfidfprofMain(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[tfidfprof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    (1 to reps).foreach { rep =>
+      println(s"[tfidfprof] --- rep $rep ---")
+      spark.catalog.clearCache()
+      val shingleN = 3
+      val grams = element_at(transform(array(split(col("text"), " ")),
+        words =>
+          when(size(words) >= shingleN,
+            transform(sequence(lit(0), size(words) - shingleN),
+              i => concat_ws(" ", slice(words, i + lit(1), lit(shingleN)))))
+          .otherwise(array().cast("array<string>"))), 1)
+      val tf = docs.select(col("doc_id").as("id"), explode(grams).as("gram"))
+        .groupBy("id", "gram").agg(count(lit(1)).as("tf"))
+      timed("tf agg")(tf.write.format("noop").mode("overwrite").save())
+      val dfTbl = tf.groupBy("gram").agg(count(lit(1)).as("df"))
+      timed("df agg")(dfTbl.write.format("noop").mode("overwrite").save())
+      val n = docs.select(count(lit(1)).as("n"))
+      val w = tf.join(dfTbl, "gram").crossJoin(broadcast(n))
+        .withColumn("w",
+          round(log(col("n").cast("double") / col("df")) * 1000, 0)
+            .cast("long") * col("tf"))
+        .filter(col("w") > 0)
+        .select("id", "gram", "w")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed("w materialize")(w.count())
+      val norms = w.groupBy("id").agg(sum(col("w") * col("w")).as("nrm"))
+      timed("norms")(norms.write.format("noop").mode("overwrite").save())
+      val num = w.filter(col("id") % 10 === 0)
+        .select(col("id").as("id_a"), col("gram"), col("w").as("w_a"))
+        .join(w.select(col("id").as("id_b"), col("gram"),
+          col("w").as("w_b")), "gram")
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(sum(col("w_a") * col("w_b")).as("num"))
+      timed("num join+agg")(num.write.format("noop").mode("overwrite").save())
+      val out = num
+        .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), "id_a")
+        .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), "id_b")
+        .withColumn("cos", col("num").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .filter(col("cos") >= 0.3)
+      timed("final")(out.count())
+      w.unpersist()
+    }
     spark.stop()
   }
 

@@ -1159,8 +1159,25 @@ final class Engine(
           liveRewrites.add(idxD.name); liveRewrites.add(centD.name)
           val (centRows, idxRows, n, kind, k2, dims) =
             annIndexContents(name, idCol, vecCol, nCentroids, m, ksub)
-          stageSibling(centD, centRows, snap._3 + 1)
-          stageSibling(idxD, idxRows, snap._2 + 1)
+          // the two sibling stages are independent writes — centroids
+          // are a LocalRelation (codebooks collected during training),
+          // the index the corpus encode pass — so they overlap as
+          // concurrent jobs (optimization round 12, guide §2.6): the
+          // single-file centroid write rides the encode's idle cores
+          // instead of adding its fixed job latency after it
+          locally {
+            import scala.concurrent.{Await, Future, ExecutionContext}
+            import scala.concurrent.duration.Duration
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+            implicit val ec: ExecutionContext =
+              ExecutionContext.fromExecutorService(pool)
+            try {
+              val centF = Future(stageSibling(centD, centRows, snap._3 + 1))
+              val idxF = Future(stageSibling(idxD, idxRows, snap._2 + 1))
+              Await.result(centF, Duration.Inf)
+              Await.result(idxF, Duration.Inf)
+            } finally pool.shutdown()
+          }
           annStageHook()
           // ---- commit: locked, metadata-only (epoch check + two
           // directory flips + catalog pins) ----
@@ -1232,13 +1249,22 @@ final class Engine(
     * after the directory flip the live table reads them with the bucket
     * spec intact, no rewrite needed. */
   private def stageSibling(d: StreamDef, rows: DataFrame,
-                           epoch: Long): Unit = {
-    val stamped = stampRows(d, rows, epoch)
+                           epoch: Long): Unit =
+    stageRewrite(d, stampRows(d, rows, epoch))
+
+  /** Stage already-stamped rows (a rewrite keeps stored rows verbatim)
+    * into `d`'s `.rewrite` directory, bucket layout included —
+    * committed by [[commitStagedSwap]], discarded by
+    * [[dropStagedSwap]]. The corpus-linear half of a rewrite, safe to
+    * run OUTSIDE any lock (and concurrently with other streams'
+    * stages) as long as `d.name` sits in [[liveRewrites]] so a
+    * reader's crash repair cannot replay the live stage. */
+  private def stageRewrite(d: StreamDef, rows: DataFrame): Unit = {
     val tmp = catalog.dataPath(d.name) + ".rewrite"
     bucketSpec(d) match {
       case Some((nb, cols)) =>
         val stageTable = bucketTableName(d.name) + "_stage"
-        stamped.write.mode(SaveMode.Overwrite)
+        rows.write.mode(SaveMode.Overwrite)
           .bucketBy(nb, cols.head, cols.tail: _*)
           .sortBy(cols.head, cols.tail: _*)
           .option("path", tmp)
@@ -1247,7 +1273,7 @@ final class Engine(
         // external table: dropping the staging entry keeps the files
         spark.sql(s"DROP TABLE IF EXISTS `$stageTable`")
       case None =>
-        stamped.write.mode(SaveMode.Overwrite).parquet(tmp)
+        rows.write.mode(SaveMode.Overwrite).parquet(tmp)
     }
   }
 
@@ -1907,75 +1933,124 @@ final class Engine(
           s"id_$c")
       }.toMap
 
-    // 1. main store rewrite + epoch bump (content changed: stale pins,
-    // out-of-band detection, and any staged commit must all see it)
-    rewriteStorage(d, survivors(raw))
-    val dMain = catalog.get(name).get
-    val newMain = dMain.writeEpoch + 1
-    catalog.put(dMain.copy(writeEpoch = newMain))
-
-    /** Anti-join one sibling's stored rows against the victim set; bumps
-      * its epoch; returns the count of distinct pruned ids. */
-    def prune(sibName: String, idC: String): Long =
-      (catalog.get(sibName), vicIds.get(idC)) match {
-        case (Some(sd), Some(vic)) =>
-          val sibRaw = readRaw(sd)
-          val pruned = sibRaw
-            .join(vic, col("ex_id") === col("__forget_id"), "left_semi")
-            .select("ex_id").distinct().count()
-          if (pruned > 0) {
-            rewriteStorage(sd, sibRaw.join(vic,
-              col("ex_id") === col("__forget_id"), "left_anti"))
-            val sdNow = catalog.get(sibName).get
-            catalog.put(sdNow.copy(writeEpoch = sdNow.writeEpoch + 1))
+    // ---- stage every rewrite aside CONCURRENTLY (optimization round
+    // 12, guide §2.6 overlapping independent jobs): the main survivor
+    // write and each sibling's prune are independent Spark jobs over
+    // DISJOINT stores whose shared input (the victim frames) is already
+    // materialized to the temp stage — submitted together, each job's
+    // straggler tail back-fills the others' idle cores. NOTHING mutates
+    // until every stage has succeeded; the commit below is directory
+    // flips + catalog pins, run on this thread in the original order —
+    // so a mid-stage failure now aborts the whole forget with no store
+    // touched (the old sequential rewrite-as-you-go could fail with the
+    // main store already swapped).
+    val sibPlan: Seq[(String, String)] =
+      (annD.map(id => annIdx -> id.properties.getOrElse("ann_id_col", "")).toSeq ++
+        mhD.toSeq.flatMap { pd =>
+          val c = pd.properties.getOrElse("mh_id_col", "")
+          Seq(mhPost -> c, mhSig -> c)
+        } ++
+        lshD.map(id => lshIdx -> id.properties.getOrElse("lsh_id_col", "")).toSeq)
+        .filter { case (s, c) => catalog.exists(s) && vicIds.contains(c) }
+    val stagedNames = d.name +: sibPlan.map(_._1)
+    stagedNames.foreach(liveRewrites.add)
+    // prunedN per sibling; a sibling with no victims stages nothing
+    var pruned = Map.empty[String, Long]
+    var committed = false
+    try {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, 1 + sibPlan.size))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val mainF = Future(stageRewrite(d, survivors(raw)))
+        val sibFs = sibPlan.map { case (sibName, idC) =>
+          Future {
+            val sd = catalog.get(sibName).get
+            val sibRaw = readRaw(sd)
+            val vic = vicIds(idC)
+            val n = sibRaw
+              .join(vic, col("ex_id") === col("__forget_id"), "left_semi")
+              .select("ex_id").distinct().count()
+            if (n > 0)
+              stageRewrite(sd, sibRaw.join(vic,
+                col("ex_id") === col("__forget_id"), "left_anti"))
+            sibName -> n
           }
-          pruned
-        case _ => 0L
-      }
+        }
+        pruned = Await.result(Future.sequence(sibFs), Duration.Inf).toMap
+        Await.result(mainF, Duration.Inf)
+      } finally pool.shutdown()
 
-    // 2. ANN: prune even when stale (a stale index still SERVES its
-    // last epoch — it must not keep serving forgotten vectors); re-pin
-    // only when it was live
-    annD.foreach { id =>
-      val prunedN = prune(annIdx, id.properties.getOrElse("ann_id_col", ""))
-      if (annLive) {
-        val dNow = catalog.get(annIdx).get
-        val annN = propLong(dNow.properties, "ann_n").getOrElse(0L)
-        catalog.put(dNow.copy(properties = dNow.properties ++ Map(
-          "ann_n" -> math.max(0L, annN - prunedN).toString,
-          "ann_main_epoch" -> newMain.toString,
-          "ann_idx_epoch" -> dNow.writeEpoch.toString,
-          "ann_cent_epoch" ->
-            catalog.get(annCent).get.writeEpoch.toString)))
+      // ---- commit: flips + epoch bumps + pins, sequential ----
+      // 1. main store + epoch bump (content changed: stale pins,
+      // out-of-band detection, and any staged commit must all see it)
+      commitStagedSwap(d)
+      val dMain = catalog.get(name).get
+      val newMain = dMain.writeEpoch + 1
+      catalog.put(dMain.copy(writeEpoch = newMain))
+
+      /** Commit one sibling's staged prune (if any); bumps its epoch. */
+      def commitPrune(sibName: String): Unit =
+        if (pruned.getOrElse(sibName, 0L) > 0) {
+          commitStagedSwap(catalog.get(sibName).get)
+          val sdNow = catalog.get(sibName).get
+          catalog.put(sdNow.copy(writeEpoch = sdNow.writeEpoch + 1))
+        }
+
+      // 2. ANN: prune even when stale (a stale index still SERVES its
+      // last epoch — it must not keep serving forgotten vectors); re-pin
+      // only when it was live
+      annD.foreach { _ =>
+        commitPrune(annIdx)
+        if (annLive) {
+          val dNow = catalog.get(annIdx).get
+          val annN = propLong(dNow.properties, "ann_n").getOrElse(0L)
+          catalog.put(dNow.copy(properties = dNow.properties ++ Map(
+            "ann_n" -> math.max(0L,
+              annN - pruned.getOrElse(annIdx, 0L)).toString,
+            "ann_main_epoch" -> newMain.toString,
+            "ann_idx_epoch" -> dNow.writeEpoch.toString,
+            "ann_cent_epoch" ->
+              catalog.get(annCent).get.writeEpoch.toString)))
+        }
       }
-    }
-    // 3. MinHash postings + signatures
-    mhD.foreach { pd =>
-      val idC = pd.properties.getOrElse("mh_id_col", "")
-      prune(mhPost, idC); prune(mhSig, idC)
-      if (mhLive) {
-        val dNow = catalog.get(mhPost).get
-        catalog.put(dNow.copy(properties = dNow.properties ++ Map(
-          "mh_main_epoch" -> newMain.toString,
-          "mh_post_epoch" -> dNow.writeEpoch.toString,
-          "mh_sig_epoch" -> catalog.get(mhSig).get.writeEpoch.toString)))
+      // 3. MinHash postings + signatures
+      mhD.foreach { _ =>
+        commitPrune(mhPost); commitPrune(mhSig)
+        if (mhLive) {
+          val dNow = catalog.get(mhPost).get
+          catalog.put(dNow.copy(properties = dNow.properties ++ Map(
+            "mh_main_epoch" -> newMain.toString,
+            "mh_post_epoch" -> dNow.writeEpoch.toString,
+            "mh_sig_epoch" -> catalog.get(mhSig).get.writeEpoch.toString)))
+        }
       }
-    }
-    // 4. sign-LSH postings. lsh_n is deliberately NOT decremented: the
-    // live fast-path requires solve(lsh_n) == the pinned layout, so an
-    // exact decrement could cross a solve() boundary and void the pin,
-    // forcing a full corpus re-signature on the next ingest — the exact
-    // rebuild forget exists to avoid. It stays the layout-ledger count
-    // (an upper bound after forgets), which only delays the next
-    // layout growth, never corrupts results.
-    lshD.foreach { id =>
-      prune(lshIdx, id.properties.getOrElse("lsh_id_col", ""))
-      if (lshLive) {
-        val dNow = catalog.get(lshIdx).get
-        catalog.put(dNow.copy(properties = dNow.properties ++ Map(
-          "lsh_main_epoch" -> newMain.toString,
-          "lsh_idx_epoch" -> dNow.writeEpoch.toString)))
+      // 4. sign-LSH postings. lsh_n is deliberately NOT decremented: the
+      // live fast-path requires solve(lsh_n) == the pinned layout, so an
+      // exact decrement could cross a solve() boundary and void the pin,
+      // forcing a full corpus re-signature on the next ingest — the exact
+      // rebuild forget exists to avoid. It stays the layout-ledger count
+      // (an upper bound after forgets), which only delays the next
+      // layout growth, never corrupts results.
+      lshD.foreach { _ =>
+        commitPrune(lshIdx)
+        if (lshLive) {
+          val dNow = catalog.get(lshIdx).get
+          catalog.put(dNow.copy(properties = dNow.properties ++ Map(
+            "lsh_main_epoch" -> newMain.toString,
+            "lsh_idx_epoch" -> dNow.writeEpoch.toString)))
+        }
       }
+      committed = true
+    } finally {
+      // discard whatever did not commit BEFORE dropping the liveRewrites
+      // guards, so a reader's repair can never replay a dead stage
+      if (!committed)
+        stagedNames.foreach(n => catalog.get(n).foreach(dropStagedSwap))
+      stagedNames.foreach(liveRewrites.remove)
     }
     nVictims
   }

@@ -105,24 +105,47 @@ object Graphs {
     * each round's labels are localCheckpoint'ed because the next round
     * consumes them TWICE (neighbor join + self-vote) — without the
     * cut, Catalyst re-inlines the whole chain per consumer and the
-    * plan doubles per round. */
+    * plan doubles per round.
+    *
+    * Exchange economy (optimization round 12, guide §2.4): the edge
+    * frame is pre-partitioned on the join key `v` ONCE before its
+    * checkpoint (localCheckpoint preserves the physical partitioning),
+    * and each round's labels checkpoint comes out of the per-node
+    * aggregate hash-partitioned on `id` — which the alias to `v`
+    * carries into the next round's join. Both join inputs therefore
+    * arrive clustered on the key and the join plans with NO exchange;
+    * the one per-round exchange left is the explicit `id` repartition
+    * feeding the vote aggregates, whose subset key satisfies both the
+    * (id, lbl) count and the per-id argmax. 4 exchanges/round → 1 —
+    * at 100 TB each removed exchange is a full |E|-row shuffle per
+    * round. */
   def labelPropagation(ids: DataFrame, edges: DataFrame,
                        idCol: String = "id", edgeACol: String = "id_a",
                        edgeBCol: String = "id_b",
                        rounds: Int = 4): DataFrame = {
     require(rounds >= 1, "rounds must be positive")
+    // explicit partition COUNT (the session's shuffle knob — scale-
+    // adaptive, never a local constant): hash(v, n) on the edges must
+    // equal hash(id→v, n) on every round's labels for the join to plan
+    // exchange-free, and AQE coalesces count-less repartitions to
+    // data-dependent widths that would break that equality
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
     val bid = edges
       .select(col(edgeACol).as("u"), col(edgeBCol).as("v"))
       .union(edges.select(col(edgeBCol).as("u"), col(edgeACol).as("v")))
       .filter(col("u") =!= col("v")).distinct()
+      .repartition(nPart, col("v"))
       .localCheckpoint(eager = true)
     var labels = ids
       .select(col(idCol).as("id"), col(idCol).cast("long").as("lbl"))
+      .repartition(nPart, col("id"))
+      .localCheckpoint(eager = true)
     for (_ <- 1 to rounds) {
       val votes = bid
         .join(labels.select(col("id").as("v"), col("lbl")), "v")
         .select(col("u").as("id"), col("lbl"))
         .unionByName(labels.select(col("id"), col("lbl")))
+        .repartition(nPart, col("id"))
         .groupBy("id", "lbl").agg(count(lit(1)).as("cnt"))
       labels = votes
         .groupBy("id")
@@ -163,6 +186,10 @@ object Graphs {
                              idCol: String = "id",
                              maxRounds: Int = 50): DataFrame = {
     val spark = ids.sparkSession
+    // explicit shuffle width, as in [[labelPropagation]]: the per-star
+    // (u) repartition must satisfy both the min-aggregate and the
+    // hook-up join, so its count is pinned to the session knob
+    val nPart = ids.sparkSession.sessionState.conf.numShufflePartitions
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
@@ -170,9 +197,15 @@ object Graphs {
       .distinct()
       .localCheckpoint(eager = true)
 
+    // each star pre-partitions its edge frame on `u` ONCE (optimization
+    // round 12, guide §2.4): the min aggregate and the hook-up join both
+    // cluster on `u`, so they ride that single exchange instead of one
+    // each — per star, 3 exchanges → 2, and the frame that stops
+    // shuffling twice is the round's full edge set
     def largeStar(e: DataFrame): DataFrame = {
       val bid = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(nPart, col("u"))
       val mins = bid.groupBy("u").agg(min("v").as("mn"))
       bid.join(mins, "u")
         .withColumn("m", least(col("mn"), col("u")))
@@ -183,8 +216,9 @@ object Graphs {
 
     def smallStar(e: DataFrame): DataFrame = {
       // edges already point (larger u → smaller v)
-      val mins = e.groupBy("u").agg(min("v").as("m"))
-      e.join(mins, "u")
+      val ep = e.repartition(nPart, col("u"))
+      val mins = ep.groupBy("u").agg(min("v").as("m"))
+      ep.join(mins, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("u"), col("m").as("v")))
@@ -193,12 +227,19 @@ object Graphs {
 
     var converged = edges.isEmpty
     var round = 0
+    var edgeCount = -1L
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
-      // fixed point: symmetric difference empty (both frames canonical
-      // larger→smaller, so set equality is the right test)
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // fixed point: set equality of two canonical (larger→smaller)
+      // distinct frames. |next| = |edges| plus one-sided containment is
+      // equivalent to the former two-sided exceptAll and drops one
+      // corpus-shuffle action per round — counts over the checkpointed
+      // frames are shuffle-free
+      if (edgeCount < 0) edgeCount = edges.count()
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       round += 1
     }
     require(converged, s"large/small-star did not converge in $maxRounds rounds")

@@ -113,21 +113,33 @@ object Vocab {
                           textCol: String = "text",
                           lambda: Double = 0.5): DataFrame = {
     val w = split(col(textCol), " ")
-    // per-doc bigram term frequencies — one explode, one pre-aggregate
+    // per-doc bigram term frequencies — one explode, one pre-aggregate.
+    // The explicit (w1, w2) repartition (optimization round 12, guide
+    // §2.4 "two operations keyed the same way share one exchange")
+    // replaces the aggregate's (did, w1, w2) exchange with the SUBSET
+    // key both downstream consumers need: the per-doc aggregate is
+    // satisfied by it (same-key rows stay co-located), and the biCnt
+    // aggregate plus the final (w1, w2) scoring join then run with NO
+    // further exchange of this — the corpus-scale — frame.
     val docBf = docs.filter(size(w) >= 2)
       .select(col(idCol).as("did"), explode(docBigrams(textCol)).as("bg"))
       .select(col("did"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .repartition(col("w1"), col("w2"))
       .groupBy("did", "w1", "w2").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val biCnt = docBf.groupBy("w1", "w2").agg(sum("tf").as("bi"))
-    // context count = occurrences of w1 as a bigram LHS (= Σ bi over w2);
-    // unigram counts/total come from ALL word occurrences, matching the
-    // unigram gate's distribution
-    val ctxCnt = biCnt.groupBy("w1").agg(sum("bi").as("ctx"))
+    // context count = occurrences of w1 as a bigram LHS (= Σ bi over w2),
+    // computed as a WINDOW over the bigram-type frame (round 12): the
+    // former groupBy(w1)-then-join-back shuffled biCnt twice (aggregate +
+    // join probe); the window shuffles it once on the same key and emits
+    // identical exact-integer sums. Unigram counts/total come from ALL
+    // word occurrences, matching the unigram gate's distribution.
+    val byW1 = Window.partitionBy("w1")
     val uniWords = docs.select(explode(split(col(textCol), " ")).as("w2"))
     val uniCnt = uniWords.groupBy("w2").agg(count(lit(1)).as("uni"))
     val total = uniCnt.agg(sum("uni").cast("double").as("total"))
-    val scored = biCnt.join(ctxCnt, "w1").join(uniCnt, "w2")
+    val scored = biCnt.withColumn("ctx", sum("bi").over(byW1))
+      .join(uniCnt, "w2")
       .crossJoin(broadcast(total))
       .withColumn("lp_micro", round(log(
         lit(lambda) * (col("bi").cast("double") / col("ctx").cast("double"))
@@ -170,19 +182,34 @@ object Vocab {
                              discount: Double = 0.75): DataFrame = {
     require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
     val w = split(col(textCol), " ")
+    // (w1, w2) repartition in place of the aggregate's (did, w1, w2)
+    // exchange — see [[bigramLogPerplexity]] (round 12): the per-doc
+    // aggregate, the biCnt aggregate AND the final scoring join all ride
+    // this one corpus-scale shuffle.
     val docBf = docs.filter(size(w) >= 2)
       .select(col(idCol).as("did"), explode(docBigrams(textCol)).as("bg"))
       .select(col("did"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .repartition(col("w1"), col("w2"))
       .groupBy("did", "w1", "w2").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val biCnt = docBf.groupBy("w1", "w2").agg(sum("tf").as("bi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // leaving-type count rides the context aggregate (same grouping key)
-    val ctxCnt = biCnt.groupBy("w1")
-      .agg(sum("bi").as("ctx"), count(lit(1)).as("nfr"))
-    val toCnt = biCnt.groupBy("w2").agg(count(lit(1)).as("nto"))
+    // context mass + leaving-type count ride ONE window over the bigram-
+    // type frame, entering-type count a second (round 12): the former
+    // two groupBy-then-join-back aggregates each shuffled biCnt twice
+    // (aggregate + join probe, 4 exchanges); two windows shuffle it once
+    // per key (2 exchanges) and emit identical exact-integer counts —
+    // every bigram type keeps exactly the (ctx, nfr, nto) the inner
+    // joins attached (w1/w2 are never NULL, so window vs inner-join row
+    // sets coincide). The type total stays a 1-row broadcast aggregate:
+    // a global window would funnel the vocabulary through one partition.
+    val byW1 = Window.partitionBy("w1")
+    val byW2 = Window.partitionBy("w2")
     val types = biCnt.agg(count(lit(1)).cast("double").as("tt"))
-    val scored = biCnt.join(ctxCnt, "w1").join(toCnt, "w2")
+    val scored = biCnt
+      .withColumn("ctx", sum("bi").over(byW1))
+      .withColumn("nfr", count(lit(1)).over(byW1))
+      .withColumn("nto", count(lit(1)).over(byW2))
       .crossJoin(broadcast(types))
       .withColumn("lp_micro", round(log(
         (col("bi").cast("double") - lit(discount)) / col("ctx").cast("double")

@@ -665,6 +665,23 @@ object Probe {
       timed("perplexityBuckets full")(
         graft.operators.Vocab.perplexityBuckets(docs).count())
       spark.catalog.clearCache()
+      // pipeline_curation_v6 decomposition (optimization round 12): the
+      // gate = buckets-triage `kept` (persisted) → editDistancePairs →
+      // anti-join; time each half against the whole
+      val kept = graft.operators.Vocab.perplexityBuckets(docs)
+        .filter(col("band") =!= "tail")
+        .join(docs.select("doc_id", "text"), Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed("v6: kept materialize")(kept.count())
+      val dupIds = graft.operators.Dedup.editDistancePairs(kept, "doc_id",
+        "text", shingleN = 3, blockJaccard = 0.3, maxEdits = 6)
+        .select(col("id_b").as("doc_id")).distinct()
+      timed("v6: editDistancePairs over kept")(dupIds.count())
+      timed("v6: anti-join close")(
+        kept.join(dupIds, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "band", "avg_neg_logp").count())
+      kept.unpersist()
+      spark.catalog.clearCache()
       // LP decomposition
       val edges = timed("knnGraph edges")(
         graft.operators.Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
